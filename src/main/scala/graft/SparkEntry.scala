@@ -1,13 +1,668 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.{LocalDate, LocalTime}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+import graft.operators._
+import graft.sinks.ParquetSink
+import graft.sources.TickerSource
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 (and the north-star extension
+  * operators) appears here as a named query over the driver-generated
+  * parquet tables, with an ANSI-SQL twin in [[oracleSql]] for the DuckDB
+  * hash-compare where the operator is SQL-expressible.
+  *
+  * Conventions shared by query and oracle (required for hash equality):
+  *   - identical output column NAMES and a total-order ORDER BY;
+  *   - floating aggregates rounded identically on both sides (sums to 2 dp,
+  *     ratios to 4 dp, similarities to 6 dp) — raw column passthroughs are
+  *     left unrounded (bit-identical out of the same parquet);
+  *   - all casts are `try_*` so queries behave the same under ANSI (the
+  *     driver's session) and non-ANSI (GraftSession) modes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    * read the physical INT64 as epoch-nanos (`ts_ns`) via an explicit
+    * schema. Keeping nanos as long also preserves the full arrival order —
+    * truncating to micros would merge 99.9% of events into ties.
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+
+  private def tsNsDate(c: Column): Column =
+    to_date(timestamp_micros((c / 1000).cast(LongType)))
+
+  /** Flagship: the full options-pipeline batch (parse → band → expiry policy
+    * → dedup → delta join → canonical sort) on a deterministic synthetic
+    * ticker snapshot derived from sf0.001 lineitem, against empty state.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val raw = TickerSource.syntheticFromLineitem(spark, "/root/testdata/sf0.001")
+    OptionsPipeline.runBatch(
+      raw,
+      ParquetSink.emptyState(spark),
+      OptionsPipeline.Hourly,
+      today = LocalDate.of(2000, 1, 1),
+      batchDate = LocalDate.of(2000, 1, 1),
+      batchTime = LocalTime.of(12, 0, 0)
+    )
+  }
+
+  // ---------------------------------------------------------------- parity
+
+  /** §2.3 aggregation: TPC-H-Q1-shaped pricing summary over lineitem. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-12-31 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** §2.2 strike-band predicate as a pushed-down BETWEEN (reference
+    * filter_strikes_by_percentage, main.py:83-87): ±7% band around a fixed
+    * spot of 30000 over l_extendedprice.
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(Snapshot.strikeBand(col("l_extendedprice"), lit(30000.0), 7.0))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** §2.3 keep-LAST dedup (reference drop_duplicates keep='last',
+    * main.py:233) over events keyed by user_id, arrival order (ts, event_id).
+    */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Snapshot
+      .keepLastBy(ev(s, dir), Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .orderBy(col("user_id"))
+
+  /** §2.4 per-key previous-snapshot diff in its windowed form: lag(value)
+    * over (user_id, ts) — Open/OI_Change semantics (miss → 0).
+    */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_us"),
+        col("value"),
+        coalesce(col("prev_value"), lit(0.0)).as("open_value"),
+        when(col("prev_value").isNotNull, col("value") - col("prev_value"))
+          .otherwise(lit(0.0))
+          .as("delta")
+      )
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** §2.4 the reference's snapshot-diff join, end to end on real tables:
+    * current batch = keep-last event per user on 2024-01-30; state = the
+    * sink tail (last 300 events before that day, reference tail(300)
+    * main.py:260) deduped keep-last per user; broadcast LEFT join;
+    * Open = prev value (miss → 0), OI_Change-style delta (miss → 0).
+    */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val day = lit(java.sql.Date.valueOf("2024-01-30"))
+    val cur = Snapshot.keepLastBy(
+      events.where(tsNsDate(col("ts_ns")) === day),
+      Seq("user_id"),
+      Seq(col("ts_us"), col("event_id"))
+    )
+    val tail300 = events
+      .where(tsNsDate(col("ts_ns")) < day)
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(300)
+    val state = Snapshot
+      .keepLastBy(tail300, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("value").as("prev_value"))
+    cur
+      .join(broadcast(state), Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        coalesce(col("prev_value"), lit(0.0)).as("open_value"),
+        when(col("prev_value").isNotNull, col("value") - col("prev_value"))
+          .otherwise(lit(0.0))
+          .as("oi_change")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.3 E0/E1/E2 nearest-expiry policy as sorted-limit over distinct
+    * dates (reference get_current_and_next_expiry, main.py:43-80).
+    */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderdate").cast(DateType).as("expiry"))
+      .where(col("expiry") >= lit(java.sql.Date.valueOf("1998-06-01")))
+      .distinct()
+      .orderBy(col("expiry"))
+      .limit(3)
+
+  /** §2.3 Friday W1/W2 policy (reference deltaweekly.py:43-111): first
+    * Friday with ≥2 active dates strictly before it, and the next Friday
+    * after that.
+    */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val active = t(s, dir, "orders")
+      .select(col("o_orderdate").cast(DateType).as("expiry"))
+      .where(col("expiry") >= lit(java.sql.Date.valueOf("1998-06-01")))
+    val picked = ExpiryPolicy.fridayExpiries(active, LocalDate.of(1998, 6, 1))
+    picked
+      .zip(Seq("W1", "W2"))
+      .map { case (d, w) => (w, java.sql.Date.valueOf(d)) }
+      .toDF("which", "expiry")
+      .orderBy(col("which"))
+  }
+
+  /** §2.2 symbol construction + parse round-trip: build
+    * {C|P}-ETH-<strike>-<DDMMYY> symbols from lineitem, then recover strike,
+    * expiry (reference year = 2000+YY rule, main.py:185-187) and option
+    * type with pure string/date expressions.
+    */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val sym = concat(
+      when(col("l_linenumber") % 2 === 0, lit("C")).otherwise(lit("P")),
+      lit("-ETH-"),
+      floor(col("l_extendedprice")).cast(StringType),
+      lit("-"),
+      date_format(col("l_shipdate"), "ddMMyy")
+    )
+    val parts = split(col("symbol"), "-")
+    val tok = element_at(parts, -1)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), sym.as("symbol"))
+      .withColumn("strike", element_at(parts, 3).try_cast(DoubleType))
+      .withColumn(
+        "expiry",
+        make_date(
+          substring(tok, 5, 2).try_cast(IntegerType) + lit(2000),
+          substring(tok, 3, 2).try_cast(IntegerType),
+          substring(tok, 1, 2).try_cast(IntegerType)
+        )
+      )
+      .withColumn(
+        "opt_type",
+        when(element_at(parts, 1) === "C", lit("Call")).otherwise(lit("Put"))
+      )
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Multi-way join with broadcast dims: revenue by nation for one region
+    * (exercises the join-shape the delta join takes when state outgrows the
+    * broadcast bound).
+    */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("n_name"))
+
+  /** §2.3 windowed top-N per key (the row_number pattern that encodes all
+    * the reference's keep-last/tail semantics): top-2 orders per customer.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** §2.2 stringly coercion (reference to_numeric(errors='coerce') → 0,
+    * main.py:276-285): extract digits from a JSON-ish string column,
+    * try_cast with 0 default; plus a guaranteed-failing cast.
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn(
+        "k",
+        coalesce(regexp_extract(col("props"), "[0-9]+", 0).try_cast(LongType), lit(0L))
+      )
+      .withColumn("bad", coalesce(col("event_type").try_cast(DoubleType), lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        round(sum(col("bad")), 2).as("sum_bad"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("event_type"))
+
+  /** §2.2 NaN/Inf → NULL sink cleanup (reference clean_dataframe_for_json,
+    * main.py:33-41): inject NaN/Inf by predicate, clean, aggregate.
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val x = when(col("l_discount") > 0.05, lit(Double.NaN)).otherwise(col("l_discount"))
+    val y = when(col("l_tax") === 0.0, lit(Double.PositiveInfinity)).otherwise(col("l_tax"))
+    t(s, dir, "lineitem")
+      .withColumn("xc", Snapshot.cleanNumeric(x))
+      .withColumn("yc", Snapshot.cleanNumeric(y))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("xc")).as("n_x_kept"),
+        count(col("yc")).as("n_y_kept"),
+        round(sum(col("xc")), 4).as("sum_x"),
+        round(sum(col("yc")), 4).as("sum_y")
+      )
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ------------------------------------------------- north-star extensions
+
+  /** Exact dedup by text digest. */
+  private def x01(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exact(t(s, dir, "documents"))
+      .orderBy(col("text_md5"))
+
+  /** Normalized-text fingerprint per document. */
+  private def x02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document text statistics. */
+  private def x03(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .withTextStats(t(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        col("n_chars_c"),
+        col("n_tokens"),
+        col("n_distinct_tokens"),
+        col("avg_token_len"),
+        col("type_token_ratio")
+      )
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace words + BPE-ish regex tokens. */
+  private def x04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens")
+      )
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic (marker stopword argmax). */
+  private def x05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index formulation). */
+  private def x06(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard — must agree
+    * with x06 given the (bands=32, r=4) S-curve at this threshold.
+    */
+  private def x07(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Dedup
+      .minhashLshPairs(
+        t(s, dir, "documents"),
+        n = 3,
+        threshold = 0.5,
+        bands = 32,
+        rowsPerBand = 4
+      )
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash signatures per document (64-bit, map-side). */
+  private def x08(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id<10. */
+  private def x09(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity
+      .bruteForceTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        k = 5
+      )
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-5 (scale path; no SQL oracle — approx). */
+  private def x10(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity
+      .lshTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        k = 5,
+        numPlanes = 8,
+        probeBits = 1
+      )
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs at 0.45 (max pair sim in this corpus
+    * is ~0.51, so the threshold yields a non-trivial, stable pair set).
+    */
+  private def x11(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Dedup
+      .embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_band_filter" -> (q02 _),
+    "q03_keep_last" -> (q03 _),
+    "q04_lag_delta" -> (q04 _),
+    "q05_snapshot_diff" -> (q05 _),
+    "q06_nearest_expiry" -> (q06 _),
+    "q07_friday_policy" -> (q07 _),
+    "q08_symbol_roundtrip" -> (q08 _),
+    "q09_revenue_by_nation" -> (q09 _),
+    "q10_top_orders_per_cust" -> (q10 _),
+    "q11_stringly_coerce" -> (q11 _),
+    "q12_nan_clean" -> (q12 _),
+    "x01_dedup_exact" -> (x01 _),
+    "x02_fingerprint" -> (x02 _),
+    "x03_text_stats" -> (x03 _),
+    "x04_token_counts" -> (x04 _),
+    "x05_lang_id" -> (x05 _),
+    "x06_ngram_jaccard" -> (x06 _),
+    "x07_minhash_lsh" -> (x07 _),
+    "x08_simhash" -> (x08 _),
+    "x09_cosine_topk" -> (x09 _),
+    "x10_ann_lsh" -> (x10 _),
+    "x11_embed_neardup" -> (x11 _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_band_filter" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_extendedprice BETWEEN 30000.0 * (1 - 7.0/100.0) AND 30000.0 * (1 + 7.0/100.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q03_keep_last" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q04_lag_delta" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        | coalesce(prev_value, 0.0) AS open_value,
+        | CASE WHEN prev_value IS NOT NULL THEN value - prev_value ELSE 0.0 END AS delta
+        |FROM (
+        |  SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q05_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT user_id, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30') WHERE rn = 1
+        |), tail300 AS (
+        |  SELECT * FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-30'
+        |  ORDER BY ts DESC, event_id DESC LIMIT 300
+        |), state AS (
+        |  SELECT user_id, value AS prev_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM tail300) WHERE rn = 1
+        |)
+        |SELECT cur.user_id, cur.event_id, cur.value,
+        | coalesce(state.prev_value, 0.0) AS open_value,
+        | CASE WHEN state.prev_value IS NOT NULL THEN cur.value - state.prev_value ELSE 0.0 END AS oi_change
+        |FROM cur LEFT JOIN state ON cur.user_id = state.user_id
+        |ORDER BY cur.user_id""".stripMargin,
+    "q06_nearest_expiry" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS expiry FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+        |ORDER BY expiry LIMIT 3""".stripMargin,
+    "q07_friday_policy" ->
+      """WITH active AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+        |), num AS (
+        |  SELECT d, row_number() OVER (ORDER BY d) - 1 AS n_before,
+        |         dayofweek(d) = 5 AS isfri
+        |  FROM active
+        |), w1 AS (
+        |  SELECT coalesce(
+        |    (SELECT min(d) FROM num WHERE isfri AND n_before >= 2),
+        |    (SELECT min(d) FROM num WHERE isfri)) AS d
+        |), w2 AS (
+        |  SELECT min(num.d) AS d FROM num, w1 WHERE num.isfri AND num.d > w1.d
+        |)
+        |SELECT 'W1' AS which, d AS expiry FROM w1 WHERE d IS NOT NULL
+        |UNION ALL
+        |SELECT 'W2' AS which, d AS expiry FROM w2 WHERE d IS NOT NULL
+        |ORDER BY which""".stripMargin,
+    "q08_symbol_roundtrip" ->
+      """WITH built AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
+        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)
+        |      || '-' || strftime(l_shipdate, '%d%m%y') AS symbol
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber, symbol,
+        |  TRY_CAST(string_split(symbol, '-')[3] AS DOUBLE) AS strike,
+        |  make_date(
+        |    2000 + TRY_CAST(substr(string_split(symbol, '-')[4], 5, 2) AS INT),
+        |    TRY_CAST(substr(string_split(symbol, '-')[4], 3, 2) AS INT),
+        |    TRY_CAST(substr(string_split(symbol, '-')[4], 1, 2) AS INT)) AS expiry,
+        |  CASE WHEN string_split(symbol, '-')[1] = 'C' THEN 'Call' ELSE 'Put' END AS opt_type
+        |FROM built
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q09_revenue_by_nation" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q10_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q11_stringly_coerce" ->
+      """SELECT event_type,
+        | sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT), 0)) AS sum_k,
+        | round(sum(coalesce(TRY_CAST(event_type AS DOUBLE), 0.0)), 2) AS sum_bad,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_nan_clean" ->
+      """WITH injected AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_discount > 0.05 THEN 'NaN'::DOUBLE ELSE l_discount END AS x,
+        |    CASE WHEN l_tax = 0.0 THEN 'Infinity'::DOUBLE ELSE l_tax END AS y
+        |  FROM lineitem
+        |), cleaned AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN isnan(x) OR x = 'Infinity'::DOUBLE OR x = '-Infinity'::DOUBLE THEN NULL ELSE x END AS xc,
+        |    CASE WHEN isnan(y) OR y = 'Infinity'::DOUBLE OR y = '-Infinity'::DOUBLE THEN NULL ELSE y END AS yc
+        |  FROM injected
+        |)
+        |SELECT l_returnflag, count(*) AS n_total,
+        | count(xc) AS n_x_kept, count(yc) AS n_y_kept,
+        | round(sum(xc), 4) AS sum_x, round(sum(yc), 4) AS sum_y
+        |FROM cleaned
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+    "x02_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x03_text_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, length(text) AS n_chars_c,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars_c,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct_tokens,
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS type_token_ratio
+        |FROM tk ORDER BY doc_id""".stripMargin,
+    "x04_token_counts" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x05_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |    ELSE 'fr'
+        |  END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x06_ngram_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+        |    ELSE [] END AS s
+        |  FROM tk
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "x07_minhash_lsh" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+        |    ELSE [] END AS s
+        |  FROM tk
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "x09_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id >= 10
+        |), s AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS score
+        |  FROM q CROSS JOIN c
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "x11_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin
+  )
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-API + SQL facade for graft's custom Catalyst expressions.
+  *
+  * Registration is per-session and idempotent; the Column helpers route
+  * through `call_function`, so they work on any session that has called
+  * [[register]] (including the driver's Verify/Bench sessions).
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs =>
+        MinHashSignature(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int]
+        ),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "byte_histogram", exprs => ByteHistogram(exprs(0)), "built-in")
+  }
+
+  /** Cosine similarity of two array<float>/array<double> columns. */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** MinHash signature (array<long> of length k) of an array<string> column. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    call_function("minhash_sig", shingles, lit(k))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** L1-normalized 256-bin byte histogram of a binary column. */
+  def byteHistogram(payload: Column): Column = call_function("byte_histogram", payload)
+
+  /** Hamming distance between two simhashes — built-ins only. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for corpus curation (BASELINE.json north star).
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *   - Exact/fingerprint dedup: one hash-partitioned shuffle on a 16-byte
+  *     digest, never on document text; map-side partial aggregation applies.
+  *   - MinHash-LSH: signatures are computed map-side by a single expression
+  *     ([[graft.functions.MinHashSignature]] — no explode of shingles, no
+  *     shuffle of text); only (band_id, band_hash, doc_id) triples — tens of
+  *     bytes per doc per band — are shuffled. Candidate verification joins
+  *     back to shingle sets by doc_id.
+  *   - Inverted-index n-gram Jaccard: postings lists are pruned by document
+  *     frequency before the self-join, the standard guard against the
+  *     quadratic blowup of stop-shingles.
+  */
+object Dedup {
+
+  /** Exact dedup by full-text digest: one surviving doc_id (the smallest)
+    * per distinct text, plus the group size.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint (normalized-text) dedup — catches whitespace/punctuation/
+    * case variants that exact dedup misses.
+    */
+  def byFingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Docs annotated with distinct word-n-gram shingle sets. */
+  def withShingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh")
+    )
+
+  private def jaccard(aSize: Column, bSize: Column, common: Column): Column =
+    common.cast("double") / (aSize + bSize - common).cast("double")
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode distinct shingles → self-join on shingle → count shared →
+    * Jaccard ≥ threshold. `maxDf` prunes postings longer than that many docs
+    * (stop-shingles) before the quadratic step.
+    *
+    * Output: (a_id, b_id, jac) with a_id < b_id, rounded to 6 dp.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sh = withShingles(docs, n, idCol, textCol)
+      .withColumn("sh_size", size(col("sh")))
+    val postings = sh
+      .select(col(idCol), col("sh_size"), explode(col("sh")).as("shingle"))
+    val pruned = postings
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxDf)
+      .drop("df")
+    val a = pruned.select(
+      col(idCol).as("a_id"), col("sh_size").as("a_size"), col("shingle"))
+    val b = pruned.select(
+      col(idCol).as("b_id"), col("sh_size").as("b_size"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac", round(jaccard(col("a_size"), col("b_size"), col("common")), 6))
+      .where(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
+    *
+    * k = numHashes = bands * rowsPerBand. Docs sharing ≥1 identical band of
+    * the signature become candidates; candidates are verified against the
+    * true shingle-set Jaccard and filtered at `threshold`. With (bands=16,
+    * rowsPerBand=8) the LSH S-curve is steep around j≈0.8.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = withShingles(docs, n, idCol, textCol)
+    val sig = sh
+      .where(size(col("sh")) > 0)
+      .select(
+        col(idCol),
+        col("sh"),
+        GraftFunctions.minhashSig(col("sh"), k).as("sig")
+      )
+    // (doc, band_id, band_hash): hash() over the band slice collapses the
+    // r longs to one 32-bit bucket key. Bands are unrolled at plan time
+    // (static slice offsets → plain codegen'd projections).
+    val bandHashes = (0 until bands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash"))
+    )
+    val l = banded.select(col(idCol).as("a_id"), col("band_id"), col("band_hash"))
+    val r = banded.select(col(idCol).as("b_id"), col("band_id"), col("band_hash"))
+    val candidates = l
+      .join(r, Seq("band_id", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val shA = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val shB = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    candidates
+      .join(shA, "a_id")
+      .join(shB, "b_id")
+      .withColumn(
+        "jac",
+        round(
+          jaccard(
+            size(col("a_sh")),
+            size(col("b_sh")),
+            size(array_intersect(col("a_sh"), col("b_sh")))
+          ),
+          6
+        )
+      )
+      .where(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (map-side expression),
+    * 4×16-bit band blocking (any pair within Hamming distance ≤3 shares at
+    * least one exact band), verified with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking guarantees recall only for hamming <= 3")
+    val sig = docs.select(
+      col(idCol),
+      GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sim")
+    )
+    val bandVals = (0 until 4).map(b =>
+      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sig.select(
+      col(idCol),
+      col("sim"),
+      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val"))
+    )
+    val l = banded.select(col(idCol).as("a_id"), col("sim").as("a_sim"), col("band_id"), col("band_val"))
+    val r = banded.select(col(idCol).as("b_id"), col("sim").as("b_sim"), col("band_id"), col("band_val"))
+    l.join(r, Seq("band_id", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sim", "b_sim")
+      .distinct()
+      .withColumn("hamming", GraftFunctions.hamming64(col("a_sim"), col("b_sim")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs. Small corpora: block-nested-loop with
+    * the broadcast side chosen by Catalyst/AQE. At scale this must be
+    * preceded by LSH bucketing (Similarity.randomProjectionBuckets) — the
+    * same pair generator restricted to bucket-equal pairs.
+    */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.crossJoin(b)
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("a_vec"), col("b_vec")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

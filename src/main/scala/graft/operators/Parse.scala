@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar parsing/coercion expressions for the ticker snapshot
+  * (SURVEY.md §2.2). Everything here is built-in Catalyst expressions —
+  * whole-stage-codegen'd, no UDFs — and ANSI-safe (`try_cast`-style guards),
+  * mirroring the reference's `errors='coerce'` semantics
+  * (reference main.py:164-198,276-277).
+  */
+object Parse {
+
+  /** Non-ANSI-throwing string→double (reference `float(x)` with
+    * row-drop-on-failure, main.py:168-169,220-223).
+    */
+  def tryDouble(c: Column): Column = c.try_cast(DoubleType)
+
+  /** Non-ANSI-throwing string→long with reference's `int(x or 0)` default
+    * (main.py:197-198).
+    */
+  def tryLongOrZero(c: Column): Column =
+    coalesce(c.try_cast(DoubleType).try_cast(LongType), lit(0L))
+
+  def tryDoubleOrZero(c: Column): Column =
+    coalesce(c.try_cast(DoubleType), lit(0.0))
+
+  /** The expiry token: last `-`-separated part of the symbol, required to be
+    * exactly 6 digits, from a symbol with ≥4 parts
+    * (reference main.py:131-138,177-190).
+    */
+  def expiryToken(symbol: Column): Column =
+    when(
+      size(split(symbol, "-")) >= 4 &&
+        element_at(split(symbol, "-"), -1).rlike("^[0-9]{6}$"),
+      element_at(split(symbol, "-"), -1)
+    )
+
+  /** DDMMYY → date with the reference's fixed `year = 2000 + YY` rule
+    * (main.py:185-187 — NOT the POSIX 69-pivot). `try_to_timestamp` keeps
+    * calendar-invalid tokens (e.g. 310225) NULL instead of throwing under
+    * ANSI.
+    */
+  def expiryFromToken(tok: Column): Column =
+    try_to_timestamp(
+      concat(lit("20"), substring(tok, 5, 2), substring(tok, 3, 2), substring(tok, 1, 2)),
+      lit("yyyyMMdd")
+    ).cast(DateType)
+
+  def expiryFromSymbol(symbol: Column): Column = expiryFromToken(expiryToken(symbol))
+
+  /** `'Call' if contract_type == 'call_options' else 'Put'` (main.py:196). */
+  def optionType(contractType: Column): Column =
+    when(contractType === "call_options", lit("Call")).otherwise(lit("Put"))
+
+  /** Missing-mandatory-field predicate (reference drops such tickers,
+    * main.py:164-166: falsy symbol/strike_price/contract_type/spot_price).
+    */
+  def mandatoryPresent(df: DataFrame): Column =
+    Seq("symbol", "strike_price", "contract_type", "spot_price")
+      .map(c => col(c).isNotNull && col(c) =!= "")
+      .reduce(_ && _)
+
+  /** Batch spot price: first ticker in arrival order with a castable
+    * spot_price (reference main.py:112-116). Deterministic in Spark via the
+    * explicit `src_seq` arrival stamp (SURVEY.md §7.4) — `min_by` is a single
+    * partial-aggregatable pass, no sort, no collect.
+    */
+  def firstSpot(raw: DataFrame): Option[Double] = {
+    val r = raw
+      .filter(tryDouble(col("spot_price")).isNotNull)
+      .agg(min_by(tryDouble(col("spot_price")), col("src_seq")).as("spot"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Similarity search over an embedding column (BASELINE.json north star).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     The query side is broadcast (queries ≪ corpus in every retrieval
+  *     workload), so the corpus is scanned exactly once with no shuffle of
+  *     vectors; only (query_id, corpus_id, score) triples reach the top-k
+  *     shuffle.
+  *   - [[lshTopK]]: sign-random-projection LSH buckets as the scale path —
+  *     each query only scores the corpus vectors in its bucket(s).
+  *
+  * Scoring is [[graft.functions.CosineSimilarity]] — a codegen'd Catalyst
+  * expression, not a UDF.
+  */
+object Similarity {
+
+  /** Exact top-k: score all pairs, rank per query.
+    * Deterministic tie-break: (score desc, corpus id asc).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(broadcast(q))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Sign-random-projection bucket id: `numPlanes` deterministic
+    * pseudo-random hyperplanes; bit p of the bucket = sign of dot(v, h_p).
+    * Plane components are derived from xxhash64(p, j) mapped to [-1, 1] —
+    * seed-stable across runs and engines, no RNG state to ship.
+    *
+    * Built entirely from higher-order built-ins so it needs no custom
+    * expression; vectors are hashed map-side, then the join key is an int.
+    */
+  def rpBucket(vec: Column, numPlanes: Int, seed: Int = 42): Column = {
+    require(numPlanes >= 1 && numPlanes <= 30, "bucket must fit an int")
+    val bits = (0 until numPlanes).map { p =>
+      // h_p[j] = ((xxhash64(seed, p, j) mod 2001) - 1000) / 1000  ∈ [-1, 1]
+      val dot = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, j) =>
+            x.cast("double") *
+              ((pmod(xxhash64(lit(seed), lit(p), j), lit(2001)) - lit(1000)).cast("double") / lit(1000.0))
+        ),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: queries only score corpus vectors whose bucket
+    * matches. Recall is tunable via numPlanes (fewer planes → bigger
+    * buckets → higher recall, more compute). Multi-probe (flipping one bit)
+    * is the standard recall booster; `probeBits` > 0 enables it.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      probeBits: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      rpBucket(col(vecCol), numPlanes).as("bucket")
+    )
+    // query probes: its own bucket plus each single-bit flip up to probeBits
+    val probes: Column = {
+      val base = rpBucket(col(vecCol), numPlanes)
+      val flips = (0 until (if (probeBits > 0) numPlanes else 0)).map(b =>
+        base.bitwiseXOR(lit(1 << b)))
+      array((base +: flips).map(_.cast("int")): _*)
+    }
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      explode(probes).as("bucket")
+    )
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("score")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json north
+  * star): tokenization, shingling, stats, quality scoring, language-ID
+  * heuristic, fingerprinting. All built-in expressions → whole-stage
+  * codegen, embarrassingly parallel (no shuffle at all) — the 100 TB shape
+  * is "one pass over the corpus".
+  */
+object TextAnalysis {
+
+  /** Whitespace word tokens of a (trimmed) text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles. Documents shorter than n shingle to an
+    * empty array (they can only exact-match).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** Canonical normalization for fingerprinting: lowercase, non-alphanumeric
+    * → space, collapse runs, trim. Shared by the md5 fingerprint and its
+    * DuckDB oracle (same regex semantics on both engines).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Stable 32-hex-char document fingerprint over normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit fingerprint (cheaper to store/join than the md5 hex at scale). */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  /** Per-document stats: char count, token count, distinct-token count,
+    * avg token length, type-token ratio.
+    */
+  def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("n_chars_c", length(col(textCol)))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn(
+        "avg_token_len",
+        round(
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks),
+          4
+        )
+      )
+      .withColumn(
+        "type_token_ratio",
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+      )
+  }
+
+  /** BPE-ish token count: alphabetic runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (a cheap proxy for
+    * subword tokenizer cost estimation at corpus scale).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Marker vocabularies for the language-ID heuristic. Real stopword
+    * heads of each language; deterministic and tiny so the heuristic is a
+    * pure map-side expression.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "los", "de", "y", "que", "en", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans")
+  )
+
+  /** N-gram/stopword language-ID heuristic: count marker-token hits per
+    * language over the token array; argmax with deterministic tie-break
+    * (marker-list order above, then "und" = undetermined when no marker
+    * hits at all).
+    */
+  def langIdScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+
+  def langId(toks: Column): Column = {
+    val scores = langIdScores(toks)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length saturation, alpha ratio,
+    * stopword presence, type-token ratio — the standard cheap pre-filters
+    * applied before expensive LLM-data curation stages.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val alphaRatio =
+      (length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") + lit(1.0)) /
+        (length(text).cast("double") + lit(1.0))
+    val enMarkers = langMarkers.head._2
+    val stopRatio = size(filter(toks, t => t.isin(enMarkers.map(lit): _*))).cast("double") / nTok
+    val stopScore = least(stopRatio * lit(10.0), lit(1.0))
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    round(
+      lit(0.3) * lenScore + lit(0.3) * alphaRatio + lit(0.2) * stopScore + lit(0.2) * ttr,
+      4
+    )
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Schemas
+
+/** Ticker snapshot sources (SURVEY.md §2.1).
+  *
+  * The reference fetches `GET /v2/tickers` driver-side (main.py:94-104).
+  * Here the engine-facing contract is "a DataFrame in Schemas.ticker shape";
+  * adapters produce it:
+  *   - [[fromJson]]: JSON-lines fixture/capture files (tests, replay);
+  *   - [[syntheticFromLineitem]]: a deterministic snapshot derived from the
+  *     driver's testdata, used by SparkEntry.entry so the flagship exercises
+  *     the full pipeline without network I/O (zero-egress environment).
+  *
+  * A production REST adapter would be a DataSource V2 TableProvider doing the
+  * HTTP fetch in `PartitionReader`s; the pipeline code would not change.
+  */
+object TickerSource {
+
+  /** Read a JSON-lines ticker capture with the explicit source schema
+    * (never inference in production paths, SURVEY.md §1.4).
+    */
+  def fromJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.ticker).json(path)
+
+  /** Deterministic synthetic option-chain snapshot from `lineitem`:
+    *   symbol  = {C|P}-ETH-<strike>-<DDMMYY of month(l_shipdate)>
+    *   strike  = floor(l_extendedprice)
+    *   spot    = 30000 (fixed), call/put from l_linenumber parity.
+    * Expiries are month-truncated so each expiry carries many contracts
+    * (a real chain has few expiries × many strikes, not the reverse).
+    * Stringly-typed like the wire format, with src_seq arrival order.
+    */
+  def syntheticFromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.select(
+      concat(
+        when(col("l_linenumber") % 2 === 0, lit("C")).otherwise(lit("P")),
+        lit("-ETH-"),
+        floor(col("l_extendedprice")).cast("string"),
+        lit("-"),
+        date_format(trunc(col("l_shipdate"), "month"), "ddMMyy")
+      ).as("symbol"),
+      when(col("l_linenumber") % 2 === 0, lit("call_options"))
+        .otherwise(lit("put_options"))
+        .as("contract_type"),
+      floor(col("l_extendedprice")).cast("string").as("strike_price"),
+      lit("30000").as("spot_price"),
+      round(col("l_extendedprice") * lit(0.001), 2).cast("string").as("mark_price"),
+      col("l_quantity").cast("long").cast("string").as("oi_contracts"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("src_seq")
+    )
+  }
+}

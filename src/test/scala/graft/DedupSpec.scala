@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "The  quick,, brown FOX jumps over the lazy dog!"), // fp dup of 0
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup (1 token)
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 5) // 0/1 merge
+    val merged = out.find(_.getLong(2) == 2L).get
+    assert(merged.getLong(1) === 0L) // keeper = min id
+  }
+
+  test("fingerprint dedup additionally catches case/punct/space variants") {
+    val out = Dedup.byFingerprint(docs).collect()
+    assert(out.length === 4) // 0/1/2 merge
+    assert(out.find(_.getLong(2) == 3L).get.getLong(1) === 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and only it") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.4).collect()
+    // exact dups 0-1 share everything; 0-3/1-3 are near; 0-2 differs in shingles (fp-normalizing not applied)
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(keys.contains((0L, 3L)) && keys.contains((1L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getDouble(2) === 1.0)
+  }
+
+  test("minhash-lsh agrees with exact jaccard at high threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.4, bands = 32, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs collide, near-dups are close") {
+    val sigs = docs
+      .select(col("doc_id"), GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) < 20)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.95).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (0L, 1L))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.time.{LocalDate, LocalTime}
+import org.apache.spark.sql.functions._
+
+import graft.operators.OptionsPipeline
+import graft.sinks.ParquetSink
+import graft.sources.TickerSource
+
+/** Two-batch end-to-end test of the full pipeline (FIXTURES.md §3):
+  * batch 1 against empty state (all-zero derived columns), append to a
+  * parquet sink, batch 2 against the sink tail — Open/OI_Change must come
+  * from batch 1's values. Also pins dedup keep-last, band inclusivity and
+  * the canonical sort.
+  */
+class OptionsPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val today = LocalDate.of(2025, 10, 15)
+  private val d17 = "171025" // Fri Oct 17
+  private val d18 = "181025"
+  private val d19 = "191025"
+  private val d25 = "251025"
+
+  // spot 100.0; ±7% band = [93, 107]
+  private def batch(markA: String, oiA: String): Seq[(String, String, String, String, String, String, Long)] =
+    Seq(
+      // (symbol, contract_type, strike, spot, mark, oi, src_seq)
+      (s"C-ETH-100-$d17", "call_options", "100", "100.0", markA, oiA, 1L),
+      (s"C-ETH-100-$d17", "call_options", "100", "100.0", "9.99", "999", 0L), // dup, earlier → dropped
+      (s"P-ETH-93-$d17", "put_options", "93", "100.0", "2.0", "20", 2L), // band lower edge inclusive
+      (s"P-ETH-107-$d18", "put_options", "107", "100.0", "3.0", "30", 3L), // band upper edge inclusive
+      (s"C-ETH-92-$d17", "call_options", "92", "100.0", "4.0", "40", 4L), // below band → dropped
+      (s"C-ETH-108-$d17", "call_options", "108", "100.0", "5.0", "50", 5L), // above band → dropped
+      (s"C-ETH-100-$d25", "call_options", "100", "100.0", "6.0", "60", 6L), // 4th expiry → dropped (E0-E2 only)
+      (s"C-ETH-100-$d19", "call_options", "100", "100.0", "7.0", "70", 7L),
+      ("BAD-SYM", "call_options", "100", "100.0", "1.0", "1", 8L), // malformed → dropped
+      (s"C-ETH--$d17", "call_options", "", "100.0", "1.0", "1", 9L) // missing strike → dropped
+    )
+
+  private def toDf(rows: Seq[(String, String, String, String, String, String, Long)]) =
+    rows.toDF("symbol", "contract_type", "strike_price", "spot_price", "mark_price", "oi_contracts", "src_seq")
+
+  test("two-batch e2e: empty state zeros, then delta from batch 1") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/data"
+
+    val out1 = OptionsPipeline.runBatch(
+      toDf(batch("8.5", "80")),
+      ParquetSink.emptyState(spark),
+      OptionsPipeline.Hourly,
+      today,
+      LocalDate.of(2025, 10, 15),
+      LocalTime.of(10, 0, 0)
+    )
+    val rows1 = out1.collect()
+    // survivors: C-100-17 (keep-last), P-93-17, P-107-18, C-100-19
+    assert(rows1.length === 4)
+    assert(rows1.forall(r => r.getDouble(r.fieldIndex("Open")) === 0.0))
+    assert(rows1.forall(r => r.getLong(r.fieldIndex("OI_Change")) === 0L))
+    // keep-last: mark 8.5 not 9.99
+    val a1 = rows1.find(_.getString(0) == s"C-ETH-100-$d17").get
+    assert(a1.getDouble(a1.fieldIndex("Close")) === 8.5)
+    assert(a1.getLong(a1.fieldIndex("OI")) === 80L)
+    // canonical sort: Expiry asc then SYMBOL asc
+    val syms = rows1.map(_.getString(0)).toSeq
+    assert(syms === Seq(s"C-ETH-100-$d17", s"P-ETH-93-$d17", s"P-ETH-107-$d18", s"C-ETH-100-$d19"))
+
+    ParquetSink.append(out1, sink, batchId = 1L)
+
+    val out2 = OptionsPipeline.runBatch(
+      toDf(batch("9.0", "85")),
+      ParquetSink.readStateTail(spark, sink),
+      OptionsPipeline.Hourly,
+      today,
+      LocalDate.of(2025, 10, 15),
+      LocalTime.of(11, 0, 0)
+    )
+    val a2rows = out2.collect()
+    val a2 = a2rows.find(_.getString(0) == s"C-ETH-100-$d17").get
+    assert(a2.getDouble(a2.fieldIndex("Open")) === 8.5) // prev Close
+    assert(a2.getLong(a2.fieldIndex("OI_Change")) === 5L) // 85 - 80
+    val p93 = a2rows.find(_.getString(0) == s"P-ETH-93-$d17").get
+    assert(p93.getDouble(p93.fieldIndex("Open")) === 2.0)
+    assert(p93.getLong(p93.fieldIndex("OI_Change")) === 0L) // 20 - 20
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    val raw = TickerSource.syntheticFromLineitem(spark, "/root/testdata/sf0.001")
+    val out = OptionsPipeline.runBatch(
+      raw,
+      ParquetSink.emptyState(spark),
+      OptionsPipeline.Hourly,
+      LocalDate.of(2000, 1, 1),
+      LocalDate.of(2000, 1, 1),
+      LocalTime.of(12, 0, 0)
+    )
+    assert(out.count() > 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("cosine expression: known values, zero-norm, null") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), math.sqrt(0.5)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(GraftFunctions.cosineSim($"a", $"b").as("c"), $"expected").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    val n = Seq((Option.empty[Array[Float]], Array(1.0f)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosineSim($"a", $"b"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("brute-force top-k on testdata embeddings is sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity
+      .bruteForceTopK(emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4)
+      .collect()
+    assert(out.length === 12)
+    // ranks are 1..4 per query and scores non-increasing within a query
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === Seq(1, 2, 3, 4))
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("lsh top-k returns subset of plausible neighbors with correct ranks") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity
+      .lshTopK(emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4, numPlanes = 6)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 4))
+  }
+
+  test("lsh recall@k vs brute force is reasonable on real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+    val c = emb.where($"vec_id" >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, c, 3, numPlanes = 2, probeBits = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 2 planes + 1-bit multiprobe covers 3 of 4 buckets → high recall floor
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}

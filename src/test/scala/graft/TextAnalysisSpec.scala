@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: word 3-grams, distinct, short docs empty") {
+    val out = Seq("a b c d", "a b", "x y z x y z")
+      .toDF("text")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens($"text"), 3).as("sh"))
+      .collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(out(0) === Set("a b c", "b c d"))
+    assert(out(1) === Set.empty)
+    assert(out(2) === Set("x y z", "y z x", "z x y")) // distinct collapses repeat
+  }
+
+  test("normalize + fingerprint collapse case/punct/whitespace") {
+    val fps = Seq("Hello,  World!", "hello world", "HELLO ... world")
+      .toDF("text")
+      .select(TextAnalysis.fingerprintMd5($"text").as("fp"))
+      .collect()
+      .map(_.getString(0))
+    assert(fps.toSet.size === 1)
+  }
+
+  test("text stats on a known string") {
+    val r = TextAnalysis
+      .withTextStats(Seq((1L, "aa bb aa")).toDF("doc_id", "text"))
+      .select("n_chars_c", "n_tokens", "n_distinct_tokens", "avg_token_len", "type_token_ratio")
+      .collect()(0)
+    assert(r.getInt(0) === 8)
+    assert(r.getInt(1) === 3)
+    assert(r.getInt(2) === 2)
+    assert(r.getDouble(3) === 2.0)
+    assert(r.getDouble(4) === 0.6667)
+  }
+
+  test("bpe-ish token count") {
+    val r = Seq("ab 12 c.d").toDF("text")
+      .select(TextAnalysis.bpeishTokenCount($"text")).collect()(0)
+    assert(r.getInt(0) === 5) // ab, 12, c, ., d
+  }
+
+  test("lang id picks marker-dominant language, und when none") {
+    val out = Seq(
+      "the cat and the dog of the house",
+      "el gato y el perro de la casa que",
+      "der hund und die katze ist nicht da",
+      "le chat et les chiens est une dans",
+      "zzz qqq www"
+    ).toDF("text")
+      .select(TextAnalysis.langId(TextAnalysis.tokens($"text")).as("l"))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    assert(out === Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("quality score ranges and orders sensibly") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the river in the morning",
+      "$$$ ### @@@"
+    ).toDF("text")
+      .select(TextAnalysis.qualityScore($"text").as("q"))
+      .collect()
+      .map(_.getDouble(0))
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+}
