@@ -21,6 +21,18 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Spark sizes scan partitions by BYTES (maxPartitionBytes), but sketch
+    * computation is CPU-bound per row: a small parquet file read as one
+    * partition serializes all shingling/hashing onto one core (observed:
+    * 35-180 s single-task stages at sf0.1). Spread compute-heavy inputs
+    * across the cluster's parallelism before the heavy expressions; the
+    * shuffled bytes are tiny compared to the compute they unlock.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Exact dedup by full-text digest: one surviving doc_id (the smallest)
     * per distinct text, plus the group size.
     */
@@ -39,7 +51,7 @@ object Dedup {
 
   /** Docs annotated with distinct word-n-gram shingle sets. */
   def withShingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
+    spread(docs.select(col(idCol), col(textCol))).select(
       col(idCol),
       TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh")
     )
@@ -109,13 +121,18 @@ object Dedup {
         GraftFunctions.minhashSig(col("sh"), k).as("sig")
       )
     // (doc, band_id, band_hash): hash() over the band slice collapses the
-    // r longs to one 32-bit bucket key. Bands are unrolled at plan time
-    // (static slice offsets → plain codegen'd projections).
-    val bandHashes = (0 until bands).map(b =>
-      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    // r longs to one 32-bit bucket key. A transform LOOP, not `bands`
+    // unrolled expressions — unrolling made whole-stage codegen emit a
+    // method too large for the JIT, which then ran interpreted (observed
+    // 10-30× slowdowns).
     val banded = sig.select(
       col(idCol),
-      posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash"))
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+        )
+      ).as(Seq("band_id", "band_hash"))
     )
     val l = banded.select(col(idCol).as("a_id"), col("band_id"), col("band_hash"))
     val r = banded.select(col(idCol).as("b_id"), col("band_id"), col("band_hash"))
@@ -155,7 +172,7 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for hamming <= 3")
-    val sig = docs.select(
+    val sig = spread(docs.select(col(idCol), col(textCol))).select(
       col(idCol),
       GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sim")
     )
@@ -188,7 +205,7 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val a = spread(emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")))
     val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     a.crossJoin(b)
       .where(col("a_id") < col("b_id"))

@@ -33,7 +33,9 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // spread: corpus scans are byte-sized by Spark but pair scoring is
+    // CPU-bound — parallelize before the crossJoin (see Dedup.spread)
+    val c = Dedup.spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val scored = c
       .join(broadcast(q))
       .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
@@ -86,11 +88,9 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"),
-      rpBucket(col(vecCol), numPlanes).as("bucket")
-    )
+    val c = Dedup
+      .spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
+      .withColumn("bucket", rpBucket(col("c_vec"), numPlanes))
     // query probes: its own bucket plus each single-bit flip up to probeBits
     val probes: Column = {
       val base = rpBucket(col(vecCol), numPlanes)
