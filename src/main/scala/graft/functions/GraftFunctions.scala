@@ -29,6 +29,15 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "byte_histogram", exprs => ByteHistogram(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_by_score",
+      exprs =>
+        TopKByScore(
+          exprs(0),
+          exprs(1),
+          exprs(2).eval(null).asInstanceOf[Int]
+        ).toAggregateExpression(),
+      "built-in")
   }
 
   /** Cosine similarity of two array<float>/array<double> columns. */
@@ -42,6 +51,12 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Exact per-group top-k (array<struct<neighbor_id,score>>, score desc,
+    * id-asc ties) with map-side partial aggregation — see TopKByScore.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id, lit(k))
 
   /** L1-normalized 256-bin byte histogram of a binary column. */
   def byteHistogram(payload: Column): Column = call_function("byte_histogram", payload)

@@ -39,12 +39,27 @@ object Similarity {
     val scored = c
       .join(broadcast(q))
       .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** Reduce scored (query_id, neighbor_id, score) pairs to per-query top-k
+    * via the TopKByScore TypedImperativeAggregate: map-side partial top-k
+    * means the exchange carries ≤ k rows per (partition, query) instead of
+    * the full |queries|×|corpus| scored set that a rank-window would
+    * shuffle. Ties broken (score desc, neighbor_id asc), identical to the
+    * row_number formulation.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKByScore(col("score"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        col("t.neighbor_id").as("neighbor_id"),
+        col("t.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank")
+      )
 
   /** Sign-random-projection bucket id: `numPlanes` deterministic
     * pseudo-random hyperplanes; bit p of the bucket = sign of dot(v, h_p).
@@ -106,10 +121,7 @@ object Similarity {
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .select(col("query_id"), col("neighbor_id"), col("score")).distinct()
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // multi-probe can score the same pair via several buckets — dedup first
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
 }
