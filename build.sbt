@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Dozens of whole-stage-codegen'd plans in one JVM overflow the default
+  // 240m JIT code cache; once full the JIT disables itself and queries run
+  // interpreted 10-30x slower. More compiler threads drain the compile
+  // queue faster so late-session hot loops don't stay interpreted.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:CICompilerCount=12",
 )

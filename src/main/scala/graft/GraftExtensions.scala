@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Session-extension entry point: registers graft's custom expressions into
+  * any session at build time, so pure-SQL users (thriftserver, spark-sql,
+  * notebooks) get the functions without touching the Scala API:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * The same registrations are available per-session via
+  * [[graft.functions.GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"),
+        info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+        (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("dot_product"),
+        info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
+        (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_sig"),
+        info("minhash_sig", "minhash_sig(shingles, k) - k-hash MinHash signature"),
+        (es: Seq[Expression]) =>
+          MinHashSignature(es(0), es(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction(
+      (FunctionIdentifier("simhash64"),
+        info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+        (es: Seq[Expression]) => SimHash64(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_bands"),
+        info("minhash_bands", "minhash_bands(shingles, bands, rows) - LSH band hashes"),
+        (es: Seq[Expression]) =>
+          MinHashBands(
+            es(0),
+            es(1).eval(null).asInstanceOf[Int],
+            es(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction(
+      (FunctionIdentifier("byte_histogram"),
+        info("byte_histogram", "byte_histogram(bin) - L1-normalized 256-bin byte histogram"),
+        (es: Seq[Expression]) => ByteHistogram(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("topk_by_score"),
+        info("topk_by_score", "topk_by_score(score, id, k) - exact per-group top-k"),
+        (es: Seq[Expression]) =>
+          TopKByScore(es(0), es(1), es(2).eval(null).asInstanceOf[Int])
+            .toAggregateExpression()))
+  }
+}

@@ -288,6 +288,21 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** §3 the WHOLE reference batch lifecycle as one oracled query: synthetic
+    * snapshot → parse → ±7% band → E0/E1/E2 policy → keep-last dedup →
+    * delta vs empty state → canonical sort, against an independent pure-SQL
+    * formulation of the same pipeline.
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    OptionsPipeline.runBatch(
+      TickerSource.syntheticFromLineitem(s, dir),
+      ParquetSink.emptyState(s),
+      OptionsPipeline.Hourly,
+      today = LocalDate.of(2000, 1, 1),
+      batchDate = LocalDate.of(2000, 1, 1),
+      batchTime = LocalTime.of(12, 0, 0)
+    )
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -416,6 +431,7 @@ object SparkEntry {
     "q10_top_orders_per_cust" -> (q10 _),
     "q11_stringly_coerce" -> (q11 _),
     "q12_nan_clean" -> (q12 _),
+    "q13_options_pipeline" -> (q13 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -559,6 +575,39 @@ object SparkEntry {
         | round(sum(xc), 4) AS sum_x, round(sum(yc), 4) AS sum_y
         |FROM cleaned
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_options_pipeline" ->
+      """WITH raw AS (
+        |  SELECT
+        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
+        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)
+        |      || '-' || strftime(date_trunc('month', l_shipdate), '%d%m%y') AS symbol,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'call_options' ELSE 'put_options' END AS contract_type,
+        |    FLOOR(l_extendedprice) AS strike,
+        |    round(l_extendedprice * 0.001, 2) AS mark,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS oi,
+        |    l_orderkey * 10 + l_linenumber AS src_seq,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS expiry
+        |  FROM lineitem
+        |), active AS (
+        |  SELECT DISTINCT expiry FROM raw WHERE expiry >= DATE '2000-01-01'
+        |  ORDER BY expiry LIMIT 3
+        |), banded AS (
+        |  SELECT * FROM raw
+        |  WHERE strike BETWEEN 30000.0 * (1 - 7.0/100.0) AND 30000.0 * (1 + 7.0/100.0)
+        |    AND expiry IN (SELECT expiry FROM active)
+        |), dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY src_seq DESC) AS rn
+        |    FROM banded) WHERE rn = 1
+        |)
+        |SELECT symbol AS "SYMBOL", '2000-01-01' AS "Date", '12:00:00' AS "Time",
+        |  30000.0 AS "Future_Price", strftime(expiry, '%Y-%m-%d') AS "Expiry_Date",
+        |  CAST(strike AS DOUBLE) AS "Strike",
+        |  CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS "Option_Type",
+        |  mark AS "Close", oi AS "OI",
+        |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
+        |FROM dedup
+        |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,

@@ -28,6 +28,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_bands",
+      exprs =>
+        MinHashBands(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int],
+          exprs(2).eval(null).asInstanceOf[Int]
+        ),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "byte_histogram", exprs => ByteHistogram(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "topk_by_score",
@@ -51,6 +60,12 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** LSH band hashes (array<long> of length `bands`) from a shingle array —
+    * signature computed once internally; see MinHashBands.
+    */
+  def minhashBands(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function("minhash_bands", shingles, lit(bands), lit(rowsPerBand))
 
   /** Exact per-group top-k (array<struct<neighbor_id,score>>, score desc,
     * id-asc ties) with map-side partial aggregation — see TopKByScore.

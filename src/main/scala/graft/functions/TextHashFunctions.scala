@@ -63,6 +63,62 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** LSH band hashes computed directly from shingles: the k = bands·rows
+  * MinHash signature is built ONCE inside the expression, then each band of
+  * `rows` consecutive signature values is folded to a single 64-bit hash.
+  * Returns array<long> of length `bands`.
+  *
+  * Exists because referencing a separate signature column from per-band
+  * expressions invites Catalyst's CollapseProject to inline the signature
+  * computation into EVERY band reference — observed as a 30× slowdown
+  * (the full 128-hash signature recomputed 32× per document). A single
+  * expression evaluated once per row cannot be duplicated that way.
+  */
+case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(bands > 0 && rowsPerBand > 0 && bands * rowsPerBand <= 1024)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = bands * rowsPerBand
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        var j = 0
+        while (j < k) {
+          val h = Xxh64.hash(s, j.toLong)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        // fold the band's signature values: xxh64 of each long, chained seed
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig(b * rowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a token array: each token contributes ±1 to each of
   * 64 bit-counters according to its xxh64 bits; the sign of each counter is
   * the output bit. Near-duplicate docs → small Hamming distance (compute

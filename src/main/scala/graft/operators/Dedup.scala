@@ -111,29 +111,18 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val k = bands * rowsPerBand
     val sh = withShingles(docs, n, idCol, textCol)
-    val sig = sh
+    // (doc, band_id, band_hash) in ONE expression evaluation per doc:
+    // MinHashBands computes the k-hash signature internally and emits the
+    // per-band fold, so no projection rewrite can duplicate the signature
+    // computation (see MinHashBands scaladoc for the failure mode).
+    val banded = sh
       .where(size(col("sh")) > 0)
       .select(
         col(idCol),
-        col("sh"),
-        GraftFunctions.minhashSig(col("sh"), k).as("sig")
+        posexplode(GraftFunctions.minhashBands(col("sh"), bands, rowsPerBand))
+          .as(Seq("band_id", "band_hash"))
       )
-    // (doc, band_id, band_hash): hash() over the band slice collapses the
-    // r longs to one 32-bit bucket key. A transform LOOP, not `bands`
-    // unrolled expressions — unrolling made whole-stage codegen emit a
-    // method too large for the JIT, which then ran interpreted (observed
-    // 10-30× slowdowns).
-    val banded = sig.select(
-      col(idCol),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-        )
-      ).as(Seq("band_id", "band_hash"))
-    )
     val l = banded.select(col(idCol).as("a_id"), col("band_id"), col("band_hash"))
     val r = banded.select(col(idCol).as("b_id"), col("band_id"), col("band_hash"))
     val candidates = l

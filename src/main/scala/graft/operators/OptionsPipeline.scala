@@ -62,11 +62,25 @@ object OptionsPipeline {
       batchTime: LocalTime
   ): DataFrame = {
     val parsed = parseSnapshot(rawTickers)
-    val spot = Parse.firstSpot(rawTickers).getOrElse(0.0)
+
+    // Batch stats in ONE pass over the raw snapshot: first-in-arrival-order
+    // spot (reference main.py:112-116 — raw rows count even if their symbol
+    // later fails to parse) and the distinct parsed expiry set (bounded by
+    // the listing calendar). min_by skips rows whose ordering expr is NULL,
+    // collect_set skips NULL expiries.
+    val spotCol = Parse.tryDouble(col("spot_price"))
+    val stats = rawTickers
+      .agg(
+        min_by(spotCol, when(spotCol.isNotNull, col("src_seq"))).as("spot"),
+        collect_set(Parse.expiryFromSymbol(col("symbol"))).as("expiries")
+      )
+      .collect()(0)
+    val spot = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val expiryDates = stats.getSeq[java.sql.Date](1).map(_.toLocalDate)
 
     val (targets, bandPct) = policy match {
-      case Hourly => (ExpiryPolicy.nearestExpiries(parsed.select(col("expiry")), today), 7.0)
-      case Weekly => (ExpiryPolicy.fridayExpiries(parsed.select(col("expiry")), today), 25.0)
+      case Hourly => (ExpiryPolicy.nearestFromDates(expiryDates, today), 7.0)
+      case Weekly => (ExpiryPolicy.fridayFromDates(expiryDates, today), 25.0)
     }
 
     val banded = parsed

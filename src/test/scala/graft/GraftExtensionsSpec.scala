@@ -1,0 +1,31 @@
+package graft
+
+/** Pure-SQL access to graft's custom expressions via the session extension
+  * (GraftSession builds with `.withExtensions(new GraftExtensions)`), with
+  * no GraftFunctions.register call anywhere in this suite.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extension-injected functions resolve from SQL") {
+    val r = spark
+      .sql("""SELECT
+              |  round(cosine_sim(array(1.0F, 0.0F), array(1.0F, 1.0F)), 6) AS c,
+              |  simhash64(array('a', 'b')) AS sh,
+              |  size(minhash_sig(array('a', 'b'), 16)) AS k,
+              |  byte_histogram(cast('ab' as binary))[97] AS h
+              |""".stripMargin)
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.707107) < 1e-6)
+    assert(r.getInt(2) === 16)
+    assert(math.abs(r.getFloat(3) - 0.5f) < 1e-6)
+  }
+
+  test("extension-injected topk aggregate resolves from SQL") {
+    val topk = spark
+      .sql("""SELECT topk_by_score(s, id, 2) AS t FROM VALUES
+              |  (0.1D, 1L), (0.9D, 2L), (0.5D, 3L) AS v(s, id)""".stripMargin)
+      .collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(_.getLong(0)) === Seq(2L, 3L))
+  }
+}
