@@ -17,6 +17,7 @@ class OptionsPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   private val today = LocalDate.of(2025, 10, 15)
+  private val d16 = "161025" // Thu Oct 16
   private val d17 = "171025" // Fri Oct 17
   private val d18 = "181025"
   private val d19 = "191025"
@@ -82,6 +83,31 @@ class OptionsPipelineSpec extends SparkSpec {
     val p93 = a2rows.find(_.getString(0) == s"P-ETH-93-$d17").get
     assert(p93.getDouble(p93.fieldIndex("Open")) === 2.0)
     assert(p93.getLong(p93.fieldIndex("OI_Change")) === 0L) // 20 - 20
+  }
+
+  test("weekly policy: +-25% band, W1/W2 Fridays only (deltaweekly.py variant)") {
+    // today Wed Oct 15 2025; actives: Thu 16, Fri 17, Sat 18, Sun 19, Sat 25
+    // fridays: 17th with n_before=1 -> fallback W1=17th; no later Friday -> no W2
+    val rows = Seq(
+      (s"C-ETH-100-$d17", "call_options", "100", "100.0", "1.0", "10", 1L),
+      (s"C-ETH-75-$d17", "call_options", "75", "100.0", "1.0", "10", 2L), // band edge -25%
+      (s"C-ETH-125-$d17", "call_options", "125", "100.0", "1.0", "10", 3L), // band edge +25%
+      (s"C-ETH-74-$d17", "call_options", "74", "100.0", "1.0", "10", 4L), // below band
+      (s"C-ETH-100-$d16", "call_options", "100", "100.0", "1.0", "10", 5L), // Thu -> dropped
+      (s"C-ETH-100-$d18", "call_options", "100", "100.0", "1.0", "10", 6L), // Sat -> dropped
+      (s"C-ETH-100-$d19", "call_options", "100", "100.0", "1.0", "10", 7L), // Sun -> dropped
+      (s"C-ETH-100-$d25", "call_options", "100", "100.0", "1.0", "10", 8L) // Sat -> dropped
+    )
+    val out = OptionsPipeline.runBatch(
+      toDf(rows),
+      ParquetSink.emptyState(spark),
+      OptionsPipeline.Weekly,
+      today,
+      LocalDate.of(2025, 10, 15),
+      LocalTime.of(9, 30, 0)
+    )
+    val syms = out.collect().map(_.getString(0)).toSeq
+    assert(syms === Seq(s"C-ETH-100-$d17", s"C-ETH-125-$d17", s"C-ETH-75-$d17"))
   }
 
   test("flagship entry returns rows on sf0.001") {
