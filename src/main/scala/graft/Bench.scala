@@ -5,15 +5,27 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Each query is timed twice and the MINIMUM is reported — the standard
-  * robust throughput estimator: this host shows multi-minute CPU-steal
-  * bursts (measured up to 85% steal) that land on whichever stage happens
-  * to be running; min-of-2 suppresses those one-off stalls while never
-  * flattering a genuinely slow query. Failures are logged to stderr and
-  * reported as -1 so a broken query is visible instead of masquerading as
-  * a fast one.
+  * Robustness against host noise: this host shows multi-minute CPU-steal
+  * bursts (measured up to 85% steal) that land on whichever stage happens to
+  * be running, and a single burst can outlast two consecutive runs of one
+  * query. Each query is therefore timed THREE times and the MINIMUM wall
+  * time is reported — min-of-N is the standard robust throughput estimator:
+  * it suppresses one-off stalls while never flattering a genuinely slow
+  * query. The artifact additionally records, per query:
+  *   - `runs`: all three wall-clock samples, so a steal burst is visible as
+  *     an outlier instead of silently inflating the headline; and
+  *   - `cpu`: JVM process-CPU seconds consumed during the *minimum* run —
+  *     when wall ≫ cpu the gap is scheduler steal / involuntary wait, not
+  *     engine work, and the artifact itself proves it.
+  * Failures are logged to stderr and reported as -1 so a broken query is
+  * visible instead of masquerading as a fast one.
   */
 object Bench {
+
+  private val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,25 +42,36 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    /** (wall seconds, process-cpu seconds) for one run, or (-1, 0) on error. */
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch {
+      try {
+        fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1.0, 0.0)
       }
     }
     val results = qs.map { case (name, fn) =>
-      val a = timed(name, fn)
-      val b = timed(name, fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val samples = (1 to 3).map(_ => timed(name, fn))
+      val ok = samples.forall(_._1 >= 0)
+      val best = if (ok) samples.minBy(_._1) else (-1.0, 0.0)
+      (name, best._1, best._2, samples.map(_._1))
     }
+    def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val queriesJson = results
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val detailJson = results
+      .map { case (k, _, cpu, runs) =>
+        "\"" + k + "\":{\"runs\":[" + runs.map(f).mkString(",") + "],\"cpu\":" + f(cpu) + "}"
+      }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

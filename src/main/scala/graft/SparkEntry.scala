@@ -553,7 +553,7 @@ object SparkEntry {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q11_stringly_coerce" ->
       """SELECT event_type,
-        | sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT), 0)) AS sum_k,
+        | CAST(sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT), 0)) AS BIGINT) AS sum_k,
         | round(sum(coalesce(TRY_CAST(event_type AS DOUBLE), 0.0)), 2) AS sum_bad,
         | count(*) AS n
         |FROM events
