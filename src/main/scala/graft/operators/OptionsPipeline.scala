@@ -25,23 +25,34 @@ object OptionsPipeline {
   /** Weekly: W1/W2 Friday expiries, ±25% band (deltaweekly.py). */
   case object Weekly extends Policy
 
-  /** Parse the raw ticker snapshot into the typed 9-column pre-join shape
-    * (SURVEY.md §2.2): mandatory-field drop, numeric coercion, symbol →
-    * expiry, option-type CASE.
+  /** Parse the raw ticker snapshot into the typed pre-join shape
+    * (SURVEY.md §2.2): mandatory-field drop, strict numeric parsing
+    * (reference `float()`/`int()` throw → row dropped, main.py:168-169,
+    * 197-198,220-223 — absent mark/oi default to 0), per-row spot, symbol →
+    * expiry, option-type CASE. Filter order differs from the reference's
+    * sequential `continue`s but all predicates are conjunctive, so the
+    * surviving set is identical.
     */
   def parseSnapshot(raw: DataFrame): DataFrame =
     raw
       .where(Parse.mandatoryPresent(raw))
       .withColumn("Strike", Parse.tryDouble(col("strike_price")))
+      .withColumn("spot", Parse.tryDouble(col("spot_price")))
       .withColumn("expiry", Parse.expiryFromSymbol(col("symbol")))
-      .where(col("Strike").isNotNull && col("expiry").isNotNull)
+      .withColumn("Close", Parse.markPriceOrDrop(col("mark_price")))
+      .withColumn("OI", Parse.oiContractsOrDrop(col("oi_contracts")))
+      .where(
+        col("Strike").isNotNull && col("spot").isNotNull &&
+          col("expiry").isNotNull && col("Close").isNotNull && col("OI").isNotNull
+      )
       .select(
         col("symbol").as("SYMBOL"),
         col("expiry"),
         col("Strike"),
+        col("spot"),
         Parse.optionType(col("contract_type")).as("Option_Type"),
-        Parse.tryDoubleOrZero(col("mark_price")).as("Close"),
-        Parse.tryLongOrZero(col("oi_contracts")).as("OI"),
+        col("Close"),
+        col("OI"),
         col("src_seq")
       )
 
@@ -63,28 +74,25 @@ object OptionsPipeline {
   ): DataFrame = {
     val parsed = parseSnapshot(rawTickers)
 
-    // Batch stats in ONE pass over the raw snapshot: first-in-arrival-order
-    // spot (reference main.py:112-116 — raw rows count even if their symbol
-    // later fails to parse) and the distinct parsed expiry set (bounded by
-    // the listing calendar). min_by skips rows whose ordering expr is NULL,
-    // collect_set skips NULL expiries.
-    val spotCol = Parse.tryDouble(col("spot_price"))
-    val stats = rawTickers
-      .agg(
-        min_by(spotCol, when(spotCol.isNotNull, col("src_seq"))).as("spot"),
-        collect_set(Parse.expiryFromSymbol(col("symbol"))).as("expiries")
-      )
-      .collect()(0)
-    val spot = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
-    val expiryDates = stats.getSeq[java.sql.Date](1).map(_.toLocalDate)
-
+    // Expiry-policy pre-pass (reference pass 1, main.py:128-141): the ONLY
+    // driver-side decision input is the distinct parsed expiry set, bounded
+    // by the listing calendar (dozens of dates at any data scale). The
+    // aggregate references only `symbol`, so column pruning reduces this
+    // scan to a single column; the main pass below is the sole full-width
+    // scan of the source. Like the reference's pass 1, rows missing other
+    // mandatory fields still contribute their expiry here.
+    val expiryDf = rawTickers.select(Parse.expiryFromSymbol(col("symbol")).as("expiry"))
     val (targets, bandPct) = policy match {
-      case Hourly => (ExpiryPolicy.nearestFromDates(expiryDates, today), 7.0)
-      case Weekly => (ExpiryPolicy.fridayFromDates(expiryDates, today), 25.0)
+      case Hourly => (ExpiryPolicy.nearestExpiries(expiryDf, today), 7.0)
+      case Weekly => (ExpiryPolicy.fridayExpiries(expiryDf, today), 25.0)
     }
 
+    // Per-row spot (reference main.py:168-172,204): each ticker is banded
+    // against ITS OWN spot_price and emits that value as Future_Price. The
+    // batch-global first-arrival spot (main.py:112-116, Parse.firstSpot) is
+    // only ever logged by the reference — never used for filtering.
     val banded = parsed
-      .where(Snapshot.strikeBand(col("Strike"), lit(spot), bandPct))
+      .where(Snapshot.strikeBand(col("Strike"), col("spot"), bandPct))
       .where(Snapshot.expiryIn(col("expiry"), targets))
 
     val deduped = Snapshot.keepLast(banded, Seq("SYMBOL"), "src_seq")
@@ -95,7 +103,7 @@ object OptionsPipeline {
         "Time",
         lit(batchTime.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")))
       )
-      .withColumn("Future_Price", lit(spot))
+      .withColumn("Future_Price", col("spot"))
       .withColumn("Expiry_Date", date_format(col("expiry"), "yyyy-MM-dd"))
 
     val withDelta = Delta.applyDelta(stamped, Delta.prepareState(state, "state_seq"))

@@ -17,14 +17,36 @@ object Parse {
     */
   def tryDouble(c: Column): Column = c.try_cast(DoubleType)
 
-  /** Non-ANSI-throwing string→long with reference's `int(x or 0)` default
-    * (main.py:197-198).
+  /** STATE-side coercion (reference `pd.to_numeric(errors='coerce')` on the
+    * sheet read-back, main.py:276-277, then NULL→0 at lookup build,
+    * main.py:284-285): any unparseable value becomes 0 and the row is KEPT.
+    * Snapshot-side parsing is stricter — see [[markPriceOrDrop]] /
+    * [[oiContractsOrDrop]].
     */
   def tryLongOrZero(c: Column): Column =
     coalesce(c.try_cast(DoubleType).try_cast(LongType), lit(0L))
 
   def tryDoubleOrZero(c: Column): Column =
     coalesce(c.try_cast(DoubleType), lit(0.0))
+
+  /** SNAPSHOT-side mark_price semantics (reference main.py:197:
+    * `float(ticker.get('mark_price', 0))`): an ABSENT value defaults to 0,
+    * but a present-yet-unparseable value throws and the whole row is dropped
+    * (main.py:220-223). NULL is the drop marker — callers filter
+    * `isNotNull`. (A JSON null is treated as absent: the DataFrame boundary
+    * cannot distinguish a missing key from an explicit null.)
+    */
+  def markPriceOrDrop(c: Column): Column =
+    when(c.isNull, lit(0.0)).otherwise(c.try_cast(DoubleType))
+
+  /** SNAPSHOT-side oi_contracts semantics (reference main.py:198:
+    * `int(ticker.get('oi_contracts', 0))`): absent → 0; a present value must
+    * be a pure integer literal — Python `int()` REJECTS '12.5' (no silent
+    * truncation) — otherwise the row is dropped. NULL is the drop marker.
+    */
+  def oiContractsOrDrop(c: Column): Column =
+    when(c.isNull, lit(0L))
+      .when(trim(c).rlike("^[+-]?[0-9]+$"), trim(c).try_cast(LongType))
 
   /** The expiry token: last `-`-separated part of the symbol, required to be
     * exactly 6 digits, from a symbol with ≥4 parts

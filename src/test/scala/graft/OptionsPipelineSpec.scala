@@ -110,6 +110,46 @@ class OptionsPipelineSpec extends SparkSpec {
     assert(syms === Seq(s"C-ETH-100-$d17", s"C-ETH-125-$d17", s"C-ETH-75-$d17"))
   }
 
+  test("per-row spot: band and Future_Price use each ticker's OWN spot_price (main.py:168-172,204)") {
+    // Heterogeneous spots in one snapshot. Under the (wrong) batch-global
+    // first-arrival spot (100), B would survive and C would be dropped;
+    // the reference bands each row against its own spot.
+    val rows = Seq(
+      (s"C-ETH-100-$d17", "call_options", "100", "100.0", "1.0", "10", 1L), // in [93,107] of own spot 100
+      (s"P-ETH-100-$d17", "put_options", "100", "200.0", "2.0", "20", 2L), // 100 ∉ [186,214] of own spot 200 → drop
+      (s"C-ETH-190-$d17", "call_options", "190", "200.0", "3.0", "30", 3L) // 190 ∈ [186,214] of own spot 200
+    )
+    val out = OptionsPipeline.runBatch(
+      toDf(rows),
+      ParquetSink.emptyState(spark),
+      OptionsPipeline.Hourly,
+      today,
+      LocalDate.of(2025, 10, 15),
+      LocalTime.of(10, 0, 0)
+    ).collect()
+    val bySym = out.map(r => r.getString(0) -> r.getDouble(r.fieldIndex("Future_Price"))).toMap
+    assert(bySym === Map(s"C-ETH-100-$d17" -> 100.0, s"C-ETH-190-$d17" -> 200.0))
+  }
+
+  test("strict snapshot coercion: garbage mark/oi drops the row, absent defaults to 0 (main.py:197-198,220-223)") {
+    val rows = Seq(
+      (s"C-ETH-100-$d17", "call_options", "100", "100.0", "bad", "10", 1L), // mark unparseable → drop
+      (s"P-ETH-100-$d17", "put_options", "100", "100.0", "1.0", "12.5", 2L), // int('12.5') throws → drop
+      (s"C-ETH-101-$d17", "call_options", "101", "100.0", null, null, 3L) // absent → Close 0, OI 0
+    )
+    val out = OptionsPipeline.runBatch(
+      toDf(rows),
+      ParquetSink.emptyState(spark),
+      OptionsPipeline.Hourly,
+      today,
+      LocalDate.of(2025, 10, 15),
+      LocalTime.of(10, 0, 0)
+    ).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq(s"C-ETH-101-$d17"))
+    assert(out.head.getDouble(out.head.fieldIndex("Close")) === 0.0)
+    assert(out.head.getLong(out.head.fieldIndex("OI")) === 0L)
+  }
+
   test("flagship entry returns rows on sf0.001") {
     val raw = TickerSource.syntheticFromLineitem(spark, "/root/testdata/sf0.001")
     val out = OptionsPipeline.runBatch(

@@ -48,6 +48,26 @@ class ParseSpec extends SparkSpec {
     assert(r === Seq("Call", "Put", "Put"))
   }
 
+  test("snapshot-side mark_price: absent → 0, unparseable → NULL drop marker (main.py:197,220-223)") {
+    val r = Seq[Option[String]](None, Some("1.5"), Some("abc"), Some(""), Some("2"))
+      .toDF("m")
+      .select(Parse.markPriceOrDrop(col("m")).as("v"))
+      .collect()
+      .map(x => if (x.isNullAt(0)) None else Some(x.getDouble(0)))
+      .toSeq
+    assert(r === Seq(Some(0.0), Some(1.5), None, None, Some(2.0)))
+  }
+
+  test("snapshot-side oi_contracts: absent → 0, int() strictness rejects '12.5' (main.py:198)") {
+    val r = Seq[Option[String]](None, Some("42"), Some("12.5"), Some(" 7 "), Some("-3"), Some("x"))
+      .toDF("o")
+      .select(Parse.oiContractsOrDrop(col("o")).as("v"))
+      .collect()
+      .map(x => if (x.isNullAt(0)) None else Some(x.getLong(0)))
+      .toSeq
+    assert(r === Seq(Some(0L), Some(42L), None, Some(7L), Some(-3L), None))
+  }
+
   test("firstSpot takes first castable spot in arrival order (main.py:112-116)") {
     val raw = Seq(
       ("A", "x", 2L), ("B", "123.5", 3L), ("C", "99.0", 1L), ("D", null, 4L)
