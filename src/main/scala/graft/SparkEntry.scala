@@ -303,6 +303,23 @@ object SparkEntry {
       batchTime = LocalTime.of(12, 0, 0)
     )
 
+  /** §3 the WEEKLY lifecycle end-to-end (deltaweekly.py): same batch shape
+    * as q13 but with the Friday W1/W2 policy (count≥2 rule + fallback,
+    * dw:43-111) and the ±25% band (dw:152-153), on a synthetic snapshot
+    * whose expiries cover all weekdays. Oracled against an independent SQL
+    * formulation that parses expiry back out of the symbol (so the DDMMYY
+    * 2000+YY roundtrip semantics are identical on both engines).
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    OptionsPipeline.runBatch(
+      TickerSource.syntheticWeeklyFromLineitem(s, dir),
+      ParquetSink.emptyState(s),
+      OptionsPipeline.Weekly,
+      today = LocalDate.of(2000, 1, 1),
+      batchDate = LocalDate.of(2000, 1, 1),
+      batchTime = LocalTime.of(12, 0, 0)
+    )
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -410,6 +427,9 @@ object SparkEntry {
 
   /** Embedding-cosine near-dup pairs at 0.45 (max pair sim in this corpus
     * is ~0.51, so the threshold yields a non-trivial, stable pair set).
+    * Uses the auto-switching operator: exact all-pairs below 10⁵ docs (this
+    * corpus), RP-LSH table blocking above — both branches are code, and
+    * DedupSpec pins LSH ≡ exact on the real corpus.
     */
   private def x11(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -417,6 +437,14 @@ object SparkEntry {
       .embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Composite document quality score (length saturation, alpha ratio,
+    * stopword presence, type-token ratio — TextAnalysis.qualityScore).
+    */
+  private def x12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -432,6 +460,7 @@ object SparkEntry {
     "q11_stringly_coerce" -> (q11 _),
     "q12_nan_clean" -> (q12 _),
     "q13_options_pipeline" -> (q13 _),
+    "q14_weekly_pipeline" -> (q14 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -442,7 +471,8 @@ object SparkEntry {
     "x08_simhash" -> (x08 _),
     "x09_cosine_topk" -> (x09 _),
     "x10_ann_lsh" -> (x10 _),
-    "x11_embed_neardup" -> (x11 _)
+    "x11_embed_neardup" -> (x11 _),
+    "x12_quality_score" -> (x12 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -608,6 +638,74 @@ object SparkEntry {
         |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
         |FROM dedup
         |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
+    "q14_weekly_pipeline" ->
+      """WITH raw AS (
+        |  SELECT
+        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
+        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % 30000 + 15000 AS VARCHAR)
+        |      || '-' || strftime(CAST(date_trunc('week', l_shipdate) AS DATE) + INTERVAL (l_orderkey % 7) DAY, '%d%m%y') AS symbol,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'call_options' ELSE 'put_options' END AS contract_type,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) % 30000 + 15000 AS strike,
+        |    round(l_extendedprice * 0.001, 2) AS mark,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS oi,
+        |    l_orderkey * 10 + l_linenumber AS src_seq
+        |  FROM lineitem
+        |), parsed AS (
+        |  SELECT *,
+        |    make_date(
+        |      2000 + TRY_CAST(substr(string_split(symbol, '-')[4], 5, 2) AS INT),
+        |      TRY_CAST(substr(string_split(symbol, '-')[4], 3, 2) AS INT),
+        |      TRY_CAST(substr(string_split(symbol, '-')[4], 1, 2) AS INT)) AS expiry
+        |  FROM raw
+        |), active AS (
+        |  SELECT DISTINCT expiry AS d FROM parsed WHERE expiry >= DATE '2000-01-01'
+        |), num AS (
+        |  SELECT d, row_number() OVER (ORDER BY d) - 1 AS n_before,
+        |         dayofweek(d) = 5 AS isfri
+        |  FROM active
+        |), w1 AS (
+        |  SELECT coalesce(
+        |    (SELECT min(d) FROM num WHERE isfri AND n_before >= 2),
+        |    (SELECT min(d) FROM num WHERE isfri)) AS d
+        |), w2 AS (
+        |  SELECT min(num.d) AS d FROM num, w1 WHERE num.isfri AND num.d > w1.d
+        |), targets AS (
+        |  SELECT d FROM w1 WHERE d IS NOT NULL
+        |  UNION ALL SELECT d FROM w2 WHERE d IS NOT NULL
+        |), banded AS (
+        |  SELECT * FROM parsed
+        |  WHERE strike BETWEEN 30000.0 * (1 - 25.0/100.0) AND 30000.0 * (1 + 25.0/100.0)
+        |    AND expiry IN (SELECT d FROM targets)
+        |), dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY src_seq DESC) AS rn
+        |    FROM banded) WHERE rn = 1
+        |)
+        |SELECT symbol AS "SYMBOL", '2000-01-01' AS "Date", '12:00:00' AS "Time",
+        |  30000.0 AS "Future_Price", strftime(expiry, '%Y-%m-%d') AS "Expiry_Date",
+        |  CAST(strike AS DOUBLE) AS "Strike",
+        |  CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS "Option_Type",
+        |  mark AS "Close", oi AS "OI",
+        |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
+        |FROM dedup
+        |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
+    "x12_quality_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+        |    (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) + 1.0)
+        |      / (CAST(length(text) AS DOUBLE) + 1.0) AS alpha_ratio,
+        |    least(CAST(len(list_filter(toks,
+        |        t -> list_contains(['the','and','of','to','in','is','a'], t))) AS DOUBLE)
+        |      / len(toks) * 10.0, 1.0) AS stop_score,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM tk
+        |)
+        |SELECT doc_id,
+        |  round(0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score + 0.2 * ttr, 4) AS quality
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,

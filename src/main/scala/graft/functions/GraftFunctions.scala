@@ -39,6 +39,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "byte_histogram", exprs => ByteHistogram(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "rp_buckets",
+      exprs =>
+        RpBuckets(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int],
+          exprs(2).eval(null).asInstanceOf[Int],
+          exprs(3).eval(null).asInstanceOf[Int]
+        ),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "topk_by_score",
       exprs =>
         TopKByScore(
@@ -75,6 +85,12 @@ object GraftFunctions {
 
   /** L1-normalized 256-bin byte histogram of a binary column. */
   def byteHistogram(payload: Column): Column = call_function("byte_histogram", payload)
+
+  /** Sign-random-projection LSH bucket ids, one int per hash table
+    * (array<int> of length `tables`) — see RpBuckets.
+    */
+  def rpBuckets(vec: Column, tables: Int, bitsPerTable: Int, seed: Int): Column =
+    call_function("rp_buckets", vec, lit(tables), lit(bitsPerTable), lit(seed))
 
   /** Hamming distance between two simhashes — built-ins only. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

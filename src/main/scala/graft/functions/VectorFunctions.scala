@@ -71,6 +71,94 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-random-projection LSH buckets for `tables` independent hash tables,
+  * computed in ONE expression evaluation per vector (array<int> of length
+  * `tables`) — the same anti-recompute design as MinHashBands: emitting all
+  * tables from a single expression means no projection rewrite can inline
+  * the per-table computation N times (SURVEY.md §8.3 lesson).
+  *
+  * Bucket bit b of table t = sign of dot(v, h_{t,b}) where plane component
+  * h_{t,b}[j] = (XXH64(j, XXH64(t*1024+b, seed)) mod 2001 − 1000)/1000 ∈
+  * [−1, 1] — deterministic in `seed`, no RNG state to ship, identical on
+  * every executor. Codegen'd (`doGenCode`): the dim × tables × bits inner
+  * loop runs inside whole-stage-generated Java.
+  */
+case class RpBuckets(child: Expression, tables: Int, bitsPerTable: Int, seed: Int)
+    extends UnaryExpression {
+  require(tables >= 1, "need at least one table")
+  require(bitsPerTable >= 1 && bitsPerTable <= 30, "bucket must fit an int")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fl = elemIsFloat
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bitsPerTable) {
+        val planeSeed = XXH64.hashInt(t * 1024 + b, seed.toLong)
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          val h = XXH64.hashLong(j.toLong, planeSeed)
+          val c = (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
+          dot += (if (fl) v.getFloat(j).toDouble else v.getDouble(j)) * c
+          j += 1
+        }
+        if (dot >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val t = ctx.freshName("t"); val b = ctx.freshName("b"); val j = ctx.freshName("j")
+        val bucket = ctx.freshName("bucket"); val planeSeed = ctx.freshName("planeSeed")
+        val dot = ctx.freshName("dot"); val h = ctx.freshName("h"); val c = ctx.freshName("c")
+        s"""
+           |int $n = $a.numElements();
+           |int[] $out = new int[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  int $bucket = 0;
+           |  for (int $b = 0; $b < $bitsPerTable; $b++) {
+           |    long $planeSeed = $xxh.hashInt($t * 1024 + $b, ${seed}L);
+           |    double $dot = 0.0;
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      long $h = $xxh.hashLong((long) $j, $planeSeed);
+           |      double $c = (java.lang.Math.floorMod($h, 2001L) - 1000L) / 1000.0;
+           |      $dot += ((double) $a.$get($j)) * $c;
+           |    }
+           |    if ($dot >= 0) $bucket |= (1 << $b);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      }
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product, same design as [[CosineSimilarity]]. Useful when vectors are
   * pre-normalized (then dot == cosine and we skip the sqrt per pair).
   */

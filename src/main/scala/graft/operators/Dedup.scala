@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions
 
@@ -18,20 +20,27 @@ import graft.functions.GraftFunctions
   *   - Inverted-index n-gram Jaccard: postings lists are pruned by document
   *     frequency before the self-join, the standard guard against the
   *     quadratic blowup of stop-shingles.
+  *   - Self-join inputs are persisted (MEMORY_AND_DISK): the expensive
+  *     sketch subtree (shingling / MinHash / SimHash) feeds BOTH sides of
+  *     the candidate join plus the verification join, and without an
+  *     explicit persist Spark recomputes it per reference (observed 2-4×
+  *     sketch cost at sf0.1). Cached blocks are dropped by Spark's
+  *     ContextCleaner once the returned plan is unreferenced, and
+  *     MEMORY_AND_DISK spills instead of OOMing at scale.
   */
 object Dedup {
 
   /** Spark sizes scan partitions by BYTES (maxPartitionBytes), but sketch
     * computation is CPU-bound per row: a small parquet file read as one
     * partition serializes all shingling/hashing onto one core (observed:
-    * 35-180 s single-task stages at sf0.1). Spread compute-heavy inputs
-    * across the cluster's parallelism before the heavy expressions; the
-    * shuffled bytes are tiny compared to the compute they unlock.
+    * 35-180 s single-task stages at sf0.1). Unconditionally repartition
+    * compute-heavy inputs to the cluster's parallelism before the heavy
+    * expressions — the shuffled bytes are tiny compared to the compute they
+    * unlock, and probing the current partitioning via `df.rdd` would force
+    * an RDD-lineage materialization of the analyzed plan on every call.
     */
-  private[operators] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
-  }
+  private[operators] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact dedup by full-text digest: one surviving doc_id (the smallest)
     * per distinct text, plus the group size.
@@ -59,10 +68,19 @@ object Dedup {
   private def jaccard(aSize: Column, bSize: Column, common: Column): Column =
     common.cast("double") / (aSize + bSize - common).cast("double")
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+  /** N-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles → self-join on shingle → count shared →
-    * Jaccard ≥ threshold. `maxDf` prunes postings longer than that many docs
-    * (stop-shingles) before the quadratic step.
+    * Jaccard ≥ threshold.
+    *
+    * `maxDf` prunes postings whose shingle occurs in more than that many
+    * docs (stop-shingles) before the quadratic step. Pruning makes the
+    * result the EXACT Jaccard over the df≤maxDf shingle space (set sizes
+    * are recounted after pruning, so numerator and denominator agree) —
+    * which equals full exact Jaccard iff no shingle exceeds maxDf. A pair
+    * held together only by ultra-common shingles can still fall below the
+    * threshold; that is the documented, intended trade for killing the
+    * stop-shingle blowup at corpus scale. Set `maxDf = Int.MaxValue` for
+    * unconditionally exact results.
     *
     * Output: (a_id, b_id, jac) with a_id < b_id, rounded to 6 dp.
     */
@@ -74,14 +92,16 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val sh = withShingles(docs, n, idCol, textCol)
-      .withColumn("sh_size", size(col("sh")))
-    val postings = sh
-      .select(col(idCol), col("sh_size"), explode(col("sh")).as("shingle"))
+    val postings = withShingles(docs, n, idCol, textCol)
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+    // df-prune, then recount per-doc set sizes over SURVIVING shingles so
+    // the Jaccard is exact within the pruned shingle space (see scaladoc)
     val pruned = postings
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .where(col("df") <= maxDf)
       .drop("df")
+      .withColumn("sh_size", count(lit(1)).over(Window.partitionBy(idCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = pruned.select(
       col(idCol).as("a_id"), col("sh_size").as("a_size"), col("shingle"))
     val b = pruned.select(
@@ -112,6 +132,7 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     val sh = withShingles(docs, n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // (doc, band_id, band_hash) in ONE expression evaluation per doc:
     // MinHashBands computes the k-hash signature internally and emits the
     // per-band fold, so no projection rewrite can duplicate the signature
@@ -123,6 +144,7 @@ object Dedup {
         posexplode(GraftFunctions.minhashBands(col("sh"), bands, rowsPerBand))
           .as(Seq("band_id", "band_hash"))
       )
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col(idCol).as("a_id"), col("band_id"), col("band_hash"))
     val r = banded.select(col(idCol).as("b_id"), col("band_id"), col("band_hash"))
     val candidates = l
@@ -167,11 +189,13 @@ object Dedup {
     )
     val bandVals = (0 until 4).map(b =>
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = sig.select(
-      col(idCol),
-      col("sim"),
-      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val"))
-    )
+    val banded = sig
+      .select(
+        col(idCol),
+        col("sim"),
+        posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val"))
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col(idCol).as("a_id"), col("sim").as("a_sim"), col("band_id"), col("band_val"))
     val r = banded.select(col(idCol).as("b_id"), col("sim").as("b_sim"), col("band_id"), col("band_val"))
     l.join(r, Seq("band_id", "band_val"))
@@ -183,12 +207,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs. Small corpora: block-nested-loop with
-    * the broadcast side chosen by Catalyst/AQE. At scale this must be
-    * preceded by LSH bucketing (Similarity.randomProjectionBuckets) — the
-    * same pair generator restricted to bucket-equal pairs.
+  /** Embedding-cosine near-dup pairs. Auto-selects the pair-generation
+    * strategy by corpus size (one cheap count):
+    *   - n ≤ `lshAbove`: exact all-pairs block-nested-loop
+    *     ([[embeddingNearDupPairsExact]]) — below ~10⁵ docs the quadratic
+    *     pair space (≤ ~10¹⁰ codegen'd cosines across the cluster) is
+    *     cheaper than LSH's table fan-out, and the result is exact;
+    *   - n > `lshAbove`: sign-random-projection blocking
+    *     ([[embeddingNearDupPairsLsh]]) with `bitsPerTable` grown as
+    *     log₂(n / targetBucket) so expected bucket size stays ~2k docs —
+    *     the 100 TB path: candidate volume scales ~linearly in n instead
+    *     of quadratically.
+    * Both branches verify candidates with the exact codegen'd cosine, so
+    * precision is always exact; only LSH recall is probabilistic (see
+    * [[embeddingNearDupPairsLsh]] for the recall math).
     */
   def embeddingNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      lshAbove: Long = 100000L
+  ): DataFrame =
+    if (emb.count() <= lshAbove)
+      embeddingNearDupPairsExact(emb, threshold, idCol, vecCol)
+    else {
+      val bits = math.max(2, math.ceil(
+        math.log(emb.count().toDouble / 2000.0) / math.log(2.0)).toInt)
+      embeddingNearDupPairsLsh(emb, threshold, bitsPerTable = bits, idCol = idCol, vecCol = vecCol)
+    }
+
+  /** Exact all-pairs formulation (the small-corpus branch of
+    * [[embeddingNearDupPairs]] and the correctness baseline the LSH branch
+    * is spec-tested against).
+    */
+  def embeddingNearDupPairsExact(
       emb: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
@@ -198,6 +251,56 @@ object Dedup {
     val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     a.crossJoin(b)
       .where(col("a_id") < col("b_id"))
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("a_vec"), col("b_vec")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs with sign-random-projection blocking —
+    * the 100 TB path: candidates are generated only for pairs that share a
+    * bucket in at least one of `tables` independent RP hash tables
+    * (OR-amplification), then verified with the exact codegen'd cosine, so
+    * precision is always exact and only recall is probabilistic.
+    *
+    * Recall math: a pair at angle θ collides in one table with probability
+    * (1−θ/π)^bitsPerTable; missing ALL tables has probability
+    * (1−(1−θ/π)^b)^L. At cos=0.45 (θ≈1.10 rad) with the defaults
+    * (b=2, L=24) that is ≈2·10⁻⁶ per pair — and the planes are
+    * deterministic functions of `seed`, so a verified corpus stays verified.
+    * Raise `bitsPerTable` as the corpus grows to keep buckets small (bucket
+    * count per table = 2^b); raise `tables` to push recall.
+    */
+  def embeddingNearDupPairsLsh(
+      emb: DataFrame,
+      threshold: Double,
+      tables: Int = 24,
+      bitsPerTable: Int = 2,
+      seed: Int = 42,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val base = spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // all tables' buckets from ONE codegen'd expression evaluation (RpBuckets)
+    val bucketed = base
+      .select(
+        col("id"),
+        posexplode(GraftFunctions.rpBuckets(col("vec"), tables, bitsPerTable, seed))
+          .as(Seq("table_id", "bucket"))
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = bucketed.select(col("id").as("a_id"), col("table_id"), col("bucket"))
+    val r = bucketed.select(col("id").as("b_id"), col("table_id"), col("bucket"))
+    val candidates = l
+      .join(r, Seq("table_id", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val va = base.select(col("id").as("a_id"), col("vec").as("a_vec"))
+    val vb = base.select(col("id").as("b_id"), col("vec").as("b_vec"))
+    candidates
+      .join(va, "a_id")
+      .join(vb, "b_id")
       .withColumn("cos", round(GraftFunctions.cosineSim(col("a_vec"), col("b_vec")), 6))
       .where(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))

@@ -46,8 +46,30 @@ object Delta {
     * (exactly one row per SYMBOL, prev_close/prev_oi non-null).
     */
   def applyDelta(current: DataFrame, prepared: DataFrame): DataFrame =
-    current
+    diffed(current.join(broadcast(prepared), Seq("SYMBOL"), "left"))
+
+  /** [[applyDelta]] plus the reference's new-vs-existing symbol counters
+    * (main.py:325-328) as observable metrics — `n_existing` (state hit) and
+    * `n_new` (state miss), evaluated in the SAME pass as the join, readable
+    * from the Observation after the next action.
+    */
+  def applyDeltaObserved(
+      current: DataFrame,
+      prepared: DataFrame
+  ): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_delta")
+    val joined = current
       .join(broadcast(prepared), Seq("SYMBOL"), "left")
+      .observe(
+        obs,
+        count(when(col("prev_oi").isNotNull, 1)).as("n_existing"),
+        count(when(col("prev_oi").isNull, 1)).as("n_new")
+      )
+    (diffed(joined), obs)
+  }
+
+  private def diffed(joined: DataFrame): DataFrame =
+    joined
       .withColumn("Open", coalesce(col("prev_close"), lit(0.0)))
       .withColumn(
         "OI_Change",

@@ -63,31 +63,16 @@ object Similarity {
 
   /** Sign-random-projection bucket id: `numPlanes` deterministic
     * pseudo-random hyperplanes; bit p of the bucket = sign of dot(v, h_p).
-    * Plane components are derived from xxhash64(p, j) mapped to [-1, 1] —
-    * seed-stable across runs and engines, no RNG state to ship.
+    * Plane components are XXH64-derived and mapped to [-1, 1] — seed-stable
+    * across runs and executors, no RNG state to ship.
     *
-    * Built entirely from higher-order built-ins so it needs no custom
-    * expression; vectors are hashed map-side, then the join key is an int.
+    * Single-table convenience over [[graft.functions.RpBuckets]], the
+    * codegen'd expression that computes the dim × planes loop inside
+    * whole-stage-generated Java (the earlier higher-order-builtin
+    * formulation allocated 2 arrays per plane per row and cost ~10× more).
     */
-  def rpBucket(vec: Column, numPlanes: Int, seed: Int = 42): Column = {
-    require(numPlanes >= 1 && numPlanes <= 30, "bucket must fit an int")
-    val bits = (0 until numPlanes).map { p =>
-      // h_p[j] = ((xxhash64(seed, p, j) mod 2001) - 1000) / 1000  ∈ [-1, 1]
-      val dot = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, j) =>
-            x.cast("double") *
-              ((pmod(xxhash64(lit(seed), lit(p), j), lit(2001)) - lit(1000)).cast("double") / lit(1000.0))
-        ),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+  def rpBucket(vec: Column, numPlanes: Int, seed: Int = 42): Column =
+    element_at(GraftFunctions.rpBuckets(vec, 1, numPlanes, seed), 1)
 
   /** Approximate top-k: queries only score corpus vectors whose bucket
     * matches. Recall is tunable via numPlanes (fewer planes → bigger

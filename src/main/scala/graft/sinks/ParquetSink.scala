@@ -23,14 +23,27 @@ object ParquetSink {
   /** Append a batch, stamping a monotone per-batch sequence so read-back can
     * reconstruct append order across files: sink_seq = batchId * 2^32 + row
     * position within the batch's canonical order.
+    *
+    * Scale: a partition-less `row_number` window would funnel the whole
+    * batch through ONE task. Instead the batch is canonically sorted (a
+    * range-partitioned exchange that keeps all tasks busy) and then numbered
+    * with `zipWithIndex`, which assigns globally consecutive indices from
+    * per-partition counts — one tiny O(#partitions) driver round-trip, no
+    * single-task stage, order identical to the sorted DataFrame's.
     */
   def append(df: DataFrame, path: String, batchId: Long): Unit = {
-    val w = Window.orderBy(
-      col("Expiry_Date").asc,
-      col("Time").asc,
-      col("SYMBOL").asc
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col("Expiry_Date").asc, col("Time").asc, col("SYMBOL").asc)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("sink_seq", org.apache.spark.sql.types.LongType)
     )
-    df.withColumn("sink_seq", lit(batchId) * lit(1L << 32) + row_number().over(w))
+    val base = batchId * (1L << 32)
+    val rows = sorted.rdd
+      .zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i + 1L)) }
+    spark
+      .createDataFrame(rows, schema)
       .write
       .mode("append")
       .parquet(path)

@@ -26,6 +26,38 @@ object TickerSource {
   def fromJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.ticker).json(path)
 
+  /** Weekly-policy variant of [[syntheticFromLineitem]]: expiries are spread
+    * across ALL weekdays — `date_trunc(week) + (l_orderkey mod 7) days` — so
+    * the Friday-only W1/W2 selection (deltaweekly.py:43-111) has both
+    * Fridays to pick and non-Friday actives to count. Spot stays 30000; the
+    * weekly ±25% band applies downstream.
+    */
+  def syntheticWeeklyFromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val expiry = date_add(trunc(col("l_shipdate"), "week"), (col("l_orderkey") % 7).cast("int"))
+    // strikes folded into [15000, 45000) so the ±25% band of spot 30000
+    // keeps ~half the chain — enough in-band rows per expiry for a dense
+    // W1/W2 output at every SF
+    val strike = floor(col("l_extendedprice")) % 30000 + 15000
+    li.select(
+      concat(
+        when(col("l_linenumber") % 2 === 0, lit("C")).otherwise(lit("P")),
+        lit("-ETH-"),
+        strike.cast("string"),
+        lit("-"),
+        date_format(expiry, "ddMMyy")
+      ).as("symbol"),
+      when(col("l_linenumber") % 2 === 0, lit("call_options"))
+        .otherwise(lit("put_options"))
+        .as("contract_type"),
+      strike.cast("string").as("strike_price"),
+      lit("30000").as("spot_price"),
+      round(col("l_extendedprice") * lit(0.001), 2).cast("string").as("mark_price"),
+      col("l_quantity").cast("long").cast("string").as("oi_contracts"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("src_seq")
+    )
+  }
+
   /** Deterministic synthetic option-chain snapshot from `lineitem`:
     *   symbol  = {C|P}-ETH-<strike>-<DDMMYY of month(l_shipdate)>
     *   strike  = floor(l_extendedprice)

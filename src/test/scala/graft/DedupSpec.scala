@@ -64,6 +64,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
   }
 
+  test("RP-LSH-blocked embedding near-dup ≡ exact all-pairs on the real corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairsExact(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -46,4 +46,73 @@ class DeltaStreamSpec extends SparkSpec {
       assert(c.open === 0.0 && c.oiChange === 0L)
     } finally query.stop()
   }
+
+  test("property: streaming ≡ batch Delta over random two-batch sequences") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.Delta
+
+    val snapGen: Gen[List[(String, Double, Long)]] = Gen.listOfN(
+      10,
+      for {
+        s <- Gen.oneOf((1 to 6).map(i => s"S$i"))
+        close <- Gen.choose(0.0, 100.0).map(v => math.rint(v * 100) / 100)
+        oi <- Gen.choose(0L, 1000L)
+      } yield (s, close, oi)
+    )
+
+    (1 to 5).foreach { trial =>
+      val seed = Seed(trial.toLong * 104729)
+      val b1raw = snapGen.pureApply(Gen.Parameters.default, seed)
+      val b2raw = snapGen.pureApply(Gen.Parameters.default, seed.next)
+      // keep-last dedup per batch, as the batch pipeline does pre-join —
+      // with deduped inputs the streaming path must emit identical rows
+      def dedup(rows: List[(String, Double, Long)], seqBase: Long) =
+        rows.zipWithIndex
+          .groupBy(_._1._1)
+          .map { case (_, rs) => val ((s, c, o), i) = rs.maxBy(_._2); Snap(s, c, o, seqBase + i) }
+          .toSeq
+      val b1 = dedup(b1raw, 0L)
+      val b2 = dedup(b2raw, 100L)
+
+      // streaming path: two micro-batches
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Snap]
+      val query = DeltaStream
+        .withDelta(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(s"delta_prop_$trial")
+        .outputMode(OutputMode.Append())
+        .start()
+      val streamed =
+        try {
+          input.addData(b1: _*)
+          query.processAllAvailable()
+          val afterB1 = spark.table(s"delta_prop_$trial").as[Diffed].collect().toSet
+          input.addData(b2: _*)
+          query.processAllAvailable()
+          val all = spark.table(s"delta_prop_$trial").as[Diffed].collect().toSet
+          (afterB1, all -- afterB1)
+        } finally query.stop()
+
+      // batch path: batch1 vs empty state, batch2 vs batch1's output
+      def df(snaps: Seq[Snap]) =
+        snaps.map(s => (s.symbol, s.close, s.oi, s.batchSeq)).toDF("SYMBOL", "Close", "OI", "state_seq")
+      val empty = df(Nil)
+      val out1 = Delta.applyDelta(df(b1), Delta.prepareState(empty, "state_seq"))
+      val out2 = Delta.applyDelta(df(b2), Delta.prepareState(df(b1), "state_seq"))
+      def toDiffed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        Diffed(
+          r.getString(r.fieldIndex("SYMBOL")),
+          r.getDouble(r.fieldIndex("Close")),
+          r.getLong(r.fieldIndex("OI")),
+          r.getDouble(r.fieldIndex("Open")),
+          r.getLong(r.fieldIndex("OI_Change"))
+        )
+      }.toSet
+      assert(streamed._1 === toDiffed(out1.collect()), s"trial $trial batch 1")
+      assert(streamed._2 === toDiffed(out2.collect()), s"trial $trial batch 2")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Diagnostics, OptionsPipeline}
+import graft.operators.{Delta, Diagnostics, OptionsPipeline}
 import graft.sources.TickerSource
 
 class DiagnosticsSpec extends SparkSpec {
@@ -19,6 +19,18 @@ class DiagnosticsSpec extends SparkSpec {
     assert(m("rows_total") === 4L)
     assert(m("rows_missing_fields") === 1L)
     assert(m("rows_unparseable") === 2L)
+  }
+
+  test("delta observe reports new-vs-existing symbol counts (main.py:325-328)") {
+    val cur = Seq(("A", 1.0, 10L), ("B", 2.0, 20L), ("C", 3.0, 30L))
+      .toDF("SYMBOL", "Close", "OI")
+    val st = Seq(("A", "0.5", "5", 1L), ("X", "9.9", "99", 2L))
+      .toDF("SYMBOL", "Close", "OI", "state_seq")
+    val (out, obs) = Delta.applyDeltaObserved(cur, Delta.prepareState(st, "state_seq"))
+    out.count()
+    val m = obs.get
+    assert(m("n_existing") === 1L) // A
+    assert(m("n_new") === 2L) // B, C
   }
 
   test("parsed-snapshot observe reports strike range and cardinalities") {
