@@ -410,7 +410,9 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-5 (scale path; no SQL oracle — approx). */
+  /** LSH-bucketed approximate top-5 (scale path; no SQL oracle — approx;
+    * SimilaritySpec pins a golden fixture and a ≥0.8 recall floor vs x09).
+    */
   private def x10(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
@@ -419,8 +421,8 @@ object SparkEntry {
         emb.where(col("vec_id") < 10),
         emb.where(col("vec_id") >= 10),
         k = 5,
-        numPlanes = 8,
-        probeBits = 1
+        tables = 16,
+        bitsPerTable = 4
       )
       .orderBy(col("query_id"), col("rank"))
   }

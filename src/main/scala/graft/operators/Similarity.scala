@@ -74,39 +74,49 @@ object Similarity {
   def rpBucket(vec: Column, numPlanes: Int, seed: Int = 42): Column =
     element_at(GraftFunctions.rpBuckets(vec, 1, numPlanes, seed), 1)
 
-  /** Approximate top-k: queries only score corpus vectors whose bucket
-    * matches. Recall is tunable via numPlanes (fewer planes → bigger
-    * buckets → higher recall, more compute). Multi-probe (flipping one bit)
-    * is the standard recall booster; `probeBits` > 0 enables it.
+  /** Approximate top-k via multi-table sign-RP LSH (OR-amplification, the
+    * standard E2LSH scheme): `tables` independent hash tables of
+    * `bitsPerTable` hyperplanes each; a corpus vector is a candidate for a
+    * query iff they share a bucket in AT LEAST one table. Candidates are
+    * scored with the exact codegen'd cosine, so precision is exact and only
+    * recall is probabilistic: a neighbor at angle θ is missed with
+    * probability (1−(1−θ/π)^b)^L — at cos≈0.5 the defaults (b=4, L=16)
+    * miss ≈4% (SimilaritySpec pins a ≥0.8 recall floor on real vectors).
+    *
+    * Scale: grow `bitsPerTable` with the corpus so expected bucket size
+    * stays bounded (candidates/query ≈ L·n/2^b — linear in n for fixed
+    * bucket size, vs n per query for brute force); grow `tables` to push
+    * recall. All L buckets per vector come from ONE RpBuckets evaluation.
     */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      numPlanes: Int = 8,
-      probeBits: Int = 1,
+      tables: Int = 16,
+      bitsPerTable: Int = 4,
+      seed: Int = 42,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     val c = Dedup
       .spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
-      .withColumn("bucket", rpBucket(col("c_vec"), numPlanes))
-    // query probes: its own bucket plus each single-bit flip up to probeBits
-    val probes: Column = {
-      val base = rpBucket(col(vecCol), numPlanes)
-      val flips = (0 until (if (probeBits > 0) numPlanes else 0)).map(b =>
-        base.bitwiseXOR(lit(1 << b)))
-      array((base +: flips).map(_.cast("int")): _*)
-    }
+      .select(
+        col("neighbor_id"),
+        col("c_vec"),
+        posexplode(GraftFunctions.rpBuckets(col("c_vec"), tables, bitsPerTable, seed))
+          .as(Seq("table_id", "bucket"))
+      )
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).as("q_vec"),
-      explode(probes).as("bucket")
+      posexplode(GraftFunctions.rpBuckets(col(vecCol), tables, bitsPerTable, seed))
+        .as(Seq("table_id", "bucket"))
     )
     val scored = c
-      .join(broadcast(q), Seq("bucket"))
+      .join(broadcast(q), Seq("table_id", "bucket"))
       .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
-    // multi-probe can score the same pair via several buckets — dedup first
+    // a pair colliding in several tables scores identically each time —
+    // dedup before the top-k so duplicates can't occupy multiple ranks
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
 }

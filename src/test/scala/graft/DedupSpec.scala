@@ -64,6 +64,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
   }
 
+  test("x08 golden pin: simhash signatures byte-identical on sf0.001") {
+    // x08 has no SQL oracle (xxhash-based sketch); this pins the exact
+    // signature values against a committed fixture so any change to the
+    // hash pipeline is a visible diff, not silent drift
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = docs500
+      .select(col("doc_id"), GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("s"))
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => s"${r.getLong(0)},${r.getLong(1)}")
+      .toSeq
+    val expected = scala.io.Source
+      .fromInputStream(getClass.getResourceAsStream("/golden/x08_simhash_sf0.001.csv"))
+      .getLines().drop(1).toSeq
+    assert(got === expected)
+  }
+
   test("RP-LSH-blocked embedding near-dup ≡ exact all-pairs on the real corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairsExact(emb, 0.45).collect()

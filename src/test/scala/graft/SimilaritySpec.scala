@@ -47,22 +47,38 @@ class SimilaritySpec extends SparkSpec {
   test("lsh top-k returns subset of plausible neighbors with correct ranks") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity
-      .lshTopK(emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4, numPlanes = 6)
+      .lshTopK(emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4)
       .collect()
     assert(out.nonEmpty)
     assert(out.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 4))
   }
 
-  test("lsh recall@k vs brute force is reasonable on real vectors") {
+  test("x10 config recall floor: multi-table LSH ≥ 0.8 of exact top-5 on real vectors") {
+    // exactly the x10 query parameters, so the driver's rows-only x10 row is
+    // backed by a hard local recall bound
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val q = emb.where($"vec_id" < 5)
-    val c = emb.where($"vec_id" >= 5)
-    val exact = Similarity.bruteForceTopK(q, c, 3).collect()
+    val q = emb.where($"vec_id" < 10)
+    val c = emb.where($"vec_id" >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(q, c, 3, numPlanes = 2, probeBits = 1).collect()
+    val approx = Similarity.lshTopK(q, c, 5, tables = 16, bitsPerTable = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // 2 planes + 1-bit multiprobe covers 3 of 4 buckets → high recall floor
-    assert(recall >= 0.5, s"recall $recall too low")
+    assert(recall >= 0.8, s"recall $recall below floor")
+  }
+
+  test("x10 golden pin: byte-identical output on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity
+      .lshTopK(emb.where($"vec_id" < 10), emb.where($"vec_id" >= 10), k = 5,
+        tables = 16, bitsPerTable = 4)
+      .orderBy($"query_id", $"rank")
+      .collect()
+      .map(r => f"${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}%.6f,${r.getInt(3)}")
+      .toSeq
+    val expected = scala.io.Source
+      .fromInputStream(getClass.getResourceAsStream("/golden/x10_ann_lsh_sf0.001.csv"))
+      .getLines().drop(1).toSeq
+    assert(got === expected)
   }
 }
