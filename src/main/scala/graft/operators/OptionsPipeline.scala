@@ -72,7 +72,23 @@ object OptionsPipeline {
       batchDate: LocalDate,
       batchTime: LocalTime
   ): DataFrame = {
-    val parsed = parseSnapshot(rawTickers)
+    // Two structural choices for the batch plan:
+    //   - spread: byte-sized scan splits (single-row-group parquet → a
+    //     single-task scan) serialize the CPU-heavy parse; repartition to
+    //     cluster parallelism first (SURVEY.md §8.3 lesson).
+    //   - persist: the snapshot feeds the policy pre-pass, the main pass,
+    //     AND the final sort's range-partition sampler — caching it means
+    //     the source is read once per batch instead of three times. Safe
+    //     ONLY because the parse predicates that the optimizer pushes into
+    //     the cache-scan stage are regex-free (see Parse.expiryToken):
+    //     expressions above an InMemoryTableScan run outside whole-stage
+    //     codegen, and an interpreted `split`/`rlike` recompiles its
+    //     Pattern per row (measured 600+ CPU-seconds at sf0.1 before the
+    //     regex-free rewrite). Cached blocks spill to disk and are dropped
+    //     by the ContextCleaner once the plan is unreferenced.
+    val raw = Dedup.spread(rawTickers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parsed = parseSnapshot(raw)
 
     // Expiry-policy pre-pass (reference pass 1, main.py:128-141): the ONLY
     // driver-side decision input is the distinct parsed expiry set, bounded
@@ -81,7 +97,7 @@ object OptionsPipeline {
     // scan to a single column; the main pass below is the sole full-width
     // scan of the source. Like the reference's pass 1, rows missing other
     // mandatory fields still contribute their expiry here.
-    val expiryDf = rawTickers.select(Parse.expiryFromSymbol(col("symbol")).as("expiry"))
+    val expiryDf = raw.select(Parse.expiryFromSymbol(col("symbol")).as("expiry"))
     val (targets, bandPct) = policy match {
       case Hourly => (ExpiryPolicy.nearestExpiries(expiryDf, today), 7.0)
       case Weekly => (ExpiryPolicy.fridayExpiries(expiryDf, today), 25.0)

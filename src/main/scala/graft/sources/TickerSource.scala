@@ -33,7 +33,13 @@ object TickerSource {
     * weekly ±25% band applies downstream.
     */
   def syntheticWeeklyFromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // repartition BEFORE the symbol build: the parquet read is 3 byte-sized
+    // splits, and string construction over 600k rows on 3 cores costs ~10 s
+    // (column pruning pushes through the exchange, so only the 5 used
+    // columns shuffle)
+    val li = spark.read
+      .parquet(s"$sfDir/lineitem.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val expiry = date_add(trunc(col("l_shipdate"), "week"), (col("l_orderkey") % 7).cast("int"))
     // strikes folded into [15000, 45000) so the ±25% band of spot 30000
     // keeps ~half the chain — enough in-band rows per expiry for a dense
@@ -67,7 +73,10 @@ object TickerSource {
     * Stringly-typed like the wire format, with src_seq arrival order.
     */
   def syntheticFromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // see syntheticWeeklyFromLineitem: parallelize before the string build
+    val li = spark.read
+      .parquet(s"$sfDir/lineitem.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     li.select(
       concat(
         when(col("l_linenumber") % 2 === 0, lit("C")).otherwise(lit("P")),

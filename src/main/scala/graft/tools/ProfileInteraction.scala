@@ -18,8 +18,13 @@ object ProfileInteraction {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for { s <- si.submissionTime; e <- si.completionTime } yield (e - s) / 1000.0
-        if (dur.exists(_ > 2.0))
-          println(f"SLOWSTAGE ${si.stageId}%3d ${dur.get}%8.2f s tasks=${si.numTasks}")
+        val m = si.taskMetrics
+        if (dur.exists(_ > 2.0) || m.executorCpuTime / 1e9 > 2.0)
+          println(
+            f"SLOWSTAGE ${si.stageId}%3d ${dur.get}%8.2f s tasks=${si.numTasks} " +
+              f"cpu=${m.executorCpuTime / 1e9}%7.2f run=${m.executorRunTime / 1e3}%7.2f " +
+              f"in=${m.inputMetrics.recordsRead}%8d sh=${m.shuffleReadMetrics.recordsRead}%8d " +
+              si.details.linesIterator.take(3).mkString(" | "))
       }
     })
     names.foreach { n =>
