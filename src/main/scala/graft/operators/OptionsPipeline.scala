@@ -33,28 +33,43 @@ object OptionsPipeline {
     * sequential `continue`s but all predicates are conjunctive, so the
     * surviving set is identical.
     */
-  def parseSnapshot(raw: DataFrame): DataFrame =
-    raw
-      .where(Parse.mandatoryPresent(raw))
-      .withColumn("Strike", Parse.tryDouble(col("strike_price")))
-      .withColumn("spot", Parse.tryDouble(col("spot_price")))
-      .withColumn("expiry", Parse.expiryFromSymbol(col("symbol")))
-      .withColumn("Close", Parse.markPriceOrDrop(col("mark_price")))
-      .withColumn("OI", Parse.oiContractsOrDrop(col("oi_contracts")))
+  def parseSnapshot(raw: DataFrame): DataFrame = dropUnparseable(parseColumns(raw))
+
+  /** The parse as a pure PROJECTION — every string→typed conversion, no row
+    * drops (those are [[dropUnparseable]], a cheap NULL-check filter over
+    * this frame's typed columns). Split so runBatch can persist THIS frame:
+    * all per-row string work (symbol tokenization, numeric casts, the
+    * DDMMYY date parse) is evaluated exactly once, at cache materialization,
+    * and every plan above the cache — the expiry-policy pre-pass, the main
+    * pass, the final sort's range sampler — touches only typed columns.
+    * Rows that fail [[Parse.mandatoryPresent]] are kept here (flag column
+    * `mandatory_ok`) because the reference's pass-1 expiry scan sees them
+    * too (main.py:128-141).
+    */
+  def parseColumns(raw: DataFrame): DataFrame =
+    raw.select(
+      col("symbol").as("SYMBOL"),
+      Parse.expiryFromSymbol(col("symbol")).as("expiry"),
+      Parse.tryDouble(col("strike_price")).as("Strike"),
+      Parse.tryDouble(col("spot_price")).as("spot"),
+      Parse.optionType(col("contract_type")).as("Option_Type"),
+      Parse.markPriceOrDrop(col("mark_price")).as("Close"),
+      Parse.oiContractsOrDrop(col("oi_contracts")).as("OI"),
+      col("src_seq"),
+      Parse.mandatoryPresent(raw).as("mandatory_ok")
+    )
+
+  /** Row-drop semantics of the reference parse loop (main.py:164-223):
+    * mandatory fields present + every numeric/date conversion succeeded.
+    */
+  def dropUnparseable(typed: DataFrame): DataFrame =
+    typed
       .where(
-        col("Strike").isNotNull && col("spot").isNotNull &&
+        col("mandatory_ok") &&
+          col("Strike").isNotNull && col("spot").isNotNull &&
           col("expiry").isNotNull && col("Close").isNotNull && col("OI").isNotNull
       )
-      .select(
-        col("symbol").as("SYMBOL"),
-        col("expiry"),
-        col("Strike"),
-        col("spot"),
-        Parse.optionType(col("contract_type")).as("Option_Type"),
-        col("Close"),
-        col("OI"),
-        col("src_seq")
-      )
+      .drop("mandatory_ok")
 
   /** One scheduled run (reference main(), main.py:353-396).
     *
@@ -72,32 +87,31 @@ object OptionsPipeline {
       batchDate: LocalDate,
       batchTime: LocalTime
   ): DataFrame = {
-    // Two structural choices for the batch plan:
-    //   - spread: byte-sized scan splits (single-row-group parquet → a
-    //     single-task scan) serialize the CPU-heavy parse; repartition to
-    //     cluster parallelism first (SURVEY.md §8.3 lesson).
-    //   - persist: the snapshot feeds the policy pre-pass, the main pass,
-    //     AND the final sort's range-partition sampler — caching it means
-    //     the source is read once per batch instead of three times. Safe
-    //     ONLY because the parse predicates that the optimizer pushes into
-    //     the cache-scan stage are regex-free (see Parse.expiryToken):
-    //     expressions above an InMemoryTableScan run outside whole-stage
-    //     codegen, and an interpreted `split`/`rlike` recompiles its
-    //     Pattern per row (measured 600+ CPU-seconds at sf0.1 before the
-    //     regex-free rewrite). Cached blocks spill to disk and are dropped
-    //     by the ContextCleaner once the plan is unreferenced.
-    val raw = Dedup.spread(rawTickers)
+    // Structural choice: persist the PARSED (typed) snapshot, not the raw
+    // strings. The snapshot feeds the policy pre-pass, the main pass, AND
+    // the final sort's range-partition sampler; caching the typed frame
+    // means the source is scanned once per batch and — critically — every
+    // per-row string expression (tokenize, numeric casts, the DDMMYY date
+    // parse) runs exactly once, at cache materialization, inside
+    // whole-stage codegen. Caching the RAW side instead re-evaluates the
+    // parse in every consumer stage above the cache, where it can run
+    // interpreted (measured 100-900 CPU-seconds per q14 batch at sf0.1).
+    // No repartition here: sources own their scan parallelism (GraftSession
+    // sets 8m split bytes; TickerSource repartitions before its string
+    // build — a repartition of the built strings would just re-shuffle
+    // them). Cached blocks spill to disk and are dropped by the
+    // ContextCleaner once the plan is unreferenced.
+    val typed = parseColumns(rawTickers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val parsed = parseSnapshot(raw)
+    val parsed = dropUnparseable(typed)
 
     // Expiry-policy pre-pass (reference pass 1, main.py:128-141): the ONLY
     // driver-side decision input is the distinct parsed expiry set, bounded
-    // by the listing calendar (dozens of dates at any data scale). The
-    // aggregate references only `symbol`, so column pruning reduces this
-    // scan to a single column; the main pass below is the sole full-width
-    // scan of the source. Like the reference's pass 1, rows missing other
-    // mandatory fields still contribute their expiry here.
-    val expiryDf = raw.select(Parse.expiryFromSymbol(col("symbol")).as("expiry"))
+    // by the listing calendar (dozens of dates at any data scale) — a
+    // single-column read of the cached typed frame. Like the reference's
+    // pass 1, rows missing other mandatory fields still contribute their
+    // expiry here.
+    val expiryDf = typed.select(col("expiry"))
     val (targets, bandPct) = policy match {
       case Hourly => (ExpiryPolicy.nearestExpiries(expiryDf, today), 7.0)
       case Weekly => (ExpiryPolicy.fridayExpiries(expiryDf, today), 25.0)

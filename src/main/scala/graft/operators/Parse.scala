@@ -43,36 +43,40 @@ object Parse {
     * `int(ticker.get('oi_contracts', 0))`): absent → 0; a present value must
     * be a pure integer literal — Python `int()` REJECTS '12.5' (no silent
     * truncation) — otherwise the row is dropped. NULL is the drop marker.
-    * Regex-free digit check (see [[expiryToken]] for why that matters).
+    *
+    * `try_cast(LongType)` alone reproduces `int()` exactly: Spark's
+    * string→integral cast trims whitespace, accepts an optional sign, and
+    * rejects anything else ('12.5', '1e3', '' → NULL) — no digit-scan
+    * expression needed (and `translate`, the obvious one, allocates a
+    * per-call dictionary map in codegen mode; see [[expiryToken]]).
     */
-  def oiContractsOrDrop(c: Column): Column = {
-    val t = trim(c)
-    val body = when(substring(t, 1, 1).isin("+", "-"), substring(t, 2, Int.MaxValue)).otherwise(t)
-    val isInt = length(body) > 0 && translate(body, "0123456789", "") === ""
-    when(c.isNull, lit(0L)).when(isInt, t.try_cast(LongType))
-  }
+  def oiContractsOrDrop(c: Column): Column =
+    when(c.isNull, lit(0L)).otherwise(c.try_cast(LongType))
 
   /** The expiry token: last `-`-separated part of the symbol, required to be
     * exactly 6 digits, from a symbol with ≥4 parts
     * (reference main.py:131-138,177-190).
     *
-    * Deliberately regex-free (`substring_index`/`translate`/`length`
-    * instead of `split`/`rlike`): these evaluate as pure byte scans in BOTH
-    * codegen and interpreted modes. The parse predicate gets pushed by the
-    * optimizer into whatever stage scans the source — including cache scans,
-    * where expressions run OUTSIDE whole-stage codegen and an interpreted
-    * `split` recompiles its regex Pattern on every call (measured ~1 ms/row,
-    * 600+ CPU-seconds at sf0.1). Semantics are identical: ≥4 parts ⟺ ≥3
-    * dashes; 6-digit check ⟺ length 6 and no character survives deleting
-    * the digits.
+    * Deliberately regex- and allocation-free (`substring_index`/`replace`/
+    * per-char `between` instead of `split`/`rlike`/`translate`): these
+    * evaluate as pure byte scans in BOTH codegen and interpreted modes. The
+    * parse predicate gets pushed by the optimizer into whatever stage scans
+    * the source, and the two obvious implementations are per-row
+    * allocation bombs there: an interpreted `split` recompiles its regex
+    * Pattern on every call (measured ~1 ms/row, 600+ CPU-seconds at sf0.1),
+    * and `translate` — even codegen'd — materializes a `String` plus a
+    * dictionary HashMap per call (CollationSupport.StringTranslate;
+    * dominated thread samples of the q14 parse stage). Semantics are
+    * identical: ≥4 parts ⟺ ≥3 dashes; 6-digit check ⟺ length 6 with each
+    * of the six chars in ['0','9'].
     */
   def expiryToken(symbol: Column): Column = {
-    val dashCount = length(symbol) - length(translate(symbol, "-", ""))
+    val dashCount = length(symbol) - length(replace(symbol, lit("-"), lit("")))
     val tok = substring_index(symbol, "-", -1)
-    when(
-      dashCount >= 3 && length(tok) === 6 && translate(tok, "0123456789", "") === "",
-      tok
-    )
+    val allDigits = (1 to 6)
+      .map(i => substring(tok, i, 1).between("0", "9"))
+      .reduce(_ && _)
+    when(dashCount >= 3 && length(tok) === 6 && allDigits, tok)
   }
 
   /** DDMMYY → date with the reference's fixed `year = 2000 + YY` rule
