@@ -448,6 +448,25 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** IVF-Flat approximate top-5 (the second ANN scale path besides x10's
+    * LSH; no SQL oracle — approximate + iterative k-means training is not
+    * DuckDB-expressible. SimilaritySpec pins a golden fixture and a recall
+    * floor vs x09's exact top-k).
+    */
+  private def x13(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity
+      .ivfTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        k = 5,
+        nlist = 16,
+        nprobe = 8
+      )
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_band_filter" -> (q02 _),
@@ -474,7 +493,8 @@ object SparkEntry {
     "x09_cosine_topk" -> (x09 _),
     "x10_ann_lsh" -> (x10 _),
     "x11_embed_neardup" -> (x11 _),
-    "x12_quality_score" -> (x12 _)
+    "x12_quality_score" -> (x12 _),
+    "x13_ivf_topk" -> (x13 _)
   )
 
   def oracleSql: Map[String, String] = Map(

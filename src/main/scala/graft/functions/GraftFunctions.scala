@@ -49,6 +49,15 @@ object GraftFunctions {
         ),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "nearest_centroids",
+      exprs => {
+        val m = exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val centroids: Seq[Seq[Double]] =
+          (0 until m.numElements()).map(i => m.getArray(i).toDoubleArray().toSeq)
+        NearestCentroids(exprs(0), centroids, exprs(2).eval(null).asInstanceOf[Int])
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "topk_by_score",
       exprs =>
         TopKByScore(
@@ -94,4 +103,11 @@ object GraftFunctions {
 
   /** Hamming distance between two simhashes — built-ins only. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** The `take` nearest of a bounded driver-side centroid matrix (0-based
+    * indices, cosine-descending) — the IVF coarse quantizer; see
+    * NearestCentroids. The matrix rides along as a nested-array literal.
+    */
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], take: Int): Column =
+    call_function("nearest_centroids", vec, typedlit(centroids), lit(take))
 }

@@ -82,6 +82,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * [−1, 1] — deterministic in `seed`, no RNG state to ship, identical on
   * every executor. Codegen'd (`doGenCode`): the dim × tables × bits inner
   * loop runs inside whole-stage-generated Java.
+  *
+  * The plane matrix is a CONSTANT given (tables, bits, seed, dim), so it is
+  * materialized once per task ([[RpBuckets.buildPlanes]], cached in a
+  * mutable-state slot / transient field) and the per-row inner loop is a
+  * pure multiply-accumulate over it. Deriving components per row (3 hash
+  * ops each) tripled the flop count — and late in a many-plan JVM session,
+  * where generated code waits behind the JIT compile queue and runs
+  * INTERPRETED, that tripling turned x10 into a 60-CPU-second query
+  * (§8.3/§8.4 lesson: budget hot-loop work as if it may run interpreted).
   */
 case class RpBuckets(child: Expression, tables: Int, bitsPerTable: Int, seed: Int)
     extends UnaryExpression {
@@ -93,23 +102,30 @@ case class RpBuckets(child: Expression, tables: Int, bitsPerTable: Int, seed: In
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Benign race: concurrent tasks may build the same deterministic array;
+  // the reference is published only after the build completes.
+  @transient private var cachedPlanes: Array[Double] = _
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     val fl = elemIsFloat
+    var planes = cachedPlanes
+    if (planes == null || planes.length != tables * bitsPerTable * n) {
+      planes = RpBuckets.buildPlanes(tables, bitsPerTable, seed, n)
+      cachedPlanes = planes
+    }
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0
       var b = 0
       while (b < bitsPerTable) {
-        val planeSeed = XXH64.hashInt(t * 1024 + b, seed.toLong)
+        val base = (t * bitsPerTable + b) * n
         var dot = 0.0
         var j = 0
         while (j < n) {
-          val h = XXH64.hashLong(j.toLong, planeSeed)
-          val c = (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
-          dot += (if (fl) v.getFloat(j).toDouble else v.getDouble(j)) * c
+          dot += (if (fl) v.getFloat(j).toDouble else v.getDouble(j)) * planes(base + j)
           j += 1
         }
         if (dot >= 0) bucket |= (1 << b)
@@ -123,27 +139,29 @@ case class RpBuckets(child: Expression, tables: Int, bitsPerTable: Int, seed: In
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (elemIsFloat) "getFloat" else "getDouble"
-    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val planes = ctx.addMutableState("double[]", "rpPlanes")
     nullSafeCodeGen(
       ctx,
       ev,
       a => {
         val n = ctx.freshName("n"); val out = ctx.freshName("out")
         val t = ctx.freshName("t"); val b = ctx.freshName("b"); val j = ctx.freshName("j")
-        val bucket = ctx.freshName("bucket"); val planeSeed = ctx.freshName("planeSeed")
-        val dot = ctx.freshName("dot"); val h = ctx.freshName("h"); val c = ctx.freshName("c")
+        val bucket = ctx.freshName("bucket"); val base = ctx.freshName("base")
+        val dot = ctx.freshName("dot")
         s"""
            |int $n = $a.numElements();
+           |if ($planes == null || $planes.length != ${tables * bitsPerTable} * $n) {
+           |  $planes = graft.functions.RpBuckets.buildPlanes(
+           |    $tables, $bitsPerTable, $seed, $n);
+           |}
            |int[] $out = new int[$tables];
            |for (int $t = 0; $t < $tables; $t++) {
            |  int $bucket = 0;
            |  for (int $b = 0; $b < $bitsPerTable; $b++) {
-           |    long $planeSeed = $xxh.hashInt($t * 1024 + $b, ${seed}L);
+           |    int $base = ($t * $bitsPerTable + $b) * $n;
            |    double $dot = 0.0;
            |    for (int $j = 0; $j < $n; $j++) {
-           |      long $h = $xxh.hashLong((long) $j, $planeSeed);
-           |      double $c = (java.lang.Math.floorMod($h, 2001L) - 1000L) / 1000.0;
-           |      $dot += ((double) $a.$get($j)) * $c;
+           |      $dot += ((double) $a.$get($j)) * $planes[$base + $j];
            |    }
            |    if ($dot >= 0) $bucket |= (1 << $b);
            |  }
@@ -157,6 +175,36 @@ case class RpBuckets(child: Expression, tables: Int, bitsPerTable: Int, seed: In
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object RpBuckets {
+  /** The deterministic plane matrix for (tables, bits, seed, dim), flattened
+    * as [(t*bits + b)*dim + j]. Same XXH64 derivation as the original
+    * per-row formula, so bucket assignments (and the x10/x11 golden pins)
+    * are unchanged. Size: tables*bits*dim doubles (x10 config: 16·4·256 =
+    * 128 KiB) — built once per task, invoked from generated Java via the
+    * companion's static forwarder.
+    */
+  def buildPlanes(tables: Int, bitsPerTable: Int, seed: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](tables * bitsPerTable * dim)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bitsPerTable) {
+        val planeSeed = XXH64.hashInt(t * 1024 + b, seed.toLong)
+        val base = (t * bitsPerTable + b) * dim
+        var j = 0
+        while (j < dim) {
+          val h = XXH64.hashLong(j.toLong, planeSeed)
+          out(base + j) = (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
+          j += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
 }
 
 /** Dot product, same design as [[CosineSimilarity]]. Useful when vectors are
@@ -204,4 +252,109 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** The `take` nearest centroids (by cosine) of an embedding vector, as
+  * `array<int>` of 0-based centroid indices, similarity-descending with
+  * index-ascending tie-break. One expression serves both IVF roles:
+  * `take = 1` is the index-build assignment (which inverted list a corpus
+  * vector belongs to), `take = nprobe` is the query-side probe list.
+  *
+  * The centroid matrix is part of the expression (a driver-computed,
+  * bounded k×dim table — the coarse quantizer, NOT data-scale state); it
+  * ships to executors once per task via closure serialization, exactly like
+  * a broadcast small-dim table.
+  *
+  * Deliberately [[CodegenFallback]]: the per-row cost is the k×dim
+  * multiply-accumulate INSIDE `nullSafeEval` — compiled Scala that the JIT
+  * compiles once per JVM, not once per query plan. A `doGenCode` version
+  * would re-emit (and re-JIT, or worse, interpret while the compile queue
+  * is backlogged — §8.4) the same loop for every plan that uses it; the
+  * fallback's per-row boxing shell is noise next to the loop. Same
+  * rationale as the MinHash/SimHash sketches.
+  */
+case class NearestCentroids(
+    child: Expression,
+    centroids: Seq[Seq[Double]],
+    take: Int
+) extends UnaryExpression
+    with codegen.CodegenFallback {
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(take >= 1 && take <= centroids.size, "take must be in [1, k]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // Flat row-major matrix + per-centroid inverse norms, materialized once
+  // per deserialized instance (i.e. once per task).
+  @transient private lazy val dim: Int = centroids.head.size
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](centroids.size * dim)
+    var c = 0
+    while (c < centroids.size) {
+      val row = centroids(c)
+      var j = 0
+      while (j < dim) { out(c * dim + j) = row(j); j += 1 }
+      c += 1
+    }
+    out
+  }
+  @transient private lazy val invNorm: Array[Double] = {
+    val out = new Array[Double](centroids.size)
+    var c = 0
+    while (c < centroids.size) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) { val x = flat(c * dim + j); s += x * x; j += 1 }
+      out(c) = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+      c += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val fl = elemIsFloat
+    val k = centroids.size
+    // vector norm once
+    var vn = 0.0
+    var j = 0
+    while (j < n) {
+      val x = if (fl) v.getFloat(j).toDouble else v.getDouble(j)
+      vn += x * x
+      j += 1
+    }
+    val vInv = if (vn == 0.0) 0.0 else 1.0 / math.sqrt(vn)
+    // top-`take` by (sim desc, index asc): insertion into small arrays
+    val bestSim = Array.fill(take)(Double.NegativeInfinity)
+    val bestIdx = Array.fill(take)(-1)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      j = 0
+      while (j < n) {
+        val x = if (fl) v.getFloat(j).toDouble else v.getDouble(j)
+        dot += x * flat(c * dim + j)
+        j += 1
+      }
+      val sim = dot * vInv * invNorm(c)
+      // strictly-greater keeps the earliest index on ties
+      var p = take
+      while (p > 0 && sim > bestSim(p - 1)) p -= 1
+      if (p < take) {
+        var q = take - 1
+        while (q > p) { bestSim(q) = bestSim(q - 1); bestIdx(q) = bestIdx(q - 1); q -= 1 }
+        bestSim(p) = sim
+        bestIdx(p) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

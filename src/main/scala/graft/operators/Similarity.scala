@@ -119,4 +119,102 @@ object Similarity {
     // dedup before the top-k so duplicates can't occupy multiple ranks
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
+
+  /** IVF coarse quantizer: `nlist` centroids trained with `iters` rounds of
+    * distributed Lloyd k-means. Everything driver-side is bounded by
+    * nlist×dim (the quantizer, NOT data-scale state — same contract as the
+    * expiry policy's calendar-bounded collect):
+    *   - init: the `nlist` corpus vectors with the smallest
+    *     `xxhash64(id, seed)` — deterministic, seed-stable, one top-k scan;
+    *   - assign: map-only [[graft.functions.NearestCentroids]] (take=1) —
+    *     no shuffle of vectors, the quantizer rides inside the expression;
+    *   - update: per-(list, dimension) mean via posexplode + hash agg —
+    *     ONE shuffle of (list, pos, partial-sum) triples per round, then a
+    *     ≤ nlist-row collect. Empty lists keep their previous centroid.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 2,
+      seed: Int = 42,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Array[Array[Double]] = {
+    require(nlist >= 1, "need at least one list")
+    val init: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), xxhash64(col(idCol), lit(seed)).as("h"))
+      .orderBy(col("h"))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val cSeq = centroids.map(_.toSeq).toSeq
+      val means = corpus
+        .select(
+          element_at(GraftFunctions.nearestCentroids(col(vecCol), cSeq, 1), 1).as("list_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "x"))
+        )
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("vs"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val list = r.getInt(0)
+        next(list) = r
+          .getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getDouble(1))
+          .toArray
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Approximate top-k via IVF-Flat: train a coarse quantizer
+    * ([[ivfCentroids]]), assign each corpus vector to its nearest
+    * centroid's inverted list (map-only), then score each query ONLY
+    * against the `nprobe` lists nearest to it. Candidates per query ≈
+    * (nprobe/nlist)·n, vs n for brute force; unlike the LSH path no
+    * `distinct` is needed — lists partition the corpus, so a pair can
+    * collide at most once.
+    *
+    * Scale: the corpus-side assignment is one map-only pass (quantizer
+    * inside the expression, no shuffle); the probe join broadcasts the
+    * exploded query side; grow `nlist` ∝ corpus size to bound list length
+    * (the classic IVF √n rule) and `nprobe` to push recall.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2,
+      seed: Int = 42,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
+    val cSeq = ivfCentroids(corpus, nlist, iters, seed, idCol, vecCol).map(_.toSeq).toSeq
+    val c = Dedup
+      .spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
+      .withColumn(
+        "list_id",
+        element_at(GraftFunctions.nearestCentroids(col("c_vec"), cSeq, 1), 1)
+      )
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      explode(GraftFunctions.nearestCentroids(col(vecCol), cSeq, nprobe)).as("list_id")
+    )
+    val scored = c
+      .join(broadcast(q), Seq("list_id"))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")), k)
+  }
 }

@@ -67,6 +67,60 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall below floor")
   }
 
+  test("ivf centroids: deterministic, bounded, correct shape") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.ivfCentroids(emb, nlist = 8, iters = 1)
+    val c2 = Similarity.ivfCentroids(emb, nlist = 8, iters = 1)
+    assert(c1.length === 8)
+    assert(c1.forall(_.length === c1.head.length))
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq) // seed-stable
+  }
+
+  test("ivf top-k: every result is a true cosine score with correct ranks") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity
+      .ivfTopK(emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("x13 config recall floor: IVF nprobe=8/16 ≥ 0.7 of exact top-5") {
+    // exactly the x13 query parameters, so the driver's rows-only x13 row is
+    // backed by a hard local recall bound (0.78 observed; embeddings are
+    // near-uniform random — IVF's worst case — so the floor is lower than
+    // x10's multi-table LSH)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val c = emb.where($"vec_id" >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, c, 5, nlist = 16, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below floor")
+  }
+
+  test("x13 golden pin: byte-identical output on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity
+      .ivfTopK(emb.where($"vec_id" < 10), emb.where($"vec_id" >= 10), k = 5,
+        nlist = 16, nprobe = 8)
+      .orderBy($"query_id", $"rank")
+      .collect()
+      .map(r => f"${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}%.6f,${r.getInt(3)}")
+      .toSeq
+    val expected = scala.io.Source
+      .fromInputStream(getClass.getResourceAsStream("/golden/x13_ivf_topk_sf0.001.csv"))
+      .getLines().drop(1).toSeq
+    assert(got === expected)
+  }
+
   test("x10 golden pin: byte-identical output on sf0.001") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity
