@@ -39,6 +39,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "byte_histogram", exprs => ByteHistogram(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "rp_buckets",
       exprs =>
         RpBuckets(
@@ -94,6 +96,11 @@ object GraftFunctions {
 
   /** L1-normalized 256-bin byte histogram of a binary column. */
   def byteHistogram(payload: Column): Column = call_function("byte_histogram", payload)
+
+  /** Real header decode for codec-free formats (wav/bmp), NULL otherwise —
+    * see DecodeMediaMeta.
+    */
+  def decodeMediaMeta(payload: Column): Column = call_function("decode_media_meta", payload)
 
   /** Sign-random-projection LSH bucket ids, one int per hash table
     * (array<int> of length `tables`) — see RpBuckets.

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -32,6 +33,86 @@ case class ByteHistogram(child: Expression)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** REAL container-header decode for the formats that need no codec
+  * library — pure byte parsing, so the "decode" step of the multimodal
+  * pipeline is genuine for WAV (RIFF) and BMP (BITMAPINFOHEADER) payloads
+  * and NULL for anything else (JPEG/MP4 etc. stay behind the disclosed
+  * codec stub, `Multimodal.fakeDecodeMeta`).
+  *
+  * Returns struct(format, width, height, sample_rate, channels, bit_depth,
+  * duration_ms); fields that don't apply to the format are NULL, the whole
+  * struct is NULL when the payload matches no known magic. Malformed or
+  * truncated headers → NULL, never an exception (a 100 TB media scan WILL
+  * contain corrupt files; dropping a task over one is not acceptable).
+  * One bounded header scan per row, map-side only.
+  */
+case class DecodeMediaMeta(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bit_depth", IntegerType),
+      StructField("duration_ms", IntegerType)
+    )
+  )
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+  private val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (ascii(b, 0, "BM") && b.length >= 26) {
+      // BITMAPINFOHEADER: header size at 14, width/height at 18/22 (LE,
+      // height may be negative for top-down rows)
+      val hdrSize = le32(b, 14)
+      if (hdrSize >= 40 && b.length >= 26) {
+        val w = le32(b, 18)
+        val h = math.abs(le32(b, 22))
+        if (w <= 0 || h <= 0) return null
+        return InternalRow(u("bmp"), w, h, null, null, null, null)
+      }
+      null
+    } else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      // walk RIFF chunks for fmt (metadata) and data (duration)
+      var off = 12
+      var sampleRate, channels, bits, byteRate = -1
+      var dataSize = -1L
+      while (off + 8 <= b.length) {
+        val size = le32(b, off + 4).toLong & 0xffffffffL
+        if (size > Int.MaxValue - 16) return null // corrupt size field
+        if (ascii(b, off, "fmt ") && off + 24 <= b.length) {
+          channels = le16(b, off + 10)
+          sampleRate = le32(b, off + 12)
+          byteRate = le32(b, off + 16)
+          bits = le16(b, off + 22)
+        } else if (ascii(b, off, "data")) {
+          dataSize = size
+        }
+        // chunks are word-aligned (odd sizes padded by one byte)
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (sampleRate <= 0 || channels <= 0 || byteRate <= 0) return null
+      val durMs =
+        if (dataSize >= 0) (dataSize * 1000L / byteRate).min(Int.MaxValue).toInt else null
+      InternalRow(u("wav"), null, null, sampleRate, channels, bits, durMs)
+    } else null
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape — is real
-  * and tested. The codec step is STUBBED (this container has no image/audio
-  * libraries): [[fakeDecodeMeta]] derives deterministic "decoded" metadata
-  * from the payload bytes instead of a real JPEG/WAV parse, and is clearly
-  * marked. A production build would swap `fakeDecodeMeta` for a
-  * codec-backed implementation with the same signature (in PySpark
-  * bindings this is where an Arrow-batched `mapInPandas` UDF would sit);
-  * nothing else changes.
+  * and tested. The decode step is real where no codec library is needed:
+  * [[decodeMeta]] parses WAV and BMP container headers from the raw bytes
+  * (MultimodalSpec decodes genuine files it synthesizes byte-by-byte).
+  * Formats that need an actual codec (JPEG, MP4 — this container has no
+  * image/audio libraries) stay behind the clearly-marked stub
+  * [[fakeDecodeMeta]]; a production build swaps it for a codec-backed
+  * implementation with the same signature (in PySpark bindings this is
+  * where an Arrow-batched `mapInPandas` UDF would sit); nothing else
+  * changes.
   *
   * Everything below is built-in byte/array expressions: `substring` on
   * binary, `aggregate` over byte positions — codegen'd, shuffle-free,
@@ -96,11 +98,23 @@ object Multimodal {
       k => substr(payload, k * (frameBytes * stride) + 1, lit(frameBytes))
     )
 
-  /** The full media featurization pass: decode-stub + histogram feature +
-    * thumbnail bytes, as one map-only projection.
+  /** REAL decode for the codec-free container formats: WAV (RIFF chunk
+    * walk) and BMP (BITMAPINFOHEADER) parsed from the payload bytes —
+    * struct(format,width,height,sample_rate,channels,bit_depth,duration_ms),
+    * NULL for unrecognized/corrupt payloads. See
+    * [[graft.functions.DecodeMediaMeta]]. Formats that genuinely need a
+    * codec library (JPEG, MP4…) remain behind [[fakeDecodeMeta]].
+    */
+  def decodeMeta(payload: Column): Column =
+    graft.functions.GraftFunctions.decodeMediaMeta(payload)
+
+  /** The full media featurization pass — real header decode where the
+    * format allows, the disclosed stub otherwise — plus histogram feature
+    * and thumbnail bytes, as one map-only projection.
     */
   def featurize(media: DataFrame): DataFrame =
     media
+      .withColumn("decoded_real", decodeMeta(col("payload")))
       .withColumn("decoded", fakeDecodeMeta(col("payload")))
       .withColumn("feature", graft.functions.GraftFunctions.byteHistogram(col("payload")))
       .withColumn("thumb", resizeBytes(col("payload"), 64))

@@ -48,4 +48,63 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  // --- real container-header decode (no codec library needed) ---
+
+  /** A genuine 16 kHz mono 16-bit PCM WAV file, built byte-by-byte. */
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    val dataSize = nSamples * channels * bits / 8
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize).order(bo)
+    val byteRate = sampleRate * channels * bits / 8
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+    buf.putInt(byteRate).putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until dataSize).foreach(i => buf.put((i % 251).toByte))
+    buf.array()
+  }
+
+  /** A genuine BMP (BITMAPINFOHEADER) file, built byte-by-byte. */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("BM".getBytes("US-ASCII")).putInt(54 + dataSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.array()
+  }
+
+  test("decodeMeta parses real WAV and BMP headers; garbage decodes to NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, wavBytes(16000, 1, 16, 16000)), // exactly 1 s of audio
+      (2L, bmpBytes(640, 480)),
+      (3L, "definitely not media".getBytes("UTF-8")),
+      (4L, wavBytes(44100, 2, 16, 22050)) // 0.5 s stereo
+    ).toDF("media_id", "payload")
+    val out = rows
+      .select(col("media_id"), Multimodal.decodeMeta(col("payload")).as("m"))
+      .orderBy("media_id")
+      .collect()
+
+    val wav = out(0).getStruct(1)
+    assert(wav.getString(0) === "wav")
+    assert(wav.isNullAt(1) && wav.isNullAt(2)) // no width/height for audio
+    assert(wav.getInt(3) === 16000 && wav.getInt(4) === 1 && wav.getInt(5) === 16)
+    assert(wav.getInt(6) === 1000)
+
+    val bmp = out(1).getStruct(1)
+    assert(bmp.getString(0) === "bmp")
+    assert(bmp.getInt(1) === 640 && bmp.getInt(2) === 480)
+    assert(bmp.isNullAt(3) && bmp.isNullAt(4))
+
+    assert(out(2).isNullAt(1)) // unknown magic → NULL, no exception
+
+    val wav2 = out(3).getStruct(1)
+    assert(wav2.getInt(3) === 44100 && wav2.getInt(4) === 2 && wav2.getInt(6) === 500)
+  }
 }
