@@ -26,6 +26,24 @@ object TickerSource {
   def fromJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.ticker).json(path)
 
+  /** STREAMING ticker feed from a file-drop directory: each JSON-lines
+    * capture dropped into `dir` becomes (part of) a micro-batch — the
+    * natural replay/production feed for
+    * [[graft.streaming.PipelineStream]], where the reference polls the
+    * REST endpoint once per cron tick (main.py:94-104) and an operator
+    * drops one capture file per tick here. Explicit schema, explicit
+    * `maxFilesPerTrigger=1` default so one capture ≙ one reference run.
+    */
+  def streamFromJsonDir(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 1
+  ): DataFrame =
+    spark.readStream
+      .schema(Schemas.ticker)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** Weekly-policy variant of [[syntheticFromLineitem]]: expiries are spread
     * across ALL weekdays — `date_trunc(week) + (l_orderkey mod 7) days` — so
     * the Friday-only W1/W2 selection (deltaweekly.py:43-111) has both

@@ -68,4 +68,36 @@ class PipelineStreamSpec extends SparkSpec {
       assert(a2.getString(a2.fieldIndex("Time")) === "11:00:00")
     } finally query.stop()
   }
+
+  test("file-drop source: one capture file per micro-batch chains through the sink") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_drop")
+    val sink = java.nio.file.Files.createTempDirectory("graft_drop_sink").toString + "/data"
+    def capture(name: String, mark: String, oi: String, seqBase: Long): Unit = {
+      val lines = batch(mark, oi, seqBase).map { t =>
+        s"""{"symbol":"${t.symbol}","contract_type":"${t.contract_type}","strike_price":"${t.strike_price}","spot_price":"${t.spot_price}","mark_price":"${t.mark_price}","oi_contracts":"${t.oi_contracts}","src_seq":${t.src_seq}}"""
+      }
+      java.nio.file.Files.write(dropDir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val times = Iterator(LocalTime.of(10, 0, 0), LocalTime.of(11, 0, 0))
+    capture("t1.json", "8.5", "80", 0L)
+    val query = PipelineStream.start(
+      graft.sources.TickerSource.streamFromJsonDir(spark, dropDir.toString),
+      sink,
+      OptionsPipeline.Hourly,
+      clock = () => (today, today, times.next()),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    try {
+      query.processAllAvailable()
+      capture("t2.json", "9.0", "85", 10L)
+      query.processAllAvailable()
+      val all = spark.read.parquet(sink).collect()
+      assert(all.length === 4)
+      val a2 = all
+        .filter(r => r.getString(r.fieldIndex("SYMBOL")) == s"C-ETH-100-$d17")
+        .maxBy(r => r.getLong(r.fieldIndex("sink_seq")))
+      assert(a2.getDouble(a2.fieldIndex("Open")) === 8.5)
+      assert(a2.getLong(a2.fieldIndex("OI_Change")) === 5L)
+    } finally query.stop()
+  }
 }
