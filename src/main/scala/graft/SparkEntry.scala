@@ -448,6 +448,62 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup clustering: connected components (Pregel-style min-label
+    * propagation, see [[graft.operators.Cluster]]) over the x06 pair set —
+    * the pairs→clusters→canonical step of corpus dedup. Oracled against a
+    * DuckDB recursive-CTE transitive closure of the same edges.
+    */
+  private def x14(s: SparkSession, dir: String): DataFrame =
+    Cluster
+      .connectedComponents(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5))
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling: language-rebalance the corpus with
+    * content-hash (md5-bucket) keep decisions — reproducible across runs,
+    * clusters, and retries (no rand()).
+    */
+  private def x15(s: SparkSession, dir: String): DataFrame =
+    Sampling
+      .stratifiedSample(
+        t(s, dir, "documents"),
+        key = col("text"),
+        strata = col("lang"),
+        rates = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 0.25)
+      )
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Train/eval decontamination: every 50th doc plays the eval set; corpus
+    * docs sharing ≥1 distinct 3-gram with it are flagged with their overlap
+    * ratio (broadcast eval grams, one corpus pass).
+    */
+  private def x16(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Decontaminate
+      .overlap(
+        corpus = docs.where(col("doc_id") % 50 =!= 0),
+        evalSet = docs.where(col("doc_id") % 50 === 0),
+        n = 3
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gap-based sessionization of the event stream (6 h gap): one shuffle,
+    * two stacked windows + rollup on the same partitioning.
+    */
+  private def x17(s: SparkSession, dir: String): DataFrame =
+    Sessionize
+      .sessions(
+        ev(s, dir),
+        key = col("user_id"),
+        ts = col("ts_us"),
+        maxGap = 21600000000L,
+        tieBreak = col("event_id"),
+        valueCol = col("value")
+      )
+      .orderBy(col("key"), col("session_idx"))
+
   /** IVF-Flat approximate top-5 (the second ANN scale path besides x10's
     * LSH; no SQL oracle — approximate + iterative k-means training is not
     * DuckDB-expressible. SimilaritySpec pins a golden fixture and a recall
@@ -494,7 +550,11 @@ object SparkEntry {
     "x10_ann_lsh" -> (x10 _),
     "x11_embed_neardup" -> (x11 _),
     "x12_quality_score" -> (x12 _),
-    "x13_ivf_topk" -> (x13 _)
+    "x13_ivf_topk" -> (x13 _),
+    "x14_neardup_clusters" -> (x14 _),
+    "x15_hash_sample" -> (x15 _),
+    "x16_decontaminate" -> (x16 _),
+    "x17_sessionize" -> (x17 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -824,6 +884,71 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         |  FROM s) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "x14_neardup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+        |    ELSE [] END AS s
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "x15_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(text), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
+        |            WHEN 'de' THEN '4000' WHEN 'fr' THEN '4000' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
+    "x17_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id AS key, session_idx,
+        |  min(ts_us) AS session_start, max(ts_us) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY key, session_idx""".stripMargin,
+    "x16_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+        |    ELSE [] END AS s
+        |  FROM tk
+        |), ev AS (
+        |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
+        |), cg AS (
+        |  SELECT doc_id, len(s) AS n_grams, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0
+        |)
+        |SELECT cg.doc_id, count(*) AS n_hit_grams, n_grams,
+        |  round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS contamination
+        |FROM cg JOIN ev USING (gram)
+        |GROUP BY cg.doc_id, n_grams ORDER BY cg.doc_id""".stripMargin,
     "x11_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph clustering over near-duplicate pair sets (the step after pair
+  * mining in a corpus-dedup pipeline: pairs → components → one canonical
+  * doc kept per component).
+  *
+  * Scale design (100 TB posture):
+  *   - Pregel-style min-label propagation, the same algorithm GraphX's
+  *     `connectedComponents` runs: each iteration is ONE shuffle of
+  *     (id, comp) keyed by id, plus an edge join — no all-pairs work.
+  *     Iteration count is the graph diameter; near-dup graphs are
+  *     overwhelmingly tiny star/clique clusters (diameter ≤ 3-4), so
+  *     convergence is a handful of rounds even at corpus scale. For
+  *     adversarially long chains, large-star/small-star (Kiveris et al.,
+  *     "Connected Components in MapReduce and Beyond") drops rounds to
+  *     O(log n); not needed for the dedup workload this serves.
+  *   - Each iteration's result is `localCheckpoint`ed: truncating lineage
+  *     is mandatory in iterative DataFrame jobs — without it the plan
+  *     doubles per round and the optimizer re-plans the whole history.
+  *   - Edges are persisted once (MEMORY_AND_DISK, spills instead of
+  *     OOMing) and unpersisted on exit; label frames are checkpointed so
+  *     superseded iterations are dropped by the ContextCleaner.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given by pair rows.
+    *
+    * Returns one row per distinct vertex: (id, comp) where `comp` is the
+    * minimum vertex id reachable from `id` (a canonical, deterministic
+    * component label — also exactly the "keep this doc" choice a dedup
+    * pipeline makes).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIters: Int = 50
+  ): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val bidir = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = bidir
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // push every vertex's current label across its edges, then take the
+      // min of (own label, all incoming labels) per vertex
+      val pushed = bidir
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val updated = labels
+        .union(pushed)
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .where(col("comp") =!= col("prev"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      iters += 1
+    }
+    bidir.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup clustering: mine n-gram Jaccard pairs, cluster
+    * them, and label every clustered doc with its component root and
+    * whether it is the canonical (kept) member.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    connectedComponents(Dedup.ngramJaccardPairs(docs, n, threshold, idCol = idCol, textCol = textCol))
+      .select(
+        col("id").as(idCol),
+        col("comp").as("comp_id"),
+        (col("id") === col("comp")).as("is_canonical")
+      )
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic (content-hash) sampling for corpus curation.
+  *
+  * Unlike `df.sample()` / `rand()`, the keep/drop decision is a pure
+  * function of the key bytes: re-running the pipeline — on any cluster, at
+  * any partitioning, after any retry — selects the SAME rows, and a doc's
+  * fate never changes when unrelated data is added. That reproducibility is
+  * the property training-data pipelines need from a sampler (plus: the
+  * sample composes with dedup — identical texts always land on the same
+  * side of the cut).
+  *
+  * Mechanics: first 4 hex chars of md5(key) form a uniform bucket in
+  * [0, 65536); keep rows whose bucket falls below rate·65536. Pure map-side
+  * codegen'd expressions — no shuffle, no state, scales linearly.
+  */
+object Sampling {
+
+  /** Lexicographic hex threshold for `rate` over a 4-hex-digit bucket.
+    * rate ≥ 1 returns "g", which sorts above every hex string, i.e.
+    * keep-all; rate ≤ 0 returns "0000", which no bucket sorts below.
+    */
+  def thresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max(0, math.round(rate * 65536).toInt)}%04x"
+
+  /** Uniform [0, 65536) bucket of a key column, as 4 lowercase hex chars
+    * (directly comparable against [[thresholdHex]] in any engine that
+    * renders md5 as lowercase hex — Spark and DuckDB both do).
+    */
+  def hashBucket(key: Column): Column = substring(md5(key), 1, 4)
+
+  /** Keep ~`rate` of rows, deterministically by content hash of `key`. */
+  def deterministicSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(hashBucket(key) < lit(thresholdHex(rate)))
+
+  /** Per-stratum deterministic sampling: rows whose `strata` value is in
+    * `rates` keep that rate; all other strata keep `defaultRate`. The
+    * standard shape for language/source rebalancing of a training corpus.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      strata: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0
+  ): DataFrame = {
+    val thr = rates.foldLeft(lit(thresholdHex(defaultRate)): Column) {
+      case (acc, (stratum, rate)) =>
+        when(strata === stratum, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.where(hashBucket(key) < thr)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of event streams: consecutive events of the
+  * same key belong to one session while the inter-event gap stays within
+  * `maxGap`; a larger gap starts a new session.
+  *
+  * Scale design (100 TB posture): ONE shuffle, keyed by the session key.
+  * Both window passes (lag to detect gaps, running sum to number sessions)
+  * and the final per-session aggregation declare the same partitioning, so
+  * Catalyst plans a single exchange and runs the windows back-to-back in
+  * one stage — `.explain` shows one Exchange feeding two Window operators
+  * and a partial-aggregate. Skewed keys (one user with millions of events)
+  * are the known hazard; mitigate upstream with [[Skew]] salting or a
+  * per-day pre-split of the key when a key's event count breaks the
+  * per-partition memory budget.
+  */
+object Sessionize {
+
+  /** Events annotated with a per-key session index (0-based, in time
+    * order). `ts` must be monotone-comparable (epoch numbers or
+    * timestamps); ties are broken by `tieBreak` for a total order.
+    */
+  def withSessionIds(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      maxGap: Long,
+      tieBreak: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    val prevTs = lag(ts, 1).over(w)
+    val newSession = when(prevTs.isNull || (ts - prevTs) > maxGap, lit(1L)).otherwise(lit(0L))
+    events
+      .withColumn("session_idx", sum(newSession).over(w) - lit(1L))
+  }
+
+  /** Per-session rollup: bounds, size, and value sum for each
+    * (key, session) — the standard shape fed to engagement / training-
+    * example aggregation.
+    */
+  def sessions(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      maxGap: Long,
+      tieBreak: Column,
+      valueCol: Column
+  ): DataFrame =
+    withSessionIds(events, key, ts, maxGap, tieBreak)
+      .groupBy(key.as("key"), col("session_idx"))
+      .agg(
+        min(ts).as("session_start"),
+        max(ts).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(valueCol), 2).as("sum_value")
+      )
+}

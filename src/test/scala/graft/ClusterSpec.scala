@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cluster
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain needs multi-hop propagation") {
+    // 1-2-3-4-5 chain plus disjoint 10-11; min label must travel 4 hops
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val comps = Cluster.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: clique and bridge merge into one component") {
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val pairs = (clique :+ ((4L, 7L)) :+ ((7L, 9L))).toDF("a_id", "b_id")
+    val comps = Cluster.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(1L))
+    assert(comps.keySet === Set(1L, 2L, 3L, 4L, 7L, 9L))
+  }
+
+  test("near-dup clusters: exact + near dups share a component, canonical is min id") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different content about spark engines and parquet files")
+    ).toDF("doc_id", "text")
+    val out = Cluster.nearDupClusters(docs, n = 3, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // doc 4 shares nothing → not clustered; 0/1/3 form one component rooted at 0
+    assert(out.map(_._1).toSet === Set(0L, 1L, 3L))
+    assert(out.forall(_._2 == 0L))
+    assert(out.collect { case (id, _, canon) if canon => id }.toSeq === Seq(0L))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (0 until 2000)
+    .map(i => (i.toLong, s"document body number $i", if (i % 2 == 0) "en" else "es"))
+    .toDF("doc_id", "text", "lang")
+
+  test("threshold hex edge cases") {
+    assert(Sampling.thresholdHex(0.5) === "8000")
+    assert(Sampling.thresholdHex(0.25) === "4000")
+    assert(Sampling.thresholdHex(0.0) === "0000")
+    assert(Sampling.thresholdHex(1.0) === "g") // sorts above "ffff" → keep all
+  }
+
+  test("sample is deterministic and roughly at rate") {
+    val a = Sampling.deterministicSample(rows, col("text"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(rows, col("text"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(math.abs(a.size - 1000) < 100) // binomial 3σ ≈ 67
+  }
+
+  test("lower rate samples are nested subsets (hash-threshold property)") {
+    val half = Sampling.deterministicSample(rows, col("text"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val quarter = Sampling.deterministicSample(rows, col("text"), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(quarter.subsetOf(half))
+  }
+
+  test("rate 1.0 keeps everything, rate 0.0 keeps nothing") {
+    assert(Sampling.deterministicSample(rows, col("text"), 1.0).count() === 2000L)
+    assert(Sampling.deterministicSample(rows, col("text"), 0.0).count() === 0L)
+  }
+
+  test("stratified sampling applies per-stratum rates and default") {
+    val out = Sampling
+      .stratifiedSample(rows, col("text"), col("lang"), Map("en" -> 0.25), defaultRate = 1.0)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("es") === 1000L) // default keeps all
+    assert(math.abs(byLang("en") - 250L) < 60) // 3σ ≈ 41
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+import graft.operators.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, event_id, ts, value); gap threshold 100 in these tests
+  private lazy val events = Seq(
+    (1L, 1L, 1000L, 1.0),
+    (1L, 2L, 1050L, 2.0), // same session (gap 50)
+    (1L, 3L, 1200L, 4.0), // new session (gap 150)
+    (1L, 4L, 1290L, 8.0), // same session (gap 90)
+    (2L, 5L, 500L, 16.0), // other user, own numbering
+    (2L, 6L, 5000L, 32.0) // new session (gap 4500)
+  ).toDF("user_id", "event_id", "ts", "value")
+
+  test("session ids: gaps > maxGap split, per-key 0-based numbering") {
+    val out = Sessionize
+      .withSessionIds(events, col("user_id"), col("ts"), 100L, col("event_id"))
+      .select("user_id", "event_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 0L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+      (2L, 5L) -> 0L, (2L, 6L) -> 1L
+    ))
+  }
+
+  test("exact-gap boundary stays in the same session (strict > splits)") {
+    val e = Seq((1L, 1L, 0L, 1.0), (1L, 2L, 100L, 1.0), (1L, 3L, 201L, 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val idx = Sessionize
+      .withSessionIds(e, col("user_id"), col("ts"), 100L, col("event_id"))
+      .orderBy("event_id").select("session_idx").as[Long].collect()
+    assert(idx.toSeq === Seq(0L, 0L, 1L))
+  }
+
+  test("session rollup: bounds, sizes, sums") {
+    val out = Sessionize
+      .sessions(events, col("user_id"), col("ts"), 100L, col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out((1L, 0L)) === ((1000L, 1050L, 2L, 3.0)))
+    assert(out((1L, 1L)) === ((1200L, 1290L, 2L, 12.0)))
+    assert(out((2L, 0L)) === ((500L, 500L, 1L, 16.0)))
+    assert(out((2L, 1L)) === ((5000L, 5000L, 1L, 32.0)))
+  }
+
+  test("plan: windows + rollup share one exchange (single shuffle)") {
+    val plan = Sessionize
+      .sessions(events, col("user_id"), col("ts"), 100L, col("event_id"), col("value"))
+      .queryExecution.executedPlan match {
+      // unwrap AQE: the adaptive node hides the inner plan from collect()
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.length === 1, s"expected 1 exchange, plan:\n$plan")
+  }
+}
