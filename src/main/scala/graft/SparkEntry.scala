@@ -504,6 +504,42 @@ object SparkEntry {
       )
       .orderBy(col("key"), col("session_idx"))
 
+  /** Within-doc repetition signals (Gopher-style quality pre-filter).
+    * Spark side is map-only (sorted-array fold for top-token count); the
+    * oracle uses the explode/group formulation — agreeing results pin both.
+    */
+  private def x18(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .withRepetitionStats(t(s, dir, "documents"))
+      .select(col("doc_id"), col("top_token_frac"), col("dup_2gram_frac"), col("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** PII scrub over documents with deterministic synthetic PII appended
+    * (the corpus itself is PII-free, like q12 injects NaN): per-class hit
+    * counts + md5 of the redacted text.
+    */
+  private def x19(s: SparkSession, dir: String): DataFrame =
+    Scrub
+      .withPiiRedaction(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or http://example"), col("doc_id"),
+            lit(".org call +1 555 000"), col("doc_id")
+          ).as("text")
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_urls"),
+        col("n_phones"),
+        md5(col("text_redacted")).as("red_md5")
+      )
+      .orderBy(col("doc_id"))
+
   /** IVF-Flat approximate top-5 (the second ANN scale path besides x10's
     * LSH; no SQL oracle — approximate + iterative k-means training is not
     * DuckDB-expressible. SimilaritySpec pins a golden fixture and a recall
@@ -554,7 +590,9 @@ object SparkEntry {
     "x14_neardup_clusters" -> (x14 _),
     "x15_hash_sample" -> (x15 _),
     "x16_decontaminate" -> (x16 _),
-    "x17_sessionize" -> (x17 _)
+    "x17_sessionize" -> (x17 _),
+    "x18_repetition" -> (x18 _),
+    "x19_pii_scrub" -> (x19 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -914,6 +952,52 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
         |            WHEN 'de' THEN '4000' WHEN 'fr' THEN '4000' ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
+    "x18_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM tk
+        |), top AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |    SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY doc_id, tok
+        |  ) GROUP BY doc_id
+        |), g AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tok,
+        |    CASE WHEN len(toks) >= 2 THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)] ELSE [] END AS g3
+        |  FROM tk
+        |)
+        |SELECT g.doc_id,
+        |  round(CAST(top.top_cnt AS DOUBLE) / n_tok, 4) AS top_token_frac,
+        |  round(CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END, 4) AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END, 4) AS dup_3gram_frac
+        |FROM g JOIN top ON g.doc_id = top.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    "x19_pii_scrub" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or http://example' || doc_id
+        |         || '.org call +1 555 000' || doc_id AS t
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM injected
+        |), red2 AS (
+        |  SELECT doc_id, n_emails,
+        |    len(regexp_extract_all(t1, 'https?://[A-Za-z0-9./_-]+')) AS n_urls,
+        |    regexp_replace(t1, 'https?://[A-Za-z0-9./_-]+', '<URL>', 'g') AS t2
+        |  FROM red
+        |), red3 AS (
+        |  SELECT doc_id, n_emails, n_urls,
+        |    len(regexp_extract_all(t2, '\+[0-9][0-9 ]{6,}[0-9]')) AS n_phones,
+        |    regexp_replace(t2, '\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g') AS t3
+        |  FROM red2
+        |)
+        |SELECT doc_id, n_emails, n_urls, n_phones, md5(t3) AS red_md5
+        |FROM red3 ORDER BY doc_id""".stripMargin,
     "x17_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events

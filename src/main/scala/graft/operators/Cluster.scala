@@ -40,9 +40,19 @@ object Cluster {
       bCol: String = "b_id",
       maxIters: Int = 50
   ): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val bidir = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // both edge directions from ONE scan of the pairs subtree (a union of
+    // two selects would evaluate the — typically expensive — pair-mining
+    // plan twice when this persist first materializes)
+    val bidir = pairs
+      .select(
+        explode(
+          array(
+            struct(col(aCol).as("src"), col(bCol).as("dst")),
+            struct(col(bCol).as("src"), col(aCol).as("dst"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

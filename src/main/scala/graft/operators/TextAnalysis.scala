@@ -99,6 +99,57 @@ object TextAnalysis {
     }
   }
 
+  /** Raw (non-distinct) n-gram occurrence list — for repetition measures,
+    * where multiplicity is the signal that [[shingles]]' distinct sets
+    * deliberately discard.
+    */
+  def rawNgrams(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** Max multiplicity of any single token, computed WITHOUT a shuffle: sort
+    * the token array, then fold it counting the longest run of equal
+    * adjacent elements. The group-by-token formulation needs an explode +
+    * two aggregations per doc; this stays inside one row, so repetition
+    * scoring keeps the map-only 100 TB shape of the other text stats.
+    */
+  def topTokenCount(toks: Column): Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")
+    )
+
+  /** Gopher-style within-document repetition signals (used as quality
+    * pre-filters: heavily repetitive docs are boilerplate/spam):
+    * top-token occupancy and duplicate 2-/3-gram occurrence fractions.
+    * Entirely map-side.
+    */
+  def withRepetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    def dupFrac(n: Int): Column = {
+      val g = rawNgrams(toks, n)
+      round(
+        when(size(g) > 0, lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+          .otherwise(lit(0.0)),
+        4
+      )
+    }
+    docs
+      .withColumn("top_token_frac", round(topTokenCount(toks).cast("double") / size(toks), 4))
+      .withColumn("dup_2gram_frac", dupFrac(2))
+      .withColumn("dup_3gram_frac", dupFrac(3))
+  }
+
   /** Composite quality score in [0,1]: length saturation, alpha ratio,
     * stopword presence, type-token ratio — the standard cheap pre-filters
     * applied before expensive LLM-data curation stages.

@@ -70,4 +70,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.forall(q => q >= 0.0 && q <= 1.0))
     assert(rows(0) > rows(1))
   }
+
+  test("top token count: sorted-run fold equals true max multiplicity") {
+    val out = Seq(
+      "a b a c a b",     // a×3
+      "x",               // single token
+      "same same same"   // all identical
+    ).toDF("text")
+      .select(TextAnalysis.topTokenCount(TextAnalysis.tokens($"text")).as("c"))
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    assert(out === Seq(3, 1, 3))
+  }
+
+  test("repetition stats: fractions on known constructions") {
+    val out = TextAnalysis
+      .withRepetitionStats(
+        Seq(
+          (1L, "a b a b a b"), // 2-grams: [a b, b a, a b, b a, a b] → 2 distinct of 5
+          (2L, "u v w x y z")  // no repetition at all
+        ).toDF("doc_id", "text")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) === ((0.5, 0.6, 0.5))) // top a=3/6; 3-grams: 2 distinct of 4
+    assert(out(2L) === ((round4(1.0 / 6), 0.0, 0.0)))
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
