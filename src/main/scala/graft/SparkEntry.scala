@@ -320,6 +320,48 @@ object SparkEntry {
       batchTime = LocalTime.of(12, 0, 0)
     )
 
+  /** OLAP surface: exact multi-percentiles per group (linear interpolation,
+    * matching DuckDB quantile_cont / NumPy type-7).
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** OLAP surface: ROLLUP hierarchy totals. Subtotal rows are labeled 'ALL'
+    * via coalesce on BOTH engines, sidestepping NULL-ordering divergence
+    * (Spark sorts NULLs first, DuckDB last).
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_price"),
+        col("n")
+      )
+      .orderBy(col("flag"), col("status"))
+
+  /** OLAP surface: pivot with an explicit value list (explicit = one pass;
+    * value-discovering pivot needs an extra distinct job).
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -574,6 +616,9 @@ object SparkEntry {
     "q12_nan_clean" -> (q12 _),
     "q13_options_pipeline" -> (q13 _),
     "q14_weekly_pipeline" -> (q14 _),
+    "q15_percentiles" -> (q15 _),
+    "q16_rollup" -> (q16 _),
+    "q17_pivot" -> (q17 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -809,6 +854,23 @@ object SparkEntry {
         |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
         |FROM dedup
         |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q17_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
+        | round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x12_quality_score" ->
       """WITH tk AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
