@@ -38,6 +38,36 @@ object Sessionize {
       .withColumn("session_idx", sum(newSession).over(w) - lit(1L))
   }
 
+  /** Native `session_window` formulation of the same rollup — the
+    * STREAMING-capable path: under `readStream` + `withWatermark` this
+    * exact plan runs incrementally with state eviction at the watermark,
+    * which the lag/running-sum formulation cannot (windows over unbounded
+    * streams are unsupported).
+    *
+    * Boundary semantics MATCH [[sessions]], including at the exact
+    * threshold: the built-in merges an event landing exactly on the
+    * previous window's end (`prev + gap`), just as [[sessions]] splits
+    * only on strictly-greater gaps — SessionizeSpec pins both the
+    * random-gap equivalence and the exact-boundary case. `tsMicros` is
+    * epoch-micros.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      key: Column,
+      tsMicros: Column,
+      gap: String,
+      valueCol: Column
+  ): DataFrame =
+    events
+      .groupBy(key.as("key"), session_window(timestamp_micros(tsMicros), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(valueCol), 2).as("sum_value"))
+      .select(
+        col("key"),
+        unix_micros(col("w.start")).as("session_start"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** Per-session rollup: bounds, size, and value sum for each
     * (key, session) — the standard shape fed to engagement / training-
     * example aggregation.

@@ -51,6 +51,45 @@ class SessionizeSpec extends SparkSpec {
     assert(out((2L, 1L)) === ((5000L, 5000L, 1L, 32.0)))
   }
 
+  test("native session_window agrees with the gap-fold away from exact boundaries") {
+    // seeded random events with gaps never exactly equal to the threshold
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3).flatMap { u =>
+      var ts = 0L
+      (1 to 40).map { i =>
+        ts += (rnd.nextInt(200) * 2 + 1) // odd deltas; gap threshold is even
+        (u.toLong, (u * 1000 + i).toLong, ts, rnd.nextInt(10).toDouble)
+      }
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val gapUs = 100L
+    val fold = Sessionize
+      .sessions(df, col("user_id"), col("ts"), gapUs, col("event_id"), col("value"))
+      .select("key", "session_start", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val native = Sessionize
+      .sessionWindows(df, col("user_id"), col("ts"), "100 microseconds", col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(native === fold)
+  }
+
+  test("exact-gap boundary: both formulations merge (inclusive threshold)") {
+    val df = Seq((1L, 1L, 0L, 1.0), (1L, 2L, 100L, 1.0), (1L, 3L, 201L, 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val foldN = Sessionize
+      .sessions(df, col("user_id"), col("ts"), 100L, col("event_id"), col("value"))
+      .count()
+    val nativeN = Sessionize
+      .sessionWindows(df, col("user_id"), col("ts"), "100 microseconds", col("value"))
+      .count()
+    assert(foldN === 2L) // {0,100} merge at the exact gap; 201 splits
+    assert(nativeN === 2L) // built-in merges on the window-end boundary too
+  }
+
   test("plan: windows + rollup share one exchange (single shuffle)") {
     val plan = Sessionize
       .sessions(events, col("user_id"), col("ts"), 100L, col("event_id"), col("value"))
