@@ -362,6 +362,52 @@ object SparkEntry {
       .withColumnRenamed("O", "qty_o")
       .orderBy(col("l_returnflag"))
 
+  /** Backward as-of join (each purchase ← latest prior-or-equal click of
+    * the same user), union+window formulation vs DuckDB's NATIVE ASOF JOIN
+    * — two independent algorithms, one answer.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val clicks = e
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us"),
+        col("value").as("click_value")
+      )
+    AsofJoin
+      .backward(purchases, clicks, Seq("user_id"), "ts_us", "click_ts_us")
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** Bin-blocked range join: view events into 2-day signup windows of the
+    * same user (425 views fall in overlapping windows → genuine
+    * many-to-many), vs a plain BETWEEN inequality join in DuckDB.
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val intervals = e
+      .where(col("event_type") === "signup")
+      .select(
+        col("user_id"),
+        col("event_id").as("signup_id"),
+        col("ts_us").as("start_us"),
+        (col("ts_us") + lit(172800000000L)).as("end_us")
+      )
+    val points = e
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
+    RangeJoin
+      .binned(points, intervals, Seq("user_id"), "view_ts_us", "start_us", "end_us",
+        binWidth = 86400000000L)
+      .select(col("user_id"), col("view_id"), col("view_ts_us"), col("signup_id"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("view_id"), col("signup_id"))
+  }
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -619,6 +665,8 @@ object SparkEntry {
     "q15_percentiles" -> (q15 _),
     "q16_rollup" -> (q16 _),
     "q17_pivot" -> (q17 _),
+    "q18_asof_join" -> (q18 _),
+    "q19_range_join" -> (q19 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -871,6 +919,29 @@ object SparkEntry {
         | round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
         | round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'purchase'
+        |), r2 AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.user_id, l.event_id, l.ts_us, l.value, r2.click_id, r2.click_ts_us, r2.click_value
+        |FROM l ASOF LEFT JOIN r2 ON l.user_id = r2.user_id AND l.ts_us >= r2.click_ts_us
+        |ORDER BY l.user_id, l.ts_us, l.event_id""".stripMargin,
+    "q19_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id AS signup_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + 172800000000 AS end_us
+        |  FROM events WHERE event_type = 'signup'
+        |), pt AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT pt.user_id, pt.view_id, pt.view_ts_us, iv.signup_id, iv.start_us, iv.end_us
+        |FROM pt JOIN iv ON pt.user_id = iv.user_id
+        |  AND pt.view_ts_us BETWEEN iv.start_us AND iv.end_us
+        |ORDER BY pt.user_id, pt.view_id, iv.signup_id""".stripMargin,
     "x12_quality_score" ->
       """WITH tk AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
