@@ -71,6 +71,8 @@ case class DecodeMediaMeta(child: Expression)
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
   private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
     b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
 
@@ -112,6 +114,23 @@ case class DecodeMediaMeta(child: Expression)
       val durMs =
         if (dataSize >= 0) (dataSize * 1000L / byteRate).min(Int.MaxValue).toInt else null
       InternalRow(u("wav"), null, null, sampleRate, channels, bits, durMs)
+    } else if (b.length >= 26 &&
+      (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG") &&
+      (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a) {
+      // PNG: the first chunk after the signature MUST be IHDR (length 13):
+      // width/height big-endian at 16/20, bit depth (per channel) at 24
+      if (be32(b, 8) != 13 || !ascii(b, 12, "IHDR")) return null
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w <= 0 || h <= 0) return null
+      InternalRow(u("png"), w, h, null, null, b(24) & 0xff, null)
+    } else if ((ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) && b.length >= 10) {
+      // GIF logical screen descriptor: width/height little-endian at 6/8
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w <= 0 || h <= 0) return null
+      InternalRow(u("gif"), w, h, null, null, null, null)
     } else null
   }
 

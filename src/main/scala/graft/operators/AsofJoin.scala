@@ -77,4 +77,29 @@ object AsofJoin {
       .where(col("__side") === 1)
       .select(col("__l.*"), col("__m.*"))
   }
+
+  /** Forward as-of join: the EARLIEST right row with `right.ts >= left.ts`
+    * per key. Implemented by time negation over [[backward]] — negating
+    * both timestamps turns "latest ≤" into "earliest ≥" exactly (ties
+    * included), so the two directions share one code path and one set of
+    * scale properties. Numeric (epoch) timestamps only.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String
+  ): DataFrame = {
+    val out = backward(
+      left.withColumn(leftTs, -col(leftTs)),
+      right.withColumn(rightTs, -col(rightTs)),
+      keyCols,
+      leftTs,
+      rightTs
+    )
+    out
+      .withColumn(leftTs, -col(leftTs))
+      .withColumn(rightTs, -col(rightTs))
+  }
 }

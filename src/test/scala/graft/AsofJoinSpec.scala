@@ -46,6 +46,26 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of: earliest right row at or after each left ts") {
+    val out = AsofJoin
+      .forward(left, right, Seq("user_id"), "ts", "state_ts")
+      .collect()
+      .map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(101L) === Some(100L)) // next state after ts=50
+    assert(out(102L) === Some(100L)) // equal ts matches (>= semantics)
+    assert(out(103L) === None) // nothing at or after 250 for key 1
+    assert(out(201L) === None) // key 2's only state is at 900 < 999
+  }
+
+  test("forward restores original timestamp signs in the output") {
+    val row = AsofJoin
+      .forward(left, right, Seq("user_id"), "ts", "state_ts")
+      .where(col("event_id") === 101L)
+      .collect()(0)
+    assert(row.getLong(2) === 50L && row.getLong(4) === 100L)
+  }
+
   test("plan: one exchange for the as-of itself (no nested-loop join)") {
     val plan = AsofJoin
       .backward(left, right, Seq("user_id"), "ts", "state_ts")

@@ -107,4 +107,54 @@ class MultimodalSpec extends SparkSpec {
     val wav2 = out(3).getStruct(1)
     assert(wav2.getInt(3) === 44100 && wav2.getInt(4) === 2 && wav2.getInt(6) === 500)
   }
+
+  /** A genuine PNG signature + IHDR chunk, built byte-by-byte (big-endian
+    * network order, as the PNG spec requires).
+    */
+  private def pngBytes(w: Int, h: Int, bitDepth: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    buf.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    buf.putInt(w).putInt(h).put(bitDepth.toByte)
+    buf.put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // color/comp/filter/interlace
+    buf.array()
+  }
+
+  /** A genuine GIF89a logical screen descriptor (little-endian). */
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(w.toShort).putShort(h.toShort)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.array()
+  }
+
+  test("decodeMeta parses real PNG and GIF headers; corrupt IHDR → NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pngBytes(1920, 1080, 8)),
+      (2L, gifBytes(320, 200)),
+      (3L, pngBytes(1920, 1080, 8).take(20)), // truncated mid-IHDR
+      (4L, {
+        val b = pngBytes(4, 4, 8); b(12) = 'X'.toByte; b // wrong first chunk type
+      })
+    ).toDF("media_id", "payload")
+    val out = rows
+      .select(col("media_id"), Multimodal.decodeMeta(col("payload")).as("m"))
+      .orderBy("media_id")
+      .collect()
+
+    val png = out(0).getStruct(1)
+    assert(png.getString(0) === "png")
+    assert(png.getInt(1) === 1920 && png.getInt(2) === 1080)
+    assert(png.getInt(5) === 8) // bit depth per channel
+    assert(png.isNullAt(3) && png.isNullAt(4) && png.isNullAt(6))
+
+    val gif = out(1).getStruct(1)
+    assert(gif.getString(0) === "gif")
+    assert(gif.getInt(1) === 320 && gif.getInt(2) === 200)
+
+    assert(out(2).isNullAt(1)) // truncated → NULL, no exception
+    assert(out(3).isNullAt(1)) // IHDR missing → NULL
+  }
 }
