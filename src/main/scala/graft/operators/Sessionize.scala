@@ -68,6 +68,31 @@ object Sessionize {
         col("sum_value")
       )
 
+  /** Streaming form of [[sessionWindows]]: same rollup over a streaming
+    * DataFrame with a real timestamp column, watermarked so session state
+    * is finalized (emitted in Append mode) and evicted once the watermark
+    * passes a session's end — the bounded-state contract for unbounded
+    * event streams. SessionizeSpec drives it through MemoryStream.
+    */
+  def sessionWindowsStream(
+      events: DataFrame,
+      key: Column,
+      tsCol: String,
+      gap: String,
+      watermarkDelay: String,
+      valueCol: Column
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(key.as("key"), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(valueCol), 2).as("sum_value"))
+      .select(
+        col("key"),
+        unix_micros(col("w.start")).as("session_start"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** Per-session rollup: bounds, size, and value sum for each
     * (key, session) — the standard shape fed to engagement / training-
     * example aggregation.

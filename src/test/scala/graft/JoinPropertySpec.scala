@@ -46,6 +46,29 @@ class JoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("asof forward: time-negation path ≡ naive earliest-at-or-after scan") {
+    for (seed <- Seq(31, 59)) {
+      val (left, right) = randomCase(seed)
+      val rightDedup = right.groupBy(r => (r._1, r._3)).map(_._2.maxBy(_._2)).toSeq
+
+      val got = AsofJoin
+        .forward(
+          left.toDF("k", "lid", "lts", "lval"),
+          rightDedup.toDF("k", "rid", "rts", "rval"),
+          Seq("k"), "lts", "rts")
+        .collect()
+        .map(r => (r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .toMap
+
+      val want = left.map { case (k, lid, lts, _) =>
+        val candidates = rightDedup.filter(r => r._1 == k && r._3 >= lts)
+        lid -> (if (candidates.isEmpty) None else Some(candidates.minBy(_._3)._2))
+      }.toMap
+
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("range: bin-blocked join ≡ naive containment filter on random data") {
     for (seed <- Seq(5, 17); binWidth <- Seq(13L, 100L)) {
       val rnd = new scala.util.Random(seed)

@@ -90,6 +90,39 @@ class SessionizeSpec extends SparkSpec {
     assert(nativeN === 2L) // built-in merges on the window-end boundary too
   }
 
+  test("streaming session windows: sessions finalize as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val query = Sessionize
+      .sessionWindowsStream(
+        input.toDF().toDF("user_id", "ts", "value"),
+        col("user_id"), "ts", "10 seconds", "5 seconds", col("value"))
+      .writeStream
+      .format("memory")
+      .queryName("sess_out")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    try {
+      // two sessions for user 1: {0s, 5s} and {30s}; nothing final yet
+      input.addData((1L, t(0), 1.0), (1L, t(5), 2.0), (1L, t(30), 4.0))
+      query.processAllAvailable()
+      // watermark mover: event at 200s → watermark 195s → both finalize
+      input.addData((2L, t(200), 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((1L, 0L, 2L, 3.0)))        // session {0s,5s}
+      assert(rows.contains((1L, 30000000L, 1L, 4.0))) // session {30s}
+    } finally query.stop()
+  }
+
   test("plan: windows + rollup share one exchange (single shuffle)") {
     val plan = Sessionize
       .sessions(events, col("user_id"), col("ts"), 100L, col("event_id"), col("value"))
