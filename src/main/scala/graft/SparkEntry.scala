@@ -1125,8 +1125,8 @@ object SparkEntry {
         |  FROM red
         |), red3 AS (
         |  SELECT doc_id, n_emails, n_urls,
-        |    len(regexp_extract_all(t2, '\+[0-9][0-9 ]{6,}[0-9]')) AS n_phones,
-        |    regexp_replace(t2, '\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g') AS t3
+        |    len(regexp_extract_all(t2, '\+[0-9]+(?: ?[0-9]{2,}){2,}')) AS n_phones,
+        |    regexp_replace(t2, '\+[0-9]+(?: ?[0-9]{2,}){2,}', '<PHONE>', 'g') AS t3
         |  FROM red2
         |)
         |SELECT doc_id, n_emails, n_urls, n_phones, md5(t3) AS red_md5

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * the shape that survives a 100× scale-up. Skewed keys degrade to one
   * fat partition like any keyed window; pre-split hot keys with [[Skew]]
   * if a single key's row count breaks the task budget.
+  *
+  * Determinism contract: the right side must have at most ONE row per
+  * (key, ts) — with duplicates, "the latest right row" is ill-defined and
+  * the sort order among them (hence the matched payload) is
+  * partition-dependent. Pre-dedupe with `Snapshot.keepLastBy` when the
+  * state stream can repeat a timestamp.
   */
 object AsofJoin {
 

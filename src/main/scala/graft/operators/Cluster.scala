@@ -84,6 +84,11 @@ object Cluster {
       iters += 1
     }
     bidir.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(graph diameter exceeds maxIters); raise maxIters — returning " +
+          "partially-propagated labels would split real components")
     labels
   }
 

@@ -22,10 +22,13 @@ object Sampling {
   /** Lexicographic hex threshold for `rate` over a 4-hex-digit bucket.
     * rate ≥ 1 returns "g", which sorts above every hex string, i.e.
     * keep-all; rate ≤ 0 returns "0000", which no bucket sorts below.
+    * Rates just below 1 clamp to 65535 (keep ≈ 99.998%) — rounding to
+    * 65536 would render as the 5-char "10000", which sorts BELOW "1001"
+    * and would silently keep ~6% instead of ~100%.
     */
   def thresholdHex(rate: Double): String =
     if (rate >= 1.0) "g"
-    else f"${math.max(0, math.round(rate * 65536).toInt)}%04x"
+    else f"${math.min(65535, math.max(0, math.round(rate * 65536).toInt))}%04x"
 
   /** Uniform [0, 65536) bucket of a key column, as 4 lowercase hex chars
     * (directly comparable against [[thresholdHex]] in any engine that

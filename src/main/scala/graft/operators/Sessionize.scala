@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Events annotated with a per-key session index (0-based, in time
-    * order). `ts` must be monotone-comparable (epoch numbers or
-    * timestamps); ties are broken by `tieBreak` for a total order.
+    * order). `ts` must be a NUMERIC epoch column (`ts - prev > maxGap` is
+    * arithmetic; a TimestampType column would subtract to an interval and
+    * fail analysis — convert with `unix_micros` first, or use
+    * [[sessionWindowsStream]] which takes real timestamps). Ties are
+    * broken by `tieBreak` for a total order.
     */
   def withSessionIds(
       events: DataFrame,

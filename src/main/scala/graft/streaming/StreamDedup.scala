@@ -29,18 +29,25 @@ object StreamDedup {
 
   /** Content-digest dedup of a text stream: key = md5 of the text column
     * (16 bytes of state per doc instead of the document body — the same
-    * digest-not-text rule the batch dedup follows).
+    * digest-not-text rule the batch dedup follows). The digest is an
+    * internal helper column, dropped again before returning — output
+    * schema equals input schema.
     */
   def byDigestWithinWatermark(
       events: DataFrame,
       tsCol: String,
       delay: String,
       textCol: String = "text"
-  ): DataFrame =
+  ): DataFrame = {
+    require(
+      !events.columns.contains("__text_md5"),
+      "input already has the internal dedup column __text_md5"
+    )
     withinWatermark(
-      events.withColumn("text_md5", md5(col(textCol))),
+      events.withColumn("__text_md5", md5(col(textCol))),
       tsCol,
       delay,
-      Seq("text_md5")
-    )
+      Seq("__text_md5")
+    ).drop("__text_md5")
+  }
 }

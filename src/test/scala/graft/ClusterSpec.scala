@@ -24,6 +24,14 @@ class ClusterSpec extends SparkSpec {
     assert(comps.keySet === Set(1L, 2L, 3L, 4L, 7L, 9L))
   }
 
+  test("non-convergence at maxIters fails loudly instead of splitting components") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Cluster.connectedComponents(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("near-dup clusters: exact + near dups share a component, canonical is min id") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

@@ -15,6 +15,10 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.thresholdHex(0.25) === "4000")
     assert(Sampling.thresholdHex(0.0) === "0000")
     assert(Sampling.thresholdHex(1.0) === "g") // sorts above "ffff" → keep all
+    // rates rounding to 65536 must clamp to "ffff" — the 5-char "10000"
+    // sorts below "1001" and would keep ~6% instead of ~100%
+    assert(Sampling.thresholdHex(0.9999999) === "ffff")
+    assert(Sampling.deterministicSample(rows, col("text"), 0.9999999).count() >= 1990L)
   }
 
   test("sample is deterministic and roughly at rate") {

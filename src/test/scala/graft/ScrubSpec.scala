@@ -19,6 +19,19 @@ class ScrubSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0L, "nothing sensitive here")))
   }
 
+  test("phone match does not swallow an unrelated trailing single digit") {
+    val docs = Seq(
+      (1L, "wait +12 345 6789 5 minutes"),
+      (2L, "ref +123 only"), // short lone run: not a phone
+      (3L, "raw +15551234567 contiguous")
+    ).toDF("doc_id", "text")
+    val out = Scrub.withPiiRedaction(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) === ((1L, "wait <PHONE> 5 minutes")))
+    assert(out(2L) === ((0L, "ref +123 only")))
+    assert(out(3L) === ((1L, "raw <PHONE> contiguous")))
+  }
+
   test("counts agree with inserted markers when classes co-occur") {
     val docs = Seq(
       (1L, "a@b.co then http://x.y/z and a@b.co again +12 345 6789 end")

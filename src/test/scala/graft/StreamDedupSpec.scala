@@ -27,6 +27,8 @@ class StreamDedupSpec extends SparkSpec {
       spark.table("dedup_out").select("id").as[Long].collect().toSet
 
     try {
+      // the digest helper is internal: output schema equals input schema
+      assert(spark.table("dedup_out").columns.toSeq === Seq("id", "ts", "text"))
       // batch 1: same text twice → exactly one survives (which of the two
       // is partition-order dependent within a micro-batch)
       input.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"))
