@@ -131,6 +131,35 @@ case class DecodeMediaMeta(child: Expression)
       val h = le16(b, 8)
       if (w <= 0 || h <= 0) return null
       InternalRow(u("gif"), w, h, null, null, null, null)
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn (C0-CF minus C4/C8/CC,
+      // which are huffman/arithmetic tables, not frames); height/width are
+      // big-endian at payload offset 1/3, sample precision at offset 0
+      var off = 2
+      while (off + 9 <= b.length) {
+        if ((b(off) & 0xff) != 0xff) return null // lost marker sync → corrupt
+        val marker = b(off + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          off += 2 // standalone markers have no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return null // EOI / start-of-scan before any SOF → no frame header
+        } else {
+          val segLen = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          if (segLen < 2) return null
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (off + 9 > b.length) return null
+            val bits = b(off + 4) & 0xff
+            val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+            val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+            if (w <= 0 || h <= 0) return null
+            return InternalRow(u("jpeg"), w, h, null, null, bits, null)
+          }
+          off += 2 + segLen
+        }
+      }
+      null // truncated before any SOF
     } else null
   }
 

@@ -129,6 +129,42 @@ class MultimodalSpec extends SparkSpec {
     buf.array()
   }
 
+  /** A genuine JPEG prelude: SOI, an APP0 (JFIF) segment, then SOF0 with
+    * the frame dimensions — exactly the byte layout a camera file has.
+    */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(2 + 18 + 19).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putShort(0xffd8.toShort) // SOI
+    buf.putShort(0xffe0.toShort).putShort(16.toShort) // APP0, len 16
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.put(1.toByte).put(1.toByte).put(0.toByte)
+    buf.putShort(72.toShort).putShort(72.toShort).put(0.toByte).put(0.toByte)
+    buf.putShort(0xffc0.toShort).putShort(17.toShort) // SOF0, len 17
+    buf.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    buf.put(3.toByte) // 3 components
+    (1 to 3).foreach(c => buf.put(c.toByte).put(0x11.toByte).put(0.toByte))
+    buf.array()
+  }
+
+  test("decodeMeta walks JPEG markers to SOF0; scan-before-frame → NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, jpegBytes(4032, 3024)),
+      (2L, {
+        val b = jpegBytes(8, 8); b(21) = 0xda.toByte; b // SOF marker → SOS
+      })
+    ).toDF("media_id", "payload")
+    val out = rows
+      .select(col("media_id"), Multimodal.decodeMeta(col("payload")).as("m"))
+      .orderBy("media_id")
+      .collect()
+    val jpg = out(0).getStruct(1)
+    assert(jpg.getString(0) === "jpeg")
+    assert(jpg.getInt(1) === 4032 && jpg.getInt(2) === 3024)
+    assert(jpg.getInt(5) === 8) // sample precision
+    assert(out(1).isNullAt(1))
+  }
+
   test("decodeMeta parses real PNG and GIF headers; corrupt IHDR → NULL") {
     import spark.implicits._
     val rows = Seq(
