@@ -408,6 +408,26 @@ object SparkEntry {
       .orderBy(col("user_id"), col("view_id"), col("signup_id"))
   }
 
+  /** OLAP surface: event-time RANGE frame — 7-day trailing revenue over the
+    * daily rollup. RANGE (value-based) frames are a distinct window family
+    * from the row-based lag/rank/running-sum queries: the frame holds
+    * whatever DAYS fall in [d-6, d], not a fixed row count, so gaps in the
+    * calendar shrink it. Global window is safe here BECAUSE it runs on the
+    * daily rollup (thousands of rows at any corpus scale), never on raw
+    * orders — the groupBy does the data-size reduction first.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("d"))
+      .agg(round(sum(col("o_totalprice")), 2).as("day_rev"))
+      .withColumn("d_epoch", datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.orderBy(col("d_epoch")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", round(sum(col("day_rev")).over(w), 2))
+      .select(col("d"), col("day_rev"), col("rev_7d"))
+      .orderBy(col("d"))
+  }
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -667,6 +687,7 @@ object SparkEntry {
     "q17_pivot" -> (q17 _),
     "q18_asof_join" -> (q18 _),
     "q19_range_join" -> (q19 _),
+    "q20_rolling_window" -> (q20 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -942,6 +963,17 @@ object SparkEntry {
         |FROM pt JOIN iv ON pt.user_id = iv.user_id
         |  AND pt.view_ts_us BETWEEN iv.start_us AND iv.end_us
         |ORDER BY pt.user_id, pt.view_id, iv.signup_id""".stripMargin,
+    "q20_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         round(sum(o_totalprice), 2) AS day_rev
+        |  FROM orders GROUP BY 1
+        |), e AS (
+        |  SELECT d, day_rev, date_diff('day', DATE '1970-01-01', d) AS d_epoch FROM daily
+        |)
+        |SELECT d, day_rev,
+        |  round(sum(day_rev) OVER (ORDER BY d_epoch RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM e ORDER BY d""".stripMargin,
     "x12_quality_score" ->
       """WITH tk AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
