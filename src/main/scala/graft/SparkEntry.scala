@@ -597,6 +597,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The bloom-prefiltered decontamination scale path (filter bits
+    * broadcast instead of the gram set, exact verification after): MUST
+    * hash-match x16's oracle exactly — bloom has no false negatives and
+    * the verify join removes its false positives.
+    */
+  private def x21(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    Decontaminate
+      .overlapBloom(
+        corpus = docs.where(col("doc_id") % 50 =!= 0),
+        evalSet = docs.where(col("doc_id") % 50 === 0),
+        n = 3,
+        expectedGrams = 10000L
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Gap-based sessionization of the event stream (6 h gap): one shuffle,
     * two stacked windows + rollup on the same partitioning.
     */
@@ -706,8 +724,31 @@ object SparkEntry {
     "x16_decontaminate" -> (x16 _),
     "x17_sessionize" -> (x17 _),
     "x18_repetition" -> (x18 _),
-    "x19_pii_scrub" -> (x19 _)
+    "x19_pii_scrub" -> (x19 _),
+    "x21_decontaminate_bloom" -> (x21 _)
   )
+
+  /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
+    * truth, two distributed strategies.
+    */
+  private val decontaminateOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+      |    ELSE [] END AS s
+      |  FROM tk
+      |), ev AS (
+      |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
+      |), cg AS (
+      |  SELECT doc_id, len(s) AS n_grams, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0
+      |)
+      |SELECT cg.doc_id, count(*) AS n_hit_grams, n_grams,
+      |  round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS contamination
+      |FROM cg JOIN ev USING (gram)
+      |GROUP BY cg.doc_id, n_grams ORDER BY cg.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1180,24 +1221,9 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY key, session_idx""".stripMargin,
-    "x16_decontaminate" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-        |    ELSE [] END AS s
-        |  FROM tk
-        |), ev AS (
-        |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
-        |), cg AS (
-        |  SELECT doc_id, len(s) AS n_grams, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0
-        |)
-        |SELECT cg.doc_id, count(*) AS n_hit_grams, n_grams,
-        |  round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS contamination
-        |FROM cg JOIN ev USING (gram)
-        |GROUP BY cg.doc_id, n_grams ORDER BY cg.doc_id""".stripMargin,
+    "x16_decontaminate" -> decontaminateOracle,
+    // the bloom path must reproduce the broadcast path bit-for-bit
+    "x21_decontaminate_bloom" -> decontaminateOracle,
     "x11_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -68,6 +68,27 @@ object GraftFunctions {
           exprs(2).eval(null).asInstanceOf[Int]
         ).toAggregateExpression(),
       "built-in")
+    // Spark's OWN runtime-filter bloom machinery (the expressions behind
+    // spark.sql.optimizer.runtime.bloomFilter), exposed as callable
+    // functions: build hashes values with XxHash64 exactly as the probe
+    // expects, so the pair is always consistent.
+    reg.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+          exprs(1),
+          exprs(2)
+        ).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))
+        ),
+      "built-in")
   }
 
   /** Cosine similarity of two array<float>/array<double> columns. */
@@ -107,6 +128,18 @@ object GraftFunctions {
     */
   def rpBuckets(vec: Column, tables: Int, bitsPerTable: Int, seed: Int): Column =
     call_function("rp_buckets", vec, lit(tables), lit(bitsPerTable), lit(seed))
+
+  /** Distributed bloom-filter build over a column (binary result — Spark's
+    * runtime-filter BloomFilterAggregate; values hashed with XxHash64).
+    */
+  def bloomAgg(value: Column, expectedItems: Long, numBits: Long): Column =
+    call_function("bloom_agg", value, lit(expectedItems), lit(numBits))
+
+  /** Membership probe against a [[bloomAgg]]-built binary (no false
+    * negatives; false-positive rate set by the build's bits/item).
+    */
+  def bloomMightContain(bloomBinary: Column, value: Column): Column =
+    call_function("bloom_might_contain", bloomBinary, value)
 
   /** Hamming distance between two simhashes — built-ins only. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

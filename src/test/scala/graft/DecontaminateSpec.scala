@@ -30,6 +30,24 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(1L)._3 === 0.5)
   }
 
+  test("bloom-prefiltered path returns exactly the broadcast path's output") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def doc(id: Long) =
+      (id, (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val corpus = (1L to 40L).map(doc).toDF("doc_id", "text")
+    val evalSet = (100L to 104L).map(doc).toDF("doc_id", "text")
+
+    val exact = Decontaminate.overlap(corpus, evalSet, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val bloom = Decontaminate.overlapBloom(corpus, evalSet, n = 3, expectedGrams = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exact.nonEmpty) // the small vocab guarantees shared 3-grams
+    assert(bloom === exact)
+  }
+
   test("short docs (< n tokens) shingle empty and are never flagged") {
     val evalSet = Seq((100L, "a b c d")).toDF("doc_id", "text")
     val corpus = Seq((1L, "a b"), (2L, "b c d and more tokens here")).toDF("doc_id", "text")
