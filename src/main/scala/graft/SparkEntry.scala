@@ -428,6 +428,100 @@ object SparkEntry {
       .orderBy(col("d"))
   }
 
+  /** OLAP surface: CUBE — all 2^2 grouping-set combinations in one pass
+    * (Spark expands grouping sets map-side; one shuffle keyed by the
+    * grouping-set id + keys). Labels subtotals 'ALL' on both engines like
+    * q16's rollup, so NULL-ordering divergence can't bite.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"),
+        col("n")
+      )
+      .orderBy(col("flag"), col("status"))
+
+  /** Join surface: LEFT SEMI (EXISTS) — orders having ≥1 returned lineitem,
+    * counted per priority. Semi joins never duplicate the probe side, so
+    * the count needs no downstream distinct; at scale the build side
+    * reduces to distinct orderkeys and AQE broadcasts it when small.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        t(s, dir, "lineitem").where(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi"
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Join surface: LEFT ANTI (NOT EXISTS) — customers with no orders,
+    * counted per nation. The anti join ships only o_custkey (column-pruned
+    * build side); the TPC-H Q22 shape.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** OLAP surface: week-over-week user retention over the event stream.
+    * One distinct (user, week) pass, then a self equi-join on
+    * (user, week+1) — both sides partitioned by the same key pair, and the
+    * left-join + count(b) gives cohort size and survivors in one agg.
+    * Weeks are epoch-day/7 buckets (identical integer arithmetic on both
+    * engines; date_trunc('week') was avoided to sidestep locale rules).
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val uw = ev(s, dir)
+      .select(
+        col("user_id"),
+        (datediff(tsNsDate(col("ts_ns")), lit(java.sql.Date.valueOf("1970-01-01"))) / 7)
+          .cast(LongType) // DuckDB date-diff // 7 is BIGINT; match width (the q11 dtype lesson)
+          .as("wk")
+      )
+      .distinct()
+    val nxt = uw.select(col("user_id").as("n_user_id"), col("wk").as("n_wk"))
+    uw.join(
+        nxt,
+        col("user_id") === col("n_user_id") && col("n_wk") === col("wk") + 1,
+        "left"
+      )
+      .groupBy(col("wk"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        count(col("n_user_id")).as("retained_users"),
+        round(count(col("n_user_id")).cast(DoubleType) / count(lit(1)), 4).as("retention")
+      )
+      .orderBy(col("wk"))
+  }
+
+  /** Aggregation surface: exact COUNT(DISTINCT) per group. Spark plans this
+    * as a two-phase expand + partial agg (no row ships twice); the
+    * 100 TB companion is approx_count_distinct (HLL++ sketch, fixed-size
+    * state, one shuffle of sketches) — DistinctCountSpec pins its error
+    * within the configured rsd against this exact query.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -640,6 +734,15 @@ object SparkEntry {
       .select(col("doc_id"), col("top_token_frac"), col("dup_2gram_frac"), col("dup_3gram_frac"))
       .orderBy(col("doc_id"))
 
+  /** Corpus TF-IDF: top-3 terms per document (smoothed idf, rounded-score
+    * ranking — see [[TextAnalysis.tfIdfTopTerms]] for the 4-stage
+    * distributed shape and why the per-doc window cannot skew).
+    */
+  private def x22(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .tfIdfTopTerms(t(s, dir, "documents"), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
   /** PII scrub over documents with deterministic synthetic PII appended
     * (the corpus itself is PII-free, like q12 injects NaN): per-class hit
     * counts + md5 of the redacted text.
@@ -706,6 +809,11 @@ object SparkEntry {
     "q18_asof_join" -> (q18 _),
     "q19_range_join" -> (q19 _),
     "q20_rolling_window" -> (q20 _),
+    "q21_cube" -> (q21 _),
+    "q22_semi_join" -> (q22 _),
+    "q23_anti_join" -> (q23 _),
+    "q24_retention" -> (q24 _),
+    "q25_distinct_count" -> (q25 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -725,7 +833,8 @@ object SparkEntry {
     "x17_sessionize" -> (x17 _),
     "x18_repetition" -> (x18 _),
     "x19_pii_scrub" -> (x19 _),
-    "x21_decontaminate_bloom" -> (x21 _)
+    "x21_decontaminate_bloom" -> (x21 _),
+    "x22_tfidf" -> (x22 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1015,6 +1124,64 @@ object SparkEntry {
         |SELECT d, day_rev,
         |  round(sum(day_rev) OVER (ORDER BY d_epoch RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
         |FROM e ORDER BY d""".stripMargin,
+    "q21_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q22_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q23_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q24_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM events
+        |)
+        |SELECT a.wk, count(*) AS active_users,
+        |  count(b.user_id) AS retained_users,
+        |  round(CAST(count(b.user_id) AS DOUBLE) / count(*), 4) AS retention
+        |FROM uw a LEFT JOIN uw b
+        |  ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |GROUP BY a.wk ORDER BY a.wk""".stripMargin,
+    "q25_distinct_count" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x22_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+        |), dfc AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+        |    round(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "x12_quality_score" ->
       """WITH tk AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents

@@ -150,6 +150,48 @@ object TextAnalysis {
       .withColumn("dup_3gram_frac", dupFrac(3))
   }
 
+  /** Corpus TF-IDF: the top-`k` terms of every document by tf·idf with
+    * smoothed idf (ln((N+1)/(df+1)) + 1, sklearn's `smooth_idf` form — never
+    * zero, never divides by zero).
+    *
+    * Distributed shape (the textbook one, each stage linear in its input):
+    *   1. explode tokens → partial-agg count by (doc, term)  — shuffle 1 (tf)
+    *   2. tf → count docs per term                           — shuffle 2 (df; vocabulary-sized)
+    *   3. tf ⋈ df on term                                    — AQE picks broadcast when the
+    *      vocabulary fits (it does at test SF); web-scale vocabularies (1e8+ typo-heavy
+    *      terms) fall back to a shuffle join on `term` — which both sides are already
+    *      hash-partitioned by, so AQE can elide the tf-side exchange.
+    *   4. top-k per doc via row_number — partition key is the DOC, whose group size is
+    *      bounded by the doc's own vocabulary, so the window never sees skew no matter
+    *      how large the corpus grows.
+    *
+    * Ranking uses the ROUNDED score (6 dp) with term as tie-break, so any
+    * cross-engine ulp divergence in ln() cannot reorder the cut line.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(col(idCol)).count() // column-pruned scan; one scalar job, like MLlib's IDF fit
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfc, "term")
+      .withColumn(
+        "tfidf",
+        round(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + lit(1.0)), 6)
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Composite quality score in [0,1]: length saturation, alpha ratio,
     * stopword presence, type-token ratio — the standard cheap pre-filters
     * applied before expensive LLM-data curation stages.

@@ -17,6 +17,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) === Set("x y z", "y z x", "z x y")) // distinct collapses repeat
   }
 
+  test("tfidf top-k: hand-computed scores, rounded-score ranking, term tie-break") {
+    // N=3; every term has df=2 → idf = ln(4/3)+1; round(·,6) = 1.287682
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .tfIdfTopTerms(docs, k = 2)
+      .orderBy($"doc_id", $"rank")
+      .select($"doc_id", $"rank", $"term", $"tfidf")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val idf1 = BigDecimal(math.log(4.0 / 3.0) + 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      (1L, 1, "a", BigDecimal(2 * (math.log(4.0 / 3.0) + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (1L, 2, "b", idf1),
+      (2L, 1, "a", idf1), // tie with c → term ascending
+      (2L, 2, "c", idf1),
+      (3L, 1, "b", BigDecimal(3 * (math.log(4.0 / 3.0) + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (3L, 2, "c", idf1)
+    ))
+  }
+
   test("normalize + fingerprint collapse case/punct/whitespace") {
     val fps = Seq("Hello,  World!", "hello world", "HELLO ... world")
       .toDF("text")
