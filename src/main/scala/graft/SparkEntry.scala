@@ -743,6 +743,53 @@ object SparkEntry {
       .tfIdfTopTerms(t(s, dir, "documents"), k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], codegen'd
+    * custom expression — Spark has no built-in normalizer) over documents
+    * with a decomposed-form suffix appended (combining acute/diaeresis),
+    * since the corpus itself is pure ASCII — same injection pattern as q12's
+    * NaN and x19's PII. n_before > n_after proves composition happened;
+    * md5 pins the exact normalized bytes against DuckDB's nfc_normalize.
+    */
+  private def x23(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val raw = concat(
+      col("text"),
+      lit(" cafe\u0301 u\u0308ber no\u0308e\u0301l") // decomposed: U+0301 acute, U+0308 diaeresis — matches oracle chr(769)/chr(776)
+    )
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(raw).as("n_before"),
+        length(GraftFunctions.nfcNormalize(raw)).as("n_after"),
+        md5(GraftFunctions.nfcNormalize(raw)).as("norm_md5")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing ([[Pack.nextFit]]): whitespace-token counts into
+    * 256-token bins, 32 packing groups keyed doc_id%32 (the oracle can't
+    * reproduce xxhash64, so the test pins the group rule explicitly; the
+    * default hash grouping is spec-covered in PackSpec). Oracled against a
+    * DuckDB recursive-CTE walk of the same next-fit rule — recursion depth
+    * = docs per group, which is exactly the bounded-group-size property
+    * the distributed design relies on.
+    */
+  private def x24(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    Pack
+      .nextFit(
+        docs,
+        idCol = "doc_id",
+        tokensCol = "n_tokens",
+        capacity = 256,
+        numGroups = 32,
+        groupExpr = Some(pmod(col("doc_id"), lit(32)))
+      )
+      .select(col("grp"), col("bin"), col("doc"), col("toks"), col("bin_fill"), col("oversize"))
+      .orderBy(col("doc"))
+  }
+
   /** PII scrub over documents with deterministic synthetic PII appended
     * (the corpus itself is PII-free, like q12 injects NaN): per-class hit
     * counts + md5 of the redacted text.
@@ -834,7 +881,9 @@ object SparkEntry {
     "x18_repetition" -> (x18 _),
     "x19_pii_scrub" -> (x19 _),
     "x21_decontaminate_bloom" -> (x21 _),
-    "x22_tfidf" -> (x22 _)
+    "x22_tfidf" -> (x22 _),
+    "x23_unicode_norm" -> (x23 _),
+    "x24_pack" -> (x24 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1182,6 +1231,39 @@ object SparkEntry {
         |)
         |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x24_pack" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, doc_id % 32 AS grp,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, grp, toks,
+        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        |  FROM tok
+        |), walk AS (
+        |  SELECT doc_id, grp, toks, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.grp, r.toks, r.rn,
+        |    CASE WHEN w.fill + r.toks > 256 AND w.fill > 0 THEN w.bin + 1 ELSE w.bin END,
+        |    CASE WHEN w.fill + r.toks > 256 AND w.fill > 0 THEN r.toks ELSE w.fill + r.toks END
+        |  FROM ranked r JOIN walk w ON r.grp = w.grp AND r.rn = w.rn + 1
+        |)
+        |SELECT grp, bin, doc_id AS doc, toks,
+        |  CAST(sum(toks) OVER (PARTITION BY grp, bin) AS BIGINT) AS bin_fill,
+        |  toks > 256 AS oversize
+        |FROM walk ORDER BY doc""".stripMargin,
+    "x23_unicode_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber no'
+        |         || chr(776) || 'e' || chr(769) || 'l' AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id, length(raw) AS n_before,
+        |  length(nfc_normalize(raw)) AS n_after,
+        |  md5(nfc_normalize(raw)) AS norm_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x12_quality_score" ->
       """WITH tk AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents

@@ -39,6 +39,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "byte_histogram", exprs => ByteHistogram(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -93,6 +95,9 @@ object GraftFunctions {
 
   /** Cosine similarity of two array<float>/array<double> columns. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Unicode NFC normalization (ASCII fast path; codegen'd). */
+  def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pack
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("next-fit hand example: single group, known bin walk") {
+    // capacity 8, id order: 3,4 -> bin0(7); 5,2 -> bin1(7); 9 -> bin2 alone
+    // (oversize); 1 -> bin3
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 2L), (5L, 9L), (6L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val out = Pack
+      .nextFit(docs, "doc_id", "n_tokens", capacity = 8, numGroups = 1)
+      .orderBy($"doc")
+      .select($"doc", $"bin", $"bin_fill", $"oversize")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 7L, false),
+      (2L, 0L, 7L, false),
+      (3L, 1L, 7L, false),
+      (4L, 1L, 7L, false),
+      (5L, 2L, 9L, true),
+      (6L, 3L, 1L, false)
+    ))
+  }
+
+  test("properties on random sizes: exactly-once, capacity respected, bins contiguous, deterministic") {
+    val n = 2000
+    val docs = spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        // deterministic pseudo-random sizes in [1, 600], a few oversize >512
+        (pmod(col("id") * col("id") * 2654435761L, lit(600L)) + 1L).as("n_tokens")
+      )
+    val packed = Pack.nextFit(docs, "doc_id", "n_tokens", capacity = 512, numGroups = 8)
+    val rows = packed.collect()
+
+    // every doc exactly once
+    assert(rows.map(_.getAs[Long]("doc")).toSet.size === n)
+    assert(rows.length === n)
+
+    // no bin over capacity unless it is a lone oversize doc
+    val byBin = rows.groupBy(r => (r.getAs[Long]("grp"), r.getAs[Long]("bin")))
+    byBin.foreach { case ((g, b), ds) =>
+      val fill = ds.map(_.getAs[Long]("toks")).sum
+      assert(fill === ds.head.getAs[Long]("bin_fill"), s"bin_fill mismatch g=$g b=$b")
+      if (fill > 512)
+        assert(ds.length === 1 && ds.head.getAs[Boolean]("oversize"), s"overfull shared bin g=$g b=$b")
+    }
+
+    // within a group: doc order -> non-decreasing bin ids, starting at 0, no gaps
+    rows.groupBy(_.getAs[Long]("grp")).foreach { case (g, ds) =>
+      val sorted = ds.sortBy(_.getAs[Long]("doc"))
+      val bins = sorted.map(_.getAs[Long]("bin"))
+      assert(bins.head === 0L, s"group $g first bin not 0")
+      bins.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(1) - w(0) >= 0 && w(1) - w(0) <= 1, s"group $g bin jump $w")
+      }
+    }
+
+    // deterministic: a second run assigns identically
+    val again = Pack.nextFit(docs, "doc_id", "n_tokens", capacity = 512, numGroups = 8)
+      .select($"doc", $"grp", $"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = rows.map(r => (r.getAs[Long]("doc"), r.getAs[Long]("grp"), r.getAs[Long]("bin"))).toSet
+    assert(again === first)
+  }
+}
