@@ -57,5 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) =>
           TopKByScore(es(0), es(1), es(2).eval(null).asInstanceOf[Int])
             .toAggregateExpression()))
+    ext.injectFunction(
+      (FunctionIdentifier("nfc_normalize"),
+        info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
+        (es: Seq[Expression]) => NfcNormalize(es(0))))
   }
 }

@@ -522,6 +522,69 @@ object SparkEntry {
       )
       .orderBy(col("event_type"))
 
+  /** Semi-structured surface: parse the JSON `props` column with a typed
+    * schema (`from_json` — Jackson parse once, then columnar access; the
+    * 100 TB point is that the parse happens INSIDE codegen next to the
+    * scan, no intermediate string materialization) and aggregate the
+    * extracted field. Distinct from q11, which treats props as an opaque
+    * string (regexp coercion parity); this is the structured fast path.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(
+        col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_missing")
+      )
+      .orderBy(col("event_type"))
+
+  /** Window-function surface: equi-depth deciles (ntile) + percent_rank
+    * over order totals. The global window runs on a value+key total order
+    * (deterministic tile edges); at scale this is the one window family
+    * that genuinely needs a global sort — the same cost as any ranked
+    * report — and range-partitioned sort keeps it parallel until the
+    * per-decile rollup, which is 10 rows.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_totalprice"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pr")
+      )
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        round(max(col("pr")), 6).as("max_pr")
+      )
+      .orderBy(col("decile"))
+  }
+
+  /** Statistical-aggregate surface: sample stddev, Pearson correlation and
+    * sample covariance per group — single-pass merge-formula aggregates
+    * (Welford-style partial state, map-side combinable like any agg).
+    * Rounded to 4 dp on both engines so formula-order float noise can't
+    * flip the hash.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("cov_dt"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -861,6 +924,9 @@ object SparkEntry {
     "q23_anti_join" -> (q23 _),
     "q24_retention" -> (q24 _),
     "q25_distinct_count" -> (q25 _),
+    "q26_json_extract" -> (q26 _),
+    "q27_ntile" -> (q27 _),
+    "q28_stats_agg" -> (q28 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -1231,6 +1297,31 @@ object SparkEntry {
         |)
         |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q26_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_ntile" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+        |    round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+        |  FROM orders
+        |)
+        |SELECT decile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi,
+        |  round(max(pr), 6) AS max_pr
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
+    "q28_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        |  round(covar_samp(l_discount, l_tax), 4) AS cov_dt,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x24_pack" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, doc_id % 32 AS grp,

@@ -12,12 +12,14 @@ class GraftExtensionsSpec extends SparkSpec {
               |  round(cosine_sim(array(1.0F, 0.0F), array(1.0F, 1.0F)), 6) AS c,
               |  simhash64(array('a', 'b')) AS sh,
               |  size(minhash_sig(array('a', 'b'), 16)) AS k,
-              |  byte_histogram(cast('ab' as binary))[97] AS h
+              |  byte_histogram(cast('ab' as binary))[97] AS h,
+              |  nfc_normalize('café') AS nfc
               |""".stripMargin)
       .collect()(0)
     assert(math.abs(r.getDouble(0) - 0.707107) < 1e-6)
     assert(r.getInt(2) === 16)
     assert(math.abs(r.getFloat(3) - 0.5f) < 1e-6)
+    assert(r.getString(4) === "café") // decomposed input composed to NFC
   }
 
   test("extension-injected topk aggregate resolves from SQL") {
