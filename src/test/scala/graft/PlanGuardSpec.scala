@@ -1,0 +1,78 @@
+package graft
+
+/** Plan-regression guard: the scale claims SURVEY.md makes about the
+  * flagship queries are physical-plan properties, and a refactor can
+  * silently lose them while every value-level oracle stays green. This
+  * suite pins the properties themselves:
+  *
+  *   - filters/limits push into the parquet scan where claimed;
+  *   - the delta join stays broadcast (state is tail-300-bounded);
+  *   - no oracled query ever degrades to a cartesian / nested-loop
+  *     product, except the ones documented as verification joins over
+  *     already-shrunk candidate sets.
+  *
+  * Uses sf0.001 so the whole sweep is seconds; plan SHAPE does not depend
+  * on SF (AQE runtime re-planning can only improve on what's pinned here).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02 strike band reaches the scan as a pushed filter") {
+    val p = plan("q02_band_filter")
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(
+      pushed.contains("GreaterThanOrEqual(l_extendedprice") &&
+        pushed.contains("LessThanOrEqual(l_extendedprice"),
+      s"band not pushed: $pushed"
+    )
+  }
+
+  test("q13 delta join is broadcast, and the batch reads its source once") {
+    val p = plan("q13_options_pipeline")
+    assert(p.contains("BroadcastHashJoin"), "delta join lost its broadcast")
+    // one parquet scan NODE feeding the synthetic snapshot build (the
+    // formatted detail section lists each physical node once): a second
+    // scan node would mean the stats/policy pre-pass re-reads the source
+    // (§8.4 lesson). The tree may REFERENCE the cached relation twice —
+    // that's reuse, not a re-read.
+    val scanNodes = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scanNodes === 1, s"expected 1 parquet scan node, saw $scanNodes")
+  }
+
+  test("column pruning: x03 text stats scans only (doc_id, text)") {
+    val p = plan("x03_text_stats")
+    val read = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"), s"missing cols: $read")
+    assert(!read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"unpruned cols in scan: $read")
+  }
+
+  test("no oracled query plans a cartesian or nested-loop join (documented exceptions aside)") {
+    // x09/x11 brute-force paths legitimately cross the (tiny, broadcast)
+    // query side against the corpus — that IS the documented algorithm.
+    val exempt = Set("x09_cosine_topk", "x11_embed_neardup")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { n =>
+        val p =
+          try plan(n)
+          catch { case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}") }
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(n)
+        else None
+      }
+    assert(offenders.isEmpty, s"cartesian/NLJ crept into: $offenders")
+  }
+
+  test("tail-300 state read window-limits each partition before the single-reducer exchange") {
+    val p = plan("q05_snapshot_diff")
+    assert(p.contains("WindowGroupLimit"), "rank<=N not pushed as WindowGroupLimit")
+  }
+}
