@@ -321,15 +321,20 @@ object SparkEntry {
     )
 
   /** OLAP surface: exact multi-percentiles per group (linear interpolation,
-    * matching DuckDB quantile_cont / NumPy type-7).
+    * matching DuckDB quantile_cont / NumPy type-7). Taken over the
+    * INTEGER-VALUED quantity column on purpose: type-7 interpolation between
+    * integers with p ∈ {.5,.9,.99} yields at most two exact decimals, so the
+    * 2-dp round can never sit on a .xx5 boundary where a 1-ulp cross-engine
+    * difference flips the hash (observed with l_extendedprice at sf0.001:
+    * 52724.245 rounded to .25 in DuckDB and .24 in Spark).
     */
   private def q15(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"),
+        round(percentile(col("l_quantity"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 2).as("p90"),
+        round(percentile(col("l_quantity"), lit(0.99)), 2).as("p99"),
         count(lit(1)).as("n")
       )
       .orderBy(col("l_returnflag"))
@@ -1190,9 +1195,9 @@ object SparkEntry {
         |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
     "q15_percentiles" ->
       """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        | round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        | round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        | round(quantile_cont(l_quantity, 0.9), 2) AS p90,
+        | round(quantile_cont(l_quantity, 0.99), 2) AS p99,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q16_rollup" ->
