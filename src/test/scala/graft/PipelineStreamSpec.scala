@@ -69,6 +69,45 @@ class PipelineStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpoint restart: a new query resumes from committed batch ids, no replay into the sink") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_ckpt_drop")
+    val sink = java.nio.file.Files.createTempDirectory("graft_ckpt_sink").toString + "/data"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def capture(name: String, mark: String, oi: String, seqBase: Long): Unit = {
+      val lines = batch(mark, oi, seqBase).map { t =>
+        s"""{"symbol":"${t.symbol}","contract_type":"${t.contract_type}","strike_price":"${t.strike_price}","spot_price":"${t.spot_price}","mark_price":"${t.mark_price}","oi_contracts":"${t.oi_contracts}","src_seq":${t.src_seq}}"""
+      }
+      java.nio.file.Files.write(dropDir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def startQuery(time: LocalTime) = PipelineStream.start(
+      graft.sources.TickerSource.streamFromJsonDir(spark, dropDir.toString),
+      sink,
+      OptionsPipeline.Hourly,
+      clock = () => (today, today, time),
+      checkpoint = Some(ckpt),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+
+    capture("t1.json", "8.5", "80", 0L)
+    val q1 = startQuery(LocalTime.of(10, 0, 0))
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(sink).count() === 2)
+
+    // crash/redeploy: a NEW query on the SAME checkpoint sees t1 committed
+    // and processes only the new capture — the sink must not get t1 twice
+    capture("t2.json", "9.0", "85", 10L)
+    val q2 = startQuery(LocalTime.of(11, 0, 0))
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = spark.read.parquet(sink).collect()
+    assert(all.length === 4, s"expected 4 rows after restart, got ${all.length} (replay?)")
+    val a2 = all
+      .filter(r => r.getString(r.fieldIndex("SYMBOL")) == s"C-ETH-100-$d17")
+      .maxBy(r => r.getLong(r.fieldIndex("sink_seq")))
+    assert(a2.getDouble(a2.fieldIndex("Open")) === 8.5)
+    assert(a2.getLong(a2.fieldIndex("OI_Change")) === 5L)
+    assert(a2.getString(a2.fieldIndex("Time")) === "11:00:00")
+  }
+
   test("file-drop source: one capture file per micro-batch chains through the sink") {
     val dropDir = java.nio.file.Files.createTempDirectory("graft_drop")
     val sink = java.nio.file.Files.createTempDirectory("graft_drop_sink").toString + "/data"
