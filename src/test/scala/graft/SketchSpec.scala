@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The approximate-aggregate family a 100 TB engine leans on when exact
+  * answers would shuffle too much, each pinned against its exact twin with
+  * the error bound the sketch contracts:
+  *
+  *   - approx_percentile (KLL-style): rank error ≤ 1/accuracy of the true
+  *     rank — fixed-size state vs the exact percentile's full sort;
+  *   - CountMinSketch heavy hitters: estimate ≥ true count (never under),
+  *     overcount ≤ eps·N with probability ≥ 1−delta;
+  *   - the Bloom filter behind x21: zero false negatives by construction,
+  *     measured FPR near the configured budget.
+  *
+  * (HLL distinct-count already pinned in DistinctCountSpec; MinHash/SimHash
+  * collision behavior in DedupSpec.)
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_percentile rank error stays within 1/accuracy of exact") {
+    // deterministic skewed values: id^2 mod 10007 over 30k rows
+    val df = spark.range(30000).select((col("id") * col("id") % 10007L).as("v"))
+    val acc = 1000 // rank error budget: n/acc = 30 ranks
+    val Seq(exact50, exact95) = df
+      .select(percentile($"v", lit(0.5)).as("p50"), percentile($"v", lit(0.95)).as("p95"))
+      .collect().headOption.map(r => Seq(r.getDouble(0), r.getDouble(1))).get
+    val Seq(apx50, apx95) = df
+      .select(
+        approx_percentile($"v", lit(0.5), lit(acc)).as("p50"),
+        approx_percentile($"v", lit(0.95), lit(acc)).as("p95")
+      )
+      .collect().headOption.map(r => Seq(r.getLong(0).toDouble, r.getLong(1).toDouble)).get
+    // translate the rank-error contract into a rank check: the approx
+    // value's true rank must be within n/acc of the target rank
+    val n = 30000.0
+    def rankOf(v: Double): Double = df.where($"v" <= v).count().toDouble
+    assert(math.abs(rankOf(apx50) - 0.5 * n) <= n / acc + 1,
+      s"p50 approx=$apx50 exact=$exact50 rank=${rankOf(apx50)}")
+    assert(math.abs(rankOf(apx95) - 0.95 * n) <= n / acc + 1,
+      s"p95 approx=$apx95 exact=$exact95 rank=${rankOf(apx95)}")
+  }
+
+  test("CountMinSketch heavy hitters: never undercounts, overcount within eps*N") {
+    // 20k rows, key frequency ∝ zipf-ish: key = floor(sqrt(id)) → low keys heavy
+    val df = spark.range(20000).select(sqrt(col("id").cast("double")).cast("long").as("k"))
+    val eps = 0.001
+    val cms = df.stat.countMinSketch("k", eps = eps, confidence = 0.99, seed = 42)
+    val exact = df.groupBy($"k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 20000L
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS undercounted key $k: est=$est exact=$c")
+      assert(est <= c + (eps * n).toLong + 1, s"CMS overcount beyond eps*N for $k: est=$est exact=$c")
+    }
+  }
+
+  test("bloom filter: no false negatives; measured FPR near the configured budget") {
+    GraftFunctions.register(spark)
+    val members = spark.range(5000).select(concat(lit("gram_"), col("id")).as("g"))
+    val bf = members
+      .select(GraftFunctions.bloomAgg($"g", 5000L, 5000L * 10).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // every member must probe true (no false negatives — the property the
+    // x21 decontamination path's exactness rests on)
+    val misses = members
+      .where(!GraftFunctions.bloomMightContain(lit(bf), $"g"))
+      .count()
+    assert(misses === 0L)
+    // non-members: ~1% fpp at 10 bits/item; allow generous 3x margin
+    val fpr = spark.range(5000).select(concat(lit("other_"), col("id")).as("g"))
+      .where(GraftFunctions.bloomMightContain(lit(bf), $"g"))
+      .count().toDouble / 5000.0
+    assert(fpr < 0.03, s"bloom FPR $fpr exceeds 3x the ~1% budget")
+  }
+}
