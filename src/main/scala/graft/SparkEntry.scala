@@ -590,6 +590,33 @@ object SparkEntry {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Set-operation surface: INTERSECT / EXCEPT / UNION-distinct over the
+    * active-customer sets of two half-years. Spark plans intersect/except
+    * as left-semi/anti aggregates on the same key partitioning — no new
+    * shuffle shapes beyond the distinct — and the three tagged counts union
+    * into one result so the whole surface is a single oracled query.
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey"),
+      col("o_orderdate").cast(DateType).as("d")
+    )
+    val h1 = o
+      .where(col("d").between(
+        lit(java.sql.Date.valueOf("1998-01-01")), lit(java.sql.Date.valueOf("1998-06-30"))))
+      .select(col("o_custkey")).distinct()
+    val h2 = o
+      .where(col("d").between(
+        lit(java.sql.Date.valueOf("1998-07-01")), lit(java.sql.Date.valueOf("1998-12-31"))))
+      .select(col("o_custkey")).distinct()
+    val tag = (dfx: DataFrame, name: String) =>
+      dfx.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tag(h1.intersect(h2), "intersect")
+      .unionAll(tag(h1.except(h2), "except"))
+      .unionAll(tag(h1.union(h2).distinct(), "union"))
+      .orderBy(col("op"))
+  }
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -932,6 +959,7 @@ object SparkEntry {
     "q26_json_extract" -> (q26 _),
     "q27_ntile" -> (q27 _),
     "q28_stats_agg" -> (q28 _),
+    "q29_set_ops" -> (q29 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -1327,6 +1355,20 @@ object SparkEntry {
         |  round(covar_samp(l_discount, l_tax), 4) AS cov_dt,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q29_set_ops" ->
+      """WITH h1 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-06-30'
+        |), h2 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-07-01' AND DATE '1998-12-31'
+        |)
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM h1 UNION SELECT * FROM h2)
+        |ORDER BY op""".stripMargin,
     "x24_pack" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, doc_id % 32 AS grp,
@@ -1375,7 +1417,8 @@ object SparkEntry {
         |  FROM tk
         |)
         |SELECT doc_id,
-        |  round(0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score + 0.2 * ttr, 4) AS quality
+        |  floor((0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score + 0.2 * ttr)
+        |        * 10000 + 0.5) / 10000 AS quality
         |FROM sc ORDER BY doc_id""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies

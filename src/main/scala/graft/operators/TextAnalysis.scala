@@ -207,9 +207,13 @@ object TextAnalysis {
     val stopRatio = size(filter(toks, t => t.isin(enMarkers.map(lit): _*))).cast("double") / nTok
     val stopScore = least(stopRatio * lit(10.0), lit(1.0))
     val ttr = size(array_distinct(toks)).cast("double") / nTok
-    round(
-      lit(0.3) * lenScore + lit(0.3) * alphaRatio + lit(0.2) * stopScore + lit(0.2) * ttr,
-      4
-    )
+    val q = lit(0.3) * lenScore + lit(0.3) * alphaRatio + lit(0.2) * stopScore + lit(0.2) * ttr
+    // floor(q*1e4 + 0.5)/1e4 instead of round(q, 4): Spark's round() rounds
+    // the SHORTEST-DECIMAL rendering of the double (BigDecimal.valueOf) while
+    // SQL engines round the binary value, so a score whose shortest rendering
+    // is exactly a midpoint (observed: 0.72325 at sf0.1) flips between .7232
+    // and .7233 across engines. This form is pure IEEE multiply/add/floor —
+    // bit-identical on any engine evaluating the same double.
+    floor(q * lit(10000.0) + lit(0.5)) / lit(10000.0)
   }
 }
