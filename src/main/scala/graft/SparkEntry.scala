@@ -617,6 +617,27 @@ object SparkEntry {
       .orderBy(col("op"))
   }
 
+  /** Correlated-scalar-subquery surface: orders priced >1.5× their own
+    * customer's average. Written as SQL on purpose — the DataFrame API has
+    * no correlated-subquery constructor — so the query exercises Catalyst's
+    * DECORRELATION: the optimizer rewrites the per-row subquery into an
+    * aggregate + equi-join (visible as one Aggregate feeding a join in the
+    * plan), which is the only formulation that scales; a naive engine would
+    * re-run the inner aggregate per outer row.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q30_orders")
+    s.sql(
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM graft_q30_orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(i.o_totalprice) FROM graft_q30_orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin
+    )
+  }
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -960,6 +981,7 @@ object SparkEntry {
     "q27_ntile" -> (q27 _),
     "q28_stats_agg" -> (q28 _),
     "q29_set_ops" -> (q29 _),
+    "q30_correlated" -> (q30 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -1355,6 +1377,14 @@ object SparkEntry {
         |  round(covar_samp(l_discount, l_tax), 4) AS cov_dt,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q30_correlated" ->
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(i.o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q29_set_ops" ->
       """WITH h1 AS (
         |  SELECT DISTINCT o_custkey FROM orders

@@ -71,6 +71,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian/NLJ crept into: $offenders")
   }
 
+  test("q30 correlated subquery decorrelates to aggregate + join (no per-row subquery)") {
+    val p = plan("q30_correlated")
+    assert(!p.contains("ScalarSubquery"),
+      "correlated scalar subquery survived to the physical plan — not decorrelated")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), "no aggregate in plan")
+    assert(p.contains("Join"), "decorrelation should produce a join")
+  }
+
   test("tail-300 state read window-limits each partition before the single-reducer exchange") {
     val p = plan("q05_snapshot_diff")
     assert(p.contains("WindowGroupLimit"), "rank<=N not pushed as WindowGroupLimit")
