@@ -906,6 +906,15 @@ object SparkEntry {
       .orderBy(col("doc"))
   }
 
+  /** Character-entropy quality signal ([[TextAnalysis.charEntropy]] — the
+    * map-only sorted-run fold; the oracle is the explode/groupBy
+    * formulation, so agreement pins both algorithms).
+    */
+  private def x25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
   /** PII scrub over documents with deterministic synthetic PII appended
     * (the corpus itself is PII-free, like q12 injects NaN): per-class hit
     * counts + md5 of the redacted text.
@@ -1004,7 +1013,8 @@ object SparkEntry {
     "x21_decontaminate_bloom" -> (x21 _),
     "x22_tfidf" -> (x22 _),
     "x23_unicode_norm" -> (x23 _),
-    "x24_pack" -> (x24 _)
+    "x24_pack" -> (x24 _),
+    "x25_char_entropy" -> (x25 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1421,6 +1431,17 @@ object SparkEntry {
         |  CAST(sum(toks) OVER (PARTITION BY grp, bin) AS BIGINT) AS bin_fill,
         |  toks > 256 AS oversize
         |FROM walk ORDER BY doc""".stripMargin,
+    "x25_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |), rc AS (
+        |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY doc_id, c
+        |), tot AS (
+        |  SELECT doc_id, sum(n) AS total, sum(n * ln(n)) AS s FROM rc GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  floor((ln(total) - s / total) * 10000 + 0.5) / 10000 AS char_entropy
+        |FROM tot ORDER BY doc_id""".stripMargin,
     "x23_unicode_norm" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -192,6 +192,44 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Shannon entropy of the character distribution, in nats — the classic
+    * cheap detector for machine-generated noise (base64 blobs, hex dumps,
+    * key-mash spam score HIGH; natural language sits ~2.5-3.2 nats).
+    *
+    * Map-only like the other text stats: sort the char array, fold runs of
+    * equal chars accumulating Σ run·ln(run) (same sorted-run trick as
+    * [[topTokenCount]]), then H = ln(n) − Σ/n. The explode/groupBy
+    * formulation (the DuckDB oracle uses it) shuffles one row PER
+    * CHARACTER — 100 TB of text becomes 100 T shuffle rows; this stays one
+    * row per doc.
+    *
+    * Rounded via floor(H·10⁴+0.5)/10⁴ (see [[qualityScore]] — IEEE-stable
+    * across engines). Empty/NULL text → 0.0.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = array_sort(split(text, ""))
+    val n = size(chars).cast("double")
+    // fold: (prev char, current run, Σ run·ln(run) over CLOSED runs)
+    val folded = aggregate(
+      chars,
+      struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      (acc, c) => {
+        val closing = c =!= acc.getField("prev") && acc.getField("run") > 0
+        val closedAcc = when(
+          closing,
+          acc.getField("acc") + acc.getField("run") * log(acc.getField("run"))
+        ).otherwise(acc.getField("acc"))
+        val run = when(c === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1.0))
+        struct(c.as("prev"), run.as("run"), closedAcc.as("acc"))
+      },
+      // close the final run
+      acc => acc.getField("acc") + acc.getField("run") * log(greatest(acc.getField("run"), lit(1.0)))
+    )
+    val h = log(n) - folded / n
+    when(text.isNull || length(text) === 0, lit(0.0))
+      .otherwise(floor(h * lit(10000.0) + lit(0.5)) / lit(10000.0))
+  }
+
   /** Composite quality score in [0,1]: length saturation, alpha ratio,
     * stopword presence, type-token ratio — the standard cheap pre-filters
     * applied before expensive LLM-data curation stages.

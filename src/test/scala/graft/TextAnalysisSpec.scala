@@ -92,6 +92,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0) > rows(1))
   }
 
+  test("char entropy: hand-computed distributions, uniform max, degenerate zero") {
+    val out = Seq(
+      "aaaa",     // one symbol -> H = 0
+      "abab",     // two symbols uniform -> H = ln 2
+      "abcd",     // four symbols uniform -> H = ln 4
+      "aab"       // p = (2/3, 1/3) -> H = ln 3 - (2 ln 2)/3
+    ).toDF("text")
+      .select(TextAnalysis.charEntropy($"text").as("h"))
+      .collect()
+      .map(_.getDouble(0))
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(out(0) === 0.0)
+    assert(out(1) === r4(math.log(2)))
+    assert(out(2) === r4(math.log(4)))
+    assert(out(3) === r4(math.log(3) - 2.0 * math.log(2) / 3.0))
+  }
+
   test("top token count: sorted-run fold equals true max multiplicity") {
     val out = Seq(
       "a b a c a b",     // a×3
