@@ -941,6 +941,30 @@ object SparkEntry {
       )
       .orderBy(col("doc_id"))
 
+  /** Per-label embedding centroids via [[graft.functions.VectorAvg]] (one
+    * (count, sums) pair per group×partition through the shuffle; the
+    * oracle's unnest/groupBy twin ships one row per DIMENSION per vector).
+    * Output exploded to (label, idx, c) rows only AFTER aggregation —
+    * labels × dims rows, constant in corpus size.
+    */
+  private def x26(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(
+        GraftFunctions.vectorAvg(col("embedding")).as("centroid"),
+        count(lit(1)).as("n_vecs")
+      )
+      .select(col("label"), col("n_vecs"), posexplode(col("centroid")).as(Seq("pos", "v")))
+      .select(
+        col("label"),
+        (col("pos") + 1).as("idx"), // 1-based, matching SQL ordinality
+        (floor(col("v") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("c"),
+        col("n_vecs")
+      )
+      .orderBy(col("label"), col("idx"))
+  }
+
   /** IVF-Flat approximate top-5 (the second ANN scale path besides x10's
     * LSH; no SQL oracle — approximate + iterative k-means training is not
     * DuckDB-expressible. SimilaritySpec pins a golden fixture and a recall
@@ -1014,7 +1038,8 @@ object SparkEntry {
     "x22_tfidf" -> (x22 _),
     "x23_unicode_norm" -> (x23 _),
     "x24_pack" -> (x24 _),
-    "x25_char_entropy" -> (x25 _)
+    "x25_char_entropy" -> (x25 _),
+    "x26_label_centroids" -> (x26 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1431,6 +1456,16 @@ object SparkEntry {
         |  CAST(sum(toks) OVER (PARTITION BY grp, bin) AS BIGINT) AS bin_fill,
         |  toks > 256 AS oversize
         |FROM walk ORDER BY doc""".stripMargin,
+    "x26_label_centroids" ->
+      """WITH d AS (
+        |  SELECT e.label, t.i AS idx, CAST(e.embedding[t.i] AS DOUBLE) AS v
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        |)
+        |SELECT label, idx,
+        |  floor(avg(v) * 1000000 + 0.5) / 1000000 AS c,
+        |  count(*) AS n_vecs
+        |FROM d GROUP BY label, idx
+        |ORDER BY label, idx""".stripMargin,
     "x25_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents

@@ -41,6 +41,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "vector_avg", exprs => VectorAvg(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -98,6 +100,11 @@ object GraftFunctions {
 
   /** Unicode NFC normalization (ASCII fast path; codegen'd). */
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
+
+  /** Elementwise mean of an array<float>/array<double> column (aggregate;
+    * one (count, sums) pair per group×partition ships through the shuffle).
+    */
+  def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 

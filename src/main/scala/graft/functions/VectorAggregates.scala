@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Mutable (count, elementwise-sums) accumulator; sized lazily from the
+  * first vector seen so the aggregate needs no dim parameter.
+  */
+final class VecSumBuffer {
+  var count: Long = 0L
+  var sums: Array[Double] = _
+
+  def add(v: ArrayData, isFloat: Boolean): Unit = {
+    val n = v.numElements()
+    if (sums == null) sums = new Array[Double](n)
+    require(n == sums.length, s"ragged vectors: saw dims ${sums.length} and $n")
+    var i = 0
+    while (i < n) {
+      sums(i) += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      i += 1
+    }
+    count += 1
+  }
+
+  def mergeFrom(o: VecSumBuffer): Unit =
+    if (o.sums != null) {
+      if (sums == null) { sums = o.sums.clone(); count = o.count }
+      else {
+        require(sums.length == o.sums.length, "ragged vectors across partitions")
+        var i = 0
+        while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+        count += o.count
+      }
+    }
+}
+
+/** Elementwise mean of an array<float>/array<double> column as a
+  * TypedImperativeAggregate (SURVEY.md §4.4 family, like TopKByScore).
+  *
+  * Why not posexplode + groupBy(key, pos) + avg: that formulation shuffles
+  * one row PER DIMENSION per vector — a 64-dim corpus shuffles 64× its
+  * row count (the char-entropy explode trap in vector form). This
+  * aggregate keeps whole vectors in the map task and ships ONE
+  * (count, sums[dim]) pair per (group × partition) through the exchange —
+  * the standard distributed-centroid shape (same partial-aggregation
+  * structure as the IVF k-means step in [[graft.operators.Similarity]]).
+  *
+  * NULL vectors are skipped; an all-NULL group yields NULL. Ragged
+  * dimensions fail loudly rather than silently truncating.
+  */
+case class VectorAvg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[VecSumBuffer] {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer
+
+  override def update(buf: VecSumBuffer, input: InternalRow): VecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData], elemIsFloat)
+    buf
+  }
+
+  override def merge(b1: VecSumBuffer, b2: VecSumBuffer): VecSumBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: VecSumBuffer): Any =
+    if (buf.sums == null || buf.count == 0) null
+    else {
+      val out = new Array[Double](buf.sums.length)
+      var i = 0
+      while (i < out.length) { out(i) = buf.sums(i) / buf.count; i += 1 }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buf: VecSumBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.count)
+    val n = if (buf.sums == null) -1 else buf.sums.length
+    out.writeInt(n)
+    var i = 0
+    while (i < math.max(n, 0)) { out.writeDouble(buf.sums(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new VecSumBuffer
+    buf.count = in.readLong()
+    val n = in.readInt()
+    if (n >= 0) {
+      buf.sums = new Array[Double](n)
+      var i = 0
+      while (i < n) { buf.sums(i) = in.readDouble(); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorAvg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorAvg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}
