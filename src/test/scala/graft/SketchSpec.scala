@@ -51,11 +51,17 @@ class SketchSpec extends SparkSpec {
     val cms = df.stat.countMinSketch("k", eps = eps, confidence = 0.99, seed = 42)
     val exact = df.groupBy($"k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = 20000L
+    // no-undercount is structural (always holds); the eps*N overcount bound
+    // is probabilistic PER KEY (prob >= confidence), so assert a violation
+    // RATE, not every key — asserting all keys would flake by design
+    var overBudget = 0
     exact.foreach { case (k, c) =>
       val est = cms.estimateCount(k)
       assert(est >= c, s"CMS undercounted key $k: est=$est exact=$c")
-      assert(est <= c + (eps * n).toLong + 1, s"CMS overcount beyond eps*N for $k: est=$est exact=$c")
+      if (est > c + (eps * n).toLong + 1) overBudget += 1
     }
+    val allowed = math.max(2, (exact.size * 0.02).toInt)
+    assert(overBudget <= allowed, s"$overBudget/${exact.size} keys beyond eps*N (allowed $allowed)")
   }
 
   test("bloom filter: no false negatives; measured FPR near the configured budget") {
