@@ -638,6 +638,21 @@ object SparkEntry {
     )
   }
 
+  /** Event-time tumbling windows in batch (the same `window()` expression
+    * the streaming path uses — one shuffle keyed by (bucket), epoch-aligned
+    * like DuckDB's time_bucket). Bucket boundary emitted as epoch-micros so
+    * the compare never depends on timestamp rendering.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)) / lit(100.0)).as("sum_value")
+      )
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+      .orderBy(col("ws_us"))
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -1015,6 +1030,7 @@ object SparkEntry {
     "q28_stats_agg" -> (q28 _),
     "q29_set_ops" -> (q29 _),
     "q30_correlated" -> (q30 _),
+    "q31_tumbling" -> (q31 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -1412,6 +1428,11 @@ object SparkEntry {
         |  round(covar_samp(l_discount, l_tax), 4) AS cov_dt,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q31_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+        |  count(*) AS n,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_correlated" ->
       """SELECT o_custkey, count(*) AS n_big
         |FROM orders o
