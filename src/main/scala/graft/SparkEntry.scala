@@ -653,6 +653,23 @@ object SparkEntry {
       .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
       .orderBy(col("ws_us"))
 
+  /** Sliding (hopping) event-time windows: 1-hour windows every 30 minutes,
+    * so each event lands in exactly window/slide = 2 buckets. Spark's
+    * `window(t, win, slide)` expands the assignments map-side (no join);
+    * the oracle derives the same two starts per event with an explicit
+    * 2-offset cross join. Completes the window-family coverage: tumbling
+    * (q31), sliding (q32), session (x17), value-RANGE (q20).
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)) / lit(100.0)).as("sum_value")
+      )
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+      .orderBy(col("ws_us"))
+
   // ------------------------------------------------- north-star extensions
 
   /** Exact dedup by text digest. */
@@ -1031,6 +1048,7 @@ object SparkEntry {
     "q29_set_ops" -> (q29 _),
     "q30_correlated" -> (q30 _),
     "q31_tumbling" -> (q31 _),
+    "q32_sliding" -> (q32 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
     "x03_text_stats" -> (x03 _),
@@ -1433,6 +1451,16 @@ object SparkEntry {
         |  count(*) AS n,
         |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_sliding" ->
+      """WITH w AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+        |           - (o.k * INTERVAL '30 minutes')) AS ws_us,
+        |         value
+        |  FROM events, (SELECT unnest([0, 1]) AS k) o
+        |)
+        |SELECT ws_us, count(*) AS n,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM w GROUP BY ws_us ORDER BY ws_us""".stripMargin,
     "q30_correlated" ->
       """SELECT o_custkey, count(*) AS n_big
         |FROM orders o
