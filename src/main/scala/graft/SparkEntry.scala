@@ -997,6 +997,29 @@ object SparkEntry {
       .orderBy(col("label"), col("idx"))
   }
 
+  /** Centroid-similarity outlier signal: every vector's cosine to its own
+    * label centroid — the diversity/off-distribution filter of embedding
+    * curation (prune the far tail before training). Composes the x26
+    * aggregate with the codegen'd [[graft.functions.CosineSimilarity]]:
+    * centroids (10 rows) broadcast back onto the corpus, one map-side pass.
+    */
+  private def x27(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cents = emb
+      .groupBy(col("label"))
+      .agg(GraftFunctions.vectorAvg(col("embedding")).as("centroid"))
+    emb
+      .join(broadcast(cents), "label")
+      .select(
+        col("label"),
+        col("vec_id"),
+        (floor(GraftFunctions.cosineSim(col("embedding"), col("centroid")) * lit(1000000.0)
+          + lit(0.5)) / lit(1000000.0)).as("sim")
+      )
+      .orderBy(col("label"), col("vec_id"))
+  }
+
   /** IVF-Flat approximate top-5 (the second ANN scale path besides x10's
     * LSH; no SQL oracle — approximate + iterative k-means training is not
     * DuckDB-expressible. SimilaritySpec pins a golden fixture and a recall
@@ -1073,7 +1096,8 @@ object SparkEntry {
     "x23_unicode_norm" -> (x23 _),
     "x24_pack" -> (x24 _),
     "x25_char_entropy" -> (x25 _),
-    "x26_label_centroids" -> (x26 _)
+    "x26_label_centroids" -> (x26 _),
+    "x27_centroid_outliers" -> (x27 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1505,6 +1529,21 @@ object SparkEntry {
         |  CAST(sum(toks) OVER (PARTITION BY grp, bin) AS BIGINT) AS bin_fill,
         |  toks > 256 AS oversize
         |FROM walk ORDER BY doc""".stripMargin,
+    "x27_centroid_outliers" ->
+      """WITH d AS (
+        |  SELECT e.label, t.i AS idx, CAST(e.embedding[t.i] AS DOUBLE) AS v
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        |), cent AS (
+        |  SELECT label, idx, avg(v) AS c FROM d GROUP BY label, idx
+        |), cl AS (
+        |  SELECT label, list(c ORDER BY idx) AS centroid FROM cent GROUP BY label
+        |)
+        |SELECT e.label, e.vec_id,
+        |  floor(list_cosine_similarity(
+        |          list_transform(e.embedding, x -> CAST(x AS DOUBLE)), cl.centroid)
+        |        * 1000000 + 0.5) / 1000000 AS sim
+        |FROM embeddings e JOIN cl USING (label)
+        |ORDER BY e.label, e.vec_id""".stripMargin,
     "x26_label_centroids" ->
       """WITH d AS (
         |  SELECT e.label, t.i AS idx, CAST(e.embedding[t.i] AS DOUBLE) AS v
