@@ -28,13 +28,25 @@ object Decontaminate {
 
   private def evalGramsOf(evalSet: DataFrame, n: Int, textCol: String): DataFrame =
     evalSet
-      .select(explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+      .select(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh"))
+      // same explode-above-live-arrays trap as corpusGramsOf (17× measured);
+      // the persist also stops overlapBloom's TWO consumers (bloom build +
+      // exact-verify join) recomputing the eval shingling
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(explode(col("sh")).as("gram"))
       .distinct()
 
   private def corpusGramsOf(corpus: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
     Dedup
-      .spread(corpus.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh"))
+      .withShingles(corpus, n, idCol, textCol)
+      // materialize the shingle ARRAYS before the generator: explode above
+      // the live shingle expression pushes that expression out of the
+      // codegen'd projection into interpreted per-row evaluation (regex
+      // Pattern recompiled per call — measured 17× wall at 80k docs:
+      // 38 s → 2.2 s with the cache; same trap Dedup's self-joins hit,
+      // SURVEY §8.4). Cached blocks are dropped by the ContextCleaner when
+      // the returned plan is unreferenced.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // long, not int: aligns with BIGINT gram counts in SQL engines (the
       // DuckDB oracle) so hash-compares see identical dtypes
       .select(col(idCol), size(col("sh")).cast("long").as("n_grams"), explode(col("sh")).as("gram"))

@@ -92,7 +92,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
+    // persist BEFORE the generator, not only before the self-join: explode
+    // above the live shingle expression evaluates it interpreted per row
+    // (measured 17× wall on the decontamination twin of this shape)
     val postings = withShingles(docs, n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
       .select(col(idCol), explode(col("sh")).as("shingle"))
     // df-prune, then recount per-doc set sizes over SURVIVING shingles so
     // the Jaccard is exact within the pruned shingle space (see scaladoc)

@@ -48,6 +48,33 @@ object ScaleProbe {
       )
   }
 
+  /** Replication for PAIR-MINING probes: every 3rd token is salted with the
+    * copy index, so any word 3-gram of a copy contains ≥1 salted token and
+    * copies share ZERO 3-grams with each other or the originals. Near-dup
+    * pair output therefore stays ~constant while the corpus (and the
+    * inverted index / LSH bucket load) grows K× — a clean linearity probe
+    * for the quadratic-prone operators. Unsalted replication would instead
+    * measure the intended worst case: K-sized duplicate groups emit K²/2
+    * pairs each.
+    */
+  private def saltedDocsTimes(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    base
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(k - 1))).as("copy"))
+      .select(
+        (col("doc_id") * k + col("copy")).as("doc_id"),
+        concat_ws(
+          " ",
+          transform(
+            split(trim(col("text")), "\\s+"),
+            (t, i) =>
+              when(i % 3 === 0 && col("copy") > 0, concat(t, lit("_"), col("copy")))
+                .otherwise(t)
+          )
+        ).as("text")
+      )
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
@@ -55,12 +82,16 @@ object ScaleProbe {
     GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def probe(name: String, k: Int, rows: Long)(f: => Long): Unit = {
-      val walls = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 2).map { _ =>
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime(); f
+        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
       }
-      val w = walls.min
-      println(f"PROBE $name%-14s k=$k%-3d rows=$rows%-10d wall=$w%7.2f s  thru=${rows / w / 1e6}%8.3f Mrows/s")
+      val (w, c) = samples.minBy(_._1)
+      println(f"PROBE $name%-14s k=$k%-3d rows=$rows%-10d wall=$w%7.2f s cpu=$c%8.2f s  thru=${rows / w / 1e6}%8.3f Mrows/s")
     }
 
     reps.foreach { k =>
@@ -79,6 +110,46 @@ object ScaleProbe {
         ).count()
       )
       docs.unpersist()
+
+      val salted = saltedDocsTimes(spark, dir, k).persist()
+      val nSalted = salted.count()
+      probe("minhash_lsh", k, nSalted)(
+        Dedup.minhashLshPairs(salted, n = 3, threshold = 0.5, bands = 32, rowsPerBand = 4).count()
+      )
+      probe("grams_naive_shape", k, nSalted)(
+        Dedup
+          .withShingles(salted.where(col("doc_id") % 50 =!= 0), 3)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+            explode(col("sh")).as("gram"))
+          .count()
+      )
+      probe("grams_cached_shape", k, nSalted) {
+        val sh = Dedup
+          .withShingles(salted.where(col("doc_id") % 50 =!= 0), 3)
+          .persist()
+        val n = sh
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+            explode(col("sh")).as("gram"))
+          .count()
+        sh.unpersist()
+        n
+      }
+      probe("decont_eval", k, nSalted)(
+        salted.where(col("doc_id") % 50 === 0)
+          .select(explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("gram"))
+          .distinct()
+          .count()
+      )
+      probe("decontaminate", k, nSalted)(
+        graft.operators.Decontaminate
+          .overlap(
+            corpus = salted.where(col("doc_id") % 50 =!= 0),
+            evalSet = salted.where(col("doc_id") % 50 === 0),
+            n = 3
+          )
+          .count()
+      )
+      salted.unpersist()
 
       val evs = eventsTimes(spark, dir, k).persist()
       val nEv = evs.count()
