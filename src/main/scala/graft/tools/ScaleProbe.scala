@@ -103,6 +103,21 @@ object ScaleProbe {
       )
       probe("exact_dedup", k, nDocs)(Dedup.exact(docs).count())
       probe("tfidf_top3", k, nDocs)(TextAnalysis.tfIdfTopTerms(docs, 3).count())
+      probe("tfidf_cached_toks", k, nDocs) {
+        val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")).persist()
+        val tf = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val n = tf.count()
+        toks.unpersist()
+        n
+      }
+      probe("tfidf_live_toks", k, nDocs)(
+        docs
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .count()
+      )
       probe("pack_nextfit", k, nDocs)(
         Pack.nextFit(
           docs.select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
