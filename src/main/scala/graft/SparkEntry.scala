@@ -73,7 +73,7 @@ object SparkEntry {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        discountedRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("n")
       )
@@ -232,7 +232,7 @@ object SparkEntry {
       .where(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        discountedRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items")
       )
       .orderBy(col("n_name"))
@@ -574,21 +574,74 @@ object SparkEntry {
   }
 
   /** Statistical-aggregate surface: sample stddev, Pearson correlation and
-    * sample covariance per group — single-pass merge-formula aggregates
-    * (Welford-style partial state, map-side combinable like any agg).
-    * Rounded to 4 dp on both engines so formula-order float noise can't
-    * flip the hash.
+    * sample covariance per group. Round 2 taught that the built-in
+    * merge-formula aggregates (Welford-style M2 state) accumulate in
+    * engine-specific order, so `round(stddev_samp(double), 4)` flips a
+    * 4-dp midpoint whenever Spark's and the oracle's doubles differ by an
+    * ulp — rows/schema matched but the hash flaked. This formulation is
+    * order-independent on BOTH engines: the money columns are 2-dp-valued
+    * doubles, so scaling to integer cents and summing the power sums as
+    * DECIMAL is exact integer arithmetic (any accumulation order, any
+    * partitioning), and the closed-form moment formulas then run the same
+    * IEEE expression tree over bit-identical inputs. StatsDeterminismSpec
+    * pins the closed forms ≡ the built-ins to 1e-9 so the statistic itself
+    * is unchanged. Scale posture: one partial-agg shuffle, 11 exact sums —
+    * the same single-pass shape as the built-ins.
     */
-  private def q28(s: SparkSession, dir: String): DataFrame =
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(18, 0))
+    val cents = dec(round(col("l_extendedprice") * 100))
+    val qty = dec(round(col("l_quantity")))
+    val d100 = dec(round(col("l_discount") * 100))
+    val t100 = dec(round(col("l_tax") * 100))
+    val dbl = (n: String) => col(n).cast(DoubleType)
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-        round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("cov_dt"),
-        count(lit(1)).as("n")
+        count(lit(1)).as("n"),
+        sum(cents).as("sx"),
+        sum(cents * cents).as("sxx"),
+        sum(qty).as("sq"),
+        sum(qty * qty).as("sqq"),
+        sum(cents * qty).as("sxq"),
+        sum(d100).as("sd"),
+        sum(t100).as("st"),
+        sum(d100 * t100).as("sdt")
+      )
+      .select(
+        col("l_returnflag"),
+        round4(sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) /
+          (dbl("n") * (dbl("n") - 1))) / 100).as("sd_price"),
+        round4((dbl("n") * dbl("sxq") - dbl("sx") * dbl("sq")) /
+          (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            sqrt(dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")))).as("corr_pq"),
+        round4((dbl("n") * dbl("sdt") - dbl("sd") * dbl("st")) /
+          (dbl("n") * (dbl("n") - 1)) / 10000).as("cov_dt"),
+        col("n")
       )
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Floor-form 4-dp rounding: pure IEEE multiply/add/floor, bit-identical
+    * across engines given bit-identical input (the q31/x12 lesson — native
+    * `round` rounds the shortest-decimal rendering on Spark but the binary
+    * double on SQL engines).
+    */
+  private def round4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** Order-independent `sum(price * (1 - discount))`. The double product
+    * sits on a 4-dp grid, so its float sum can land within an ulp of a
+    * 2-dp rounding midpoint (x.xx5) and flip the last digit between
+    * engines — the same flake class as x17/q28. Both money columns are
+    * 2-dp-valued, so computing the product and sum in DECIMAL is exact;
+    * the final HALF_UP round of an exact positive decimal is identical on
+    * Spark and DuckDB, and the cast back to double is a single
+    * correctly-rounded conversion.
+    */
+  private def discountedRevenue(price: Column, disc: Column): Column = {
+    val d2 = DecimalType(18, 2)
+    round(sum(price.cast(d2) * (lit(1).cast(d2) - disc.cast(d2))), 2).cast(DoubleType)
+  }
 
   /** Set-operation surface: INTERSECT / EXCEPT / UNION-distinct over the
     * active-customer sets of two half-years. Spark plans intersect/except
@@ -1127,7 +1180,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc,
         | round(avg(l_quantity), 4) AS avg_qty,
         | count(*) AS n
         |FROM lineitem
@@ -1213,7 +1267,8 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q09_revenue_by_nation" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1464,12 +1519,36 @@ object SparkEntry {
         |  round(max(pr), 6) AS max_pr
         |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
     "q28_stats_agg" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
-        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
-        |  round(covar_samp(l_discount, l_tax), 4) AS cov_dt,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS cents,
+        |    CAST(round(l_quantity) AS DECIMAL(18,0)) AS qty,
+        |    CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS d100,
+        |    CAST(round(l_tax * 100) AS DECIMAL(18,0)) AS t100
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(cents) AS sx, sum(cents * cents) AS sxx,
+        |    sum(qty) AS sq, sum(qty * qty) AS sqq,
+        |    sum(cents * qty) AS sxq,
+        |    sum(d100) AS sd, sum(t100) AS st, sum(d100 * t100) AS sdt
+        |  FROM b GROUP BY l_returnflag
+        |), d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+        |    CAST(sq AS DOUBLE) AS sq, CAST(sqq AS DOUBLE) AS sqq,
+        |    CAST(sxq AS DOUBLE) AS sxq,
+        |    CAST(sd AS DOUBLE) AS sd, CAST(st AS DOUBLE) AS st,
+        |    CAST(sdt AS DOUBLE) AS sdt
+        |  FROM s
+        |)
+        |SELECT l_returnflag,
+        |  floor(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))) / 100 * 1e4 + 0.5) / 1e4 AS sd_price,
+        |  floor((nd * sxq - sx * sq) /
+        |        (sqrt(nd * sxx - sx * sx) * sqrt(nd * sqq - sq * sq)) * 1e4 + 0.5) / 1e4 AS corr_pq,
+        |  floor((nd * sdt - sd * st) / (nd * (nd - 1)) / 10000 * 1e4 + 0.5) / 1e4 AS cov_dt,
+        |  n
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "q31_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
         |  count(*) AS n,
@@ -1780,7 +1859,8 @@ object SparkEntry {
         |)
         |SELECT user_id AS key, session_idx,
         |  min(ts_us) AS session_start, max(ts_us) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY key, session_idx""".stripMargin,
     "x16_decontaminate" -> decontaminateOracle,

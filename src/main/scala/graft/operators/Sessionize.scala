@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Gap-based sessionization of event streams: consecutive events of the
   * same key belong to one session while the inter-event gap stays within
@@ -63,7 +64,7 @@ object Sessionize {
   ): DataFrame =
     events
       .groupBy(key.as("key"), session_window(timestamp_micros(tsMicros), gap).as("w"))
-      .agg(count(lit(1)).as("n_events"), round(sum(valueCol), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), decimalSum(valueCol).as("sum_value"))
       .select(
         col("key"),
         unix_micros(col("w.start")).as("session_start"),
@@ -88,7 +89,7 @@ object Sessionize {
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(key.as("key"), session_window(col(tsCol), gap).as("w"))
-      .agg(count(lit(1)).as("n_events"), round(sum(valueCol), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), decimalSum(valueCol).as("sum_value"))
       .select(
         col("key"),
         unix_micros(col("w.start")).as("session_start"),
@@ -114,6 +115,17 @@ object Sessionize {
         min(ts).as("session_start"),
         max(ts).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(valueCol), 2).as("sum_value")
+        decimalSum(valueCol).as("sum_value")
       )
+
+  /** Order-independent value sum. `round(sum(double), 2)` is a flaky
+    * cross-engine contract: partial-agg merge order differs between Spark
+    * and any oracle engine by 1 ulp, which flips a half-cent boundary.
+    * Summing after a DECIMAL(18,2) cast is exact integer arithmetic — the
+    * input values are 2-dp-valued doubles, so the cast itself is the
+    * deterministic nearest-2-dp rounding on every engine — and the final
+    * cast back to double is a single correctly-rounded conversion.
+    */
+  private[graft] def decimalSum(valueCol: Column): Column =
+    sum(valueCol.cast(DecimalType(18, 2))).cast(DoubleType)
 }
