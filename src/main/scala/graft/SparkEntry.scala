@@ -789,13 +789,31 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** SimHash signatures per document (64-bit, map-side). */
+  /** SimHash signatures per document, in the MD5-derived form whose every
+    * bit is reproducible in DuckDB (`md5()` + nibble bit-extraction) — so
+    * the signature itself is driver-oracled, closing round 2's `no_oracle`
+    * row. Emitted as the four 16-bit bands the Hamming blocking uses. The
+    * xxhash64 production signature keeps its spec golden (DedupSpec).
+    *
+    * The pivot shape (posexplode → groupBy) evaluates the signature
+    * expression ONCE per document; four element_at projections would let
+    * CollapseProject inline — and recompute — it per band (the MinHashBands
+    * lesson).
+    */
   private def x08(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     t(s, dir, "documents")
       .select(
         col("doc_id"),
-        GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash")
+        posexplode(GraftFunctions.simhashMd5Bands(TextAnalysis.tokens(col("text"))))
+          .as(Seq("j", "v"))
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("j") === 0, col("v"))).as("band0"),
+        max(when(col("j") === 1, col("v"))).as("band1"),
+        max(when(col("j") === 2, col("v"))).as("band2"),
+        max(when(col("j") === 3, col("v"))).as("band3")
       )
       .orderBy(col("doc_id"))
   }
@@ -813,8 +831,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-5 (scale path; no SQL oracle — approx;
-    * SimilaritySpec pins a golden fixture and a ≥0.8 recall floor vs x09).
+  /** LSH-bucketed approximate top-5 (scale path). Registered at L=48
+    * tables: AnnRecallProbe measured that at 48 tables the OR-amplified
+    * candidate set covers the exact top-5 for every query at sf0.001/0.01/
+    * 0.1 (32 already suffices; 16 reaches ~0.85), and since candidates are
+    * reranked by the same exact rounded cosine with the same tie-break,
+    * the output then EQUALS brute force — which makes the x09-shaped DuckDB
+    * SQL a true oracle for this query (closing round 2's `no_oracle` row)
+    * while the plan remains genuinely bucketed (the per-query work is
+    * candidate-set-sized, not corpus-sized). Leaner production configs keep
+    * their spec-pinned recall floors (SimilaritySpec).
     */
   private def x10(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -824,7 +850,7 @@ object SparkEntry {
         emb.where(col("vec_id") < 10),
         emb.where(col("vec_id") >= 10),
         k = 5,
-        tables = 16,
+        tables = 48,
         bitsPerTable = 4
       )
       .orderBy(col("query_id"), col("rank"))
@@ -1073,10 +1099,17 @@ object SparkEntry {
       .orderBy(col("label"), col("vec_id"))
   }
 
-  /** IVF-Flat approximate top-5 (the second ANN scale path besides x10's
-    * LSH; no SQL oracle — approximate + iterative k-means training is not
-    * DuckDB-expressible. SimilaritySpec pins a golden fixture and a recall
-    * floor vs x09's exact top-k).
+  /** IVF-Flat top-5 (the second ANN scale path besides x10's LSH),
+    * registered at FULL probe (nprobe = nlist): probing every inverted
+    * list pins the whole IVF machinery end-to-end — deterministic k-means
+    * training, the partition property of list assignment (a lost or
+    * double-assigned vector shows up as a missing/duplicate rank), the
+    * probe join, and the exact rerank — against the x09-shaped DuckDB
+    * oracle, since full probe must equal brute force exactly. The synthetic
+    * embeddings are near-uniform on the sphere, so partial probes genuinely
+    * approximate here (AnnRecallProbe: even nprobe=15/16 drops 4/50 hits at
+    * sf0.01); approximate configs keep their spec-pinned golden + recall
+    * floor (SimilaritySpec).
     */
   private def x13(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -1087,9 +1120,22 @@ object SparkEntry {
         emb.where(col("vec_id") >= 10),
         k = 5,
         nlist = 16,
-        nprobe = 8
+        nprobe = 16
       )
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MD5-simhash near-dup pairs (Hamming ≤ 3) via 4-band blocking. The
+    * banding is provably lossless at this radius (pigeonhole: ≤3 differing
+    * bits cannot touch all 4 bands), so the banded plan must equal the
+    * all-pairs SQL formulation exactly — a fully oracled near-dup surface
+    * for the simhash family to complement x07's MinHash-LSH one.
+    */
+  private def x28(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Dedup
+      .simhashMd5Pairs(t(s, dir, "documents"), maxHamming = 3)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1150,7 +1196,8 @@ object SparkEntry {
     "x24_pack" -> (x24 _),
     "x25_char_entropy" -> (x25 _),
     "x26_label_centroids" -> (x26 _),
-    "x27_centroid_outliers" -> (x27 _)
+    "x27_centroid_outliers" -> (x27 _),
+    "x28_simhash_neardup" -> (x28 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1174,6 +1221,57 @@ object SparkEntry {
       |  round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS contamination
       |FROM cg JOIN ev USING (gram)
       |GROUP BY cg.doc_id, n_grams ORDER BY cg.doc_id""".stripMargin
+
+  /** Shared DuckDB derivation of the MD5-simhash bands — the SQL mirror of
+    * [[graft.functions.SimHashMd5Bands]]'s bit convention: every token
+    * occurrence votes ±1 per bit, bit b of the hash is
+    * `(nibble(hexchar[b/4]) >> (3 - b%4)) & 1` over md5's hex rendering,
+    * sign>0 → 1, and band j packs bits 16j..16j+15 MSB-first.
+    */
+  private val simhashMd5BandsSql: String =
+    """tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+      |), bits AS (
+      |  SELECT doc_id, g.b,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), (g.b // 4) + 1, 1)) - 1)
+      |               >> (3 - (g.b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      |  FROM tk CROSS JOIN (SELECT unnest(range(64)) AS b) g
+      |), sbit AS (
+      |  SELECT doc_id, b, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM bits GROUP BY doc_id, b
+      |), bnd AS (
+      |  SELECT doc_id, b // 16 AS j, CAST(sum(bit * (1 << (15 - (b % 16)))) AS INT) AS v
+      |  FROM sbit GROUP BY doc_id, b // 16
+      |), piv AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN j = 0 THEN v END) AS band0,
+      |    max(CASE WHEN j = 1 THEN v END) AS band1,
+      |    max(CASE WHEN j = 2 THEN v END) AS band2,
+      |    max(CASE WHEN j = 3 THEN v END) AS band3
+      |  FROM bnd GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Exact cosine top-5 for queries vec_id<10 vs corpus vec_id≥10 — the
+    * oracle for x09 (brute force) and, because their candidate sets
+    * provably/measuredly cover the exact top-5 at the tested SFs, for x10
+    * (48-table LSH) and x13 (full-probe IVF) as well.
+    */
+  private val annExactTop5Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id >= 10
+      |), s AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_cosine_similarity(qv, cv), 6) AS score
+      |  FROM q CROSS JOIN c
+      |)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM s) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1753,22 +1851,21 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
-    "x09_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id < 10
-        |), c AS (
-        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings WHERE vec_id >= 10
-        |), s AS (
-        |  SELECT query_id, neighbor_id,
-        |    round(list_cosine_similarity(qv, cv), 6) AS score
-        |  FROM q CROSS JOIN c
-        |)
-        |SELECT query_id, neighbor_id, score, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM s) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "x08_simhash" ->
+      s"""WITH $simhashMd5BandsSql
+        |SELECT doc_id, band0, band1, band2, band3 FROM piv ORDER BY doc_id""".stripMargin,
+    "x28_simhash_neardup" ->
+      s"""WITH $simhashMd5BandsSql
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+        |     + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS INT) AS hamming
+        |FROM piv a JOIN piv b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+        |    + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "x10_ann_lsh" -> annExactTop5Sql,
+    "x13_ivf_topk" -> annExactTop5Sql,
+    "x09_cosine_topk" -> annExactTop5Sql,
     "x14_neardup_clusters" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents

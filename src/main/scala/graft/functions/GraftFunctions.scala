@@ -28,6 +28,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash_md5_bands", exprs => SimHashMd5Bands(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "minhash_bands",
       exprs =>
         MinHashBands(
@@ -114,6 +116,11 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** MD5-derived SimHash as four 16-bit bands (array<int>, length 4) —
+    * the cross-engine-reproducible variant; see SimHashMd5Bands.
+    */
+  def simhashMd5Bands(tokens: Column): Column = call_function("simhash_md5_bands", tokens)
 
   /** LSH band hashes (array<long> of length `bands`) from a shingle array —
     * signature computed once internally; see MinHashBands.

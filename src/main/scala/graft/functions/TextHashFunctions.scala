@@ -119,6 +119,78 @@ case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MD5-derived SimHash, emitted as its four 16-bit bands
+  * (array<int> of length 4, each in [0, 65535]).
+  *
+  * The production signature ([[SimHash64]]) hashes tokens with xxhash64,
+  * which no SQL oracle engine exposes — so its correctness was only
+  * spec-visible. This variant derives the per-token bits from `md5(token)`
+  * (available verbatim in DuckDB), making the whole signature — and any
+  * banding built on it — reproducible cross-engine and therefore
+  * driver-oracle-checkable. Semantics mirror [[SimHash64]] exactly: every
+  * token OCCURRENCE votes ±1 per bit (no dedup), sign>0 → bit 1.
+  *
+  * Bit convention (identical SQL formulation): bit b (0..63) is bit
+  * `7-(b%8)` of md5 byte `b/8` — i.e. MSB-first over the first 16 hex
+  * chars, so bit b of the hex rendering is
+  * `(nibble(hexchar[b/4]) >> (3 - b%4)) & 1`. Band j (0..3) packs bits
+  * 16j..16j+15 MSB-first into an int.
+  *
+  * Map-side, no shuffle — same 100 TB posture as the other sketches.
+  */
+case class SimHashMd5Bands(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val md = SimHashMd5Bands.digest.get()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        md.reset()
+        val h = md.digest(s.getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h(b >> 3) >> (7 - (b & 7))) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val bands = new Array[Int](4)
+    var j = 0
+    while (j < 4) {
+      var v = 0
+      var t = 0
+      while (t < 16) {
+        if (counts(16 * j + t) > 0) v |= 1 << (15 - t)
+        t += 1
+      }
+      bands(j) = v
+      j += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHashMd5Bands {
+  /** MessageDigest is stateful and not thread-safe; expression instances
+    * can be shared across tasks in local mode, so keep one per thread.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** 64-bit SimHash over a token array: each token contributes ±1 to each of
   * 64 bit-counters according to its xxh64 bits; the sign of each counter is
   * the output bit. Near-duplicate docs → small Hamming distance (compute

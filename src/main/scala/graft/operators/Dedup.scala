@@ -186,11 +186,49 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    require(maxHamming <= 3, "4-band blocking guarantees recall only for hamming <= 3")
     val sig = spread(docs.select(col(idCol), col(textCol))).select(
       col(idCol),
       GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sim")
     )
+    hammingBandPairs(sig, maxHamming, idCol)
+  }
+
+  /** SimHash near-dup pairs over the MD5-derived signature
+    * ([[graft.functions.SimHashMd5Bands]]) — identical blocking and
+    * verification to [[simhashPairs]], but every bit of the signature is
+    * reproducible in any engine with `md5()`, so this variant carries a
+    * full DuckDB oracle (x28) instead of a spec-only golden. The 64-bit
+    * signature is reassembled from the four bands (band 0 = most
+    * significant 16 bits).
+    */
+  def simhashMd5Pairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sig = spread(docs.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        GraftFunctions.simhashMd5Bands(TextAnalysis.tokens(col(textCol))).as("b")
+      )
+      .select(
+        col(idCol),
+        (shiftleft(element_at(col("b"), 1).cast("long"), 48) bitwiseOR
+          shiftleft(element_at(col("b"), 2).cast("long"), 32) bitwiseOR
+          shiftleft(element_at(col("b"), 3).cast("long"), 16) bitwiseOR
+          element_at(col("b"), 4).cast("long")).as("sim")
+      )
+    hammingBandPairs(sig, maxHamming, idCol)
+  }
+
+  /** Band-blocked Hamming join shared by the simhash variants: 4×16-bit
+    * bands of `sim`, so any pair within Hamming distance ≤3 shares at least
+    * one exact band (pigeonhole — zero false negatives), then exact
+    * verification with bit_count(xor). Input: (idCol, sim: long).
+    */
+  private def hammingBandPairs(sig: DataFrame, maxHamming: Int, idCol: String): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking guarantees recall only for hamming <= 3")
     val bandVals = (0 until 4).map(b =>
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = sig
