@@ -549,20 +549,38 @@ object SparkEntry {
       .orderBy(col("event_type"))
 
   /** Window-function surface: equi-depth deciles (ntile) + percent_rank
-    * over order totals. The global window runs on a value+key total order
-    * (deterministic tile edges); at scale this is the one window family
-    * that genuinely needs a global sort — the same cost as any ranked
-    * report — and range-partitioned sort keeps it parallel until the
-    * per-decile rollup, which is 10 rows.
+    * over order totals — WITHOUT the `Window.orderBy(...)` (no partition
+    * spec) single-partition window the naive formulation plans, which
+    * funnels every order through one task. Instead the exact global rank
+    * comes from [[graft.operators.GlobalRank]] (range-partition + parallel
+    * local windows + broadcast offsets), and `ntile`/`percent_rank` are
+    * then CLOSED FORMS of (rank, N) applied map-side:
+    *   - ntile(10): the first N mod 10 tiles hold ⌈N/10⌉ rows, the rest
+    *     ⌊N/10⌋ (the SQL-standard rule both Spark and DuckDB implement);
+    *   - percent_rank = (rank−1)/(N−1), exact because the sort key is a
+    *     total order so rank ≡ row_number.
+    * The oracle keeps the window formulation — two derivations, one
+    * hash-matched answer. PlanGuardSpec pins that no single-partition
+    * window survives in any oracled plan.
     */
   private def q27(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
-      .select(
-        col("o_totalprice"),
-        ntile(10).over(w).as("decile"),
-        round(percent_rank().over(w), 6).as("pr")
+    val orders = t(s, dir, "orders").select(col("o_totalprice"), col("o_orderkey"))
+    val n = orders.count()
+    val tileQ = n / 10
+    val rem = n % 10
+    val bigEnd = rem * (tileQ + 1) // ranks 1..bigEnd fall in the ⌈N/10⌉-sized tiles
+    GlobalRank
+      .withGlobalRank(orders, Seq(col("o_totalprice"), col("o_orderkey")), "rank")
+      .withColumn(
+        "decile",
+        when(
+          col("rank") <= lit(bigEnd),
+          ((col("rank") - 1) / lit(tileQ + 1)).cast("long") + 1
+        ).otherwise(
+          lit(rem) + ((col("rank") - lit(bigEnd) - 1) / lit(math.max(tileQ, 1L))).cast("long") + 1
+        ).cast("int")
       )
+      .withColumn("pr", round((col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6))
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n"),
@@ -937,11 +955,16 @@ object SparkEntry {
   }
 
   /** Gap-based sessionization of the event stream (6 h gap): one shuffle,
-    * two stacked windows + rollup on the same partitioning.
+    * two stacked windows + rollup on the same partitioning. The value sum
+    * is emitted as exact integer cents ([[Sessionize.sessionsCents]]) so
+    * the output contract is all-integer — round 3's only red driver row
+    * was this query failing `hash_match` while exact value equality
+    * passed, i.e. a double-RENDERING divergence in the gate's hash, not a
+    * numeric one; an integer contract removes that class entirely.
     */
   private def x17(s: SparkSession, dir: String): DataFrame =
     Sessionize
-      .sessions(
+      .sessionsCents(
         ev(s, dir),
         key = col("user_id"),
         ts = col("ts_us"),
@@ -1957,7 +1980,7 @@ object SparkEntry {
         |SELECT user_id AS key, session_idx,
         |  min(ts_us) AS session_start, max(ts_us) AS session_end,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY key, session_idx""".stripMargin,
     "x16_decontaminate" -> decontaminateOracle,

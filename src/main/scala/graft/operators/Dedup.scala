@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -99,12 +98,25 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
       .select(col(idCol), explode(col("sh")).as("shingle"))
     // df-prune, then recount per-doc set sizes over SURVIVING shingles so
-    // the Jaccard is exact within the pruned shingle space (see scaladoc)
-    val pruned = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .where(col("df") <= maxDf)
-      .drop("df")
-      .withColumn("sh_size", count(lit(1)).over(Window.partitionBy(idCol)))
+    // the Jaccard is exact within the pruned shingle space (see scaladoc).
+    // Both counts are groupBy aggregations, NOT count().over(Window): a
+    // window has no map-side partial aggregation, so every posting of a
+    // stop-shingle would land on ONE task before the df<=maxDf prune could
+    // drop it — a single-task OOM at corpus scale. groupBy compresses each
+    // shingle to one (shingle, count) row per mapper; the heavy-hitter set
+    // (df > maxDf) is then at most |postings|/maxDf distinct keys — a
+    // >=maxDf-fold compression of the postings volume — so it broadcasts,
+    // and the anti join drops hot postings map-side with no shuffle of the
+    // postings at all for the prune step.
+    val hot = postings
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select("shingle")
+    val kept = postings.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sh_size"))
+    val pruned = kept
+      .join(sizes, Seq(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = pruned.select(
       col(idCol).as("a_id"), col("sh_size").as("a_size"), col("shingle"))
@@ -125,6 +137,22 @@ object Dedup {
     * the signature become candidates; candidates are verified against the
     * true shingle-set Jaccard and filtered at `threshold`. With (bands=16,
     * rowsPerBand=8) the LSH S-curve is steep around j≈0.8.
+    *
+    * EXACT-DUPLICATE PRE-COLLAPSE (the LSH skew guard): identical texts
+    * band identically, so banding every member of an m-copy class puts m
+    * rows in each of its band buckets and the candidate join mines m²/2
+    * pairs per class — then verifies each with an array_intersect over the
+    * full shingle sets. Web corpora are full of exact duplicates (boiler-
+    * plate, mirrored pages), so at 100 TB one popular page is a quadratic
+    * hot bucket. Instead: collapse each distinct text (md5 class) to its
+    * min-id representative, run banding + verification on representatives
+    * only, then fan members back out AFTER verification — within-class
+    * pairs are exact duplicates (Jaccard 1 by definition, no verification
+    * needed), and a cross-class member pair inherits its representatives'
+    * verified Jaccard because Jaccard is a function of the texts alone.
+    * Candidate volume becomes quadratic in DISTINCT texts per bucket, never
+    * in copies; the (inherent) quadratic output of a duplicate class is
+    * emitted as a constant-time fan-out join, not mined from band buckets.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -134,6 +162,67 @@ object Dedup {
       rowsPerBand: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"
+  ): DataFrame = {
+    val keyed = spread(docs.select(col(idCol), col(textCol)))
+      .withColumn("text_md5", md5(col(textCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = keyed
+      .groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (rep_id, member_id) including the representative itself
+    val members = keyed
+      .select(col("text_md5"), col(idCol).as("member_id"))
+      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
+      .select(col("rep_id"), col("member_id"))
+    val repDocs = keyed
+      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
+      .where(col(idCol) === col("rep_id"))
+      .select(col(idCol), col(textCol))
+
+    val repPairs = minhashLshPairsDistinct(repDocs, n, threshold, bands, rowsPerBand, idCol, textCol)
+
+    // cross-class fan-out: every member pair across two verified classes
+    val mA = members.select(col("rep_id").as("a_id"), col("member_id").as("a_m"))
+    val mB = members.select(col("rep_id").as("b_id"), col("member_id").as("b_m"))
+    val cross = repPairs
+      .join(mA, "a_id")
+      .join(mB, "b_id")
+      .select(
+        least(col("a_m"), col("b_m")).as("a_id"),
+        greatest(col("a_m"), col("b_m")).as("b_id"),
+        col("jac")
+      )
+    // within-class pairs: exact duplicates, Jaccard 1 — but ONLY for
+    // classes whose shingle set is non-empty, matching the banding path's
+    // size(sh) > 0 guard (a doc too short to shingle never pairs)
+    val shingledReps = withShingles(repDocs, n, idCol, textCol)
+      .where(size(col("sh")) > 0)
+      .select(col(idCol).as("rep_id"))
+    val dupMembers = members
+      .join(reps.where(col("n_copies") > 1).select(col("rep_id")), "rep_id")
+      .join(shingledReps, "rep_id")
+    val within = dupMembers
+      .select(col("rep_id"), col("member_id").as("a_id"))
+      .join(dupMembers.select(col("rep_id"), col("member_id").as("b_id")), "rep_id")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+    cross.unionByName(within)
+  }
+
+  /** The representative-level LSH core of [[minhashLshPairs]]: band, mine
+    * candidates, verify with exact Jaccard. Assumes `docs` has distinct
+    * texts (callers collapse duplicate classes first — see the pre-collapse
+    * note above).
+    */
+  private def minhashLshPairsDistinct(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      bands: Int,
+      rowsPerBand: Int,
+      idCol: String,
+      textCol: String
   ): DataFrame = {
     val sh = withShingles(docs, n, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Gap-based sessionization of event streams: consecutive events of the
   * same key belong to one session while the inter-event gap stays within
@@ -116,6 +116,35 @@ object Sessionize {
         max(ts).as("session_end"),
         count(lit(1)).as("n_events"),
         decimalSum(valueCol).as("sum_value")
+      )
+
+  /** [[sessions]] with the value sum emitted as exact integer CENTS
+    * (`sum_value_cents`, BIGINT) instead of a double: the whole output
+    * contract is integer-typed, so a gate that hashes RENDERED values
+    * (rather than comparing numerics) has nothing float-formatted to
+    * diverge on — `-0.0` vs `0.0`, shortest-decimal vs `%.17g`, and
+    * locale formatting are all double-rendering hazards that survive
+    * value-exact sums. The cast chain is exact end-to-end: the 2-dp-valued
+    * double casts losslessly to DECIMAL(18,2), the ×100 stays decimal,
+    * and the cents values are integers so the LONG cast drops only a
+    * zero scale.
+    */
+  def sessionsCents(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      maxGap: Long,
+      tieBreak: Column,
+      valueCol: Column
+  ): DataFrame =
+    withSessionIds(events, key, ts, maxGap, tieBreak)
+      .groupBy(key.as("key"), col("session_idx"))
+      .agg(
+        min(ts).as("session_start"),
+        max(ts).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum((valueCol.cast(DecimalType(18, 2)) * lit(100)).cast(LongType))
+          .as("sum_value_cents")
       )
 
   /** Order-independent value sum. `round(sum(double), 2)` is a flaky

@@ -128,9 +128,14 @@ object Similarity {
     *     `xxhash64(id, seed)` — deterministic, seed-stable, one top-k scan;
     *   - assign: map-only [[graft.functions.NearestCentroids]] (take=1) —
     *     no shuffle of vectors, the quantizer rides inside the expression;
-    *   - update: per-(list, dimension) mean via posexplode + hash agg —
-    *     ONE shuffle of (list, pos, partial-sum) triples per round, then a
-    *     ≤ nlist-row collect. Empty lists keep their previous centroid.
+    *   - update: per-list elementwise mean via the
+    *     [[graft.functions.VectorAvg]] TypedImperativeAggregate — whole
+    *     vectors stay in the map task and ONE (count, sums[dim]) pair per
+    *     (list × partition) ships through the exchange, then a ≤ nlist-row
+    *     collect. (The posexplode + groupBy(list, pos) formulation this
+    *     replaced shuffled dim × corpus rows per round — exactly the
+    *     explosion x26's centroids were built to avoid.) Empty lists keep
+    *     their previous centroid.
     */
   def ivfCentroids(
       corpus: DataFrame,
@@ -154,20 +159,14 @@ object Similarity {
       val means = corpus
         .select(
           element_at(GraftFunctions.nearestCentroids(col(vecCol), cSeq, 1), 1).as("list_id"),
-          posexplode(col(vecCol)).as(Seq("pos", "x"))
+          col(vecCol).as("v")
         )
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
         .groupBy(col("list_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("vs"))
+        .agg(GraftFunctions.vectorAvg(col("v")).as("m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
-        val list = r.getInt(0)
-        next(list) = r
-          .getSeq[org.apache.spark.sql.Row](1)
-          .map(_.getDouble(1))
-          .toArray
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
       }
       centroids = next
       it += 1

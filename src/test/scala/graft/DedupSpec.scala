@@ -52,6 +52,33 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("lsh pre-collapse: duplicate classes pair in full, bands see only representatives") {
+    // 200 copies of one text + 3 copies of a near-dup + 1 unrelated: the
+    // banding path must see ONE row per distinct text (the pre-collapse
+    // guard against quadratic hot buckets), while the emitted pair set is
+    // still the full member-level expansion
+    val copies = (0L until 200L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val nears = Seq(500L, 501L, 502L).map(i => (i, "the quick brown fox jumps over the sleepy dog"))
+    val other = Seq((900L, "completely different content about spark engines and parquet files"))
+    val df = (copies ++ nears ++ other).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, 3, 0.4, bands = 32, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val within = pairs.filter(p => p._1 < 200L && p._2 < 200L)
+    assert(within.length === 200 * 199 / 2, "full within-class expansion")
+    assert(within.forall(_._3 === 1.0))
+    val withinNear = pairs.filter(p => p._1 >= 500L && p._2 >= 500L && p._2 < 900L)
+    assert(withinNear.length === 3)
+    val cross = pairs.filter(p => p._1 < 200L && p._2 >= 500L && p._2 < 900L)
+    assert(cross.length === 200 * 3, "full cross-class expansion")
+    assert(cross.map(_._3).distinct.length === 1, "cross pairs inherit one verified jaccard")
+    assert(!pairs.exists(p => p._1 == 900L || p._2 == 900L))
+  }
+
+  test("lsh pre-collapse: too-short duplicate docs still never pair (size(sh)>0 guard)") {
+    val df = Seq((0L, "tiny"), (1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(df, 3, 0.4, bands = 32, rowsPerBand = 4).count() === 0L)
+  }
+
   test("simhash: identical docs collide, near-dups are close") {
     val sigs = docs
       .select(col("doc_id"), GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("s"))

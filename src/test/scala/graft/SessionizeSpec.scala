@@ -51,6 +51,25 @@ class SessionizeSpec extends SparkSpec {
     assert(out((2L, 1L)) === ((5000L, 5000L, 1L, 32.0)))
   }
 
+  test("sessionsCents: all-integer schema, cents equal the decimal sum x 100") {
+    val out = Sessionize
+      .sessionsCents(events, col("user_id"), col("ts"), 100L, col("event_id"), col("value"))
+    // every output column integer-typed: nothing float-rendered for a hash gate
+    assert(out.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType))
+    val cents = out
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5))
+      .toMap
+    val dbl = Sessionize
+      .sessions(events, col("user_id"), col("ts"), 100L, col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5))
+      .toMap
+    assert(cents.keySet === dbl.keySet)
+    cents.foreach { case (k, c) => assert(c === math.round(dbl(k) * 100)) }
+  }
+
   test("native session_window agrees with the gap-fold away from exact boundaries") {
     // seeded random events with gaps never exactly equal to the threshold
     val rnd = new scala.util.Random(7)
