@@ -1161,6 +1161,73 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Image perceptual hashing (x29): genuine uncompressed BMP payloads are
+    * synthesized from a closed-form pixel formula
+    * ([[graft.functions.BuildBmp]] — real files any BMP reader opens),
+    * then REALLY pixel-decoded and 8×8 average-hashed by
+    * [[graft.functions.ImageAHash]] — no codec library, pure byte
+    * arithmetic, map-only. The oracle never sees the bytes: it recomputes
+    * the hash from the same pixel FORMULA (two independent derivations,
+    * one hash-matched answer — the encode→decode→hash round-trip is what's
+    * being verified). The hash is emitted as two unsigned 32-bit halves so
+    * neither engine touches the sign bit of a 64-bit value.
+    */
+  private def x29(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 0)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .imageAHash(
+            GraftFunctions.buildBmp(
+              col("doc_id"),
+              (lit(16) + col("doc_id") % 16).cast("int"),
+              (lit(16) + col("doc_id") % 12).cast("int")
+            )
+          )
+          .as("ahash")
+      )
+      .select(
+        col("doc_id"),
+        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
+        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image near-dup pairs (x30): docs 4k and 4k+1 build their BMP from the
+    * same base id (identical images, Hamming 0 — the planted duplicates),
+    * all other bases differ; aHash signatures go through the SAME 4×16-bit
+    * banded Hamming join as the simhash family
+    * ([[Dedup.hammingPairs]] — pigeonhole-lossless at radius 3). The
+    * oracle recomputes every hash from the pixel formula and mines pairs
+    * with an equivalent band-blocked self-join — band partition choice
+    * cancels out, since banding only GENERATES candidates and the emitted
+    * pairs are exactly those at Hamming ≤ 3.
+    */
+  private def x30(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = expr("CAST(doc_id DIV 2 AS BIGINT)")
+    val sig = t(s, dir, "documents")
+      .where(col("doc_id") % 4 < 2)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .imageAHash(
+            GraftFunctions.buildBmp(
+              base,
+              (lit(16) + base % 16).cast("int"),
+              (lit(16) + base % 12).cast("int")
+            )
+          )
+          .as("sim")
+      )
+    Dedup
+      .hammingPairs(sig, maxHamming = 3, idCol = "doc_id")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_band_filter" -> (q02 _),
@@ -1220,7 +1287,9 @@ object SparkEntry {
     "x25_char_entropy" -> (x25 _),
     "x26_label_centroids" -> (x26 _),
     "x27_centroid_outliers" -> (x27 _),
-    "x28_simhash_neardup" -> (x28 _)
+    "x28_simhash_neardup" -> (x28 _),
+    "x29_image_ahash" -> (x29 _),
+    "x30_image_neardup" -> (x30 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1885,6 +1954,82 @@ object SparkEntry {
         |FROM piv a JOIN piv b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
         |    + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // x29/x30: Spark builds REAL BMP bytes and pixel-decodes them
+    // (BuildBmp → ImageAHash); the oracle recomputes the aHash from the
+    // closed-form pixel values — gray(pid,x,y) = (pid·131+x·7+y·13) % 256,
+    // cell (y·8//h, x·8//w), bit = exact-integer mean threshold — so the
+    // whole encode→decode→hash round-trip is what the hash match verifies.
+    "x29_image_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id AS pid,
+        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
+        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), xs AS (
+        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
+        |), lum AS (
+        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
+        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
+        |), bits AS (
+        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
+        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x30_image_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id // 2 AS pid,
+        |         CAST(16 + (doc_id // 2) % 16 AS INTEGER) AS w,
+        |         CAST(16 + (doc_id // 2) % 12 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 4 < 2
+        |), xs AS (
+        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
+        |), lum AS (
+        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
+        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
+        |), bits AS (
+        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
+        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND p < 16 THEN (CAST(1 AS BIGINT) << (15 - p)) ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN bit = 1 AND p >= 16 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN bit = 1 AND p >= 32 AND p < 48 THEN (CAST(1 AS BIGINT) << (47 - p)) ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN bit = 1 AND p >= 48 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS b3,
+        |    CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM hashes a JOIN hashes b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM hashes a JOIN hashes b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM hashes a JOIN hashes b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM hashes a JOIN hashes b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INTEGER) AS hamming
+        |FROM cand c
+        |JOIN hashes ha ON ha.doc_id = c.a_id
+        |JOIN hashes hb ON hb.doc_id = c.b_id
+        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
     "x10_ann_lsh" -> annExactTop5Sql,
     "x13_ivf_topk" -> annExactTop5Sql,

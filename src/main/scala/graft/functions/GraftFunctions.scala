@@ -47,6 +47,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "image_ahash", exprs => ImageAHash(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "build_bmp", exprs => BuildBmp(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "rp_buckets",
       exprs =>
         RpBuckets(
@@ -141,6 +145,17 @@ object GraftFunctions {
     * see DecodeMediaMeta.
     */
   def decodeMediaMeta(payload: Column): Column = call_function("decode_media_meta", payload)
+
+  /** 8×8 perceptual average-hash of an uncompressed BMP payload (real
+    * pixel decode; NULL for codec-requiring formats) — see ImageAHash.
+    */
+  def imageAHash(payload: Column): Column = call_function("image_ahash", payload)
+
+  /** Deterministic synthetic 24-bit BMP bytes from (id, w, h) — see
+    * BuildBmp.
+    */
+  def buildBmp(id: Column, w: Column, h: Column): Column =
+    call_function("build_bmp", id, w, h)
 
   /** Sign-random-projection LSH bucket ids, one int per hash table
     * (array<int> of length `tables`) — see RpBuckets.

@@ -38,6 +38,174 @@ case class ByteHistogram(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 8×8 average-hash (aHash) of an UNCOMPRESSED BMP payload — real
+  * pixel-level decode, no codec library: BI_RGB BMPs store raw pixel rows,
+  * so 24/32-bit and 8-bit-palette images decode with pure byte arithmetic
+  * (bottom-up and top-down row orders both handled). Output is the
+  * standard perceptual hash: partition the image into an 8×8 grid of cells
+  * (pixel (x,y) → cell (y·8/h, x·8/w)), average integer luma
+  * ((299R+587G+114B)/1000) per cell, set bit 63−(i·8+j) iff cell (i,j)'s
+  * mean ≥ the global mean. The threshold compares
+  * cellSum·nTotal ≥ totalSum·nCell in exact integer arithmetic so any
+  * engine recomputing it from the same pixels agrees bit-for-bit — that is
+  * what makes the x29/x30 DuckDB oracles possible.
+  *
+  * NULL for anything that is not a well-formed uncompressed BMP of at
+  * least 8×8 pixels (JPEG/PNG/GIF pixels need entropy decoding — those
+  * formats stay behind the disclosed codec stub). Never throws: a corpus
+  * scan at scale WILL contain corrupt payloads.
+  *
+  * Hamming distance between aHashes is the standard image near-dup
+  * signal; the 64-bit output plugs directly into the 4×16-bit banded
+  * Hamming join ([[graft.operators.Dedup.hammingPairs]]).
+  */
+case class ImageAHash(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try {
+      if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return null
+      val pixOff = le32(b, 10)
+      val hdrSize = le32(b, 14)
+      if (hdrSize < 40) return null
+      val w = le32(b, 18)
+      val hRaw = le32(b, 22)
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      val bpp = le16(b, 28)
+      val comp = le32(b, 30)
+      if (comp != 0) return null // only BI_RGB rows are codec-free
+      if (w < 8 || h < 8) return null // an aHash of fewer cells than bits is meaningless
+      val bytesPerPx = bpp match {
+        case 24 => 3
+        case 32 => 4
+        case 8  => 1
+        case _  => return null
+      }
+      val stride = ((bpp.toLong * w + 31) / 32 * 4).toInt
+      if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length) return null
+      val paletteOff = 14 + hdrSize
+      if (bpp == 8 && paletteOff + 256 * 4 > pixOff) return null
+
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val fileRow = if (topDown) y else h - 1 - y
+        val rowOff = pixOff + fileRow * stride
+        val ci = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val off = rowOff + x * bytesPerPx
+          var blue, green, red = 0
+          if (bpp == 8) {
+            val p = paletteOff + (b(off) & 0xff) * 4
+            blue = b(p) & 0xff; green = b(p + 1) & 0xff; red = b(p + 2) & 0xff
+          } else {
+            blue = b(off) & 0xff; green = b(off + 1) & 0xff; red = b(off + 2) & 0xff
+          }
+          val luma = (299 * red + 587 * green + 114 * blue) / 1000
+          val cell = ci * 8 + x * 8 / w
+          cellSum(cell) += luma
+          cellCnt(cell) += 1
+          total += luma
+          x += 1
+        }
+        y += 1
+      }
+      val nTotal = w.toLong * h
+      var hash = 0L
+      var p = 0
+      while (p < 64) {
+        // exact integer threshold: cellMean >= globalMean
+        if (cellSum(p) * nTotal >= total * cellCnt(p)) hash |= 1L << (63 - p)
+        p += 1
+      }
+      java.lang.Long.valueOf(hash)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: ArithmeticException => null
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic 24-bit uncompressed BMP synthesizer for the multimodal
+  * test surfaces: pixel (x,y) of image `id` is the gray value
+  * floorMod(id·131 + x·7 + y·13, 256) (R=G=B, so integer luma ≡ the gray
+  * value), written bottom-up with BI_RGB row padding — a REAL file any BMP
+  * reader decodes. Because the pixels are a closed form of (id, x, y), an
+  * oracle engine can recompute the downstream aHash from the FORMULA while
+  * Spark decodes the actual bytes — two independent derivations of the
+  * same answer (the x29/x30 contract). Inputs: (id: long, w: int, h: int),
+  * w/h clamped nowhere — callers keep them ≥8 for hashing.
+  */
+case class BuildBmp(idExpr: Expression, wExpr: Expression, hExpr: Expression)
+    extends TernaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = idExpr
+  override def second: Expression = wExpr
+  override def third: Expression = hExpr
+  override def dataType: DataType = BinaryType
+
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte
+    b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte
+    b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  override protected def nullSafeEval(idAny: Any, wAny: Any, hAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val w = wAny.asInstanceOf[Int]
+    val h = hAny.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad bmp dims ${w}x$h")
+    val stride = (3 * w + 3) / 4 * 4
+    val size = 54 + stride * h
+    val b = new Array[Byte](size)
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    putLe32(b, 2, size)
+    putLe32(b, 10, 54) // pixel data offset
+    putLe32(b, 14, 40) // BITMAPINFOHEADER
+    putLe32(b, 18, w)
+    putLe32(b, 22, h) // positive → bottom-up
+    b(26) = 1 // planes
+    b(28) = 24 // bpp
+    putLe32(b, 30, 0) // BI_RGB
+    putLe32(b, 34, stride * h)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // image row (0 = top)
+      val rowOff = 54 + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val v = java.lang.Math.floorMod(id * 131 + x * 7L + y * 13L, 256L).toByte
+        val off = rowOff + 3 * x
+        b(off) = v; b(off + 1) = v; b(off + 2) = v
+        x += 1
+      }
+      fileRow += 1
+    }
+    b
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(idExpr = f, wExpr = s, hExpr = t)
+}
+
 /** REAL container-header decode for the formats that need no codec
   * library — pure byte parsing, so the "decode" step of the multimodal
   * pipeline is genuine for WAV (RIFF) and BMP (BITMAPINFOHEADER) payloads

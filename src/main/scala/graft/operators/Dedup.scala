@@ -311,11 +311,15 @@ object Dedup {
     hammingBandPairs(sig, maxHamming, idCol)
   }
 
-  /** Band-blocked Hamming join shared by the simhash variants: 4×16-bit
-    * bands of `sim`, so any pair within Hamming distance ≤3 shares at least
-    * one exact band (pigeonhole — zero false negatives), then exact
-    * verification with bit_count(xor). Input: (idCol, sim: long).
+  /** Band-blocked Hamming join shared by the simhash variants AND the
+    * image-aHash near-dup path (x30): 4×16-bit bands of `sim`, so any pair
+    * within Hamming distance ≤3 shares at least one exact band (pigeonhole
+    * — zero false negatives), then exact verification with bit_count(xor).
+    * Input: (idCol, sim: long).
     */
+  def hammingPairs(sig: DataFrame, maxHamming: Int, idCol: String): DataFrame =
+    hammingBandPairs(sig, maxHamming, idCol)
+
   private def hammingBandPairs(sig: DataFrame, maxHamming: Int, idCol: String): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for hamming <= 3")
     val bandVals = (0 until 4).map(b =>

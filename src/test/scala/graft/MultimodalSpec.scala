@@ -165,6 +165,106 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  // --- real pixel decode: 8×8 average-hash over uncompressed BMP ---
+
+  /** A genuine 24-bit bottom-up BMP with caller-supplied grayscale pixels
+    * (gray(x, y), y = 0 at the TOP — the builder flips to file order).
+    */
+  private def bmpGray(w: Int, h: Int, gray: (Int, Int) => Int, topDown: Boolean = false): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer
+      .allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("BM".getBytes("US-ASCII")).putInt(54 + rowSize * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(if (topDown) -h else h).putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val b = buf.array()
+    for (fileRow <- 0 until h; x <- 0 until w) {
+      val y = if (topDown) fileRow else h - 1 - fileRow
+      val v = gray(x, y).toByte
+      val off = 54 + fileRow * rowSize + 3 * x
+      b(off) = v; b(off + 1) = v; b(off + 2) = v
+    }
+    b
+  }
+
+  private def ahashOf(payload: Array[Byte]): java.lang.Long = {
+    import spark.implicits._
+    val r = Seq(Tuple1(payload)).toDF("p")
+      .select(GraftFunctions.imageAHash(col("p")))
+      .collect()(0)
+    if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+  }
+
+  test("aHash golden: half-black/half-white 16x16 → 0x0F0F0F0F0F0F0F0F") {
+    val hash = ahashOf(bmpGray(16, 16, (x, _) => if (x < 8) 0 else 255))
+    assert(hash === 0x0f0f0f0f0f0f0f0fL)
+  }
+
+  test("aHash: uniform image → every cell at the mean → all 64 bits set") {
+    assert(ahashOf(bmpGray(16, 16, (_, _) => 77)) === -1L)
+  }
+
+  test("aHash: top-down and bottom-up encodings of the same pixels agree") {
+    val px = (x: Int, y: Int) => (x * 7 + y * 13) % 256
+    assert(ahashOf(bmpGray(24, 16, px)) === ahashOf(bmpGray(24, 16, px, topDown = true)))
+  }
+
+  test("aHash is invariant to uniform brightness shift (mean-relative by construction)") {
+    val base = (x: Int, y: Int) => if ((x / 3 + y / 3) % 2 == 0) 10 else 110
+    val brighter = (x: Int, y: Int) => base(x, y) + 50
+    assert(ahashOf(bmpGray(24, 24, base)) === ahashOf(bmpGray(24, 24, brighter)))
+  }
+
+  test("aHash: non-BMP, compressed, or sub-8x8 payloads → NULL, never a throw") {
+    assert(ahashOf("not an image".getBytes("UTF-8")) === null)
+    assert(ahashOf(pngBytes(64, 64, 8)) === null)
+    assert(ahashOf(bmpGray(4, 4, (_, _) => 0)) === null)
+    val corrupt = bmpGray(16, 16, (_, _) => 0).take(60) // truncated pixel data
+    assert(ahashOf(corrupt) === null)
+  }
+
+  test("BuildBmp round-trip: header decodes, pixels hash to the closed-form reference") {
+    import spark.implicits._
+    // plain-Scala reference aHash computed straight from the pixel formula
+    def refHash(id: Long, w: Int, h: Int): Long = {
+      val cs = new Array[Long](64); val cn = new Array[Long](64); var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = java.lang.Math.floorMod(id * 131 + x * 7L + y * 13L, 256L)
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        cs(cell) += g; cn(cell) += 1; tot += g
+      }
+      (0 until 64).foldLeft(0L) { (acc, p) =>
+        if (cs(p) * w * h >= tot * cn(p)) acc | (1L << (63 - p)) else acc
+      }
+    }
+    val rows = Seq((7L, 16, 16), (12L, 31, 27), (99L, 20, 16)).toDF("id", "w", "h")
+    val out = rows
+      .select(
+        col("id"),
+        Multimodal.decodeMeta(GraftFunctions.buildBmp(col("id"), col("w"), col("h"))).as("m"),
+        GraftFunctions.imageAHash(GraftFunctions.buildBmp(col("id"), col("w"), col("h"))).as("a")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getStruct(1), r.getLong(2)))
+    assert(out.forall(_._2.getString(0) === "bmp"))
+    assert(out.map(o => (o._2.getInt(1), o._2.getInt(2))).toSeq === Seq((16, 16), (31, 27), (20, 16)))
+    assert(out.map(_._3).toSeq === Seq(refHash(7, 16, 16), refHash(12, 31, 27), refHash(99, 20, 16)))
+  }
+
+  test("aHash near-dup: identical images pair at Hamming 0 through the banded join") {
+    import spark.implicits._
+    val sig = Seq((1L, 42L), (2L, 42L), (3L, 1000L))
+      .toDF("doc_id", "bmp_id")
+      .select(
+        col("doc_id"),
+        GraftFunctions.imageAHash(GraftFunctions.buildBmp(col("bmp_id"), lit(24), lit(20))).as("sim")
+      )
+    val pairs = graft.operators.Dedup.hammingPairs(sig, maxHamming = 3, idCol = "doc_id").collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1), pairs(0).getInt(2)) === ((1L, 2L, 0)))
+  }
+
   test("decodeMeta parses real PNG and GIF headers; corrupt IHDR → NULL") {
     import spark.implicits._
     val rows = Seq(

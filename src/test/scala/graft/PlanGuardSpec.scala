@@ -71,6 +71,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian/NLJ crept into: $offenders")
   }
 
+  test("no oracled query funnels unbounded data through a single-partition exchange") {
+    // Exchange SinglePartition means every row of its input flows through
+    // ONE task — the q27 global-window scale-killer shape. Legitimate
+    // single-reducer exchanges operate on already-bounded data:
+    //   - q05: the tail-300 state read WindowGroupLimits each partition to
+    //     ≤300 rows BEFORE its single reducer (pinned by its own test);
+    //   - q13/q14: the options pipeline embeds the same tail-300 read.
+    val exempt = Set("q05_snapshot_diff", "q13_options_pipeline", "q14_weekly_pipeline")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { n =>
+        val p = plan(n)
+        if (p.contains("Exchange SinglePartition")) Some(n) else None
+      }
+    assert(offenders.isEmpty, s"single-partition exchange crept into: $offenders")
+  }
+
   test("q30 correlated subquery decorrelates to aggregate + join (no per-row subquery)") {
     val p = plan("q30_correlated")
     assert(!p.contains("ScalarSubquery"),
