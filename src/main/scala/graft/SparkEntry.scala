@@ -605,6 +605,21 @@ object SparkEntry {
     * pins the closed forms ≡ the built-ins to 1e-9 so the statistic itself
     * is unchanged. Scale posture: one partial-agg shuffle, 11 exact sums —
     * the same single-pass shape as the built-ins.
+    *
+    * VALIDITY BOUND: "both engines cast the exact sums to double
+    * identically" holds while every power sum stays below 2^63 ≈ 9.2e18 —
+    * above that DuckDB's DECIMAL sums live in hugeint and its
+    * hugeint→double conversion is two-term (not single-rounded), so the
+    * casts can differ by an ulp. sum(cents²) is the binding term: at
+    * ~1.1e10 per row (prices ≤ ~$1,050) the bound holds to ~8×10⁸ rows
+    * per group — sf ~1e3, three orders past the sweep range. Past that,
+    * subtract per-group decimal means before casting (shrinks the sums by
+    * ~n) or emit the decimal sums and let the gate compare decimals.
+    *
+    * Degenerate groups (n=1, or zero variance under corr) return NULL —
+    * mirroring the built-ins' stddev_samp/corr NULL contract — instead of
+    * the NaN/Infinity the bare closed forms would produce; the guards run
+    * on the SAME cast doubles in both engines so they flip identically.
     */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     val dec = (c: Column) => c.cast(DecimalType(18, 0))
@@ -613,6 +628,8 @@ object SparkEntry {
     val d100 = dec(round(col("l_discount") * 100))
     val t100 = dec(round(col("l_tax") * 100))
     val dbl = (n: String) => col(n).cast(DoubleType)
+    val varX = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val varQ = dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -628,13 +645,14 @@ object SparkEntry {
       )
       .select(
         col("l_returnflag"),
-        round4(sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) /
-          (dbl("n") * (dbl("n") - 1))) / 100).as("sd_price"),
-        round4((dbl("n") * dbl("sxq") - dbl("sx") * dbl("sq")) /
-          (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
-            sqrt(dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")))).as("corr_pq"),
-        round4((dbl("n") * dbl("sdt") - dbl("sd") * dbl("st")) /
-          (dbl("n") * (dbl("n") - 1)) / 10000).as("cov_dt"),
+        when(col("n") > 1,
+          round4(sqrt(varX / (dbl("n") * (dbl("n") - 1))) / 100)).as("sd_price"),
+        when(col("n") > 1 && varX > 0 && varQ > 0,
+          round4((dbl("n") * dbl("sxq") - dbl("sx") * dbl("sq")) /
+            (sqrt(varX) * sqrt(varQ)))).as("corr_pq"),
+        when(col("n") > 1,
+          round4((dbl("n") * dbl("sdt") - dbl("sd") * dbl("st")) /
+            (dbl("n") * (dbl("n") - 1)) / 10000)).as("cov_dt"),
         col("n")
       )
       .orderBy(col("l_returnflag"))
@@ -850,15 +868,20 @@ object SparkEntry {
   }
 
   /** LSH-bucketed approximate top-5 (scale path). Registered at L=48
-    * tables: AnnRecallProbe measured that at 48 tables the OR-amplified
-    * candidate set covers the exact top-5 for every query at sf0.001/0.01/
-    * 0.1 (32 already suffices; 16 reaches ~0.85), and since candidates are
-    * reranked by the same exact rounded cosine with the same tie-break,
-    * the output then EQUALS brute force — which makes the x09-shaped DuckDB
-    * SQL a true oracle for this query (closing round 2's `no_oracle` row)
-    * while the plan remains genuinely bucketed (the per-query work is
-    * candidate-set-sized, not corpus-sized). Leaner production configs keep
-    * their spec-pinned recall floors (SimilaritySpec).
+    * tables: AnnRecallProbe's committed tables sweep (16/32/48, re-run
+    * this round) measures that at 48 tables the OR-amplified candidate set
+    * covers the exact top-5 for every query at sf0.001/0.01/0.1 — 32
+    * covers sf0.01/0.1 but misses 2 of 50 at sf0.001, and 16 reaches only
+    * 0.58–0.84 — and since candidates are reranked by the same exact
+    * rounded cosine with the same tie-break, the output then EQUALS brute
+    * force, which makes the x09-shaped DuckDB SQL a true oracle for this
+    * query (closing round 2's `no_oracle` row) while the plan remains
+    * genuinely bucketed (per-query work is candidate-set-sized, not
+    * corpus-sized). CAVEAT: candidate coverage is an empirical property of
+    * THIS corpus at these three SFs — regenerated embeddings or a new SF
+    * need a fresh probe run before trusting the exact oracle (leaner
+    * production configs keep their spec-pinned recall floors instead,
+    * SimilaritySpec).
     */
   private def x10(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -1228,6 +1251,40 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The two boilerplate spans x31 plants (single Scala vals interpolated
+    * into BOTH the Spark injection and the DuckDB oracle, so the two sides
+    * cannot drift): distinctive uppercase/punctuation content that the
+    * lowercase synthetic corpus can never accidentally extend.
+    */
+  private val substrInjA =
+    " ### COMMON LICENSE HEADER v2.1: Redistribution and use in source and binary forms, with or without modification, are permitted. ###"
+  private val substrInjB =
+    " >>> SHARED FOOTER: Generated by a synthetic corpus tool; do not edit below this line. <<<"
+
+  /** Exact-substring dedup (x31): documents sharing a long VERBATIM span.
+    * Docs ≡0 (mod 37) get boilerplate A appended, ≡0 (mod 41) boilerplate
+    * B (doc 0 hits both predicates; CASE order picks A identically on both
+    * engines) — the planted substring-duplicate classes; the corpus's own
+    * 24-char gram collisions (tiny vocabulary) ride along and must match
+    * too. See [[SubstringDedup.anchorPairs]] for the anchor + extend
+    * design and its scale posture. maxDf=200 keeps the planted classes
+    * (≤136 docs at sf0.1) below the boilerplate-prune threshold at every
+    * SF.
+    */
+  private def x31(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(substrInjA)))
+          .when(col("doc_id") % 41 === 0, concat(col("text"), lit(substrInjB)))
+          .otherwise(col("text"))
+          .as("text")
+      )
+    SubstringDedup
+      .anchorPairs(docs, k = 24, maxDf = 200)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_band_filter" -> (q02 _),
@@ -1289,7 +1346,8 @@ object SparkEntry {
     "x27_centroid_outliers" -> (x27 _),
     "x28_simhash_neardup" -> (x28 _),
     "x29_image_ahash" -> (x29 _),
-    "x30_image_neardup" -> (x30 _)
+    "x30_image_neardup" -> (x30 _),
+    "x31_substring_dedup" -> (x31 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -1733,10 +1791,16 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT l_returnflag,
-        |  floor(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))) / 100 * 1e4 + 0.5) / 1e4 AS sd_price,
-        |  floor((nd * sxq - sx * sq) /
-        |        (sqrt(nd * sxx - sx * sx) * sqrt(nd * sqq - sq * sq)) * 1e4 + 0.5) / 1e4 AS corr_pq,
-        |  floor((nd * sdt - sd * st) / (nd * (nd - 1)) / 10000 * 1e4 + 0.5) / 1e4 AS cov_dt,
+        |  CASE WHEN n > 1 THEN
+        |    floor(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))) / 100 * 1e4 + 0.5) / 1e4
+        |  END AS sd_price,
+        |  CASE WHEN n > 1 AND (nd * sxx - sx * sx) > 0 AND (nd * sqq - sq * sq) > 0 THEN
+        |    floor((nd * sxq - sx * sq) /
+        |          (sqrt(nd * sxx - sx * sx) * sqrt(nd * sqq - sq * sq)) * 1e4 + 0.5) / 1e4
+        |  END AS corr_pq,
+        |  CASE WHEN n > 1 THEN
+        |    floor((nd * sdt - sd * st) / (nd * (nd - 1)) / 10000 * 1e4 + 0.5) / 1e4
+        |  END AS cov_dt,
         |  n
         |FROM d ORDER BY l_returnflag""".stripMargin,
     "q31_tumbling" ->
@@ -2030,6 +2094,49 @@ object SparkEntry {
         |JOIN hashes ha ON ha.doc_id = c.a_id
         |JOIN hashes hb ON hb.doc_id = c.b_id
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "x31_substring_dedup" ->
+      s"""WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 37 = 0 THEN text || '$substrInjA'
+        |         WHEN doc_id % 41 = 0 THEN text || '$substrInjB'
+        |         ELSE text END AS text
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, text, unnest(range(len(text) - 23)) AS p
+        |  FROM docs2 WHERE len(text) >= 24
+        |), sel AS (
+        |  SELECT doc_id, substr(text, p + 1, 24) AS g, min(p) AS p
+        |  FROM pos
+        |  WHERE substr(md5(substr(text, p + 1, 24)), 1, 1) IN ('0', '4', '8', 'c')
+        |  GROUP BY doc_id, substr(text, p + 1, 24)
+        |), dfok AS (
+        |  SELECT g FROM sel GROUP BY g HAVING count(*) <= 200
+        |), kept AS (
+        |  SELECT s.doc_id, s.g, s.p FROM sel s JOIN dfok USING (g)
+        |), shared AS (
+        |  SELECT a.g, a.doc_id AS a_id, a.p AS pa, b.doc_id AS b_id, b.p AS pb
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |), spans AS (
+        |  SELECT a_id, b_id, pa - pb AS off, min(pa) AS sa, min(pb) AS sb,
+        |         max(pa) - min(pa) + 24 AS span
+        |  FROM shared GROUP BY a_id, b_id, pa - pb
+        |), vspans AS (
+        |  SELECT s.a_id, s.b_id,
+        |    CASE WHEN substr(da.text, s.sa + 1, s.span) = substr(db.text, s.sb + 1, s.span)
+        |         THEN s.span ELSE 24 END AS vspan
+        |  FROM spans s
+        |  JOIN docs2 da ON da.doc_id = s.a_id
+        |  JOIN docs2 db ON db.doc_id = s.b_id
+        |), agg1 AS (
+        |  SELECT a_id, b_id, count(DISTINCT g) AS n_anchors FROM shared GROUP BY a_id, b_id
+        |), agg2 AS (
+        |  SELECT a_id, b_id, max(vspan) AS max_span FROM vspans GROUP BY a_id, b_id
+        |)
+        |SELECT a.a_id, a.b_id,
+        |  CAST(a.n_anchors AS BIGINT) AS n_anchors,
+        |  CAST(g2.max_span AS BIGINT) AS max_span
+        |FROM agg1 a JOIN agg2 g2 USING (a_id, b_id)
         |ORDER BY a_id, b_id""".stripMargin,
     "x10_ann_lsh" -> annExactTop5Sql,
     "x13_ivf_topk" -> annExactTop5Sql,

@@ -27,6 +27,13 @@ object AnnRecallProbe {
         val ivf = key(Similarity.ivfTopK(q, c, 5, nlist = 16, nprobe = nprobe))
         println(s"$sf ivf nprobe=$nprobe match=${ivf == exact} overlap=${(ivf & exact).size}/${exact.size}")
       }
+      // the sweep behind x10's registered config: the 48-table candidate
+      // cover (and the 32-table margin / 16-table shortfall it is quoted
+      // against) must be re-runnable from the repo, not folklore
+      for (tables <- Seq(16, 32, 48)) {
+        val lsh = key(Similarity.lshTopK(q, c, 5, tables = tables, bitsPerTable = 4))
+        println(s"$sf lsh tables=$tables match=${lsh == exact} overlap=${(lsh & exact).size}/${exact.size}")
+      }
     }
     spark.stop()
   }

@@ -34,6 +34,10 @@ class StatsDeterminismSpec extends SparkSpec {
   private def sweep(name: String): Unit = {
     val base = fingerprint(name)
     assert(base.nonEmpty, s"$name returned no rows")
+    // restore whatever the shared session was configured with, not a
+    // hard-coded literal — a drifted restore would leak into every suite
+    // sharing this session
+    val restore = spark.conf.get("spark.sql.shuffle.partitions")
     for (parts <- Seq("1", "7", "32")) {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try {
@@ -43,7 +47,7 @@ class StatsDeterminismSpec extends SparkSpec {
           s"$name is not bit-deterministic across shuffle partitioning " +
             s"(diverged at shuffle.partitions=$parts)"
         )
-      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", restore)
     }
   }
 
