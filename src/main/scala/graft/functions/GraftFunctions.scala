@@ -49,6 +49,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "image_ahash", exprs => ImageAHash(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "repetition_counts", exprs => RepetitionCounts(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_run_entropy_sums", exprs => CharRunEntropySums(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "build_bmp", exprs => BuildBmp(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -150,6 +154,22 @@ object GraftFunctions {
     * pixel decode; NULL for codec-requiring formats) — see ImageAHash.
     */
   def imageAHash(payload: Column): Column = call_function("image_ahash", payload)
+
+  /** Per-doc repetition raw counts (top-token multiplicity, distinct/total
+    * 2- and 3-gram windows) — see RepetitionCounts. Built registry-free
+    * (ExpressionUtils) so TextAnalysis works on sessions that never called
+    * [[register]].
+    */
+  def repetitionCounts(toks: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      RepetitionCounts(org.apache.spark.sql.GraftSqlBridge.expression(toks)))
+
+  /** (Σ run·ln(run), n_chars) for the char-entropy closed form — see
+    * CharRunEntropySums. Registry-free like [[repetitionCounts]].
+    */
+  def charRunEntropySums(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      CharRunEntropySums(org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
   /** Deterministic synthetic 24-bit BMP bytes from (id, w, h) — see
     * BuildBmp.

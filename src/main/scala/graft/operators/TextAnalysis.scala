@@ -133,21 +133,30 @@ object TextAnalysis {
     * pre-filters: heavily repetitive docs are boilerplate/spam):
     * top-token occupancy and duplicate 2-/3-gram occurrence fractions.
     * Entirely map-side.
+    *
+    * The raw counts come from ONE hand-rolled expression
+    * ([[graft.functions.RepetitionCounts]]) instead of the
+    * `aggregate`/`transform` Column folds: higher-order functions run on
+    * Catalyst's interpreted path and cost ~6 ms/doc (≈30 s of noop-write
+    * bench wall at sf0.1); the plain-JVM walk is ~100× cheaper. The
+    * fractions below are the SAME Column arithmetic as before over the
+    * same integers, so results are bit-identical.
     */
   def withRepetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    def dupFrac(n: Int): Column = {
-      val g = rawNgrams(toks, n)
+    def dupFrac(d: Column, t: Column): Column =
       round(
-        when(size(g) > 0, lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-          .otherwise(lit(0.0)),
+        when(t > 0, lit(1.0) - d.cast("double") / t).otherwise(lit(0.0)),
         4
       )
-    }
     docs
-      .withColumn("top_token_frac", round(topTokenCount(toks).cast("double") / size(toks), 4))
-      .withColumn("dup_2gram_frac", dupFrac(2))
-      .withColumn("dup_3gram_frac", dupFrac(3))
+      .withColumn("rep_c", graft.functions.GraftFunctions.repetitionCounts(toks))
+      .withColumn(
+        "top_token_frac",
+        round(col("rep_c.top_run").cast("double") / size(toks), 4))
+      .withColumn("dup_2gram_frac", dupFrac(col("rep_c.dup2_distinct"), col("rep_c.dup2_total")))
+      .withColumn("dup_3gram_frac", dupFrac(col("rep_c.dup3_distinct"), col("rep_c.dup3_total")))
+      .drop("rep_c")
   }
 
   /** Corpus TF-IDF: the top-`k` terms of every document by tf·idf with
@@ -207,25 +216,14 @@ object TextAnalysis {
     * across engines). Empty/NULL text → 0.0.
     */
   def charEntropy(text: Column): Column = {
-    val chars = array_sort(split(text, ""))
-    val n = size(chars).cast("double")
-    // fold: (prev char, current run, Σ run·ln(run) over CLOSED runs)
-    val folded = aggregate(
-      chars,
-      struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
-      (acc, c) => {
-        val closing = c =!= acc.getField("prev") && acc.getField("run") > 0
-        val closedAcc = when(
-          closing,
-          acc.getField("acc") + acc.getField("run") * log(acc.getField("run"))
-        ).otherwise(acc.getField("acc"))
-        val run = when(c === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1.0))
-        struct(c.as("prev"), run.as("run"), closedAcc.as("acc"))
-      },
-      // close the final run
-      acc => acc.getField("acc") + acc.getField("run") * log(greatest(acc.getField("run"), lit(1.0)))
-    )
-    val h = log(n) - folded / n
+    // Σ run·ln(run) and n from one hand-rolled pass
+    // ([[graft.functions.CharRunEntropySums]] — replicates the sorted-run
+    // Column fold term-for-term, so the double is bit-identical; the fold
+    // itself ran interpreted and cost ~1.5 ms/doc). H and the IEEE-stable
+    // rounding stay in Column space, unchanged.
+    val sums = graft.functions.GraftFunctions.charRunEntropySums(text)
+    val n = sums.getField("n").cast("double")
+    val h = log(n) - sums.getField("acc") / n
     when(text.isNull || length(text) === 0, lit(0.0))
       .otherwise(floor(h * lit(10000.0) + lit(0.5)) / lit(10000.0))
   }

@@ -19,9 +19,11 @@ object ProfileRepeat {
       if (clear) spark.catalog.clearCache()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      // noop write, not count(): count() lets Catalyst prune the very
+      // projections being profiled (the Bench fidelity lesson)
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       println(
-        f"RUN $i wall=${(System.nanoTime() - t0) / 1e9}%7.2f cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%7.2f rows=$rows clear=$clear")
+        f"RUN $i wall=${(System.nanoTime() - t0) / 1e9}%7.2f cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%7.2f clear=$clear")
     }
     spark.stop()
   }
