@@ -131,6 +131,12 @@ object ScaleProbe {
       probe("minhash_lsh", k, nSalted)(
         Dedup.minhashLshPairs(salted, n = 3, threshold = 0.5, bands = 32, rowsPerBand = 4).count()
       )
+      // x06's inverted-index pair mining — the round-4 df-prune rewrite
+      // (groupBy + broadcast-anti-join, no map-side-aggregation-free
+      // window) should keep this family linear as the index load grows
+      probe("ngram_jaccard", k, nSalted)(
+        Dedup.ngramJaccardPairs(salted, n = 3, threshold = 0.5).count()
+      )
       probe("grams_naive_shape", k, nSalted)(
         Dedup
           .withShingles(salted.where(col("doc_id") % 50 =!= 0), 3)
