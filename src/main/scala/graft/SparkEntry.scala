@@ -199,22 +199,28 @@ object SparkEntry {
       lit("-"),
       date_format(col("l_shipdate"), "ddMMyy")
     )
-    val parts = split(col("symbol"), "-")
-    val tok = element_at(parts, -1)
+    // materialize the split once, structurally: the six downstream
+    // extractions reference a named `parts`/`tok` column instead of a live
+    // `split(...)` expression. Measured equal today (CollapseProject
+    // already declines to duplicate non-cheap expressions, SPARK-36718) —
+    // this shape just stops depending on that heuristic.
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), sym.as("symbol"))
-      .withColumn("strike", element_at(parts, 3).try_cast(DoubleType))
-      .withColumn(
-        "expiry",
+      .withColumn("parts", split(col("symbol"), "-"))
+      .withColumn("tok", element_at(col("parts"), -1))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("symbol"),
+        element_at(col("parts"), 3).try_cast(DoubleType).as("strike"),
         make_date(
-          substring(tok, 5, 2).try_cast(IntegerType) + lit(2000),
-          substring(tok, 3, 2).try_cast(IntegerType),
-          substring(tok, 1, 2).try_cast(IntegerType)
-        )
-      )
-      .withColumn(
-        "opt_type",
-        when(element_at(parts, 1) === "C", lit("Call")).otherwise(lit("Put"))
+          substring(col("tok"), 5, 2).try_cast(IntegerType) + lit(2000),
+          substring(col("tok"), 3, 2).try_cast(IntegerType),
+          substring(col("tok"), 1, 2).try_cast(IntegerType)
+        ).as("expiry"),
+        when(element_at(col("parts"), 1) === "C", lit("Call"))
+          .otherwise(lit("Put"))
+          .as("opt_type")
       )
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
