@@ -1257,6 +1257,40 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** GIF aHash (x32): the same encode→decode→hash contract as x29 but
+    * through a REAL LZW entropy decoder — [[graft.functions.BuildGif]]
+    * writes a genuinely valid GIF89a (256-entry grayscale table,
+    * uncompressed-LZW code stream with periodic clears), and
+    * [[graft.functions.ImageAHash]]'s full LZW decoder (variable code
+    * width, KwKwK, interlace) recovers the pixels. The oracle is the SAME
+    * closed form as x29 — the pixel formula is shared — so a hash match
+    * proves the LZW round-trip is byte-exact. Different doc subset than
+    * x29 so the two queries cannot mask each other.
+    */
+  private def x32(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .imageAHash(
+            GraftFunctions.buildGif(
+              col("doc_id"),
+              (lit(16) + col("doc_id") % 16).cast("int"),
+              (lit(16) + col("doc_id") % 12).cast("int")
+            )
+          )
+          .as("ahash")
+      )
+      .select(
+        col("doc_id"),
+        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
+        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1353,7 +1387,8 @@ object SparkEntry {
     "x28_simhash_neardup" -> (x28 _),
     "x29_image_ahash" -> (x29 _),
     "x30_image_neardup" -> (x30 _),
-    "x31_substring_dedup" -> (x31 _)
+    "x31_substring_dedup" -> (x31 _),
+    "x32_gif_ahash" -> (x32 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2036,6 +2071,36 @@ object SparkEntry {
         |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
         |         CAST(16 + doc_id % 12 AS INTEGER) AS h
         |  FROM documents WHERE doc_id % 3 = 0
+        |), xs AS (
+        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
+        |), lum AS (
+        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
+        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
+        |), bits AS (
+        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
+        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x32: identical closed form to x29 (the pixel formula is shared by
+    // BuildBmp and BuildGif); only the doc subset differs — Spark-side the
+    // pixels travel through a real LZW encode/decode round-trip instead
+    "x32_gif_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id AS pid,
+        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
+        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 1
         |), xs AS (
         |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
         |), px AS (

@@ -55,6 +55,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_bmp", exprs => BuildBmp(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_gif", exprs => BuildGif(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "rp_buckets",
       exprs =>
         RpBuckets(
@@ -176,6 +178,12 @@ object GraftFunctions {
     */
   def buildBmp(id: Column, w: Column, h: Column): Column =
     call_function("build_bmp", id, w, h)
+
+  /** Deterministic synthetic GIF89a bytes from (id, w, h) — same pixels
+    * as [[buildBmp]] through a genuinely valid LZW stream; see BuildGif.
+    */
+  def buildGif(id: Column, w: Column, h: Column): Column =
+    call_function("build_gif", id, w, h)
 
   /** Sign-random-projection LSH bucket ids, one int per hash table
     * (array<int> of length `tables`) — see RpBuckets.

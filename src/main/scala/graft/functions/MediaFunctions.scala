@@ -38,22 +38,54 @@ case class ByteHistogram(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 8×8 average-hash (aHash) of an UNCOMPRESSED BMP payload — real
-  * pixel-level decode, no codec library: BI_RGB BMPs store raw pixel rows,
-  * so 24/32-bit and 8-bit-palette images decode with pure byte arithmetic
-  * (bottom-up and top-down row orders both handled). Output is the
-  * standard perceptual hash: partition the image into an 8×8 grid of cells
-  * (pixel (x,y) → cell (y·8/h, x·8/w)), average integer luma
-  * ((299R+587G+114B)/1000) per cell, set bit 63−(i·8+j) iff cell (i,j)'s
-  * mean ≥ the global mean. The threshold compares
-  * cellSum·nTotal ≥ totalSum·nCell in exact integer arithmetic so any
-  * engine recomputing it from the same pixels agrees bit-for-bit — that is
-  * what makes the x29/x30 DuckDB oracles possible.
+/** Shared 8×8 average-hash accumulator: pixel (x,y) → cell
+  * (y·8/h, x·8/w); bit 63−(i·8+j) set iff cell (i,j)'s mean luma ≥ the
+  * global mean, compared as cellSum·nTotal ≥ totalSum·nCell in exact
+  * integer arithmetic so any engine recomputing from the same pixels
+  * agrees bit-for-bit.
+  */
+private[functions] final class AHashAcc(w: Int, h: Int) {
+  private val cellSum = new Array[Long](64)
+  private val cellCnt = new Array[Long](64)
+  private var total = 0L
+
+  def add(x: Int, y: Int, luma: Int): Unit = {
+    val cell = (y * 8 / h) * 8 + x * 8 / w
+    cellSum(cell) += luma
+    cellCnt(cell) += 1
+    total += luma
+  }
+
+  def hash(): Long = {
+    val nTotal = w.toLong * h
+    var out = 0L
+    var p = 0
+    while (p < 64) {
+      if (cellSum(p) * nTotal >= total * cellCnt(p)) out |= 1L << (63 - p)
+      p += 1
+    }
+    out
+  }
+}
+
+/** 8×8 average-hash (aHash) with REAL pixel-level decode, no codec
+  * library, for the formats whose pixels are reachable with public byte
+  * arithmetic:
+  *   - uncompressed BMP (BI_RGB): 24/32-bit and 8-bit-palette, bottom-up
+  *     and top-down row orders;
+  *   - GIF87a/89a: a full LZW decoder (variable code width 3→12 bits,
+  *     clear/EOI handling, the KwKwK case, interlace passes) over the
+  *     global or local color table — GIF's entropy coding is exactly the
+  *     published LZW algorithm, so "needs a codec library" never applied
+  *     to it.
+  * Luma is integer (299R+587G+114B)/1000; see [[AHashAcc]] for the
+  * exact-integer thresholding that makes the x29/x30/x32 DuckDB oracles
+  * possible.
   *
-  * NULL for anything that is not a well-formed uncompressed BMP of at
-  * least 8×8 pixels (JPEG/PNG/GIF pixels need entropy decoding — those
-  * formats stay behind the disclosed codec stub). Never throws: a corpus
-  * scan at scale WILL contain corrupt payloads.
+  * NULL for anything else (JPEG/PNG pixels need Huffman/DEFLATE — still
+  * behind the disclosed codec stub), for sub-8×8 images, and for corrupt
+  * payloads. Never throws: a corpus scan at scale WILL contain corrupt
+  * files.
   *
   * Hamming distance between aHashes is the standard image near-dup
   * signal; the 64-bit output plugs directly into the 4×16-bit banded
@@ -74,71 +106,285 @@ case class ImageAHash(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
     try {
-      if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return null
-      val pixOff = le32(b, 10)
-      val hdrSize = le32(b, 14)
-      if (hdrSize < 40) return null
-      val w = le32(b, 18)
-      val hRaw = le32(b, 22)
-      val h = math.abs(hRaw)
-      val topDown = hRaw < 0
-      val bpp = le16(b, 28)
-      val comp = le32(b, 30)
-      if (comp != 0) return null // only BI_RGB rows are codec-free
-      if (w < 8 || h < 8) return null // an aHash of fewer cells than bits is meaningless
-      val bytesPerPx = bpp match {
-        case 24 => 3
-        case 32 => 4
-        case 8  => 1
-        case _  => return null
-      }
-      val stride = ((bpp.toLong * w + 31) / 32 * 4).toInt
-      if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length) return null
-      val paletteOff = 14 + hdrSize
-      if (bpp == 8 && paletteOff + 256 * 4 > pixOff) return null
-
-      val cellSum = new Array[Long](64)
-      val cellCnt = new Array[Long](64)
-      var total = 0L
-      var y = 0
-      while (y < h) {
-        val fileRow = if (topDown) y else h - 1 - y
-        val rowOff = pixOff + fileRow * stride
-        val ci = y * 8 / h
-        var x = 0
-        while (x < w) {
-          val off = rowOff + x * bytesPerPx
-          var blue, green, red = 0
-          if (bpp == 8) {
-            val p = paletteOff + (b(off) & 0xff) * 4
-            blue = b(p) & 0xff; green = b(p + 1) & 0xff; red = b(p + 2) & 0xff
-          } else {
-            blue = b(off) & 0xff; green = b(off + 1) & 0xff; red = b(off + 2) & 0xff
-          }
-          val luma = (299 * red + 587 * green + 114 * blue) / 1000
-          val cell = ci * 8 + x * 8 / w
-          cellSum(cell) += luma
-          cellCnt(cell) += 1
-          total += luma
-          x += 1
-        }
-        y += 1
-      }
-      val nTotal = w.toLong * h
-      var hash = 0L
-      var p = 0
-      while (p < 64) {
-        // exact integer threshold: cellMean >= globalMean
-        if (cellSum(p) * nTotal >= total * cellCnt(p)) hash |= 1L << (63 - p)
-        p += 1
-      }
-      java.lang.Long.valueOf(hash)
+      if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) bmpHash(b)
+      else if (b.length >= 13 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte)
+        gifHash(b)
+      else null
     } catch {
-      case _: ArrayIndexOutOfBoundsException | _: ArithmeticException => null
+      case _: ArrayIndexOutOfBoundsException | _: ArithmeticException |
+          _: NegativeArraySizeException => null
     }
   }
 
+  private def bmpHash(b: Array[Byte]): Any = {
+    val pixOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return null
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    if (comp != 0) return null // only BI_RGB rows are codec-free
+    if (w < 8 || h < 8) return null // an aHash of fewer cells than bits is meaningless
+    val bytesPerPx = bpp match {
+      case 24 => 3
+      case 32 => 4
+      case 8  => 1
+      case _  => return null
+    }
+    val stride = ((bpp.toLong * w + 31) / 32 * 4).toInt
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length) return null
+    val paletteOff = 14 + hdrSize
+    if (bpp == 8 && paletteOff + 256 * 4 > pixOff) return null
+
+    val acc = new AHashAcc(w, h)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      val rowOff = pixOff + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val off = rowOff + x * bytesPerPx
+        var blue, green, red = 0
+        if (bpp == 8) {
+          val p = paletteOff + (b(off) & 0xff) * 4
+          blue = b(p) & 0xff; green = b(p + 1) & 0xff; red = b(p + 2) & 0xff
+        } else {
+          blue = b(off) & 0xff; green = b(off + 1) & 0xff; red = b(off + 2) & 0xff
+        }
+        acc.add(x, y, (299 * red + 587 * green + 114 * blue) / 1000)
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(acc.hash())
+  }
+
+  /** GIF: logical screen descriptor → color tables → first image
+    * descriptor → LZW-decoded color indices (row-major; interlace passes
+    * remapped). Returns NULL on any structural violation.
+    */
+  private def gifHash(b: Array[Byte]): Any = {
+    if (!(b(3) == '8'.toByte && (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte))
+      return null
+    val packed = b(10) & 0xff
+    var off = 13
+    var gctOff = -1
+    var gctSize = 0
+    if ((packed & 0x80) != 0) {
+      gctSize = 2 << (packed & 0x07)
+      gctOff = off
+      off += gctSize * 3
+    }
+    // skip extension blocks to the first image descriptor
+    while (off < b.length && (b(off) & 0xff) == 0x21) {
+      off += 2 // extension introducer + label
+      var bs = b(off) & 0xff
+      while (bs != 0) { off += 1 + bs; bs = b(off) & 0xff }
+      off += 1 // block terminator
+    }
+    if (off >= b.length || (b(off) & 0xff) != 0x2c) return null
+    val w = le16(b, off + 5)
+    val h = le16(b, off + 7)
+    if (w < 8 || h < 8 || w > 4096 || h > 4096) return null
+    val iPacked = b(off + 9) & 0xff
+    val interlaced = (iPacked & 0x40) != 0
+    off += 10
+    var ctOff = gctOff
+    var ctSize = gctSize
+    if ((iPacked & 0x80) != 0) { // local color table wins
+      ctSize = 2 << (iPacked & 0x07)
+      ctOff = off
+      off += ctSize * 3
+    }
+    if (ctOff < 0) return null
+
+    // interlace row order: passes start 0/4/2/1 with strides 8/8/4/2
+    val rowOf = new Array[Int](h)
+    if (interlaced) {
+      var out = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+        rowOf(out) = y; out += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) { rowOf(y) = y; y += 1 }
+    }
+
+    val minCodeSize = b(off) & 0xff
+    off += 1
+    if (minCodeSize < 2 || minCodeSize > 8) return null
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+
+    // LZW dictionary as prefix links; seq materialized per output code
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var width = minCodeSize + 1
+    var prev = -1
+    val acc = new AHashAcc(w, h)
+    val nPixels = w.toLong * h
+    var emitted = 0L
+    val scratch = new Array[Int](4096)
+
+    def firstCharOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def emitSeq(code: Int): Unit = {
+      var n = 0
+      var c = code
+      while (c >= clear) { scratch(n) = suffix(c); n += 1; c = prefix(c) }
+      scratch(n) = c; n += 1
+      // scratch holds the sequence reversed
+      var i = n - 1
+      while (i >= 0 && emitted < nPixels) {
+        val idx = scratch(i)
+        val pIdx = emitted.toInt
+        val x = pIdx % w
+        val y = rowOf(pIdx / w)
+        val co = ctOff + (if (idx < ctSize) idx else 0) * 3
+        val r = b(co) & 0xff; val g = b(co + 1) & 0xff; val bl = b(co + 2) & 0xff
+        acc.add(x, y, (299 * r + 587 * g + 114 * bl) / 1000)
+        emitted += 1
+        i -= 1
+      }
+    }
+
+    // bit reader over the concatenated sub-blocks, LSB-first
+    var bitBuf = 0L
+    var bitCnt = 0
+    var blockRemaining = 0
+    var done = false
+    while (!done && emitted < nPixels) {
+      while (bitCnt < width && !done) {
+        if (blockRemaining == 0) {
+          if (off >= b.length) return null
+          blockRemaining = b(off) & 0xff
+          off += 1
+          if (blockRemaining == 0) { done = true }
+        }
+        if (!done) {
+          bitBuf |= (b(off) & 0xffL) << bitCnt
+          bitCnt += 8
+          off += 1
+          blockRemaining -= 1
+        }
+      }
+      if (!done) {
+        val code = (bitBuf & ((1 << width) - 1)).toInt
+        bitBuf >>>= width
+        bitCnt -= width
+        if (code == clear) {
+          next = eoi + 1
+          width = minCodeSize + 1
+          prev = -1
+        } else if (code == eoi) {
+          done = true
+        } else if (code < next) {
+          emitSeq(code)
+          if (prev >= 0 && next < 4096) {
+            prefix(next) = prev; suffix(next) = firstCharOf(code); next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        } else if (code == next && prev >= 0 && next < 4096) {
+          // KwKwK: sequence = seq(prev) + firstChar(prev)
+          prefix(next) = prev; suffix(next) = firstCharOf(prev); next += 1
+          emitSeq(next - 1)
+          if (next == (1 << width) && width < 12) width += 1
+          prev = next - 1
+        } else return null // out-of-range code → corrupt stream
+      }
+    }
+    if (emitted < nPixels) return null // truncated image
+    java.lang.Long.valueOf(acc.hash())
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic GIF89a synthesizer — the GIF twin of [[BuildBmp]]: the
+  * SAME closed-form gray pixels (floorMod(id·131 + x·7 + y·13, 256))
+  * through a 256-entry grayscale color table and a genuinely valid LZW
+  * stream in the classic "uncompressed GIF" encoding: after each clear
+  * code only literal root codes are emitted, with a fresh clear before
+  * the decoder's table could force a code-width change — any conformant
+  * LZW decoder (including [[ImageAHash]]'s) reproduces the pixels
+  * byte-for-byte, and ImageAHash(BuildGif(id,w,h)) must equal
+  * ImageAHash(BuildBmp(id,w,h)) by construction (MultimodalSpec pins it).
+  */
+case class BuildGif(idExpr: Expression, wExpr: Expression, hExpr: Expression)
+    extends TernaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = idExpr
+  override def second: Expression = wExpr
+  override def third: Expression = hExpr
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(idAny: Any, wAny: Any, hAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val w = wAny.asInstanceOf[Int]
+    val h = hAny.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad gif dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(w * h + 1024)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write('G'); out.write('I'); out.write('F'); out.write('8'); out.write('9'); out.write('a')
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 256 entries
+    out.write(0) // background index
+    out.write(0) // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 } // grayscale table
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // image descriptor
+    out.write(8) // LZW min code size
+
+    // code stream: 9-bit codes LSB-first; clear every 253 literals keeps
+    // the decoder's table below 512 so the width never grows
+    val codes = new java.io.ByteArrayOutputStream(w * h * 9 / 8 + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putCode(c: Int): Unit = {
+      bitBuf |= (c.toLong & 0x1ff) << bitCnt
+      bitCnt += 9
+      while (bitCnt >= 8) { codes.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    putCode(256) // initial clear
+    var sinceClear = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (sinceClear == 253) { putCode(256); sinceClear = 0 }
+        putCode(java.lang.Math.floorMod(id * 131 + x * 7L + y * 13L, 256L).toInt)
+        sinceClear += 1
+        x += 1
+      }
+      y += 1
+    }
+    putCode(257) // EOI
+    if (bitCnt > 0) codes.write((bitBuf & 0xff).toInt)
+    val cs = codes.toByteArray
+    var p = 0
+    while (p < cs.length) { // sub-blocks of <=255 bytes
+      val n = math.min(255, cs.length - p)
+      out.write(n)
+      out.write(cs, p, n)
+      p += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(idExpr = f, wExpr = s, hExpr = t)
 }
 
 /** Deterministic 24-bit uncompressed BMP synthesizer for the multimodal

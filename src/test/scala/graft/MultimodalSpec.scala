@@ -265,6 +265,41 @@ class MultimodalSpec extends SparkSpec {
     assert((pairs(0).getLong(0), pairs(0).getLong(1), pairs(0).getInt(2)) === ((1L, 2L, 0)))
   }
 
+  test("GIF LZW round-trip: ImageAHash(BuildGif) equals ImageAHash(BuildBmp) pixel-for-pixel") {
+    import spark.implicits._
+    // the two synthesizers share one pixel formula, so after a REAL LZW
+    // encode + decode the hashes must agree exactly — any decoder drift
+    // (code width, KwKwK, clear handling, sub-block reassembly) breaks this
+    val rows = Seq((7L, 16, 16), (12L, 31, 27), (99L, 20, 16), (3L, 255, 19), (0L, 300, 40))
+      .toDF("id", "w", "h")
+    val out = rows
+      .select(
+        GraftFunctions.imageAHash(GraftFunctions.buildBmp(col("id"), col("w"), col("h"))).as("bmp"),
+        GraftFunctions.imageAHash(GraftFunctions.buildGif(col("id"), col("w"), col("h"))).as("gif")
+      )
+      .collect()
+    out.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("GIF decode: header parses, corrupt/truncated streams → NULL, never a throw") {
+    import spark.implicits._
+    val good = Seq((1L, 24, 20)).toDF("id", "w", "h")
+      .select(GraftFunctions.buildGif(col("id"), col("w"), col("h")).as("g"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val meta = Seq(Tuple1(good)).toDF("p")
+      .select(Multimodal.decodeMeta(col("p")).as("m")).collect()(0).getStruct(0)
+    assert(meta.getString(0) === "gif")
+    assert(meta.getInt(1) === 24 && meta.getInt(2) === 20)
+
+    val truncated = good.take(good.length / 2)
+    val noTable = good.take(13) // screen descriptor only
+    assert(ahashOf(truncated) === null)
+    assert(ahashOf(noTable) === null)
+  }
+
   test("decodeMeta parses real PNG and GIF headers; corrupt IHDR → NULL") {
     import spark.implicits._
     val rows = Seq(
