@@ -61,5 +61,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("nfc_normalize"),
         info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
         (es: Seq[Expression]) => NfcNormalize(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("vector_avg"),
+        info("vector_avg", "vector_avg(vec) - elementwise mean of float/double arrays (aggregate)"),
+        (es: Seq[Expression]) => VectorAvg(es(0)).toAggregateExpression()))
+    ext.injectFunction(
+      (FunctionIdentifier("simhash_md5_bands"),
+        info("simhash_md5_bands", "simhash_md5_bands(tokens) - md5-derived SimHash as 4x16-bit bands"),
+        (es: Seq[Expression]) => SimHashMd5Bands(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("decode_media_meta"),
+        info("decode_media_meta", "decode_media_meta(bin) - container-header decode (wav/bmp/png/gif/jpeg)"),
+        (es: Seq[Expression]) => DecodeMediaMeta(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("image_ahash"),
+        info("image_ahash", "image_ahash(bin) - 8x8 perceptual average-hash (real BMP/GIF pixel decode)"),
+        (es: Seq[Expression]) => ImageAHash(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("build_bmp"),
+        info("build_bmp", "build_bmp(id, w, h) - deterministic synthetic 24-bit BMP bytes"),
+        (es: Seq[Expression]) => BuildBmp(es(0), es(1), es(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("build_gif"),
+        info("build_gif", "build_gif(id, w, h) - deterministic synthetic GIF89a bytes (valid LZW)"),
+        (es: Seq[Expression]) => BuildGif(es(0), es(1), es(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("repetition_counts"),
+        info("repetition_counts", "repetition_counts(tokens) - (top_run, dup2/3 distinct+total) struct"),
+        (es: Seq[Expression]) => RepetitionCounts(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("char_run_entropy_sums"),
+        info("char_run_entropy_sums", "char_run_entropy_sums(str) - (sum run*ln(run), n_chars) struct"),
+        (es: Seq[Expression]) => CharRunEntropySums(es(0))))
   }
 }

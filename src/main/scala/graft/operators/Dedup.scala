@@ -72,14 +72,28 @@ object Dedup {
     * Jaccard ≥ threshold.
     *
     * `maxDf` prunes postings whose shingle occurs in more than that many
-    * docs (stop-shingles) before the quadratic step. Pruning makes the
-    * result the EXACT Jaccard over the df≤maxDf shingle space (set sizes
-    * are recounted after pruning, so numerator and denominator agree) —
-    * which equals full exact Jaccard iff no shingle exceeds maxDf. A pair
-    * held together only by ultra-common shingles can still fall below the
-    * threshold; that is the documented, intended trade for killing the
-    * stop-shingle blowup at corpus scale. Set `maxDf = Int.MaxValue` for
-    * unconditionally exact results.
+    * DISTINCT TEXTS (stop-shingles) before the quadratic step. Pruning
+    * makes the result the EXACT Jaccard over the df≤maxDf shingle space
+    * (set sizes are recounted after pruning, so numerator and denominator
+    * agree) — which equals full exact Jaccard iff no shingle exceeds
+    * maxDf. A pair held together only by ultra-common shingles can still
+    * fall below the threshold; that is the documented, intended trade for
+    * killing the stop-shingle blowup at corpus scale. Set
+    * `maxDf = Int.MaxValue` for unconditionally exact results.
+    *
+    * EXACT-DUPLICATE PRE-COLLAPSE, same guard as [[minhashLshPairs]]: an
+    * m-copy identical text would otherwise post ×m into the inverted
+    * index and mine m²/2 pairs through the shingle join, each verified by
+    * a full per-pair count. Mining runs on one min-id representative per
+    * distinct text; members fan back out AFTER the threshold (within-
+    * class pairs are Jaccard 1 by definition — emitted only for classes
+    * whose shingle set survives the prune non-empty, matching the direct
+    * algorithm where a fully-pruned doc has no postings and so no pairs;
+    * cross-class pairs inherit their representatives' Jaccard, a function
+    * of the texts alone). Df therefore counts distinct texts, not copies
+    * — the right scale semantics (mirrored pages shouldn't stop-list
+    * their own shingles) and identical in any regime where results were
+    * exact anyway.
     *
     * Output: (a_id, b_id, jac) with a_id < b_id, rounded to 6 dp.
     */
@@ -91,6 +105,58 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
+    val keyed = spread(docs.select(col(idCol), col(textCol)))
+      .withColumn("text_md5", md5(col(textCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = keyed
+      .groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = keyed
+      .select(col("text_md5"), col(idCol).as("member_id"))
+      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
+      .select(col("rep_id"), col("member_id"))
+    val repDocs = keyed
+      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
+      .where(col(idCol) === col("rep_id"))
+      .select(col(idCol), col(textCol))
+
+    val (repPairs, keptReps) = ngramJaccardCore(repDocs, n, threshold, maxDf, idCol, textCol)
+
+    val mA = members.select(col("rep_id").as("a_id"), col("member_id").as("a_m"))
+    val mB = members.select(col("rep_id").as("b_id"), col("member_id").as("b_m"))
+    val cross = repPairs
+      .join(mA, "a_id")
+      .join(mB, "b_id")
+      .select(
+        least(col("a_m"), col("b_m")).as("a_id"),
+        greatest(col("a_m"), col("b_m")).as("b_id"),
+        col("jac")
+      )
+    val dupMembers = members
+      .join(reps.where(col("n_copies") > 1).select(col("rep_id")), "rep_id")
+      .join(keptReps.select(col(idCol).as("rep_id")), "rep_id")
+    val within = dupMembers
+      .select(col("rep_id"), col("member_id").as("a_id"))
+      .join(dupMembers.select(col("rep_id"), col("member_id").as("b_id")), "rep_id")
+      .where(col("a_id") < col("b_id") && lit(threshold) <= 1.0)
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+    cross.unionByName(within)
+  }
+
+  /** The distinct-text mining core of [[ngramJaccardPairs]]: inverted
+    * index, df prune, recount, self-join, threshold. Returns the pairs
+    * and the docs whose shingle sets survived the prune non-empty (the
+    * within-class eligibility set for the fan-out).
+    */
+  private def ngramJaccardCore(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxDf: Int,
+      idCol: String,
+      textCol: String
+  ): (DataFrame, DataFrame) = {
     // persist BEFORE the generator, not only before the self-join: explode
     // above the live shingle expression evaluates it interpreted per row
     // (measured 17× wall on the decontamination twin of this shape)
@@ -122,13 +188,15 @@ object Dedup {
       col(idCol).as("a_id"), col("sh_size").as("a_size"), col("shingle"))
     val b = pruned.select(
       col(idCol).as("b_id"), col("sh_size").as("b_size"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val pairs = a
+      .join(b, Seq("shingle"))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jac", round(jaccard(col("a_size"), col("b_size"), col("common")), 6))
       .where(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
+    (pairs, sizes.select(col(idCol)))
   }
 
   /** MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.

@@ -79,6 +79,45 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(df, 3, 0.4, bands = 32, rowsPerBand = 4).count() === 0L)
   }
 
+  test("ngram pre-collapse: the inverted index mines representatives, members expand in full") {
+    val copies = (0L until 150L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val nears = Seq(500L, 501L).map(i => (i, "the quick brown fox jumps over the sleepy dog"))
+    val df = (copies ++ nears :+ (900L, "completely different content about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, 3, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val within = pairs.filter(p => p._1 < 150L && p._2 < 150L)
+    assert(within.length === 150 * 149 / 2 && within.forall(_._3 === 1.0))
+    val cross = pairs.filter(p => p._1 < 150L && p._2 >= 500L && p._2 < 900L)
+    assert(cross.length === 150 * 2, "every member pairs with every near-dup")
+    assert(cross.map(_._3).distinct.length === 1)
+    assert(!pairs.exists(p => p._1 == 900L || p._2 == 900L))
+  }
+
+  test("ngram df counts DISTINCT texts: copies cannot stop-list their own shingles") {
+    // 5 identical docs with maxDf=3: under copy-counting df every shingle
+    // would be pruned and the class would (absurdly) not even self-match;
+    // distinct-text df sees df=1 and the class pairs in full
+    val df = (1L to 5L).map(i => (i, "all five documents share this exact sentence verbatim"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, 3, 0.4, maxDf = 3).collect()
+    assert(pairs.length === 10)
+    assert(pairs.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("ngram pre-collapse: a duplicate class whose kept shingle set is empty never pairs") {
+    // the dup class's only shingle also lives in 5 DISTINCT texts →
+    // distinct-text df = 6 > maxDf = 3 → pruned everywhere → the class has
+    // no surviving postings, so (10,11) must NOT pair (matching the
+    // direct algorithm, where a fully-pruned doc has no postings at all)
+    val fillers = (1 to 5).map(i =>
+      (i.toLong, s"prefix$i alpha$i beta$i goes right before common tail phrase"))
+    val dups = Seq((10L, "common tail phrase"), (11L, "common tail phrase"))
+    val df = (fillers ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, 3, 0.4, maxDf = 3).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 10L || r.getLong(1) == 11L), s"got: ${pairs.mkString}")
+  }
+
   test("simhash: identical docs collide, near-dups are close") {
     val sigs = docs
       .select(col("doc_id"), GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("s"))

@@ -22,6 +22,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(4) === "café") // decomposed input composed to NFC
   }
 
+  test("round-4 injections: media, image-hash, and text-stat functions resolve from SQL") {
+    val r = spark
+      .sql("""SELECT
+              |  image_ahash(build_bmp(7L, 16, 16)) AS ab,
+              |  image_ahash(build_gif(7L, 16, 16)) AS ag,
+              |  decode_media_meta(build_bmp(7L, 16, 16)).format AS fmt,
+              |  repetition_counts(array('a', 'a', 'b')).top_run AS tr,
+              |  char_run_entropy_sums('aab').n AS n
+              |""".stripMargin)
+      .collect()(0)
+    assert(!r.isNullAt(0) && r.getLong(0) === r.getLong(1)) // BMP ≡ GIF round-trip
+    assert(r.getString(2) === "bmp")
+    assert(r.getInt(3) === 2)
+    assert(r.getInt(4) === 3)
+    val va = spark
+      .sql("""SELECT vector_avg(v) FROM VALUES (array(1.0D, 3.0D)), (array(3.0D, 5.0D)) AS t(v)""")
+      .collect()(0).getSeq[Double](0)
+    assert(va === Seq(2.0, 4.0))
+  }
+
   test("extension-injected topk aggregate resolves from SQL") {
     val topk = spark
       .sql("""SELECT topk_by_score(s, id, 2) AS t FROM VALUES
