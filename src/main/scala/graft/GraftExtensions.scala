@@ -93,5 +93,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("char_run_entropy_sums"),
         info("char_run_entropy_sums", "char_run_entropy_sums(str) - (sum run*ln(run), n_chars) struct"),
         (es: Seq[Expression]) => CharRunEntropySums(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("build_anim_gif"),
+        info("build_anim_gif", "build_anim_gif(id, w, h, frames) - deterministic multi-frame GIF89a bytes"),
+        (es: Seq[Expression]) => BuildAnimGif(es(0), es(1), es(2), es(3))))
+    ext.injectFunction(
+      (FunctionIdentifier("gif_frame_hashes"),
+        info("gif_frame_hashes", "gif_frame_hashes(bin) - per-frame 8x8 aHashes of a GIF (full LZW decode)"),
+        (es: Seq[Expression]) => GifFrameHashes(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("resize_bmp"),
+        info("resize_bmp", "resize_bmp(bin, w, h) - nearest-neighbor BMP resize, re-encoded as 24-bit BMP"),
+        (es: Seq[Expression]) => ResizeBmp(es(0), es(1), es(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("build_wav"),
+        info("build_wav", "build_wav(id, rate, n) - deterministic 16-bit PCM mono WAV bytes"),
+        (es: Seq[Expression]) => BuildWav(es(0), es(1), es(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("audio_pcm_features"),
+        info("audio_pcm_features", "audio_pcm_features(bin) - raw integer PCM stats (sum_sq/sum_abs/peak/zero_cross)"),
+        (es: Seq[Expression]) => AudioPcmFeatures(es(0))))
   }
 }

@@ -1291,6 +1291,125 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio PCM feature extraction (x33): genuine 16-bit PCM mono WAV
+    * payloads are synthesized from a closed-form sample formula
+    * ([[graft.functions.BuildWav]] — real files any WAV reader plays),
+    * then REALLY sample-decoded and folded to raw integer statistics by
+    * [[graft.functions.AudioPcmFeatures]] (Σs², Σ|s|, peak, sign-change
+    * count, floor-ms duration) — the x29 encode→decode→verify contract
+    * applied to audio. All-integer output per the round-3 lesson (doubles
+    * in a contract invite cross-engine rendering divergence); RMS/mean
+    * amplitude derive from sum_sq/sum_abs in Column space when needed.
+    * The oracle recomputes every statistic from the sample FORMULA — the
+    * bytes never leave Spark.
+    */
+  private def x33(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 4 === 2)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .audioPcmFeatures(
+            GraftFunctions.buildWav(
+              col("doc_id"),
+              (lit(8000) + (col("doc_id") % 5) * 2000).cast("int"),
+              (lit(400) + col("doc_id") % 377).cast("int")
+            )
+          )
+          .as("f")
+      )
+      .select(
+        col("doc_id"),
+        col("f.n_samples").as("n_samples"),
+        col("f.sample_rate").as("sample_rate"),
+        col("f.sum_sq").as("sum_sq"),
+        col("f.sum_abs").as("sum_abs"),
+        col("f.peak").as("peak"),
+        col("f.zero_cross").as("zero_cross"),
+        col("f.duration_ms").as("duration_ms")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** GIF frame sampling (x34): multi-frame GIF89a payloads
+    * ([[graft.functions.BuildAnimGif]] — real animations, frame f's
+    * pixels = the shared closed form shifted by f·37) are decoded
+    * frame-by-frame through the full LZW core into per-frame aHashes
+    * ([[graft.functions.GifFrameHashes]]), then SAMPLED declaratively:
+    * posexplode + `frame_idx % 2 = 0` — the "sample every k-th frame"
+    * video-pipeline verb, with the decode map-only and the sampling
+    * filter inside codegen. The oracle recomputes each sampled frame's
+    * hash from (id, f, x, y) alone, so a match proves the multi-frame
+    * walk (graphic-control extensions, per-frame sub-block chains, LZW
+    * per frame) byte-exact.
+    */
+  private def x34(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 4 === 3)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .gifFrameHashes(
+            GraftFunctions.buildAnimGif(
+              col("doc_id"),
+              (lit(16) + col("doc_id") % 13).cast("int"),
+              (lit(16) + col("doc_id") % 9).cast("int"),
+              (lit(3) + col("doc_id") % 4).cast("int")
+            )
+          )
+          .as("fh")
+      )
+      .select(col("doc_id"), posexplode(col("fh")).as(Seq("frame_idx", "fhash")))
+      .where(col("frame_idx") % 2 === 0)
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        shiftright(col("fhash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_hi"),
+        col("fhash").bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_lo")
+      )
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Image resize (x35): real BMP payloads are nearest-neighbor-resized
+    * by [[graft.functions.ResizeBmp]] (decode pixels → NN map
+    * src=(x·w/w2, y·h/h2) floor → re-encode 24-bit BMP) and the RESIZED
+    * file is then decoded and hashed by ImageAHash — two full
+    * encode→decode round-trips chained through the resize. The oracle
+    * composes the source-pixel formula with the same floor-division
+    * mapping, so a hash match pins the resize geometry (row order, floor
+    * semantics, padding) exactly. Dims vary per doc (8..14 × 8..12) to
+    * sweep the NN mapping across ratios.
+    */
+  private def x35(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .imageAHash(
+            GraftFunctions.resizeBmp(
+              GraftFunctions.buildBmp(
+                col("doc_id"),
+                (lit(16) + col("doc_id") % 16).cast("int"),
+                (lit(16) + col("doc_id") % 12).cast("int")
+              ),
+              (lit(8) + col("doc_id") % 7).cast("int"),
+              (lit(8) + col("doc_id") % 5).cast("int")
+            )
+          )
+          .as("ahash")
+      )
+      .select(
+        col("doc_id"),
+        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
+        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1388,7 +1507,10 @@ object SparkEntry {
     "x29_image_ahash" -> (x29 _),
     "x30_image_neardup" -> (x30 _),
     "x31_substring_dedup" -> (x31 _),
-    "x32_gif_ahash" -> (x32 _)
+    "x32_gif_ahash" -> (x32 _),
+    "x33_audio_features" -> (x33 _),
+    "x34_gif_frame_sample" -> (x34 _),
+    "x35_image_resize" -> (x35 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2108,6 +2230,102 @@ object SparkEntry {
         |), lum AS (
         |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
         |         (pid * 131 + x * 7 + y * 13) % 256 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
+        |), bits AS (
+        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
+        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x33: the oracle recomputes every audio statistic from the closed-form
+    // sample formula (id, i) alone — the bytes Spark decodes never leave
+    // Spark, so a hash match proves the WAV encode→decode round-trip exact.
+    // All-integer contract (sums/peaks/floor-ms), no doubles to render.
+    "x33_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS rate,
+        |         CAST(400 + doc_id % 377 AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 4 = 2
+        |), samp AS (
+        |  SELECT doc_id, rate, n, unnest(range(n)) AS i FROM d
+        |), s AS (
+        |  SELECT doc_id, rate, n, i,
+        |         (doc_id * 7919 + i * 2657) % 4001 - 2000 AS v,
+        |         CASE WHEN i > 0 THEN (doc_id * 7919 + (i - 1) * 2657) % 4001 - 2000 END AS pv
+        |  FROM samp
+        |)
+        |SELECT doc_id,
+        |  CAST(max(n) AS INTEGER) AS n_samples,
+        |  CAST(max(rate) AS INTEGER) AS sample_rate,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS INTEGER) AS peak,
+        |  CAST(sum(CASE WHEN i > 0 AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS INTEGER) AS zero_cross,
+        |  CAST((max(n) * 1000) // max(rate) AS BIGINT) AS duration_ms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x34: per-frame aHash of frame f = the x29 closed form with the f·37
+    // shift; sampling (f % 2 = 0) is applied to the formula domain exactly
+    // as Spark filters the posexploded frame index.
+    "x34_gif_frame_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id AS pid,
+        |         CAST(16 + doc_id % 13 AS INTEGER) AS w,
+        |         CAST(16 + doc_id % 9 AS INTEGER) AS h,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 3
+        |), fr AS (
+        |  SELECT doc_id, pid, w, h, unnest(range(nf)) AS f FROM dims
+        |), sel AS (
+        |  SELECT * FROM fr WHERE f % 2 = 0
+        |), xs AS (
+        |  SELECT doc_id, pid, w, h, f, unnest(range(w)) AS x FROM sel
+        |), px AS (
+        |  SELECT doc_id, pid, w, h, f, x, unnest(range(h)) AS y FROM xs
+        |), lum AS (
+        |  SELECT doc_id, f, (y * 8) // h AS ci, (x * 8) // w AS cj,
+        |         (pid * 131 + f * 37 + x * 7 + y * 13) % 256 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, f, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3, 4
+        |), tot AS (
+        |  SELECT doc_id, f, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT c.doc_id, c.f, c.ci * 8 + c.cj AS p,
+        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id, f)
+        |)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS fhash_hi,
+        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS fhash_lo
+        |FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+    // x35: the oracle composes the source-pixel formula with the same
+    // floor-division NN mapping src=(dst·srcDim)//dstDim, then hashes the
+    // w2×h2 grid — a match pins the resize geometry through two full
+    // encode→decode round-trips (grayscale survives the 24-bit re-encode,
+    // so luminance(g,g,g)=g on the resized side too).
+    "x35_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id AS pid,
+        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
+        |         CAST(16 + doc_id % 12 AS INTEGER) AS h,
+        |         CAST(8 + doc_id % 7 AS INTEGER) AS w2,
+        |         CAST(8 + doc_id % 5 AS INTEGER) AS h2
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), xs AS (
+        |  SELECT doc_id, pid, w, h, w2, h2, unnest(range(w2)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, pid, w, h, w2, h2, x, unnest(range(h2)) AS y FROM xs
+        |), lum AS (
+        |  SELECT doc_id, (y * 8) // h2 AS ci, (x * 8) // w2 AS cj,
+        |         (pid * 131 + ((x * w) // w2) * 7 + ((y * h) // h2) * 13) % 256 AS g
         |  FROM px
         |), cells AS (
         |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3

@@ -57,6 +57,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_gif", exprs => BuildGif(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_anim_gif",
+      exprs => BuildAnimGif(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "gif_frame_hashes", exprs => GifFrameHashes(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "resize_bmp", exprs => ResizeBmp(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "build_wav", exprs => BuildWav(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "rp_buckets",
       exprs =>
         RpBuckets(
@@ -184,6 +195,35 @@ object GraftFunctions {
     */
   def buildGif(id: Column, w: Column, h: Column): Column =
     call_function("build_gif", id, w, h)
+
+  /** Deterministic multi-frame GIF89a bytes; frame f's pixels are the
+    * BuildBmp formula shifted by f·37 — see BuildAnimGif.
+    */
+  def buildAnimGif(id: Column, w: Column, h: Column, frames: Column): Column =
+    call_function("build_anim_gif", id, w, h, frames)
+
+  /** Per-frame aHashes (array<long>) of an animated GIF through the full
+    * LZW decoder; frame sampling composes via posexplode — see
+    * GifFrameHashes.
+    */
+  def gifFrameHashes(payload: Column): Column = call_function("gif_frame_hashes", payload)
+
+  /** Nearest-neighbor resize of a real BMP payload to (w, h), re-encoded
+    * as a 24-bit BMP — see ResizeBmp.
+    */
+  def resizeBmp(payload: Column, w: Column, h: Column): Column =
+    call_function("resize_bmp", payload, w, h)
+
+  /** Deterministic 16-bit PCM mono WAV bytes from (id, rate, n) — see
+    * BuildWav.
+    */
+  def buildWav(id: Column, rate: Column, n: Column): Column =
+    call_function("build_wav", id, rate, n)
+
+  /** Real PCM sample decode → raw integer audio statistics (sum_sq,
+    * sum_abs, peak, zero_cross, …) — see AudioPcmFeatures.
+    */
+  def audioPcmFeatures(payload: Column): Column = call_function("audio_pcm_features", payload)
 
   /** Sign-random-projection LSH bucket ids, one int per hash table
     * (array<int> of length `tables`) — see RpBuckets.

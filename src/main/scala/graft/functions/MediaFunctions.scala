@@ -164,9 +164,44 @@ case class ImageAHash(child: Expression)
 
   /** GIF: logical screen descriptor → color tables → first image
     * descriptor → LZW-decoded color indices (row-major; interlace passes
-    * remapped). Returns NULL on any structural violation.
+    * remapped). Returns NULL on any structural violation. Shared decode
+    * machinery lives in [[GifCodec]] so the multi-frame sampler
+    * ([[GifFrameHashes]]) runs the IDENTICAL decoder per frame.
     */
   private def gifHash(b: Array[Byte]): Any = {
+    val hdr = GifCodec.parseHeader(b)
+    if (hdr == null) return null
+    val off = GifCodec.skipExtensions(b, hdr.off)
+    if (off >= b.length || (b(off) & 0xff) != 0x2c) return null
+    val fr = GifCodec.decodeFrame(b, off, hdr.gctOff, hdr.gctSize)
+    if (fr == null) null else java.lang.Long.valueOf(fr.hash)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The GIF89a/87a decode core shared by [[ImageAHash]] (first frame) and
+  * [[GifFrameHashes]] (every frame): header/color-table parse, extension
+  * skipping, and a full LZW decoder (variable code width 3→12 bits,
+  * clear/EOI, the KwKwK case, 4-pass interlace remapping) that folds the
+  * decoded pixels straight into an [[AHashAcc]] — pixels are never
+  * materialized, so a frame costs O(w·h) time and O(1) extra space beyond
+  * the 4096-entry code table. All methods return null (not throw) on
+  * structural corruption.
+  */
+private[functions] object GifCodec {
+
+  final case class Header(gctOff: Int, gctSize: Int, off: Int)
+  final case class Frame(hash: Long, nextOff: Int)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Signature + logical screen descriptor + global color table; `off`
+    * points at the first block introducer after the GCT.
+    */
+  def parseHeader(b: Array[Byte]): Header = {
+    if (b.length < 14) return null
     if (!(b(3) == '8'.toByte && (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte))
       return null
     val packed = b(10) & 0xff
@@ -178,14 +213,35 @@ case class ImageAHash(child: Expression)
       gctOff = off
       off += gctSize * 3
     }
-    // skip extension blocks to the first image descriptor
+    Header(gctOff, gctSize, off)
+  }
+
+  /** Skip 0x21-introduced extension blocks (graphic control, comment,
+    * application, …) to the next non-extension introducer.
+    */
+  def skipExtensions(b: Array[Byte], off0: Int): Int = {
+    var off = off0
     while (off < b.length && (b(off) & 0xff) == 0x21) {
       off += 2 // extension introducer + label
+      if (off >= b.length) return off
       var bs = b(off) & 0xff
-      while (bs != 0) { off += 1 + bs; bs = b(off) & 0xff }
+      while (bs != 0) {
+        off += 1 + bs
+        if (off >= b.length) return off
+        bs = b(off) & 0xff
+      }
       off += 1 // block terminator
     }
-    if (off >= b.length || (b(off) & 0xff) != 0x2c) return null
+    off
+  }
+
+  /** Decode one image (descriptor at `off0`, which must hold 0x2c) into
+    * its 8×8 aHash; `nextOff` lands just past the frame's sub-block
+    * terminator so callers can iterate frames.
+    */
+  def decodeFrame(b: Array[Byte], off0: Int, gctOff: Int, gctSize: Int): Frame = {
+    var off = off0
+    if (off + 10 > b.length) return null
     val w = le16(b, off + 5)
     val h = le16(b, off + 7)
     if (w < 8 || h < 8 || w > 4096 || h > 4096) return null
@@ -213,6 +269,7 @@ case class ImageAHash(child: Expression)
       while (y < h) { rowOf(y) = y; y += 1 }
     }
 
+    if (off >= b.length) return null
     val minCodeSize = b(off) & 0xff
     off += 1
     if (minCodeSize < 2 || minCodeSize > 8) return null
@@ -260,13 +317,14 @@ case class ImageAHash(child: Expression)
     var bitCnt = 0
     var blockRemaining = 0
     var done = false
+    var termSeen = false
     while (!done && emitted < nPixels) {
       while (bitCnt < width && !done) {
         if (blockRemaining == 0) {
           if (off >= b.length) return null
           blockRemaining = b(off) & 0xff
           off += 1
-          if (blockRemaining == 0) { done = true }
+          if (blockRemaining == 0) { done = true; termSeen = true }
         }
         if (!done) {
           bitBuf |= (b(off) & 0xffL) << bitCnt
@@ -302,7 +360,67 @@ case class ImageAHash(child: Expression)
       }
     }
     if (emitted < nPixels) return null // truncated image
-    java.lang.Long.valueOf(acc.hash())
+    // drain the sub-block chain to its terminator so nextOff is the
+    // following introducer (image descriptor / extension / trailer)
+    if (!termSeen) {
+      off += blockRemaining
+      var bs = if (off < b.length) b(off) & 0xff else return null
+      while (bs != 0) {
+        off += 1 + bs
+        if (off >= b.length) return null
+        bs = b(off) & 0xff
+      }
+      off += 1
+    }
+    Frame(acc.hash(), off)
+  }
+}
+
+/** Per-frame 8×8 aHashes of an animated (or single-frame) GIF — the
+  * "video frame sampling" surface for the one moving-picture format whose
+  * entropy coding is public byte arithmetic: every image descriptor is
+  * decoded through the SAME LZW core as [[ImageAHash]] ([[GifCodec]]) and
+  * folded to one long per frame. Returns array<long> in presentation
+  * order; NULL for non-GIF payloads, corrupt frames, or zero frames —
+  * never throws. Frame SAMPLING (every k-th, first-n, …) then composes
+  * declaratively with posexplode + a filter on the frame index, keeping
+  * the decode map-only and the sampling inside codegen.
+  *
+  * Frames after the 1024th are not decoded (guard against adversarial
+  * block chains); real corpora cap far below that.
+  */
+case class GifFrameHashes(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try {
+      if (!(b.length >= 14 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte))
+        return null
+      val hdr = GifCodec.parseHeader(b)
+      if (hdr == null) return null
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var off = hdr.off
+      var done = false
+      while (!done && hashes.length < 1024) {
+        off = GifCodec.skipExtensions(b, off)
+        if (off >= b.length || (b(off) & 0xff) == 0x3b) done = true // trailer / end
+        else if ((b(off) & 0xff) == 0x2c) {
+          val fr = GifCodec.decodeFrame(b, off, hdr.gctOff, hdr.gctSize)
+          if (fr == null) return null
+          hashes += fr.hash
+          off = fr.nextOff
+        } else return null // unknown introducer → corrupt
+      }
+      if (hashes.isEmpty) null else new GenericArrayData(hashes.toArray)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: ArithmeticException |
+          _: NegativeArraySizeException => null
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -578,4 +696,203 @@ case class DecodeMediaMeta(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic MULTI-FRAME GIF89a synthesizer — the animation twin of
+  * [[BuildGif]]: `frames` full-size image descriptors, each preceded by a
+  * genuine graphic control extension, sharing the 256-entry grayscale
+  * global color table and the same uncompressed-LZW code stream shape.
+  * Frame f's pixel (x,y) is the closed form
+  * floorMod(id·131 + f·37 + x·7 + y·13, 256) — at f=0 this IS the
+  * [[BuildBmp]]/[[BuildGif]] formula, so frame 0's aHash must equal
+  * ImageAHash(BuildBmp(id,w,h)) by construction (MultimodalSpec pins it),
+  * and an oracle engine can recompute every sampled frame's hash from
+  * (id, f, x, y) alone.
+  */
+case class BuildAnimGif(
+    idExpr: Expression, wExpr: Expression, hExpr: Expression, framesExpr: Expression)
+    extends QuaternaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = idExpr
+  override def second: Expression = wExpr
+  override def third: Expression = hExpr
+  override def fourth: Expression = framesExpr
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(idAny: Any, wAny: Any, hAny: Any, fAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val w = wAny.asInstanceOf[Int]
+    val h = hAny.asInstanceOf[Int]
+    val frames = fAny.asInstanceOf[Int]
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad gif dims ${w}x$h")
+    require(frames > 0 && frames <= 1024, s"bad frame count $frames")
+    val out = new java.io.ByteArrayOutputStream(frames * (w * h * 9 / 8) + 1024)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write('G'); out.write('I'); out.write('F'); out.write('8'); out.write('9'); out.write('a')
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 256 entries
+    out.write(0) // background index
+    out.write(0) // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 } // grayscale table
+
+    var f = 0
+    while (f < frames) {
+      // graphic control extension: 10cs delay, no transparency, no disposal
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); le16(10); out.write(0); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // image descriptor
+      out.write(8) // LZW min code size
+
+      // 9-bit codes LSB-first; clear every 253 literals holds the width
+      val codes = new java.io.ByteArrayOutputStream(w * h * 9 / 8 + 16)
+      var bitBuf = 0L
+      var bitCnt = 0
+      def putCode(c: Int): Unit = {
+        bitBuf |= (c.toLong & 0x1ff) << bitCnt
+        bitCnt += 9
+        while (bitCnt >= 8) { codes.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      }
+      putCode(256) // initial clear
+      var sinceClear = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (sinceClear == 253) { putCode(256); sinceClear = 0 }
+          putCode(java.lang.Math.floorMod(id * 131 + f * 37L + x * 7L + y * 13L, 256L).toInt)
+          sinceClear += 1
+          x += 1
+        }
+        y += 1
+      }
+      putCode(257) // EOI
+      if (bitCnt > 0) codes.write((bitBuf & 0xff).toInt)
+      val cs = codes.toByteArray
+      var p = 0
+      while (p < cs.length) { // sub-blocks of <=255 bytes
+        val n = math.min(255, cs.length - p)
+        out.write(n)
+        out.write(cs, p, n)
+        p += n
+      }
+      out.write(0) // block terminator
+      f += 1
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(idExpr = f, wExpr = s, hExpr = t, framesExpr = q)
+}
+
+/** Nearest-neighbor resize of a REAL uncompressed BMP payload to
+  * (w2, h2), re-encoded as a 24-bit bottom-up BI_RGB BMP — the "resize"
+  * verb of the multimodal pipeline, with genuine pixels on both sides:
+  * output pixel (x,y) is input pixel (x·w/w2, y·h/h2) (floor division,
+  * the standard NN mapping), so an oracle engine can compose the mapping
+  * with a known source-pixel formula and recompute any downstream hash.
+  * Supports the same decode surface as [[ImageAHash]]'s BMP path
+  * (24/32-bit and 8-bit-palette, bottom-up and top-down); NULL for
+  * non-BMP/compressed/corrupt payloads or unreasonable target dims —
+  * never throws. Map-only, O(w2·h2) per row.
+  */
+case class ResizeBmp(binExpr: Expression, wExpr: Expression, hExpr: Expression)
+    extends TernaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = binExpr
+  override def second: Expression = wExpr
+  override def third: Expression = hExpr
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte
+    b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte
+    b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  override protected def nullSafeEval(binAny: Any, wAny: Any, hAny: Any): Any = {
+    val b = binAny.asInstanceOf[Array[Byte]]
+    val w2 = wAny.asInstanceOf[Int]
+    val h2 = hAny.asInstanceOf[Int]
+    if (w2 <= 0 || h2 <= 0 || w2 > 4096 || h2 > 4096) return null
+    try {
+      if (!(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)) return null
+      val pixOff = le32(b, 10)
+      val hdrSize = le32(b, 14)
+      if (hdrSize < 40) return null
+      val w = le32(b, 18)
+      val hRaw = le32(b, 22)
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      val bpp = le16(b, 28)
+      val comp = le32(b, 30)
+      if (comp != 0 || w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+      val bytesPerPx = bpp match {
+        case 24 => 3
+        case 32 => 4
+        case 8  => 1
+        case _  => return null
+      }
+      val stride = ((bpp.toLong * w + 31) / 32 * 4).toInt
+      if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length) return null
+      val paletteOff = 14 + hdrSize
+      if (bpp == 8 && paletteOff + 256 * 4 > pixOff) return null
+
+      val stride2 = (3 * w2 + 3) / 4 * 4
+      val size2 = 54 + stride2 * h2
+      val o = new Array[Byte](size2)
+      o(0) = 'B'.toByte; o(1) = 'M'.toByte
+      putLe32(o, 2, size2)
+      putLe32(o, 10, 54)
+      putLe32(o, 14, 40)
+      putLe32(o, 18, w2)
+      putLe32(o, 22, h2) // positive → bottom-up
+      o(26) = 1 // planes
+      o(28) = 24 // bpp
+      putLe32(o, 30, 0) // BI_RGB
+      putLe32(o, 34, stride2 * h2)
+      var y2 = 0
+      while (y2 < h2) {
+        val ySrc = (y2.toLong * h / h2).toInt
+        val srcFileRow = if (topDown) ySrc else h - 1 - ySrc
+        val srcRowOff = pixOff + srcFileRow * stride
+        val dstRowOff = 54 + (h2 - 1 - y2) * stride2
+        var x2 = 0
+        while (x2 < w2) {
+          val xSrc = (x2.toLong * w / w2).toInt
+          val srcOff = srcRowOff + xSrc * bytesPerPx
+          var blue, green, red = 0
+          if (bpp == 8) {
+            val p = paletteOff + (b(srcOff) & 0xff) * 4
+            blue = b(p) & 0xff; green = b(p + 1) & 0xff; red = b(p + 2) & 0xff
+          } else {
+            blue = b(srcOff) & 0xff; green = b(srcOff + 1) & 0xff; red = b(srcOff + 2) & 0xff
+          }
+          val dOff = dstRowOff + 3 * x2
+          o(dOff) = blue.toByte; o(dOff + 1) = green.toByte; o(dOff + 2) = red.toByte
+          x2 += 1
+        }
+        y2 += 1
+      }
+      o
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: ArithmeticException |
+          _: NegativeArraySizeException => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(binExpr = f, wExpr = s, hExpr = t)
 }
