@@ -1410,6 +1410,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget corpus mixing (x36): the data-mixing verb of training-set
+    * assembly — each language keeps a deterministic hash-ordered prefix of
+    * its documents whose inclusive token sum stays within that language's
+    * budget ([[graft.operators.Mix.tokenBudgetFill]]). Spark computes the
+    * running sum with the TWO-PHASE distributed shape (range partition →
+    * per-slice sums → broadcast offsets → partition-local ROWS window — the
+    * [[graft.operators.GlobalRank]] pattern generalized from row_number to
+    * weighted sums; no single-partition window, the q27 lesson); the oracle
+    * uses DuckDB's plain global window — two algorithms, one answer. Token
+    * counts and hash order are the x04/x15 contracts (whitespace split,
+    * md5), so every column is an integer or a verbatim string.
+    */
+  private def x36(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+      md5(col("text")).as("h")
+    )
+    Mix
+      .tokenBudgetFill(
+        docs,
+        source = col("lang"),
+        sort = Seq(col("h"), col("doc_id")),
+        weight = col("n_tok"),
+        budgets = Map("en" -> 20000L),
+        defaultBudget = 8000L
+      )
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1510,7 +1542,8 @@ object SparkEntry {
     "x32_gif_ahash" -> (x32 _),
     "x33_audio_features" -> (x33 _),
     "x34_gif_frame_sample" -> (x34 _),
-    "x35_image_resize" -> (x35 _)
+    "x35_image_resize" -> (x35 _),
+    "x36_token_budget_mix" -> (x36 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2244,6 +2277,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
         |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x36: the oracle computes the per-language running token sum with the
+    // plain global window Spark deliberately avoids (two-phase range
+    // partition + broadcast offsets on the engine side) — two algorithms,
+    // one answer; integer-and-string-only contract.
+    "x36_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |         md5(text) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM d
+        |)
+        |SELECT doc_id, lang, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM c
+        |WHERE cum_tok <= CASE lang WHEN 'en' THEN 20000 ELSE 8000 END
+        |ORDER BY doc_id""".stripMargin,
     // x33: the oracle recomputes every audio statistic from the closed-form
     // sample formula (id, i) alone — the bytes Spark decodes never leave
     // Spark, so a hash match proves the WAV encode→decode round-trip exact.

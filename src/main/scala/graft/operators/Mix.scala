@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Token-budget corpus mixing — the "data mixing" verb of training-set
+  * assembly: from each source (language, domain, crawl), keep a
+  * deterministic, reproducible subset of documents whose token counts fill
+  * that source's budget, so the mixed corpus hits a target token
+  * distribution regardless of how skewed the raw source sizes are.
+  * (The reference pipeline has no analogue; this is a north-star extension
+  * like x15's deterministic sampling, which it composes with: hash-order
+  * selection means adding documents to a source never un-selects
+  * previously kept ones below the budget frontier.)
+  *
+  * The selection rule is the standard greedy fill: order each source's
+  * documents by a content hash (deterministic, uniform, reproducible —
+  * no RNG state), and keep documents while the INCLUSIVE running token
+  * sum stays within budget. Computing that running sum naively is the
+  * same scale trap q27 had: `Window.partitionBy(source).orderBy(hash)`
+  * serializes each source through ONE task — and sources are few and
+  * huge in exactly the mixing use case (a 100 TB corpus might have 30
+  * languages; the English partition would be tens of TB through one
+  * reducer). This operator generalizes [[GlobalRank]]'s two-phase shape
+  * from row_number to an arbitrary weighted running sum:
+  *
+  *   1. `repartitionByRange` on (source, hash, tiebreak) — each partition
+  *      holds a contiguous slice of each source's hash order, partitions
+  *      sort in parallel;
+  *   2. one tiny per-(partition, source) sum — at most P + S − 1 rows to
+  *      the driver (each of the P range partitions holds a contiguous run
+  *      of ≥1 source slices; bounded by parallelism + source count, not
+  *      data size), whose per-source running sum is each slice's offset;
+  *   3. a PARTITION-LOCAL running sum (ROWS frame over the same total
+  *      order) plus the broadcast offset.
+  *
+  * Offsets come from actual slice sums, so results are exact and
+  * deterministic for any boundary placement the range sampler picks —
+  * sampling skew can unbalance task times, never values.
+  */
+object Mix {
+
+  /** `df` plus an `outCol` LONG column holding the inclusive running sum
+    * of `weight` within each `source` group, over the total order
+    * (source, sort...). `sort` MUST complete a total order within every
+    * source (include a unique tie-break key): slices are glued end-to-end
+    * by offsets, so cross-boundary ties would otherwise make the local
+    * ROWS frame disagree with a global one. Weight values are cast to
+    * LONG; the frame is persisted because the range shuffle feeds both
+    * the offset job and the caller's plan.
+    */
+  def withSourceCumSum(
+      df: DataFrame,
+      source: Column,
+      sort: Seq[Column],
+      weight: Column,
+      outCol: String = "cum_weight",
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val s = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions else s.sparkContext.defaultParallelism
+    val keyed = df.withColumn("__src", source).withColumn("__w", weight.cast("long"))
+    val ranged = keyed
+      .repartitionByRange(p, col("__src") +: sort: _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val slices = ranged
+      .groupBy(col("__part"), col("__src"))
+      .agg(sum(col("__w")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1)) // per source, in partition (= range) order
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var curSrc: String = null
+    var acc = 0L
+    slices.foreach { case (part, src, sliceSum) =>
+      if (src != curSrc) { curSrc = src; acc = 0L }
+      offsets += ((part, src, acc))
+      acc += sliceSum
+    }
+    val offDf = s.createDataFrame(offsets.toIndexedSeq).toDF("__part", "__src", "__offset")
+    val w = Window
+      .partitionBy(col("__part"), col("__src"))
+      .orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offDf), Seq("__part", "__src"))
+      .withColumn(outCol, sum(col("__w")).over(w) + col("__offset"))
+      .drop("__part", "__src", "__w", "__offset")
+  }
+
+  /** Greedy budget fill: keep each source's documents in `hash`-order
+    * while the inclusive running `weight` sum stays ≤ that source's
+    * budget (sources absent from `budgets` use `defaultBudget`). Never
+    * overshoots; a document larger than the remaining budget is skipped
+    * ONLY if it is past the frontier — the rule is the pure prefix cut,
+    * so membership is stable under corpus growth (a new document can
+    * only push others out by hashing earlier, exactly like x15's
+    * md5-bucket sampling).
+    */
+  def tokenBudgetFill(
+      df: DataFrame,
+      source: Column,
+      sort: Seq[Column],
+      weight: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      cumCol: String = "cum_tok"
+  ): DataFrame = {
+    val withCum = withSourceCumSum(df, source, sort, weight, cumCol)
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) { case (acc, (src, b)) =>
+      when(source === lit(src), lit(b)).otherwise(acc)
+    }
+    withCum.where(col(cumCol) <= budgetCol)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Mix
+
+/** Pins the two-phase grouped running sum (Mix.withSourceCumSum) against
+  * the single-partition window it replaces, the greedy budget-fill rule,
+  * and the no-single-partition-exchange plan property — the same contract
+  * GlobalRankSpec pins for row_number, generalized to weighted sums.
+  */
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val langs = Seq("en", "es", "de", "fr")
+    (1 to n).map { i =>
+      (i.toLong, langs(rnd.nextInt(langs.length)), 1L + rnd.nextInt(50),
+        f"${rnd.nextInt(1000000)}%07d")
+    }.toDF("doc_id", "lang", "w", "h")
+  }
+
+  test("two-phase cumsum equals the single-partition window across partition counts") {
+    val df = corpus(500, 42)
+    val expected = df
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (p <- Seq(1, 3, 7, 32)) {
+      val got = Mix
+        .withSourceCumSum(df, col("lang"), Seq(col("h"), col("doc_id")), col("w"),
+          outCol = "cum", numPartitions = p)
+        .select(col("doc_id"), col("cum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected, s"numPartitions=$p")
+    }
+  }
+
+  test("budget fill keeps the inclusive hash-order prefix, never overshoots") {
+    // source A in explicit order o: weights 3, 4, 5 → cums 3, 7, 12
+    val df = Seq(
+      ("A", 1L, 3L), ("A", 2L, 4L), ("A", 3L, 5L),
+      ("B", 4L, 10L), ("B", 5L, 1L)
+    ).toDF("src", "o", "w")
+    def kept(budgets: Map[String, Long], dflt: Long): Set[Long] =
+      Mix.tokenBudgetFill(df, col("src"), Seq(col("o")), col("w"), budgets, dflt,
+          cumCol = "cum")
+        .select(col("o")).collect().map(_.getLong(0)).toSet
+    assert(kept(Map("A" -> 8L), dflt = 100L) === Set(1L, 2L, 4L, 5L)) // A cut after 7
+    assert(kept(Map("A" -> 7L), dflt = 100L) === Set(1L, 2L, 4L, 5L)) // inclusive ≤
+    assert(kept(Map("A" -> 6L), dflt = 100L) === Set(1L, 4L, 5L)) // 7 > 6 → only first
+    assert(kept(Map("A" -> 2L), dflt = 10L) === Set(4L)) // nothing fits A; B cut at 10
+    assert(kept(Map.empty, dflt = 0L) === Set.empty)
+  }
+
+  test("sources fill independently: one source's budget never affects another") {
+    val df = corpus(300, 7)
+    val all = Mix.tokenBudgetFill(df, col("lang"), Seq(col("h"), col("doc_id")),
+      col("w"), Map("en" -> 200L), defaultBudget = 150L, cumCol = "cum")
+    val tightened = Mix.tokenBudgetFill(df, col("lang"), Seq(col("h"), col("doc_id")),
+      col("w"), Map("en" -> 50L), defaultBudget = 150L, cumCol = "cum")
+    val allByLang = all.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tightByLang = tightened.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tightByLang.getOrElse("en", 0L) < allByLang("en"))
+    for (l <- Seq("es", "de", "fr"))
+      assert(tightByLang.getOrElse(l, 0L) === allByLang.getOrElse(l, 0L), l)
+    // and each kept set is the hash-order prefix: max kept cum ≤ budget
+    val maxCum = tightened.where(col("lang") === "en").agg(max("cum")).collect()(0).getLong(0)
+    assert(maxCum <= 50L)
+  }
+
+  test("no Exchange SinglePartition in the two-phase plan") {
+    val plan = Mix
+      .withSourceCumSum(corpus(100, 3), col("lang"), Seq(col("h"), col("doc_id")), col("w"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"single-partition exchange:\n$plan")
+  }
+}
