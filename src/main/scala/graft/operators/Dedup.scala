@@ -105,21 +105,32 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val keyed = spread(docs.select(col(idCol), col(textCol)))
-      .withColumn("text_md5", md5(col(textCol)))
+    // One shuffle carries each text ONCE: the class groupBy keeps the
+    // min-id representative, the copy count, AND the text itself
+    // (any_value is exact here — every text in an md5 class is identical
+    // by construction, the same collision tolerance the digest already
+    // accepts). The earlier shape (group ids only, then join the texts
+    // back to find each class's representative row) shuffled the full
+    // text column twice and persisted it once more — measured 3.8× on
+    // the sf0.1 bench for x06, 2.9× for x14, with zero semantic change.
+    // No spread() here: the class groupBy's own exchange redistributes to
+    // full parallelism, and repDocs (the shingle-compute input) sits on
+    // the post-shuffle side of it.
+    val base = docs.select(col(idCol), col(textCol))
+    val reps = base
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(
+        min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        any_value(col(textCol)).as(textCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val reps = keyed
-      .groupBy(col("text_md5"))
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val members = keyed
-      .select(col("text_md5"), col(idCol).as("member_id"))
+    val repDocs = reps.select(col("rep_id").as(idCol), col(textCol))
+    // the md5→rep mapping for fan-out re-derives the digest map-side from
+    // the scan — ids and 32-char hashes shuffle, texts never do
+    val members = base
+      .select(md5(col(textCol)).as("text_md5"), col(idCol).as("member_id"))
       .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
       .select(col("rep_id"), col("member_id"))
-    val repDocs = keyed
-      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
-      .where(col(idCol) === col("rep_id"))
-      .select(col(idCol), col(textCol))
 
     val (repPairs, keptReps) = ngramJaccardCore(repDocs, n, threshold, maxDf, idCol, textCol)
 
@@ -174,29 +185,75 @@ object Dedup {
     // >=maxDf-fold compression of the postings volume — so it broadcasts,
     // and the anti join drops hot postings map-side with no shuffle of the
     // postings at all for the prune step.
-    val hot = postings
+    val dfCounts = postings
       .groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf)
-      .select("shingle")
+    val hot = dfCounts.where(col("df") > maxDf).select("shingle")
     val kept = postings.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sh_size"))
-    val pruned = kept
-      .join(sizes, Seq(idCol))
+    // PREFIX FILTERING (AllPairs / PPJoin, Bayardo et al. WWW'07 and Xiao
+    // et al. WWW'08): under any global total order on shingles, two sets
+    // with Jaccard ≥ t must share an element within their first
+    // p = |S| − ⌈t·|S|⌉ + 1 shingles — so only the PREFIX needs to enter
+    // the inverted index. Ordering by ascending document frequency puts
+    // the RAREST shingles in the prefix, which is what collapses the
+    // candidate count: a shingle's index bucket mines df²/2 pairs, and the
+    // prefix keeps exactly the shingles with the smallest df. Measured at
+    // sf0.1 (5000 distinct docs, ~52 shingles/doc, t=0.5): 409k candidate
+    // pairs vs 2.79M co-occurrence rows for the count-every-co-occurrence
+    // join this replaces — 6.8× less quadratic output, bit-identical
+    // result. End-to-end wall is a WASH at this SF (verifying a candidate
+    // via array_intersect costs ~100× a narrow co-occurrence row, and this
+    // synthetic corpus's df distribution is flat); the shape is chosen for
+    // the 100× case, where the old join's Σdf² mass concentrates in
+    // near-maxDf shingles — each contributing ~maxDf²/2 pairs just under
+    // the prune — that a rarest-first prefix excludes unless they are
+    // among a doc's (1−t) rarest. Verification cost stays bounded by
+    // candidates × doc size, and both stages keep map-side partial
+    // aggregation. The prefix length
+    // uses t−1e−6 so a pair whose UNROUNDED Jaccard sits a hair below t
+    // but rounds up to it at 6 dp (the registered comparison) still
+    // satisfies the lemma's premise.
+    val tEff = threshold - 1e-6
+    // per-doc kept shingles in (df, shingle) order — one bounded array per
+    // doc (sort_array on struct sorts by field order: df first)
+    val ordered = kept
+      .join(dfCounts, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("dsh"))
+      .select(
+        col(idCol),
+        transform(col("dsh"), x => x.getField("shingle")).as("osh"),
+        size(col("dsh")).as("sh_size"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = pruned.select(
-      col(idCol).as("a_id"), col("sh_size").as("a_size"), col("shingle"))
-    val b = pruned.select(
-      col(idCol).as("b_id"), col("sh_size").as("b_size"), col("shingle"))
-    val pairs = a
-      .join(b, Seq("shingle"))
+    val prefix = ordered.select(
+      col(idCol),
+      explode(
+        slice(
+          col("osh"),
+          lit(1),
+          greatest(
+            lit(1),
+            (col("sh_size") - ceil(col("sh_size") * lit(tEff) - lit(1e-9)) + 1).cast("int")
+          )
+        )
+      ).as("shingle")
+    )
+    val candidates = prefix
+      .select(col(idCol).as("a_id"), col("shingle"))
+      .join(prefix.select(col(idCol).as("b_id"), col("shingle")), Seq("shingle"))
       .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
-      .agg(count(lit(1)).as("common"))
+      .select("a_id", "b_id")
+      .distinct()
+    val oA = ordered.select(col(idCol).as("a_id"), col("osh").as("a_sh"), col("sh_size").as("a_size"))
+    val oB = ordered.select(col(idCol).as("b_id"), col("osh").as("b_sh"), col("sh_size").as("b_size"))
+    val pairs = candidates
+      .join(oA, "a_id")
+      .join(oB, "b_id")
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jac", round(jaccard(col("a_size"), col("b_size"), col("common")), 6))
       .where(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
-    (pairs, sizes.select(col(idCol)))
+    (pairs, ordered.select(col(idCol)))
   }
 
   /** MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
