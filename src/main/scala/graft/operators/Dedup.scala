@@ -288,22 +288,24 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val keyed = spread(docs.select(col(idCol), col(textCol)))
-      .withColumn("text_md5", md5(col(textCol)))
+    // One shuffle carries each text ONCE (see ngramJaccardPairs — same
+    // reshape, same any_value-is-exact-within-an-md5-class argument); the
+    // md5→rep fan-out mapping re-derives the digest map-side, so only ids
+    // and 32-char hashes ever shuffle again.
+    val base = docs.select(col(idCol), col(textCol))
+    val reps = base
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(
+        min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        any_value(col(textCol)).as(textCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val reps = keyed
-      .groupBy(col("text_md5"))
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repDocs = reps.select(col("rep_id").as(idCol), col(textCol))
     // (rep_id, member_id) including the representative itself
-    val members = keyed
-      .select(col("text_md5"), col(idCol).as("member_id"))
+    val members = base
+      .select(md5(col(textCol)).as("text_md5"), col(idCol).as("member_id"))
       .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
       .select(col("rep_id"), col("member_id"))
-    val repDocs = keyed
-      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
-      .where(col(idCol) === col("rep_id"))
-      .select(col(idCol), col(textCol))
 
     val repPairs = minhashLshPairsDistinct(repDocs, n, threshold, bands, rowsPerBand, idCol, textCol)
 
