@@ -214,16 +214,29 @@ object Dedup {
     // but rounds up to it at 6 dp (the registered comparison) still
     // satisfies the lemma's premise.
     val tEff = threshold - 1e-6
-    // per-doc kept shingles in (df, shingle) order — one bounded array per
-    // doc (sort_array on struct sorts by field order: df first)
+    // DICTIONARY-ENCODE the surviving shingle space as dense INTEGER ids in
+    // (df, shingle) order before building per-doc arrays. The candidate
+    // join hashes each prefix element and the verifier intersects whole
+    // arrays — doing both over ~30-char strings was the suite's dominant
+    // CPU (x06 70 s, x14 83 s at sf0.1). A dense rank is a BIJECTION
+    // kept-shingle → int, so intersection sizes are provably unchanged
+    // (no hash-collision caveat), int arrays are several× smaller through
+    // the two verify joins, and ascending-int sort order IS the rarest-
+    // first (df, shingle) order the prefix lemma runs on — sid assignment
+    // reuses the two-phase GlobalRank, so no single-partition window. The
+    // encode join on `shingle` replaces the previous df-annotation join:
+    // same shuffle, narrower payload out.
+    val sids = GlobalRank
+      .withGlobalRank(
+        dfCounts.where(col("df") <= maxDf),
+        Seq(col("df"), col("shingle")),
+        "sid")
+      .select(col("shingle"), col("sid").cast("int").as("sid"))
     val ordered = kept
-      .join(dfCounts, Seq("shingle"))
+      .join(sids, Seq("shingle"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("dsh"))
-      .select(
-        col(idCol),
-        transform(col("dsh"), x => x.getField("shingle")).as("osh"),
-        size(col("dsh")).as("sh_size"))
+      .agg(sort_array(collect_list(col("sid"))).as("osh"))
+      .select(col(idCol), col("osh"), size(col("osh")).as("sh_size"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val prefix = ordered.select(
       col(idCol),
