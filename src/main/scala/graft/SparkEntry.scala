@@ -1442,6 +1442,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-window chunking (x37): window 48, stride 32, so ~60-token docs
+    * exercise both the short-doc single-chunk branch and the multi-chunk
+    * overlap path. Map-only — see [[Chunk.tokenWindows]]. The chunk text
+    * itself is in the hash-compared contract, so slicing/joining must
+    * agree byte-for-byte with the oracle's list_slice.
+    */
+  private def x37(s: SparkSession, dir: String): DataFrame =
+    Chunk
+      .tokenWindows(t(s, dir, "documents"), window = 48, stride = 32)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Corpus bigram vocabulary (x38): global top-50 by total occurrence,
+    * gram-ascending tie-break. Spark plans the top-k as
+    * TakeOrderedAndProject (per-partition heaps, no global sort) — the
+    * vocab-building shape that survives a 100 TB corpus; the oracle is a
+    * plain ORDER BY ... LIMIT.
+    */
+  private def x38(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .topNgramVocab(t(s, dir, "documents"), n = 2, k = 50)
+
+  /** N-gram novelty in doc-id order (x39): first-occurrence counting via
+    * min-doc-id per shingle — see [[TextAnalysis.ngramNovelty]] for why
+    * novel counts collapse to one row per doc BEFORE any join. Integer
+    * ppm contract (the x17 lesson).
+    */
+  private def x39(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .ngramNovelty(t(s, dir, "documents"), n = 3)
+      .orderBy(col("doc_id"))
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1543,7 +1574,10 @@ object SparkEntry {
     "x33_audio_features" -> (x33 _),
     "x34_gif_frame_sample" -> (x34 _),
     "x35_image_resize" -> (x35 _),
-    "x36_token_budget_mix" -> (x36 _)
+    "x36_token_budget_mix" -> (x36 _),
+    "x37_token_chunks" -> (x37 _),
+    "x38_vocab_topk" -> (x38 _),
+    "x39_ngram_novelty" -> (x39 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2588,6 +2622,68 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    // x37: the oracle rebuilds each chunk with list_slice over the same
+    // token list and the same integer ceil / floor-mapped boundaries; the
+    // chunk TEXT is in the hash, so tokenization and joining must agree
+    // byte-for-byte across engines.
+    "x37_token_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) <= 48 THEN 1
+        |              ELSE (len(toks) - 48 + 31) // 32 + 1 END AS c
+        |  FROM tk
+        |), ch AS (
+        |  SELECT doc_id, toks, n, unnest(range(c)) AS chunk_idx FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(least(48, n - chunk_idx * 32) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(
+        |    list_slice(toks, chunk_idx * 32 + 1,
+        |               chunk_idx * 32 + least(48, n - chunk_idx * 32)), ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // x38: plain unnest + GROUP BY + ORDER BY/LIMIT ground truth for the
+    // TakeOrderedAndProject top-k; (cnt, gram) is a total order (grams are
+    // unique), so the 50-row SET is deterministic on both engines.
+    "x38_vocab_topk" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2
+        |                     THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+        |                     ELSE [] END) AS gram
+        |  FROM tk
+        |)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+    // x39: first-occurrence novelty — min(doc_id) per distinct 3-shingle,
+    // counted back by that minimum; integer ppm via // (the Spark side's
+    // floor-form double division is exact at these magnitudes).
+    "x39_ngram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh
+        |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM s1
+        |), firsts AS (
+        |  SELECT shingle, min(doc_id) AS first_id FROM ex GROUP BY shingle
+        |), novel AS (
+        |  SELECT first_id AS doc_id, count(*) AS n_novel FROM firsts GROUP BY first_id
+        |)
+        |SELECT s1.doc_id,
+        |  CAST(len(sh) AS INTEGER) AS n_shingles,
+        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN len(sh) > 0
+        |       THEN CAST(coalesce(n_novel, 0) * 1000000 // len(sh) AS BIGINT) END AS novelty_ppm
+        |FROM s1 LEFT JOIN novel USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

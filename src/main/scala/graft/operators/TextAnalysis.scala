@@ -112,6 +112,96 @@ object TextAnalysis {
       )
     ).otherwise(array().cast("array<string>"))
 
+  /** Corpus vocabulary: the k most frequent word n-grams with their total
+    * occurrence counts (every occurrence counts — frequency, not document
+    * frequency), ties broken by the gram itself so the result is a
+    * deterministic set.
+    *
+    * 100 TB shape: one explode + one hash aggregation with map-side
+    * partials (each mapper emits at most its distinct-gram count), then a
+    * global top-k that Spark plans as TakeOrderedAndProject — per-partition
+    * heaps of size k merged on the driver, NEVER a single-partition sort
+    * of the full vocabulary. k rows of driver state, same bounded-state
+    * contract as the IVF quantizer.
+    */
+  def topNgramVocab(
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      textCol: String = "text"
+  ): DataFrame =
+    docs
+      // same §8.4 generator trap as ngramNovelty below: materialize the
+      // gram arrays before explode so the tokenize/slice/concat pipeline
+      // runs once inside codegen, not interpreted per exploded row
+      .select(rawNgrams(tokens(col(textCol)), n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(explode(col("grams")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+
+  /** Per-document n-gram novelty: how many of a doc's DISTINCT shingles
+    * see their FIRST corpus occurrence (minimum doc id over all docs
+    * containing the shingle) in this very document. High novelty = new
+    * content entering the corpus in id order; near-zero = the document
+    * restates earlier material — a dedup-adjacent diversity signal
+    * (id order stands in for ingestion order).
+    *
+    * Novelty is reported as parts-per-million via INTEGER division — the
+    * all-integer x17 contract; the caller can divide by 1e6 in display
+    * space where bit-identity no longer matters.
+    *
+    * 100 TB shape: two hash aggregations, both with map-side partials, and
+    * one join keyed by doc id. The novel-count never joins back per gram:
+    * grouping min(doc_id) by shingle then counting BY THAT MINIMUM gives
+    * each doc's novel-gram count directly, so per-gram rows collapse to at
+    * most one row per document before any join. The doc-id join's build
+    * side is that collapsed table (≤ one row per doc, two ints wide).
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    // materialize the shingle arrays BEFORE the generator and the double
+    // reference below: explode above a live shingle expression pushes the
+    // tokenize/slice/concat work onto the interpreted per-row path, and the
+    // two branches (postings + per-doc sizes) would each recompute it
+    // (the §8.4 trap — measured 10.3 s → expected ~1 s at sf0.1). Cached
+    // blocks are dropped by the ContextCleaner when the plan is unreferenced.
+    val sized = docs
+      .select(
+        col(idCol),
+        shingles(tokens(col(textCol)), n).as("sh")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val novel = sized
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .groupBy("shingle")
+      .agg(min(col(idCol)).as("first_id"))
+      .groupBy(col("first_id").as(idCol))
+      .agg(count(lit(1)).as("n_novel"))
+    sized
+      .select(col(idCol), size(col("sh")).as("n_shingles"))
+      .join(novel, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        // floor-form integer division (the memory'd round4 pattern): the
+        // double quotient is correctly rounded and |numerator| ≪ 2^53, so
+        // floor(double(a)/double(b)) == a div b exactly — a misrounding
+        // would need k·b − a < b·k·2⁻⁵³ < 1, impossible for integers.
+        when(
+          col("n_shingles") > 0,
+          floor((coalesce(col("n_novel"), lit(0L)) * 1000000L) / col("n_shingles"))
+        ).cast("long").as("novelty_ppm")
+      )
+  }
+
   /** Max multiplicity of any single token, computed WITHOUT a shuffle: sort
     * the token array, then fold it counting the longest run of equal
     * adjacent elements. The group-by-token formulation needs an explode +

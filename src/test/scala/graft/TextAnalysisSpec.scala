@@ -139,4 +139,52 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def round4(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("vocab top-k: total occurrences (not df), cnt-desc then gram-asc ties") {
+    val docs = Seq(
+      (1L, "a b a b"), // "a b" x2, "b a" x1
+      (2L, "a b c"),   // "a b", "b c"
+      (3L, "b c")      // "b c"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .topNgramVocab(docs, n = 2, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a b", 3L), ("b c", 2L), ("b a", 1L)))
+  }
+
+  test("vocab top-k plans as TakeOrderedAndProject, never a global sort") {
+    val plan = TextAnalysis
+      .topNgramVocab(Seq((1L, "a b c")).toDF("doc_id", "text"), n = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected heap top-k, got:\n$plan")
+    assert(!plan.contains("Sort "), s"expected no full sort, got:\n$plan")
+  }
+
+  test("ngram novelty: first-occurrence counting in doc-id order") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d} — both first here: novel 2/2
+      (2L, "b c d e"),   // {b c d, c d e} — b c d seen in doc 1: novel 1/2
+      (3L, "a b c d e"), // {a b c, b c d, c d e} — all seen: novel 0/3
+      (4L, "x y")        // too short: 0 shingles, novelty NULL
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .ngramNovelty(docs, n = 3)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2, 2L, 1000000L),
+      (2L, 2, 1L, 500000L),
+      (3L, 3, 0L, 0L),
+      (4L, 0, 0L, -1L)
+    ))
+  }
+
+  test("ngram novelty counts DISTINCT shingles (repeats inside a doc count once)") {
+    val docs = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    // distinct 3-shingles: {a b c, b c a, c a b} = 3, all novel
+    val r = TextAnalysis.ngramNovelty(docs, n = 3).collect()(0)
+    assert((r.getInt(1), r.getLong(2), r.getLong(3)) === ((3, 3L, 1000000L)))
+  }
 }
