@@ -1473,6 +1473,61 @@ object SparkEntry {
       .ngramNovelty(t(s, dir, "documents"), n = 3)
       .orderBy(col("doc_id"))
 
+  /** Int8 scalar quantization of the embedding corpus (x40): per-dim
+    * (min, max) calibration in ONE [[graft.functions.VectorMinMax]] pass,
+    * then a map-only floor quantize — see [[Similarity.sq8Codes]]. Codes
+    * ship as a space-joined string plus an integer checksum, so the
+    * hash-compared contract is strings and integers only; the floor form
+    * `(v−mn)·255/(mx−mn)` is the same three correctly-rounded IEEE ops on
+    * both engines, so codes agree bit-for-bit.
+    */
+  private def x40(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .sq8Codes(t(s, dir, "embeddings"))
+      .select(
+        col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        array_join(col("codes"), " ").as("codes_str"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum")
+      )
+      .orderBy(col("vec_id"))
+  }
+
+  /** Quantized top-5 (x41): the compressed search path over
+    * [[Similarity.sq8TopK]] — cosine over DEQUANTIZED codes (the FAISS-SQ8
+    * semantics; raw code dots rank the min-shifted space and measured
+    * 0.06 recall), scores under the x09 round-6dp contract. The oracle
+    * recomputes quantize → dequantize → cosine from the same closed
+    * forms. Same query/corpus split as x09/x10/x13.
+    */
+  private def x41(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .sq8TopK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token-balanced contiguous sharding (x42): cut the md5-ordered corpus
+    * into 8 shards of near-equal TOKEN mass — see [[Mix.tokenShards]] for
+    * why token (not document-count) balance is the verb training shards
+    * need. Spark computes the running sum two-phase (no single-partition
+    * window); the oracle uses the plain global window plus the same
+    * `offset·S div total` closed form — two algorithms, one answer, all
+    * integers.
+    */
+  private def x42(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text")).as("h"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")
+    )
+    Mix
+      .tokenShards(docs, sort = Seq(col("h"), col("doc_id")), weight = col("n_tok"), numShards = 8)
+      .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1577,7 +1632,10 @@ object SparkEntry {
     "x36_token_budget_mix" -> (x36 _),
     "x37_token_chunks" -> (x37 _),
     "x38_vocab_topk" -> (x38 _),
-    "x39_ngram_novelty" -> (x39 _)
+    "x39_ngram_novelty" -> (x39 _),
+    "x40_sq8_codes" -> (x40 _),
+    "x41_sq8_topk" -> (x41 _),
+    "x42_token_shards" -> (x42 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2684,6 +2742,73 @@ object SparkEntry {
         |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
         |  CASE WHEN len(sh) > 0
         |       THEN CAST(coalesce(n_novel, 0) * 1000000 // len(sh) AS BIGINT) END AS novelty_ppm
-        |FROM s1 LEFT JOIN novel USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM s1 LEFT JOIN novel USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // x40/x41: the oracle recomputes the per-dim (min, max) calibration
+    // naively (dim × corpus unnest — fine for an oracle) and the SAME
+    // floor-quantize formula; codes and dot products are exact integers,
+    // so both queries are hash-stable with no rounding convention.
+    "x40_sq8_codes" ->
+      (sq8CodesSql +
+        """
+          |SELECT vec_id, CAST(len(codes) AS INTEGER) AS n_dims,
+          |  array_to_string(codes, ' ') AS codes_str,
+          |  CAST(list_sum(codes) AS BIGINT) AS code_sum
+          |FROM q ORDER BY vec_id""".stripMargin),
+    "x41_sq8_topk" ->
+      (sq8CodesSql +
+        """
+          |, dq AS (
+          |  SELECT vec_id,
+          |    [mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0
+          |     for i in range(1, len(codes)+1)] AS dv
+          |  FROM q, mm
+          |), qs AS (SELECT vec_id AS query_id, dv AS qv FROM dq WHERE vec_id < 10),
+          |cs AS (SELECT vec_id AS neighbor_id, dv AS cv FROM dq WHERE vec_id >= 10),
+          |sc AS (
+          |  SELECT query_id, neighbor_id,
+          |    round(list_cosine_similarity(qv, cv), 6) AS cos
+          |  FROM qs, cs
+          |), rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rnk
+          |  FROM sc
+          |)
+          |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank
+          |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // x42: the oracle computes the running token sum with the plain global
+    // window Spark's two-phase shape avoids, then the same integer
+    // offset*S div total shard cut; // is floor division on non-negative
+    // BIGINTs, identical to Spark's `div`.
+    "x42_token_shards" ->
+      """WITH tk AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT *,
+        |    sum(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok,
+        |    sum(n_tok) OVER () AS total
+        |  FROM tk
+        |)
+        |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+        |  CAST(least(7, (cum_tok - n_tok) * 8 // total) AS INTEGER) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
+    * ending with `q(vec_id, codes)` — both oracles read from one
+    * definition so the two sides cannot drift.
+    */
+  private val sq8CodesSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS i, v FROM e),
+      |dim AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM ex GROUP BY i),
+      |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dim),
+      |q AS (
+      |  SELECT vec_id,
+      |    [CASE WHEN mxs[i] > mns[i]
+      |          THEN CAST(least(255, floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))) AS BIGINT)
+      |          ELSE 0 END for i in range(1, len(v)+1)] AS codes
+      |  FROM e, mm
+      |)""".stripMargin
 }

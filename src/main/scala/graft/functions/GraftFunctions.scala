@@ -45,6 +45,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "vector_avg", exprs => VectorAvg(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
+      "vector_min_max", exprs => VectorMinMax(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "image_ahash", exprs => ImageAHash(exprs(0)), "built-in")
@@ -130,6 +132,11 @@ object GraftFunctions {
   def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Elementwise (mins, maxs) ranges of a vector column — ONE
+    * struct(mins array<double>, maxs array<double>) row per group.
+    */
+  def vectorMinMax(vec: Column): Column = call_function("vector_min_max", vec)
 
   /** MinHash signature (array<long> of length k) of an array<string> column. */
   def minhashSig(shingles: Column, k: Int): Column =

@@ -119,3 +119,122 @@ case class VectorAvg(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0))
 }
+
+/** Mutable elementwise (mins, maxs) accumulator, sized lazily like
+  * [[VecSumBuffer]].
+  */
+final class VecMinMaxBuffer {
+  var mins: Array[Double] = _
+  var maxs: Array[Double] = _
+
+  def add(v: ArrayData, isFloat: Boolean): Unit = {
+    val n = v.numElements()
+    if (mins == null) {
+      mins = Array.fill(n)(Double.PositiveInfinity)
+      maxs = Array.fill(n)(Double.NegativeInfinity)
+    }
+    require(n == mins.length, s"ragged vectors: saw dims ${mins.length} and $n")
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      if (x < mins(i)) mins(i) = x
+      if (x > maxs(i)) maxs(i) = x
+      i += 1
+    }
+  }
+
+  def mergeFrom(o: VecMinMaxBuffer): Unit =
+    if (o.mins != null) {
+      if (mins == null) { mins = o.mins.clone(); maxs = o.maxs.clone() }
+      else {
+        require(mins.length == o.mins.length, "ragged vectors across partitions")
+        var i = 0
+        while (i < mins.length) {
+          if (o.mins(i) < mins(i)) mins(i) = o.mins(i)
+          if (o.maxs(i) > maxs(i)) maxs(i) = o.maxs(i)
+          i += 1
+        }
+      }
+    }
+}
+
+/** Elementwise (min, max) ranges of an array<float>/array<double> column as
+  * ONE TypedImperativeAggregate returning struct(mins, maxs) — the
+  * calibration pass of scalar quantization (x40). Same shape argument as
+  * [[VectorAvg]]: the posexplode + groupBy(pos) twin shuffles dim × corpus
+  * rows, while this ships one (mins[dim], maxs[dim]) pair per partition —
+  * for a corpus-wide calibration that is a SINGLE pair per map task into
+  * one tiny reduce, and min/max are exact (no FP-order sensitivity at
+  * all, unlike sums). NULL vectors are skipped; an all-NULL input yields
+  * NULL.
+  */
+case class VectorMinMax(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[VecMinMaxBuffer] {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("mins", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("maxs", ArrayType(DoubleType, containsNull = false), nullable = false)
+    )
+  )
+
+  override def createAggregationBuffer(): VecMinMaxBuffer = new VecMinMaxBuffer
+
+  override def update(buf: VecMinMaxBuffer, input: InternalRow): VecMinMaxBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData], elemIsFloat)
+    buf
+  }
+
+  override def merge(b1: VecMinMaxBuffer, b2: VecMinMaxBuffer): VecMinMaxBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: VecMinMaxBuffer): Any =
+    if (buf.mins == null) null
+    else
+      InternalRow(new GenericArrayData(buf.mins), new GenericArrayData(buf.maxs))
+
+  override def serialize(buf: VecMinMaxBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val n = if (buf.mins == null) -1 else buf.mins.length
+    out.writeInt(n)
+    var i = 0
+    while (i < math.max(n, 0)) { out.writeDouble(buf.mins(i)); i += 1 }
+    i = 0
+    while (i < math.max(n, 0)) { out.writeDouble(buf.maxs(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMinMaxBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new VecMinMaxBuffer
+    val n = in.readInt()
+    if (n >= 0) {
+      buf.mins = new Array[Double](n)
+      buf.maxs = new Array[Double](n)
+      var i = 0
+      while (i < n) { buf.mins(i) = in.readDouble(); i += 1 }
+      i = 0
+      while (i < n) { buf.maxs(i) = in.readDouble(); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorMinMax =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorMinMax =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

@@ -100,6 +100,46 @@ object Mix {
     * only push others out by hashing earlier, exactly like x15's
     * md5-bucket sampling).
     */
+  /** Deterministic token-balanced CONTIGUOUS sharding — the "write the
+    * training shards" verb: order the corpus by a content hash (the same
+    * no-RNG determinism contract as x15 sampling / [[tokenBudgetFill]])
+    * and cut it into `numShards` contiguous runs of near-equal TOKEN mass
+    * (not document count — documents vary 100× in length, so count-equal
+    * shards are token-skewed and the slowest trainer data-loader gates
+    * every step). A document starting at token offset `o` (exclusive
+    * prefix sum) lands in shard `o·S div total` — the boundaries every
+    * engine agrees on, since offsets and totals are exact BIGINTs. Each
+    * shard's token mass deviates from total/S by at most one document, no
+    * shard is ever empty-by-construction unless documents outnumber
+    * tokens, and the assignment is reproducible from the data alone.
+    *
+    * Scale shape: the running sum is [[withSourceCumSum]]'s two-phase
+    * range-partition form (NO single-partition window — the q27/x36
+    * lesson), and `total` is ONE driver scalar (max of the inclusive
+    * cumsum — read from the already-persisted ranged frame, not a second
+    * scan of the input). `sort` must complete a total order.
+    */
+  def tokenShards(
+      df: DataFrame,
+      sort: Seq[Column],
+      weight: Column,
+      numShards: Int,
+      cumCol: String = "cum_tok",
+      shardCol: String = "shard"
+  ): DataFrame = {
+    require(numShards >= 1, "need at least one shard")
+    val withCum = withSourceCumSum(df, lit("all"), sort, weight, cumCol)
+    val totalRow = withCum.agg(max(col(cumCol))).collect()(0)
+    val total = if (totalRow.isNullAt(0) || totalRow.getLong(0) <= 0L) 1L else totalRow.getLong(0)
+    withCum
+      .withColumn("__start", col(cumCol) - weight.cast("long"))
+      .withColumn(
+        shardCol,
+        expr(s"cast(least($numShards - 1, __start * $numShards div $total) as int)")
+      )
+      .drop("__start")
+  }
+
   def tokenBudgetFill(
       df: DataFrame,
       source: Column,

@@ -120,6 +120,116 @@ object Similarity {
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
 
+  /** Int8 scalar quantization (SQ8) of an embedding column — the standard
+    * 4× compression step of large-scale vector search (FAISS
+    * `ScalarQuantizer`-style): per-dimension corpus (min, max) calibration,
+    * then each component maps to `floor((v−min)·255/(max−min))` clamped to
+    * [0, 255]. At 100 TB the point is bytes: a 64-dim float corpus drops
+    * from 256 B to 64 B per vector BEFORE any index is built, and integer
+    * dot products over codes are exact arithmetic (no FP-order caveats),
+    * which is what makes [[sq8TopK]] a hash-stable oracled surface.
+    *
+    * Shape: ONE [[graft.functions.VectorMinMax]] pass (a single
+    * (mins[dim], maxs[dim]) pair per map task into one tiny reduce — the
+    * posexplode twin would shuffle dim × corpus rows), whose dim-bounded
+    * result is collected and inlined as array literals (driver state
+    * bounded by 2×dim doubles — the [[ivfCentroids]] contract), making
+    * the quantize itself a map-only pass with NO join. Min/max are
+    * exact comparisons and the quantize step is three correctly-rounded
+    * IEEE ops + an exact floor, so codes are reproducible bit-for-bit by
+    * any engine evaluating the same formula (the DuckDB oracle does).
+    * A degenerate dimension (max == min) quantizes to 0.
+    */
+  def sq8Codes(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val v = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val (mns, mxs) = sq8Ranges(v)
+    quantizeWith(v, mns, mxs, idCol)
+  }
+
+  /** Collected (mins[dim], maxs[dim]) calibration — one aggregate job,
+    * 2×dim doubles of driver state.
+    */
+  private def sq8Ranges(v: DataFrame): (Array[Double], Array[Double]) = {
+    val row = v
+      .agg(GraftFunctions.vectorMinMax(col("v")).as("mm"))
+      .select(col("mm.mins"), col("mm.maxs"))
+      .collect()(0)
+    (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
+  }
+
+  private def quantizeWith(
+      v: DataFrame,
+      mns: Array[Double],
+      mxs: Array[Double],
+      idCol: String
+  ): DataFrame =
+    v.select(
+      col(idCol),
+      transform(
+        col("v"),
+        (x, i) => {
+          val mn = element_at(lit(mns), i + 1)
+          val mx = element_at(lit(mxs), i + 1)
+          when(mx > mn, least(lit(255L), floor((x - mn) * lit(255.0) / (mx - mn))))
+            .otherwise(lit(0L))
+            .cast("int")
+        }
+      ).as("codes")
+    )
+
+  /** Approximate top-k over SQ8 codes — the FAISS-SQ8 search semantics:
+    * distances are computed on DEQUANTIZED values
+    * (`mn_i + code_i·(mx_i−mn_i)/255`), because a raw code dot product
+    * ranks in the min-SHIFTED space and correlates poorly with cosine
+    * (measured: 0.06 recall vs exact top-5 on the test embeddings — the
+    * per-dim `−min` shift dominates the products; QuantizeSpec pins the
+    * dequantized form ≥ 0.9). The search reads only the 1-byte codes —
+    * that is the 100 TB point: the float corpus never re-enters the plan
+    * after calibration — and dequantization is three IEEE ops per element
+    * inside the same map task as the codegen'd cosine, with scores under
+    * the x09 round-6dp contract and (cos desc, neighbor_id asc) ties.
+    * Calibration runs over `all` (queries ∪ corpus must share ranges or
+    * scores aren't comparable). `isQuery` must be a predicate over `idCol`
+    * alone (it is applied to the quantized frame, which carries only
+    * id + codes — no join back to the input, so the corpus is never
+    * reshuffled just to attach the split flag).
+    */
+  def sq8TopK(
+      all: DataFrame,
+      isQuery: Column,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val v = all.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val (mns, mxs) = sq8Ranges(v)
+    val dequant = quantizeWith(v, mns, mxs, idCol)
+      .select(
+        col(idCol),
+        transform(
+          col("codes"),
+          (c, i) => {
+            val mn = element_at(lit(mns), i + 1)
+            val mx = element_at(lit(mxs), i + 1)
+            mn + c * (mx - mn) / lit(255.0)
+          }
+        ).as("dv")
+      )
+    val q = dequant.where(isQuery).select(col(idCol).as("query_id"), col("dv").as("q_vec"))
+    val c = Dedup.spread(
+      dequant.where(!isQuery).select(col(idCol).as("neighbor_id"), col("dv").as("c_vec"))
+    )
+    val scored = c
+      .join(broadcast(q))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored, k)
+      .withColumnRenamed("score", "cos")
+  }
+
   /** IVF coarse quantizer: `nlist` centroids trained with `iters` rounds of
     * distributed Lloyd k-means. Everything driver-side is bounded by
     * nlist×dim (the quantizer, NOT data-scale state — same contract as the

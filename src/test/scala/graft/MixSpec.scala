@@ -80,4 +80,48 @@ class MixSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), s"single-partition exchange:\n$plan")
   }
+
+  test("tokenShards equals the single-window closed form and stays in bounds") {
+    val df = corpus(400, 7)
+    val s = 8
+    val got = Mix
+      .tokenShards(df, Seq(col("h"), col("doc_id")), col("w"), numShards = s)
+      .select(col("doc_id"), col("cum_tok"), col("shard"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .toMap
+    val total = df.agg(sum(col("w"))).collect()(0).getLong(0)
+    val expected = df
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect()
+      .map { r =>
+        val cum = r.getAs[Long]("cum")
+        val shard = math.min(s - 1, ((cum - r.getAs[Long]("w")) * s / total).toInt)
+        (r.getAs[Long]("doc_id"), (cum, shard))
+      }
+      .toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).toSet.subsetOf((0 until s).toSet))
+  }
+
+  test("tokenShards: shard token masses are balanced within one max-document weight") {
+    val df = corpus(600, 11)
+    val s = 4
+    val byShard = Mix
+      .tokenShards(df, Seq(col("h"), col("doc_id")), col("w"), numShards = s)
+      .groupBy(col("shard"))
+      .agg(sum(col("w")).as("mass"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    assert(byShard.keySet === (0 until s).toSet, "every shard non-empty")
+    val total = byShard.values.sum
+    val ideal = total.toDouble / s
+    val maxW = df.agg(max(col("w"))).collect()(0).getLong(0)
+    byShard.values.foreach { m =>
+      assert(math.abs(m - ideal) <= maxW, s"shard mass $m vs ideal $ideal (maxW $maxW)")
+    }
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+/** SQ8 scalar quantization (x40/x41): calibration, code bounds, golden
+  * hand-computed codes, exact integer dots, and the no-explode plan shape.
+  */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("vector_min_max: exact per-dim ranges, null-skip, all-null group") {
+    val df = Seq(
+      (Some(Array(1.0f, -2.0f)), 1),
+      (Some(Array(3.0f, 0.5f)), 1),
+      (None, 1),
+      (None, 2)
+    ).toDF("v", "g")
+    val mm = df
+      .groupBy($"g")
+      .agg(GraftFunctions.vectorMinMax($"v").as("mm"))
+      .orderBy($"g")
+      .collect()
+    val r1 = mm(0).getStruct(1)
+    assert(r1.getSeq[Double](0) === Seq(1.0, -2.0))
+    assert(r1.getSeq[Double](1) === Seq(3.0, 0.5))
+    assert(mm(1).isNullAt(1)) // all-NULL group
+  }
+
+  test("sq8Codes golden: hand-computed codes, degenerate dim, bounds") {
+    // dim0 range [0, 10]: v=2.5 -> floor(2.5*25.5)=63; dim1 constant -> 0;
+    // dim2 range [-1, 1]: v=1 (the max) -> exactly 255, never 256.
+    val df = Seq(
+      (0L, Array(0.0f, 7.0f, -1.0f)),
+      (1L, Array(2.5f, 7.0f, 0.0f)),
+      (2L, Array(10.0f, 7.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .sq8Codes(df)
+      .orderBy($"vec_id")
+      .collect()
+      .map(_.getSeq[Int](1))
+    assert(got(0) === Seq(0, 0, 0))
+    assert(got(1) === Seq(63, 0, 127))
+    assert(got(2) === Seq(255, 0, 255))
+  }
+
+  test("sq8Codes on real embeddings: all codes in [0,255], per-dim 0 and 255 hit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.sq8Codes(emb).cache()
+    try {
+      val stats = codes
+        .select(explode($"codes").as("c"))
+        .agg(min($"c"), max($"c"))
+        .collect()(0)
+      assert(stats.getInt(0) >= 0 && stats.getInt(1) <= 255)
+      // every dimension's max code is 255 (the calibration max itself
+      // quantizes to full scale) and min code is 0
+      val perDim = codes
+        .select(posexplode($"codes").as(Seq("i", "c")))
+        .groupBy($"i")
+        .agg(min($"c").as("mn"), max($"c").as("mx"))
+        .collect()
+      assert(perDim.forall(r => r.getInt(1) == 0 && r.getInt(2) == 255))
+    } finally codes.unpersist()
+  }
+
+  test("sq8Codes is deterministic across shuffle-partition settings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = Similarity.sq8Codes(emb).orderBy($"vec_id").collect().toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Similarity.sq8Codes(emb).orderBy($"vec_id").collect().toSeq
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("sq8TopK golden: dequantized cosine and rank order on a hand-built set") {
+    // ranges over the 4 vectors: dim0 [0,4], dim1 [0,4]; codes floored at
+    // scale 255/4, then dequantized back by c*4/255:
+    //   q  (id 0): (4, 0) -> codes (255, 0) -> dequant (4.0, 0.0)
+    //   c1 (id 10): (4, 4) -> (255, 255) -> (4, 4)       cos = 0.707107
+    //   c2 (id 11): (2, 0) -> (127, 0) -> (1.992.., 0)   cos = 1.0 (colinear)
+    //   c3 (id 12): (0, 4) -> (0, 255) -> (0, 4)         cos = 0.0
+    val df = Seq(
+      (0L, Array(4.0f, 0.0f)),
+      (10L, Array(4.0f, 4.0f)),
+      (11L, Array(2.0f, 0.0f)),
+      (12L, Array(0.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .sq8TopK(df, col("vec_id") < 10, k = 3)
+      .orderBy($"rank")
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === Seq((11L, 1.0, 1), (10L, 0.707107, 2), (12L, 0.0, 3)))
+  }
+
+  test("sq8TopK recall vs exact cosine top-5 on real embeddings is high") {
+    // 8-bit quantization error is ~0.2% per dim; the dequantized-cosine
+    // ranking should recover nearly all of the exact top-5
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity
+      .bruteForceTopK(emb.where($"vec_id" < 10), emb.where($"vec_id" >= 10), k = 5)
+      .select($"query_id", $"neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sq8 = Similarity
+      .sq8TopK(emb, col("vec_id") < 10, k = 5)
+      .select($"query_id", $"neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall $recall vs exact top-5")
+  }
+
+  test("plan: sq8Codes quantize pass is map-only — no generator, no exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.sq8Codes(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"dim-explode leaked into the plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"quantize pass should not shuffle:\n$plan")
+  }
+}
