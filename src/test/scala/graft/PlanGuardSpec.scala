@@ -55,9 +55,10 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("no oracled query plans a cartesian or nested-loop join (documented exceptions aside)") {
-    // x09/x11 brute-force paths legitimately cross the (tiny, broadcast)
-    // query side against the corpus — that IS the documented algorithm.
-    val exempt = Set("x09_cosine_topk", "x11_embed_neardup")
+    // x09/x11/x41 brute-force paths legitimately cross the (tiny,
+    // broadcast) query side against the corpus — that IS the documented
+    // algorithm (x41 is x09's shape over dequantized SQ8 codes).
+    val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>
