@@ -81,14 +81,31 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"sf":"$sfDir"}"""
-    println(line)
-    // durable copy: the driver's stdout capture has truncated this line's
-    // tail in two consecutive round artifacts
+    // durable full artifact: all queries + per-run samples + cpu
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver's stdout capture keeps only the last ~2 KB; the full
+    // 73-query line is ~8 KB, so it was truncated mid-line and never parsed
+    // (BENCH_r01..r04 all carry "parsed": null). Print a COMPACT headline
+    // line — total over ALL queries, per-query times for a representative
+    // subset — small enough to survive the capture window, as the very last
+    // stdout. Full numbers live in bench_full.json.
+    val headline = Set(
+      "q01_pricing_summary", "q09_revenue_by_nation", "q13_options_pipeline",
+      "q14_weekly_pipeline", "q18_asof_join", "q20_rolling_window",
+      "q27_ntile", "q31_tumbling", "x01_dedup_exact", "x06_ngram_jaccard",
+      "x07_minhash_lsh", "x09_cosine_topk", "x10_ann_lsh",
+      "x14_neardup_clusters", "x17_sessionize", "x22_tfidf",
+      "x31_substring_dedup", "x42_token_shards")
+    val headQueries = results
+      .collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val nOk = results.count(_._2 >= 0)
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$headQueries,"n_queries":${results.size},"n_ok":$nOk,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

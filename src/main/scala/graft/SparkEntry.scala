@@ -37,12 +37,34 @@ object SparkEntry {
     * schema. Keeping nanos as long also preserves the full arrival order —
     * truncating to micros would merge 99.9% of events into ties.
     */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    s.read
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // Two on-disk generations of events.parquet exist: TIMESTAMP(NANOS)
+    // (Spark rejects the logical type at schema inference, so it can only
+    // be read as raw LONG nanos) and TIMESTAMP(MICROS/NTZ) (Spark infers a
+    // timestamp type). Either way the physical column is a raw int64, so
+    // force a LONG read — timezone-free — and use the footer probe only to
+    // decide the SCALE. Forcing LONG while assuming nanos on the MICROS
+    // generation silently mis-scales every derived time by 1000×.
+    val rawIsMicros = scala.util
+      .Try(s.read.parquet(path).schema("ts").dataType)
+      .toOption
+      .exists(t => t == TimestampType || t == TimestampNTZType)
+    val base = s.read
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .parquet(path)
+    val withTimes =
+      if (rawIsMicros)
+        base
+          .withColumnRenamed("ts", "ts_us")
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+      else
+        base
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+    withTimes.select(col("event_id"), col("ts_ns"), col("user_id"),
+      col("event_type"), col("value"), col("props"), col("ts_us"))
+  }
 
   private def tsNsDate(c: Column): Column =
     to_date(timestamp_micros((c / 1000).cast(LongType)))
@@ -1528,6 +1550,15 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact heavy hitters (every token at >= 2% corpus frequency) via the
+    * Misra-Gries sketch + exact-recount two-phase shape — see
+    * [[TextAnalysis.heavyTokens]] for the candidate-completeness bound and
+    * why the one-phase groupBy-everything twin (the DuckDB oracle) is the
+    * 100 TB anti-pattern this replaces. phi = 1/50, k = 100 = 2·denom/num.
+    */
+  private def x43(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyTokens(t(s, dir, "documents"), phiNum = 1L, phiDenom = 50L, k = 100)
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1635,7 +1666,8 @@ object SparkEntry {
     "x39_ngram_novelty" -> (x39 _),
     "x40_sq8_codes" -> (x40 _),
     "x41_sq8_topk" -> (x41 _),
-    "x42_token_shards" -> (x42 _)
+    "x42_token_shards" -> (x42 _),
+    "x43_heavy_tokens" -> (x43 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2792,7 +2824,20 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
         |  CAST(least(7, (cum_tok - n_tok) * 8 // total) AS INTEGER) AS shard
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // x43: the oracle IS the one-phase groupBy-every-token twin the sketch
+    // path avoids at scale; integer threshold (cnt*50 >= total) and integer
+    // ppm division match Spark's div bit-for-bit.
+    "x43_heavy_tokens" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt,
+        |  count(*) * 1000000 // (SELECT n FROM tot) AS freq_ppm
+        |FROM tok GROUP BY token
+        |HAVING count(*) * 50 >= (SELECT n FROM tot)
+        |ORDER BY cnt DESC, token""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

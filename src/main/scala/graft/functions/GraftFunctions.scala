@@ -47,6 +47,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "vector_min_max", exprs => VectorMinMax(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
+      "misra_gries_tokens",
+      exprs =>
+        MisraGriesTokens(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+          .toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "image_ahash", exprs => ImageAHash(exprs(0)), "built-in")
@@ -137,6 +143,13 @@ object GraftFunctions {
     * struct(mins array<double>, maxs array<double>) row per group.
     */
   def vectorMinMax(vec: Column): Column = call_function("vector_min_max", vec)
+
+  /** Per-partition Misra-Gries heavy-hitter CANDIDATES (aggregate;
+    * O(partitions × k) sketch entries cross the exchange, never the full
+    * vocabulary — see [[MisraGriesTokens]] for the completeness bound).
+    */
+  def misraGriesTokens(tokens: Column, k: Int): Column =
+    call_function("misra_gries_tokens", tokens, lit(k))
 
   /** MinHash signature (array<long> of length k) of an array<string> column. */
   def minhashSig(shingles: Column, k: Int): Column =

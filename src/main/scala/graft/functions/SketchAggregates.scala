@@ -1,0 +1,147 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries frequent-items sketch over one partition's token stream:
+  * at most `k` counters; an unseen token either claims a free counter or
+  * decrements every counter by one (dropping zeros). Classic guarantee:
+  * any token with partition count > N_p / k still holds a counter at the
+  * end of the pass.
+  */
+final class MgBuffer(var k: Int) {
+  val counts = new java.util.HashMap[String, Long]()
+
+  def add(t: String): Unit = {
+    val c = counts.get(t)
+    if (c != null) counts.put(t, c + 1L)
+    else if (counts.size < k) counts.put(t, 1L)
+    else {
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  /** Candidate-union merge: keep every key from both sides, summing
+    * counts, with NO re-trim. Trimming is what would make the union lose a
+    * survivor; skipping it keeps the completeness proof a one-liner (see
+    * [[MisraGriesTokens]]) at the cost of a merged size bounded by
+    * partitions × k — driver-collected state of the same order as the
+    * ivfCentroids / VectorMinMax contracts.
+    */
+  def mergeFrom(o: MgBuffer): Unit =
+    o.counts.forEach { (t, c) =>
+      val prev = counts.get(t)
+      counts.put(t, if (prev == null) c else prev + c)
+    }
+}
+
+/** Per-partition Misra-Gries candidates for the global heavy-hitter set,
+  * as a TypedImperativeAggregate over a tokens-array column (SURVEY.md
+  * §4.4 family, like [[VectorAvg]] / [[TopKByScore]]).
+  *
+  * Completeness (why the union of per-partition sketches covers every
+  * global phi-heavy token): if a token's global count is cnt >= phi * N,
+  * then since Sum_p cnt_p = cnt >= phi * Sum_p N_p, by averaging SOME
+  * partition has cnt_p >= phi * N_p; with k >= 2/phi that is
+  * cnt_p >= phi * N_p > N_p / k, so Misra-Gries keeps it there, and the
+  * trim-free merge keeps it in the union. The exact recount pass then
+  * removes false positives, so the final answer is EXACT, while only
+  * O(partitions × k) sketch entries — never the full vocabulary — cross
+  * the aggregation exchange. The 100 TB alternative (groupBy over every
+  * token) shuffles one row per DISTINCT TOKEN per partition: a
+  * trillion-token corpus's open vocabulary (URLs, hashes, typos) makes
+  * that exchange the job's bottleneck; the sketch bounds it by k.
+  *
+  * NULL arrays are skipped. Returns the candidate tokens sorted (bytewise,
+  * like the engines' ORDER BY on the recount) for determinism.
+  */
+case class MisraGriesTokens(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[MgBuffer] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        buf.add(arr.getUTF8String(i).toString)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: MgBuffer, b2: MgBuffer): MgBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: MgBuffer): Any = {
+    val keys = new Array[String](buf.counts.size)
+    val it = buf.counts.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys, (a: String, b: String) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    new GenericArrayData(keys.map(UTF8String.fromString))
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.counts.size)
+    buf.counts.forEach { (t, c) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MgBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesTokens =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesTokens =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

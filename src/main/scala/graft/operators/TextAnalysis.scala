@@ -342,4 +342,58 @@ object TextAnalysis {
     // bit-identical on any engine evaluating the same double.
     floor(q * lit(10000.0) + lit(0.5)) / lit(10000.0)
   }
+
+  /** EXACT corpus heavy hitters — every token whose corpus frequency is at
+    * least phi = phiNum/phiDenom — via the two-phase sketch+recount shape:
+    *
+    *   1. one [[graft.functions.MisraGriesTokens]] aggregate pass produces
+    *      a candidate SUPERSET (O(partitions × k) sketch entries cross the
+    *      exchange; with k >= 2·phiDenom/phiNum the averaging bound in the
+    *      aggregate's scaladoc proves no phi-heavy token is missed), plus
+    *      the exact corpus token total from the same pass;
+    *   2. an exact recount of ONLY the candidates — explode, filter to the
+    *      broadcast candidate set (an InSet before the exchange, so the
+    *      non-candidate long tail never shuffles), hash-aggregate with
+    *      map-side partials (≤ |candidates| rows per map task), integer
+    *      threshold compare (cnt · phiDenom >= total · phiNum — no
+    *      doubles in the cut, the x17 lesson).
+    *
+    * The one-phase alternative (groupBy over every token, HAVING) shuffles
+    * a row per distinct token per partition; at 100 TB the open vocabulary
+    * (URLs, hex ids, typos) makes that exchange the bottleneck while the
+    * answer only wants the few-hundred heavy tokens. Frequencies ship as
+    * integer ppm via integer division — exact on any engine.
+    *
+    * phi is a rational, not a double, so the threshold is exact; k is the
+    * sketch width (caller guarantees k >= 2·phiDenom/phiNum).
+    */
+  def heavyTokens(
+      docs: DataFrame,
+      phiNum: Long,
+      phiDenom: Long,
+      k: Int,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k.toLong * phiNum >= 2L * phiDenom, s"k=$k too small for phi=$phiNum/$phiDenom")
+    val toks = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(tokens(col(textCol)).as("toks"))
+      // scanned twice (sketch pass, recount pass) — keep the tokenized form
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = toks
+      .agg(
+        graft.functions.GraftFunctions.misraGriesTokens(col("toks"), k).as("cands"),
+        sum(size(col("toks"))).cast("long").as("total"))
+      .head()
+    val cands = probe.getSeq[String](0)
+    val total = probe.getLong(1)
+    toks
+      .select(explode(col("toks")).as("token"))
+      .where(col("token").isin(cands: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(phiDenom) >= lit(total * phiNum))
+      .withColumn("freq_ppm", expr(s"cnt * 1000000L div ${total}L"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 }
