@@ -1559,6 +1559,25 @@ object SparkEntry {
   private def x43(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heavyTokens(t(s, dir, "documents"), phiNum = 1L, phiDenom = 50L, k = 100)
 
+  /** Canonical-doc selection per near-dup cluster — the curation step after
+    * x14's connected components: keep the highest-quality member (x12's
+    * score; ties → lowest doc id), singletons as their own cluster. Argmax
+    * via `max(struct(score, -id))` — no per-cluster window/sort; see
+    * [[Cluster.canonical]].
+    */
+  private def x44(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(
+      col("doc_id").as("id"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+    val comps = Cluster.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5))
+    Cluster
+      .canonical(scored, comps)
+      .select(col("comp_id"), col("keep_id"), col("score").as("quality"), col("n_members"))
+      .orderBy(col("comp_id"))
+  }
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1667,7 +1686,8 @@ object SparkEntry {
     "x40_sq8_codes" -> (x40 _),
     "x41_sq8_topk" -> (x41 _),
     "x42_token_shards" -> (x42 _),
-    "x43_heavy_tokens" -> (x43 _)
+    "x43_heavy_tokens" -> (x43 _),
+    "x44_cluster_canonical" -> (x44 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2837,7 +2857,60 @@ object SparkEntry {
         |  count(*) * 1000000 // (SELECT n FROM tot) AS freq_ppm
         |FROM tok GROUP BY token
         |HAVING count(*) * 50 >= (SELECT n FROM tot)
-        |ORDER BY cnt DESC, token""".stripMargin
+        |ORDER BY cnt DESC, token""".stripMargin,
+    // x44: x14's recursive-CTE closure for components + x12's quality
+    // formula, then a window argmax (quality DESC, doc_id) per component —
+    // singletons (no edges) cluster as themselves via the LEFT join.
+    "x44_cluster_canonical" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+        |    ELSE [] END AS s
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+        |  FROM reach GROUP BY src
+        |), sc AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+        |    (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) + 1.0)
+        |      / (CAST(length(text) AS DOUBLE) + 1.0) AS alpha_ratio,
+        |    least(CAST(len(list_filter(toks,
+        |        t -> list_contains(['the','and','of','to','in','is','a'], t))) AS DOUBLE)
+        |      / len(toks) * 10.0, 1.0) AS stop_score,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |  FROM tk
+        |), q AS (
+        |  SELECT doc_id,
+        |    floor((0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score + 0.2 * ttr)
+        |          * 10000 + 0.5) / 10000 AS quality
+        |  FROM sc
+        |), m AS (
+        |  SELECT q.doc_id, coalesce(c.comp_id, q.doc_id) AS comp_id, q.quality
+        |  FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY comp_id ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY comp_id) AS n_members
+        |  FROM m
+        |)
+        |SELECT comp_id, doc_id AS keep_id, quality, n_members
+        |FROM r WHERE rn = 1 ORDER BY comp_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -16,7 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * end of the pass.
   */
 final class MgBuffer(var k: Int) {
-  val counts = new java.util.HashMap[String, Long]()
+  // java.lang.Long values ON PURPOSE: with scala.Long the map erases to
+  // [String, Object] but get() unboxes an absent key's null to 0L and a
+  // null-check on the primitive is vacuously true — the eviction branch
+  // becomes unreachable and the sketch silently degrades to an unbounded
+  // exact count (caught by SketchSpec's eviction pin).
+  val counts = new java.util.HashMap[String, java.lang.Long]()
 
   def add(t: String): Unit = {
     val c = counts.get(t)
@@ -41,7 +46,8 @@ final class MgBuffer(var k: Int) {
   def mergeFrom(o: MgBuffer): Unit =
     o.counts.forEach { (t, c) =>
       val prev = counts.get(t)
-      counts.put(t, if (prev == null) c else prev + c)
+      val sum = if (prev == null) c.longValue else prev.longValue + c.longValue
+      counts.put(t, java.lang.Long.valueOf(sum))
     }
 }
 

@@ -109,4 +109,38 @@ object Cluster {
         col("comp").as("comp_id"),
         (col("id") === col("comp")).as("is_canonical")
       )
+
+  /** The curation step AFTER clustering: per near-dup cluster keep the
+    * best-scored member (score desc, id asc tie-break), with singletons —
+    * docs in no edge — forming their own cluster. This is corpus dedup's
+    * final act: one representative survives, the rest are dropped.
+    *
+    * 100 TB shape: one broadcast-able LEFT join (the component table is one
+    * narrow row per CLUSTERED doc, a small fraction of the corpus) and one
+    * hash aggregation whose per-group state is a single (score, -id) struct
+    * — `max(struct(score, -id))` gives argmax-with-tie-break via Spark's
+    * lexicographic struct ordering WITHOUT a per-cluster sort or window
+    * (map-side partial max, no WindowExec buffering whole clusters). The
+    * id is negated (exact on longs) rather than the score (whose negation
+    * would manufacture -0.0 bit-pattern hazards in the hash contract).
+    *
+    * `scored`: (id, score); `comps`: (id, comp) as produced by
+    * [[connectedComponents]]. Output: (comp_id, keep_id, score, n_members).
+    */
+  def canonical(scored: DataFrame, comps: DataFrame): DataFrame =
+    scored
+      .join(comps, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("comp"), col("id")).as("comp_id"),
+        col("score"))
+      .groupBy("comp_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("id")).as("neg_id"))).as("best"))
+      .select(
+        col("comp_id"),
+        (-col("best.neg_id")).as("keep_id"),
+        col("best.score").as("score"),
+        col("n_members"))
 }

@@ -46,4 +46,21 @@ class ClusterSpec extends SparkSpec {
     assert(out.forall(_._2 == 0L))
     assert(out.collect { case (id, _, canon) if canon => id }.toSeq === Seq(0L))
   }
+
+  test("canonical: per-cluster argmax by (score desc, id asc); singletons self-cluster") {
+    val scored = Seq(
+      (0L, 0.5), (1L, 0.9), (2L, 0.9), // cluster 0: tie at 0.9 → keep id 1
+      (5L, 0.2), (6L, 0.8), // cluster 5: clear winner 6
+      (9L, 0.1) // singleton: no comp row
+    ).toDF("id", "score")
+    val comps = Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L), (6L, 5L)).toDF("id", "comp")
+    val out = Cluster.canonical(scored, comps)
+      .orderBy("comp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out === Array(
+      (0L, 1L, 0.9, 3L), // tie on score broken by LOWER id, not arrival
+      (5L, 6L, 0.8, 2L),
+      (9L, 9L, 0.1, 1L) // singleton keeps itself, n_members 1
+    ))
+  }
 }

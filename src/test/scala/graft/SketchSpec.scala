@@ -82,4 +82,56 @@ class SketchSpec extends SparkSpec {
       .count().toDouble / 5000.0
     assert(fpr < 0.03, s"bloom FPR $fpr exceeds 3x the ~1% budget")
   }
+
+  test("Misra-Gries: exact eviction semantics on a single partition") {
+    GraftFunctions.register(spark)
+    // stream a a a b b c with k=2: a,b fill the counters (a:3, b:2); c
+    // finds the map full -> decrement-all (a:2, b:1), c dropped. The
+    // candidate set is exactly {a, b}.
+    val df = Seq(Seq("a", "a", "a", "b", "b", "c"))
+      .toDF("toks")
+      .repartition(1)
+    val cands = df
+      .agg(GraftFunctions.misraGriesTokens($"toks", 2).as("c"))
+      .head().getSeq[String](0)
+    assert(cands === Seq("a", "b"))
+  }
+
+  test("Misra-Gries: candidates cover every phi-heavy token under adversarial spread") {
+    GraftFunctions.register(spark)
+    // the hard case for per-partition candidate generation: the heavy
+    // token is spread EVENLY across partitions (never a local majority)
+    // and each partition is padded with its own unique long tail. phi=5%,
+    // k = 2/phi = 40. 4 partitions x 250 tokens; "hot" appears 13x per
+    // partition = 52/1000 global (5.2% > phi).
+    val docs = (0 until 4).map { p =>
+      val tail = (0 until 237).map(i => s"tail_${p}_$i")
+      (p, (Seq.fill(13)("hot") ++ tail).toSeq)
+    }.toDF("p", "toks").repartition(4, $"p")
+    val cands = docs
+      .agg(GraftFunctions.misraGriesTokens($"toks", 40).as("c"))
+      .head().getSeq[String](0).toSet
+    assert(cands.contains("hot"), s"phi-heavy token evicted; got ${cands.size} candidates")
+  }
+
+  test("heavyTokens: exact equality with the one-phase explode/groupBy twin") {
+    // corpus with a token EXACTLY at the threshold boundary (cnt*denom ==
+    // total*num must be KEPT - the >= contract), one above, rest below.
+    // total = 200 tokens, phi = 1/10 -> threshold 20: "edge" 20x (kept),
+    // "big" 60x (kept), 120 unique fillers (dropped).
+    val words = Seq.fill(20)("edge") ++ Seq.fill(60)("big") ++ (0 until 120).map(i => s"f$i")
+    // 20 docs of 10 tokens each, deterministic round-robin spread
+    val docs = words.zipWithIndex
+      .groupBy(_._2 % 20).toSeq.sortBy(_._1)
+      .map { case (i, ws) => (i.toLong, ws.map(_._1).mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis
+      .heavyTokens(docs, phiNum = 1L, phiDenom = 10L, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter { case (_, c) => c * 10L >= words.size.toLong }
+      .map { case (t, c) => (t, c, c * 1000000L / words.size) }
+      .sortBy { case (t, c, _) => (-c, t) }
+    assert(got.toSeq === exact)
+  }
 }
