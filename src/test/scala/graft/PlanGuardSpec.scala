@@ -101,4 +101,12 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("q05_snapshot_diff")
     assert(p.contains("WindowGroupLimit"), "rank<=N not pushed as WindowGroupLimit")
   }
+
+  test("x44 canonical selection is pure hash aggregation — no per-cluster window/sort") {
+    // the argmax ships as max(struct(score, -id)) partial aggregates; a
+    // refactor to row_number()-over-cluster would buffer whole clusters in
+    // WindowExec and show up here
+    val p = plan("x44_cluster_canonical")
+    assert(!p.contains("(Window"), s"WindowExec crept into the canonical argmax")
+  }
 }
