@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("vector_avg", "vector_avg(vec) - elementwise mean of float/double arrays (aggregate)"),
         (es: Seq[Expression]) => VectorAvg(es(0)).toAggregateExpression()))
     ext.injectFunction(
+      (FunctionIdentifier("misra_gries_tokens"),
+        info("misra_gries_tokens",
+          "misra_gries_tokens(tokens, k) - per-partition Misra-Gries heavy-hitter candidates (aggregate)"),
+        (es: Seq[Expression]) =>
+          MisraGriesTokens(es(0), es(1).eval(null).asInstanceOf[Int])
+            .toAggregateExpression()))
+    ext.injectFunction(
       (FunctionIdentifier("simhash_md5_bands"),
         info("simhash_md5_bands", "simhash_md5_bands(tokens) - md5-derived SimHash as 4x16-bit bands"),
         (es: Seq[Expression]) => SimHashMd5Bands(es(0))))

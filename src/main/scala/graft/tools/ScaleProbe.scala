@@ -84,7 +84,11 @@ object ScaleProbe {
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // optional substring filter (SPARK_GRAFT_PROBE=heavy) to run one
+    // family without paying for the whole sweep
+    val filter = sys.env.get("SPARK_GRAFT_PROBE")
     def probe(name: String, k: Int, rows: Long)(f: => Long): Unit = {
+      if (filter.exists(s => !name.contains(s))) return
       val samples = (1 to 2).map { _ =>
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime(); f
@@ -136,6 +140,31 @@ object ScaleProbe {
       // window) should keep this family linear as the index load grows
       probe("ngram_jaccard", k, nSalted)(
         Dedup.ngramJaccardPairs(salted, n = 3, threshold = 0.5).count()
+      )
+      // x43's two-phase sketch+recount vs the one-phase groupBy over every
+      // token, on an OPEN-VOCABULARY input (every other token uniquified
+      // per doc — the web-corpus shape where distinct tokens grow with the
+      // corpus): the one-phase shuffle carries the whole vocabulary, the
+      // MG sketch ships O(partitions × k) entries regardless
+      val vocabHeavy = salted.select(
+        col("doc_id"),
+        concat_ws(
+          " ",
+          transform(
+            split(trim(col("text")), "\\s+"),
+            (t, i) =>
+              when(i % 2 === 0, concat(t, lit("_u"), col("doc_id"))).otherwise(t)
+          )
+        ).as("text")
+      )
+      probe("heavy_mg", k, nSalted)(
+        TextAnalysis.heavyTokens(vocabHeavy, phiNum = 1L, phiDenom = 50L, k = 100).count()
+      )
+      probe("heavy_onephase", k, nSalted)(
+        vocabHeavy
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .count()
       )
       probe("grams_naive_shape", k, nSalted)(
         Dedup

@@ -42,6 +42,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(va === Seq(2.0, 4.0))
   }
 
+  test("extension-injected misra_gries_tokens resolves from SQL") {
+    val cands = spark
+      .sql("""SELECT misra_gries_tokens(t, 8) FROM VALUES
+              |  (array('a', 'a', 'b')), (array('a', 'c')) AS v(t)""".stripMargin)
+      .collect()(0).getSeq[String](0)
+    // k=8 > vocab: no eviction, candidates = sorted vocabulary
+    assert(cands === Seq("a", "b", "c"))
+  }
+
   test("extension-injected topk aggregate resolves from SQL") {
     val topk = spark
       .sql("""SELECT topk_by_score(s, id, 2) AS t FROM VALUES
