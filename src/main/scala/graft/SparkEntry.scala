@@ -1578,6 +1578,76 @@ object SparkEntry {
       .orderBy(col("comp_id"))
   }
 
+  /** SCD2 / gaps-and-islands surface: compress each user's event history
+    * into validity intervals, one row per maximal run of an unchanged
+    * event_type. One hash exchange total (boundary lag, island running
+    * sum, island aggregation, and valid_to lead all reuse the user_id
+    * partitioning) — plan-pinned in Scd2Spec. Times are epoch micros
+    * (ts_us), timezone-free on both engines.
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Scd2
+      .compressHistory(
+        ev(s, dir),
+        keyCol = col("user_id"),
+        stateCol = col("event_type"),
+        orderCols = Seq(col("ts_us"), col("event_id")),
+        validityCol = col("ts_us")
+      )
+      .select(
+        col("graft_key").as("user_id"),
+        col("state").as("event_type"),
+        col("valid_from"),
+        col("valid_to"),
+        col("n_events")
+      )
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** Fuzzy-matching surface: every unordered pair of distinct p_brand
+    * values at edit distance ≤ 1, found via symmetric-deletion blocking
+    * (SymSpell) — NOT an all-pairs levenshtein. The deletion-variant
+    * equi-join is provably complete for distance ≤ 1; the exact
+    * levenshtein verify runs on candidates only. The brand domain is
+    * small, but the operator is the corpus-scale shape (variant
+    * explosion is map-side and length-bounded; one shuffle on the
+    * variant key) — FuzzySpec pins blocking ≡ brute force on an open
+    * vocabulary.
+    */
+  private def x45(s: SparkSession, dir: String): DataFrame =
+    Fuzzy
+      .editDistance1Pairs(t(s, dir, "part"), "p_brand")
+      .orderBy(col("a_val"), col("b_val"))
+
+  /** Graph-centrality surface: 3-iteration PageRank in exact integer
+    * arithmetic over the symmetrized customer–supplier trade graph
+    * (edge = customer ordered a part shipped by supplier; node ids are
+    * disambiguated 2*custkey / 2*suppkey+1). Integer rank units make the
+    * result bit-identical across engines and partitionings — the DuckDB
+    * oracle replays the same three truncating-arithmetic iterations.
+    */
+  private def x46(s: SparkSession, dir: String): DataFrame = {
+    val trade = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b")
+      )
+      .distinct()
+    val sym = trade
+      .select(
+        explode(
+          array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    PageRank
+      .integerPageRank(sym, iters = 3)
+      .orderBy(col("node_id"))
+  }
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1687,7 +1757,10 @@ object SparkEntry {
     "x41_sq8_topk" -> (x41 _),
     "x42_token_shards" -> (x42 _),
     "x43_heavy_tokens" -> (x43 _),
-    "x44_cluster_canonical" -> (x44 _)
+    "x44_cluster_canonical" -> (x44 _),
+    "q33_scd2_islands" -> (q33 _),
+    "x45_fuzzy_editdist" -> (x45 _),
+    "x46_pagerank" -> (x46 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2910,7 +2983,79 @@ object SparkEntry {
         |  FROM m
         |)
         |SELECT comp_id, doc_id AS keep_id, quality, n_members
-        |FROM r WHERE rn = 1 ORDER BY comp_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY comp_id""".stripMargin,
+    "q33_scd2_islands" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type IS NOT DISTINCT FROM
+        |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM events
+        |), isl AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS island
+        |  FROM ordered
+        |), agg AS (
+        |  SELECT user_id, island, min(event_type) AS event_type,
+        |    min(ts_us) AS valid_from, count(*) AS n_events
+        |  FROM isl GROUP BY user_id, island
+        |)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+        |  n_events
+        |FROM agg ORDER BY user_id, valid_from""".stripMargin,
+    "x45_fuzzy_editdist" ->
+      """WITH v AS (SELECT DISTINCT p_brand AS s FROM part
+        |           WHERE p_brand IS NOT NULL AND length(p_brand) >= 2)
+        |SELECT a.s AS a_val, b.s AS b_val,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY a_val, b_val""".stripMargin,
+    "x46_pagerank" ->
+      """WITH trade AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM trade
+        |  UNION SELECT b AS src, a AS dst FROM trade
+        |), deg AS (
+        |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+        |), n AS (SELECT count(*) AS cnt FROM deg),
+        |r0 AS (
+        |  SELECT src AS node_id, 1000000000000 // cnt AS rank_units, outdeg
+        |  FROM deg, n
+        |), r1 AS (
+        |  SELECT d.src AS node_id,
+        |    (15 * (1000000000000 // n.cnt)) // 100
+        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
+        |    d.outdeg
+        |  FROM deg d CROSS JOIN n
+        |  LEFT JOIN (
+        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
+        |    FROM r0 r JOIN e ON r.node_id = e.src GROUP BY e.dst
+        |  ) c ON d.src = c.dst
+        |), r2 AS (
+        |  SELECT d.src AS node_id,
+        |    (15 * (1000000000000 // n.cnt)) // 100
+        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
+        |    d.outdeg
+        |  FROM deg d CROSS JOIN n
+        |  LEFT JOIN (
+        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
+        |    FROM r1 r JOIN e ON r.node_id = e.src GROUP BY e.dst
+        |  ) c ON d.src = c.dst
+        |), r3 AS (
+        |  SELECT d.src AS node_id,
+        |    (15 * (1000000000000 // n.cnt)) // 100
+        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
+        |    d.outdeg
+        |  FROM deg d CROSS JOIN n
+        |  LEFT JOIN (
+        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
+        |    FROM r2 r JOIN e ON r.node_id = e.src GROUP BY e.dst
+        |  ) c ON d.src = c.dst
+        |)
+        |SELECT node_id, rank_units FROM r3 ORDER BY node_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
