@@ -1648,6 +1648,41 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Data-layout surface: Z-order (Morton) zone maps over lineitem's
+    * (partkey, suppkey) — 16 equal-width zones of the 20-bit interleaved
+    * code, each reporting its min/max span in BOTH dimensions. The
+    * pruning claim is in the numbers: every zone spans ≤ 1/4 of each
+    * 10-bit dimension (top 2 bits of each dim are fixed per zone), which
+    * a single-column sort cannot give for the second column. All-integer
+    * bit arithmetic — the DuckDB oracle interleaves the same bits from a
+    * programmatically shared bit-term list (the two sides cannot drift).
+    */
+  private def x47(s: SparkSession, dir: String): DataFrame =
+    ZOrder
+      .zoneSpans(
+        t(s, dir, "lineitem"),
+        a = col("l_partkey") % 1024,
+        b = col("l_suppkey") % 1024,
+        bits = zorderBits,
+        buckets = 16
+      )
+      .orderBy(col("zone"))
+
+  /** Shared Z-order geometry for x47: bit width and the DuckDB-side
+    * interleave expression generated from the SAME loop shape as
+    * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
+    */
+  private val zorderBits = 10
+  private val zorderInterleaveSql: String =
+    (0 until zorderBits)
+      .flatMap(i =>
+        Seq(
+          s"((((za >> $i) & 1)::BIGINT) << ${2 * i})",
+          s"((((zb >> $i) & 1)::BIGINT) << ${2 * i + 1})"
+        )
+      )
+      .mkString(" | ")
+
   /** The two boilerplate spans x31 plants (single Scala vals interpolated
     * into BOTH the Spark injection and the DuckDB oracle, so the two sides
     * cannot drift): distinctive uppercase/punctuation content that the
@@ -1760,7 +1795,8 @@ object SparkEntry {
     "x44_cluster_canonical" -> (x44 _),
     "q33_scd2_islands" -> (q33 _),
     "x45_fuzzy_editdist" -> (x45 _),
-    "x46_pagerank" -> (x46 _)
+    "x46_pagerank" -> (x46 _),
+    "x47_zorder_zones" -> (x47 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3055,7 +3091,17 @@ object SparkEntry {
         |    FROM r2 r JOIN e ON r.node_id = e.src GROUP BY e.dst
         |  ) c ON d.src = c.dst
         |)
-        |SELECT node_id, rank_units FROM r3 ORDER BY node_id""".stripMargin
+        |SELECT node_id, rank_units FROM r3 ORDER BY node_id""".stripMargin,
+    "x47_zorder_zones" ->
+      s"""WITH src AS (
+         |  SELECT l_partkey % 1024 AS za, l_suppkey % 1024 AS zb FROM lineitem
+         |), zc AS (
+         |  SELECT za, zb, ($zorderInterleaveSql) AS z FROM src
+         |)
+         |SELECT z // 65536 AS zone, count(*) AS n_rows,
+         |  min(za) AS min_a, max(za) AS max_a,
+         |  min(zb) AS min_b, max(zb) AS max_b
+         |FROM zc GROUP BY zone ORDER BY zone""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
