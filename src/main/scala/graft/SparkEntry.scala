@@ -1668,6 +1668,23 @@ object SparkEntry {
       )
       .orderBy(col("zone"))
 
+  /** Robust-stats surface: per-event-type median/MAD outlier screen over
+    * the value stream (|dev|·10 > MAD·35, the conventional k=3.5 rule in
+    * integer-scaled form — pure IEEE multiplies, both engines flag the
+    * identical rows). Exact type-7 percentiles, parity pinned by q15.
+    */
+  private def x48(s: SparkSession, dir: String): DataFrame =
+    Robust
+      .madOutliers(ev(s, dir), col("event_type"), col("value"))
+      .select(
+        col("graft_key").as("event_type"),
+        col("med"),
+        col("mad"),
+        col("n_total"),
+        col("n_outliers")
+      )
+      .orderBy(col("event_type"))
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -1796,7 +1813,8 @@ object SparkEntry {
     "q33_scd2_islands" -> (q33 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
-    "x47_zorder_zones" -> (x47 _)
+    "x47_zorder_zones" -> (x47 _),
+    "x48_mad_outliers" -> (x48 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3101,7 +3119,25 @@ object SparkEntry {
          |SELECT z // 65536 AS zone, count(*) AS n_rows,
          |  min(za) AS min_a, max(za) AS max_a,
          |  min(zb) AS min_b, max(zb) AS max_b
-         |FROM zc GROUP BY zone ORDER BY zone""".stripMargin
+         |FROM zc GROUP BY zone ORDER BY zone""".stripMargin,
+    "x48_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_type,
+        |  round(min(d.med), 6) AS med,
+        |  round(min(a.mad), 6) AS mad,
+        |  count(*) AS n_total,
+        |  count(*) FILTER (WHERE abs(d.value - d.med) * 10 > a.mad * 35) AS n_outliers
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
