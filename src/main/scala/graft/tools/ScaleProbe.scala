@@ -199,6 +199,36 @@ object ScaleProbe {
           )
           .count()
       )
+      // x45's symmetric-deletion blocking over an OPEN vocabulary (distinct
+      // strings grow ~linearly with the corpus): blocking cost is
+      // variants × log — near-linear — where the brute-force levenshtein
+      // twin is quadratic in the vocabulary. The brute twin only runs on a
+      // fixed 1/64 hash slice (it would be ~10^11 pairs at full k=1);
+      // blocking runs on both the slice (same-input ratio) and the full
+      // growing vocabulary (scaling curve).
+      val fuzzyVocab = vocabHeavy
+        .select(explode(TextAnalysis.tokens(col("text"))).as("s"))
+        .distinct()
+        .persist()
+      val nVocab = fuzzyVocab.count()
+      probe("fuzzy_symspell", k, nVocab)(
+        graft.operators.Fuzzy.editDistance1Pairs(fuzzyVocab, "s").count()
+      )
+      if (k == reps.min) {
+        val small = fuzzyVocab.where(abs(hash(col("s"))) % 64 === 0).persist()
+        val nSmall = small.count()
+        probe("fuzzy_brute", k, nSmall)(
+          small.as("a")
+            .join(small.as("b"), col("a.s") < col("b.s"))
+            .where(levenshtein(col("a.s"), col("b.s")) <= 1)
+            .count()
+        )
+        probe("fuzzy_block", k, nSmall)(
+          graft.operators.Fuzzy.editDistance1Pairs(small, "s").count()
+        )
+        small.unpersist()
+      }
+      fuzzyVocab.unpersist()
       salted.unpersist()
 
       val evs = eventsTimes(spark, dir, k).persist()
