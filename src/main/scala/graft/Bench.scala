@@ -99,7 +99,7 @@ object Bench {
       "q27_ntile", "q31_tumbling", "x01_dedup_exact", "x06_ngram_jaccard",
       "x07_minhash_lsh", "x09_cosine_topk", "x10_ann_lsh",
       "x14_neardup_clusters", "x17_sessionize", "x22_tfidf",
-      "x31_substring_dedup", "x42_token_shards")
+      "x31_substring_dedup", "x42_token_shards", "x46_pagerank")
     val headQueries = results
       .collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")

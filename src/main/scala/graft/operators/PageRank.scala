@@ -68,9 +68,11 @@ object PageRank {
     val edgesDeg = e
       .join(outdeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e
-      .select(col("src").as("node_id"))
-      .union(e.select(col("dst").as("node_id")))
+    // derive the node set from the PERSISTED edge list (one pass over the
+    // cache), not from `e` — the raw edge subtree may embed an expensive
+    // upstream join that would otherwise evaluate a second time
+    val nodes = edgesDeg
+      .select(explode(array(col("src"), col("dst"))).as("node_id"))
       .distinct()
       .localCheckpoint(true)
 
