@@ -120,5 +120,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("audio_pcm_features"),
         info("audio_pcm_features", "audio_pcm_features(bin) - raw integer PCM stats (sum_sq/sum_abs/peak/zero_cross)"),
         (es: Seq[Expression]) => AudioPcmFeatures(es(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("zorder_value"),
+        info("zorder_value",
+          "zorder_value(a, b, bits) - Morton interleave of two bits-bit ints (a even bits, b odd)"),
+        (es: Seq[Expression]) =>
+          graft.operators.ZOrder.zExpression(es(0), es(1), es(2).eval(null).asInstanceOf[Int])))
   }
 }

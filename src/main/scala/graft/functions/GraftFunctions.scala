@@ -124,6 +124,14 @@ object GraftFunctions {
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))
         ),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "zorder_value",
+      exprs =>
+        graft.operators.ZOrder.zExpression(
+          exprs(0),
+          exprs(1),
+          exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Cosine similarity of two array<float>/array<double> columns. */

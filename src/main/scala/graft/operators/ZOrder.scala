@@ -39,6 +39,27 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** The same unroll at the catalyst-`Expression` level — the builder the
+    * SQL surface (`zorder_value(a, b, bits)` via GraftExtensions /
+    * GraftFunctions) injects; the analyzer's implicit casts align operand
+    * types exactly as they do for the Column form.
+    */
+  def zExpression(
+      a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression,
+      bits: Int
+  ): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Expression, Literal, ShiftLeft, ShiftRight}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        ShiftLeft(BitwiseAnd(ShiftRight(a, Literal(i)), Literal(1)), Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRight(b, Literal(i)), Literal(1)), Literal(2 * i + 1)))
+    }
+    terms.reduce[Expression]((l, r) => BitwiseOr(l, r))
+  }
+
   /** Inverse of [[zValue]]: extract dimension `even = true` (a) or the
     * odd dimension (b) back out of a Morton code. Spec fodder — pins the
     * interleave as a bijection.

@@ -51,6 +51,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cands === Seq("a", "b", "c"))
   }
 
+  test("extension-injected zorder_value resolves from SQL and matches the Column form") {
+    // a=0b11 on even bits, b=0b01 on odd → 0b0111 = 7; (7,7) → 63
+    val r = spark
+      .sql("SELECT zorder_value(3, 1, 3) AS z1, zorder_value(7, 7, 3) AS z2, zorder_value(5L, 9L, 10) AS z3")
+      .collect()(0)
+    assert(r.getInt(0) === 7 && r.getInt(1) === 63)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val colForm = Seq((5L, 9L))
+      .toDF("a", "b")
+      .select(graft.operators.ZOrder.zValue(col("a"), col("b"), 10).as("z"))
+      .collect()(0)
+      .getLong(0)
+    assert(r.getLong(2) === colForm)
+  }
+
   test("extension-injected topk aggregate resolves from SQL") {
     val topk = spark
       .sql("""SELECT topk_by_score(s, id, 2) AS t FROM VALUES
