@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("build_gif", "build_gif(id, w, h) - deterministic synthetic GIF89a bytes (valid LZW)"),
         (es: Seq[Expression]) => BuildGif(es(0), es(1), es(2))))
     ext.injectFunction(
+      (FunctionIdentifier("build_png"),
+        info("build_png", "build_png(id, w, h) - deterministic synthetic 8-bit grayscale PNG bytes"),
+        (es: Seq[Expression]) => BuildPng(es(0), es(1), es(2))))
+    ext.injectFunction(
       (FunctionIdentifier("repetition_counts"),
         info("repetition_counts", "repetition_counts(tokens) - (top_run, dup2/3 distinct+total) struct"),
         (es: Seq[Expression]) => RepetitionCounts(es(0))))

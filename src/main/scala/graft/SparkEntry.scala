@@ -1685,6 +1685,37 @@ object SparkEntry {
       )
       .orderBy(col("event_type"))
 
+  /** PNG pixel-decode surface: x29's shape over PNG bytes — build_png
+    * writes real zlib/DEFLATE-framed scanlines (stored blocks), the
+    * decode inflates and filter-reconstructs them, and the oracle is the
+    * SAME closed-form pixel formula as x29/x32 (a third doc subset).
+    * The three image formats now share one pixel ground truth across
+    * three genuinely different byte encodings.
+    */
+  private def x49(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .imageAHash(
+            GraftFunctions.buildPng(
+              col("doc_id"),
+              (lit(16) + col("doc_id") % 16).cast("int"),
+              (lit(16) + col("doc_id") % 12).cast("int")
+            )
+          )
+          .as("ahash")
+      )
+      .select(
+        col("doc_id"),
+        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
+        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -1814,7 +1845,8 @@ object SparkEntry {
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
-    "x48_mad_outliers" -> (x48 _)
+    "x48_mad_outliers" -> (x48 _),
+    "x49_png_ahash" -> (x49 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3137,7 +3169,37 @@ object SparkEntry {
         |  count(*) AS n_total,
         |  count(*) FILTER (WHERE abs(d.value - d.med) * 10 > a.mad * 35) AS n_outliers
         |FROM dev d JOIN mad a USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // x49: identical closed form to x29/x32 (BuildPng shares the pixel
+    // formula); only the doc subset differs — Spark-side the pixels travel
+    // through a real zlib inflate + scanline filter reconstruction instead
+    "x49_png_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id AS pid,
+        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
+        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), xs AS (
+        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
+        |), lum AS (
+        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
+        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
+        |), bits AS (
+        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
+        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -65,6 +65,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_gif", exprs => BuildGif(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_png", exprs => BuildPng(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "build_anim_gif",
       exprs => BuildAnimGif(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -223,6 +225,12 @@ object GraftFunctions {
     */
   def buildGif(id: Column, w: Column, h: Column): Column =
     call_function("build_gif", id, w, h)
+
+  /** Deterministic synthetic 8-bit grayscale PNG bytes — same pixels as
+    * [[buildBmp]] through a stored-mode zlib stream; see BuildPng.
+    */
+  def buildPng(id: Column, w: Column, h: Column): Column =
+    call_function("build_png", id, w, h)
 
   /** Deterministic multi-frame GIF89a bytes; frame f's pixels are the
     * BuildBmp formula shifted by f·37 — see BuildAnimGif.

@@ -78,14 +78,17 @@ private[functions] final class AHashAcc(w: Int, h: Int) {
   *     global or local color table — GIF's entropy coding is exactly the
   *     published LZW algorithm, so "needs a codec library" never applied
   *     to it.
+  *   - PNG (8-bit gray/RGB/gray-alpha/RGBA, non-interlaced): DEFLATE is
+  *     `java.util.zip.Inflater` (in the JDK, not a codec library) plus
+  *     the spec §9 scanline filter reconstruction — see [[PngCodec]].
   * Luma is integer (299R+587G+114B)/1000; see [[AHashAcc]] for the
-  * exact-integer thresholding that makes the x29/x30/x32 DuckDB oracles
-  * possible.
+  * exact-integer thresholding that makes the x29/x30/x32/x49 DuckDB
+  * oracles possible.
   *
-  * NULL for anything else (JPEG/PNG pixels need Huffman/DEFLATE — still
-  * behind the disclosed codec stub), for sub-8×8 images, and for corrupt
-  * payloads. Never throws: a corpus scan at scale WILL contain corrupt
-  * files.
+  * NULL for anything else (JPEG pixels need the full DCT+Huffman stack —
+  * the one remaining disclosed codec stub), for sub-8×8 images, and for
+  * corrupt payloads. Never throws: a corpus scan at scale WILL contain
+  * corrupt files.
   *
   * Hamming distance between aHashes is the standard image near-dup
   * signal; the 64-bit output plugs directly into the 4×16-bit banded
@@ -109,6 +112,7 @@ case class ImageAHash(child: Expression)
       if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) bmpHash(b)
       else if (b.length >= 13 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte)
         gifHash(b)
+      else if (PngCodec.isPng(b)) PngCodec.ahash(b)
       else null
     } catch {
       case _: ArrayIndexOutOfBoundsException | _: ArithmeticException |
