@@ -238,6 +238,20 @@ object ScaleProbe {
           .keepLastBy(evs, Seq("user_id"), Seq(col("ts"), col("event_id")))
           .count()
       )
+      // q33's islands compression: key cardinality grows ×K while state
+      // per key stays constant — the one-exchange window/agg stack should
+      // scale with rows, not keys (the Sessionize bound)
+      probe("scd2_islands", k, nEv)(
+        graft.operators.Scd2
+          .compressHistory(
+            evs.withColumn("event_type", (col("event_id") % 5).cast("string")),
+            keyCol = col("user_id"),
+            stateCol = col("event_type"),
+            orderCols = Seq(col("ts"), col("event_id")),
+            validityCol = col("ts")
+          )
+          .count()
+      )
       evs.unpersist()
     }
     spark.stop()
