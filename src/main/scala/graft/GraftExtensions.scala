@@ -97,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("build_png", "build_png(id, w, h) - deterministic synthetic 8-bit grayscale PNG bytes"),
         (es: Seq[Expression]) => BuildPng(es(0), es(1), es(2))))
     ext.injectFunction(
+      (FunctionIdentifier("build_jpeg"),
+        info("build_jpeg", "build_jpeg(id, w, h) - deterministic synthetic baseline grayscale JPEG bytes"),
+        (es: Seq[Expression]) => BuildJpeg(es(0), es(1), es(2))))
+    ext.injectFunction(
       (FunctionIdentifier("repetition_counts"),
         info("repetition_counts", "repetition_counts(tokens) - (top_run, dup2/3 distinct+total) struct"),
         (es: Seq[Expression]) => RepetitionCounts(es(0))))

@@ -1716,6 +1716,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** JPEG pixel-decode surface: build_jpeg emits baseline JPEGs whose
+    * 8×8 tiles are block-constant (DC-only FDCT — exact with quant 1),
+    * the decode runs the REAL baseline pipeline (canonical Huffman,
+    * EXTEND, dequant, IDCT, MCU crop), and the oracle recomputes the
+    * pixels from the per-BLOCK closed form g(x div 8, y div 8). A hash
+    * match proves the Huffman+IDCT walk byte-exact — the x32 LZW
+    * argument, now for the last image codec.
+    */
+  private def x50(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 0)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .imageAHash(
+            GraftFunctions.buildJpeg(
+              col("doc_id"),
+              (lit(16) + col("doc_id") % 16).cast("int"),
+              (lit(16) + col("doc_id") % 12).cast("int")
+            )
+          )
+          .as("ahash")
+      )
+      .select(
+        col("doc_id"),
+        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
+        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -1846,7 +1878,8 @@ object SparkEntry {
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
     "x48_mad_outliers" -> (x48 _),
-    "x49_png_ahash" -> (x49 _)
+    "x49_png_ahash" -> (x49 _),
+    "x50_jpeg_ahash" -> (x50 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3186,6 +3219,37 @@ object SparkEntry {
         |), lum AS (
         |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
         |         (pid * 131 + x * 7 + y * 13) % 256 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
+        |), bits AS (
+        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
+        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x50: the x29/x32/x49 closed form with BLOCK-constant pixels — the
+    // luma depends on (x div 8, y div 8), matching BuildJpeg's DC-only
+    // tiles; Spark-side the pixels travel through real baseline-JPEG
+    // Huffman decode + IDCT instead
+    "x50_jpeg_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id AS pid,
+        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
+        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), xs AS (
+        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
+        |), lum AS (
+        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
+        |         (pid * 131 + (x // 8) * 7 + (y // 8) * 13) % 256 AS g
         |  FROM px
         |), cells AS (
         |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3

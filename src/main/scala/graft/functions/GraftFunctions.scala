@@ -67,6 +67,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_png", exprs => BuildPng(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_jpeg", exprs => BuildJpeg(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "build_anim_gif",
       exprs => BuildAnimGif(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -231,6 +233,13 @@ object GraftFunctions {
     */
   def buildPng(id: Column, w: Column, h: Column): Column =
     call_function("build_png", id, w, h)
+
+  /** Deterministic synthetic baseline JPEG bytes — block-constant tiles of
+    * the shared formula through a real Huffman entropy segment; see
+    * BuildJpeg.
+    */
+  def buildJpeg(id: Column, w: Column, h: Column): Column =
+    call_function("build_jpeg", id, w, h)
 
   /** Deterministic multi-frame GIF89a bytes; frame f's pixels are the
     * BuildBmp formula shifted by f·37 — see BuildAnimGif.

@@ -113,6 +113,8 @@ case class ImageAHash(child: Expression)
       else if (b.length >= 13 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte)
         gifHash(b)
       else if (PngCodec.isPng(b)) PngCodec.ahash(b)
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        JpegCodec.ahash(b)
       else null
     } catch {
       case _: ArrayIndexOutOfBoundsException | _: ArithmeticException |

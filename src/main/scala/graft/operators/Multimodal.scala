@@ -102,8 +102,10 @@ object Multimodal {
     * walk) and BMP (BITMAPINFOHEADER) parsed from the payload bytes —
     * struct(format,width,height,sample_rate,channels,bit_depth,duration_ms),
     * NULL for unrecognized/corrupt payloads. See
-    * [[graft.functions.DecodeMediaMeta]]. Formats that genuinely need a
-    * codec library (JPEG, MP4…) remain behind [[fakeDecodeMeta]].
+    * [[graft.functions.DecodeMediaMeta]]. Image PIXELS are decoded for
+    * real across BMP/GIF/PNG/baseline-JPEG (see
+    * [[graft.functions.ImageAHash]]); only non-image codecs (MP4, MP3…)
+    * remain behind [[fakeDecodeMeta]].
     */
   def decodeMeta(payload: Column): Column =
     graft.functions.GraftFunctions.decodeMediaMeta(payload)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class JpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ahashOf(bytes: Array[Byte]): Option[Long] = {
+    GraftFunctions.register(spark)
+    val r = Seq(Tuple1(bytes)).toDF("b")
+      .select(GraftFunctions.imageAHash(col("b")).as("h"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  private def buildBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    GraftFunctions.register(spark)
+    Seq(Tuple1(id)).toDF("id")
+      .select(GraftFunctions.buildJpeg(col("id"), lit(w), lit(h)).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** Closed-form reference: block-constant pixels through the AHashAcc
+    * formula, computed directly in Scala (the same arithmetic the x50
+    * DuckDB oracle runs).
+    */
+  private def referenceHash(id: Long, w: Int, h: Int): Long = {
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = java.lang.Math.floorMod(id * 131 + (x / 8) * 7L + (y / 8) * 13L, 256L)
+      val cell = (y * 8 / h) * 8 + x * 8 / w
+      cellSum(cell) += g; cellCnt(cell) += 1; total += g
+    }
+    var out = 0L
+    for (p <- 0 until 64)
+      if (cellSum(p) * w.toLong * h >= total * cellCnt(p)) out |= 1L << (63 - p)
+    out
+  }
+
+  test("encode→decode→hash equals the closed-form reference across sizes") {
+    for (id <- Seq(1L, 7L, 23L, 250L); (w, h) <- Seq((16, 16), (24, 16), (19, 27), (8, 8)))
+      assert(ahashOf(buildBytes(id, w, h)) === Some(referenceHash(id, w, h)),
+        s"id=$id ${w}x$h")
+  }
+
+  test("corruption and unsupported shapes return NULL, never throw") {
+    val good = buildBytes(3L, 16, 16)
+    assert(ahashOf(good).nonEmpty)
+    assert(ahashOf(good.take(good.length / 2)).isEmpty) // truncated scan
+    val progressive = good.clone()
+    // SOF0 marker byte (0xc0) → progressive SOF2: find and flip
+    var i = 2
+    var done = false
+    while (!done && i + 1 < progressive.length) {
+      if ((progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0) {
+        progressive(i + 1) = 0xc2.toByte; done = true
+      }
+      i += 1
+    }
+    assert(done && ahashOf(progressive).isEmpty)
+    assert(ahashOf(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x00)).isEmpty)
+  }
+
+  test("decode_media_meta agrees with the decoder on the synthetic file's dimensions") {
+    GraftFunctions.register(spark)
+    val r = spark
+      .sql("SELECT decode_media_meta(build_jpeg(5L, 24, 16)) AS m")
+      .select(col("m.format"), col("m.width"), col("m.height"), col("m.bit_depth"))
+      .collect()(0)
+    assert(r.getString(0) === "jpeg")
+    assert(r.getInt(1) === 24 && r.getInt(2) === 16 && r.getInt(3) === 8)
+  }
+}
