@@ -1748,6 +1748,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation surface: per-source document cap (domain capping) — keep at
+    * most 30 docs per source, chosen by content-hash order so the kept
+    * set is reproducible and arrival-order-free. Plan is a rank-limited
+    * window (WindowGroupLimit) over one source exchange.
+    */
+  private def x51(s: SparkSession, dir: String): DataFrame =
+    Sampling
+      .capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        group = col("source"),
+        key = col("text"),
+        tieBreak = col("doc_id"),
+        cap = 30
+      )
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -1879,7 +1896,8 @@ object SparkEntry {
     "x47_zorder_zones" -> (x47 _),
     "x48_mad_outliers" -> (x48 _),
     "x49_png_ahash" -> (x49 _),
-    "x50_jpeg_ahash" -> (x50 _)
+    "x50_jpeg_ahash" -> (x50 _),
+    "x51_source_cap" -> (x51 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3263,7 +3281,13 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
         |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x51_source_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -57,4 +57,32 @@ object Sampling {
     }
     df.where(hashBucket(key) < thr)
   }
+
+  /** Per-group document cap: keep at most `cap` rows per `group`, chosen
+    * by CONTENT-HASH order — the domain-cap step of corpus curation (a
+    * handful of hosts dominating a crawl must not dominate the training
+    * mix). Hash order makes the kept set a pure function of the data:
+    * reproducible across runs/partitionings, and stable under appends
+    * ONLY of later-hashing rows — unlike "first N seen", which depends on
+    * arrival order nobody controls at scale.
+    *
+    * Scale: one hash exchange on the group key; the per-group sort is
+    * rank-limited (Spark plans rank-predicate windows as
+    * WindowGroupLimit, keeping ≤ cap+ties per partition before the final
+    * window). The tie-break on the tieBreak column makes the choice total
+    * even for identical texts.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      tieBreak: Column,
+      cap: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(md5(key), tieBreak)
+    df.withColumn("graft_keep_rank", row_number().over(w))
+      .where(col("graft_keep_rank") <= cap)
+      .drop("graft_keep_rank")
+  }
 }

@@ -51,4 +51,33 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("es") === 1000L) // default keeps all
     assert(math.abs(byLang("en") - 250L) < 60) // 3σ ≈ 41
   }
+
+  test("capPerGroup keeps exactly cap rows per oversized group, all of an undersized one") {
+    val out = Sampling
+      .capPerGroup(rows, col("lang"), col("text"), col("doc_id"), cap = 300)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("en" -> 300L, "es" -> 300L))
+    val small = Sampling
+      .capPerGroup(rows.where(col("doc_id") < 10), col("lang"), col("text"), col("doc_id"), cap = 300)
+    assert(small.count() === 10L)
+  }
+
+  test("capPerGroup kept set is hash-determined: arrival order and partitioning are irrelevant") {
+    val a = Sampling.capPerGroup(rows, col("lang"), col("text"), col("doc_id"), cap = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling
+      .capPerGroup(
+        rows.orderBy(col("doc_id").desc).repartition(13, col("text")),
+        col("lang"), col("text"), col("doc_id"), cap = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.size === 100)
+  }
+
+  test("capPerGroup rank predicate plans as WindowGroupLimit (per-partition pre-limit)") {
+    val p = Sampling
+      .capPerGroup(rows, col("lang"), col("text"), col("doc_id"), cap = 30)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rank<=cap not pushed as WindowGroupLimit:\n$p")
+  }
 }
