@@ -1765,6 +1765,23 @@ object SparkEntry {
       .select(col("source"), col("doc_id"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** Robust-stats surface #2: per-event-type winsorization audit — exact
+    * p05/p95 clip bounds plus all-integer counts of what each side would
+    * clip. Same percentile parity and broadcast shape as x48.
+    */
+  private def x52(s: SparkSession, dir: String): DataFrame =
+    Robust
+      .winsorBounds(ev(s, dir), col("event_type"), col("value"))
+      .select(
+        col("graft_key").as("event_type"),
+        col("lo"),
+        col("hi"),
+        col("n_below"),
+        col("n_above"),
+        col("n_total")
+      )
+      .orderBy(col("event_type"))
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -1897,7 +1914,8 @@ object SparkEntry {
     "x48_mad_outliers" -> (x48 _),
     "x49_png_ahash" -> (x49 _),
     "x50_jpeg_ahash" -> (x50 _),
-    "x51_source_cap" -> (x51 _)
+    "x51_source_cap" -> (x51 _),
+    "x52_winsor_bounds" -> (x52 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3287,7 +3305,20 @@ object SparkEntry {
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin
+        |WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin,
+    "x52_winsor_bounds" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type,
+        |  round(min(b.lo), 6) AS lo, round(min(b.hi), 6) AS hi,
+        |  count(*) FILTER (WHERE e.value < b.lo) AS n_below,
+        |  count(*) FILTER (WHERE e.value > b.hi) AS n_above,
+        |  count(*) AS n_total
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

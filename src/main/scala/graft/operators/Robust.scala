@@ -34,6 +34,39 @@ object Robust {
     *         the output contract — comparisons use the unrounded
     *         doubles), n_total, n_outliers
     */
+  /** Winsorization audit: per-group exact [pLo, pHi] clip bounds and how
+    * many rows each side would clip — the screen run BEFORE deciding to
+    * winsorize a feature (all-integer counts; the bounds round to 6 dp
+    * for the output contract while comparisons use the raw doubles, the
+    * x48 discipline). Same two-pass broadcast-join shape and the same
+    * honest per-group-percentile scale bound as [[madOutliers]].
+    */
+  def winsorBounds(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95
+  ): DataFrame = {
+    val vals = df.select(keyCol.as("graft_key"), valueCol.as("v"))
+    val bounds = vals
+      .groupBy("graft_key")
+      .agg(
+        percentile(col("v"), lit(pLo)).as("lo"),
+        percentile(col("v"), lit(pHi)).as("hi")
+      )
+    vals
+      .join(broadcast(bounds), "graft_key")
+      .groupBy("graft_key")
+      .agg(
+        round(min(col("lo")), 6).as("lo"),
+        round(min(col("hi")), 6).as("hi"),
+        count(when(col("v") < col("lo"), 1)).as("n_below"),
+        count(when(col("v") > col("hi"), 1)).as("n_above"),
+        count(lit(1)).as("n_total")
+      )
+  }
+
   def madOutliers(
       df: DataFrame,
       keyCol: Column,

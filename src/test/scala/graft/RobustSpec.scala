@@ -35,6 +35,17 @@ class RobustSpec extends SparkSpec {
     assert(outliers === 2L) // 10.5 and 1e9; the 10.0 mass has dev 0, not > 0
   }
 
+  test("winsor bounds: exact quantile edges and strict-inequality clip counts") {
+    // values 1..20 in one group: p05 = 1.95, p95 = 19.05 (type-7);
+    // below: {1} (1 < 1.95); above: {20}
+    val vals = (1 to 20).map(i => ("a", i.toDouble))
+    val out = Robust
+      .winsorBounds(vals.toDF("k", "v"), col("k"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(("a", 1.95, 19.05, 1L, 1L, 20L)))
+  }
+
   test("groups are independent and k is honored") {
     val vals = (1 to 9).map(i => ("a", i.toDouble)) ++ Seq(("b", 1.0), ("b", 2.0), ("b", 3.0))
     val strict = run(vals, k10 = 10) // k = 1.0: |dev| > mad
