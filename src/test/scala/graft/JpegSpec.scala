@@ -46,6 +46,18 @@ class JpegSpec extends SparkSpec {
         s"id=$id ${w}x$h")
   }
 
+  test("APPn/COM segments (the real-world JFIF/EXIF prelude) are skipped, pixels unchanged") {
+    val b = buildBytes(13L, 16, 16)
+    val base = ahashOf(b)
+    assert(base.nonEmpty)
+    // splice APP0 "JFIF" and a COM segment right after SOI, as cameras do
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      .map(_.toByte)
+    val com = Array(0xff, 0xfe, 0x00, 0x07, 'h', 'e', 'l', 'l', 'o').map(_.toByte)
+    val spliced = b.take(2) ++ app0 ++ com ++ b.drop(2)
+    assert(ahashOf(spliced) === base)
+  }
+
   test("corruption and unsupported shapes return NULL, never throw") {
     val good = buildBytes(3L, 16, 16)
     assert(ahashOf(good).nonEmpty)

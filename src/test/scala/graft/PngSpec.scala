@@ -117,6 +117,22 @@ class PngSpec extends SparkSpec {
     assert(gray.nonEmpty && rgb === gray)
   }
 
+  test("ancillary chunks (gAMA/tEXt, the real-world prelude) are skipped, pixels unchanged") {
+    val b = encodePng(testPixels(16, 16), 0, 0)
+    val base = ahashOf(b)
+    assert(base.nonEmpty)
+    // splice a gAMA chunk between IHDR (ends at 8+25) and IDAT
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val gamaData = be32(45455)
+    val crc = new java.util.zip.CRC32()
+    crc.update("gAMA".getBytes("US-ASCII")); crc.update(gamaData)
+    val gama = be32(4) ++ "gAMA".getBytes("US-ASCII") ++ gamaData ++ be32(crc.getValue.toInt)
+    val cut = 8 + 25 // signature + IHDR chunk (len 4 + type 4 + data 13 + crc 4)
+    val spliced = b.take(cut) ++ gama ++ b.drop(cut)
+    assert(ahashOf(spliced) === base)
+  }
+
   test("corruption and unsupported shapes return NULL, never throw") {
     val good = encodePng(testPixels(16, 16), 0, 0)
     assert(ahashOf(good).nonEmpty)
