@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as the
+// bench metric JSON. Two things defeated that for five rounds: sbt's logger
+// prefixes forked stdout with "[info] ", and sbt prints a trailing
+// "[success] Total time..." line after the fork exits. Route forked output
+// straight through (no prefix) and suppress the success banner so the
+// compact metric line printed by Bench is the literal final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

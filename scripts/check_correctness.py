@@ -57,7 +57,18 @@ for name, sql in sorted(oracle.items()):
     bad = []
     for c in cols_o:
         ov, sv = o[c], s[c]
-        if ov.dtype.kind == "f" or sv.dtype.kind == "f":
+        # The driver hashes RENDERED strings after sorting, so a dtype-kind
+        # mismatch (oracle float64 from an uncast DuckDB HUGEINT vs Spark
+        # int64) renders "0.0" vs "0" and fails the driver even when values
+        # are numerically equal. Reproduce that: dtype-kind mismatch between
+        # float and integer intent is an outright failure, and only
+        # float-vs-float columns get numeric comparison.
+        ok_kind, sk_kind = ov.dtype.kind, sv.dtype.kind
+        if (ok_kind == "f") != (sk_kind == "f"):
+            bad.append(f"{c}: DTYPE-KIND oracle={ov.dtype} spark={sv.dtype} "
+                       f"(driver hashes rendered strings; cast the oracle column)")
+            continue
+        if ok_kind == "f" and sk_kind == "f":
             eq = (ov.astype(float).fillna(-1e308) == sv.astype(float).fillna(-1e308))
         else:
             try:

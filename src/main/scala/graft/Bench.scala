@@ -104,8 +104,13 @@ object Bench {
       .collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val nOk = results.count(_._2 >= 0)
+    // stop() BEFORE the metric print: nothing (even a stray executor log, if
+    // a driver merges streams) may follow the line the driver parses. Paired
+    // with build.sbt's StdoutOutput + showSuccess:=false, this line is the
+    // literal final stdout line of the sbt invocation.
+    spark.stop()
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$headQueries,"n_queries":${results.size},"n_ok":$nOk,"full":"bench_full.json","sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }
