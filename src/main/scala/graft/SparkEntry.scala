@@ -1368,8 +1368,17 @@ object SparkEntry {
     */
   private def x34(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    // The multi-frame LZW decode is the most CPU-expensive media kernel in
+    // the suite, and a single-file parquet scan hands it 1-2 tasks — round
+    // 5 benched wall ≈ cpu on 32 cores. Project down to the scalar ids and
+    // repartition to cluster parallelism BEFORE the build+decode chain
+    // (same round-1 `Dedup.spread` lesson): a decode stage must never
+    // inherit its parallelism from input file count. The explicit partition
+    // count keeps AQE from re-coalescing the tiny id shuffle.
     t(s, dir, "documents")
       .where(col("doc_id") % 4 === 3)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         GraftFunctions
@@ -1782,6 +1791,85 @@ object SparkEntry {
       )
       .orderBy(col("event_type"))
 
+  /** Multimodal metadata surface #1: MP4 container decode — genuine
+    * ISO-BMFF files ([[graft.functions.BuildMp4]]: ftyp + moov(mvhd +
+    * trak(tkhd)) + mdat) are REALLY box-walked by
+    * [[graft.functions.Mp4Codec]] (mvhd timescale→duration, tkhd 16.16
+    * dims), shrinking the long-standing `fakeDecodeMeta` stub to
+    * compressed-stream payloads only. The oracle recomputes dims/duration
+    * from the doc_id closed form — the x33 encode→decode→verify contract
+    * applied to the video container.
+    */
+  private def x53(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 1)
+      .select(
+        col("doc_id"),
+        Multimodal
+          .decodeMeta(
+            GraftFunctions.buildMp4(
+              (lit(16) + col("doc_id") % 73 * 2).cast("int"),
+              (lit(16) + col("doc_id") % 57 * 2).cast("int"),
+              (lit(1000) + col("doc_id") % 997 * 7).cast("int")
+            )
+          )
+          .as("m")
+      )
+      .select(
+        col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.duration_ms").as("duration_ms")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal metadata surface #2: MP3 frame-header decode — genuine
+    * CBR MPEG1-Layer-III files behind a real ID3v2 tag
+    * ([[graft.functions.BuildMp3]]) are parsed by
+    * [[graft.functions.Mp3Codec]] (syncsafe tag skip, frame sync,
+    * bitrate/samplerate table lookup, CBR duration estimate). The tag
+    * size varies per doc so the skip path is exercised corpus-wide.
+    */
+  private def x54(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 3)
+      .select(
+        col("doc_id"),
+        Multimodal
+          .decodeMeta(
+            GraftFunctions.buildMp3(
+              col("doc_id"),
+              (lit(3) + col("doc_id") % 29).cast("int"),
+              (col("doc_id") % 17).cast("int")
+            )
+          )
+          .as("m")
+      )
+      .select(
+        col("doc_id"),
+        col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.duration_ms").as("duration_ms")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curation surface: cross-document segment dedup (C4-style "remove
+    * duplicated lines corpus-wide" on the pipeline's own 8-token chunking
+    * grid) — see [[graft.operators.Dedup.segmentDedup]]. The md5 of each
+    * reassembled document is in the contract, so the oracle must agree on
+    * the split, the keep-first rule AND the reassembly byte-for-byte.
+    */
+  private def x55(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .segmentDedup(t(s, dir, "documents").select(col("doc_id"), col("text")), window = 8)
+      .orderBy(col("doc_id"))
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -1915,7 +2003,10 @@ object SparkEntry {
     "x49_png_ahash" -> (x49 _),
     "x50_jpeg_ahash" -> (x50 _),
     "x51_source_cap" -> (x51 _),
-    "x52_winsor_bounds" -> (x52 _)
+    "x52_winsor_bounds" -> (x52 _),
+    "x53_mp4_meta" -> (x53 _),
+    "x54_mp3_meta" -> (x54 _),
+    "x55_segment_dedup" -> (x55 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -2939,8 +3030,10 @@ object SparkEntry {
         |                   OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), sess AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  -- CAST: DuckDB sum() yields HUGEINT, which duckdb.df() renders as
+        |  -- float64 ("0.0" vs Spark's "0") and fails the driver's string hash.
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
         |  FROM flagged
         |)
         |SELECT user_id AS key, session_idx,
@@ -3210,7 +3303,10 @@ object SparkEntry {
         |    FROM r2 r JOIN e ON r.node_id = e.src GROUP BY e.dst
         |  ) c ON d.src = c.dst
         |)
-        |SELECT node_id, rank_units FROM r3 ORDER BY node_id""".stripMargin,
+        |-- CAST: the r1/r2/r3 sum(...)-derived arithmetic is HUGEINT in DuckDB,
+        |-- which duckdb.df() renders as float64 and fails the driver's hash.
+        |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
+        |FROM r3 ORDER BY node_id""".stripMargin,
     "x47_zorder_zones" ->
       s"""WITH src AS (
          |  SELECT l_partkey % 1024 AS za, l_suppkey % 1024 AS zb FROM lineitem
@@ -3318,7 +3414,53 @@ object SparkEntry {
         |  count(*) FILTER (WHERE e.value > b.hi) AS n_above,
         |  count(*) AS n_total
         |FROM events e JOIN b USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // x53/x54: the oracle recomputes every metadata field from the doc_id
+    // closed form the builder used — a match proves the container walk
+    // (box tree / tag skip + frame header) recovered the real values.
+    "x53_mp4_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(16 + doc_id % 73 * 2 AS INT) AS width,
+        |  CAST(16 + doc_id % 57 * 2 AS INT) AS height,
+        |  CAST(1000 + doc_id % 997 * 7 AS INT) AS duration_ms
+        |FROM documents WHERE doc_id % 5 = 1 ORDER BY doc_id""".stripMargin,
+    "x54_mp3_meta" ->
+      """SELECT doc_id, 'mp3' AS format,
+        |  CAST(44100 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  -- CBR estimate: bytes*8/kbps ms over (3 + id%29) frames of 417 B
+        |  CAST((3 + doc_id % 29) * 417 * 8 // 128 AS INT) AS duration_ms
+        |FROM documents WHERE doc_id % 5 = 3 ORDER BY doc_id""".stripMargin,
+    // x55: same chunk CTE as x37 (window = stride = 8), keep-first by
+    // (doc_id, chunk_idx) per distinct segment text, ordered reassembly;
+    // string_agg skips the CASE-NULLed dropped segments, mirroring
+    // concat_ws over kept-only rows. All counts CAST BIGINT (x17 lesson).
+    "x55_segment_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) <= 8 THEN 1
+        |              ELSE (len(toks) - 8 + 7) // 8 + 1 END AS c
+        |  FROM tk
+        |), ch AS (
+        |  SELECT doc_id, toks, n, unnest(range(c)) AS chunk_idx FROM d
+        |), seg AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list_slice(toks, chunk_idx * 8 + 1,
+        |      chunk_idx * 8 + least(8, n - chunk_idx * 8)), ' ') AS chunk_text
+        |  FROM ch
+        |), k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY chunk_text
+        |                               ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM seg
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN rk = 1 THEN chunk_text END,
+        |                          ' ' ORDER BY chunk_idx), '')) AS dedup_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
