@@ -78,6 +78,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_wav", exprs => BuildWav(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_mp4", exprs => BuildMp4(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "build_mp3", exprs => BuildMp3(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -264,6 +268,16 @@ object GraftFunctions {
     */
   def buildWav(id: Column, rate: Column, n: Column): Column =
     call_function("build_wav", id, rate, n)
+
+  /** Minimal genuine ISO-BMFF (MP4) file with the given dims/duration —
+    * see BuildMp4.
+    */
+  def buildMp4(w: Column, h: Column, durMs: Column): Column =
+    call_function("build_mp4", w, h, durMs)
+
+  /** Minimal genuine MP3 (ID3v2 tag + CBR MPEG1-L3 frames) — see BuildMp3. */
+  def buildMp3(id: Column, frames: Column, tagBytes: Column): Column =
+    call_function("build_mp3", id, frames, tagBytes)
 
   /** Real PCM sample decode → raw integer audio statistics (sum_sq,
     * sum_abs, peak, zero_cross, …) — see AudioPcmFeatures.

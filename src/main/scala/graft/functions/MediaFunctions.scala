@@ -698,7 +698,26 @@ case class DecodeMediaMeta(child: Expression)
         }
       }
       null // truncated before any SOF
-    } else null
+    } else if (Mp4Codec.isMp4(b)) {
+      // ISO BMFF box walk: mvhd duration, first video tkhd dims (Mp4Codec)
+      val m = Mp4Codec.meta(b)
+      if (m == null) null
+      else
+        InternalRow(
+          u("mp4"),
+          if (m(0) > 0) m(0).toInt else null,
+          if (m(1) > 0) m(1).toInt else null,
+          null, null, null,
+          if (m(2) >= 0) m(2).min(Int.MaxValue).toInt else null)
+    } else {
+      // last: the MP3 frame-sync probe is the weakest magic (11 set bits),
+      // so every stronger container signature gets first refusal above
+      val m = Mp3Codec.meta(b)
+      if (m == null) null
+      else
+        InternalRow(u("mp3"), null, null, m(0).toInt, m(1).toInt, null,
+          m(2).min(Int.MaxValue).toInt)
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -9,15 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape — is real
-  * and tested. The decode step is real where no codec library is needed:
-  * [[decodeMeta]] parses WAV and BMP container headers from the raw bytes
-  * (MultimodalSpec decodes genuine files it synthesizes byte-by-byte).
-  * Formats that need an actual codec (JPEG, MP4 — this container has no
-  * image/audio libraries) stay behind the clearly-marked stub
-  * [[fakeDecodeMeta]]; a production build swaps it for a codec-backed
-  * implementation with the same signature (in PySpark bindings this is
-  * where an Arrow-batched `mapInPandas` UDF would sit); nothing else
-  * changes.
+  * and tested. The decode step is real wherever the format is parseable
+  * without a codec library: [[decodeMeta]] walks WAV/RIFF chunks, BMP /
+  * PNG / GIF / JPEG image headers, MP4 box trees (mvhd duration, tkhd
+  * dims) and MP3 frame headers (ID3v2 skip + bitrate/samplerate tables)
+  * from the raw bytes, and image PIXELS decode for real across
+  * BMP/GIF/PNG/baseline-JPEG. Only compressed-STREAM payloads (MP4
+  * sample data, MP3 audio frames — true entropy decode) stay behind the
+  * clearly-marked stub [[fakeDecodeMeta]]; a production build swaps it
+  * for a codec-backed implementation with the same signature (in PySpark
+  * bindings this is where an Arrow-batched `mapInPandas` UDF would sit);
+  * nothing else changes.
   *
   * Everything below is built-in byte/array expressions: `substring` on
   * binary, `aggregate` over byte positions — codegen'd, shuffle-free,
@@ -71,8 +73,10 @@ object Multimodal {
       )
   }
 
-  /** STUB decode: deterministic fake of "decode the payload and report its
-    * true dimensions" — reads the first payload bytes as pseudo-header.
+  /** STUB decode: deterministic fake of "entropy-decode the compressed
+    * stream and report its true dimensions" — the one step that genuinely
+    * needs a codec library this container doesn't ship. All container
+    * METADATA (including MP4/MP3) decodes for real in [[decodeMeta]].
     * Replace with a codec call in production; signature stays.
     */
   def fakeDecodeMeta(payload: Column): Column =
@@ -98,13 +102,15 @@ object Multimodal {
       k => substr(payload, k * (frameBytes * stride) + 1, lit(frameBytes))
     )
 
-  /** REAL decode for the codec-free container formats: WAV (RIFF chunk
-    * walk) and BMP (BITMAPINFOHEADER) parsed from the payload bytes —
+  /** REAL metadata decode across every supported container: WAV (RIFF
+    * chunk walk), BMP/PNG/GIF/JPEG image headers, MP4 (ISO-BMFF box walk:
+    * mvhd duration, tkhd dims) and MP3 (ID3v2 skip + frame header) —
     * struct(format,width,height,sample_rate,channels,bit_depth,duration_ms),
     * NULL for unrecognized/corrupt payloads. See
-    * [[graft.functions.DecodeMediaMeta]]. Image PIXELS are decoded for
-    * real across BMP/GIF/PNG/baseline-JPEG (see
-    * [[graft.functions.ImageAHash]]); only non-image codecs (MP4, MP3…)
+    * [[graft.functions.DecodeMediaMeta]], [[graft.functions.Mp4Codec]],
+    * [[graft.functions.Mp3Codec]]. Image PIXELS additionally decode for
+    * real across BMP/GIF/PNG/baseline-JPEG
+    * ([[graft.functions.ImageAHash]]); only compressed-stream payloads
     * remain behind [[fakeDecodeMeta]].
     */
   def decodeMeta(payload: Column): Column =
