@@ -49,6 +49,61 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-document segment dedup — the C4/RefinedWeb "remove lines
+    * duplicated across documents" curation verb, re-expressed on disjoint
+    * `window`-token segments ([[Chunk.tokenWindows]] with stride=window,
+    * so the split is the pipeline's own chunking contract). A segment
+    * whose exact text already appeared at a smaller (doc, position) is
+    * dropped CORPUS-WIDE; every document is then reassembled from its
+    * surviving segments in order. Output per doc: segment counts and the
+    * md5 of the reassembled text (the hash pins exact reassembly).
+    *
+    * 100 TB shape: segments shuffle by digest, not text, for the keeper
+    * vote — a hash-agg `min(struct(doc,idx))` argmax (the x44 lesson:
+    * map-side partials absorb a segment duplicated a million times;
+    * a `row_number` window over that partition would be one task's
+    * problem). One digest-keyed join labels keepers, one doc-keyed agg
+    * reassembles. No window functions, no driver state.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      window: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val chunks = Chunk
+      .tokenWindows(docs, window, window, idCol, textCol)
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("chunk_text"),
+        md5(col("chunk_text")).as("seg_md5"))
+    val keepers = chunks
+      .groupBy(col("seg_md5"))
+      .agg(min(struct(col(idCol).as("kd"), col("chunk_idx").as("ki"))).as("keep"))
+    val kept = chunks
+      .join(keepers, "seg_md5")
+      .where(col(idCol) === col("keep.kd") && col("chunk_idx") === col("keep.ki"))
+    val perDoc = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_segments"))
+    val keptAgg = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            x => x.getField("chunk_text"))).as("dedup_text"))
+    perDoc
+      .join(keptAgg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("dedup_text"), lit(""))).as("dedup_md5"))
+  }
+
   /** Fingerprint (normalized-text) dedup — catches whitespace/punctuation/
     * case variants that exact dedup misses.
     */
@@ -503,14 +558,16 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       lshAbove: Long = 100000L
-  ): DataFrame =
-    if (emb.count() <= lshAbove)
+  ): DataFrame = {
+    val n = emb.count() // one scan job: drives both the branch and the LSH sizing
+    if (n <= lshAbove)
       embeddingNearDupPairsExact(emb, threshold, idCol, vecCol)
     else {
       val bits = math.max(2, math.ceil(
-        math.log(emb.count().toDouble / 2000.0) / math.log(2.0)).toInt)
+        math.log(n.toDouble / 2000.0) / math.log(2.0)).toInt)
       embeddingNearDupPairsLsh(emb, threshold, bitsPerTable = bits, idCol = idCol, vecCol = vecCol)
     }
+  }
 
   /** Exact all-pairs formulation (the small-corpus branch of
     * [[embeddingNearDupPairs]] and the correctness baseline the LSH branch

@@ -21,6 +21,36 @@ class DedupSpec extends SparkSpec {
     GraftFunctions.register(spark)
   }
 
+  test("segment dedup: corpus-wide keep-first drop, byte-exact reassembly") {
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "a b c d e f g h x1 x2"), // segments: [a..h], [x1 x2]
+      (1L, "a b c d e f g h y1 y2"), // [a..h] already seen at (0,0) → dropped
+      (2L, "x1 x2 p q")              // "x1 x2 p q" is ONE 4-token segment — no dup
+    ).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(docs, 8).orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ===
+      Seq((0L, 2L, 2L, 0L), (1L, 2L, 1L, 1L), (2L, 1L, 1L, 0L)))
+    assert(r(0).getString(4) === md5s("a b c d e f g h x1 x2"))
+    assert(r(1).getString(4) === md5s("y1 y2"))
+    assert(r(2).getString(4) === md5s("x1 x2 p q"))
+  }
+
+  test("segment dedup: a doc losing every segment reassembles to the empty hash") {
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "a b c"),
+      (1L, "a b c") // single identical segment → doc 1 keeps nothing
+    ).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(docs, 8).orderBy("doc_id").collect()
+    assert(r(1).getLong(2) === 0L && r(1).getLong(3) === 1L)
+    assert(r(1).getString(4) === md5s(""))
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs).collect()
     assert(out.length === 5) // 0/1 merge
