@@ -128,12 +128,21 @@ private[functions] object JpegCodec {
     var off = 2
     var w = 0; var h = 0
     val quant = new Array[Array[Int]](4)
-    var dcDec: Map[(Int, Int), Int] = null
-    var acDec: Map[(Int, Int), Int] = null
+    // Huffman tables indexed by destination id (T.81 allows up to 4 per
+    // class; wild files routinely define destination 1 for chroma even in
+    // scans that never use it — clobbering a single slot decodes against
+    // the wrong table).
+    val dcTabs = new Array[Map[(Int, Int), Int]](4)
+    val acTabs = new Array[Map[(Int, Int), Int]](4)
+    var dcSel = -1
+    var acSel = -1
     var qSel = -1
     var scanOff = -1
     while (scanOff < 0 && off + 4 <= b.length) {
       if ((b(off) & 0xff) != 0xff) return null
+      // optional 0xFF fill bytes before a marker code (T.81 §B.1.1.2)
+      while (off + 2 < b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+      if (off + 4 > b.length) return null
       val marker = b(off + 1) & 0xff
       val len = be16(b, off + 2)
       if (off + 2 + len > b.length) return null
@@ -163,21 +172,32 @@ private[functions] object JpegCodec {
           var o = off + 4
           while (o < off + 2 + len) {
             val tc = (b(o) & 0xff) >> 4
+            val th = b(o) & 0x0f
+            if (tc > 1 || th > 3 || o + 17 > b.length) return null
             val bits = Array.tabulate(16)(i => b(o + 1 + i) & 0xff)
             val n = bits.sum
+            if (o + 17 + n > b.length) return null
             val vals = Array.tabulate(n)(i => b(o + 17 + i) & 0xff)
-            if (tc == 0) dcDec = decodeTable(bits, vals) else acDec = decodeTable(bits, vals)
+            if (tc == 0) dcTabs(th) = decodeTable(bits, vals)
+            else acTabs(th) = decodeTable(bits, vals)
             o += 17 + n
           }
         case 0xdd => return null // DRI/restart markers: out of scope
-        case 0xda => // SOS
+        case 0xda => // SOS: bind this scan's DC/AC table selectors
+          if ((b(off + 4) & 0xff) != 1) return null // single-component scope
+          dcSel = (b(off + 6) & 0xff) >> 4
+          acSel = b(off + 6) & 0x0f
           scanOff = off + 2 + len
         case _ => () // APPn, COM, etc.: skip
       }
       off += 2 + len
     }
     if (scanOff < 0 || w < 8 || h < 8 || w > (1 << 16) || h > (1 << 16)) return null
-    if (dcDec == null || acDec == null || qSel < 0 || quant(qSel) == null) return null
+    if (dcSel < 0 || dcSel > 3 || acSel > 3) return null
+    if (dcTabs(dcSel) == null || acTabs(acSel) == null) return null
+    if (qSel < 0 || qSel > 3 || quant(qSel) == null) return null
+    val dcDec = dcTabs(dcSel)
+    val acDec = acTabs(acSel)
     val q = quant(qSel)
 
     def decodeSym(r: BitReader, tab: Map[(Int, Int), Int]): Int = {

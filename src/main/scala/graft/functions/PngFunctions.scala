@@ -65,10 +65,21 @@ private[functions] object PngCodec {
       else if (isType(b, off + 4, "IEND")) done = true
       off += 12 + len
     }
-    val raw = new Array[Byte]((1 + w * bpp) * h)
+    // Allocation guard for a never-throw corpus-scan expression: the raw
+    // buffer size comes straight from attacker-controlled header dims, so
+    // (a) compute it in Long (w,h ≤ 2^20 each — the Int product overflows),
+    // (b) cap total bytes at 2^26 (64 MiB ≈ a 4096×4096 RGBA frame — far
+    // above any thumbnail-hash use, far below executor-OOM territory), and
+    // (c) require the declared size to be reachable from the actual IDAT
+    // payload: DEFLATE expands at most ~1032:1, so a tiny file declaring
+    // huge dims is rejected before any allocation happens.
+    val idatBytes = idat.toByteArray
+    val rawLen = (1L + w.toLong * bpp) * h
+    if (rawLen > (1L << 26) || rawLen > 1032L * idatBytes.length + 64) return null
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
-      inf.setInput(idat.toByteArray)
+      inf.setInput(idatBytes)
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)

@@ -58,6 +58,38 @@ class JpegSpec extends SparkSpec {
     assert(ahashOf(spliced) === base)
   }
 
+  test("DHT destination-1 tables don't clobber the scan's destination-0 tables") {
+    val b = buildBytes(29L, 16, 16)
+    val base = ahashOf(b)
+    assert(base.nonEmpty)
+    // Splice a chroma-style DHT defining DC dest 1 AND AC dest 1 right
+    // before SOS (as color JPEGs carry even for never-used destinations).
+    // The tables are deliberately WRONG for this scan (a single 1-bit code
+    // for symbol 0) — if either clobbers the dest-0 slot, decode breaks.
+    val bogusBits = Array(1) ++ Array.fill(15)(0)
+    val dhtDc1 = Array(0xff, 0xc4, 0x00, 0x14, 0x01) ++ bogusBits ++ Array(0x00)
+    val dhtAc1 = Array(0xff, 0xc4, 0x00, 0x14, 0x11) ++ bogusBits ++ Array(0x00)
+    // find SOS (0xffda) and splice before it
+    var sos = -1
+    var i = 2
+    while (sos < 0 && i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda) sos = i
+      i += 1
+    }
+    assert(sos > 0)
+    val spliced = b.take(sos) ++ (dhtDc1 ++ dhtAc1).map(_.toByte) ++ b.drop(sos)
+    assert(ahashOf(spliced) === base)
+  }
+
+  test("0xFF fill bytes before a marker code are skipped (T.81 §B.1.1.2)") {
+    val b = buildBytes(31L, 16, 16)
+    val base = ahashOf(b)
+    assert(base.nonEmpty)
+    // pad two fill bytes ahead of the first post-SOI marker's 0xFF
+    val padded = b.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ b.drop(2)
+    assert(ahashOf(padded) === base)
+  }
+
   test("corruption and unsupported shapes return NULL, never throw") {
     val good = buildBytes(3L, 16, 16)
     assert(ahashOf(good).nonEmpty)

@@ -147,4 +147,21 @@ class PngSpec extends SparkSpec {
     // sub-8x8
     assert(ahashOf(encodePng(testPixels(7, 7), 0, 0)).isEmpty)
   }
+
+  test("crafted huge-dimension header is rejected before allocating (OOM guard)") {
+    // dims individually pass the 2^20 gate but multiply to ~2.1 GB of raw
+    // buffer — a never-throw corpus scan must reject this from the header
+    // + IDAT-length sanity check, not by attempting the allocation.
+    val good = encodePng(testPixels(16, 16), 0, 0)
+    val huge = good.clone()
+    def putBe32(o: Int, v: Int): Unit = {
+      huge(o) = ((v >> 24) & 0xff).toByte; huge(o + 1) = ((v >> 16) & 0xff).toByte
+      huge(o + 2) = ((v >> 8) & 0xff).toByte; huge(o + 3) = (v & 0xff).toByte
+    }
+    putBe32(16, 1 << 20) // width
+    putBe32(20, 2047)    // height: (1+2^20)*2047 overflows far past the cap
+    val t0 = System.nanoTime()
+    assert(ahashOf(huge).isEmpty)
+    assert((System.nanoTime() - t0) < 30e9) // and it returns promptly
+  }
 }
