@@ -1870,6 +1870,27 @@ object SparkEntry {
       .segmentDedup(t(s, dir, "documents").select(col("doc_id"), col("text")), window = 8)
       .orderBy(col("doc_id"))
 
+  /** Graph surface: edit-distance-1 brand clusters — x45's SymSpell pair
+    * mining fed through large-star/small-star contraction
+    * ([[graft.operators.Cluster.connectedComponentsStar]], the
+    * O(log n)-round CC for graphs whose diameter makes min-label
+    * propagation's round count unaffordable; spec-pinned ≡ label
+    * propagation in ClusterSpec). `cluster_root` is the lexicographic
+    * minimum brand reachable — the same contract the oracle's
+    * recursive-CTE transitive closure computes, so a hash match proves
+    * the contraction found exactly the true components.
+    */
+  private def x56(s: SparkSession, dir: String): DataFrame =
+    Cluster
+      .connectedComponentsStar(
+        Fuzzy
+          .editDistance1Pairs(t(s, dir, "part"), "p_brand")
+          .select(col("a_val").as("a_id"), col("b_val").as("b_id")),
+        maxIters = 30
+      )
+      .select(col("id").as("brand"), col("comp").as("cluster_root"))
+      .orderBy(col("brand"))
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -2006,7 +2027,8 @@ object SparkEntry {
     "x52_winsor_bounds" -> (x52 _),
     "x53_mp4_meta" -> (x53 _),
     "x54_mp3_meta" -> (x54 _),
-    "x55_segment_dedup" -> (x55 _)
+    "x55_segment_dedup" -> (x55 _),
+    "x56_fuzzy_clusters" -> (x56 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3460,7 +3482,26 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_dropped,
         |  md5(coalesce(string_agg(CASE WHEN rk = 1 THEN chunk_text END,
         |                          ' ' ORDER BY chunk_idx), '')) AS dedup_md5
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x56: x45's pair predicate + recursive-CTE transitive closure;
+    // cluster_root = min reachable brand (same contract as x14's closure)
+    "x56_fuzzy_clusters" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT DISTINCT p_brand AS s FROM part
+        |  WHERE p_brand IS NOT NULL AND length(p_brand) >= 2
+        |), p AS (
+        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
+        |  WHERE levenshtein(a.s, b.s) <= 1
+        |), bidir AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b AS src, a AS dst FROM p
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+        |)
+        |SELECT src AS brand, least(src, min(dst)) AS cluster_root
+        |FROM reach GROUP BY src ORDER BY brand""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -92,6 +92,115 @@ object Cluster {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round alternative to
+    * [[connectedComponents]]'s min-label propagation, whose round count is
+    * the graph DIAMETER. Near-dup graphs are shallow, so label propagation
+    * is usually fine; this operator exists for the adversarial shapes
+    * (long chains: linked citation/redirect graphs, transitively-merged
+    * entity resolution) where diameter ∝ n and label propagation would
+    * need thousands of shuffles.
+    *
+    * Per round, two phases over the directed edge list:
+    *   - large-star: group both edge directions by `u`; with
+    *     m = min(N(u) ∪ {u}), re-point every STRICTLY LARGER neighbor
+    *     v > u at m. Connectivity-preserving, strictly decreases the sum
+    *     of neighbor heights.
+    *   - small-star: orient every edge large→small, group by the large
+    *     end `u`; with m = min(N(u) ∪ {u}) re-point u and all its (small)
+    *     neighbors except m at m.
+    * Each phase is ONE `groupBy(u)` shuffle plus a join back on the same
+    * key (the exchange is reused — the join side arrives pre-partitioned).
+    * Convergence = the edge list is a star forest: no parent node also
+    * appears as a child, checked with a left-semi probe (sound — depth-1
+    * big→small edges with min roots ARE the component labels; no
+    * hash-signature heuristic that could terminate early on collision).
+    * Roots at convergence are the component minima, so the output contract
+    * is identical to [[connectedComponents]]: (id, comp) with
+    * comp = min reachable id — the two implementations are interchangeable
+    * and spec-pinned equal. Works on any ordered id type (longs, strings).
+    *
+    * Same lineage discipline as the label-prop loop: `localCheckpoint`
+    * per round, else the plan doubles each iteration.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIters: Int = 30
+  ): DataFrame = {
+    val nodes = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("id"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = edges.isEmpty
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // large-star: m = min over the full neighborhood (both directions);
+      // every neighbor larger than the group key re-points at m
+      val bidir = edges
+        .select(
+          explode(
+            array(
+              struct(col("u").as("s"), col("v").as("d")),
+              struct(col("v").as("s"), col("u").as("d"))
+            )
+          ).as("e")
+        )
+        .select(col("e.s").as("s"), col("e.d").as("d"))
+      val lsMin = bidir
+        .groupBy("s")
+        .agg(min(col("d")).as("mind"))
+        .select(col("s"), least(col("mind"), col("s")).as("m"))
+      val afterLarge = bidir
+        .join(lsMin, "s")
+        .where(col("d") > col("s"))
+        .select(col("d").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // small-star: edges are big→small; with m = min(small neighbors),
+      // the group key AND every other small neighbor re-point at m
+      val ssMin = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge
+        .join(ssMin, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      edges = afterSmall
+      // star test: a parent (v side) that also appears as a child (u side)
+      // means depth ≥ 2 somewhere → keep contracting
+      converged = edges
+        .join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
+        .isEmpty
+      iters += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds; " +
+          "raise maxIters — returning a partially-contracted forest would " +
+          "split real components")
+    val labeled = edges.select(col("u").as("id"), col("v").as("comp"))
+    val out = nodes
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    nodes.unpersist()
+    out
+  }
+
   /** End-to-end near-dup clustering: mine n-gram Jaccard pairs, cluster
     * them, and label every clustered doc with its component root and
     * whether it is the canonical (kept) member.

@@ -63,4 +63,60 @@ class ClusterSpec extends SparkSpec {
       (9L, 9L, 0.1, 1L) // singleton keeps itself, n_members 1
     ))
   }
+
+  test("star contraction ≡ label propagation on a mixed graph") {
+    // cliques, bridges, a short chain, isolated pair, a self-loop pair —
+    // permuted ids so component minima don't align with edge order
+    val edges = Seq(
+      (42L, 7L), (7L, 13L), (13L, 42L), // triangle, min 7
+      (13L, 99L), (99L, 3L), // bridge chains triangle down to min 3
+      (50L, 60L), (60L, 50L), // duplicate + reversed edge
+      (8L, 8L), // self-loop only → singleton
+      (21L, 20L)
+    ).toDF("a_id", "b_id")
+    val lp = Cluster.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Cluster.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === lp)
+    assert(star(8L) === 8L)
+    assert(star(42L) === 3L)
+  }
+
+  test("star contraction: 300-hop path converges in O(log n) rounds") {
+    // a path over PERMUTED ids (i*7919 mod 3001 is a bijection on 0..3000's
+    // subrange) so the min sits mid-path and label propagation would need
+    // ~300 shuffle rounds; star contraction must finish within 15
+    def p(i: Long): Long = (i * 7919L) % 3001L
+    val path = (0L until 300L).map(i => (p(i), p(i + 1))).toDF("a_id", "b_id")
+    val want = (0L to 300L).map(p).min
+    val out = Cluster.connectedComponentsStar(path, maxIters = 15).collect()
+    assert(out.length === 301)
+    assert(out.forall(_.getLong(1) == want))
+    // the same budget starves label propagation — diameter is 300
+    val e = intercept[IllegalStateException] {
+      Cluster.connectedComponents(path, maxIters = 15).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star contraction works on string ids (lexicographic minima)") {
+    val edges = Seq(
+      ("beta", "alpha"), ("gamma", "beta"), // chain → root "alpha"
+      ("zeta", "yankee")
+    ).toDF("a_id", "b_id")
+    val out = Cluster.connectedComponentsStar(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      "alpha" -> "alpha", "beta" -> "alpha", "gamma" -> "alpha",
+      "yankee" -> "yankee", "zeta" -> "yankee"))
+  }
+
+  test("star contraction non-convergence fails loudly") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Cluster.connectedComponentsStar(chain, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
