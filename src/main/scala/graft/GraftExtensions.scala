@@ -73,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MisraGriesTokens(es(0), es(1).eval(null).asInstanceOf[Int])
             .toAggregateExpression()))
     ext.injectFunction(
+      (FunctionIdentifier("kmv_mins"),
+        info("kmv_mins",
+          "kmv_mins(hash, k) - KMV distinct sketch: k smallest distinct hashes, ascending (aggregate)"),
+        (es: Seq[Expression]) =>
+          KmvMins(es(0), es(1).eval(null).asInstanceOf[Int])
+            .toAggregateExpression()))
+    ext.injectFunction(
       (FunctionIdentifier("simhash_md5_bands"),
         info("simhash_md5_bands", "simhash_md5_bands(tokens) - md5-derived SimHash as 4x16-bit bands"),
         (es: Seq[Expression]) => SimHashMd5Bands(es(0))))

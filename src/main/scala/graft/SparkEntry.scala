@@ -1891,6 +1891,42 @@ object SparkEntry {
       .select(col("id").as("brand"), col("comp").as("cluster_root"))
       .orderBy(col("brand"))
 
+  /** Distinct-count sketch surface: distinct users per event type by KMV
+    * k-minimum-values (k = 64) next to the exact twin — the sketch whose
+    * exchange stays O(k) per group regardless of cardinality, where exact
+    * `count(distinct)` ships every (group, user) pair; see
+    * [[graft.operators.DistinctSketch]]. The SFs split the contract's two
+    * branches: 15 users/type at sf0.001 exercises exact-below-k
+    * (kth_hash NULL), 150 at sf0.01 the (k-1)·2^40/h_(k) estimator —
+    * both get driver coverage. The oracle replays hash, k-minima, and
+    * integer-division estimate bit-for-bit.
+    */
+  private def x57(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val sketch = DistinctSketch.kmvDistinct(
+      events.select(col("event_type"), col("user_id")),
+      groupCols = Seq("event_type"),
+      elem = col("user_id"),
+      k = 64
+    )
+    val exact = events
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
+    * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
+    * decodes (most-significant digit first) so the two sides cannot drift.
+    * `h` is the 10-char lowercase hex string in scope at the splice point.
+    */
+  private val kmvHexToIntSql: String =
+    (1 to DistinctSketch.HexChars)
+      .map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+          s"${1L << (4 * (DistinctSketch.HexChars - i))}")
+      .mkString(" + ")
+
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
     * interleave expression generated from the SAME loop shape as
     * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
@@ -2028,7 +2064,8 @@ object SparkEntry {
     "x53_mp4_meta" -> (x53 _),
     "x54_mp3_meta" -> (x54 _),
     "x55_segment_dedup" -> (x55 _),
-    "x56_fuzzy_clusters" -> (x56 _)
+    "x56_fuzzy_clusters" -> (x56 _),
+    "x57_kmv_distinct" -> (x57 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3501,7 +3538,38 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
         |)
         |SELECT src AS brand, least(src, min(dst)) AS cluster_root
-        |FROM reach GROUP BY src ORDER BY brand""".stripMargin
+        |FROM reach GROUP BY src ORDER BY brand""".stripMargin,
+    // x57: hash = int of first 10 md5 hex chars (hex→int generated from
+    // the same positional loop as the Spark side); k-minima via
+    // row_number over DISTINCT hashes; estimate = (k-1)*2^40 // h_k in
+    // BIGINT integer division. All outputs CAST BIGINT (x17 lesson).
+    "x57_kmv_distinct" ->
+      s"""WITH hx AS (
+        |  SELECT DISTINCT event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 10) AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), hv AS (
+        |  SELECT event_type, CAST($kmvHexToIntSql AS BIGINT) AS v FROM hx
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM hv
+        |), agg AS (
+        |  SELECT event_type, nd,
+        |    max(CASE WHEN rk = 64 THEN v END) AS kth
+        |  FROM r GROUP BY event_type, nd
+        |), ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT a.event_type,
+        |  CAST(least(a.nd, 64) AS BIGINT) AS n_tracked,
+        |  CAST(a.kth AS BIGINT) AS kth_hash,
+        |  CAST(CASE WHEN a.nd < 64 THEN a.nd
+        |            ELSE ${63L * DistinctSketch.Domain} // greatest(a.kth, 1) END
+        |       AS BIGINT) AS est_distinct,
+        |  ex.exact_distinct
+        |FROM agg a JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -53,6 +53,12 @@ object GraftFunctions {
           .toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "kmv_mins",
+      exprs =>
+        KmvMins(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+          .toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "image_ahash", exprs => ImageAHash(exprs(0)), "built-in")
@@ -166,6 +172,12 @@ object GraftFunctions {
     */
   def misraGriesTokens(tokens: Column, k: Int): Column =
     call_function("misra_gries_tokens", tokens, lit(k))
+
+  /** KMV distinct-count sketch: the k smallest distinct values of a LONG
+    * hash column as a sorted ascending array (aggregate; O(k) state per
+    * group×partition crosses the exchange — see KmvMins).
+    */
+  def kmvMins(hash: Column, k: Int): Column = call_function("kmv_mins", hash, lit(k))
 
   /** MinHash signature (array<long> of length k) of an array<string> column. */
   def minhashSig(shingles: Column, k: Int): Column =

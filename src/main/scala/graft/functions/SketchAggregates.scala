@@ -151,3 +151,102 @@ case class MisraGriesTokens(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0))
 }
+
+/** KMV (k-minimum-values) distinct-count sketch buffer: the k smallest
+  * DISTINCT hash values seen so far. O(k) state; add is O(log k); the
+  * merge is a union re-trimmed to k — unlike Misra-Gries, re-trimming is
+  * exactly correct here (the k global minima are a subset of the union of
+  * per-partition k-minima), so the merged sketch equals the sketch of the
+  * concatenated stream and the result is independent of partitioning.
+  */
+final class KmvBuffer(var k: Int) {
+  val mins = new java.util.TreeSet[java.lang.Long]()
+
+  def add(h: Long): Unit = {
+    if (mins.size < k) { mins.add(h); () }
+    else if (h < mins.last()) {
+      if (mins.add(h)) { mins.remove(mins.last()); () }
+    }
+  }
+
+  def mergeFrom(o: KmvBuffer): Unit = {
+    val it = o.mins.iterator()
+    while (it.hasNext) add(it.next().longValue)
+  }
+}
+
+/** The k smallest distinct values of a LONG hash column, as a sorted
+  * ascending array — the KMV distinct-count sketch (Bar-Yossef et al.,
+  * "Counting distinct elements in a data stream"): with hashes uniform on
+  * [0, 2^b), E[|D|] ≈ (k-1) · 2^b / h_(k), and |D| < k is EXACT (the
+  * sketch holds every distinct value). Deterministic given the hash
+  * column, hence oracle-able bit-for-bit — randomness lives in the hash,
+  * not the sketch.
+  *
+  * 100 TB posture: per-group state is k longs regardless of cardinality;
+  * map-side partials mean one sketch per group per partition — never one
+  * row per distinct element — crosses the exchange, the same bound
+  * argument as [[MisraGriesTokens]] but with NO recount pass needed
+  * (the estimate is the answer; exactness below k is free). NULL hashes
+  * are skipped.
+  */
+case class KmvMins(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: KmvBuffer, b2: KmvBuffer): KmvBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: KmvBuffer): Any = {
+    val out = new Array[Long](buf.mins.size)
+    val it = buf.mins.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.mins.size)
+    val it = buf.mins.iterator()
+    while (it.hasNext) out.writeLong(it.next().longValue)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KmvBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.mins.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvMins =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMins =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

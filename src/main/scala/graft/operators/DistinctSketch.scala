@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** KMV (k-minimum-values) distinct-count estimation — the sketch a
+  * pipeline reaches for when exact `count(distinct x)` per group would
+  * shuffle one row per distinct value (distinct users per event, distinct
+  * URLs per host, vocabulary per shard) and an approximate answer with a
+  * bounded-error guarantee is enough.
+  *
+  * Estimator (Bar-Yossef et al., "Counting distinct elements in a data
+  * stream"): hash every element uniformly into [0, 2^40); keep the k
+  * smallest DISTINCT hashes per group; if fewer than k exist the count is
+  * EXACT (the sketch holds every value), otherwise
+  * est = (k-1) · 2^40 / h_(k) — the k-th minimum's position estimates the
+  * density. Relative error ~ 1/sqrt(k).
+  *
+  * Scale design (100 TB posture):
+  *   - ONE shuffle: the [[graft.functions.KmvMins]] aggregate runs
+  *     map-side partials, so O(k) longs per group per partition cross the
+  *     exchange — never a row per distinct element. Exact
+  *     `count(distinct)`'s expand-then-regroup ships every distinct
+  *     (group, value) pair; at web scale (billions of users × events)
+  *     that exchange dominates the job, while the sketch's is flat in
+  *     cardinality.
+  *   - Deterministic and engine-portable: the randomness lives entirely
+  *     in the md5-derived hash, so the sketch is a pure function of the
+  *     data — reproducible across runs, partitionings, and engines, and
+  *     oracle-able bit-for-bit (the x57 DuckDB oracle replays hash,
+  *     k-minima and estimate exactly). Production swaps in xxhash64 for
+  *     speed with the sketch unchanged (the x15 md5-sampling precedent).
+  *   - All-integer output contract: the estimate is integer division on
+  *     BIGINTs (no float rendering in the driver hash).
+  */
+object DistinctSketch {
+
+  /** Hex chars of the md5 prefix used as the hash value: 10 → 40 bits,
+    * exact in doubles AND small enough that (k-1)·2^40 never overflows a
+    * BIGINT for any sane k.
+    */
+  val HexChars = 10
+
+  /** Size of the hash domain, 2^40. */
+  val Domain: Long = 1L << (4 * HexChars)
+
+  /** Uniform 40-bit hash of any column: md5 of its canonical string
+    * rendering, first [[HexChars]] hex digits as an integer.
+    */
+  def hash40(elem: Column): Column =
+    conv(substring(md5(elem.cast("string")), 1, HexChars), 16, 10).cast("long")
+
+  /** Per-group KMV distinct estimate of `elem`.
+    *
+    * Output: groupCols ++ (n_tracked, kth_hash, est_distinct) —
+    * `n_tracked` = min(k, observed distinct hashes); `kth_hash` = the
+    * k-th minimum (NULL while the count is exact); `est_distinct` = the
+    * exact count below k, else (k-1)·2^40 div kth. NULL elements are
+    * ignored, matching `count(distinct)`.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      elem: Column,
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val gs = groupCols.map(col)
+    val num = (k - 1).toLong * Domain
+    df.select(gs :+ hash40(elem).as("kmv_h"): _*)
+      .groupBy(gs: _*)
+      .agg(GraftFunctions.kmvMins(col("kmv_h"), k).as("kmv_mins"))
+      .select(
+        gs ++ Seq(
+          size(col("kmv_mins")).cast("long").as("n_tracked"),
+          when(size(col("kmv_mins")) === k, element_at(col("kmv_mins"), k))
+            .as("kth_hash"),
+          when(size(col("kmv_mins")) < k, size(col("kmv_mins")).cast("long"))
+            // greatest(…, 1): a literal-zero k-th minimum (md5 prefix
+            // 0000000000, p = 2^-40 per group) must degrade to a huge
+            // estimate, not divide by zero under the driver's ANSI mode
+            .otherwise(
+              expr(
+                s"CAST($num AS BIGINT) div greatest(element_at(kmv_mins, $k), CAST(1 AS BIGINT))"))
+            .as("est_distinct")
+        ): _*
+      )
+  }
+}

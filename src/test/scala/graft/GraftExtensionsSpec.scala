@@ -75,4 +75,13 @@ class GraftExtensionsSpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
     assert(topk.map(_.getLong(0)) === Seq(2L, 3L))
   }
+
+  test("extension-injected kmv_mins resolves from SQL") {
+    val mins = spark
+      .sql("""SELECT kmv_mins(h, 3) AS m FROM VALUES
+              |  (9L), (4L), (7L), (4L), (1L), (CAST(NULL AS BIGINT)) AS v(h)""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    // k smallest DISTINCT (dup 4 once, null skipped), ascending
+    assert(mins === Seq(1L, 4L, 7L))
+  }
 }

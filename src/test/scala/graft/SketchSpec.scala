@@ -134,4 +134,66 @@ class SketchSpec extends SparkSpec {
       .sortBy { case (t, c, _) => (-c, t) }
     assert(got.toSeq === exact)
   }
+
+  /** Reference md5-prefix hash, independent of the Spark expression chain:
+    * same contract as [[operators.DistinctSketch.hash40]].
+    */
+  private def refHash40(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(5).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  test("KMV: k-minima are exactly the brute-force k smallest distinct hashes") {
+    GraftFunctions.register(spark)
+    val vals = (0 until 500).map(i => s"user_${i % 300}") // 300 distinct
+    val df = vals.toDF("v").repartition(7)
+    val got = df
+      .agg(GraftFunctions.kmvMins(operators.DistinctSketch.hash40($"v"), 32).as("m"))
+      .head().getSeq[Long](0)
+    val want = vals.distinct.map(refHash40).distinct.sorted.take(32)
+    assert(got === want)
+  }
+
+  test("KMV operator: exact below k, estimator at k, invariant under partitioning") {
+    // group "small" has 10 distinct (< k=16): exact branch, kth NULL;
+    // group "big" has 400 distinct: estimator branch
+    val rows = (0 until 40).map(i => ("small", "s" + (i % 10))) ++
+      (0 until 800).map(i => ("big", s"b${i % 400}"))
+    val df = rows.toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) = operators.DistinctSketch
+      .kmvDistinct(d, Seq("g"), $"v", k = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val base = run(df)
+    val small = base.find(_._1 == "small").get
+    assert(small._2 === 10L && small._3 === -1L && small._4 === 10L)
+    val big = base.find(_._1 == "big").get
+    val kth = rows.collect { case ("big", v) => refHash40(v) }
+      .distinct.sorted.apply(15)
+    assert(big._2 === 16L && big._3 === kth)
+    assert(big._4 === 15L * operators.DistinctSketch.Domain / kth)
+    // the sketch is a pure function of the data: partitioning must not show
+    assert(run(df.repartition(13)) === base)
+    assert(run(df.coalesce(1)) === base)
+  }
+
+  test("KMV: estimate lands within the ~1/sqrt(k) relative-error band") {
+    val df = spark.range(20000).select(concat(lit("u"), (col("id") % 5000)).as("v"))
+    val est = operators.DistinctSketch
+      .kmvDistinct(df.select(lit("g").as("g"), $"v"), Seq("g"), $"v", k = 256)
+      .head().getLong(3)
+    // 1/sqrt(256) ≈ 6.2%; allow 4 sigma
+    assert(math.abs(est - 5000L) < 5000 * 0.25, s"est=$est for true 5000")
+  }
+
+  test("KMV: null elements are skipped like count(distinct)") {
+    val df = Seq(Some("a"), None, Some("b"), None, Some("a")).toDF("v")
+    val out = operators.DistinctSketch
+      .kmvDistinct(df.select(lit("g").as("g"), $"v"), Seq("g"), $"v", k = 8)
+      .head()
+    assert(out.getLong(1) === 2L && out.getLong(3) === 2L)
+  }
 }
