@@ -1915,6 +1915,45 @@ object SparkEntry {
     sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
   }
 
+  /** Rule-cascade filtering surface: Gopher structural screens (token
+    * count, mean word length, stopword presence) in audit shape — per-rule
+    * flags plus the final keep, all integer arithmetic, map-only; see
+    * [[graft.operators.QualityFilter]]. At sf0.01 every rule cuts both
+    * ways (351/498/317 of 500 pass; 252 keep), so the oracle exercises
+    * each flag's boundary.
+    */
+  private def x58(s: SparkSession, dir: String): DataFrame =
+    QualityFilter
+      .gopherFlags(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("sum_token_chars"), col("n_stopwords"),
+        col("pass_count"), col("pass_meanlen"), col("pass_stop"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Weighted-sampling surface: 30 docs per language, inclusion odds
+    * proportional to token count, by deterministic sequential Poisson
+    * sampling — see [[graft.operators.Sampling.weightedSamplePerGroup]].
+    * The integer priority (hash40 div weight) makes the sample replayable
+    * bit-for-bit by the oracle; sf0.001's 10-doc groups exercise the
+    * k-exceeds-group branch, sf0.01's 100-doc groups the real selection.
+    */
+  private def x59(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("weight", size(TextAnalysis.tokens(col("text"))).cast("long"))
+    Sampling
+      .weightedSamplePerGroup(
+        docs,
+        group = col("lang"),
+        key = col("doc_id").cast("string"),
+        weight = col("weight"),
+        tieBreak = col("doc_id"),
+        k = 30
+      )
+      .select(col("lang"), col("doc_id"), col("weight"), col("priority"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
     * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
     * decodes (most-significant digit first) so the two sides cannot drift.
@@ -2065,7 +2104,9 @@ object SparkEntry {
     "x54_mp3_meta" -> (x54 _),
     "x55_segment_dedup" -> (x55 _),
     "x56_fuzzy_clusters" -> (x56 _),
-    "x57_kmv_distinct" -> (x57 _)
+    "x57_kmv_distinct" -> (x57 _),
+    "x58_gopher_rules" -> (x58 _),
+    "x59_weighted_sample" -> (x59 _)
   )
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
@@ -3569,7 +3610,51 @@ object SparkEntry {
         |            ELSE ${63L * DistinctSketch.Domain} // greatest(a.kth, 1) END
         |       AS BIGINT) AS est_distinct,
         |  ex.exact_distinct
-        |FROM agg a JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+        |FROM agg a JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    // x58: stopword list interpolated from the SAME Scala val as the
+    // operator (TextAnalysis.langMarkers), so the two sides cannot drift;
+    // all rule arithmetic integer, flags boolean on both engines.
+    "x58_gopher_rules" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_chars,
+        |    CAST(len(list_intersect(toks,
+        |      [${TextAnalysis.langMarkers.head._2.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stopwords
+        |  FROM tk
+        |)
+        |SELECT doc_id, n_tokens, sum_token_chars, n_stopwords,
+        |  (n_tokens BETWEEN 30 AND 90) AS pass_count,
+        |  (30 * n_tokens <= 10 * sum_token_chars
+        |    AND 10 * sum_token_chars <= 52 * n_tokens) AS pass_meanlen,
+        |  (n_stopwords >= 2) AS pass_stop,
+        |  ((n_tokens BETWEEN 30 AND 90)
+        |    AND 30 * n_tokens <= 10 * sum_token_chars
+        |    AND 10 * sum_token_chars <= 52 * n_tokens
+        |    AND n_stopwords >= 2) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // x59: integer sequential-Poisson priority = hex40(md5(doc_id)) //
+    // weight, k smallest per lang; hex→int spliced from the x57 loop.
+    "x59_weighted_sample" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS h,
+        |    md5(CAST(doc_id AS VARCHAR)) AS m
+        |  FROM documents
+        |), pr AS (
+        |  SELECT doc_id, lang, w,
+        |    CAST($kmvHexToIntSql AS BIGINT) // greatest(w, 1) AS priority, m
+        |  FROM tk
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |                               ORDER BY priority, m, doc_id) AS rk
+        |  FROM pr
+        |)
+        |SELECT lang, doc_id, w AS weight, CAST(priority AS BIGINT) AS priority
+        |FROM r WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -85,4 +85,46 @@ object Sampling {
       .where(col("graft_keep_rank") <= cap)
       .drop("graft_keep_rank")
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group, by sequential
+    * Poisson sampling (Ohlsson 1998): each row gets priority
+    * u/w — here the integer `hash40(key) div max(weight, 1)` with u the
+    * uniform 40-bit content hash — and the k smallest priorities win.
+    * Higher weight → smaller priority → more likely sampled; inclusion
+    * probability is approximately proportional to weight (the πps design
+    * used by real survey/curation samplers). The canonical use: sampling
+    * documents for a training mix proportional to token count or quality
+    * weight, reproducibly.
+    *
+    * Determinism is the whole point of the hash-priority formulation: the
+    * sample is a pure function of (key bytes, weight), stable across
+    * runs, partitionings, and engines — and all-integer, so an oracle can
+    * replay it bit-for-bit. Ties (same priority, p ≈ 2^-40-scale) are
+    * totalized by (md5(key), tieBreak).
+    *
+    * Scale: one hash exchange on the group key; the rank predicate plans
+    * as WindowGroupLimit (each partition pre-limits to ≤ k before the
+    * per-group sort), the x51 capPerGroup discipline. Weights are longs;
+    * null/non-positive weights clamp to 1 rather than dividing by zero.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      weight: Column,
+      tieBreak: Column,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = df
+      .withColumn("graft_wsp_h", DistinctSketch.hash40(key))
+      .withColumn("graft_wsp_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("graft_wsp_pri", expr("graft_wsp_h div graft_wsp_w"))
+    val w = Window.partitionBy(group).orderBy(col("graft_wsp_pri"), md5(key), tieBreak)
+    out
+      .withColumn("graft_wsp_rank", row_number().over(w))
+      .where(col("graft_wsp_rank") <= k)
+      .withColumnRenamed("graft_wsp_pri", "priority")
+      .drop("graft_wsp_h", "graft_wsp_w", "graft_wsp_rank")
+  }
 }

@@ -80,4 +80,76 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), s"rank<=cap not pushed as WindowGroupLimit:\n$p")
   }
+
+  /** Reference 40-bit md5-prefix hash (same as SketchSpec's). */
+  private def refHash40(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(5).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  test("weightedSamplePerGroup: exact equality with the brute-force priority ranking") {
+    // weights 1..40 cycling; k=12 per lang
+    val wrows = (0 until 400)
+      .map(i => (i.toLong, if (i % 2 == 0) "en" else "es", (i % 40 + 1).toLong))
+      .toDF("doc_id", "lang", "weight")
+    val got = Sampling
+      .weightedSamplePerGroup(
+        wrows, col("lang"), col("doc_id").cast("string"), col("weight"), col("doc_id"), k = 12)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = (0 until 400)
+      .map(i => (if (i % 2 == 0) "en" else "es", i.toLong, refHash40(i.toString) / (i % 40 + 1).toLong))
+      .groupBy(_._1)
+      .flatMap { case (_, g) => g.sortBy(t => (t._3, t._2)).take(12) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
+  test("weightedSamplePerGroup: heavier rows are sampled more often, deterministically") {
+    // two weight classes in one group: weight 100 vs weight 1; with k half
+    // the population, the heavy class must dominate the sample
+    val wrows = (0 until 1000)
+      .map(i => (i.toLong, "g", if (i < 500) 100L else 1L))
+      .toDF("doc_id", "lang", "weight")
+    def run() = Sampling
+      .weightedSamplePerGroup(
+        wrows, col("lang"), col("doc_id").cast("string"), col("weight"), col("doc_id"), k = 200)
+      .collect().map(_.getLong(0)).toSet
+    val s1 = run()
+    val heavy = s1.count(_ < 500)
+    assert(heavy > 160, s"only $heavy/200 sampled from the 100x-weight class")
+    // reproducible: same data, different partitioning → same sample
+    val s2 = Sampling
+      .weightedSamplePerGroup(
+        wrows.repartition(17, col("doc_id")), col("lang"),
+        col("doc_id").cast("string"), col("weight"), col("doc_id"), k = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+  }
+
+  test("weightedSamplePerGroup: non-positive and null weights clamp to 1") {
+    val wrows = Seq((1L, "g", Some(0L)), (2L, "g", Some(-5L)), (3L, "g", None), (4L, "g", Some(2L)))
+      .toDF("doc_id", "lang", "weight")
+    val out = Sampling
+      .weightedSamplePerGroup(
+        wrows, col("lang"), col("doc_id").cast("string"), col("weight"), col("doc_id"), k = 10)
+    assert(out.count() === 4L) // no divide-by-zero, nulls survive as weight 1
+    val expected = Map(
+      1L -> refHash40("1"), 2L -> refHash40("2"), 3L -> refHash40("3"), 4L -> refHash40("4") / 2)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+  }
+
+  test("weightedSamplePerGroup rank predicate plans as WindowGroupLimit") {
+    val wrows = (0 until 400)
+      .map(i => (i.toLong, if (i % 2 == 0) "en" else "es", (i % 40 + 1).toLong))
+      .toDF("doc_id", "lang", "weight")
+    val p = Sampling
+      .weightedSamplePerGroup(
+        wrows, col("lang"), col("doc_id").cast("string"), col("weight"), col("doc_id"), k = 12)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed as WindowGroupLimit:\n$p")
+  }
 }
