@@ -52,6 +52,19 @@ object DistinctSketch {
   def hash40(elem: Column): Column =
     conv(substring(md5(elem.cast("string")), 1, HexChars), 16, 10).cast("long")
 
+  /** Scala twin of [[hash40]] for typed/streaming code paths (the
+    * [[graft.streaming.DistinctStream]] state fold): first 5 md5 bytes =
+    * first 10 hex digits. SketchSpec pins the two forms equal, so a batch
+    * sketch and a streaming sketch over the same data always agree.
+    */
+  def hash40Scala(s: String): Long = {
+    val d = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+      ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+  }
+
   /** Per-group KMV distinct estimate of `elem`.
     *
     * Output: groupCols ++ (n_tracked, kth_hash, est_distinct) —
