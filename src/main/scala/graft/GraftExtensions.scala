@@ -80,6 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           KmvMins(es(0), es(1).eval(null).asInstanceOf[Int])
             .toAggregateExpression()))
     ext.injectFunction(
+      (FunctionIdentifier("count_min_tokens"),
+        info("count_min_tokens",
+          "count_min_tokens(tokens, depth, width) - count-min sketch counter matrix, row-major (aggregate)"),
+        (es: Seq[Expression]) =>
+          CountMinTokens(
+            es(0),
+            es(1).eval(null).asInstanceOf[Int],
+            es(2).eval(null).asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction(
       (FunctionIdentifier("simhash_md5_bands"),
         info("simhash_md5_bands", "simhash_md5_bands(tokens) - md5-derived SimHash as 4x16-bit bands"),
         (es: Seq[Expression]) => SimHashMd5Bands(es(0))))

@@ -1954,6 +1954,25 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Count-min-sketch surface: every vocabulary token's point estimate
+    * from ONE depth=3 × width=16 counter matrix next to its exact count —
+    * see [[graft.operators.FrequencySketch]]. The 31-token vocabulary in
+    * 16 cells/row guarantees collisions (pigeonhole), so both contract
+    * branches get driver coverage at sf0.01: 21 tokens overestimated,
+    * 10 exact, `overestimate >= 0` for all (the CMS one-sided bound).
+    * The oracle replays every cell and every min-of-3 estimate
+    * bit-for-bit from the same md5 row hashes.
+    */
+  private def x60(s: SparkSession, dir: String): DataFrame =
+    FrequencySketch
+      .cmsTokenCounts(
+        t(s, dir, "documents").select(col("text")),
+        text = col("text"),
+        depth = cmsDepth,
+        width = cmsWidth
+      )
+      .orderBy(col("token"))
+
   /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
     * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
     * decodes (most-significant digit first) so the two sides cannot drift.
@@ -2106,8 +2125,15 @@ object SparkEntry {
     "x56_fuzzy_clusters" -> (x56 _),
     "x57_kmv_distinct" -> (x57 _),
     "x58_gopher_rules" -> (x58 _),
-    "x59_weighted_sample" -> (x59 _)
+    "x59_weighted_sample" -> (x59 _),
+    "x60_cms_counts" -> (x60 _)
   )
+
+  /** Shared x60 CMS geometry, interpolated into BOTH the Spark call and
+    * the DuckDB oracle so the two sides cannot drift.
+    */
+  private val cmsDepth = 3
+  private val cmsWidth = 16
 
   /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
     * truth, two distributed strategies.
@@ -3654,7 +3680,37 @@ object SparkEntry {
         |  FROM pr
         |)
         |SELECT lang, doc_id, w AS weight, CAST(priority AS BIGINT) AS priority
-        |FROM r WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin
+        |FROM r WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin,
+    // x60: full CMS replay — rebuild every depth×width cell as the sum of
+    // the exact counts of the tokens hashing there (the cell value IS the
+    // number of increments), then take each token's min-of-depth cells;
+    // row hash = hex40(md5(j || ':' || token)) mod width, spliced from the
+    // same hex→int loop as x57. Geometry (depth, width) interpolated from
+    // the same Scala vals as the Spark call.
+    "x60_cms_counts" ->
+      s"""WITH tk AS (
+        |  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        |), tok AS (
+        |  SELECT unnest(toks) AS token FROM tk
+        |), cnt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY token
+        |), hj AS (
+        |  SELECT token, exact_cnt, j,
+        |    substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 10) AS h
+        |  FROM cnt, range($cmsDepth) r(j)
+        |), hv AS (
+        |  SELECT token, exact_cnt, j, CAST($kmvHexToIntSql AS BIGINT) % $cmsWidth AS cell
+        |  FROM hj
+        |), cells AS (
+        |  SELECT j, cell, sum(exact_cnt) AS c FROM hv GROUP BY j, cell
+        |), est AS (
+        |  SELECT hv.token, hv.exact_cnt, min(cells.c) AS est_cnt
+        |  FROM hv JOIN cells ON hv.j = cells.j AND hv.cell = cells.cell
+        |  GROUP BY hv.token, hv.exact_cnt
+        |)
+        |SELECT token, exact_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
+        |  CAST(est_cnt - exact_cnt AS BIGINT) AS overestimate
+        |FROM est ORDER BY token""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

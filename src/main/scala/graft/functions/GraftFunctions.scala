@@ -59,6 +59,15 @@ object GraftFunctions {
           .toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "count_min_tokens",
+      exprs =>
+        CountMinTokens(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int],
+          exprs(2).eval(null).asInstanceOf[Int]
+        ).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "image_ahash", exprs => ImageAHash(exprs(0)), "built-in")
@@ -178,6 +187,14 @@ object GraftFunctions {
     * group×partition crosses the exchange — see KmvMins).
     */
   def kmvMins(hash: Column, k: Int): Column = call_function("kmv_mins", hash, lit(k))
+
+  /** Count-min sketch of a tokens-array column: the flattened depth×width
+    * counter matrix (row-major array<long>; aggregate with elementwise-sum
+    * merge, so depth×width longs per group×partition cross the exchange —
+    * see CountMinTokens).
+    */
+  def countMinTokens(tokens: Column, depth: Int, width: Int): Column =
+    call_function("count_min_tokens", tokens, lit(depth), lit(width))
 
   /** MinHash signature (array<long> of length k) of an array<string> column. */
   def minhashSig(shingles: Column, k: Int): Column =

@@ -250,3 +250,112 @@ case class KmvMins(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0))
 }
+
+/** Count-min sketch counter matrix (Cormode & Muthukrishnan, "An improved
+  * data stream summary: the count-min sketch and its applications"):
+  * `depth` rows × `width` counters. Each token increments one cell per row
+  * (cell chosen by that row's hash); a point query reads the MINIMUM of
+  * its `depth` cells, which can only OVERestimate (every occurrence of the
+  * token landed in all of its cells; collisions only add).
+  */
+final class CmsBuffer(val depth: Int, val width: Int) {
+  val cells = new Array[Long](depth * width)
+
+  def mergeFrom(o: CmsBuffer): Unit = {
+    var i = 0
+    while (i < cells.length) { cells(i) += o.cells(i); i += 1 }
+  }
+}
+
+/** Count-min sketch over a tokens-array column, as a
+  * TypedImperativeAggregate returning the flattened depth×width counter
+  * matrix (row-major array<long>).
+  *
+  * Why this exists when exact token counts are one `groupBy(token)` away:
+  * the exact plan's exchange carries one row per DISTINCT TOKEN per
+  * partition — on a trillion-token corpus with an open vocabulary (URLs,
+  * hashes, typos) that exchange grows with the data. The sketch's state is
+  * a CONSTANT depth×width longs per group×partition, merge is elementwise
+  * addition (the merged matrix equals the matrix of the concatenated
+  * stream — partitioning-invariant by construction), and the classic
+  * guarantee holds per point query: est ≥ true, and
+  * est ≤ true + 2N/width with probability ≥ 1 − (1/2)^depth.
+  *
+  * Determinism / oracle story: the row-j hash of token t is
+  * hash40("j:" + t) mod width — the same md5-prefix integer the rest of
+  * the engine uses ([[graft.operators.DistinctSketch.hash40Scala]]), so
+  * the whole matrix is a pure function of the data and DuckDB replays
+  * every cell and every point estimate bit-for-bit (x60). Production
+  * swaps xxhash64 in for speed with the sketch unchanged.
+  *
+  * NULL arrays contribute nothing; NULL elements cannot occur (tokens
+  * arrays are built with containsNull=false splits).
+  */
+case class CountMinTokens(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[CmsBuffer] {
+
+  require(depth > 0 && width > 0, s"depth/width must be positive, got $depth x $width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): CmsBuffer = new CmsBuffer(depth, width)
+
+  override def update(buf: CmsBuffer, input: InternalRow): CmsBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val t = arr.getUTF8String(i).toString
+        var j = 0
+        while (j < depth) {
+          val cell = (graft.operators.DistinctSketch.hash40Scala(s"$j:$t") % width).toInt
+          buf.cells(j * width + cell) += 1L
+          j += 1
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: CmsBuffer, b2: CmsBuffer): CmsBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: CmsBuffer): Any = new GenericArrayData(buf.cells.clone())
+
+  override def serialize(buf: CmsBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.depth)
+    out.writeInt(buf.width)
+    var i = 0
+    while (i < buf.cells.length) { out.writeLong(buf.cells(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmsBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new CmsBuffer(in.readInt(), in.readInt())
+    var i = 0
+    while (i < buf.cells.length) { buf.cells(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinTokens =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinTokens =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

@@ -196,4 +196,67 @@ class SketchSpec extends SparkSpec {
       .head()
     assert(out.getLong(1) === 2L && out.getLong(3) === 2L)
   }
+
+  /** Brute-force CMS reference: matrix + min-of-rows point query, built
+    * from [[refHash40]] — independent of both the aggregate's internal
+    * loop and the operator's Column-side row hash, so it pins the two
+    * equal to each other AND to the spec.
+    */
+  private def refCms(tokens: Seq[String], depth: Int, width: Int): (Array[Long], Map[String, Long]) = {
+    val cells = new Array[Long](depth * width)
+    tokens.foreach { t =>
+      (0 until depth).foreach { j =>
+        cells(j * width + (refHash40(s"$j:$t") % width).toInt) += 1L
+      }
+    }
+    val est = tokens.distinct.map { t =>
+      t -> (0 until depth).map(j => cells(j * width + (refHash40(s"$j:$t") % width).toInt)).min
+    }.toMap
+    (cells, est)
+  }
+
+  test("CMS aggregate: counter matrix equals the brute-force reference, any partitioning") {
+    GraftFunctions.register(spark)
+    val corpus = (0 until 200).map(i => s"tok_${i % 23} tok_${(i * 7) % 23} filler_$i")
+    val allTokens = corpus.flatMap(_.split(" "))
+    val (wantCells, _) = refCms(allTokens, 3, 16)
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .agg(GraftFunctions.countMinTokens(split($"text", " "), 3, 16).as("m"))
+      .head().getSeq[Long](0)
+    val base = run(corpus.toDF("text"))
+    assert(base === wantCells.toSeq)
+    // elementwise-add merge => the matrix is partitioning-invariant
+    assert(run(corpus.toDF("text").repartition(11)) === wantCells.toSeq)
+    assert(run(corpus.toDF("text").coalesce(1)) === wantCells.toSeq)
+  }
+
+  test("CMS operator: est >= exact for every token; estimates match brute force") {
+    val corpus = (0 until 150).map(i => s"w${i % 19} w${(i * 3) % 19} w${(i * 5) % 19}")
+    val allTokens = corpus.flatMap(_.split(" "))
+    val exact = allTokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (_, wantEst) = refCms(allTokens, 3, 8) // 19 tokens in 8 cells: collisions certain
+    val got = operators.FrequencySketch
+      .cmsTokenCounts(corpus.toDF("text"), $"text", depth = 3, width = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === exact.size)
+    got.foreach { case (tok, ex, est, over) =>
+      assert(ex === exact(tok), s"exact count drift for $tok")
+      assert(est === wantEst(tok), s"estimate drift for $tok: got $est want ${wantEst(tok)}")
+      assert(est >= ex && over === est - ex, s"one-sided bound violated for $tok")
+    }
+    // the geometry is tight enough that some token actually overestimates
+    // (otherwise the bound assertions above are vacuous)
+    assert(got.exists(_._4 > 0L), "no collisions - widen the corpus or shrink width")
+  }
+
+  test("CMS aggregate: null token arrays contribute nothing") {
+    GraftFunctions.register(spark)
+    val df = Seq(Some("a b"), None, Some("a")).toDF("text")
+    val got = df
+      .agg(GraftFunctions.countMinTokens(split($"text", " "), 2, 4).as("m"))
+      .head().getSeq[Long](0)
+    val (want, _) = refCms(Seq("a", "b", "a"), 2, 4)
+    assert(got === want.toSeq)
+  }
 }
