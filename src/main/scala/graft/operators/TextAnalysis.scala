@@ -415,4 +415,81 @@ object TextAnalysis {
       .withColumn("freq_ppm", expr(s"cnt * 1000000L div ${total}L"))
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** Collocation (phrase) mining by the word2vec phrase score (Mikolov et
+    * al. 2013, "Distributed representations of words and phrases"):
+    * score(a,b) = (count(ab) − δ) · N / (count(a) · count(b)) over
+    * adjacent token pairs — high score means a and b co-occur far more
+    * than their independent frequencies predict, i.e. "new york" is a
+    * phrase and "the table" is not. δ discounts rare pairs that would
+    * otherwise score high by accident.
+    *
+    * Integer contract: `lift_x1000 = (cnt_pair − δ)·N·1000 div
+    * (cnt_a·cnt_b)` (0 when the discount exhausts the pair count), and
+    * `is_phrase = lift_x1000 ≥ threshold·1000` — no doubles near the
+    * driver hash, cross-engine exact. With N up to ~2^40 tokens,
+    * cnt·N·1000 fits a BIGINT for any pair count up to ~2^13 · its
+    * unigram counts — overflow-safe at the corpus sizes the engine
+    * contracts (the oracle replays the same BIGINT arithmetic).
+    *
+    * 100 TB shape: bigram and unigram counts are each ONE explode + hash
+    * aggregation with map-side partials (the x38 vocabulary shape); the
+    * scalar N rides a broadcast 1-row frame. The unigram joins run BOTH
+    * ways:
+    *   - `broadcastUnigrams = true` broadcasts the unigram table — right
+    *     when the vocabulary is bounded (curated corpora, token-id
+    *     streams);
+    *   - `false` plans two shuffle joins keyed on the word — the open-web
+    *     posture, where vocabulary grows with the corpus and no side
+    *     broadcasts. Pair rows shuffle twice, but never more than the
+    *     pair table itself — no all-pairs term anywhere.
+    */
+  def collocations(
+      docs: DataFrame,
+      delta: Long,
+      thresholdX1000: Long,
+      broadcastUnigrams: Boolean = true,
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = docs
+      .select(tokens(col(textCol)).as("toks"))
+      // scanned twice (unigram pass, bigram pass): cache the tokenized
+      // form, then cut both counted tables loose (they are
+      // vocabulary-sized) so the cache does not outlive the call
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt_w"))
+      .localCheckpoint()
+    val pairs = toks
+      .select(
+        when(size(col("toks")) >= 2,
+          transform(
+            sequence(lit(0), size(col("toks")) - 2),
+            i => struct(
+              element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"))
+          )).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          .as("bg"))
+      .select(explode(col("bg")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt_pair"))
+      .localCheckpoint()
+    toks.unpersist()
+
+    val totalFrame = uni.agg(sum(col("cnt_w")).as("n_total"))
+    val u1 = uni.select(col("w").as("w1"), col("cnt_w").as("cnt_w1"))
+    val u2 = uni.select(col("w").as("w2"), col("cnt_w").as("cnt_w2"))
+    val joined = pairs
+      .join(if (broadcastUnigrams) broadcast(u1) else u1, "w1")
+      .join(if (broadcastUnigrams) broadcast(u2) else u2, "w2")
+      .crossJoin(broadcast(totalFrame))
+    joined
+      .select(
+        col("w1"), col("w2"), col("cnt_pair"), col("cnt_w1"), col("cnt_w2"),
+        expr(s"greatest(cnt_pair - ${delta}L, 0L) * n_total * 1000L div (cnt_w1 * cnt_w2)")
+          .as("lift_x1000"))
+      .withColumn("is_phrase", col("lift_x1000") >= lit(thresholdX1000))
+  }
 }

@@ -187,4 +187,60 @@ class TextAnalysisSpec extends SparkSpec {
     val r = TextAnalysis.ngramNovelty(docs, n = 3).collect()(0)
     assert((r.getInt(1), r.getLong(2), r.getLong(3)) === ((3, 3L, 1000000L)))
   }
+
+  /** Brute-force Mikolov phrase scores from plain Scala collections. */
+  private def refCollocations(docs: Seq[String], delta: Long)
+      : Map[(String, String), (Long, Long, Long, Long)] = {
+    val tokd = docs.map(_.trim.split("\\s+").toSeq)
+    val uni = tokd.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = tokd.map(_.size.toLong).sum
+    tokd.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case ((a, b), cp) =>
+        val lift = math.max(cp - delta, 0L) * n * 1000L / (uni(a) * uni(b))
+        (a, b) -> (cp, uni(a), uni(b), lift)
+      }
+  }
+
+  test("collocations: exact parity with brute force; phrase flag splits; pairs never cross docs") {
+    // "new york" co-occurs always (phrase); "the cat"/"the dog" are
+    // independent fillers; delta=1 zeroes the single-occurrence pair.
+    // Doc boundary: doc 1 ends in "york", doc 2 starts with "the" — the
+    // bigram (york, the) must NOT exist.
+    val docs = Seq(
+      "new york is big new york wins the cup",
+      "the cat saw the dog in new york",
+      "rare pair"
+    )
+    val want = refCollocations(docs, delta = 1L)
+    val got = TextAnalysis
+      .collocations(docs.toDF("text"), delta = 1L, thresholdX1000 = 1500L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    assert(!got.contains(("york", "the")), "bigram crossed a document boundary")
+    want.foreach { case (k, (cp, ca, cb, lift)) =>
+      val (gcp, gca, gcb, glift, gphrase) = got(k)
+      assert((gcp, gca, gcb, glift) === ((cp, ca, cb, lift)), s"drift at $k")
+      assert(gphrase === (lift >= 1500L))
+    }
+    // contract branches all exercised: a phrase, a non-phrase, a
+    // discount-zeroed pair
+    assert(got(("new", "york"))._5, "new york should be a phrase")
+    assert(got.values.exists(!_._5))
+    assert(got(("rare", "pair"))._4 === 0L, "delta should zero a 1-count pair")
+  }
+
+  test("collocations: shuffle-join path (broadcastUnigrams=false) agrees with broadcast path") {
+    val docs = (0 until 50).map(i => s"p${i % 5} q${i % 5} r${i % 7}")
+    def run(b: Boolean) = TextAnalysis
+      .collocations(docs.toDF("text"), delta = 0L, thresholdX1000 = 1000L, broadcastUnigrams = b)
+      .orderBy($"w1", $"w2")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5), r.getBoolean(6)))
+      .toSeq
+    assert(run(true) === run(false))
+  }
 }
