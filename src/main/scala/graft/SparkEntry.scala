@@ -1992,6 +1992,30 @@ object SparkEntry {
         col("lift_x1000"), col("is_phrase"))
       .orderBy(col("w1"), col("w2"))
 
+  /** Scalable exact-quantile surface: per-event-type p50 AND p95 of the
+    * integer cents value by two-pass histogram refinement — see
+    * [[graft.operators.Robust.binnedQuantileDisc]]. No reducer buffers a
+    * group's values (the open-domain upgrade to x48/x52's per-group
+    * percentile buffers): 2^10-cent bins give ~48 occupied bins and ~40
+    * in-bin rows per group at sf0.01. Discrete-quantile contract — the
+    * exact element at rank (p·(n−1)) div 1 — so the oracle replays it
+    * with a plain row_number selection, all-integer.
+    */
+  private def x62(s: SparkSession, dir: String): DataFrame = {
+    val cents = ev(s, dir)
+      .select(
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+    def q(pNum: Long, pDenom: Long, label: String) =
+      Robust
+        .binnedQuantileDisc(cents, col("event_type"), col("v"),
+          pNum = pNum, pDenom = pDenom, binShift = 10)
+        .select(
+          col("graft_key").as("event_type"), lit(label).as("p_label"),
+          col("n_total"), col("target_rank"), col("q_value"))
+    q(1, 2, "p50").unionAll(q(95, 100, "p95")).orderBy(col("event_type"), col("p_label"))
+  }
+
   /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
     * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
     * decodes (most-significant digit first) so the two sides cannot drift.
@@ -2146,7 +2170,8 @@ object SparkEntry {
     "x58_gopher_rules" -> (x58 _),
     "x59_weighted_sample" -> (x59 _),
     "x60_cms_counts" -> (x60 _),
-    "x61_collocations" -> (x61 _)
+    "x61_collocations" -> (x61 _),
+    "x62_binned_quantile" -> (x62 _)
   )
 
   /** Shared x60 CMS geometry, interpolated into BOTH the Spark call and
@@ -3759,7 +3784,30 @@ object SparkEntry {
         |)
         |SELECT w1, w2, cnt_pair, cnt_w1, cnt_w2, lift_x1000,
         |  (lift_x1000 >= 1300) AS is_phrase
-        |FROM lifts ORDER BY w1, w2""".stripMargin
+        |FROM lifts ORDER BY w1, w2""".stripMargin,
+    // x62: ground truth for the histogram-refined selection is a plain
+    // per-group sort — value at 0-based rank (p·(n−1)) // pDenom; the
+    // refinement must land on exactly that element. Cents cast chain
+    // matches x17's exact DECIMAL(18,2) route.
+    "x62_binned_quantile" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |)
+        |SELECT event_type, 'p50' AS p_label, CAST(n AS BIGINT) AS n_total,
+        |  CAST((n - 1) // 2 AS BIGINT) AS target_rank, v AS q_value
+        |FROM r WHERE rn = (n - 1) // 2
+        |UNION ALL
+        |SELECT event_type, 'p95' AS p_label, CAST(n AS BIGINT) AS n_total,
+        |  CAST(95 * (n - 1) // 100 AS BIGINT) AS target_rank, v AS q_value
+        |FROM r WHERE rn = 95 * (n - 1) // 100
+        |ORDER BY event_type, p_label""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -67,6 +67,80 @@ object Robust {
       )
   }
 
+  /** Exact discrete per-group quantile by two-pass histogram refinement —
+    * the open-domain scale path the [[madOutliers]]/[[winsorBounds]]
+    * scaladoc names ("a GlobalRank-style counting selection"): NO reducer
+    * ever buffers a group's values, so group count and group size are both
+    * unbounded.
+    *
+    * Contract: the element at 0-based rank `(pNum·(n−1)) div pDenom` of
+    * the group's values ascending (p = 1/2 → the lower median; DuckDB
+    * `quantile_disc` semantics) — an exact data value, integer in, integer
+    * out, no interpolation and nothing float-rendered.
+    *
+    * How the two passes bound state:
+    *   1. histogram: `groupBy(key, v >> binShift).count` — a map-side-
+    *      partial hash aggregation; one row per OCCUPIED bin per group
+    *      crosses the exchange, never one per value.
+    *   2. a window over that binned table (per group, by bin) finds each
+    *      group's n, target rank, and the single bin whose cumulative
+    *      count crosses the rank — plus the residual rank INSIDE that bin.
+    *      The window's partitions are bin-table-sized, not data-sized.
+    *   3. selection: rows are filtered to their group's target bin (the
+    *      one-row-per-group bin frame broadcasts; open-domain groups would
+    *      shuffle-join on (key, bin) — either way the surviving rows per
+    *      group are one bin's worth, tunable by `binShift`), then a
+    *      per-group sort of ONLY those rows picks the residual rank.
+    *      Skewed bins (mega-duplicated values) concentrate —
+    *      exactly like any selection — but equal values make the ANSWER
+    *      rank-insensitive, so a production guard can short-circuit a bin
+    *      whose min == max without sorting at all.
+    *
+    * @param pNum/pDenom the quantile as an exact rational (1/2, 95/100)
+    * @param binShift    histogram bin width = 2^binShift value units
+    * @return one row per group: key, n_total, target_rank (0-based),
+    *         q_value — all integers
+    */
+  def binnedQuantileDisc(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      pNum: Long,
+      pDenom: Long,
+      binShift: Int
+  ): DataFrame = {
+    require(pNum >= 0 && pDenom > 0 && pNum <= pDenom, s"p must be in [0,1]: $pNum/$pDenom")
+    val vals = df.select(keyCol.as("graft_key"), valueCol.cast("long").as("v"))
+    val binned = vals
+      .groupBy(col("graft_key"), shiftright(col("v"), binShift).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_key").orderBy("bin")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_key")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val target = binned
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n_total", sum(col("c")).over(wAll))
+      .withColumn("target_rank", expr(s"$pNum * (n_total - 1) div $pDenom"))
+      // the unique bin where the cumulative count first exceeds the rank
+      .where(col("cum") > col("target_rank") && col("cum") - col("c") <= col("target_rank"))
+      .select(
+        col("graft_key"), col("bin"), col("n_total"), col("target_rank"),
+        (col("target_rank") - (col("cum") - col("c"))).as("rank_in_bin"))
+    val inBin = vals
+      .join(broadcast(target), Seq("graft_key"))
+      .where(shiftright(col("v"), binShift) === col("bin"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_key").orderBy("v")
+    inBin
+      .withColumn("rn", row_number().over(rw) - 1)
+      .where(col("rn") === col("rank_in_bin"))
+      .select(col("graft_key"), col("n_total"), col("target_rank"), col("v").as("q_value"))
+  }
+
   def madOutliers(
       df: DataFrame,
       keyCol: Column,

@@ -56,4 +56,53 @@ class RobustSpec extends SparkSpec {
     // b: med 2, mad 1 → no dev exceeds 1 strictly... devs are 1,0,1 → 0
     assert(b._5 === 0L)
   }
+
+  /** Brute-force discrete quantile: value at 0-based rank (p·(n−1)) div
+    * pDenom of the sorted group.
+    */
+  private def refQuantile(vs: Seq[Long], pNum: Long, pDenom: Long): (Long, Long, Long) = {
+    val sorted = vs.sorted
+    val r = pNum * (vs.size - 1) / pDenom
+    (vs.size.toLong, r, sorted(r.toInt))
+  }
+
+  private def runBinned(
+      rows: Seq[(String, Long)], pNum: Long, pDenom: Long, shift: Int,
+      parts: Int = 0) = {
+    val df0 = rows.toDF("k", "v")
+    val df = if (parts > 0) df0.repartition(parts) else df0
+    Robust
+      .binnedQuantileDisc(df, col("k"), col("v"), pNum, pDenom, shift)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("binned quantile: exact parity with sorted selection across p, shift, partitioning") {
+    // deterministic scattered values incl. negatives and heavy duplicates
+    val a = (0 until 500).map(i => ("a", ((i * 37) % 1000 - 200).toLong))
+    val b = (0 until 101).map(i => ("b", (i % 7).toLong)) // 7 distinct, mega-duplicated
+    val rows = a ++ b
+    for {
+      (pn, pd) <- Seq((0L, 1L), (1L, 2L), (95L, 100L), (1L, 1L))
+      shift <- Seq(0, 4, 10, 40) // 40: every value in ONE bin (degenerate = plain sort)
+      parts <- Seq(0, 13)
+    } {
+      val got = runBinned(rows, pn, pd, shift, parts)
+      assert(got("a") === refQuantile(a.map(_._2), pn, pd), s"a p=$pn/$pd shift=$shift")
+      assert(got("b") === refQuantile(b.map(_._2), pn, pd), s"b p=$pn/$pd shift=$shift")
+    }
+  }
+
+  test("binned quantile: the selection join touches only the target bin's rows") {
+    // 1000 values spread over ~63 bins (shift 4): the post-join sort must
+    // see ~n/63 rows, not n — pin via the plan (broadcast join + filter
+    // on the bin equality) and via the answer still being exact
+    val rows = (0 until 1000).map(i => ("a", ((i * 7919) % 1009).toLong))
+    val df = Robust.binnedQuantileDisc(
+      rows.toDF("k", "v"), col("k"), col("v"), 1, 2, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bin-target join:\n$plan")
+    assert(runBinned(rows, 1, 2, 4)("a") === refQuantile(rows.map(_._2), 1, 2))
+  }
 }
