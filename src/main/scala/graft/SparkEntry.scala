@@ -2016,6 +2016,22 @@ object SparkEntry {
     q(1, 2, "p50").unionAll(q(95, 100, "p95")).orderBy(col("event_type"), col("p_label"))
   }
 
+  /** Triangle-counting surface: per-node triangle count, degree, and
+    * integer-ppm clustering coefficient over the x45 edit-distance-1
+    * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
+    * wedge join — see [[graft.operators.Triangles]]. Rounds out the graph
+    * family (PageRank x46, components x14/x56) with the community-density
+    * signal; the oracle triple-joins the canonical a<b edge list, which
+    * counts each triangle exactly once, same as the orientation argument.
+    */
+  private def x63(s: SparkSession, dir: String): DataFrame =
+    Triangles
+      .perNode(
+        Fuzzy
+          .editDistance1Pairs(t(s, dir, "part"), "p_brand")
+          .select(col("a_val").as("a"), col("b_val").as("b")))
+      .orderBy(col("node"))
+
   /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
     * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
     * decodes (most-significant digit first) so the two sides cannot drift.
@@ -2171,7 +2187,8 @@ object SparkEntry {
     "x59_weighted_sample" -> (x59 _),
     "x60_cms_counts" -> (x60 _),
     "x61_collocations" -> (x61 _),
-    "x62_binned_quantile" -> (x62 _)
+    "x62_binned_quantile" -> (x62 _),
+    "x63_triangles" -> (x63 _)
   )
 
   /** Shared x60 CMS geometry, interpolated into BOTH the Spark call and
@@ -3807,7 +3824,37 @@ object SparkEntry {
         |SELECT event_type, 'p95' AS p_label, CAST(n AS BIGINT) AS n_total,
         |  CAST(95 * (n - 1) // 100 AS BIGINT) AS target_rank, v AS q_value
         |FROM r WHERE rn = 95 * (n - 1) // 100
-        |ORDER BY event_type, p_label""".stripMargin
+        |ORDER BY event_type, p_label""".stripMargin,
+    // x63: ground truth by triple-joining the canonical a<b edge list
+    // (x45's CTE) — each triangle {x<y<z} matches exactly the join
+    // (x,y)+(y,z)+(x,z), the SQL mirror of the orientation's
+    // pivot-at-minimum exactly-once argument; corners unnested and
+    // counted, cc in the engine-standard integer ppm.
+    "x63_triangles" ->
+      """WITH v AS (
+        |  SELECT DISTINCT p_brand AS s FROM part
+        |  WHERE p_brand IS NOT NULL AND length(p_brand) >= 2
+        |), p AS (
+        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
+        |  WHERE levenshtein(a.s, b.s) <= 1
+        |), deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p
+        |  ) GROUP BY node
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM p e1 JOIN p e2 ON e2.a = e1.b JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), corners AS (
+        |  SELECT unnest([x, y, z]) AS node FROM tri
+        |), tc AS (
+        |  SELECT node, count(*) AS nt FROM corners GROUP BY node
+        |)
+        |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(tc.nt, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |       THEN CAST(2 * coalesce(tc.nt, 0) * 1000000 // (d.degree * (d.degree - 1)) AS BIGINT)
+        |  END AS cc_ppm
+        |FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
