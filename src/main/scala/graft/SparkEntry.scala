@@ -2024,6 +2024,20 @@ object SparkEntry {
     * signal; the oracle triple-joins the canonical a<b edge list, which
     * counts each triangle exactly once, same as the orientation argument.
     */
+  /** BPE vocabulary-learning surface: the first 3 merges over the
+    * documents corpus — see [[graft.operators.Bpe]]. Each iteration is
+    * vocabulary-sized (the corpus collapses to word counts first), the
+    * winner is one TakeOrdered row of driver state, and the double-space
+    * canonical-merge encoding makes literal string replace ≡ leftmost
+    * non-overlapping BPE on BOTH engines, so the oracle replays merges,
+    * tie-breaks, weighted counts and post-merge corpus symbol totals
+    * exactly (validated against an independent list-walk reference).
+    */
+  private def x64(s: SparkSession, dir: String): DataFrame =
+    Bpe
+      .learnMerges(t(s, dir, "documents").select(col("text")), m = bpeMerges)
+      .orderBy(col("iter"))
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2188,8 +2202,39 @@ object SparkEntry {
     "x60_cms_counts" -> (x60 _),
     "x61_collocations" -> (x61 _),
     "x62_binned_quantile" -> (x62 _),
-    "x63_triangles" -> (x63 _)
+    "x63_triangles" -> (x63 _),
+    "x64_bpe_merges" -> (x64 _)
   )
+
+  /** x64 merge count, shared between the Spark call and the generated
+    * oracle so the two sides cannot drift.
+    */
+  private val bpeMerges = 3
+
+  /** One unrolled BPE iteration of the x64 oracle (pair explode → weighted
+    * count → (pc desc, pair) argmax → double-space literal replace), CTE
+    * names indexed so [[bpeMerges]] of them chain — the x46 unrolled-
+    * iteration technique.
+    */
+  private def bpeIterSql(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (
+       |  SELECT unnest(CASE WHEN len(ts) >= 2
+       |                     THEN [ts[j] || ' ' || ts[j+1] for j in range(1, len(ts))]
+       |                     ELSE [] END) AS pair, cnt
+       |  FROM (SELECT cnt, string_split_regex(trim(s), '\\s+') AS ts FROM $prev)
+       |), g$i AS (
+       |  SELECT pair, sum(cnt) AS pc FROM p$i GROUP BY pair
+       |), win$i AS (
+       |  SELECT pair, pc, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+       |  FROM g$i ORDER BY pc DESC, pair LIMIT 1
+       |), w$i AS (
+       |  SELECT w, cnt, replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+       |  FROM $prev CROSS JOIN win$i
+       |), after$i AS (
+       |  SELECT sum(cnt * len(string_split_regex(trim(s), '\\s+'))) AS n FROM w$i
+       |)""".stripMargin
+  }
 
   /** Shared x60 CMS geometry, interpolated into BOTH the Spark call and
     * the DuckDB oracle so the two sides cannot drift.
@@ -3854,7 +3899,29 @@ object SparkEntry {
         |  CASE WHEN d.degree >= 2
         |       THEN CAST(2 * coalesce(tc.nt, 0) * 1000000 // (d.degree * (d.degree - 1)) AS BIGINT)
         |  END AS cc_ppm
-        |FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node""".stripMargin
+        |FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node""".stripMargin,
+    // x64: three unrolled BPE iterations (bpeIterSql) over the word-count
+    // table with the double-space canonical-merge encoding — literal
+    // replace ≡ leftmost non-overlapping pair merge on both engines, so
+    // merges, tie-breaks, weighted counts and corpus symbol totals replay
+    // exactly. "left"/"right" quoted (reserved words in DuckDB).
+    "x64_bpe_merges" ->
+      (s"""WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+        |), wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
+        |), w0 AS (
+        |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
+        |),""".stripMargin +
+        (1 to bpeMerges).map(bpeIterSql).mkString(",") + "\n" +
+        (1 to bpeMerges)
+          .map(i =>
+            s"""SELECT $i AS iter, a AS "left", b AS "right", a || b AS merged,
+               |  CAST(pc AS BIGINT) AS pair_count,
+               |  CAST((SELECT n FROM after$i) AS BIGINT) AS corpus_symbols_after
+               |FROM win$i""".stripMargin)
+          .mkString("\nUNION ALL\n") +
+        "\nORDER BY iter")
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

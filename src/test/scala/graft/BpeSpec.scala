@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: canonical BPE as an explicit list walk
+    * (leftmost non-overlapping merge), no string encoding anywhere — the
+    * operator's double-space replace trick must reproduce this exactly.
+    */
+  private def refBpe(docs: Seq[String], m: Int): Seq[(Int, String, String, String, Long, Long)] = {
+    val wc = docs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var words: Map[String, List[String]] = wc.keys.map(w => w -> w.split("").toList).toMap
+    val out = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    var it = 1
+    var done = false
+    while (it <= m && !done) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (w, syms) =>
+        syms.zip(syms.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + wc(w))
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x + " " + y) }
+        val merged = a + b
+        words = words.map { case (w, syms) =>
+          val res = List.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              res += merged; i += 2
+            } else { res += syms(i); i += 1 }
+          }
+          w -> res.result()
+        }
+        val after = words.map { case (w, syms) => wc(w) * syms.length }.sum
+        out += ((it, a, b, merged, c, after))
+        it += 1
+      }
+    }
+    out.result()
+  }
+
+  private def run(docs: Seq[String], m: Int) =
+    Bpe.learnMerges(docs.toDF("text"), m)
+      .orderBy($"iter")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+
+  test("back-to-back pair occurrences merge canonically (the encoding trap)") {
+    // "ababab": merging (a,b) must give [ab, ab, ab] — a naive
+    // single-space string replace consumes the shared delimiter and
+    // leaves [ab, a, b, a, b]. corpus_symbols_after exposes it: 3 vs 5.
+    val docs = Seq("ababab")
+    val got = run(docs, 1)
+    assert(got === refBpe(docs, 1))
+    assert(got.head._6 === 3L, s"back-to-back merge wrong: $got")
+  }
+
+  test("exact parity with the list-walk reference on a mixed corpus") {
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new",
+      "wider wide wide",
+      "aaaa baab abab"
+    )
+    (1 to 6).foreach { m =>
+      assert(run(docs, m) === refBpe(docs, m), s"m=$m")
+    }
+  }
+
+  test("tie-break is (count desc, pair asc) — deterministic") {
+    // "xy" and "yz" both appear exactly twice: "xy" wins lexicographically
+    val docs = Seq("xyq", "qxy", "yzp", "pyz")
+    val got = run(docs, 1)
+    assert(got === refBpe(docs, 1))
+    assert((got.head._2, got.head._3) === (("x", "y")))
+  }
+
+  test("merge supply exhausts early: all-single-char corpus stops with no rows") {
+    assert(run(Seq("a b c", "a b"), 3) === Seq.empty)
+  }
+
+  test("result is partitioning-invariant") {
+    val docs = (0 until 60).map(i => s"tok${i % 7} red${i % 3} blue${i % 5}")
+    val base = run(docs, 3)
+    val repart = Bpe.learnMerges(docs.toDF("text").repartition(13), 3)
+      .orderBy($"iter").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(base === repart)
+    assert(base === refBpe(docs, 3))
+  }
+}
