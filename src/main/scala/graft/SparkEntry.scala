@@ -2038,6 +2038,42 @@ object SparkEntry {
       .learnMerges(t(s, dir, "documents").select(col("text")), m = bpeMerges)
       .orderBy(col("iter"))
 
+  /** BPE encode surface: every distinct corpus word segmented by the x64
+    * merge table, in learned order — see
+    * [[graft.operators.Bpe.segmentWords]]. The merge list is bounded
+    * driver state (3 rows) folded into chained literal replaces; the
+    * oracle reads the SAME unrolled CTE chain's final word table, so
+    * train ≡ encode consistency is part of the contract.
+    */
+  private def x65(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("text"))
+    val merges = Bpe
+      .learnMerges(docs, m = bpeMerges)
+      .orderBy(col("iter"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    Bpe.segmentWords(docs, merges).orderBy(col("w"))
+  }
+
+  /** Stable-sharding surface: rendezvous (highest-random-weight)
+    * assignment of every document to one of 8 shards — see
+    * [[graft.operators.Mix.rendezvousShard]]. Map-only, md5-replayable;
+    * the oracle recomputes all 8 weights per doc and takes the same
+    * (weight desc, shard asc) argmax.
+    */
+  private def x66(s: SparkSession, dir: String): DataFrame =
+    Mix
+      .rendezvousShard(
+        t(s, dir, "documents").select(col("doc_id")),
+        key = col("doc_id"),
+        nShards = hrwShards)
+      .select(col("doc_id"), col("shard"), col("shard_weight"))
+      .orderBy(col("doc_id"))
+
+  /** x66 shard count, shared between the Spark call and the oracle. */
+  private val hrwShards = 8
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2203,7 +2239,9 @@ object SparkEntry {
     "x61_collocations" -> (x61 _),
     "x62_binned_quantile" -> (x62 _),
     "x63_triangles" -> (x63 _),
-    "x64_bpe_merges" -> (x64 _)
+    "x64_bpe_merges" -> (x64 _),
+    "x65_bpe_segment" -> (x65 _),
+    "x66_rendezvous_shard" -> (x66 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -3921,7 +3959,41 @@ object SparkEntry {
                |  CAST((SELECT n FROM after$i) AS BIGINT) AS corpus_symbols_after
                |FROM win$i""".stripMargin)
           .mkString("\nUNION ALL\n") +
-        "\nORDER BY iter")
+        "\nORDER BY iter"),
+    // x65: the same unrolled chain's FINAL word table w{m} is already the
+    // segmented vocabulary — train ≡ encode consistency by construction.
+    "x65_bpe_segment" ->
+      (s"""WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+        |), wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
+        |), w0 AS (
+        |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
+        |),""".stripMargin +
+        (1 to bpeMerges).map(bpeIterSql).mkString(",") + "\n" +
+        s"""SELECT w, cnt,
+           |  array_to_string(string_split_regex(trim(s), '\\s+'), ' ') AS segmentation,
+           |  CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_subwords
+           |FROM w$bpeMerges ORDER BY w""".stripMargin),
+    // x66: all 8 rendezvous weights per doc via the x57 hex→int splice,
+    // argmax by (weight desc, shard asc) — the operator's first-position
+    // tie-break in window form.
+    "x66_rendezvous_shard" ->
+      s"""WITH d AS (
+        |  SELECT doc_id FROM documents
+        |), hx AS (
+        |  SELECT doc_id, sh,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 10) AS h
+        |  FROM d, range($hrwShards) r(sh)
+        |), hv AS (
+        |  SELECT doc_id, sh, CAST($kmvHexToIntSql AS BIGINT) AS wgt FROM hx
+        |), rk AS (
+        |  SELECT doc_id, sh, wgt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY wgt DESC, sh) AS rn
+        |  FROM hv
+        |)
+        |SELECT doc_id, CAST(sh AS INTEGER) AS shard, wgt AS shard_weight
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -123,4 +123,40 @@ object Bpe {
         col("left"), col("right"), col("merged"),
         col("pair_count"), col("corpus_symbols_after"))
   }
+
+  /** Apply a learned merge list to segment every distinct corpus word —
+    * the ENCODE half of BPE: each merge replaces globally, in learned
+    * order, exactly as training did (so training corpus words segment to
+    * exactly the symbols training left them with).
+    *
+    * Map-only: the merge table is bounded driver state (m rows — the
+    * learnMerges contract), folded into m chained literal replaces inside
+    * one projection; no shuffle beyond the word-count aggregation itself.
+    *
+    * @param merges (left, right) pairs in application order
+    * @return one row per distinct word: w, cnt, segmentation
+    *         (single-space-joined symbols), n_subwords
+    */
+  def segmentWords(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text"
+  ): DataFrame = {
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+
+    val init = concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  "))
+    val folded = merges.foldLeft(init) { case (s, (a, b)) =>
+      org.apache.spark.sql.functions.replace(s, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+    words
+      .withColumn("syms", split(trim(folded), "\\s+"))
+      .select(
+        col("w"), col("cnt"),
+        concat_ws(" ", col("syms")).as("segmentation"),
+        size(col("syms")).cast("long").as("n_subwords"))
+  }
 }

@@ -61,23 +61,28 @@ object FrequencySketch {
       width: Int
   ): DataFrame = {
     val toks = docs.select(TextAnalysis.tokens(text).as("toks"))
-    val cms = toks.agg(
-      GraftFunctions.countMinTokens(col("toks"), depth, width).as("cms"))
+
+    // the finished matrix is depth×width longs of BOUNDED driver state
+    // (the ivfCentroids / MisraGries candidate contract) — collect it and
+    // inline as a literal, so estimation is a pure map over the probes
+    // with no join of any kind (a 1-row crossJoin would plan an NLJ)
+    val cmsArr: Seq[Long] = toks
+      .agg(GraftFunctions.countMinTokens(col("toks"), depth, width).as("cms"))
+      .head().getSeq[Long](0)
+    val cmsLit = typedLit(cmsArr)
 
     val probes = toks
       .select(explode(col("toks")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("exact_cnt"))
 
-    // est = min over rows j of cells[j*width + h_j(token)]; the matrix is
-    // one row, so the cross join is a broadcast of depth*width longs.
+    // est = min over rows j of cells[j*width + h_j(token)]
     val est = (0 until depth)
       .map(j =>
-        element_at(col("cms"), (rowHash(j, col("token")) % width).cast("int") + lit(j * width) + lit(1)))
+        element_at(cmsLit, (rowHash(j, col("token")) % width).cast("int") + lit(j * width) + lit(1)))
       .reduce(least(_, _))
 
     probes
-      .crossJoin(broadcast(cms))
       .select(
         col("token"),
         col("exact_cnt"),

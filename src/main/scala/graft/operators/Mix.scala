@@ -155,4 +155,34 @@ object Mix {
     }
     withCum.where(col(cumCol) <= budgetCol)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the STABLE
+    * sharding verb for incrementally rebuilt corpora (Thaler & Ravishankar
+    * 1998): each key scores every shard with an independent hash and goes
+    * to the argmax. Unlike `hash(key) mod n`, growing n → n+1 moves ONLY
+    * the keys whose new shard's weight wins — an expected 1/(n+1) of the
+    * corpus — so an incremental re-shard rewrites one new shard's worth of
+    * data instead of reshuffling everything (the same stability argument
+    * as x15's nested hash sampling, applied to placement).
+    *
+    * Map-only: n md5 hashes per row inside one codegen'd projection, no
+    * shuffle, no shard directory to coordinate. Deterministic and
+    * engine-portable via the standard [[DistinctSketch.hash40]]; ties
+    * (p ≈ n·2⁻⁴⁰ per key) break to the lowest shard via first-position
+    * argmax.
+    *
+    * @return df plus `shard` (int in [0, n)) and `shard_weight` (the
+    *         winning 40-bit hash, BIGINT — the replayable evidence)
+    */
+  def rendezvousShard(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val weights = transform(
+      sequence(lit(0), lit(nShards - 1)),
+      s => DistinctSketch.hash40(concat(key.cast("string"), lit(":"), s.cast("string"))))
+    df.withColumn("hrw_w", weights)
+      .withColumn("shard",
+        (array_position(col("hrw_w"), array_max(col("hrw_w"))) - 1).cast("int"))
+      .withColumn("shard_weight", array_max(col("hrw_w")))
+      .drop("hrw_w")
+  }
 }

@@ -478,17 +478,20 @@ object TextAnalysis {
       .localCheckpoint()
     toks.unpersist()
 
-    val totalFrame = uni.agg(sum(col("cnt_w")).as("n_total"))
+    // the corpus token total is ONE long of driver state (uni is already
+    // materialized by the localCheckpoint) — inline it as a literal
+    // rather than attaching a 1-row frame, which would plan an NLJ
+    val nRow = uni.agg(sum(col("cnt_w"))).head()
+    // sum over zero rows is NULL — the heavyTokens empty-corpus lesson
+    val nTotal = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val u1 = uni.select(col("w").as("w1"), col("cnt_w").as("cnt_w1"))
     val u2 = uni.select(col("w").as("w2"), col("cnt_w").as("cnt_w2"))
-    val joined = pairs
+    pairs
       .join(if (broadcastUnigrams) broadcast(u1) else u1, "w1")
       .join(if (broadcastUnigrams) broadcast(u2) else u2, "w2")
-      .crossJoin(broadcast(totalFrame))
-    joined
       .select(
         col("w1"), col("w2"), col("cnt_pair"), col("cnt_w1"), col("cnt_w2"),
-        expr(s"greatest(cnt_pair - ${delta}L, 0L) * n_total * 1000L div (cnt_w1 * cnt_w2)")
+        expr(s"greatest(cnt_pair - ${delta}L, 0L) * ${nTotal}L * 1000L div (cnt_w1 * cnt_w2)")
           .as("lift_x1000"))
       .withColumn("is_phrase", col("lift_x1000") >= lit(thresholdX1000))
   }

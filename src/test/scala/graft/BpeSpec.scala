@@ -87,6 +87,31 @@ class BpeSpec extends SparkSpec {
     assert(run(Seq("a b c", "a b"), 3) === Seq.empty)
   }
 
+  test("segmentWords: train ≡ encode — symbol totals and known segmentations") {
+    val docs = Seq("low lower lowest low low", "new newer newest new", "wider wide wide")
+    val learned = refBpe(docs, 4).map(m => (m._2, m._3))
+    val seg = Bpe.segmentWords(docs.toDF("text"), learned)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    // encoding the training corpus with the learned merges must land on
+    // exactly the symbol state training ended in
+    val expectTotal = refBpe(docs, 4).last._6
+    assert(seg.map { case (_, (cnt, _, n)) => cnt * n }.sum === expectTotal)
+    // every word re-splits to its segmentation's symbols
+    seg.foreach { case (w, (_, s, n)) =>
+      assert(s.split(" ").length.toLong === n)
+      assert(s.replace(" ", "") === w, s"segmentation loses characters for $w")
+    }
+  }
+
+  test("segmentWords with no merges = character split") {
+    val seg = Bpe.segmentWords(Seq("abc ab abc").toDF("text"), Seq.empty)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(seg.toSeq === Seq(("ab", 1L, "a b", 2L), ("abc", 2L, "a b c", 3L)))
+  }
+
   test("result is partitioning-invariant") {
     val docs = (0 until 60).map(i => s"tok${i % 7} red${i % 3} blue${i % 5}")
     val base = run(docs, 3)

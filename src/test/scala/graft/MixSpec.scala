@@ -124,4 +124,36 @@ class MixSpec extends SparkSpec {
       assert(math.abs(m - ideal) <= maxW, s"shard mass $m vs ideal $ideal (maxW $maxW)")
     }
   }
+
+  private def hrw(n: Int, keys: Seq[Long]) = operators.Mix
+    .rendezvousShard(keys.toDF("k"), col("k"), n)
+    .collect()
+    .map(r => r.getLong(0) -> r.getInt(1))
+    .toMap
+
+  test("rendezvous: deterministic, every shard populated, roughly uniform") {
+    val keys = (0L until 2000L).toSeq
+    val a = hrw(8, keys)
+    assert(a === hrw(8, keys)) // pure function of the key
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet === (0 until 8).toSet)
+    // binomial(2000, 1/8): mean 250, sd ~15; 5 sigma ≈ 75
+    sizes.values.foreach(s => assert(math.abs(s - 250) < 75, s"shard size $s"))
+  }
+
+  test("rendezvous: growing n -> n+1 moves ONLY keys won by the new shard") {
+    val keys = (0L until 2000L).toSeq
+    val before = hrw(8, keys)
+    val after = hrw(9, keys)
+    val moved = keys.filter(k => before(k) != after(k))
+    // every moved key moved TO the new shard — nothing reshuffles among
+    // the old shards (THE rendezvous property; mod-hashing moves ~8/9)
+    moved.foreach(k => assert(after(k) === 8, s"key $k moved to old shard ${after(k)}"))
+    // expected 1/9 ≈ 222 of 2000; allow a wide deterministic band
+    assert(moved.size > 120 && moved.size < 350, s"moved ${moved.size}")
+  }
+
+  test("rendezvous: single shard degenerates to constant 0") {
+    assert(hrw(1, (0L until 20L).toSeq).values.toSet === Set(0))
+  }
 }
