@@ -2074,6 +2074,25 @@ object SparkEntry {
   /** x66 shard count, shared between the Spark call and the oracle. */
   private val hrwShards = 8
 
+  /** Incremental-ingest surface: docs ≥ 250 plus 20 PLANTED exact copies
+    * (ids +10000, texts of docs < 20) arrive as the new batch against the
+    * < 250 index — see [[graft.operators.Dedup.incrementalClassify]].
+    * All three classes get driver coverage at both SFs: 20 exact, 12-13
+    * near (the cross-split Jaccard ≥ 0.5 pairs), the rest novel; the
+    * planted copies also near-match (Jaccard 1) so the oracle exercises
+    * the exact-over-near precedence.
+    */
+  private def x67(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val index = docs.where(col("doc_id") < 250)
+    val batch = docs.where(col("doc_id") >= 250)
+      .unionAll(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup
+      .incrementalClassify(batch, index, n = 3, threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2241,7 +2260,8 @@ object SparkEntry {
     "x63_triangles" -> (x63 _),
     "x64_bpe_merges" -> (x64 _),
     "x65_bpe_segment" -> (x65 _),
-    "x66_rendezvous_shard" -> (x66 _)
+    "x66_rendezvous_shard" -> (x66 _),
+    "x67_incremental_ingest" -> (x67 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -3993,7 +4013,45 @@ object SparkEntry {
         |  FROM hv
         |)
         |SELECT doc_id, CAST(sh AS INTEGER) AS shard, wgt AS shard_weight
-        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // x67: brute-force ground truth — digest join for exact, all-pairs
+    // distinct-3-shingle Jaccard (the x06 convention) for near, CASE
+    // precedence exact > near > novel, min match id per class.
+    "x67_incremental_ingest" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |), newb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+        |), ex AS (
+        |  SELECT n.doc_id, min(i.doc_id) AS m
+        |  FROM newb n JOIN idx i ON md5(n.text) = md5(i.text) GROUP BY n.doc_id
+        |), shn AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                                for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM newb)
+        |  WHERE len(t) >= 3
+        |), shi AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                                for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM idx)
+        |  WHERE len(t) >= 3
+        |), nr AS (
+        |  SELECT a.doc_id, min(b.doc_id) AS m
+        |  FROM shn a JOIN shi b ON
+        |    len(list_intersect(a.sh, b.sh)) * 1.0
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT n.doc_id,
+        |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+        |       WHEN nr.m IS NOT NULL THEN 'near'
+        |       ELSE 'novel' END AS status,
+        |  coalesce(ex.m, nr.m) AS match_id
+        |FROM newb n LEFT JOIN ex ON n.doc_id = ex.doc_id
+        |LEFT JOIN nr ON n.doc_id = nr.doc_id
+        |ORDER BY n.doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

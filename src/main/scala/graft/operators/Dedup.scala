@@ -637,4 +637,69 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Incremental-ingest classification — the dedup decision a CONTINUOUSLY
+    * GROWING corpus makes per new batch: for each incoming document,
+    * is it an exact copy of something already indexed, a near-duplicate
+    * of it, or genuinely novel? (The batch-at-rest operators x01/x06
+    * answer "what duplicates exist"; this answers "what should this
+    * delivery add", the question an ingestion pipeline actually asks.)
+    *
+    * Classification, in precedence order:
+    *   - `exact`: byte-identical text exists in the index (md5 digest
+    *     equi-join — ONE digest-keyed shuffle, never text);
+    *   - `near`:  some indexed doc clears the n-gram Jaccard threshold
+    *     ([[ngramJaccardPairs]] over the two-sided union — the inverted
+    *     shingle index + df prune + exact verify machinery, reused
+    *     verbatim; only cross-side pairs count);
+    *   - `novel`: neither.
+    * `match_id` is the LOWEST matching index id under the winning class —
+    * deterministic, and the natural "attach to existing cluster" key.
+    *
+    * Requires disjoint id spaces between batch and index (ingestion ids
+    * are monotone in practice). Scale shape: everything is keyed joins
+    * and the already-bounded pair mining; the classification itself is
+    * two id-keyed LEFT joins.
+    */
+  def incrementalClassify(
+      newDocs: DataFrame,
+      index: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val newD = newDocs.select(col(idCol).as("new_id"), col(textCol).as("new_text"))
+    val idxD = index.select(col(idCol).as("old_id"), col(textCol).as("old_text"))
+
+    val exact = newD
+      .select(col("new_id"), md5(col("new_text")).as("dg"))
+      .join(idxD.select(md5(col("old_text")).as("dg"), col("old_id")), "dg")
+      .groupBy("new_id")
+      .agg(min(col("old_id")).as("exact_match"))
+
+    val pairs = ngramJaccardPairs(
+      newD.select(col("new_id").as(idCol), col("new_text").as(textCol))
+        .unionAll(idxD.select(col("old_id").as(idCol), col("old_text").as(textCol))),
+      n, threshold, maxDf, idCol, textCol)
+    val near = pairs
+      .select(col("a_id").as("x"), col("b_id").as("y"))
+      .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      .join(newD.select(col("new_id")), col("x") === col("new_id"))
+      .join(idxD.select(col("old_id")), col("y") === col("old_id"))
+      .groupBy("new_id")
+      .agg(min(col("old_id")).as("near_match"))
+
+    newD
+      .select(col("new_id"))
+      .join(exact, Seq("new_id"), "left")
+      .join(near, Seq("new_id"), "left")
+      .select(
+        col("new_id").as(idCol),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
 }

@@ -197,4 +197,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length === 1)
     assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (0L, 1L))
   }
+
+  test("incremental ingest: exact / near / novel with exact-over-near precedence") {
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "unrelated content entirely different words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),       // exact copy of 1 (and near) → exact, match 1
+      (11L, "one two three four five six EIGHT"),         // near dup of 2 (6/8 shingles... verify below)
+      (12L, "totally novel text nothing shared here"),    // novel
+      (13L, "xy")                                         // < 3 tokens: no shingles → novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalClassify(batch, index, n = 3, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    // 11 vs 2: 3-shingles of 7 tokens = 5 each; shared = first 4 windows
+    // ("one two three" .. "four five six") = 4; jac 4/6 = 0.667 ≥ 0.5
+    assert(got.toSeq === Seq(
+      (10L, "exact", 1L),
+      (11L, "near", 2L),
+      (12L, "novel", -1L),
+      (13L, "novel", -1L)
+    ))
+  }
+
+  test("incremental ingest: near matches between two NEW docs never classify each other") {
+    val index = Seq((1L, "index text completely alone here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared shingle run one two three four"),
+      (11L, "shared shingle run one two three four") // exact dup of 10, but 10 is NOT indexed
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalClassify(batch, index, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((10L, "novel"), (11L, "novel")))
+  }
 }
