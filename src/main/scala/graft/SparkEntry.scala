@@ -2093,6 +2093,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Burst-detection surface: per-(event_type, epoch-hour) counts flagged
+    * by the all-integer median/MAD rule — see
+    * [[graft.operators.Robust.burstScreen]]. Buckets from the raw
+    * `ts_us div 3600000000` (the ev() micros contract), 89-121 flagged
+    * buckets of ~3400/870 at the gate SFs so both flag values get
+    * coverage.
+    */
+  private def x68(s: SparkSession, dir: String): DataFrame =
+    Robust
+      .burstScreen(
+        ev(s, dir),
+        keyCol = col("event_type"),
+        bucketCol = expr("ts_us div 3600000000"))
+      .select(
+        col("graft_key").as("event_type"), col("bucket"),
+        col("n_events"), col("is_burst"))
+      .orderBy(col("event_type"), col("bucket"))
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2261,7 +2279,8 @@ object SparkEntry {
     "x64_bpe_merges" -> (x64 _),
     "x65_bpe_segment" -> (x65 _),
     "x66_rendezvous_shard" -> (x66 _),
-    "x67_incremental_ingest" -> (x67 _)
+    "x67_incremental_ingest" -> (x67 _),
+    "x68_burst_screen" -> (x68 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4051,7 +4070,31 @@ object SparkEntry {
         |  coalesce(ex.m, nr.m) AS match_id
         |FROM newb n LEFT JOIN ex ON n.doc_id = ex.doc_id
         |LEFT JOIN nr ON n.doc_id = nr.doc_id
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+    // x68: integer epoch-hour buckets (epoch_us // 3.6e9 — matches the
+    // ev() ts_us contract), quantile_cont ×2 cast BIGINT is exact because
+    // medians of integers are half-integers; same 4·dev2 > 7·mad4
+    // cross-multiply as the Spark side.
+    "x68_burst_screen" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(2 * quantile_cont(n_events, 0.5) AS BIGINT) AS med2
+        |  FROM b GROUP BY event_type
+        |), d AS (
+        |  SELECT b.event_type, b.bucket, b.n_events,
+        |    abs(2 * b.n_events - m.med2) AS dev2
+        |  FROM b JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM d GROUP BY event_type
+        |)
+        |SELECT d.event_type, CAST(d.bucket AS BIGINT) AS bucket, d.n_events,
+        |  (4 * d.dev2 > 7 * md.mad4) AS is_burst
+        |FROM d JOIN md USING (event_type)
+        |ORDER BY d.event_type, d.bucket""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -141,6 +141,45 @@ object Robust {
       .select(col("graft_key"), col("n_total"), col("target_rank"), col("v").as("q_value"))
   }
 
+  /** Burst screen over bucketed event counts — "which hours spiked" — the
+    * robust anomaly flag per (key, time bucket), with the x48 median/MAD
+    * rule made ALL-INTEGER so the driver hash never sees a float:
+    * per-bucket counts are integers, so the median is a half-integer and
+    * `med2 = 2·median` is exact in a BIGINT; deviations double likewise
+    * (`dev2 = |2·n − med2|`), their median doubles to `mad4`, and the
+    * k = 3.5 rule |n − med| > 3.5·MAD becomes the integer cross-multiply
+    * `4·dev2 > 7·mad4`. Strict >, matching [[madOutliers]] (an all-equal
+    * group has MAD 0 and flags only actual deviants).
+    *
+    * Scale: one (key, bucket) count aggregation; the med/MAD passes run
+    * over the BUCKET table (bounded by key × time range, not event
+    * count) and join back broadcast. For unbounded bucket domains the
+    * [[binnedQuantileDisc]] histogram path swaps in, same shape.
+    */
+  def burstScreen(
+      events: DataFrame,
+      keyCol: Column,
+      bucketCol: Column
+  ): DataFrame = {
+    val b = events
+      .groupBy(keyCol.as("graft_key"), bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = b
+      .groupBy("graft_key")
+      .agg((percentile(col("n_events"), lit(0.5)) * 2).cast("long").as("med2"))
+    val d = b
+      .join(broadcast(med), "graft_key")
+      .withColumn("dev2", abs(col("n_events") * 2 - col("med2")))
+    val mad = d
+      .groupBy("graft_key")
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    d
+      .join(broadcast(mad), "graft_key")
+      .select(
+        col("graft_key"), col("bucket"), col("n_events"),
+        (col("dev2") * 4 > col("mad4") * 7).as("is_burst"))
+  }
+
   def madOutliers(
       df: DataFrame,
       keyCol: Column,

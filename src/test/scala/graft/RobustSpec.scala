@@ -94,6 +94,29 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  test("burst screen: hand-built buckets, all-equal flags nothing, exact boundary is NOT a burst") {
+    // key a: four quiet hours of 10 + one spike of 24 → only the spike
+    //   flags (med2=20, dev2=28, mad4=0 → 112 > 0)
+    // key b: all equal → MAD 0, zero deviation, nothing flags
+    // key c: counts (2,4,11) → med2=8, dev2=(4,0,14), mad4=8; the 11
+    //   bucket sits EXACTLY at 4·14 = 7·8 = 56 → strict > must NOT flag
+    val events =
+      (0 until 4).flatMap(bk => Seq.fill(10)(("a", bk.toLong))) ++
+        Seq.fill(24)(("a", 4L)) ++
+        (0 until 3).flatMap(bk => Seq.fill(5)(("b", bk.toLong))) ++
+        Seq.fill(2)(("c", 0L)) ++ Seq.fill(4)(("c", 1L)) ++ Seq.fill(11)(("c", 2L))
+    val got = Robust
+      .burstScreen(events.toDF("k", "bk"), col("k"), col("bk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(("a", 4L)) === ((24L, true)))
+    (0 until 4).foreach(bk => assert(got(("a", bk.toLong)) === ((10L, false))))
+    (0 until 3).foreach(bk => assert(got(("b", bk.toLong)) === ((5L, false))))
+    assert(got(("c", 2L)) === ((11L, false)), "exact 4*dev2 == 7*mad4 boundary must not flag")
+    assert(got(("c", 0L))._2 === false && got(("c", 1L))._2 === false)
+  }
+
   test("binned quantile: the selection join touches only the target bin's rows") {
     // 1000 values spread over ~63 bins (shift 4): the post-join sort must
     // see ~n/63 rows, not n — pin via the plan (broadcast join + filter
