@@ -2093,6 +2093,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal metadata surface #3: AVI container decode — genuine RIFF
+    * hdrl/strl/movi files ([[graft.functions.BuildAvi]], fixed 25 fps)
+    * parsed by [[graft.functions.AviCodec]]'s MainAVIHeader walk; dims
+    * from avih, duration = frames · 40 ms. Same closed-form
+    * encode→decode→verify contract as x53/x54.
+    */
+  private def x69(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 2)
+      .select(
+        col("doc_id"),
+        Multimodal
+          .decodeMeta(
+            GraftFunctions.buildAvi(
+              (lit(32) + col("doc_id") % 61 * 2).cast("int"),
+              (lit(24) + col("doc_id") % 47 * 2).cast("int"),
+              (lit(10) + col("doc_id") % 241).cast("int")
+            )
+          )
+          .as("m")
+      )
+      .select(
+        col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.duration_ms").as("duration_ms")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Burst-detection surface: per-(event_type, epoch-hour) counts flagged
     * by the all-integer median/MAD rule — see
     * [[graft.operators.Robust.burstScreen]]. Buckets from the raw
@@ -2280,7 +2312,8 @@ object SparkEntry {
     "x65_bpe_segment" -> (x65 _),
     "x66_rendezvous_shard" -> (x66 _),
     "x67_incremental_ingest" -> (x67 _),
-    "x68_burst_screen" -> (x68 _)
+    "x68_burst_screen" -> (x68 _),
+    "x69_avi_meta" -> (x69 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4094,7 +4127,15 @@ object SparkEntry {
         |SELECT d.event_type, CAST(d.bucket AS BIGINT) AS bucket, d.n_events,
         |  (4 * d.dev2 > 7 * md.mad4) AS is_burst
         |FROM d JOIN md USING (event_type)
-        |ORDER BY d.event_type, d.bucket""".stripMargin
+        |ORDER BY d.event_type, d.bucket""".stripMargin,
+    // x69: closed-form AVI metadata (the x53 contract): dims are the
+    // BuildAvi inputs, duration = frames · 40 ms at the fixed 25 fps.
+    "x69_avi_meta" ->
+      """SELECT doc_id, 'avi' AS format,
+        |  CAST(32 + doc_id % 61 * 2 AS INT) AS width,
+        |  CAST(24 + doc_id % 47 * 2 AS INT) AS height,
+        |  CAST((10 + doc_id % 241) * 40 AS INT) AS duration_ms
+        |FROM documents WHERE doc_id % 5 = 2 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -126,6 +126,67 @@ private[functions] object Mp4Codec {
   }
 }
 
+/** Real AVI (RIFF) container metadata walk — the third container format
+  * decoded from public spec (msdn AVI RIFF form): top-level RIFF chunk
+  * walk to `LIST hdrl`, whose `avih` MainAVIHeader carries everything a
+  * corpus scan filters on — dwMicroSecPerFrame, dwTotalFrames, dwWidth,
+  * dwHeight — with duration = frames · µs/frame. Little-endian throughout
+  * (RIFF), unlike BMFF's big-endian. Bounded allocation-free scan,
+  * NULL-on-corrupt like [[Mp4Codec]]; frame PAYLOADS (the `movi` list)
+  * need a video codec and stay out of metadata scope.
+  */
+private[functions] object AviCodec {
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 3) & 0xff) << 24)).toLong & 0xffffffffL
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "AVI ")
+
+  /** (width, height, durationMs) or null on corrupt/truncated/no-avih. */
+  def meta(b: Array[Byte]): Array[Long] = {
+    if (!isAvi(b)) return null
+    val riffEnd = {
+      val sz = le32(b, 4)
+      val end = 8L + sz
+      if (end > b.length) return null
+      end
+    }
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val size = le32(b, off.toInt + 4)
+      val payload = off + 8
+      if (payload + size > riffEnd) return null
+      if (ascii(b, off.toInt, "LIST") && size >= 4 && ascii(b, payload.toInt, "hdrl")) {
+        // sub-chunk walk inside hdrl for avih
+        var sub = payload + 4
+        val subEnd = payload + size
+        while (sub + 8 <= subEnd) {
+          val ssize = le32(b, sub.toInt + 4)
+          val sp = sub + 8
+          if (sp + ssize > subEnd) return null
+          if (ascii(b, sub.toInt, "avih")) {
+            if (ssize < 40) return null
+            val usPerFrame = le32(b, sp.toInt)
+            val totalFrames = le32(b, sp.toInt + 16)
+            val w = le32(b, sp.toInt + 32)
+            val h = le32(b, sp.toInt + 36)
+            if (usPerFrame <= 0 || w <= 0 || h <= 0) return null
+            return Array(w, h, totalFrames * usPerFrame / 1000L)
+          }
+          sub = sp + ssize + (ssize & 1L) // word alignment
+        }
+        return null // hdrl without avih
+      }
+      off = payload + size + (size & 1L)
+    }
+    null // no hdrl list
+  }
+}
+
 private[functions] object Mp3Codec {
 
   // bitrate tables (kbps) indexed [1..14]; index 0 = "free" and 15 = bad,
@@ -264,6 +325,80 @@ case class BuildMp4(wExpr: Expression, hExpr: Expression, durExpr: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(wExpr = f, hExpr = s, durExpr = t)
+}
+
+/** Deterministic minimal AVI: `RIFF('AVI ' LIST hdrl(avih, LIST
+  * strl(strh 'vids', strf BITMAPINFOHEADER)), LIST movi('00db' payload))`
+  * at a fixed 25 fps (dwMicroSecPerFrame = 40000), so durationMs is
+  * exactly `frames · 40` — a closed form an oracle engine recomputes from
+  * the inputs alone. The stream headers are genuine (a conformant AVI
+  * parser accepts the file); frame payloads are 8 deterministic bytes
+  * (metadata scope — no codec).
+  */
+case class BuildAvi(wExpr: Expression, hExpr: Expression, framesExpr: Expression)
+    extends TernaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = wExpr
+  override def second: Expression = hExpr
+  override def third: Expression = framesExpr
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(wAny: Any, hAny: Any, fAny: Any): Any = {
+    val w = wAny.asInstanceOf[Int]
+    val h = hAny.asInstanceOf[Int]
+    val frames = fAny.asInstanceOf[Int]
+    require(w > 0 && w <= 65535 && h > 0 && h <= 65535, s"bad avi dims ${w}x$h")
+    require(frames > 0 && frames <= (1 << 20), s"bad avi frame count $frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def ascii(s: String): Unit = s.foreach(c => out.write(c.toInt))
+
+    // strl = 'strl' + strh(8+56) + strf(8+40) = 116; hdrl = 'hdrl' +
+    // avih(8+56) + LIST strl(8+116) = 192; movi = 'movi' + 00db(8+8) = 20;
+    // riff payload = 'AVI ' + LIST hdrl(8+192) + LIST movi(8+20) = 232
+    ascii("RIFF"); le32(232); ascii("AVI ")
+    ascii("LIST"); le32(192); ascii("hdrl")
+    ascii("avih"); le32(56)
+    le32(40000) // dwMicroSecPerFrame: 25 fps
+    le32(0); le32(0); le32(0) // maxBytesPerSec, padding, flags
+    le32(frames.toLong) // dwTotalFrames
+    le32(0) // initialFrames
+    le32(1) // dwStreams
+    le32(0) // suggestedBufferSize
+    le32(w.toLong); le32(h.toLong)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    ascii("LIST"); le32(116); ascii("strl")
+    ascii("strh"); le32(56)
+    ascii("vids"); ascii("DIB ")
+    le32(0) // flags
+    le16(0); le16(0) // priority, language
+    le32(0) // initialFrames
+    le32(1); le32(25) // scale, rate: 25 fps
+    le32(0) // start
+    le32(frames.toLong) // length in frames
+    le32(0); le32(0) // bufferSize, quality
+    le32(0) // sampleSize
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    ascii("strf"); le32(40)
+    le32(40); le32(w.toLong); le32(h.toLong)
+    le16(1); le16(24) // planes, bitcount
+    le32(0); le32(w.toLong * h * 3) // compression BI_RGB, sizeImage
+    le32(0); le32(0); le32(0); le32(0) // resolutions, colors
+    ascii("LIST"); le32(20); ascii("movi")
+    ascii("00db"); le32(8)
+    var i = 0
+    while (i < 8) { out.write((w * 31 + h * 17 + frames + i) & 0xff); i += 1 }
+    out.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(wExpr = f, hExpr = s, framesExpr = t)
 }
 
 /** Deterministic minimal MP3: an ID3v2 tag of `tagBytes` filler (exercising

@@ -97,6 +97,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_mp3", exprs => BuildMp3(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_avi", exprs => BuildAvi(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -307,6 +309,10 @@ object GraftFunctions {
   /** Minimal genuine MP3 (ID3v2 tag + CBR MPEG1-L3 frames) — see BuildMp3. */
   def buildMp3(id: Column, frames: Column, tagBytes: Column): Column =
     call_function("build_mp3", id, frames, tagBytes)
+
+  /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
+  def buildAvi(w: Column, h: Column, frames: Column): Column =
+    call_function("build_avi", w, h, frames)
 
   /** Real PCM sample decode → raw integer audio statistics (sum_sq,
     * sum_abs, peak, zero_cross, …) — see AudioPcmFeatures.

@@ -629,6 +629,16 @@ case class DecodeMediaMeta(child: Expression)
         return InternalRow(u("bmp"), w, h, null, null, null, null)
       }
       null
+    } else if (AviCodec.isAvi(b)) {
+      // AVI RIFF form: LIST hdrl → avih MainAVIHeader (AviCodec)
+      val m = AviCodec.meta(b)
+      if (m == null) null
+      else
+        InternalRow(
+          u("avi"),
+          m(0).toInt, m(1).toInt,
+          null, null, null,
+          m(2).min(Int.MaxValue).toInt)
     } else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
       // walk RIFF chunks for fmt (metadata) and data (duration)
       var off = 12

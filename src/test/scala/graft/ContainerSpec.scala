@@ -99,4 +99,55 @@ class ContainerSpec extends SparkSpec {
       .select(col("m.format"), col("m.sample_rate")).collect()(0)
     assert(r.getString(0) === "wav" && r.getInt(1) === 16000)
   }
+
+  private def aviBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    GraftFunctions.register(spark)
+    spark.sql(s"SELECT build_avi($w, $h, $frames) AS b").collect()(0).getAs[Array[Byte]](0)
+  }
+
+  test("avi: hdrl walk recovers dims and 25fps duration exactly") {
+    for ((w, h, f) <- Seq((320, 240, 100), (32, 24, 10), (1920, 1080, 90000))) {
+      val r = metaOf(aviBytes(w, h, f))
+      assert(r.getString(0) === "avi")
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getInt(5) === f * 40, s"duration for $f frames") // 40 ms/frame
+    }
+  }
+
+  test("avi: a JUNK chunk before hdrl (real-world padding) is walked over") {
+    val b = aviBytes(64, 48, 77)
+    // splice a 12-byte JUNK chunk right after the 12-byte RIFF/AVI header,
+    // bumping the RIFF size by 12+8
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](12, 0, 0, 0) ++ Array.fill[Byte](12)(0x5a)
+    val spliced = b.take(12) ++ junk ++ b.drop(12)
+    val oldSize = (b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+    val ns = oldSize + 20
+    spliced(4) = (ns & 0xff).toByte; spliced(5) = ((ns >> 8) & 0xff).toByte
+    spliced(6) = ((ns >> 16) & 0xff).toByte; spliced(7) = ((ns >> 24) & 0xff).toByte
+    val r = metaOf(spliced)
+    assert(r.getString(0) === "avi" && r.getInt(1) === 64 && r.getInt(5) === 77 * 40)
+  }
+
+  test("avi: corrupt/truncated files return NULL, never throw") {
+    GraftFunctions.register(spark)
+    def isNull(bytes: Array[Byte]): Boolean = {
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(GraftFunctions.decodeMediaMeta(col("b")).as("m")).collect()(0).isNullAt(0)
+    }
+    val good = aviBytes(100, 80, 50)
+    // truncated before the avih payload completes
+    assert(isNull(good.take(40)))
+    // RIFF size pointing past the buffer
+    val badSize = good.clone(); badSize(4) = 0xff.toByte; badSize(5) = 0xff.toByte
+    assert(isNull(badSize))
+    // avih shrunk below MainAVIHeader size (size field at hdrl+avih header)
+    val shrunk = good.clone()
+    // avih size is at offset 12(RIFF/AVI )+8(LIST hdr)+4(hdrl)+4(avih)=28
+    shrunk(28) = 8; shrunk(29) = 0; shrunk(30) = 0; shrunk(31) = 0
+    assert(isNull(shrunk))
+    // zero dwMicroSecPerFrame (avih payload starts at 32)
+    val zeroRate = good.clone()
+    zeroRate(32) = 0; zeroRate(33) = 0; zeroRate(34) = 0; zeroRate(35) = 0
+    assert(isNull(zeroRate))
+  }
 }
