@@ -2143,6 +2143,23 @@ object SparkEntry {
         col("n_events"), col("is_burst"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** LM fluency scoring surface (x70): bigram stupid-backoff LM trained
+    * on the even-id half of the corpus, scoring the odd-id half — the
+    * CCNet reference-corpus-vs-target split, and the split is what makes
+    * both contract branches live (unseen target bigrams exercise the
+    * backoff; self-scoring would never miss). See
+    * [[graft.operators.TextAnalysis.lmFluency]] for the all-integer
+    * ppm contract.
+    */
+  private def x70(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    TextAnalysis
+      .lmFluency(
+        refDocs = docs.where(col("doc_id") % 2 === 0),
+        targetDocs = docs.where(col("doc_id") % 2 === 1))
+      .orderBy(col("doc_id"))
+  }
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2313,7 +2330,8 @@ object SparkEntry {
     "x66_rendezvous_shard" -> (x66 _),
     "x67_incremental_ingest" -> (x67 _),
     "x68_burst_screen" -> (x68 _),
-    "x69_avi_meta" -> (x69 _)
+    "x69_avi_meta" -> (x69 _),
+    "x70_lm_fluency" -> (x70 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4135,7 +4153,60 @@ object SparkEntry {
         |  CAST(32 + doc_id % 61 * 2 AS INT) AS width,
         |  CAST(24 + doc_id % 47 * 2 AS INT) AS height,
         |  CAST((10 + doc_id % 241) * 40 AS INT) AS duration_ms
-        |FROM documents WHERE doc_id % 5 = 2 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 5 = 2 ORDER BY doc_id""".stripMargin,
+    // x70: the oracle replays the bigram stupid-backoff LM naively —
+    // reference unigram/bigram count tables, per-pair integer ppm with
+    // the same div semantics, m-weighted integer mean per document. All
+    // sums CAST to BIGINT (the HUGEINT rendering rule).
+    "x70_lm_fluency" ->
+      """WITH rtk AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt_w
+        |  FROM (SELECT unnest(toks) AS w FROM rtk) GROUP BY w
+        |), big AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(toks) >= 2
+        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
+        |      ELSE [] END) AS p
+        |    FROM rtk)
+        |  GROUP BY 1, 2
+        |), n AS (
+        |  SELECT greatest(CAST(coalesce(sum(cnt_w), 0) AS BIGINT), 1) AS total FROM uni
+        |), ttk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), pd AS (
+        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS m
+        |  FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
+        |      ELSE [] END) AS p
+        |    FROM ttk)
+        |  GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT pd.doc_id, pd.m,
+        |    CASE WHEN b.cnt_b IS NOT NULL THEN b.cnt_b * 1000000 // u1.cnt_w
+        |         ELSE coalesce(u2.cnt_w, 0) * 400000 // n.total END AS p_ppm,
+        |    (b.cnt_b IS NOT NULL) AS hit
+        |  FROM pd
+        |  LEFT JOIN big b ON pd.w1 = b.w1 AND pd.w2 = b.w2
+        |  LEFT JOIN uni u1 ON pd.w1 = u1.w
+        |  LEFT JOIN uni u2 ON pd.w2 = u2.w, n
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(m) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN hit THEN m ELSE 0 END) AS BIGINT) AS n_hit,
+        |    CAST(sum(m * p_ppm) // sum(m) AS BIGINT) AS fluency_ppm
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT ttk.doc_id,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+        |  fluency_ppm
+        |FROM ttk LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

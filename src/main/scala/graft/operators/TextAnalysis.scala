@@ -495,4 +495,117 @@ object TextAnalysis {
           .as("lift_x1000"))
       .withColumn("is_phrase", col("lift_x1000") >= lit(thresholdX1000))
   }
+
+  /** N-gram language-model fluency scoring — the perplexity-filtering verb
+    * of corpus curation (CCNet, Wenzek et al. 2020: score every document
+    * against an LM trained on a trusted reference corpus; gibberish and
+    * boilerplate score low). The model is the classic bigram LM with
+    * stupid backoff (Brants et al. 2007): each adjacent pair (w1, w2)
+    * scores the conditional `count_ref(w1 w2) / count_ref(w1)` when the
+    * reference saw the bigram, else backs off to `0.4 · count_ref(w2) / N`.
+    *
+    * Integer contract (nothing float-rendered near the driver hash): the
+    * conditional is `cnt_b · 1_000_000 div cnt_w1` ppm, the backoff is
+    * `cnt_w2 · 400_000 div N` ppm (0.4 folded into the scale), and the
+    * document score is the m-weighted integer mean
+    * `Σ m·p_ppm div Σ m` — the ARITHMETIC mean of conditional
+    * probabilities, chosen because it is exactly replayable on both
+    * engines; true perplexity (the geometric mean) is the same plumbing
+    * with `ln` in the scoring projection and a rounding convention, and is
+    * the named float swap-in for consumers that want it. Ranking behavior
+    * matches the curation use: fluent reference-like text scores high,
+    * unseen-vocabulary text scores 0.
+    *
+    * 100 TB shape: the model build is the [[collocations]] shape — one
+    * explode + map-side-partial hash aggregation each for unigrams and
+    * bigrams over the REFERENCE, N is one long of driver state inlined as
+    * a literal (the no-NLJ scalar rule). Scoring collapses the target to
+    * per-document distinct pairs with multiplicity (map-side partials
+    * absorb repeated pairs), builds a pair-score table over the DISTINCT
+    * target pairs only (three vocabulary-sized left joins — never a join
+    * per occurrence), joins it back once, and aggregates per document.
+    * `broadcastModel = true` broadcasts the pair-score table (bounded
+    * vocabulary posture); `false` plans it as a shuffle join keyed
+    * (w1, w2) — the open-web posture. Documents with fewer than two
+    * tokens surface with n_pairs = 0 and a NULL score.
+    */
+  def lmFluency(
+      refDocs: DataFrame,
+      targetDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastModel: Boolean = true
+  ): DataFrame = {
+    def pairStructs(toks: Column): Column =
+      when(size(toks) >= 2,
+        transform(
+          sequence(lit(0), size(toks) - 2),
+          i => struct(
+            element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))
+        )).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+    // --- reference model: unigram + bigram count tables (vocab-sized) ---
+    val refToks = refDocs
+      .select(tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = refToks
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt_w"))
+      .localCheckpoint()
+    val big = refToks
+      .select(pairStructs(col("toks")).as("bg"))
+      .select(explode(col("bg")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt_b"))
+      .localCheckpoint()
+    refToks.unpersist()
+    val nRow = uni.agg(sum(col("cnt_w"))).head()
+    // sum over zero rows is NULL (the heavyTokens empty-corpus lesson);
+    // clamp to 1 so an empty reference scores everything 0, not ÷0
+    val nTotal = math.max(if (nRow.isNullAt(0)) 0L else nRow.getLong(0), 1L)
+
+    // --- target side: per-doc distinct pairs with multiplicity ---
+    val sized = targetDocs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDocPairs = sized
+      .select(col(idCol), explode(pairStructs(col("toks"))).as("p"))
+      .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+
+    // pair-score table over DISTINCT target pairs only: three left joins
+    // at vocabulary scale, then ONE join back onto the occurrence table
+    val u1 = uni.select(col("w").as("w1"), col("cnt_w").as("cnt_w1"))
+    val u2 = uni.select(col("w").as("w2"), col("cnt_w").as("cnt_w2"))
+    val scored = perDocPairs
+      .select("w1", "w2")
+      .distinct()
+      .join(big, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .select(
+        col("w1"), col("w2"),
+        when(col("cnt_b").isNotNull,
+          expr("cnt_b * 1000000L div cnt_w1"))
+          .otherwise(expr(s"coalesce(cnt_w2, 0L) * 400000L div ${nTotal}L"))
+          .as("p_ppm"),
+        col("cnt_b").isNotNull.as("hit"))
+    val perDoc = perDocPairs
+      .join(if (broadcastModel) broadcast(scored) else scored, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("m")).as("n_pairs"),
+        sum(when(col("hit"), col("m")).otherwise(lit(0L))).as("n_hit"),
+        expr("sum(m * p_ppm) div sum(m)").as("fluency_ppm"))
+    sized
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("fluency_ppm"))
+  }
 }

@@ -243,4 +243,48 @@ class TextAnalysisSpec extends SparkSpec {
       .toSeq
     assert(run(true) === run(false))
   }
+
+  test("lmFluency: hand-computed conditional / backoff ppm, multiplicity weighting, short-doc NULL") {
+    // reference: "a b a b c"  → N=5; uni a=2 b=2 c=1; big ab=2 ba=1 bc=1
+    val ref = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (1L, "a b a b"), // pairs ab×2 (hit, 1e6·2/2=1000000), ba×1 (hit, 1e6·1/2=500000)
+      (3L, "c z b"),   // cz miss → backoff z: 0·400000/5 = 0; zb miss → backoff b: 2·400000/5=160000
+      (5L, "a"),       // <2 tokens → 0 pairs, NULL score
+      (7L, "b c")      // bc hit → 1e6·1/2 = 500000
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .lmFluency(ref, tgt)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 3L, (2L * 1000000L + 500000L) / 3L), // m-weighted mean: 833333
+      (3L, 2L, 0L, (0L + 160000L) / 2L),            // both backoff: 80000
+      (5L, 0L, 0L, -1L),                            // NULL fluency
+      (7L, 1L, 1L, 500000L)
+    ))
+  }
+
+  test("lmFluency: shuffle-model path agrees with broadcast; empty reference scores 0 not ÷0") {
+    val ref = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    val tgt = (1 to 40).map(i => (i.toLong, s"a b w$i c")).toDF("doc_id", "text")
+    def run(b: Boolean) = TextAnalysis
+      .lmFluency(ref, tgt, broadcastModel = b)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(run(true) === run(false))
+
+    val emptyRef = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextAnalysis
+      .lmFluency(emptyRef, Seq((1L, "x y z")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 2L) // n_pairs
+    assert(out(0).getLong(2) === 0L) // no hits
+    assert(out(0).getLong(3) === 0L) // backoff over empty ref → 0, not an error
+  }
 }
