@@ -2160,6 +2160,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe split surface (x71): train/val/test assignment keyed by
+    * the md5 bucket of each document's NEAR-DUP CLUSTER ROOT (x14's
+    * component minimum; singletons root to themselves) — near-duplicates
+    * provably share a split. 80/10/10 via the [[graft.operators
+    * .Sampling.thresholdHex]] hex-threshold convention.
+    */
+  private def x71(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    Sampling
+      .leakageSafeSplit(
+        docs.select(col("doc_id")),
+        Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5),
+        trainRate = 0.8,
+        valRate = 0.1)
+      .orderBy(col("doc_id"))
+  }
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2331,7 +2348,8 @@ object SparkEntry {
     "x67_incremental_ingest" -> (x67 _),
     "x68_burst_screen" -> (x68 _),
     "x69_avi_meta" -> (x69 _),
-    "x70_lm_fluency" -> (x70 _)
+    "x70_lm_fluency" -> (x70 _),
+    "x71_leakage_split" -> (x71 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4206,7 +4224,44 @@ object SparkEntry {
         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
         |  fluency_ppm
-        |FROM ttk LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM ttk LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // x71: x14's recursive-closure components (component minimum as root;
+    // docs in no pair root to themselves), then the hex-threshold split:
+    // round(0.8·65536) = 0xcccd, round(0.9·65536) = 0xe666 — the same
+    // constants Sampling.thresholdHex renders on the Spark side.
+    "x71_leakage_split" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+        |    ELSE [] END AS s
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |), bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+        |  FROM reach GROUP BY src
+        |), rooted AS (
+        |  SELECT d.doc_id, CAST(coalesce(comp_id, d.doc_id) AS BIGINT) AS root_id
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+        |)
+        |SELECT doc_id, root_id,
+        |  CASE WHEN substr(md5(CAST(root_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |       WHEN substr(md5(CAST(root_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rooted ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -127,4 +127,48 @@ object Sampling {
       .withColumnRenamed("graft_wsp_pri", "priority")
       .drop("graft_wsp_h", "graft_wsp_w", "graft_wsp_rank")
   }
+
+  /** Leakage-safe train/val/test split: assign every document a split by
+    * the content hash of its NEAR-DUP CLUSTER ROOT, not of the document —
+    * so a near-duplicate of a training document can never land in the
+    * held-out set (the contamination mode plain random/hash splits are
+    * blind to, and the reason SemDeDup/CCNet pipelines dedup BEFORE
+    * splitting). Documents in no near-dup pair root to themselves.
+    *
+    * `pairs` is any undirected same-id-space pair frame (`a_id`/`b_id`) —
+    * typically [[Dedup.ngramJaccardPairs]] or the MinHash/SimHash miners;
+    * roots come from [[Cluster.connectedComponents]] (component minimum),
+    * so the split is a pure function of corpus content: rerunning on any
+    * partitioning, or re-mining pairs in any order, reassigns identically.
+    *
+    * Fractions are 4-hex-digit md5 bucket thresholds (the
+    * [[thresholdHex]] convention): bucket < trainRate → "train",
+    * < trainRate+valRate → "val", else "test".
+    *
+    * 100 TB shape: pair mining + CC dominate and are already bucketed /
+    * per-round-bounded; the split itself adds one LEFT join of the corpus
+    * against the component table (≤ one row per clustered doc, two longs
+    * wide) and a map-side md5 — no new shuffle beyond the join.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      trainRate: Double,
+      valRate: Double,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val comps = Cluster
+      .connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    docs
+      .join(comps, Seq(idCol), "left")
+      .withColumn("root_id", coalesce(col("comp"), col(idCol)))
+      .withColumn("graft_b", hashBucket(col("root_id").cast("string")))
+      .withColumn(
+        "split",
+        when(col("graft_b") < lit(thresholdHex(trainRate)), lit("train"))
+          .when(col("graft_b") < lit(thresholdHex(trainRate + valRate)), lit("val"))
+          .otherwise(lit("test")))
+      .drop("comp", "graft_b")
+  }
 }

@@ -152,4 +152,41 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed as WindowGroupLimit:\n$p")
   }
+
+  test("leakageSafeSplit: cluster members share a split, singletons root to themselves, thresholds exact") {
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    // cluster {1,2,3} via a chain (transitivity must carry 1 and 3 together)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Sampling
+      .leakageSafeSplit(docs, pairs, trainRate = 0.8, valRate = 0.1)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.map(t => t._1 -> t._2).toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 9L))
+    // all cluster members carry the root's split
+    assert(out.filter(_._2 == 1L).map(_._3).distinct.length === 1)
+    // the split is the md5-bucket rule on the root digits, verified
+    // against an independent JVM md5
+    def expected(root: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(root.toString.getBytes("UTF-8"))
+      val b = f"${(d(0) & 0xff)}%02x${(d(1) & 0xff)}%02x"
+      if (b < Sampling.thresholdHex(0.8)) "train"
+      else if (b < Sampling.thresholdHex(0.9)) "val"
+      else "test"
+    }
+    out.foreach { case (_, root, split) => assert(split === expected(root)) }
+  }
+
+  test("leakageSafeSplit: assignment invariant under pair order and partitioning") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val pairs = (0L until 60L by 3).flatMap(i => Seq((i, i + 1), (i + 1, i + 2))).toDF("a_id", "b_id")
+    def run(p: org.apache.spark.sql.DataFrame) = Sampling
+      .leakageSafeSplit(docs, p, trainRate = 0.5, valRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val base = run(pairs)
+    assert(base === run(pairs.orderBy($"b_id".desc).repartition(7)))
+    // reversed edge direction mines the same undirected graph
+    assert(base === run(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id"))))
+  }
 }
