@@ -2157,6 +2157,12 @@ object SparkEntry {
       .lmFluency(
         refDocs = docs.where(col("doc_id") % 2 === 0),
         targetDocs = docs.where(col("doc_id") % 2 === 1))
+      // the operator's NULL-when-no-pairs would render the BIGINT column
+      // float64 through pandas if any short doc appeared — sentinel -1
+      // keeps the hashed column integer-rendered on both engines
+      .select(
+        col("doc_id"), col("n_pairs"), col("n_hit"),
+        coalesce(col("fluency_ppm"), lit(-1L)).as("fluency_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -2175,6 +2181,32 @@ object SparkEntry {
         trainRate = 0.8,
         valRate = 0.1)
       .orderBy(col("doc_id"))
+  }
+
+  /** Seed-distance BFS surface (x72): exact hop distance from a seed set
+    * over 12-node doc-id chains — even-numbered chains are seeded at
+    * their head, odd chains are unreachable and surface NULL (the "no
+    * trusted page vouches for this" signal). Multi-hop (dist 0..11), so
+    * the frontier loop in [[graft.operators.Paths.seedDistance]] is
+    * exercised to real depth, and the DuckDB oracle replays the same
+    * graph with a recursive-CTE walk.
+    */
+  private def x72(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val edges = ids
+      .where(col("doc_id") % 12 =!= 11)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .join(ids.select(col("doc_id").as("b")), Seq("b"))
+    val seeds = ids
+      .where(col("doc_id") % 12 === 0 && expr("(doc_id div 12) % 2 = 0"))
+      .select(col("doc_id").as("node"))
+    Paths
+      .seedDistance(edges, seeds, maxIters = 40)
+      // NULL-in-BIGINT renders float64 through pandas (the HUGEINT
+      // lesson's sibling): surface unreachable as -1 so the hashed
+      // column stays integer-rendered on both engines
+      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("node"))
   }
 
   private def x63(s: SparkSession, dir: String): DataFrame =
@@ -2349,7 +2381,8 @@ object SparkEntry {
     "x68_burst_screen" -> (x68 _),
     "x69_avi_meta" -> (x69 _),
     "x70_lm_fluency" -> (x70 _),
-    "x71_leakage_split" -> (x71 _)
+    "x71_leakage_split" -> (x71 _),
+    "x72_seed_distance" -> (x72 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4223,7 +4256,7 @@ object SparkEntry {
         |SELECT ttk.doc_id,
         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-        |  fluency_ppm
+        |  CAST(coalesce(fluency_ppm, -1) AS BIGINT) AS fluency_ppm
         |FROM ttk LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // x71: x14's recursive-closure components (component minimum as root;
     // docs in no pair root to themselves), then the hex-threshold split:
@@ -4261,7 +4294,33 @@ object SparkEntry {
         |  CASE WHEN substr(md5(CAST(root_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
         |       WHEN substr(md5(CAST(root_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM rooted ORDER BY doc_id""".stripMargin
+        |FROM rooted ORDER BY doc_id""".stripMargin,
+    // x72: recursive-CTE BFS over the same 12-node chains; UNION dedups
+    // (node, d) pairs and the d-cap bounds the recursion; min(d) per node
+    // is the hop distance, unreachable nodes keep NULL via the left join
+    // onto the edge-derived node universe.
+    "x72_seed_distance" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT doc_id FROM documents
+        |), e AS (
+        |  SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+        |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 12 <> 11
+        |), bidir AS (
+        |  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+        |), nodes AS (
+        |  SELECT DISTINCT src AS node FROM bidir
+        |), walk AS (
+        |  SELECT doc_id AS node, 0 AS d FROM ids
+        |  WHERE doc_id % 12 = 0 AND (doc_id // 12) % 2 = 0
+        |  UNION
+        |  SELECT b.dst AS node, w.d + 1 AS d
+        |  FROM walk w JOIN bidir b ON w.node = b.src WHERE w.d < 40
+        |), dist AS (
+        |  SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+        |)
+        |SELECT nodes.node, CAST(coalesce(dist, -1) AS BIGINT) AS dist
+        |FROM nodes LEFT JOIN dist USING (node) ORDER BY node""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
