@@ -684,8 +684,16 @@ object Dedup {
         .unionAll(idxD.select(col("old_id").as(idCol), col("old_text").as(textCol))),
       n, threshold, maxDf, idCol, textCol)
     val near = pairs
-      .select(col("a_id").as("x"), col("b_id").as("y"))
-      .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      // both orientations from ONE scan of the pair-mining subtree (the
+      // connectedComponents single-scan trick) — a unionAll of two
+      // selects would evaluate the miner twice
+      .select(
+        explode(
+          array(
+            struct(col("a_id").as("x"), col("b_id").as("y")),
+            struct(col("b_id").as("x"), col("a_id").as("y"))
+          )).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .join(newD.select(col("new_id")), col("x") === col("new_id"))
       .join(idxD.select(col("old_id")), col("y") === col("old_id"))
       .groupBy("new_id")
