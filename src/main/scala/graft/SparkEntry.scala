@@ -2209,6 +2209,20 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Temperature-mixing planner surface (x73): per-source token totals →
+    * exact-isqrt T=2 weights → ppm shares/quotas/keep-rates — see
+    * [[graft.operators.Mix.temperatureQuotas]]. Whitespace token counts
+    * so the oracle replays the count, the corrected isqrt, and every
+    * integer division bit-for-bit.
+    */
+  private def x73(s: SparkSession, dir: String): DataFrame =
+    Mix
+      .temperatureQuotas(
+        t(s, dir, "documents"),
+        group = col("source"),
+        tokenCount = size(TextAnalysis.tokens(col("text"))))
+      .orderBy(col("source"))
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2382,7 +2396,8 @@ object SparkEntry {
     "x69_avi_meta" -> (x69 _),
     "x70_lm_fluency" -> (x70 _),
     "x71_leakage_split" -> (x71 _),
-    "x72_seed_distance" -> (x72 _)
+    "x72_seed_distance" -> (x72 _),
+    "x73_temp_quotas" -> (x73 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4320,7 +4335,35 @@ object SparkEntry {
         |  SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
         |)
         |SELECT nodes.node, CAST(coalesce(dist, -1) AS BIGINT) AS dist
-        |FROM nodes LEFT JOIN dist USING (node) ORDER BY node""".stripMargin
+        |FROM nodes LEFT JOIN dist USING (node) ORDER BY node""".stripMargin,
+    // x73: replay the corrected integer sqrt (floor(sqrt(double)) seed,
+    // ±1 correction so r² ≤ x < (r+1)² exactly) and every ppm division.
+    "x73_temp_quotas" ->
+      """WITH tk AS (
+        |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS nt FROM documents
+        |), ps AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tk GROUP BY source
+        |), sq AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r0
+        |  FROM ps
+        |), w AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (r0+1)*(r0+1) <= n_tokens THEN r0+1
+        |         WHEN r0*r0 > n_tokens THEN r0-1 ELSE r0 END AS weight
+        |  FROM sq
+        |), t AS (
+        |  SELECT greatest(CAST(sum(n_tokens) AS BIGINT), 1) AS tt,
+        |         greatest(CAST(sum(weight) AS BIGINT), 1) AS tw
+        |  FROM w
+        |)
+        |SELECT source, n_tokens, CAST(weight AS BIGINT) AS weight,
+        |  CAST(n_tokens * 1000000 // tt AS BIGINT) AS share_ppm,
+        |  CAST(weight * 1000000 // tw AS BIGINT) AS quota_ppm,
+        |  CAST(CASE WHEN n_tokens * 1000000 // tt > 0
+        |       THEN least((weight * 1000000 // tw) * 1000000 // (n_tokens * 1000000 // tt), 1000000)
+        |       ELSE 1000000 END AS BIGINT) AS keep_rate_ppm
+        |FROM w, t ORDER BY source""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

@@ -185,4 +185,61 @@ object Mix {
       .withColumn("shard_weight", array_max(col("hrw_w")))
       .drop("hrw_w")
   }
+
+  /** Temperature-scaled domain mixing quotas (T = 2): the
+    * Gopher/PaLM-style rebalancing that down-weights over-represented
+    * sources by sampling each source proportionally to
+    * `tokens^(1/T) = √tokens` instead of raw token share — big crawls
+    * shrink, small curated sources grow, nothing disappears. This is the
+    * PLANNING surface (the x58 audit-first posture): one row per source
+    * with raw share, temperature weight, quota, and the keep-rate that
+    * [[Sampling.deterministicSample]] then enforces doc-level; a pipeline
+    * owner reads the table before committing to the cut.
+    *
+    * All-integer contract: √ is the EXACT integer square root —
+    * `floor(sqrt(double))` then a ±1 integer correction so
+    * `r² ≤ x < (r+1)²` holds exactly (the double seed is within ±1 of
+    * isqrt for x < 2⁵²; the correction makes the result engine-exact
+    * regardless of sqrt rounding). Shares and quotas are ppm by integer
+    * division; the keep rate is `quota_ppm·10⁶ div share_ppm`, capped at
+    * 10⁶ (sources under their quota keep everything — this planner only
+    * shrinks, it does not upsample).
+    *
+    * 100 TB shape: ONE map-side-partial aggregation over the corpus
+    * (source → token total); everything after runs on the source table —
+    * bounded by the domain count, the same bounded-driver-state contract
+    * as the IVF centroids. Σw is collected and inlined as a literal per
+    * the no-NLJ scalar rule.
+    */
+  def temperatureQuotas(
+      docs: DataFrame,
+      group: Column,
+      tokenCount: Column
+  ): DataFrame = {
+    val perSource = docs
+      .groupBy(group.as("source"))
+      .agg(sum(tokenCount.cast("long")).as("n_tokens"))
+      .localCheckpoint()
+    val isqrt = {
+      val r0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+      when((r0 + 1) * (r0 + 1) <= col("n_tokens"), r0 + 1)
+        .when(r0 * r0 > col("n_tokens"), r0 - 1)
+        .otherwise(r0)
+    }
+    val weighted = perSource.withColumn("weight", isqrt).localCheckpoint()
+    // two bounded scalars (total tokens, total weight) — driver literals
+    val totals = weighted
+      .agg(sum(col("n_tokens")), sum(col("weight")))
+      .head()
+    val totTok = math.max(if (totals.isNullAt(0)) 0L else totals.getLong(0), 1L)
+    val totW = math.max(if (totals.isNullAt(1)) 0L else totals.getLong(1), 1L)
+    weighted
+      .withColumn("share_ppm", expr(s"n_tokens * 1000000L div ${totTok}L"))
+      .withColumn("quota_ppm", expr(s"weight * 1000000L div ${totW}L"))
+      .withColumn(
+        "keep_rate_ppm",
+        when(col("share_ppm") > 0,
+          least(expr("quota_ppm * 1000000L div share_ppm"), lit(1000000L)))
+          .otherwise(lit(1000000L)))
+  }
 }

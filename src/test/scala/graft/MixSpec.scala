@@ -156,4 +156,38 @@ class MixSpec extends SparkSpec {
   test("rendezvous: single shard degenerates to constant 0") {
     assert(hrw(1, (0L until 20L).toSeq).values.toSet === Set(0))
   }
+
+  test("temperatureQuotas: exact isqrt incl. boundary cases, ppm arithmetic, keep-rate cap") {
+    // per-doc token counts summing to 15 / 16 / 17 / 10000 per source:
+    // isqrt boundaries (15→3, 16→4, 17→4) and one dominant source
+    val docs = Seq(
+      ("a", 7L), ("a", 8L),
+      ("b", 16L),
+      ("c", 9L), ("c", 8L),
+      ("d", 10000L)
+    ).toDF("source", "nt")
+    val out = Mix
+      .temperatureQuotas(docs, col("source"), col("nt"))
+      .orderBy($"source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val totTok = 15L + 16L + 17L + 10000L
+    val totW = 3L + 4L + 4L + 100L
+    def row(s: String, n: Long, w: Long) = {
+      val share = n * 1000000L / totTok
+      val quota = w * 1000000L / totW
+      (s, n, w, share, quota, math.min(quota * 1000000L / share, 1000000L))
+    }
+    assert(out.toSeq === Seq(
+      row("a", 15L, 3L), row("b", 16L, 4L), row("c", 17L, 4L), row("d", 10000L, 100L)))
+    // the dominant source is the one cut; small sources keep everything
+    val byS = out.map(t => t._1 -> t._6).toMap
+    assert(byS("d") < 1000000L)
+    assert(byS("a") === 1000000L && byS("b") === 1000000L && byS("c") === 1000000L)
+  }
+
+  test("temperatureQuotas: empty corpus yields an empty plan, not ÷0") {
+    val empty = Seq.empty[(String, Long)].toDF("source", "nt")
+    assert(Mix.temperatureQuotas(empty, col("source"), col("nt")).count() === 0L)
+  }
 }
