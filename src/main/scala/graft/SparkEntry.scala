@@ -2223,6 +2223,31 @@ object SparkEntry {
         tokenCount = size(TextAnalysis.tokens(col("text"))))
       .orderBy(col("source"))
 
+  /** Winnowing fingerprint surface (x74): per-doc fingerprint summary of
+    * [[graft.operators.Dedup.winnowFingerprints]] (k = 3 grams, window
+    * w = 4) — gram count, selected-fingerprint count, and the integer
+    * checksum of selected hashes, so the DuckDB oracle must replay the
+    * hash40, the rightmost-min encoding, and the frame-window selection
+    * bit-for-bit to match.
+    */
+  private def x74(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val fps = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+    val agg = fps
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"), sum(col("fp_hash")).as("fp_sum"))
+    docs
+      .select(
+        col("doc_id"),
+        size(TextAnalysis.rawNgrams(TextAnalysis.tokens(col("text")), 3)).as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2397,7 +2422,8 @@ object SparkEntry {
     "x70_lm_fluency" -> (x70 _),
     "x71_leakage_split" -> (x71 _),
     "x72_seed_distance" -> (x72 _),
-    "x73_temp_quotas" -> (x73 _)
+    "x73_temp_quotas" -> (x73 _),
+    "x74_winnow_fps" -> (x74 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4363,7 +4389,49 @@ object SparkEntry {
         |  CAST(CASE WHEN n_tokens * 1000000 // tt > 0
         |       THEN least((weight * 1000000 // tw) * 1000000 // (n_tokens * 1000000 // tt), 1000000)
         |       ELSE 1000000 END AS BIGINT) AS keep_rate_ppm
-        |FROM w, t ORDER BY source""".stripMargin
+        |FROM w, t ORDER BY source""".stripMargin,
+    // x74: replay winnowing exactly — hash40 per 3-gram (the kmv hex→int
+    // splice), the h·2²⁰ + (2²⁰−1−pos) rightmost-min encoding, a plain
+    // min frame window of w=4, distinct selected pairs, then the per-doc
+    // summary. Short docs (< w grams) select nothing.
+    "x74_winnow_fps" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]
+        |    ELSE [] END AS grams
+        |  FROM tk
+        |), ge AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i - 1, 'gram': grams[i]} for i in range(1, len(grams) + 1)]) AS pg
+        |  FROM g
+        |), hx AS (
+        |  SELECT doc_id, pg['pos'] AS pos, substr(md5(pg['gram']), 1, 10) AS h FROM ge
+        |), enc AS (
+        |  SELECT doc_id, pos,
+        |    CAST($kmvHexToIntSql AS BIGINT) * 1048576 + (1048575 - pos) AS e
+        |  FROM hx
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    min(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM enc
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash
+        |    , 1048575 - (sel % 1048576) AS fp_pos
+        |  FROM win WHERE pos <= n_grams - 4
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |    CAST(sum(fp_hash) AS BIGINT) AS fp_sum
+        |  FROM fps GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+        |  CAST(coalesce(n_fps, 0) AS BIGINT) AS n_fps,
+        |  CAST(coalesce(fp_sum, 0) AS BIGINT) AS fp_sum
+        |FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id ORDER BY g.doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,

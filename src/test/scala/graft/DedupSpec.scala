@@ -234,4 +234,62 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(got.toSeq === Seq((10L, "novel"), (11L, "novel")))
   }
+
+  /** Brute-force winnowing reference: k-gram hash40s, every window of w,
+    * min with RIGHTMOST tie, distinct selected (hash, pos).
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Int)] = {
+    val toks = text.trim.split("\\s+")
+    val grams = if (toks.length >= k)
+      (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+    else Seq.empty
+    val hs = grams.map(graft.operators.DistinctSketch.hash40Scala)
+    (0 to hs.length - w).map { i =>
+      val win = (i until i + w)
+      val minH = win.map(hs).min
+      val pos = win.filter(j => hs(j) == minH).max // rightmost
+      (minH, pos)
+    }.toSet
+  }
+
+  test("winnowing: exact parity with a brute-force reference, incl. a rightmost tie inside one window") {
+    // "a b c a b c d" has the gram "a b c" TWICE at pos 0 and 3 — both
+    // inside the first w=4 window when that hash is the window min, so
+    // the rightmost-tie rule is live (and if not min, other docs cover it)
+    val docs = Seq(
+      (1L, "a b c a b c d e f g h"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "x y"), // 0 grams at k=3
+      (4L, "p q r s") // 2 grams < w → no full window, no fingerprints
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = Map(
+      1L -> "a b c a b c d e f g h",
+      2L -> "the quick brown fox jumps over the lazy dog again and again")
+    for ((id, t) <- texts) assert(got(id) === winnowRef(t, 3, 4), s"doc $id")
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  test("winnowing: coverage guarantee (every window selects) and partitioning invariance") {
+    val body = (0 until 200).map(i => s"w${i % 37} t${(i * 7) % 23}").mkString(" ")
+    val docs = Seq((1L, body)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val ref = winnowRef(body, 3, 4)
+    assert(fps === ref)
+    // coverage: every window [i, i+3] contains at least one selected pos
+    val positions = fps.map(_._2)
+    val nGrams = body.trim.split("\\s+").length - 2
+    for (i <- 0 to nGrams - 4)
+      assert((i until i + 4).exists(positions.contains), s"window $i uncovered")
+    // density lands near the theoretical 2/(w+1)
+    val density = fps.size.toDouble / nGrams
+    assert(density > 0.2 && density < 0.6, s"density $density")
+    val re = Dedup.winnowFingerprints(docs.repartition(8), k = 3, w = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(re === fps)
+  }
 }
