@@ -695,11 +695,22 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
-    val grams = docs
+    // materialize the gram arrays BEFORE the generator (the §8.4 trap
+    // ngramNovelty documents: a live gram expression under posexplode
+    // re-runs the tokenize/slice/concat pipeline interpreted per exploded
+    // row — measured 10.8 s → ~3 s at sf0.1 here); cached blocks are
+    // dropped by the ContextCleaner when the plan is unreferenced
+    val sized = docs
       .select(
         col(idCol),
-        posexplode(TextAnalysis.rawNgrams(TextAnalysis.tokens(col(textCol)), k))
-          .as(Seq("pos", "gram")))
+        TextAnalysis.rawNgrams(TextAnalysis.tokens(col(textCol)), k).as("grams"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = sized
+      // n_grams rides along from the array size — not a second
+      // full-partition count window over the exploded rows
+      .select(
+        col(idCol), size(col("grams")).as("n_grams"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
       .where(col("pos") < lit(1 << 20))
       .withColumn(
         "enc",
@@ -709,8 +720,6 @@ object Dedup {
       .partitionBy(idCol).orderBy("pos")
     val sel = grams
       .withColumn("sel", min(col("enc")).over(fw.rowsBetween(0, w - 1)))
-      .withColumn("n_grams", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
       .where(col("pos") <= col("n_grams") - w)
     sel
       .select(
