@@ -2016,14 +2016,6 @@ object SparkEntry {
     q(1, 2, "p50").unionAll(q(95, 100, "p95")).orderBy(col("event_type"), col("p_label"))
   }
 
-  /** Triangle-counting surface: per-node triangle count, degree, and
-    * integer-ppm clustering coefficient over the x45 edit-distance-1
-    * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
-    * wedge join — see [[graft.operators.Triangles]]. Rounds out the graph
-    * family (PageRank x46, components x14/x56) with the community-density
-    * signal; the oracle triple-joins the canonical a<b edge list, which
-    * counts each triangle exactly once, same as the orientation argument.
-    */
   /** BPE vocabulary-learning surface: the first 3 merges over the
     * documents corpus — see [[graft.operators.Bpe]]. Each iteration is
     * vocabulary-sized (the corpus collapses to word counts first), the
@@ -2248,6 +2240,14 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Triangle-counting surface: per-node triangle count, degree, and
+    * integer-ppm clustering coefficient over the x45 edit-distance-1
+    * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
+    * wedge join — see [[graft.operators.Triangles]]. Rounds out the graph
+    * family (PageRank x46, components x14/x56) with the community-density
+    * signal; the oracle triple-joins the canonical a<b edge list, which
+    * counts each triangle exactly once, same as the orientation argument.
+    */
   private def x63(s: SparkSession, dir: String): DataFrame =
     Triangles
       .perNode(
@@ -2449,8 +2449,15 @@ object SparkEntry {
        |  SELECT pair, pc, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
        |  FROM g$i ORDER BY pc DESC, pair LIMIT 1
        |), w$i AS (
-       |  SELECT w, cnt, replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
-       |  FROM $prev CROSS JOIN win$i
+       |  -- LEFT JOIN ON TRUE, not CROSS JOIN: if the corpus exhausts
+       |  -- mergeable pairs before iteration $i, win$i is empty and a cross
+       |  -- join would EMPTY the word table — x64 correctly loses the iter
+       |  -- row (matching Spark) but x65 must still see the full final word
+       |  -- table, so s degrades to the previous iteration's s instead
+       |  SELECT w, cnt,
+       |    CASE WHEN a IS NULL THEN s
+       |         ELSE replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') END AS s
+       |  FROM $prev LEFT JOIN win$i ON TRUE
        |), after$i AS (
        |  SELECT sum(cnt * len(string_split_regex(trim(s), '\\s+'))) AS n FROM w$i
        |)""".stripMargin
@@ -4350,7 +4357,17 @@ object SparkEntry {
         |), bidir AS (
         |  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
         |), nodes AS (
-        |  SELECT DISTINCT src AS node FROM bidir
+        |  -- node universe = graph nodes UNION the seed set, mirroring the
+        |  -- operator's full_outer join of settled seeds into the output: a
+        |  -- seed with no incident edge (possible at the corpus's max doc_id
+        |  -- when it opens an even chain) still emits a dist-0 row. Explicit
+        |  -- outer DISTINCT, not bare UNION: inside WITH RECURSIVE DuckDB
+        |  -- compiles this union without the dedup (measured: 521 vs 500)
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM bidir
+        |    UNION ALL
+        |    SELECT doc_id AS node FROM ids
+        |    WHERE doc_id % 12 = 0 AND (doc_id // 12) % 2 = 0)
         |), walk AS (
         |  SELECT doc_id AS node, 0 AS d FROM ids
         |  WHERE doc_id % 12 = 0 AND (doc_id // 12) % 2 = 0

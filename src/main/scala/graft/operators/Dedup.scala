@@ -638,29 +638,6 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
-  /** Incremental-ingest classification — the dedup decision a CONTINUOUSLY
-    * GROWING corpus makes per new batch: for each incoming document,
-    * is it an exact copy of something already indexed, a near-duplicate
-    * of it, or genuinely novel? (The batch-at-rest operators x01/x06
-    * answer "what duplicates exist"; this answers "what should this
-    * delivery add", the question an ingestion pipeline actually asks.)
-    *
-    * Classification, in precedence order:
-    *   - `exact`: byte-identical text exists in the index (md5 digest
-    *     equi-join — ONE digest-keyed shuffle, never text);
-    *   - `near`:  some indexed doc clears the n-gram Jaccard threshold
-    *     ([[ngramJaccardPairs]] over the two-sided union — the inverted
-    *     shingle index + df prune + exact verify machinery, reused
-    *     verbatim; only cross-side pairs count);
-    *   - `novel`: neither.
-    * `match_id` is the LOWEST matching index id under the winning class —
-    * deterministic, and the natural "attach to existing cluster" key.
-    *
-    * Requires disjoint id spaces between batch and index (ingestion ids
-    * are monotone in practice). Scale shape: everything is keyed joins
-    * and the already-bounded pair mining; the classification itself is
-    * two id-keyed LEFT joins.
-    */
   /** Winnowing fingerprints (Schleimer, Wilkinson, Aiken 2003 — the MOSS
     * local fingerprinting): for every window of `w` consecutive k-gram
     * hashes, select the MINIMUM hash, ties broken by RIGHTMOST position;
@@ -699,8 +676,12 @@ object Dedup {
     // ngramNovelty documents: a live gram expression under posexplode
     // re-runs the tokenize/slice/concat pipeline interpreted per exploded
     // row — measured 10.8 s → ~3 s at sf0.1 here); cached blocks are
-    // dropped by the ContextCleaner when the plan is unreferenced
-    val sized = docs
+    // dropped by the ContextCleaner when the plan is unreferenced.
+    // spread() first — the x34 rule: the tokenize→gram stage is the CPU
+    // cost and must not inherit the scan's file-count parallelism (one
+    // parquet file = one task = wall ≈ cpu on a 32-core host, measured
+    // 8.25 s wall / 9.9 s cpu at sf0.1 before this line)
+    val sized = spread(docs)
       .select(
         col(idCol),
         TextAnalysis.rawNgrams(TextAnalysis.tokens(col(textCol)), k).as("grams"))
@@ -729,6 +710,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental-ingest classification — the dedup decision a CONTINUOUSLY
+    * GROWING corpus makes per new batch: for each incoming document,
+    * is it an exact copy of something already indexed, a near-duplicate
+    * of it, or genuinely novel? (The batch-at-rest operators x01/x06
+    * answer "what duplicates exist"; this answers "what should this
+    * delivery add", the question an ingestion pipeline actually asks.)
+    *
+    * Classification, in precedence order:
+    *   - `exact`: byte-identical text exists in the index (md5 digest
+    *     equi-join — ONE digest-keyed shuffle, never text);
+    *   - `near`:  some indexed doc clears the n-gram Jaccard threshold
+    *     ([[ngramJaccardPairs]] over the two-sided union — the inverted
+    *     shingle index + df prune + exact verify machinery, reused
+    *     verbatim; only cross-side pairs count);
+    *   - `novel`: neither.
+    * `match_id` is the LOWEST matching index id under the winning class —
+    * deterministic, and the natural "attach to existing cluster" key.
+    *
+    * Requires disjoint id spaces between batch and index (ingestion ids
+    * are monotone in practice). Scale shape: everything is keyed joins
+    * and the already-bounded pair mining; the classification itself is
+    * two id-keyed LEFT joins. This from-scratch posture re-mines the
+    * index side per delivery — the amortized production posture is
+    * [[buildNearDupIndex]] + [[incrementalClassifyIndexed]], which hoist
+    * the index-side mining into a one-time build.
+    */
   def incrementalClassify(
       newDocs: DataFrame,
       index: DataFrame,

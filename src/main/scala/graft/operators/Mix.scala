@@ -61,7 +61,14 @@ object Mix {
   ): DataFrame = {
     val s = df.sparkSession
     val p = if (numPartitions > 0) numPartitions else s.sparkContext.defaultParallelism
-    val keyed = df.withColumn("__src", source).withColumn("__w", weight.cast("long"))
+    // __src is canonicalized to a non-null STRING: the slice-sum collect
+    // reads it with getString and sorts by it, so a non-string source
+    // column (e.g. an integer domain id) must be cast, and a NULL source
+    // must not NPE the sort or fall out of the offsets equi-join. NULLs
+    // group under a NUL sentinel (collision with a real one-char NUL
+    // source value is accepted and documented).
+    val srcStr = when(source.isNull, lit("\u0000")).otherwise(source.cast("string"))
+    val keyed = df.withColumn("__src", srcStr).withColumn("__w", weight.cast("long"))
     val ranged = keyed
       .repartitionByRange(p, col("__src") +: sort: _*)
       .withColumn("__part", spark_partition_id())
@@ -91,15 +98,6 @@ object Mix {
       .drop("__part", "__src", "__w", "__offset")
   }
 
-  /** Greedy budget fill: keep each source's documents in `hash`-order
-    * while the inclusive running `weight` sum stays ≤ that source's
-    * budget (sources absent from `budgets` use `defaultBudget`). Never
-    * overshoots; a document larger than the remaining budget is skipped
-    * ONLY if it is past the frontier — the rule is the pure prefix cut,
-    * so membership is stable under corpus growth (a new document can
-    * only push others out by hashing earlier, exactly like x15's
-    * md5-bucket sampling).
-    */
   /** Deterministic token-balanced CONTIGUOUS sharding — the "write the
     * training shards" verb: order the corpus by a content hash (the same
     * no-RNG determinism contract as x15 sampling / [[tokenBudgetFill]])
@@ -140,6 +138,15 @@ object Mix {
       .drop("__start")
   }
 
+  /** Greedy budget fill: keep each source's documents in `hash`-order
+    * while the inclusive running `weight` sum stays ≤ that source's
+    * budget (sources absent from `budgets` use `defaultBudget`). Never
+    * overshoots; a document larger than the remaining budget is skipped
+    * ONLY if it is past the frontier — the rule is the pure prefix cut,
+    * so membership is stable under corpus growth (a new document can
+    * only push others out by hashing earlier, exactly like x15's
+    * md5-bucket sampling).
+    */
   def tokenBudgetFill(
       df: DataFrame,
       source: Column,

@@ -49,8 +49,13 @@ object SampleStream {
     d.map(b => f"${b & 0xff}%02x").mkString
   }
 
+  // weight participates in the order: the batch operator samples distinct
+  // (key, weight) ROWS, so re-observing a key with a CHANGED weight that
+  // happens to land on the SAME priority (e.g. both weights exceed
+  // hash40(key), giving priority 0) must coexist in state as a second
+  // entry, not be swallowed by a (priority, md5, key)-only set identity
   private val entryOrd: Ordering[Entry] =
-    Ordering.by(e => (e.priority, e.md5, e.key))
+    Ordering.by(e => (e.priority, e.md5, e.key, e.weight))
 
   private def fold(k: Int, ttl: Option[String])(
       group: String,
