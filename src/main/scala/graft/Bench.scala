@@ -11,12 +11,29 @@ import org.apache.spark.sql.SparkSession
   * query. Each query is therefore timed THREE times and the MINIMUM wall
   * time is reported — min-of-N is the standard robust throughput estimator:
   * it suppresses one-off stalls while never flattering a genuinely slow
-  * query. The artifact additionally records, per query:
-  *   - `runs`: all three wall-clock samples, so a steal burst is visible as
-  *     an outlier instead of silently inflating the headline; and
-  *   - `cpu`: JVM process-CPU seconds consumed during the *minimum* run —
-  *     when wall ≫ cpu the gap is scheduler steal / involuntary wait, not
-  *     engine work, and the artifact itself proves it.
+  * query. Before its timed runs each query gets ONE untimed warm-up
+  * execution (disable with SPARK_GRAFT_WARMUP=0): the round-6 driver run
+  * showed 2–12× process-CPU inflation concentrated in string-expression-hot
+  * queries — the signature of JIT-compile starvation under host contention
+  * — and the warm-up lets classloading + C2 compilation of a query's
+  * generated code happen OUTSIDE the timed window.
+  *
+  * The artifact is SELF-DIAGNOSING: per query it records, for each run,
+  *   - `runs`:  wall-clock seconds (all runs, so a steal burst is visible
+  *     as an outlier instead of silently inflating the headline);
+  *   - `cpus`:  JVM process-CPU seconds per run (`cpu` keeps the min-run
+  *     value for continuity) — wall ≫ cpu is scheduler steal /
+  *     involuntary wait, not engine work;
+  *   - `jit`:   JIT compilation-time delta per run
+  *     (CompilationMXBean.getTotalCompilationTime) — cpu inflated AND jit
+  *     high means the run paid compile cost, i.e. compile-starved or
+  *     cold; cpu inflated with jit ≈ 0 means the code ran interpreted or
+  *     genuinely slower;
+  *   - `gc`:    GC-time delta per run (sum over GarbageCollectorMXBeans)
+  *     — attributes memory-pressure stalls.
+  * So an inflated official run is attributable to steal/JIT/GC from the
+  * artifact alone, with no access to the host.
+  *
   * Failures are logged to stderr and reported as -1 so a broken query is
   * visible instead of masquerading as a fast one.
   *
@@ -36,10 +53,25 @@ object Bench {
   private val osBean =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  private val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+  private def jitMs: Long =
+    if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+      compBean.getTotalCompilationTime
+    else 0L
+  private def gcMs: Long = {
+    val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+    var s = 0L
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+    s
+  }
+
+  /** One run's evidence: wall s, process-cpu s, jit-compile s, gc s. */
+  private case class Run(wall: Double, cpu: Double, jit: Double, gc: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,46 +85,57 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    /** (wall seconds, process-cpu seconds) for one run, or (-1, 0) on error. */
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      val g0 = gcMs; val j0 = jitMs
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+        Run(
+          (System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9,
+          (jitMs - j0) / 1e3,
+          (gcMs - g0) / 1e3)
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1.0, 0.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Run(-1.0, 0.0, 0.0, 0.0)
       }
     }
     val results = qs.map { case (name, fn) =>
+      if (warmup) { timed(name, fn); () }
       val samples = (1 to 3).map(_ => timed(name, fn))
-      val ok = samples.forall(_._1 >= 0)
-      val best = if (ok) samples.minBy(_._1) else (-1.0, 0.0)
-      (name, best._1, best._2, samples.map(_._1))
+      val ok = samples.forall(_.wall >= 0)
+      val best = if (ok) samples.minBy(_.wall) else Run(-1.0, 0.0, 0.0, 0.0)
+      (name, best, samples)
     }
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def arr(xs: Seq[Double]): String = xs.map(f).mkString("[", ",", "]")
     val queriesJson = results
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
+      .map { case (k, best, _) => "\"" + k + "\":" + f(best.wall) }
       .mkString("{", ",", "}")
     val detailJson = results
-      .map { case (k, _, cpu, runs) =>
-        "\"" + k + "\":{\"runs\":[" + runs.map(f).mkString(",") + "],\"cpu\":" + f(cpu) + "}"
+      .map { case (k, best, runs) =>
+        "\"" + k + "\":{\"runs\":" + arr(runs.map(_.wall)) +
+          ",\"cpu\":" + f(best.cpu) +
+          ",\"cpus\":" + arr(runs.map(_.cpu)) +
+          ",\"jit\":" + arr(runs.map(_.jit)) +
+          ",\"gc\":" + arr(runs.map(_.gc)) + "}"
       }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, best, _) if best.wall >= 0 => best.wall }.sum
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"sf":"$sfDir"}"""
-    // durable full artifact: all queries + per-run samples + cpu
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"warmup":$warmup,"sf":"$sfDir"}"""
+    // durable full artifact: all queries + per-run samples + cpu/jit/gc
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver's stdout capture keeps only the last ~2 KB; the full
-    // 73-query line is ~8 KB, so it was truncated mid-line and never parsed
-    // (BENCH_r01..r04 all carry "parsed": null). Print a COMPACT headline
-    // line — total over ALL queries, per-query times for a representative
-    // subset — small enough to survive the capture window, as the very last
-    // stdout. Full numbers live in bench_full.json.
+    // per-query line is ~10 KB, so it was truncated mid-line and never
+    // parsed (BENCH_r01..r04 all carry "parsed": null). Print a COMPACT
+    // headline line — total over ALL queries, per-query times for a
+    // representative subset — small enough to survive the capture window,
+    // as the very last stdout. Full numbers live in bench_full.json.
     val headline = Set(
       "q01_pricing_summary", "q09_revenue_by_nation", "q13_options_pipeline",
       "q14_weekly_pipeline", "q18_asof_join", "q20_rolling_window",
@@ -101,9 +144,9 @@ object Bench {
       "x14_neardup_clusters", "x17_sessionize", "x22_tfidf",
       "x31_substring_dedup", "x42_token_shards", "x46_pagerank")
     val headQueries = results
-      .collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + f(v) }
+      .collect { case (k, best, _) if headline(k) => "\"" + k + "\":" + f(best.wall) }
       .mkString("{", ",", "}")
-    val nOk = results.count(_._2 >= 0)
+    val nOk = results.count(_._2.wall >= 0)
     // stop() BEFORE the metric print: nothing (even a stray executor log, if
     // a driver merges streams) may follow the line the driver parses. Paired
     // with build.sbt's StdoutOutput + showSuccess:=false, this line is the

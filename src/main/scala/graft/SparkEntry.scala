@@ -32,6 +32,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents scan spread to cluster parallelism — for surfaces whose
+    * CPU cost is map-side expression work over the text (tokenize /
+    * n-gram / codec-decode fold expressions). The local testdata table is
+    * ONE sub-row-group-size parquet file, so without this every such
+    * surface runs its hot loop in a single scan task (wall ≈ cpu on a
+    * 32-core host — the x34/x74 partition-inheritance lesson, and the
+    * amplifier behind the round-6 driver-environment bench inflation:
+    * a JIT-starved interpreted loop hurts 32× more when it cannot
+    * parallelize). This belongs in the QUERY BUILDERS, not the operators:
+    * a 100 TB scan has thousands of natural splits and a forced text
+    * repartition there would be a pure shuffle tax, while map-only
+    * operators (text stats, PII scrub, rule flags) must stay map-only.
+    */
+  private def dts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     * read the physical INT64 as epoch-nanos (`ts_ns`) via an explicit
     * schema. Keeping nanos as long also preserves the full arrival order —
@@ -804,7 +820,7 @@ object SparkEntry {
   /** Per-document text statistics. */
   private def x03(s: SparkSession, dir: String): DataFrame =
     TextAnalysis
-      .withTextStats(t(s, dir, "documents"))
+      .withTextStats(dts(s, dir))
       .select(
         col("doc_id"),
         col("n_chars_c"),
@@ -817,7 +833,7 @@ object SparkEntry {
 
   /** Token counting: whitespace words + BPE-ish regex tokens. */
   private def x04(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    dts(s, dir)
       .select(
         col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
@@ -827,7 +843,7 @@ object SparkEntry {
 
   /** Language-ID heuristic (marker stopword argmax). */
   private def x05(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    dts(s, dir)
       .select(col("doc_id"), TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))
       .orderBy(col("doc_id"))
 
@@ -942,7 +958,7 @@ object SparkEntry {
     * stopword presence, type-token ratio — TextAnalysis.qualityScore).
     */
   private def x12(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    dts(s, dir)
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
@@ -1031,7 +1047,7 @@ object SparkEntry {
     */
   private def x18(s: SparkSession, dir: String): DataFrame =
     TextAnalysis
-      .withRepetitionStats(t(s, dir, "documents"))
+      .withRepetitionStats(dts(s, dir))
       .select(col("doc_id"), col("top_token_frac"), col("dup_2gram_frac"), col("dup_3gram_frac"))
       .orderBy(col("doc_id"))
 
@@ -1041,7 +1057,7 @@ object SparkEntry {
     */
   private def x22(s: SparkSession, dir: String): DataFrame =
     TextAnalysis
-      .tfIdfTopTerms(t(s, dir, "documents"), k = 3)
+      .tfIdfTopTerms(dts(s, dir), k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], codegen'd
@@ -1057,7 +1073,7 @@ object SparkEntry {
       col("text"),
       lit(" cafe\u0301 u\u0308ber no\u0308e\u0301l") // decomposed: U+0301 acute, U+0308 diaeresis — matches oracle chr(769)/chr(776)
     )
-    t(s, dir, "documents")
+    dts(s, dir)
       .select(
         col("doc_id"),
         length(raw).as("n_before"),
@@ -1076,7 +1092,7 @@ object SparkEntry {
     * the distributed design relies on.
     */
   private def x24(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = dts(s, dir)
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
     Pack
       .nextFit(
@@ -1096,7 +1112,7 @@ object SparkEntry {
     * formulation, so agreement pins both algorithms).
     */
   private def x25(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    dts(s, dir)
       .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("char_entropy"))
       .orderBy(col("doc_id"))
 
@@ -1107,7 +1123,7 @@ object SparkEntry {
   private def x19(s: SparkSession, dir: String): DataFrame =
     Scrub
       .withPiiRedaction(
-        t(s, dir, "documents").select(
+        dts(s, dir).select(
           col("doc_id"),
           concat(
             col("text"),
@@ -1225,7 +1241,7 @@ object SparkEntry {
     */
   private def x29(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 3 === 0)
       .select(
         col("doc_id"),
@@ -1260,7 +1276,7 @@ object SparkEntry {
   private def x30(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val base = expr("CAST(doc_id DIV 2 AS BIGINT)")
-    val sig = t(s, dir, "documents")
+    val sig = dts(s, dir)
       .where(col("doc_id") % 4 < 2)
       .select(
         col("doc_id"),
@@ -1291,7 +1307,7 @@ object SparkEntry {
     */
   private def x32(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 3 === 1)
       .select(
         col("doc_id"),
@@ -1327,7 +1343,7 @@ object SparkEntry {
     */
   private def x33(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 4 === 2)
       .select(
         col("doc_id"),
@@ -1415,7 +1431,7 @@ object SparkEntry {
     */
   private def x35(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 3 === 2)
       .select(
         col("doc_id"),
@@ -1454,7 +1470,7 @@ object SparkEntry {
     * md5), so every column is an integer or a verbatim string.
     */
   private def x36(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(
+    val docs = dts(s, dir).select(
       col("doc_id"),
       col("lang"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
@@ -1481,7 +1497,7 @@ object SparkEntry {
     */
   private def x37(s: SparkSession, dir: String): DataFrame =
     Chunk
-      .tokenWindows(t(s, dir, "documents"), window = 48, stride = 32)
+      .tokenWindows(dts(s, dir), window = 48, stride = 32)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Corpus bigram vocabulary (x38): global top-50 by total occurrence,
@@ -1492,7 +1508,7 @@ object SparkEntry {
     */
   private def x38(s: SparkSession, dir: String): DataFrame =
     TextAnalysis
-      .topNgramVocab(t(s, dir, "documents"), n = 2, k = 50)
+      .topNgramVocab(dts(s, dir), n = 2, k = 50)
 
   /** N-gram novelty in doc-id order (x39): first-occurrence counting via
     * min-doc-id per shingle — see [[TextAnalysis.ngramNovelty]] for why
@@ -1501,7 +1517,7 @@ object SparkEntry {
     */
   private def x39(s: SparkSession, dir: String): DataFrame =
     TextAnalysis
-      .ngramNovelty(t(s, dir, "documents"), n = 3)
+      .ngramNovelty(dts(s, dir), n = 3)
       .orderBy(col("doc_id"))
 
   /** Int8 scalar quantization of the embedding corpus (x40): per-dim
@@ -1548,7 +1564,7 @@ object SparkEntry {
     * integers.
     */
   private def x42(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(
+    val docs = dts(s, dir).select(
       col("doc_id"),
       md5(col("text")).as("h"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")
@@ -1566,7 +1582,7 @@ object SparkEntry {
     * 100 TB anti-pattern this replaces. phi = 1/50, k = 100 = 2·denom/num.
     */
   private def x43(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.heavyTokens(t(s, dir, "documents"), phiNum = 1L, phiDenom = 50L, k = 100)
+    TextAnalysis.heavyTokens(dts(s, dir), phiNum = 1L, phiDenom = 50L, k = 100)
 
   /** Canonical-doc selection per near-dup cluster — the curation step after
     * x14's connected components: keep the highest-quality member (x12's
@@ -1703,7 +1719,7 @@ object SparkEntry {
     */
   private def x49(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 3 === 2)
       .select(
         col("doc_id"),
@@ -1735,7 +1751,7 @@ object SparkEntry {
     */
   private def x50(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 3 === 0)
       .select(
         col("doc_id"),
@@ -1802,7 +1818,7 @@ object SparkEntry {
     */
   private def x53(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 5 === 1)
       .select(
         col("doc_id"),
@@ -1835,7 +1851,7 @@ object SparkEntry {
     */
   private def x54(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, dir, "documents")
+    dts(s, dir)
       .where(col("doc_id") % 5 === 3)
       .select(
         col("doc_id"),
@@ -1867,7 +1883,7 @@ object SparkEntry {
     */
   private def x55(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .segmentDedup(t(s, dir, "documents").select(col("doc_id"), col("text")), window = 8)
+      .segmentDedup(dts(s, dir).select(col("doc_id"), col("text")), window = 8)
       .orderBy(col("doc_id"))
 
   /** Graph surface: edit-distance-1 brand clusters — x45's SymSpell pair
@@ -1924,7 +1940,7 @@ object SparkEntry {
     */
   private def x58(s: SparkSession, dir: String): DataFrame =
     QualityFilter
-      .gopherFlags(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .gopherFlags(dts(s, dir).select(col("doc_id"), col("text")))
       .select(
         col("doc_id"), col("n_tokens"), col("sum_token_chars"), col("n_stopwords"),
         col("pass_count"), col("pass_meanlen"), col("pass_stop"), col("keep"))
@@ -1966,7 +1982,7 @@ object SparkEntry {
   private def x60(s: SparkSession, dir: String): DataFrame =
     FrequencySketch
       .cmsTokenCounts(
-        t(s, dir, "documents").select(col("text")),
+        dts(s, dir).select(col("text")),
         text = col("text"),
         depth = cmsDepth,
         width = cmsWidth
@@ -1983,7 +1999,7 @@ object SparkEntry {
   private def x61(s: SparkSession, dir: String): DataFrame =
     TextAnalysis
       .collocations(
-        t(s, dir, "documents").select(col("text")),
+        dts(s, dir).select(col("text")),
         delta = 2L,
         thresholdX1000 = 1300L
       )
@@ -2027,7 +2043,7 @@ object SparkEntry {
     */
   private def x64(s: SparkSession, dir: String): DataFrame =
     Bpe
-      .learnMerges(t(s, dir, "documents").select(col("text")), m = bpeMerges)
+      .learnMerges(dts(s, dir).select(col("text")), m = bpeMerges)
       .orderBy(col("iter"))
 
   /** BPE encode surface: every distinct corpus word segmented by the x64
@@ -2038,7 +2054,7 @@ object SparkEntry {
     * train ≡ encode consistency is part of the contract.
     */
   private def x65(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("text"))
+    val docs = dts(s, dir).select(col("text"))
     val merges = Bpe
       .learnMerges(docs, m = bpeMerges)
       .orderBy(col("iter"))
@@ -2144,7 +2160,7 @@ object SparkEntry {
     * ppm contract.
     */
   private def x70(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = dts(s, dir).select(col("doc_id"), col("text"))
     TextAnalysis
       .lmFluency(
         refDocs = docs.where(col("doc_id") % 2 === 0),
@@ -2210,7 +2226,7 @@ object SparkEntry {
   private def x73(s: SparkSession, dir: String): DataFrame =
     Mix
       .temperatureQuotas(
-        t(s, dir, "documents"),
+        dts(s, dir),
         group = col("source"),
         tokenCount = size(TextAnalysis.tokens(col("text"))))
       .orderBy(col("source"))
@@ -2223,7 +2239,10 @@ object SparkEntry {
     * bit-for-bit to match.
     */
   private def x74(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // dts: the summary branch re-tokenizes every doc for n_grams — on the
+    // raw single-file scan that ran serial (measured 1.8-core occupancy
+    // for the whole query even after the operator-side spread)
+    val docs = dts(s, dir).select(col("doc_id"), col("text"))
     val fps = Dedup.winnowFingerprints(docs, k = 3, w = 4)
     val agg = fps
       .groupBy("doc_id")
@@ -2237,6 +2256,44 @@ object SparkEntry {
         col("doc_id"), col("n_grams"),
         coalesce(col("n_fps"), lit(0L)).as("n_fps"),
         coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Memoized [[graft.operators.Dedup.NearDupIndex]] per (session, dir):
+    * the x75 surface measures the AMORTIZED per-delivery cost — the whole
+    * point of the persisted-index posture is that the index is built once
+    * and reused across deliveries, so in Bench the warm-up run pays the
+    * build and the timed runs measure what a production delivery pays
+    * (the first `runs` entry of a no-warmup run shows build+classify;
+    * disclosed here and in SURVEY §8.2). Verify builds it exactly once.
+    */
+  private val nearDupIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Dedup.NearDupIndex]
+
+  /** Amortized incremental-ingest surface: the same delivery, index,
+    * parameters, and output contract as x67, but against the one-time
+    * [[graft.operators.Dedup.buildNearDupIndex]] artifact — only the
+    * delivery is shingled per run; the index contributes keyed joins
+    * against its persisted digest/lookup/array/prefix frames.
+    * FROZEN-INDEX semantics: df statistics fixed at build time (≡ x67's
+    * union semantics unless a delivery pushes a shingle's df across
+    * maxDf — impossible at gate corpus sizes, spec-pinned in general).
+    * The oracle replays frozen semantics brute-force: index-df stop set,
+    * kept shingle sets (delivery-unseen shingles count in the set size,
+    * never the intersection), 6-dp Jaccard, exact > near precedence.
+    */
+  private def x75(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") >= 250)
+      .unionAll(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val idx = nearDupIdxCache.computeIfAbsent(
+      (System.identityHashCode(s), dir),
+      _ =>
+        Dedup.buildNearDupIndex(
+          docs.where(col("doc_id") < 250), n = 3, threshold = 0.5))
+    Dedup
+      .incrementalClassifyIndexed(batch, idx)
       .orderBy(col("doc_id"))
   }
 
@@ -2423,7 +2480,8 @@ object SparkEntry {
     "x71_leakage_split" -> (x71 _),
     "x72_seed_distance" -> (x72 _),
     "x73_temp_quotas" -> (x73 _),
-    "x74_winnow_fps" -> (x74 _)
+    "x74_winnow_fps" -> (x74 _),
+    "x75_indexed_ingest" -> (x75 _)
   )
 
   /** x64 merge count, shared between the Spark call and the generated
@@ -4212,6 +4270,67 @@ object SparkEntry {
         |    len(list_intersect(a.sh, b.sh)) * 1.0
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |  GROUP BY a.doc_id
+        |)
+        |SELECT n.doc_id,
+        |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+        |       WHEN nr.m IS NOT NULL THEN 'near'
+        |       ELSE 'novel' END AS status,
+        |  coalesce(ex.m, nr.m) AS match_id
+        |FROM newb n LEFT JOIN ex ON n.doc_id = ex.doc_id
+        |LEFT JOIN nr ON n.doc_id = nr.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // x75: brute-force FROZEN-INDEX ground truth — stop set from the
+    // index's distinct-text df only (empty at gate corpus sizes since the
+    // index has < maxDf distinct texts), kept sets = shingles minus stop
+    // on BOTH sides (delivery-unseen shingles count in the set size,
+    // never the intersection), 6-dp-rounded Jaccard (the operator's exact
+    // comparison), exact > near precedence, min index id per class.
+    "x75_indexed_ingest" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |), newb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+        |), ex AS (
+        |  SELECT n.doc_id, min(i.doc_id) AS m
+        |  FROM newb n JOIN idx i ON md5(n.text) = md5(i.text) GROUP BY n.doc_id
+        |), shi AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                                for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM idx)
+        |  WHERE len(t) >= 3
+        |), shn AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                                for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM newb)
+        |  WHERE len(t) >= 3
+        |), icls AS (
+        |  SELECT min(doc_id) AS rep FROM idx GROUP BY md5(text)
+        |), dfc AS (
+        |  SELECT gram, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(sh) AS gram FROM shi)
+        |  WHERE doc_id IN (SELECT rep FROM icls) GROUP BY gram
+        |), stop AS (
+        |  SELECT gram FROM dfc WHERE df > 1000
+        |), ki AS (
+        |  SELECT doc_id, gram FROM (SELECT doc_id, unnest(sh) AS gram FROM shi)
+        |  WHERE gram NOT IN (SELECT gram FROM stop)
+        |), kn AS (
+        |  SELECT doc_id, gram FROM (SELECT doc_id, unnest(sh) AS gram FROM shn)
+        |  WHERE gram NOT IN (SELECT gram FROM stop)
+        |), szi AS (
+        |  SELECT doc_id, count(*) AS sz FROM ki GROUP BY doc_id
+        |), szn AS (
+        |  SELECT doc_id, count(*) AS sz FROM kn GROUP BY doc_id
+        |), cm AS (
+        |  SELECT kn.doc_id AS nid, ki.doc_id AS iid, count(*) AS c
+        |  FROM kn JOIN ki USING (gram) GROUP BY nid, iid
+        |), nr AS (
+        |  SELECT nid AS doc_id, min(iid) AS m
+        |  FROM cm JOIN szn ON szn.doc_id = nid JOIN szi ON szi.doc_id = iid
+        |  WHERE round(c * 1.0 / (szn.sz + szi.sz - c), 6) >= 0.5
+        |  GROUP BY nid
         |)
         |SELECT n.doc_id,
         |  CASE WHEN ex.m IS NOT NULL THEN 'exact'

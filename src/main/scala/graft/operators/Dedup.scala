@@ -785,4 +785,215 @@ object Dedup {
           .otherwise(lit("novel")).as("status"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
   }
+
+  /** The persisted near-dup index artifact for amortized incremental
+    * ingest — everything [[incrementalClassifyIndexed]] needs per
+    * delivery, built ONCE by [[buildNearDupIndex]] from the at-rest
+    * corpus (and, in production, written as bucketed parquet):
+    *
+    *   - `digests`:  (text_md5, min_old_id) — one row per distinct index
+    *     text; the exact-match side AND the per-class lowest index id;
+    *   - `lookup`:   (shingle, sid, in_stop) — the FROZEN shingle
+    *     statistics: every index shingle, with its dense integer id in
+    *     (index-df, shingle) order when kept (df ≤ maxDf) or
+    *     `in_stop = true` when stop-listed. One row per distinct shingle
+    *     — at scale this is the frame to bucket by `shingle` so each
+    *     delivery's posting lookup shuffles only the delivery side;
+    *   - `arrays`:   (old_id, osh, sh_size) — per distinct index text,
+    *     the sorted kept-sid array and its size (the verification side);
+    *   - `prefixes`: (sid, old_id) — the AllPairs/PPJoin prefix postings
+    *     of every index class under `threshold` (candidate side; bucket
+    *     by `sid` in production).
+    *
+    * All four frames are persisted MEMORY_AND_DISK by the builder.
+    */
+  final case class NearDupIndex(
+      n: Int,
+      threshold: Double,
+      maxDf: Int,
+      digests: DataFrame,
+      lookup: DataFrame,
+      arrays: DataFrame,
+      prefixes: DataFrame
+  )
+
+  /** One-time index build for [[incrementalClassifyIndexed]] — hoists the
+    * index-side mining that [[incrementalClassify]] re-runs per delivery
+    * (x67's whole per-run cost at 100 TB is re-shingling the at-rest
+    * corpus) into a reusable artifact. Semantics are FROZEN-INDEX: the
+    * document-frequency statistics (stop set, prefix order) are fixed at
+    * build time from the index's distinct texts — a delivery never
+    * re-weights them. This is the posture real ingestion pipelines run
+    * (the corpus defines the statistics; a daily delivery is noise
+    * against 100 TB), and it diverges from the from-scratch union
+    * semantics of [[incrementalClassify]] only when a delivery would push
+    * a shingle's union df across `maxDf` (spec-pinned: equality whenever
+    * no stop-flip occurs, which is always at gate corpus sizes).
+    */
+  def buildNearDupIndex(
+      index: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): NearDupIndex = {
+    val tEff = threshold - 1e-6
+    // one shuffle carries each text once (the x06 reshape): distinct-text
+    // classes keep min id + the text itself
+    val reps = index
+      .select(col(idCol), col(textCol))
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("old_id"), any_value(col(textCol)).as("__text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val digests = reps
+      .select(col("text_md5"), col("old_id").as("min_old_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = withShingles(
+      reps.select(col("old_id").as(idCol), col("__text").as(textCol)),
+      n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol).as("old_id"), explode(col("sh")).as("shingle"))
+    // frozen df over distinct index texts; kept shingles get dense integer
+    // sids in (df, shingle) order — the same rarest-first total order the
+    // x06 core mines under, assigned with the two-phase GlobalRank (no
+    // single-partition window)
+    val dfCounts = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sids = GlobalRank
+      .withGlobalRank(dfCounts.where(col("df") <= maxDf), Seq(col("df"), col("shingle")), "sid")
+      .select(col("shingle"), col("sid").cast("int").as("sid"))
+    val lookup = dfCounts
+      .join(sids, Seq("shingle"), "left")
+      .select(col("shingle"), col("sid"), (col("df") > maxDf).as("in_stop"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val arrays = postings
+      .join(sids, Seq("shingle"))
+      .groupBy(col("old_id"))
+      .agg(sort_array(collect_list(col("sid"))).as("osh"))
+      .select(col("old_id"), col("osh"), size(col("osh")).as("sh_size"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // AllPairs prefix postings (Bayardo WWW'07): under the shared sid
+    // order, a pair at Jaccard ≥ t must collide within each side's first
+    // size − ceil(t·size) + 1 elements — identical prefix arithmetic to
+    // the x06 core, including the t−1e−6 rounding slack
+    val prefixes = arrays
+      .select(
+        col("old_id"),
+        explode(
+          slice(
+            col("osh"),
+            lit(1),
+            greatest(
+              lit(1),
+              (col("sh_size") - ceil(col("sh_size") * lit(tEff) - lit(1e-9)) + 1).cast("int"))))
+          .as("sid"))
+      .select(col("sid"), col("old_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    reps.unpersist()
+    NearDupIndex(n, threshold, maxDf, digests, lookup, arrays, prefixes)
+  }
+
+  /** Per-delivery classification against a [[buildNearDupIndex]] artifact
+    * — [[incrementalClassify]]'s output contract (doc_id, status exact >
+    * near > novel, match_id = lowest matching index id) at the amortized
+    * cost: ONLY the delivery is shingled; the index contributes four
+    * keyed joins against its persisted frames.
+    *
+    * Per-delivery plan (delivery d ≪ index I):
+    *   1. exact: d's digests join `digests` — one md5-keyed join;
+    *   2. delivery-ONLY classes (anti join on digest) are shingled and
+    *      joined ONCE against `lookup` — stop shingles drop, kept-seen
+    *      shingles take their sid, kept-UNSEEN shingles stay with null
+    *      sid and count toward the set size but never the intersection
+    *      (no index doc contains them — they only dilute Jaccard's
+    *      denominator, exactly as the union semantics would);
+    *   3. candidates: d's prefix sids join `prefixes` — with the
+    *      delivery side broadcast this is a map-side probe of the index
+    *      postings, no index shuffle;
+    *   4. verify: candidate pairs pull d's and the index's sid arrays by
+    *      key and intersect — jac = common/(|A|+|B|−common), rounded 6dp,
+    *      thresholded, min index id per class, fanned to class members.
+    *
+    * New docs whose text exists in the index classify `exact` without
+    * entering near mining at all (their near match is shadowed by
+    * precedence in [[incrementalClassify]] too, so outputs agree);
+    * new-vs-new near pairs never classify, same as x67. Requires disjoint
+    * id spaces, same as [[incrementalClassify]].
+    */
+  def incrementalClassifyIndexed(
+      newDocs: DataFrame,
+      idx: NearDupIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val tEff = idx.threshold - 1e-6
+    val newD = newDocs.select(col(idCol).as("new_id"), col(textCol).as("new_text"))
+    val classes = newD
+      .groupBy(md5(col("new_text")).as("text_md5"))
+      .agg(min(col("new_id")).as("new_rep"), any_value(col("new_text")).as("new_text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = newD.select(md5(col("new_text")).as("text_md5"), col("new_id"))
+    val exact = members
+      .join(idx.digests, "text_md5")
+      .select(col("new_id"), col("min_old_id").as("exact_match"))
+    val dOnly = classes
+      .join(idx.digests.select("text_md5"), Seq("text_md5"), "left_anti")
+    val dPost = withShingles(
+      dOnly.select(col("new_rep").as(idCol), col("new_text").as(textCol)),
+      idx.n, idCol, textCol)
+      .select(col(idCol).as("new_rep"), explode(col("sh")).as("shingle"))
+    // ONE shingle-keyed lookup join: in_stop → drop; sid → seen; no match
+    // → kept-unseen (sid null). collect_list skips nulls, count doesn't.
+    val sized = dPost
+      .join(idx.lookup, Seq("shingle"), "left")
+      .where(coalesce(col("in_stop"), lit(false)) === lit(false))
+      .groupBy("new_rep")
+      .agg(
+        count(lit(1)).as("sh_size"),
+        sort_array(collect_list(col("sid"))).as("osh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // prefix under the shared frozen order, unseen-last: slice clamps at
+    // the array end, so a prefix reaching into unseen territory simply
+    // contributes fewer probe sids (unseen shingles can't collide anyway)
+    val dPrefix = sized
+      .select(
+        col("new_rep"),
+        explode(
+          slice(
+            col("osh"),
+            lit(1),
+            greatest(
+              lit(1),
+              (col("sh_size") - ceil(col("sh_size") * lit(tEff) - lit(1e-9)) + 1).cast("int"))))
+          .as("sid"))
+    val candidates = dPrefix
+      .join(idx.prefixes, "sid")
+      .select("new_rep", "old_id")
+      .distinct()
+    val near = candidates
+      .join(sized.select(col("new_rep"), col("osh").as("d_osh"), col("sh_size").as("d_size")), "new_rep")
+      .join(idx.arrays.select(col("old_id"), col("osh").as("i_osh"), col("sh_size").as("i_size")), "old_id")
+      .withColumn("common", size(array_intersect(col("d_osh"), col("i_osh"))))
+      .withColumn(
+        "jac",
+        round(jaccard(col("d_size"), col("i_size"), col("common")), 6))
+      .where(col("jac") >= idx.threshold)
+      .groupBy("new_rep")
+      .agg(min(col("old_id")).as("near_match"))
+    val nearMembers = dOnly
+      .select(col("text_md5"), col("new_rep"))
+      .join(near, "new_rep")
+      .join(members, "text_md5")
+      .select(col("new_id"), col("near_match"))
+    newD
+      .select(col("new_id"))
+      .join(exact, Seq("new_id"), "left")
+      .join(nearMembers, Seq("new_id"), "left")
+      .select(
+        col("new_id").as(idCol),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
 }

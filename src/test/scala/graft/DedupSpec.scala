@@ -235,6 +235,97 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, "novel"), (11L, "novel")))
   }
 
+  private def classifyRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("indexed ingest ≡ from-scratch ingest when no delivery df-flip (hand corpus + real corpus)") {
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "unrelated content entirely different words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six EIGHT"),
+      (12L, "totally novel text nothing shared here"),
+      (13L, "xy")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildNearDupIndex(index, n = 3, threshold = 0.5)
+    assert(
+      classifyRows(Dedup.incrementalClassifyIndexed(batch, idx)) ===
+        classifyRows(Dedup.incrementalClassify(batch, index, n = 3, threshold = 0.5)))
+    // and on the real sf0.001 corpus with the x67/x75 surface split: no
+    // shingle approaches maxDf=1000 there, so the two postures must agree
+    // row-for-row (the frozen-index equality theorem's no-flip case)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rIdx = docs.where(col("doc_id") < 250)
+    val rBatch = docs.where(col("doc_id") >= 250)
+      .unionAll(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val built = Dedup.buildNearDupIndex(rIdx, n = 3, threshold = 0.5)
+    val indexed = classifyRows(Dedup.incrementalClassifyIndexed(rBatch, built))
+    assert(indexed === classifyRows(Dedup.incrementalClassify(rBatch, rIdx, n = 3, threshold = 0.5)))
+    assert(indexed.exists(_._2 == "exact") && indexed.exists(_._2 == "near")
+      && indexed.exists(_._2 == "novel"))
+  }
+
+  test("indexed ingest: unseen delivery shingles dilute the Jaccard denominator, never the intersection") {
+    // index doc: 6 tokens → 4 shingles; delivery shares all 4 and adds 3
+    // index-unseen shingles → jac = 4 / (7 + 4 − 4) = 4/7 ≈ 0.5714
+    val index = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d e f p q r")).toDF("doc_id", "text")
+    val at05 = Dedup.incrementalClassifyIndexed(
+      batch, Dedup.buildNearDupIndex(index, n = 3, threshold = 0.5))
+    assert(classifyRows(at05) === Seq((10L, "near", 1L)))
+    // at threshold 0.6 the SAME intersection must fail — only possible if
+    // the unseen shingles counted in the denominator (4/4 would pass)
+    val at06 = Dedup.incrementalClassifyIndexed(
+      batch, Dedup.buildNearDupIndex(index, n = 3, threshold = 0.6))
+    assert(classifyRows(at06) === Seq((10L, "novel", -1L)))
+  }
+
+  test("indexed ingest: frozen-index df vs union df — the documented divergence under a delivery-induced flip") {
+    // index shingles A="w1 w2 w3", B="w2 w3 w4" have index-df 1 (kept
+    // frozen, maxDf=2). Three delivery docs all contain A and B, so the
+    // UNION df is 4 > 2: from-scratch x67 stop-lists them, leaving the
+    // index doc with NO postings → novel; the frozen index keeps its
+    // build-time statistics → near. Both are self-consistent contracts;
+    // the frozen one is what a production index does (a delivery does not
+    // re-weight corpus statistics).
+    val index = Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "w1 w2 w3 w4 w5"),
+      (11L, "w1 w2 w3 w4 x y"),
+      (12L, "zz w1 w2 w3 w4")
+    ).toDF("doc_id", "text")
+    val frozen = classifyRows(Dedup.incrementalClassifyIndexed(
+      batch, Dedup.buildNearDupIndex(index, n = 3, threshold = 0.5, maxDf = 2)))
+    assert(frozen.head === ((10L, "near", 1L))) // jac 2/3 over frozen kept sets
+    val union = classifyRows(Dedup.incrementalClassify(
+      batch, index, n = 3, threshold = 0.5, maxDf = 2))
+    assert(union.head === ((10L, "novel", -1L))) // A,B pruned at union df 4
+  }
+
+  test("indexed ingest: exact precedence and partitioning invariance") {
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact AND near → exact wins
+      (11L, "one two three four five six EIGHT")
+    ).toDF("doc_id", "text")
+    val expected = Seq((10L, "exact", 1L), (11L, "near", 2L))
+    for (p <- Seq(1, 7)) {
+      val idx = Dedup.buildNearDupIndex(index.repartition(p), n = 3, threshold = 0.5)
+      assert(classifyRows(
+        Dedup.incrementalClassifyIndexed(batch.repartition(p), idx)) === expected)
+    }
+  }
+
   /** Brute-force winnowing reference: k-gram hash40s, every window of w,
     * min with RIGHTMOST tie, distinct selected (hash, pos).
     */
