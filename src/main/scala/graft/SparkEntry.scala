@@ -2297,6 +2297,100 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment-pairs surface (x76): Broder's asymmetric C(A,B) =
+    * |S(A)∩S(B)|/|S(A)| over the documents corpus PLUS planted excerpts
+    * (the first 12 tokens of every ≥24-token doc, ids +20000) — each
+    * excerpt's shingle set is a strict subset of its parent's, so
+    * containment is exactly 1.0 while Jaccard is ≤ 10/22 < 0.5:
+    * invisible to every symmetric miner (x06/x07/x08/x74), which is the
+    * operator's whole point. See [[graft.operators.Dedup
+    * .containmentPairs]]. The oracle brute-forces ordered pairs with
+    * list_intersect over the same corpus.
+    */
+  private def x76(s: SparkSession, dir: String): DataFrame = {
+    val docs = dts(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = docs
+      .where(size(TextAnalysis.tokens(col("text"))) >= 24)
+      .select(
+        (col("doc_id") + 20000).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)).as("text"))
+    Dedup
+      .containmentPairs(docs.unionAll(excerpts), n = 3, threshold = 0.6)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Shared x77 round count — interpolated into the Spark call AND the
+    * unrolled oracle CTEs so the two sides cannot drift.
+    */
+  private val lpaRounds = 3
+
+  /** Label-propagation surface (x77): synchronous plurality-label
+    * communities after [[lpaRounds]] rounds over the x45 brand
+    * edit-distance graph — density communities vs x14/x56's connectivity
+    * components, fully deterministic via the smallest-label tie-break.
+    * The oracle unrolls each round as a count → row_number argmax CTE
+    * (the x46 technique on a per-node plurality instead of a rank sum).
+    */
+  private def x77(s: SparkSession, dir: String): DataFrame =
+    Cluster
+      .labelPropagation(
+        Fuzzy
+          .editDistance1Pairs(t(s, dir, "part"), "p_brand")
+          .select(col("a_val").as("a_id"), col("b_val").as("b_id")),
+        rounds = lpaRounds)
+      .select(col("id").as("node"), col("label"))
+      .orderBy(col("node"))
+
+  /** Shared x78 round count, same no-drift contract as [[lpaRounds]]. */
+  private val hitsRounds = 2
+
+  /** HITS surface (x78): unnormalized exact-integer hubs & authorities
+    * after [[hitsRounds]] synchronous rounds on the DIRECTED
+    * customer→supplier trade graph (the x46 node encoding: cust·2,
+    * supp·2+1 — here kept directed, which is exactly what PageRank's
+    * symmetrized walk erases). Bipartite, so hubs live on customers and
+    * authorities on suppliers — both zero-branches driver-covered. After
+    * round 2: auth(s) = Σ_{c→s} outdeg(c), hub(c) = Σ_{c→s} indeg(s),
+    * plain join-aggregate SQL for the oracle. See
+    * [[graft.operators.Hits]].
+    */
+  private def x78(s: SparkSession, dir: String): DataFrame =
+    Hits
+      .hubsAndAuthorities(
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(
+            (col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+        rounds = hitsRounds)
+      .orderBy(col("node"))
+
+  /** HLL distinct-sketch surface (x79): per-source distinct-SHINGLE
+    * estimate (3-gram vocabulary size, ~1.2-1.5k per source at sf0.01 —
+    * solidly in HLL's raw regime; the corpus's flat 31-token vocabulary
+    * would sit in the small-range regime the raw estimator disclaims)
+    * from the 64-register HyperLogLog file — the constant-state
+    * union-friendly companion to x57's KMV; see
+    * [[graft.operators.DistinctSketch.hllDistinct]] for the
+    * exact-integer estimator contract the oracle replays (registers from
+    * hash40 top-6-bit buckets, rho capped at 31, est = α_ppm·m²·2^R div
+    * (10⁶·S)). r_max / s_scaled / n_zero_regs surface the whole register
+    * summary so the driver hash pins the registers, not just the
+    * estimate.
+    */
+  private def x79(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    DistinctSketch
+      .hllDistinct(
+        dts(s, dir)
+          .select(
+            col("source"),
+            explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("g")),
+        Seq("source"),
+        col("g"))
+      .orderBy(col("source"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2481,8 +2575,29 @@ object SparkEntry {
     "x72_seed_distance" -> (x72 _),
     "x73_temp_quotas" -> (x73 _),
     "x74_winnow_fps" -> (x74 _),
-    "x75_indexed_ingest" -> (x75 _)
+    "x75_indexed_ingest" -> (x75 _),
+    "x76_containment" -> (x76 _),
+    "x77_label_prop" -> (x77 _),
+    "x78_hits" -> (x78 _),
+    "x79_hll_distinct" -> (x79 _)
   )
+
+  /** One unrolled synchronous LPA round for the x77 oracle: neighbor-label
+    * plurality count, then a (count desc, label asc) row_number argmax —
+    * the same total order the operator's min(struct(−cnt, label)) encodes.
+    */
+  private def lpaIterSql(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""c$i AS (
+       |  SELECT b.dst AS id, l.label, count(*) AS c
+       |  FROM bidir b JOIN $prev l ON b.src = l.id GROUP BY b.dst, l.label
+       |), l$i AS (
+       |  SELECT id, label FROM (
+       |    SELECT id, label,
+       |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+       |    FROM c$i) WHERE rn = 1
+       |)""".stripMargin
+  }
 
   /** x64 merge count, shared between the Spark call and the generated
     * oracle so the two sides cannot drift.
@@ -4279,6 +4394,108 @@ object SparkEntry {
         |FROM newb n LEFT JOIN ex ON n.doc_id = ex.doc_id
         |LEFT JOIN nr ON n.doc_id = nr.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    // x76: brute-force ordered-pair containment over documents + planted
+    // 12-token excerpts (ids +20000); C(A,B) = |∩|/|S(A)|, 6-dp rounded,
+    // threshold 0.6. No df prune replay needed: no shingle approaches
+    // maxDf=1000 at gate sizes, so kept-space ≡ full-space containment.
+    "x76_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, array_to_string(ts[1:12], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)
+        |  WHERE len(ts) >= 24
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                                for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM base)
+        |  WHERE len(t) >= 3
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS cont
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+    // x77: the x45 brand graph, then lpaRounds unrolled synchronous
+    // plurality rounds (count → row_number argmax per node).
+    "x77_label_prop" ->
+      s"""WITH v AS (SELECT DISTINCT p_brand AS s FROM part
+        |           WHERE p_brand IS NOT NULL AND length(p_brand) >= 2),
+        |e0 AS (
+        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
+        |  WHERE levenshtein(a.s, b.s) <= 1
+        |), bidir AS (
+        |  SELECT a AS src, b AS dst FROM e0 UNION SELECT b AS src, a AS dst FROM e0
+        |), l0 AS (
+        |  SELECT DISTINCT src AS id, src AS label FROM bidir
+        |), ${(1 to lpaRounds).map(lpaIterSql).mkString(", ")}
+        |SELECT id AS node, label FROM l$lpaRounds ORDER BY node""".stripMargin,
+    // x78: closed-form round-2 unnormalized HITS on the directed trade
+    // graph — auth(s) = Σ_{c→s} outdeg(c), hub(c) = Σ_{c→s} indeg(s);
+    // pure sources/sinks keep 0 via the left joins. BIGINT casts per the
+    // HUGEINT lesson.
+    "x78_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), n AS (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+        |), od AS (SELECT src, count(*) AS d FROM e GROUP BY src
+        |), idg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst
+        |), a2 AS (
+        |  SELECT e.dst AS node, CAST(sum(od.d) AS BIGINT) AS auth
+        |  FROM e JOIN od ON e.src = od.src GROUP BY e.dst
+        |), h2 AS (
+        |  SELECT e.src AS node, CAST(sum(idg.d) AS BIGINT) AS hub
+        |  FROM e JOIN idg ON e.dst = idg.dst GROUP BY e.src
+        |)
+        |SELECT n.node, CAST(coalesce(h2.hub, 0) AS BIGINT) AS hub,
+        |  CAST(coalesce(a2.auth, 0) AS BIGINT) AS auth
+        |FROM n LEFT JOIN h2 ON n.node = h2.node LEFT JOIN a2 ON n.node = a2.node
+        |ORDER BY n.node""".stripMargin,
+    // x79: replay the HLL register file and exact-integer estimator —
+    // hash40 (kmv hex→int splice), top-6-bit bucket, rho = 35 − bitlen of
+    // the 34-bit remainder capped at 31, register = max rho, absent
+    // buckets 0 via the 64-slot grid, S = Σ 2^(R−Mj), est = α_ppm·m²·2^R
+    // div (10⁶·S), every step BIGINT.
+    "x79_hll_distinct" ->
+      s"""WITH tk AS (
+        |  SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        |), gr AS (
+        |  SELECT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                         for i in range(1, len(t) - 1)]) AS tok
+        |  FROM tk WHERE len(t) >= 3
+        |), dt AS (
+        |  SELECT DISTINCT source, tok FROM gr
+        |), hx AS (
+        |  SELECT source, substr(md5(tok), 1, 10) AS h FROM dt
+        |), hv AS (
+        |  SELECT source, CAST($kmvHexToIntSql AS BIGINT) AS v FROM hx
+        |), br AS (
+        |  SELECT source, v // 17179869184 AS j,
+        |    CASE WHEN v % 17179869184 = 0 THEN 31
+        |         ELSE least(35 - length(bin(v % 17179869184)), 31) END AS rho
+        |  FROM hv
+        |), mreg AS (
+        |  SELECT source, j, max(rho) AS mj FROM br GROUP BY source, j
+        |), grid AS (
+        |  SELECT s.source, g.j, coalesce(mreg.mj, 0) AS mj
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN (SELECT unnest(range(64)) AS j) g
+        |  LEFT JOIN mreg ON mreg.source = s.source AND mreg.j = g.j
+        |), rm AS (
+        |  SELECT source, max(mj) AS r_max FROM grid GROUP BY source
+        |), agg AS (
+        |  SELECT grid.source, CAST(max(mj) AS INT) AS r_max,
+        |    CAST(sum(CAST(1 AS BIGINT) << (rm.r_max - mj)) AS BIGINT) AS s_scaled,
+        |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+        |  FROM grid JOIN rm ON grid.source = rm.source GROUP BY grid.source
+        |)
+        |SELECT source, r_max, s_scaled, n_zero_regs,
+        |  CAST((CAST(709265 AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << r_max))
+        |       // (CAST(1000000 AS BIGINT) * s_scaled) AS BIGINT) AS est_distinct
+        |FROM agg ORDER BY source""".stripMargin,
     // x75: brute-force FROZEN-INDEX ground truth — stop set from the
     // index's distinct-text df only (empty at gate corpus sizes since the
     // index has < maxDf distinct texts), kept sets = shingles minus stop

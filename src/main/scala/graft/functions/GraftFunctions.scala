@@ -68,6 +68,10 @@ object GraftFunctions {
         ).toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "hll_registers",
+      exprs => HllRegisters(exprs(0)).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_media_meta", exprs => DecodeMediaMeta(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "image_ahash", exprs => ImageAHash(exprs(0)), "built-in")
@@ -189,6 +193,11 @@ object GraftFunctions {
     * group×partition crosses the exchange — see KmvMins).
     */
   def kmvMins(hash: Column, k: Int): Column = call_function("kmv_mins", hash, lit(k))
+
+  /** HyperLogLog register file (64 int registers) of a string column —
+    * aggregate with elementwise-max merge (see HllRegisters).
+    */
+  def hllRegisters(elem: Column): Column = call_function("hll_registers", elem)
 
   /** Count-min sketch of a tokens-array column: the flattened depth×width
     * counter matrix (row-major array<long>; aggregate with elementwise-sum

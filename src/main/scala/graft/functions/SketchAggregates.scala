@@ -359,3 +359,105 @@ case class CountMinTokens(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0))
 }
+
+/** HyperLogLog register file: 64 byte-sized registers, merge is
+  * elementwise max — the merged file equals the file of the concatenated
+  * stream, so the sketch is partitioning-invariant by construction
+  * (same argument as [[CmsBuffer]], with max for add).
+  */
+final class HllBuffer {
+  val regs = new Array[Byte](64)
+
+  def addHash(h: Long): Unit = {
+    val j = (h >>> 34).toInt // top 6 of the 40 hash bits → bucket
+    val rem = h & ((1L << 34) - 1)
+    // rho = leading-zero count of the remaining 34 bits + 1, capped at 31
+    // (rem < 2^4, p = 2^-30 per element — the cap is what keeps the
+    // engine's exact-integer estimate inside BIGINT; see HllRegisters)
+    val raw = if (rem == 0L) 35 else 35 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+    val rho = math.min(raw, 31)
+    if (rho > regs(j)) regs(j) = rho.toByte
+  }
+
+  def mergeFrom(o: HllBuffer): Unit = {
+    var i = 0
+    while (i < 64) { if (o.regs(i) > regs(i)) regs(i) = o.regs(i); i += 1 }
+  }
+}
+
+/** HyperLogLog distinct-count registers over a STRING column (Flajolet,
+  * Fusy, Gandouet, Meunier, AofA '07): m = 64 buckets from the top 6
+  * bits of the engine's 40-bit md5-prefix hash, register j = max over
+  * the bucket's values of (leading-zero count of the remaining 34 bits
+  * + 1), capped at 31. Returns the register file as array<int>[64].
+  *
+  * Why this next to [[KmvMins]] (x57): KMV is exact below k and its
+  * state is k LONGS; HLL's state is m BYTES — 64 bytes summarize any
+  * cardinality with ~1.04/√m ≈ 13% standard error, and the union of two
+  * sketches is the elementwise max (KMV union must re-trim through the
+  * hash values). HLL is the sketch you ship per shard/day and fold over
+  * arbitrary lattices; KMV is the sketch you use when small counts must
+  * be exact. The engine carries both, sharing hash40 so both replay in
+  * DuckDB bit-for-bit.
+  *
+  * The downstream estimate ([[graft.operators.DistinctSketch
+  * .hllDistinct]]) is the raw HLL estimator in EXACT INTEGER form:
+  * est = α_ppm·m²·2^R div (10⁶·S) with R = max register and
+  * S = Σ_j 2^(R−M_j) (so S/2^R = Σ 2^−M_j exactly, as integers; the
+  * rho cap at 31 bounds α_ppm·m²·2^R < 2⁶³). Flajolet's small/large
+  * range corrections need ln/float — out of contract here, disclosed:
+  * below ~5m/2 distinct the raw estimator biases high and x57's KMV is
+  * the engine's exact-small-range tool; the zero-register count is
+  * surfaced so callers can detect the regime.
+  *
+  * NULL inputs are skipped. 100 TB posture: 64 bytes per
+  * group×partition cross the exchange, max-merge; never a row per
+  * distinct element.
+  */
+case class HllRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[HllBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.addHash(
+        graft.operators.DistinctSketch.hash40Scala(v.asInstanceOf[UTF8String].toString))
+    }
+    buf
+  }
+
+  override def merge(b1: HllBuffer, b2: HllBuffer): HllBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: HllBuffer): Any = {
+    val out = new Array[Int](64)
+    var i = 0
+    while (i < 64) { out(i) = buf.regs(i).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: HllBuffer): Array[Byte] = buf.regs.clone()
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer
+    System.arraycopy(bytes, 0, buf.regs, 0, 64)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

@@ -252,4 +252,65 @@ object Cluster {
         (-col("best.neg_id")).as("keep_id"),
         col("best.score").as("score"),
         col("n_members"))
+
+  /** Synchronous label propagation (Raghavan-Albert-Kumara 2007) —
+    * DENSITY communities, the verb connectivity clustering cannot
+    * express: [[connectedComponents]] merges everything reachable, LPA
+    * splits a connected graph into internally-dense groups (domain/topic
+    * clusters over a similarity graph; two topical clusters joined by one
+    * stray near-dup edge stay separate communities but are one
+    * component). Each node starts labeled by itself; every round each
+    * node adopts the label held by the PLURALITY of its neighbors, ties
+    * broken by the smallest label — the fully deterministic synchronous
+    * variant, so the contract is exact ("labels after `rounds` rounds")
+    * and an oracle can replay it round by round. Synchronous LPA can
+    * 2-cycle on bipartite structures rather than converge; the fixed
+    * round count IS the contract, per the original paper's caveat.
+    *
+    * Scale shape: per round ONE edge join keyed by node + two hash aggs
+    * with map-side partials ((node, label) plurality count, then the
+    * min-struct argmax — never a window), per-round localCheckpoint,
+    * edges symmetrized once and persisted. Node universe = edge
+    * endpoints, same as [[connectedComponents]].
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      rounds: Int,
+      aCol: String = "a_id",
+      bCol: String = "b_id"
+  ): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val bidir = pairs
+      .select(
+        explode(
+          array(
+            struct(col(aCol).as("src"), col(bCol).as("dst")),
+            struct(col(bCol).as("src"), col(aCol).as("dst"))
+          )).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = bidir
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      // plurality label among neighbors; (count desc, label asc) argmax
+      // via min(struct(-cnt, label)) — smallest negated count is the
+      // plurality, then the smallest label wins the tie
+      labels = bidir
+        .join(labels, bidir("src") === labels("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("label").as("l"))).as("best"))
+        .select(col("dst").as("id"), col("best.l").as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    bidir.unpersist()
+    labels
+  }
 }

@@ -786,6 +786,122 @@ object Dedup {
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
   }
 
+  /** N-gram CONTAINMENT pairs — Broder's asymmetric resemblance relation
+    * (SEQUENCES '97): C(A,B) = |S(A) ∩ S(B)| / |S(A)|, the fraction of
+    * A's shingles that also appear in B. High containment at low Jaccard
+    * is the QUOTE/EXCERPT signature — a short document embedded in a much
+    * longer one (press-release reposts, quoted answers, boilerplate-
+    * wrapped articles), invisible to every symmetric miner in the engine
+    * (x06 Jaccard, x07 MinHash, x08 SimHash, x74 winnowing summarize
+    * resemblance, and a 50-shingle doc inside a 5000-shingle doc has
+    * Jaccard ≤ 0.01). Emits ORDERED pairs (a contained-in b, a ≠ b).
+    *
+    * Mining uses the one-sided prefix bound: under any global total order
+    * on shingles, C(A,B) ≥ t forces an element of B within A's first
+    * |S(A)| − ⌈t·|S(A)|⌉ + 1 shingles — so only the CONTAINED side
+    * explodes a prefix; the containing side is probed through its full
+    * (df-pruned) postings. With rarest-first sid order the prefix holds
+    * A's lowest-df shingles, so candidate volume is Σ_sid dfPrefix(sid) ·
+    * df(sid), bounded by the maxDf prune — never |A|·|B| and never
+    * all-pairs. Like x06, `maxDf` freezes the result to the EXACT
+    * containment over the df ≤ maxDf shingle space (sizes recounted after
+    * the prune, numerator and denominator agree).
+    *
+    * Exact-duplicate pre-collapse, same skew guard as x06/x07: mining
+    * runs on one min-id representative per distinct text; members fan
+    * back out AFTER verification (identical texts contain each other at
+    * 1.0 — emitted both directions for classes whose pruned shingle set
+    * is non-empty; cross-class ordered pairs inherit their
+    * representatives' containment, a function of the texts alone).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val tEff = threshold - 1e-6
+    val base = docs.select(col(idCol), col(textCol))
+    val reps = base
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(
+        min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        any_value(col(textCol)).as(textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repDocs = reps.select(col("rep_id").as(idCol), col(textCol))
+    val members = base
+      .select(md5(col(textCol)).as("text_md5"), col(idCol).as("member_id"))
+      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
+      .select(col("rep_id"), col("member_id"))
+
+    // distinct-text mining: postings → df prune → sid encode (rarest
+    // first) → sorted int arrays, the x06 core's shape with a one-sided
+    // prefix
+    val postings = withShingles(repDocs, n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+    val dfCounts = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hot = dfCounts.where(col("df") > maxDf).select("shingle")
+    val kept = postings.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sids = GlobalRank
+      .withGlobalRank(dfCounts.where(col("df") <= maxDf), Seq(col("df"), col("shingle")), "sid")
+      .select(col("shingle"), col("sid").cast("int").as("sid"))
+    val ordered = kept
+      .join(sids, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("sid"))).as("osh"))
+      .select(col(idCol), col("osh"), size(col("osh")).as("sh_size"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefixA = ordered.select(
+      col(idCol).as("a_id"),
+      explode(
+        slice(
+          col("osh"),
+          lit(1),
+          greatest(
+            lit(1),
+            (col("sh_size") - ceil(col("sh_size") * lit(tEff) - lit(1e-9)) + 1).cast("int"))))
+        .as("sid"))
+    val fullB = ordered.select(col(idCol).as("b_id"), explode(col("osh")).as("sid"))
+    val candidates = prefixA
+      .join(fullB, Seq("sid"))
+      .where(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val oA = ordered.select(col(idCol).as("a_id"), col("osh").as("a_sh"), col("sh_size").as("a_size"))
+    val oB = ordered.select(col(idCol).as("b_id"), col("osh").as("b_sh"))
+    val repPairs = candidates
+      .join(oA, "a_id")
+      .join(oB, "b_id")
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("cont", round(col("common").cast("double") / col("a_size").cast("double"), 6))
+      .where(col("cont") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cont"))
+
+    // fan-out preserving ORIENTATION: a-side members contained in b-side
+    // members
+    val mA = members.select(col("rep_id").as("a_id"), col("member_id").as("a_m"))
+    val mB = members.select(col("rep_id").as("b_id"), col("member_id").as("b_m"))
+    val cross = repPairs
+      .join(mA, "a_id")
+      .join(mB, "b_id")
+      .select(col("a_m").as("a_id"), col("b_m").as("b_id"), col("cont"))
+    // within-class ordered pairs: identical texts contain each other at
+    // 1.0, both directions, iff the class survived the prune non-empty
+    val dupMembers = members
+      .join(reps.where(col("n_copies") > 1).select(col("rep_id")), "rep_id")
+      .join(ordered.select(col(idCol).as("rep_id")), "rep_id")
+    val within = dupMembers
+      .select(col("rep_id"), col("member_id").as("a_id"))
+      .join(dupMembers.select(col("rep_id"), col("member_id").as("b_id")), "rep_id")
+      .where(col("a_id") =!= col("b_id") && lit(threshold) <= 1.0)
+      .select(col("a_id"), col("b_id"), lit(1.0).as("cont"))
+    cross.unionByName(within)
+  }
+
   /** The persisted near-dup index artifact for amortized incremental
     * ingest — everything [[incrementalClassifyIndexed]] needs per
     * delivery, built ONCE by [[buildNearDupIndex]] from the at-rest

@@ -101,4 +101,49 @@ object DistinctSketch {
         ): _*
       )
   }
+
+  /** Per-group HyperLogLog distinct estimate of string `elem` — the
+    * constant-64-byte-state companion to [[kmvDistinct]]: KMV when small
+    * counts must be exact, HLL when sketches must union cheaply across
+    * shards/days (elementwise max). See
+    * [[graft.functions.HllRegisters]] for the register contract.
+    *
+    * Output per group: (r_max, s_scaled, n_zero_regs, est_distinct) with
+    * the EXACT-INTEGER raw estimator est = α_ppm·m²·2^R div (10⁶·S),
+    * α_ppm = 709265 (α₆₄ = 0.7213/(1 + 1.079/64) to ppm), m = 64,
+    * R = max register, S = Σ_j 2^(R−M_j) — every quantity a BIGINT, so
+    * DuckDB replays registers AND estimate bit-for-bit. Raw-regime only
+    * (no small/large-range correction — needs ln; n_zero_regs lets
+    * callers detect the small regime and fall back to KMV).
+    *
+    * Plan shape: ONE exchange (the register aggregate, 64 bytes per
+    * group×partition partial); the register file then explodes into a
+    * BOUNDED 64-row frame per group — the max-over-group window below
+    * runs on that 64-row frame (the x22 bounded-window argument), never
+    * on data rows.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      elem: Column
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    df.select(gs :+ elem.as("hll_e"): _*)
+      .groupBy(gs: _*)
+      .agg(GraftFunctions.hllRegisters(col("hll_e")).as("regs"))
+      .select(gs :+ explode(col("regs")).as("mj"): _*)
+      .withColumn("r_max", max(col("mj")).over(w))
+      .groupBy(gs: _*)
+      .agg(
+        max(col("mj")).as("r_max"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), r_max - mj)")).as("s_scaled"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("n_zero_regs"))
+      .withColumn(
+        "est_distinct",
+        // BIGINT from the first factor: 709265·4096 overflows INT32, and
+        // the driver's ANSI session would throw where non-ANSI wraps
+        expr("(CAST(709265 AS BIGINT) * 4096 * shiftleft(CAST(1 AS BIGINT), r_max))" +
+          " div (CAST(1000000 AS BIGINT) * s_scaled)"))
+  }
 }

@@ -119,4 +119,65 @@ class ClusterSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  private def lpaMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("label propagation: barbell splits into density communities where CC merges them") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4: one COMPONENT,
+    // but plurality propagation stabilizes on two communities by round 3
+    // (hand-traced: r1 {1→2,2→1,3→1,4→3,5→4,6→4}, r2 {1→1,2→1,3→1,
+    // 4→4,5→3,6→3}, r3 {1,2,3 → 1; 4,5,6 → 3})
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    assert(lpaMap(Cluster.labelPropagation(pairs, rounds = 3)) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(Cluster.connectedComponents(pairs).collect().map(_.getLong(1)).toSet === Set(1L))
+  }
+
+  test("label propagation: round-0 identity, plurality beats min, ties break to smallest label") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    assert(lpaMap(Cluster.labelPropagation(pairs, rounds = 0)) ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // star 0-1, 0-2, 0-3: round 1 — center sees {1,2,3} all count 1, tie
+    // → smallest label 1; leaves each see only {0}
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    assert(lpaMap(Cluster.labelPropagation(star, rounds = 1)) ===
+      Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // plurality must beat a smaller minority label — checked against an
+    // independent Scala reference fold of the same (count desc, label
+    // asc) rule on a graph where both effects occur
+    val edges = Seq((7L, 8L), (7L, 10L), (8L, 10L), (9L, 7L), (9L, 8L), (9L, 5L))
+    val r2 = lpaMap(Cluster.labelPropagation(edges.toDF("a_id", "b_id"), rounds = 2))
+    val bidir = (edges ++ edges.map(_.swap)).distinct
+    var ref = bidir.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      ref = bidir.groupBy(_._1).map { case (n, es) =>
+        val counts = es.map(e => ref(e._2)).groupBy(identity).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(r2 === ref)
+  }
+
+  test("label propagation: synchronous 2-cycle on a lone edge is the contract, not a bug") {
+    // bipartite oscillation (Raghavan et al. §3): a single edge swaps
+    // labels every round — odd rounds crossed, even rounds back to self
+    val pair = Seq(("x", "y")).toDF("a_id", "b_id")
+    def run(r: Int) = Cluster.labelPropagation(pair, rounds = r)
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(run(1) === Map("x" -> "y", "y" -> "x"))
+    assert(run(2) === Map("x" -> "x", "y" -> "y"))
+  }
+
+  test("label propagation: string labels and partitioning invariance") {
+    val pairs = Seq(("b", "a"), ("c", "b"), ("a", "c"), ("x", "y"), ("y", "z"), ("z", "x2"))
+      .toDF("a_id", "b_id")
+    def run(p: Int) = Cluster.labelPropagation(pairs.repartition(p), rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val one = run(1)
+    assert(one === run(7))
+    // the triangle {a,b,c} converges onto "a" by plurality
+    assert(one("a") === "a" && one("b") === "a" && one("c") === "a")
+  }
 }

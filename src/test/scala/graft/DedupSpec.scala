@@ -309,6 +309,80 @@ class DedupSpec extends SparkSpec {
     assert(union.head === ((10L, "novel", -1L))) // A,B pruned at union df 4
   }
 
+  private def contRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** Scala reference: ordered-pair containment over distinct 3-shingle
+    * sets, no prune.
+    */
+  private def contRef(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    def sh(s: String): Set[String] = {
+      val tk = s.trim.split("\\s+")
+      if (tk.length >= 3) (0 to tk.length - 3).map(i => tk.slice(i, i + 3).mkString(" ")).toSet
+      else Set.empty
+    }
+    val ss = docs.map { case (id, s) => id -> sh(s) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- ss; (b, sb) <- ss if a != b
+      c = BigDecimal(sa.intersect(sb).size.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= t
+    } yield (a, b, c)).toSet
+  }
+
+  test("containment: an excerpt scores 1.0 against its parent while Jaccard stays invisible") {
+    val parent = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
+    val corpus = Seq(
+      (1L, parent),               // 12 shingles
+      (2L, "w1 w2 w3 w4 w5"),     // 3 shingles, all ⊂ parent's
+      (3L, "q1 q2 q3 q4 q5 q6")   // unrelated
+    ).toDF("doc_id", "text")
+    // C(2,1) = 3/3 = 1.0; C(1,2) = 3/12 = 0.25; Jaccard(1,2) = 3/12 = 0.25
+    assert(contRows(Dedup.containmentPairs(corpus, n = 3, threshold = 0.5)) ===
+      Set((2L, 1L, 1.0)))
+    // the symmetric miner must NOT see the pair at its threshold
+    assert(Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5).count() === 0L)
+    // at threshold 0.2 the reverse orientation surfaces with its own value
+    assert(contRows(Dedup.containmentPairs(corpus, n = 3, threshold = 0.2)) ===
+      Set((2L, 1L, 1.0), (1L, 2L, 0.25)))
+  }
+
+  test("containment: brute-force parity on the shared fixture, incl. exact-dup classes both ways") {
+    val ref = contRef(
+      Seq(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "The  quick,, brown FOX jumps over the lazy dog!"),
+        (3L, "the quick brown fox jumps over the sleepy dog"),
+        (4L, "completely different content about spark engines and parquet files"),
+        (5L, "tiny")
+      ), 0.3)
+    val got = contRows(Dedup.containmentPairs(docs, n = 3, threshold = 0.3))
+    assert(got === ref)
+    // identical texts 0/1 must appear in BOTH orientations at 1.0
+    assert(got.contains((0L, 1L, 1.0)) && got.contains((1L, 0L, 1.0)))
+  }
+
+  test("containment: maxDf prune freezes the result to the kept-shingle space") {
+    // shingle "a b c" occurs in all three distinct texts → df 3 > maxDf 2
+    // → pruned everywhere; doc 20's remaining set {b c x, c x y} has one
+    // shingle in doc 21's kept set → C = 1/2
+    val corpus = Seq(
+      (20L, "a b c x y"),
+      (21L, "a b c x q"),
+      (22L, "z a b c w")
+    ).toDF("doc_id", "text")
+    val got = contRows(Dedup.containmentPairs(corpus, n = 3, threshold = 0.5, maxDf = 2))
+    assert(got.contains((20L, 21L, 0.5)) && got.contains((21L, 20L, 0.5)))
+    assert(!got.exists(p => p._1 == 22L || p._2 == 22L)) // only stop+unique shingles left
+  }
+
+  test("containment: partitioning invariance") {
+    val a = contRows(Dedup.containmentPairs(docs.repartition(1), n = 3, threshold = 0.3))
+    val b = contRows(Dedup.containmentPairs(docs.repartition(7), n = 3, threshold = 0.3))
+    assert(a === b && a.nonEmpty)
+  }
+
   test("indexed ingest: exact precedence and partitioning invariance") {
     val index = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

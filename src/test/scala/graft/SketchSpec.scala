@@ -259,4 +259,71 @@ class SketchSpec extends SparkSpec {
     val (want, _) = refCms(Seq("a", "b", "a"), 2, 4)
     assert(got === want.toSeq)
   }
+
+  /** Reference HLL register file: bucket = top 6 of the 40 hash bits,
+    * rho = LZC of the 34-bit remainder + 1 capped at 31, max per bucket.
+    */
+  private def refHll(values: Seq[String]): Array[Int] = {
+    val regs = new Array[Int](64)
+    values.foreach { s =>
+      val h = graft.operators.DistinctSketch.hash40Scala(s)
+      val j = (h >>> 34).toInt
+      val rem = h & ((1L << 34) - 1)
+      val raw = if (rem == 0L) 35 else 35 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      val rho = math.min(raw, 31)
+      if (rho > regs(j)) regs(j) = rho
+    }
+    regs
+  }
+
+  /** The exact-integer raw estimator the operator contracts. */
+  private def refHllEst(regs: Array[Int]): (Int, Long, Long, Long) = {
+    val rMax = regs.max
+    val s = regs.map(m => 1L << (rMax - m)).sum
+    val zeros = regs.count(_ == 0).toLong
+    val est = (709265L * 4096L * (1L << rMax)) / (1000000L * s)
+    (rMax, s, zeros, est)
+  }
+
+  test("HLL registers: brute-force parity, duplicate insensitivity, partitioning invariance") {
+    GraftFunctions.register(spark)
+    val distinctVals = (0 until 800).map(i => s"tok$i")
+    val withDups = distinctVals ++ distinctVals.take(400) ++ distinctVals.take(100)
+    val want = refHll(distinctVals).toSeq
+    for (p <- Seq(1, 8)) {
+      val got = withDups.toDF("v").repartition(p)
+        .agg(GraftFunctions.hllRegisters($"v").as("r"))
+        .head().getSeq[Int](0)
+      assert(got === want, s"parts=$p")
+    }
+  }
+
+  test("HLL estimate: exact-integer formula parity and raw-regime accuracy") {
+    GraftFunctions.register(spark)
+    val n = 5000
+    val df = (0 until n).map(i => ("g", s"value-$i")).toDF("grp", "v")
+    val row = graft.operators.DistinctSketch
+      .hllDistinct(df, Seq("grp"), $"v").head()
+    val (rMax, s, zeros, est) = refHllEst(refHll((0 until n).map(i => s"value-$i")))
+    assert(row.getInt(1) === rMax)
+    assert(row.getLong(2) === s)
+    assert(row.getLong(3) === zeros)
+    assert(row.getLong(4) === est)
+    // m=64 → σ ≈ 13%; allow 3σ
+    assert(math.abs(est - n.toDouble) / n < 0.4, s"est=$est vs $n")
+  }
+
+  test("HLL: per-group independence and null skip") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("a", Some("x")), ("a", Some("y")), ("a", None),
+      ("b", Some("x"))
+    ).toDF("grp", "v")
+    val got = graft.operators.DistinctSketch
+      .hllDistinct(df, Seq("grp"), $"v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val (_, sA, _, _) = refHllEst(refHll(Seq("x", "y")))
+    val (_, sB, _, _) = refHllEst(refHll(Seq("x")))
+    assert(got === Map("a" -> sA, "b" -> sB))
+  }
 }
