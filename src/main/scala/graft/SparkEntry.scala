@@ -2391,6 +2391,124 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** VBR MP3 surface (x80): genuinely variable-bitrate fixtures
+    * ([[graft.functions.BuildMp3Vbr]] — audio frames alternate 128/64
+    * kbps, each with its own correct header) whose duration the decoder
+    * must recover through the Xing frame-count tag; the CBR byte-length
+    * estimate is wrong on these files by construction. Duration closed
+    * form: frames · 1152 · 1000 div 44100 ms. Closes the "header-only
+    * CBR estimate" caveat that was the container story's one asterisk
+    * (x54 stays as the CBR regression pin).
+    */
+  private def x80(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    dts(s, dir)
+      .where(col("doc_id") % 5 === 4)
+      .select(
+        col("doc_id"),
+        Multimodal
+          .decodeMeta(
+            GraftFunctions.buildMp3Vbr(
+              col("doc_id"),
+              (lit(3) + col("doc_id") % 29).cast("int"),
+              (col("doc_id") % 17).cast("int")
+            )
+          )
+          .as("m")
+      )
+      .select(
+        col("doc_id"),
+        col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.duration_ms").as("duration_ms")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup surface (x81): embedding-space keep/drop policy — cosine
+    * pairs ≥ 0.45 (the x11 threshold) closed transitively into semantic
+    * groups, min-id representative kept per group. See
+    * [[graft.operators.Dedup.semanticDedup]]. Oracle: brute-force cosine
+    * pairs + recursive-CTE component closure (the x71 technique) + the
+    * same min-id keep rule.
+    */
+  private def x81(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Dedup
+      .semanticDedup(t(s, dir, "embeddings"), threshold = 0.45)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Bipartite co-occurrence surface (x82): customers projected through
+    * shared parts — weight = |shared parts|, hub parts (degree > 40,
+    * live at sf0.01 where 51 of 2000 parts exceed it) excluded by the
+    * df-prune discipline, weight ≥ 2 — see
+    * [[graft.operators.Bipartite.coOccurrencePairs]].
+    */
+  private def x82(s: SparkSession, dir: String): DataFrame =
+    Bipartite
+      .coOccurrencePairs(
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part")),
+        leftCol = "cust",
+        rightCol = "part",
+        maxDegree = 40,
+        minShared = 2L)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Rank-normalization surface (x83): documents calibrated to integer
+    * rank_ppm by token count with doc_id tie-break — the two-phase
+    * GlobalRank machinery end-to-end (no single-partition window), see
+    * [[graft.operators.Robust.rankNormalizePpm]]. The oracle replays
+    * row_number + the exact ppm division.
+    */
+  private def x83(s: SparkSession, dir: String): DataFrame =
+    Robust
+      .rankNormalizePpm(
+        dts(s, dir)
+          .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+        sort = Seq(col("n_tokens"), col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-diff surface (x84): documents vs a simulated v2 release —
+    * ids % 13 = 0 removed, % 11 = 0 (surviving) rewritten with a ' rev2'
+    * suffix, % 17 = 0 re-added as fresh ids +30000 — so all four
+    * statuses are live. Digest-only comparison, see
+    * [[graft.operators.CorpusDiff]].
+    */
+  private def x84(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val v2 = docs
+      .where(col("doc_id") % 13 =!= 0)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.where(col("doc_id") % 17 === 0)
+        .select(
+          (col("doc_id") + 30000).as("doc_id"),
+          concat(lit("new release doc "), col("doc_id")).as("text")))
+    CorpusDiff.diff(docs, v2).orderBy(col("doc_id"))
+  }
+
+  /** Transition-matrix surface (x85): per-(prev, next) event-type counts
+    * and departure-fraction ppm over each user's (ts_us, event_id)-ordered
+    * stream — see [[graft.operators.Sessionize.transitionCounts]]. The
+    * oracle replays lag() inside each user partition plus the exact
+    * integer division.
+    */
+  private def x85(s: SparkSession, dir: String): DataFrame =
+    Sessionize
+      .transitionCounts(
+        ev(s, dir),
+        key = col("user_id"),
+        ts = col("ts_us"),
+        tieBreak = col("event_id"),
+        state = col("event_type"))
+      .orderBy(col("prev_state"), col("next_state"))
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2579,7 +2697,13 @@ object SparkEntry {
     "x76_containment" -> (x76 _),
     "x77_label_prop" -> (x77 _),
     "x78_hits" -> (x78 _),
-    "x79_hll_distinct" -> (x79 _)
+    "x79_hll_distinct" -> (x79 _),
+    "x80_mp3_vbr" -> (x80 _),
+    "x81_semdedup" -> (x81 _),
+    "x82_cooccurrence" -> (x82 _),
+    "x83_rank_ppm" -> (x83 _),
+    "x84_corpus_diff" -> (x84 _),
+    "x85_transitions" -> (x85 _)
   )
 
   /** One unrolled synchronous LPA round for the x77 oracle: neighbor-label
@@ -4063,6 +4187,15 @@ object SparkEntry {
         |  -- CBR estimate: bytes*8/kbps ms over (3 + id%29) frames of 417 B
         |  CAST((3 + doc_id % 29) * 417 * 8 // 128 AS INT) AS duration_ms
         |FROM documents WHERE doc_id % 5 = 3 ORDER BY doc_id""".stripMargin,
+    // x80: Xing-exact VBR duration — frames * 1152 samples / 44100 Hz in
+    // ms; a CBR byte-length estimate cannot produce this closed form on
+    // the alternating 417/208-byte payload, so a match proves the tag
+    // walk (side-info offset, flags, BE frame count) ran for real.
+    "x80_mp3_vbr" ->
+      """SELECT doc_id, 'mp3' AS format,
+        |  CAST(44100 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST((3 + doc_id % 29) * 1152000 // 44100 AS INT) AS duration_ms
+        |FROM documents WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
     // x55: same chunk CTE as x37 (window = stride = 8), keep-first by
     // (doc_id, chunk_idx) per distinct segment text, ordered reassembly;
     // string_agg skips the CASE-NULLed dropped segments, mirroring
@@ -4496,6 +4629,103 @@ object SparkEntry {
         |  CAST((CAST(709265 AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << r_max))
         |       // (CAST(1000000 AS BIGINT) * s_scaled) AS BIGINT) AS est_distinct
         |FROM agg ORDER BY source""".stripMargin,
+    // x81: brute cosine pairs at 0.45 → recursive component closure →
+    // min-id keep — the x71 oracle technique on the embedding graph.
+    "x81_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |), bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION SELECT b_id AS src, a_id AS dst FROM p
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |), comp AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS comp_id
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT em.vec_id,
+        |  CAST(coalesce(comp_id, em.vec_id) AS BIGINT) AS root_id,
+        |  coalesce(comp_id, em.vec_id) = em.vec_id AS keep
+        |FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
+    // x82: replay the capped one-mode projection — distinct incidence,
+    // degree ≤ 40 keep, part-keyed self-join a<b, shared ≥ 2.
+    "x82_cooccurrence" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), deg AS (
+        |  SELECT p, count(*) AS d FROM e GROUP BY p
+        |), kept AS (
+        |  SELECT c, e.p FROM e JOIN deg ON e.p = deg.p WHERE d <= 40
+        |)
+        |SELECT a.c AS a_id, b.c AS b_id, CAST(count(*) AS BIGINT) AS shared
+        |FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+        |GROUP BY a.c, b.c HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+    // x83: row_number over the same (n_tokens, doc_id) total order + the
+    // exact (rank−1)·1e6 div (n−1) ppm division.
+    "x83_rank_ppm" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM tk
+        |)
+        |SELECT doc_id, n_tokens, rank,
+        |  CAST((rank - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT) AS rank_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // x84: rebuild v2 with the same %13/%11/%17 rules and compare digests
+    // through a full outer join — all four statuses live.
+    "x84_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS new_md5
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, md5('new release doc ' || doc_id)
+        |  FROM documents WHERE doc_id % 17 = 0
+        |)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN old_md5 = new_md5 THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_md5, new_md5
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // x85: lag() inside each user's (ts_us, event_id) order, pair counts,
+    // departure ppm by exact integer division.
+    "x85_transitions" ->
+      """WITH ex AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev_state
+        |  FROM ex
+        |), c AS (
+        |  SELECT prev_state, event_type AS next_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM o WHERE prev_state IS NOT NULL GROUP BY prev_state, event_type
+        |), t AS (
+        |  SELECT prev_state, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY prev_state
+        |)
+        |SELECT c.prev_state, c.next_state, c.n,
+        |  CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t ON c.prev_state = t.prev_state
+        |ORDER BY c.prev_state, c.next_state""".stripMargin,
     // x75: brute-force FROZEN-INDEX ground truth — stop set from the
     // index's distinct-text df only (empty at gate corpus sizes since the
     // index has < maxDf distinct texts), kept sets = shingles minus stop

@@ -240,8 +240,43 @@ private[functions] object Mp3Codec {
       case _ => ratesV25(srIdx)
     }
     val channels = if (((b3 >> 6) & 3) == 3) 1L else 2L
+    // Xing/Info VBR tag probe (the LAME/Fraunhofer convention): the tag
+    // sits in the first frame right after the side info — MPEG1: 17 B
+    // mono / 32 B stereo; MPEG2/2.5: 9 / 17 — as 'Xing' (VBR) or 'Info'
+    // (CBR written by VBR-capable encoders), 4 BE flag bytes, then the
+    // flagged fields in order, frames first. With the frames field
+    // present the duration is EXACT: frames · samples-per-frame / rate
+    // (L1: 384; L2: 1152; L3: 1152 MPEG1, 576 MPEG2/2.5) — the fix for
+    // VBR files where the CBR byte-length estimate below can be
+    // arbitrarily wrong.
+    val sideInfo = (versionBits, channels) match {
+      case (3, 1L) => 17
+      case (3, _) => 32
+      case (_, 1L) => 9
+      case _ => 17
+    }
+    val x = start + 4 + sideInfo
+    if (x + 8 <= b.length &&
+      ((b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
+        (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'))) {
+      val flags = ((b(x + 4) & 0xff) << 24) | ((b(x + 5) & 0xff) << 16) |
+        ((b(x + 6) & 0xff) << 8) | (b(x + 7) & 0xff)
+      if ((flags & 1) != 0 && x + 12 <= b.length) {
+        val frames = ((b(x + 8) & 0xffL) << 24) | ((b(x + 9) & 0xffL) << 16) |
+          ((b(x + 10) & 0xffL) << 8) | (b(x + 11) & 0xffL)
+        val spf = layerBits match {
+          case 3 => 384L
+          case 2 => 1152L
+          case _ => if (versionBits == 3) 1152L else 576L
+        }
+        return Array(rate.toLong, channels, frames * spf * 1000L / rate)
+      }
+      // tag present but frames field absent/truncated: fall through to
+      // the CBR estimate rather than failing the whole decode
+    }
     // CBR estimate from the audio payload size; header-only by design (a
-    // VBR-exact duration needs a Xing header or full frame walk).
+    // VBR-exact duration needs the Xing frames field above or a full
+    // frame walk).
     val durMs = (b.length - start).toLong * 8L / kbps
     Array(rate.toLong, channels, durMs)
   }
@@ -445,6 +480,77 @@ case class BuildMp3(idExpr: Expression, framesExpr: Expression, tagExpr: Express
         b(o + j) = ((id * 131 + f * 37 + j * 7) & 0xff).toByte
         j += 1
       }
+      f += 1
+    }
+    b
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(idExpr = f, framesExpr = s, tagExpr = t)
+}
+
+/** Deterministic GENUINELY-VBR MP3 synthesizer — the [[BuildMp3]] twin
+  * whose audio frames ALTERNATE bitrates (even: 128 kbps / 417 B, odd:
+  * 64 kbps / 208 B, each with its own correct frame header), led by a
+  * Xing frame (417 B, zeroed side info, 'Xing' at the MPEG1-mono offset
+  * 4 + 17, flags = 0x1, frame count big-endian = the `frames` audio
+  * frames that follow, excluding the Xing frame itself — the LAME
+  * convention). The CBR byte-length estimate is provably wrong on this
+  * payload (mixed frame sizes); the Xing path recovers duration exactly:
+  * frames · 1152 · 1000 / 44100 ms, a closed form an oracle recomputes
+  * from (id) alone. Same optional leading ID3v2 tag as BuildMp3.
+  */
+case class BuildMp3Vbr(idExpr: Expression, framesExpr: Expression, tagExpr: Expression)
+    extends TernaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = idExpr
+  override def second: Expression = framesExpr
+  override def third: Expression = tagExpr
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(idAny: Any, nAny: Any, tagAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val nFrames = nAny.asInstanceOf[Int]
+    val tagBytes = tagAny.asInstanceOf[Int]
+    require(nFrames > 0 && nFrames <= 65536, s"bad frame count $nFrames")
+    require(tagBytes >= 0 && tagBytes < (1 << 21), s"bad tag size $tagBytes")
+    val big = 417 // 144 * 128000 / 44100
+    val small = 208 // 144 * 64000 / 44100
+    val audio = (nFrames + 1) / 2 * big + nFrames / 2 * small
+    val b = new Array[Byte](10 + tagBytes + big + audio)
+    b(0) = 'I'; b(1) = 'D'; b(2) = '3'; b(3) = 3; b(4) = 0; b(5) = 0
+    b(6) = ((tagBytes >> 21) & 0x7f).toByte
+    b(7) = ((tagBytes >> 14) & 0x7f).toByte
+    b(8) = ((tagBytes >> 7) & 0x7f).toByte
+    b(9) = (tagBytes & 0x7f).toByte
+    var i = 0
+    while (i < tagBytes) { b(10 + i) = ((id * 37 + i * 11) & 0x7f).toByte; i += 1 }
+    // Xing frame: 128k header, zeroed side info, tag at 4 + 17
+    var o = 10 + tagBytes
+    b(o) = 0xff.toByte; b(o + 1) = 0xfb.toByte; b(o + 2) = 0x90.toByte; b(o + 3) = 0xc0.toByte
+    val x = o + 21
+    b(x) = 'X'; b(x + 1) = 'i'; b(x + 2) = 'n'; b(x + 3) = 'g'
+    b(x + 7) = 1 // flags: frames field only
+    b(x + 8) = ((nFrames >> 24) & 0xff).toByte
+    b(x + 9) = ((nFrames >> 16) & 0xff).toByte
+    b(x + 10) = ((nFrames >> 8) & 0xff).toByte
+    b(x + 11) = (nFrames & 0xff).toByte
+    o += big
+    var f = 0
+    while (f < nFrames) {
+      val len = if (f % 2 == 0) big else small
+      b(o) = 0xff.toByte
+      b(o + 1) = 0xfb.toByte
+      b(o + 2) = (if (f % 2 == 0) 0x90 else 0x50).toByte // brIdx 9 / 5, 44.1 kHz
+      b(o + 3) = 0xc0.toByte // mono
+      var j = 4
+      while (j < len) {
+        b(o + j) = ((id * 131 + f * 37 + j * 7) & 0xff).toByte
+        j += 1
+      }
+      o += len
       f += 1
     }
     b

@@ -101,6 +101,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_mp3", exprs => BuildMp3(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_mp3_vbr", exprs => BuildMp3Vbr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "build_avi", exprs => BuildAvi(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
@@ -318,6 +320,13 @@ object GraftFunctions {
   /** Minimal genuine MP3 (ID3v2 tag + CBR MPEG1-L3 frames) — see BuildMp3. */
   def buildMp3(id: Column, frames: Column, tagBytes: Column): Column =
     call_function("build_mp3", id, frames, tagBytes)
+
+  /** Genuinely-VBR MP3 fixture with a Xing frame-count tag (see
+    * BuildMp3Vbr) — the byte-length CBR estimate is wrong on it by
+    * construction; only the Xing path recovers the exact duration.
+    */
+  def buildMp3Vbr(id: Column, frames: Column, tagBytes: Column): Column =
+    call_function("build_mp3_vbr", id, frames, tagBytes)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =

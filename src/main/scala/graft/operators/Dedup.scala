@@ -902,6 +902,46 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023 — "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * the EMBEDDING-space dedup POLICY that turns x11's cosine pair miner
+    * into a keep/drop decision — documents whose embeddings clear the
+    * cosine threshold form semantic-duplicate groups (transitively, via
+    * connected components — SemDeDup's within-cluster pruning closure),
+    * and each group keeps exactly ONE representative: the minimum id,
+    * the same deterministic canonical-keep rule as x44. Text-identical
+    * docs are a special case (cosine 1); the semantic layer additionally
+    * collapses paraphrases/translations/re-renders that every
+    * shingle-based family misses.
+    *
+    * Output per embedding row: (vec_id, root_id, keep) — root_id the
+    * component minimum (itself for singletons), keep = (vec_id ==
+    * root_id). The kept set is a pure function of the corpus: rerunning
+    * on any partitioning keeps the same rows.
+    *
+    * 100 TB shape: pair mining is [[embeddingNearDupPairs]]'s auto
+    * exact↔LSH posture (never all-pairs above the cutover), components
+    * are [[Cluster.connectedComponents]]'s one-shuffle-per-round
+    * min-label propagation, and the policy itself is ONE left join +
+    * map-side comparison.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, threshold, idCol, vecCol)
+    val comps = Cluster.connectedComponents(pairs)
+    emb
+      .select(col(idCol))
+      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("comp"), col(idCol)).as("root_id"),
+        (coalesce(col("comp"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
   /** The persisted near-dup index artifact for amortized incremental
     * ingest — everything [[incrementalClassifyIndexed]] needs per
     * delivery, built ONCE by [[buildNearDupIndex]] from the at-rest

@@ -204,4 +204,33 @@ object Robust {
         count(when(abs(col("v") - col("med")) * 10 > col("mad") * k10, 1)).as("n_outliers")
       )
   }
+
+  /** Rank normalization to integer ppm — the distribution-free score
+    * calibration curation pipelines apply before thresholding
+    * heterogeneous quality signals (a perplexity, a rule count and a
+    * classifier logit become comparable as ranks; thresholds like "drop
+    * the bottom 10%" are then exact row counts, not distribution
+    * guesses). rank_ppm = (rank − 1)·10⁶ div (n − 1): 0 for the minimum,
+    * 10⁶ for the maximum, exact integers throughout (n = 1 maps to 0).
+    *
+    * `sort` must totalize the order (append a unique tie-break) — the
+    * same contract, and the same two-phase range-partition machinery, as
+    * [[GlobalRank.withGlobalRank]]: NO single-partition window anywhere,
+    * and `n` is one driver scalar read from the already-persisted ranked
+    * frame (max rank), not a second scan of the input.
+    */
+  def rankNormalizePpm(
+      df: DataFrame,
+      sort: Seq[Column],
+      rankCol: String = "rank",
+      outCol: String = "rank_ppm"
+  ): DataFrame = {
+    val ranked = GlobalRank.withGlobalRank(df, sort, rankCol)
+    val nRow = ranked.agg(max(col(rankCol))).collect()(0)
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val denom = math.max(n - 1L, 1L)
+    ranked.withColumn(
+      outCol,
+      expr(s"CAST((($rankCol - 1) * 1000000) div $denom AS BIGINT)"))
+  }
 }

@@ -157,4 +157,44 @@ object Sessionize {
     */
   private[graft] def decimalSum(valueCol: Column): Column =
     sum(valueCol.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** First-order transition matrix over each key's time-ordered event
+    * stream — the user-journey / Markov-chain summary sessionization's
+    * island view doesn't give: for every ordered state pair, how many
+    * times did `prev → next` occur, and what fraction of departures from
+    * `prev` does that represent (integer ppm, the engine's exact-replay
+    * convention). The classic uses: funnel analysis, anomalous-sequence
+    * screens, and the transition prior behind next-event prediction.
+    *
+    * (`ts`, `tieBreak`) must totalize order within a key, same contract
+    * as [[withSessionIds]]. Self-transitions count like any other.
+    *
+    * Scale shape: ONE key-bounded lag window (partition = the key, the
+    * x17 discipline — never a global order), one (prev, next) hash agg
+    * with map-side partials, and the per-prev totals join back is
+    * state-vocabulary-bounded — broadcastable by construction.
+    */
+  def transitionCounts(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tieBreak: Column,
+      state: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tb"))
+    val counts = df
+      .select(key.as("__k"), ts.as("__t"), tieBreak.as("__tb"), state.as("next_state"))
+      .withColumn("prev_state", lag(col("next_state"), 1).over(w))
+      .where(col("prev_state").isNotNull)
+      .groupBy(col("prev_state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_state")).agg(sum(col("n")).as("__tot"))
+    counts
+      .join(broadcast(totals), "prev_state")
+      .select(
+        col("prev_state"),
+        col("next_state"),
+        col("n"),
+        expr("CAST(n * 1000000 div __tot AS BIGINT)").as("p_ppm"))
+  }
 }

@@ -92,6 +92,49 @@ class ContainerSpec extends SparkSpec {
     assert(isNull(Array.tabulate[Byte](64)(i => (i * 7).toByte)))
   }
 
+  private def mp3VbrBytes(id: Long, frames: Int, tag: Int): Array[Byte] = {
+    GraftFunctions.register(spark)
+    spark.sql(s"SELECT build_mp3_vbr(${id}L, $frames, $tag) AS b").collect()(0).getAs[Array[Byte]](0)
+  }
+
+  test("mp3 VBR: Xing frame count gives the exact duration the CBR estimate cannot") {
+    // n chosen so the CBR estimate genuinely disagrees (at n=4/5 the
+    // Xing frame's own 417 bytes coincidentally cancel the small frames)
+    for ((id, n, tag) <- Seq((2L, 7, 0), (11L, 17, 7), (31L, 1, 129))) {
+      val r = metaOf(mp3VbrBytes(id, n, tag))
+      assert(r.getString(0) === "mp3")
+      assert(r.getInt(3) === 44100 && r.getInt(4) === 1)
+      val exact = (n.toLong * 1152L * 1000L / 44100L).toInt
+      assert(r.getInt(5) === exact, s"id=$id n=$n")
+      // and the CBR byte-length estimate over the mixed 417/208 payload
+      // genuinely disagrees (the whole point of the Xing path)
+      val payload = 417 + (n + 1) / 2 * 417 + n / 2 * 208
+      val cbr = payload * 8 / 128
+      assert(cbr !== exact, s"fixture failed to make CBR wrong: n=$n")
+    }
+  }
+
+  test("mp3 VBR: 'Info' alias works; truncated/absent frames field falls back to CBR") {
+    val good = mp3VbrBytes(5L, 6, 0)
+    val exact = (6L * 1152L * 1000L / 44100L).toInt
+    // Info alias: same tag semantics under the CBR-encoder magic
+    val info = good.clone()
+    info(10 + 21) = 'I'; info(10 + 22) = 'n'; info(10 + 23) = 'f'; info(10 + 24) = 'o'
+    assert(metaOf(info).getInt(5) === exact)
+    // flags cleared → no frames field → CBR estimate over the whole payload
+    val noFrames = good.clone(); noFrames(10 + 21 + 7) = 0
+    val cbr = ((good.length - 10).toLong * 8L / 128L).toInt
+    assert(metaOf(noFrames).getInt(5) === cbr)
+    // corrupting the Xing magic degrades to CBR too, never throws
+    val noTag = good.clone(); noTag(10 + 21) = 'Q'
+    assert(metaOf(noTag).getInt(5) === cbr)
+  }
+
+  test("mp3 VBR: CBR fixtures are unaffected by the Xing probe (x54 regression pin)") {
+    val r = metaOf(mp3Bytes(9L, 12, 40))
+    assert(r.getInt(5) === 12 * 417 * 8 / 128)
+  }
+
   test("existing formats are unaffected by the new fallback probes") {
     // a WAV still decodes as wav (RIFF wins before the MP3 probe)
     GraftFunctions.register(spark)

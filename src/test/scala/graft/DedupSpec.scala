@@ -400,6 +400,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: transitive groups keep exactly one min-id representative") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)),  // ~0.990 vs 0, ~0.999 vs itself
+      (2L, Array(0.95f, 0.31f, 0.0f)),  // near 1, farther from 0 — chain closure
+      (3L, Array(0.0f, 1.0f, 0.0f)),    // singleton
+      (4L, Array(0.0f, 0.0f, 1.0f))     // singleton
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(emb, threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // cos(0,1) ≈ .990, cos(1,2) ≈ .984, cos(0,2) ≈ .951 < .97: the group
+    // {0,1,2} exists only through the transitive closure
+    assert(got === Set(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (3L, 3L, true), (4L, 4L, true)))
+    // kept set is partitioning-invariant
+    val again = Dedup.semanticDedup(emb.repartition(7), threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(again === got)
+  }
+
   /** Brute-force winnowing reference: k-gram hash40s, every window of w,
     * min with RIGHTMOST tie, distinct selected (hash, pos).
     */

@@ -128,4 +128,28 @@ class RobustSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bin-target join:\n$plan")
     assert(runBinned(rows, 1, 2, 4)("a") === refQuantile(rows.map(_._2), 1, 2))
   }
+  test("rankNormalizePpm: exact endpoints, tie-break order, singleton zero") {
+    val df = Seq((10L, 5L), (11L, 2L), (12L, 9L), (13L, 5L)).toDF("id", "score")
+    val got = Robust
+      .rankNormalizePpm(df, Seq(col("score"), col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // order: (2,11) < (5,10) < (5,13) < (9,12); ppm = (rank-1)*1e6 div 3
+    assert(got === Set(
+      (11L, 1L, 0L), (10L, 2L, 333333L), (13L, 3L, 666666L), (12L, 4L, 1000000L)))
+    val one = Robust.rankNormalizePpm(Seq((1L, 7L)).toDF("id", "score"),
+      Seq(col("score"), col("id"))).collect()
+    assert(one.length === 1 && one(0).getLong(3) === 0L)
+  }
+
+  test("rankNormalizePpm: parity with a single-window reference on 2k rows, any partitioning") {
+    val rows = (0 until 2000).map(i => (i.toLong, ((i * 7919) % 997).toLong))
+    val want = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i.toLong * 1000000L / 1999L) }.toMap
+    for (p <- Seq(1, 8)) {
+      val got = Robust
+        .rankNormalizePpm(rows.toDF("id", "score").repartition(p), Seq(col("score"), col("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got === want, s"parts=$p")
+    }
+  }
 }

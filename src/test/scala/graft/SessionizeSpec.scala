@@ -153,4 +153,50 @@ class SessionizeSpec extends SparkSpec {
     val exchanges = plan.collect { case e: Exchange => e }
     assert(exchanges.length === 1, s"expected 1 exchange, plan:\n$plan")
   }
+  test("transitionCounts: hand-built streams, ppm exactness, self-transitions, lone events") {
+    // user 1: a->b->b->c (ties resolved by event_id); user 2: a->c;
+    // user 3: single event, contributes no transition
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "b"), (1L, 3L, 300L, "b"), (1L, 4L, 400L, "c"),
+      (2L, 5L, 100L, "a"), (2L, 6L, 150L, "c"),
+      (3L, 7L, 100L, "z")
+    ).toDF("user_id", "event_id", "ts", "state")
+    val got = Sessionize
+      .transitionCounts(ev, col("user_id"), col("ts"), col("event_id"), col("state"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // departures from a: b (u1), c (u2) -> 500000 ppm each; from b: b, c
+    assert(got === Set(
+      ("a", "b", 1L, 500000L), ("a", "c", 1L, 500000L),
+      ("b", "b", 1L, 500000L), ("b", "c", 1L, 500000L)))
+  }
+
+  test("transitionCounts: same-ts ties follow the tie-break; cross-user streams never mix") {
+    val ev = Seq(
+      (1L, 10L, 100L, "x"), (1L, 11L, 100L, "y"), // same ts: order by event_id
+      (2L, 12L, 100L, "y"), (2L, 13L, 100L, "x")
+    ).toDF("user_id", "event_id", "ts", "state")
+    val got = Sessionize
+      .transitionCounts(ev, col("user_id"), col("ts"), col("event_id"), col("state"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("x", "y", 1L), ("y", "x", 1L)))
+  }
+
+  test("transitionCounts: partitioning invariance and exact integer ppm on skewed fan-out") {
+    val ev = (0 until 300).map { i =>
+      (i.toLong % 5, i.toLong, i.toLong * 10, if (i % 3 == 0) "hot" else s"s${i % 7}")
+    }.toDF("user_id", "event_id", "ts", "state")
+    def run(p: Int) = Sessionize
+      .transitionCounts(ev.repartition(p), col("user_id"), col("ts"), col("event_id"), col("state"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val a = run(1)
+    assert(a === run(7) && a.nonEmpty)
+    // every prev_state's ppm values sum to <= 1e6 with the deficit < fan-out
+    val byPrev = a.groupBy(_._1)
+    byPrev.foreach { case (_, rows) =>
+      // toSeq first: mapping the SET through _._4 would dedup equal ppm
+      // values (two 500000 rows collapse to one) and break the sum
+      val ppmSum = rows.toSeq.map(_._4).sum
+      assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.size)
+    }
+  }
 }
