@@ -42,4 +42,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queue faster so late-session hot loops don't stay interpreted.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:CICompilerCount=12",
-)
+) ++ sys.env
+  .get("SPARK_GRAFT_EXTRA_JVM")
+  // dev knob for JIT-environment experiments (e.g.
+  // SPARK_GRAFT_EXTRA_JVM=-XX:TieredStopAtLevel=1 to simulate
+  // C2-compile starvation); empty in every driver invocation
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty))
+  .getOrElse(Seq.empty)
