@@ -2509,6 +2509,44 @@ object SparkEntry {
         state = col("event_type"))
       .orderBy(col("prev_state"), col("next_state"))
 
+  /** Cohort-retention surface (q34): users bucketed by first-seen epoch
+    * day, distinct active users per (cohort_day, day_offset) — the
+    * classic retention triangle, all-integer (epoch_us div 86 400s).
+    * Two user-keyed exchanges: first-seen min agg, then the join-back and
+    * the (cohort, offset) distinct count.
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val d = ev(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val cohorts = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Funnel surface (x86): signup → purchase → error over each user's
+    * first two days of events (the window keeps conversion genuinely
+    * partial: 86/41/13 users at stages 1/2/3 of 150 at sf0.01; the
+    * stage-3 branch is empty at sf0.001 and live at sf0.01 — the
+    * multi-SF sweep covers both) — see
+    * [[graft.operators.Sessionize.funnelStages]]. Positions sentinel to
+    * −1 (the nullable-BIGINT rendering rule).
+    */
+  private def x86(s: SparkSession, dir: String): DataFrame =
+    Sessionize
+      .funnelStages(
+        ev(s, dir).where(col("ts_us") < lit(1704067200000000L + 2L * 86400000000L)),
+        key = col("user_id"),
+        ts = col("ts_us"),
+        tieBreak = col("event_id"),
+        state = col("event_type"),
+        steps = Seq("signup", "purchase", "error"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy(col("user_id"))
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2663,6 +2701,8 @@ object SparkEntry {
     "x43_heavy_tokens" -> (x43 _),
     "x44_cluster_canonical" -> (x44 _),
     "q33_scd2_islands" -> (q33 _),
+    "q34_cohort_retention" -> (q34 _),
+    "x86_funnel" -> (x86 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4631,6 +4671,48 @@ object SparkEntry {
         |FROM agg ORDER BY source""".stripMargin,
     // x81: brute cosine pairs at 0.45 → recursive component closure →
     // min-id keep — the x71 oracle technique on the embedding graph.
+    // q34: first-seen day per user, then the distinct-user retention
+    // triangle; all counts BIGINT-cast (the HUGEINT lesson).
+    "q34_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+        |)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY cohort_day, day - cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // x86: the same 2-day window, per-user row_number order, and three
+    // chained min-after-previous-step aggregations; missed steps poison
+    // the rest through the NULL join, positions sentinel to -1.
+    "x86_funnel" ->
+      """WITH ex AS (
+        |  SELECT user_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS BIGINT) AS pos
+        |  FROM events WHERE epoch_us(ts) < 1704067200000000 + 2 * 86400000000
+        |), s1 AS (
+        |  SELECT user_id, min(pos) AS p1 FROM ex WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT ex.user_id, min(pos) AS p2 FROM ex JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND pos > p1 GROUP BY ex.user_id
+        |), s3 AS (
+        |  SELECT ex.user_id, min(pos) AS p3 FROM ex JOIN s2 USING (user_id)
+        |  WHERE event_type = 'error' AND pos > p2 GROUP BY ex.user_id
+        |), u AS (
+        |  SELECT DISTINCT user_id FROM ex
+        |)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p1 IS NULL THEN 0 WHEN p2 IS NULL THEN 1
+        |            WHEN p3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage,
+        |  CAST(coalesce(p1, -1) AS BIGINT) AS pos_1,
+        |  CAST(coalesce(p2, -1) AS BIGINT) AS pos_2,
+        |  CAST(coalesce(p3, -1) AS BIGINT) AS pos_3
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.storage.StorageLevel
 
 /** Gap-based sessionization of event streams: consecutive events of the
   * same key belong to one session while the inter-event gap stays within
@@ -174,6 +175,59 @@ object Sessionize {
     * with map-side partials, and the per-prev totals join back is
     * state-vocabulary-bounded — broadcastable by construction.
     */
+  /** Ordered-funnel stage assignment — the conversion-analytics verb
+    * (MATCH_RECOGNIZE's most common pattern, done with relational
+    * operators): for each key, how far through the ordered step list
+    * `steps` did its event stream get? Step i+1 counts only STRICTLY
+    * AFTER the position where step i was first satisfied (the standard
+    * funnel semantics: a purchase before the signup does not convert).
+    *
+    * Output per key: (key, stage = number of steps completed, pos_1 …
+    * pos_k) where pos_i is the 1-based position (in the key's (ts,
+    * tieBreak) order) of the event that satisfied step i, −1 once the
+    * funnel broke (positions are prefix-monotone by construction).
+    *
+    * Scale shape: ONE key-bounded row_number window (the x17/x85
+    * discipline), then per step one filtered key-keyed join + min
+    * hash-agg — k small and fixed, every exchange on the key. A missed
+    * step poisons the rest via a MaxValue sentinel, not a driver branch.
+    */
+  def funnelStages(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tieBreak: Column,
+      state: Column,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tb"))
+    val p = df
+      .select(key.as("__k"), ts.as("__t"), tieBreak.as("__tb"), state.as("__s"))
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var acc = p.select(col("__k")).distinct().withColumn("__prev", lit(0L))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val cName = s"pos_${i + 1}"
+      val mins = p
+        .where(col("__s") === lit(st))
+        .join(acc.select(col("__k"), col("__prev")), Seq("__k"))
+        .where(col("__pos") > col("__prev"))
+        .groupBy(col("__k"))
+        .agg(min(col("__pos")).as(cName))
+      acc = acc
+        .join(mins, Seq("__k"), "left")
+        .withColumn("__prev", coalesce(col(cName), lit(Long.MaxValue)))
+    }
+    val stage = steps.indices
+      .map(i => when(col(s"pos_${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    acc.select(
+      col("__k").as("key") +:
+        stage.as("stage") +:
+        steps.indices.map(i => coalesce(col(s"pos_${i + 1}"), lit(-1L)).as(s"pos_${i + 1}")): _*)
+  }
+
   def transitionCounts(
       df: DataFrame,
       key: Column,

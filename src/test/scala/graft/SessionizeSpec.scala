@@ -153,6 +153,45 @@ class SessionizeSpec extends SparkSpec {
     val exchanges = plan.collect { case e: Exchange => e }
     assert(exchanges.length === 1, s"expected 1 exchange, plan:\n$plan")
   }
+  test("funnelStages: strict after-previous ordering, broken funnels poison the tail") {
+    val ev = Seq(
+      // u1 completes a→b→c in order, with decoys
+      (1L, 1L, 10L, "b"), (1L, 2L, 20L, "a"), (1L, 3L, 30L, "b"), (1L, 4L, 40L, "c"),
+      // u2: c before b — stage stops at a, then b, c never after b? b at 30, c at 25 → stage 2
+      (2L, 5L, 10L, "a"), (2L, 6L, 25L, "c"), (2L, 7L, 30L, "b"),
+      // u3: never does a → stage 0 even with b and c present
+      (3L, 8L, 10L, "b"), (3L, 9L, 20L, "c"),
+      // u4: a only
+      (4L, 10L, 10L, "a")
+    ).toDF("user_id", "event_id", "ts", "state")
+    val got = Sessionize
+      .funnelStages(ev, col("user_id"), col("ts"), col("event_id"), col("state"),
+        steps = Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 3L, 4L),   // a at pos2 (pos1 is the decoy b), b at pos3, c at pos4
+      (2L, 2L, 1L, 3L, -1L),  // c at pos2 precedes b — no c AFTER b
+      (3L, 0L, -1L, -1L, -1L),
+      (4L, 1L, 1L, -1L, -1L)))
+  }
+
+  test("funnelStages: same-ts tie-break and partitioning invariance") {
+    // a and b share ts 10: event_id puts a first, so b at the same ts converts
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 10L, "b"),
+      (2L, 3L, 10L, "b"), (2L, 4L, 10L, "a") // reversed ids: b precedes a → stage 1
+    ).toDF("user_id", "event_id", "ts", "state")
+    def run(p: Int) = Sessionize
+      .funnelStages(ev.repartition(p), col("user_id"), col("ts"), col("event_id"), col("state"),
+        steps = Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(1)
+    assert(a === run(7))
+    assert(a === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("transitionCounts: hand-built streams, ppm exactness, self-transitions, lone events") {
     // user 1: a->b->b->c (ties resolved by event_id); user 2: a->c;
     // user 3: single event, contributes no transition
