@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-import org.apache.spark.storage.StorageLevel
 
 /** Gap-based sessionization of event streams: consecutive events of the
   * same key belong to one session while the inter-event gap stays within
@@ -159,22 +158,6 @@ object Sessionize {
   private[graft] def decimalSum(valueCol: Column): Column =
     sum(valueCol.cast(DecimalType(18, 2))).cast(DoubleType)
 
-  /** First-order transition matrix over each key's time-ordered event
-    * stream — the user-journey / Markov-chain summary sessionization's
-    * island view doesn't give: for every ordered state pair, how many
-    * times did `prev → next` occur, and what fraction of departures from
-    * `prev` does that represent (integer ppm, the engine's exact-replay
-    * convention). The classic uses: funnel analysis, anomalous-sequence
-    * screens, and the transition prior behind next-event prediction.
-    *
-    * (`ts`, `tieBreak`) must totalize order within a key, same contract
-    * as [[withSessionIds]]. Self-transitions count like any other.
-    *
-    * Scale shape: ONE key-bounded lag window (partition = the key, the
-    * x17 discipline — never a global order), one (prev, next) hash agg
-    * with map-side partials, and the per-prev totals join back is
-    * state-vocabulary-bounded — broadcastable by construction.
-    */
   /** Ordered-funnel stage assignment — the conversion-analytics verb
     * (MATCH_RECOGNIZE's most common pattern, done with relational
     * operators): for each key, how far through the ordered step list
@@ -202,10 +185,17 @@ object Sessionize {
   ): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tb"))
+    // localCheckpoint, NOT persist: the positioned frame appears ~2k+1
+    // times in the final plan (once per step join plus the key universe),
+    // and as a cached-but-live subtree every occurrence re-enters Catalyst
+    // canonicalization/optimization — measured ~50 driver-CPU-seconds at
+    // sf0.1 inside a session with a large plan cache. As an eager
+    // checkpoint it is a LEAF: the step chain optimizes in milliseconds
+    // and the blocks are GC-reclaimed when unreferenced.
     val p = df
       .select(key.as("__k"), ts.as("__t"), tieBreak.as("__tb"), state.as("__s"))
       .withColumn("__pos", row_number().over(w).cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var acc = p.select(col("__k")).distinct().withColumn("__prev", lit(0L))
     steps.zipWithIndex.foreach { case (st, i) =>
       val cName = s"pos_${i + 1}"
@@ -228,6 +218,22 @@ object Sessionize {
         steps.indices.map(i => coalesce(col(s"pos_${i + 1}"), lit(-1L)).as(s"pos_${i + 1}")): _*)
   }
 
+  /** First-order transition matrix over each key's time-ordered event
+    * stream — the user-journey / Markov-chain summary sessionization's
+    * island view doesn't give: for every ordered state pair, how many
+    * times did `prev → next` occur, and what fraction of departures from
+    * `prev` does that represent (integer ppm, the engine's exact-replay
+    * convention). The classic uses: funnel analysis, anomalous-sequence
+    * screens, and the transition prior behind next-event prediction.
+    *
+    * (`ts`, `tieBreak`) must totalize order within a key, same contract
+    * as [[withSessionIds]]. Self-transitions count like any other.
+    *
+    * Scale shape: ONE key-bounded lag window (partition = the key, the
+    * x17 discipline — never a global order), one (prev, next) hash agg
+    * with map-side partials, and the per-prev totals join back is
+    * state-vocabulary-bounded — broadcastable by construction.
+    */
   def transitionCounts(
       df: DataFrame,
       key: Column,
