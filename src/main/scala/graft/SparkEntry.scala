@@ -2547,6 +2547,22 @@ object SparkEntry {
       .withColumnRenamed("key", "user_id")
       .orderBy(col("user_id"))
 
+  /** kNN-graph surface (x87): every embedding's exact top-3 cosine
+    * neighbors among all others — the corpus-wired-to-itself verb behind
+    * graph-ANN indexes and neighborhood propagation; see
+    * [[graft.operators.Similarity.knnGraphExact]] (the brute-force
+    * baseline the LSH-blocked [[graft.operators.Similarity.knnGraphLsh]]
+    * is spec-measured against). Ties (score desc, neighbor asc) make the
+    * full (query, rank) table deterministic for the oracle's
+    * row_number replay.
+    */
+  private def x87(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .knnGraphExact(t(s, dir, "embeddings"), k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2703,6 +2719,7 @@ object SparkEntry {
     "q33_scd2_islands" -> (q33 _),
     "q34_cohort_retention" -> (q34 _),
     "x86_funnel" -> (x86 _),
+    "x87_knn_graph" -> (x87 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4713,6 +4730,21 @@ object SparkEntry {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+    // x87: per-node exact top-3 by (score desc, neighbor asc) over the
+    // full a<>b cosine matrix.
+    "x87_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM s) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -61,6 +61,72 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank")
       )
 
+  /** Exact k-nearest-neighbor GRAPH: every vector's top-k cosine
+    * neighbors among all OTHER vectors — the kNN-graph construction verb
+    * (the substrate of graph-based ANN indexes, SemDeDup-style cluster
+    * refinement, and label-propagation over embedding neighborhoods; the
+    * query-set→corpus search x09 answers "find my matches", this answers
+    * "wire the corpus to itself"). Exact all-pairs scoring with the a≠b
+    * self-pair cut — the correctness baseline [[knnGraphLsh]] is
+    * spec-measured against, same brute-force-exemption posture as x09.
+    */
+  def knnGraphExact(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = Dedup.spread(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
+    val scored = c
+      .join(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** LSH-blocked kNN graph — the 100 TB path for [[knnGraphExact]]:
+    * candidates are co-bucketed pairs under `tables` independent sign-RP
+    * tables (one [[graft.functions.RpBuckets]] evaluation per vector, the
+    * x10/x11 machinery), scored with the exact codegen'd cosine and
+    * reduced per node by the TopKByScore partial-top-k aggregate — so
+    * precision is exact and only recall is probabilistic, with the same
+    * (1−(1−θ/π)^b)^L miss bound as [[lshTopK]]. Candidate volume per node
+    * ≈ L·n/2^b (bounded buckets) instead of n; grow `bitsPerTable` with
+    * the corpus, `tables` for recall (SimilaritySpec pins a measured
+    * recall floor against the exact graph on the real corpus).
+    */
+  def knnGraphLsh(
+      emb: DataFrame,
+      k: Int,
+      tables: Int = 24,
+      bitsPerTable: Int = 2,
+      seed: Int = 42,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = base
+      .select(
+        col("id"),
+        posexplode(GraftFunctions.rpBuckets(col("vec"), tables, bitsPerTable, seed))
+          .as(Seq("table_id", "bucket")))
+    val candidates = bucketed
+      .select(col("id").as("query_id"), col("table_id"), col("bucket"))
+      .join(
+        bucketed.select(col("id").as("neighbor_id"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = candidates
+      .join(base.select(col("id").as("query_id"), col("vec").as("q_vec")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("c_vec")), "neighbor_id")
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Sign-random-projection bucket id: `numPlanes` deterministic
     * pseudo-random hyperplanes; bit p of the bucket = sign of dot(v, h_p).
     * Plane components are XXH64-derived and mapped to [-1, 1] — seed-stable

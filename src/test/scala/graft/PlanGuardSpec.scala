@@ -58,7 +58,7 @@ class PlanGuardSpec extends SparkSpec {
     // x09/x11/x41 brute-force paths legitimately cross the (tiny,
     // broadcast) query side against the corpus — that IS the documented
     // algorithm (x41 is x09's shape over dequantized SQ8 codes).
-    val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk")
+    val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk", "x87_knn_graph")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>
