@@ -2266,9 +2266,17 @@ object SparkEntry {
     * build and the timed runs measure what a production delivery pays
     * (the first `runs` entry of a no-warmup run shows build+classify;
     * disclosed here and in SURVEY §8.2). Verify builds it exactly once.
+    *
+    * SINGLE slot keyed by (session REFERENCE, dir), not a growing map
+    * keyed by an identity hash: `eq` on the live session object cannot
+    * collide across a stopped and a new session (an identity HASH can —
+    * and would serve a dead session's persisted frames), and replacing
+    * the one slot on any key change drops the old index's frame
+    * references for the ContextCleaner instead of pinning one entry per
+    * (session, dir) forever.
     */
-  private val nearDupIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Dedup.NearDupIndex]
+  private val nearDupIdxSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Dedup.NearDupIndex)]
 
   /** Amortized incremental-ingest surface: the same delivery, index,
     * parameters, and output contract as x67, but against the one-time
@@ -2287,11 +2295,15 @@ object SparkEntry {
     val batch = docs.where(col("doc_id") >= 250)
       .unionAll(docs.where(col("doc_id") < 20)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val idx = nearDupIdxCache.computeIfAbsent(
-      (System.identityHashCode(s), dir),
-      _ =>
-        Dedup.buildNearDupIndex(
-          docs.where(col("doc_id") < 250), n = 3, threshold = 0.5))
+    val cur = nearDupIdxSlot.get()
+    val idx =
+      if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
+      else {
+        val built = Dedup.buildNearDupIndex(
+          docs.where(col("doc_id") < 250), n = 3, threshold = 0.5)
+        nearDupIdxSlot.set((s, dir, built))
+        built
+      }
     Dedup
       .incrementalClassifyIndexed(batch, idx)
       .orderBy(col("doc_id"))
@@ -2308,8 +2320,13 @@ object SparkEntry {
     * list_intersect over the same corpus.
     */
   private def x76(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir).select(col("doc_id"), col("text"))
-    val excerpts = docs
+    // plain scan for the miner input — containmentPairs spreads
+    // internally (withShingles), so a dts() here would shuffle the full
+    // text corpus twice back-to-back; only the excerpt DERIVATION (which
+    // tokenizes on the scan side) takes the spread frame
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val excerpts = dts(s, dir)
+      .select(col("doc_id"), col("text"))
       .where(size(TextAnalysis.tokens(col("text"))) >= 24)
       .select(
         (col("doc_id") + 20000).as("doc_id"),
@@ -4670,8 +4687,12 @@ object SparkEntry {
         |), mreg AS (
         |  SELECT source, j, max(rho) AS mj FROM br GROUP BY source, j
         |), grid AS (
+        |  -- source domain from gr, NOT documents: a source whose every doc
+        |  -- tokenizes below 3 tokens never forms a group on the Spark side
+        |  -- (explode of empty shingle arrays drops the rows), so it must
+        |  -- not materialize an all-zero register row here either
         |  SELECT s.source, g.j, coalesce(mreg.mj, 0) AS mj
-        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  FROM (SELECT DISTINCT source FROM gr) s
         |  CROSS JOIN (SELECT unnest(range(64)) AS j) g
         |  LEFT JOIN mreg ON mreg.source = s.source AND mreg.j = g.j
         |), rm AS (

@@ -1005,10 +1005,11 @@ object Dedup {
     val digests = reps
       .select(col("text_md5"), col("old_id").as("min_old_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val postings = withShingles(
+    val shingled = withShingles(
       reps.select(col("old_id").as(idCol), col("__text").as(textCol)),
       n, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = shingled
       .select(col(idCol).as("old_id"), explode(col("sh")).as("shingle"))
     // frozen df over distinct index texts; kept shingles get dense integer
     // sids in (df, shingle) order — the same rarest-first total order the
@@ -1045,7 +1046,14 @@ object Dedup {
           .as("sid"))
       .select(col("sid"), col("old_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // MATERIALIZE the artifact before releasing reps: persist/unpersist is
+    // bookkeeping, and an unpersist here with the four frames still lazy
+    // would mean the first delivery recomputes the full-index md5 groupBy
+    // instead of reading the cache the build paid to declare. Eager build
+    // is also the posture's point — the one-time cost belongs here.
+    digests.count(); lookup.count(); arrays.count(); prefixes.count()
     reps.unpersist()
+    shingled.unpersist()
     NearDupIndex(n, threshold, maxDf, digests, lookup, arrays, prefixes)
   }
 

@@ -105,6 +105,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    // persisted for the bucket pass + two score-side joins; referenced by
+    // the returned plan, so cleanup is the ContextCleaner's when the
+    // caller's frame goes unreferenced (the embeddingNearDupPairsLsh
+    // convention — an eager unpersist here would drop blocks the result
+    // still reads)
     val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = base
