@@ -2585,6 +2585,26 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Session-paths surface (x88): top-20 most frequent per-session
+    * event-type journeys under the x17 6-hour gap (the events table's
+    * ~10.7 h mean inter-event gap makes single-event sessions common, so
+    * path counts are genuinely repeated) — see
+    * [[graft.operators.Sessionize.sessionPaths]]. (n_sessions desc,
+    * path) is a total order (paths are distinct rows), so the LIMIT 20
+    * set is deterministic on both engines, the x38 contract.
+    */
+  private def x88(s: SparkSession, dir: String): DataFrame =
+    Sessionize
+      .sessionPaths(
+        ev(s, dir),
+        key = col("user_id"),
+        ts = col("ts_us"),
+        maxGap = 21600000000L,
+        tieBreak = col("event_id"),
+        state = col("event_type"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2742,6 +2762,7 @@ object SparkEntry {
     "q34_cohort_retention" -> (q34 _),
     "x86_funnel" -> (x86 _),
     "x87_knn_graph" -> (x87 _),
+    "x88_session_paths" -> (x88 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4771,6 +4792,27 @@ object SparkEntry {
         |              ORDER BY score DESC, neighbor_id) AS INT) AS rank
         |  FROM s) WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // x88: the x17 session CTE (lag-gap flag + running sum), then
+    // string_agg ordered within each session and a path-count top-20.
+    "x88_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |), p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

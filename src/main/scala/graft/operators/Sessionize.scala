@@ -218,6 +218,43 @@ object Sessionize {
         steps.indices.map(i => coalesce(col(s"pos_${i + 1}"), lit(-1L)).as(s"pos_${i + 1}")): _*)
   }
 
+  /** Per-session event-type PATHS — the "top user journeys" verb product
+    * analytics builds on sessionization (and the whole-sequence
+    * complement of [[transitionCounts]]' first-order view): each
+    * (key, session) renders its events, in (ts, tieBreak) order, as a
+    * `'>'`-joined state string, and identical paths are counted
+    * corpus-wide. Downstream `orderBy(count desc, path).limit(k)` plans
+    * as TakeOrderedAndProject — the x38 top-k discipline.
+    *
+    * Scale shape: sessions come from [[withSessionIds]]' single keyed
+    * exchange; the path render is one per-(key, session) hash agg whose
+    * collect_list is SESSION-bounded (the same bound the session
+    * aggregation itself carries), then one path-keyed count agg with
+    * map-side partials. Path strings are bounded by session length —
+    * callers with pathological sessions cap upstream (the Sessionize
+    * skew note applies).
+    */
+  def sessionPaths(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      maxGap: Long,
+      tieBreak: Column,
+      state: Column
+  ): DataFrame =
+    withSessionIds(
+      events.select(key.as("__k"), ts.as("__t"), tieBreak.as("__tb"), state.as("__s")),
+      col("__k"), col("__t"), maxGap, col("__tb"))
+      .groupBy(col("__k"), col("session_idx"))
+      .agg(
+        concat_ws(
+          ">",
+          transform(
+            sort_array(collect_list(struct(col("__t"), col("__tb"), col("__s")))),
+            e => e.getField("__s"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+
   /** First-order transition matrix over each key's time-ordered event
     * stream — the user-journey / Markov-chain summary sessionization's
     * island view doesn't give: for every ordered state pair, how many

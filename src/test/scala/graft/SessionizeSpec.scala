@@ -192,6 +192,27 @@ class SessionizeSpec extends SparkSpec {
     assert(a === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("sessionPaths: gap splitting, within-session order, identical paths counted corpus-wide") {
+    // user 1: [a,b] then (gap) [a,b]; user 2: [a,b]; user 3: [b,a]
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 150L, "b"),
+      (1L, 3L, 900L, "a"), (1L, 4L, 950L, "b"),
+      (2L, 5L, 100L, "a"), (2L, 6L, 150L, "b"),
+      (3L, 7L, 100L, "b"), (3L, 8L, 150L, "a")
+    ).toDF("user_id", "event_id", "ts", "state")
+    val got = Sessionize
+      .sessionPaths(ev, col("user_id"), col("ts"), maxGap = 200L,
+        tieBreak = col("event_id"), state = col("state"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a>b" -> 3L, "b>a" -> 1L))
+    // same-ts ties follow the tie-break
+    val tie = Seq((9L, 1L, 100L, "x"), (9L, 2L, 100L, "y")).toDF("user_id", "event_id", "ts", "state")
+    val tGot = Sessionize
+      .sessionPaths(tie, col("user_id"), col("ts"), 200L, col("event_id"), col("state"))
+      .collect().map(r => r.getString(0)).toSeq
+    assert(tGot === Seq("x>y"))
+  }
+
   test("transitionCounts: hand-built streams, ppm exactness, self-transitions, lone events") {
     // user 1: a->b->b->c (ties resolved by event_id); user 2: a->c;
     // user 3: single event, contributes no transition
