@@ -2605,6 +2605,38 @@ object SparkEntry {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)
 
+  /** AVI frame-sampling surface (x89): every 2nd movi frame's
+    * position-weighted payload checksum from genuine multi-frame RIFF
+    * files ([[graft.functions.BuildAviFrames]] — one '00dc' chunk per
+    * frame, payload byte i of frame f = (w·31+h·17+f·7+i·13) mod 256) —
+    * the x34 video-frame-sampling verb on the second container, via
+    * [[graft.functions.AviFrameChecksums]]' real chunk walk. The oracle
+    * recomputes each sampled checksum from (w, h, f) alone, so a match
+    * proves the movi walk ran. Decode repartitioned off the scan (the
+    * x34 rule).
+    */
+  private def x89(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 7 === 1)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        posexplode(
+          GraftFunctions.aviFrameChecksums(
+            GraftFunctions.buildAviFrames(
+              (lit(8) + col("doc_id") % 23).cast("int"),
+              (lit(8) + col("doc_id") % 19).cast("int"),
+              (lit(2) + col("doc_id") % 9).cast("int")),
+            lit(2))).as(Seq("pos", "checksum")))
+      .select(
+        col("doc_id"),
+        (col("pos") * 2).cast("int").as("frame_idx"),
+        col("checksum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2763,6 +2795,7 @@ object SparkEntry {
     "x86_funnel" -> (x86 _),
     "x87_knn_graph" -> (x87 _),
     "x88_session_paths" -> (x88 _),
+    "x89_avi_frames" -> (x89 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4813,6 +4846,21 @@ object SparkEntry {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // x89: sampled-frame checksums recomputed from the (w, h, f) closed
+    // form - RIFF walk arithmetic cannot be faked by metadata alone.
+    "x89_avi_frames" ->
+      """WITH par AS (
+        |  SELECT doc_id, 8 + doc_id % 23 AS w, 8 + doc_id % 19 AS h,
+        |         2 + doc_id % 9 AS nf
+        |  FROM documents WHERE doc_id % 7 = 1
+        |), fr AS (
+        |  SELECT doc_id, w, h, unnest(range(nf)) AS f FROM par
+        |)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(list_sum([((w*31 + h*17 + f*7 + i*13) % 256) * (i + 1)
+        |                 for i in range(0, 24)]) AS BIGINT) AS checksum
+        |FROM fr WHERE f % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Real metadata walks for the two non-image container formats that
@@ -370,6 +371,150 @@ case class BuildMp4(wExpr: Expression, hExpr: Expression, durExpr: Expression)
   * parser accepts the file); frame payloads are 8 deterministic bytes
   * (metadata scope — no codec).
   */
+/** [[BuildAvi]]'s multi-frame twin: the same genuine RIFF/hdrl/strl
+  * structure, but the movi list carries one '00dc' chunk PER FRAME with a
+  * 24-byte deterministic payload — frame f's byte i is
+  * `(w·31 + h·17 + f·7 + i·13) mod 256` — so a frame-sampling decoder's
+  * per-frame checksums are a closed form of (w, h, f) alone and an
+  * oracle can recompute every sampled frame without touching bytes
+  * (the BuildAnimGif contract on the AVI container). BuildAvi itself is
+  * left untouched as the x69 metadata fixture.
+  */
+case class BuildAviFrames(wExpr: Expression, hExpr: Expression, framesExpr: Expression)
+    extends TernaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = wExpr
+  override def second: Expression = hExpr
+  override def third: Expression = framesExpr
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(wAny: Any, hAny: Any, fAny: Any): Any = {
+    val w = wAny.asInstanceOf[Int]
+    val h = hAny.asInstanceOf[Int]
+    val frames = fAny.asInstanceOf[Int]
+    require(w > 0 && w <= 65535 && h > 0 && h <= 65535, s"bad avi dims ${w}x$h")
+    require(frames > 0 && frames <= 4096, s"bad avi frame count $frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def ascii(s: String): Unit = s.foreach(c => out.write(c.toInt))
+
+    val moviSize = 4 + frames * (8 + 24) // 'movi' + per-frame (hdr + payload)
+    val riffSize = 4 + (8 + 192) + (8 + moviSize)
+    ascii("RIFF"); le32(riffSize.toLong); ascii("AVI ")
+    ascii("LIST"); le32(192); ascii("hdrl")
+    ascii("avih"); le32(56)
+    le32(40000) // 25 fps
+    le32(0); le32(0); le32(0)
+    le32(frames.toLong)
+    le32(0); le32(1); le32(0)
+    le32(w.toLong); le32(h.toLong)
+    le32(0); le32(0); le32(0); le32(0)
+    ascii("LIST"); le32(116); ascii("strl")
+    ascii("strh"); le32(56)
+    ascii("vids"); ascii("DIB ")
+    le32(0); le16(0); le16(0); le32(0)
+    le32(1); le32(25); le32(0)
+    le32(frames.toLong)
+    le32(0); le32(0); le32(0)
+    le16(0); le16(0); le16(w); le16(h)
+    ascii("strf"); le32(40)
+    le32(40); le32(w.toLong); le32(h.toLong)
+    le16(1); le16(24)
+    le32(0); le32(w.toLong * h * 3)
+    le32(0); le32(0); le32(0); le32(0)
+    ascii("LIST"); le32(moviSize.toLong); ascii("movi")
+    var f = 0
+    while (f < frames) {
+      ascii("00dc"); le32(24)
+      var i = 0
+      while (i < 24) { out.write((w * 31 + h * 17 + f * 7 + i * 13) & 0xff); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(wExpr = f, hExpr = s, framesExpr = t)
+}
+
+/** AVI frame SAMPLING — the x34 video-frame-sampling verb on the RIFF
+  * container ([[GifFrameHashes]]' sibling): walk the movi list's
+  * '00dc'/'00db' chunks and, for every `stride`-th frame, emit the
+  * payload checksum Σ byte_i·(i+1) (position-weighted so byte
+  * transpositions change it; exact BIGINT, oracle-replayable). Returns
+  * the sampled checksums in frame order — frame index of element p is
+  * p·stride by construction. NULL on anything corrupt (bad magic, no
+  * movi, truncated chunk), never a throw; bounded by a 4096-chunk cap.
+  */
+case class AviFrameChecksums(child: Expression, strideExpr: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = strideExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any, sAny: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val stride = sAny.asInstanceOf[Int]
+    if (stride < 1) return null
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)), "US-ASCII")
+    try {
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+      val end = math.min(b.length.toLong, 8L + le32(4))
+      // top-level walk to LIST 'movi'
+      var off = 12L
+      var moviOff = -1L
+      var moviEnd = -1L
+      while (moviOff < 0 && off + 8 <= end) {
+        val id = fourcc(off.toInt)
+        val size = le32(off.toInt + 4)
+        if (id == "LIST" && off + 12 <= end && fourcc(off.toInt + 8) == "movi") {
+          moviOff = off + 12
+          moviEnd = math.min(end, off + 8 + size)
+        }
+        off += 8 + size + (size & 1) // RIFF chunks pad to even
+      }
+      if (moviOff < 0) return null
+      val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var p = moviOff
+      var frame = 0
+      while (p + 8 <= moviEnd && frame < 4096) {
+        val id = fourcc(p.toInt)
+        val size = le32(p.toInt + 4)
+        if (p + 8 + size > moviEnd) return null // truncated chunk
+        if (id == "00dc" || id == "00db") {
+          if (frame % stride == 0) {
+            var s = 0L
+            var i = 0
+            while (i < size) { s += (b((p + 8 + i).toInt) & 0xffL) * (i + 1); i += 1 }
+            sums += s
+          }
+          frame += 1
+        }
+        p += 8 + size + (size & 1)
+      }
+      if (sums.isEmpty) null else new GenericArrayData(sums.toArray)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, strideExpr = r)
+}
+
 case class BuildAvi(wExpr: Expression, hExpr: Expression, framesExpr: Expression)
     extends TernaryExpression
     with CodegenFallback {

@@ -105,6 +105,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "build_avi", exprs => BuildAvi(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_avi_frames",
+      exprs => BuildAviFrames(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "avi_frame_checksums",
+      exprs => AviFrameChecksums(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -327,6 +333,18 @@ object GraftFunctions {
     */
   def buildMp3Vbr(id: Column, frames: Column, tagBytes: Column): Column =
     call_function("build_mp3_vbr", id, frames, tagBytes)
+
+  /** Multi-frame AVI fixture with per-frame deterministic payloads (see
+    * BuildAviFrames).
+    */
+  def buildAviFrames(w: Column, h: Column, frames: Column): Column =
+    call_function("build_avi_frames", w, h, frames)
+
+  /** Every stride-th movi frame's position-weighted payload checksum
+    * (see AviFrameChecksums).
+    */
+  def aviFrameChecksums(bytes: Column, stride: Column): Column =
+    call_function("avi_frame_checksums", bytes, stride)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =

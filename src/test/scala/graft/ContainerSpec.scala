@@ -135,6 +135,48 @@ class ContainerSpec extends SparkSpec {
     assert(r.getInt(5) === 12 * 417 * 8 / 128)
   }
 
+  private def aviFramesBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    GraftFunctions.register(spark)
+    spark.sql(s"SELECT build_avi_frames($w, $h, $frames) AS b").collect()(0).getAs[Array[Byte]](0)
+  }
+
+  private def aviChecksums(bytes: Array[Byte], stride: Int): Option[Seq[Long]] = {
+    GraftFunctions.register(spark)
+    val r = Seq(Tuple1(bytes)).toDF("b")
+      .select(GraftFunctions.aviFrameChecksums(col("b"), lit(stride)).as("c"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+  }
+
+  private def aviRefSum(w: Int, h: Int, f: Int): Long =
+    (0 until 24).map(i => ((w * 31 + h * 17 + f * 7 + i * 13) & 0xff).toLong * (i + 1)).sum
+
+  test("avi frame sampling: every stride-th checksum matches the closed form") {
+    for ((w, h, n, st) <- Seq((9, 11, 7, 2), (16, 8, 5, 1), (20, 30, 10, 3))) {
+      val got = aviChecksums(aviFramesBytes(w, h, n), st)
+      val want = (0 until n).filter(_ % st == 0).map(f => aviRefSum(w, h, f))
+      assert(got === Some(want), s"w=$w h=$h n=$n stride=$st")
+    }
+  }
+
+  test("avi frame sampling: corrupt inputs NULL, never throw; metadata walk unaffected") {
+    val good = aviFramesBytes(10, 10, 4)
+    // the same bytes still decode their avih metadata (frames · 40 ms):
+    // the multi-frame fixture is a valid x69-grade container too
+    val m = metaOf(good)
+    assert(m.getString(0) === "avi")
+    assert(m.getInt(1) === 10 && m.getInt(2) === 10 && m.getInt(5) === 160)
+    // truncated mid-chunk → NULL
+    assert(aviChecksums(good.take(good.length - 10), 2) === None)
+    // bad magic → NULL
+    val bad = good.clone(); bad(0) = 'X'
+    assert(aviChecksums(bad, 2) === None)
+    // nonsense stride → NULL
+    assert(aviChecksums(good, 0) === None)
+    // random bytes → NULL
+    assert(aviChecksums(Array.tabulate[Byte](64)(i => (i * 3).toByte), 2) === None)
+  }
+
   test("existing formats are unaffected by the new fallback probes") {
     // a WAV still decodes as wav (RIFF wins before the MP3 probe)
     GraftFunctions.register(spark)
