@@ -30,7 +30,14 @@ import org.apache.spark.sql.SparkSession
   *     cold; cpu inflated with jit ≈ 0 means the code ran interpreted or
   *     genuinely slower;
   *   - `gc`:    GC-time delta per run (sum over GarbageCollectorMXBeans)
-  *     — attributes memory-pressure stalls.
+  *     — attributes memory-pressure stalls;
+  *   - `host`/`steal`: whole-host busy and steal CPU seconds per run from
+  *     `/proc/stat` deltas — the layer the JVM beans can't see. wall ≫
+  *     cpu with steal high = the hypervisor robbed the guest; steal ≈ 0
+  *     with host ≫ cpu = another process on the host ate the cores;
+  *   - `warm_ok`: whether the untimed warm-up pass succeeded — when it
+  *     fails, the timed runs are SKIPPED (one failing execution per
+  *     broken query, not four) and the query reports -1.
   * So an inflated official run is attributable to steal/JIT/GC from the
   * artifact alone, with no access to the host.
   *
@@ -65,8 +72,30 @@ object Bench {
     s
   }
 
-  /** One run's evidence: wall s, process-cpu s, jit-compile s, gc s. */
-  private case class Run(wall: Double, cpu: Double, jit: Double, gc: Double)
+  /** Whole-host CPU seconds from `/proc/stat`'s aggregate "cpu" line —
+    * (busy, steal, iowait) at USER_HZ = 100. The JVM beans above can't see
+    * scheduler steal (the hypervisor takes it from OUTSIDE the guest), so
+    * this is the attribution layer beneath cpu/jit/gc: a run whose wall ≫
+    * cpu with a large steal delta was robbed by the host, one with a small
+    * steal delta was genuinely waiting. (0,0,0) if procfs is unavailable.
+    */
+  private def hostTicks: (Double, Double, Double) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val p = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // fields: user nice system idle iowait irq softirq steal ...
+        val busy = p(0) + p(1) + p(2) +
+          p.lift(5).getOrElse(0L) + p.lift(6).getOrElse(0L)
+        (busy / 100.0, p.lift(7).getOrElse(0L) / 100.0, p.lift(4).getOrElse(0L) / 100.0)
+      } finally src.close()
+    } catch { case _: Throwable => (0.0, 0.0, 0.0) }
+
+  /** One run's evidence: wall s, process-cpu s, jit-compile s, gc s,
+    * whole-host busy s and steal s over the run's wall window. */
+  private case class Run(
+      wall: Double, cpu: Double, jit: Double, gc: Double,
+      hostBusy: Double, steal: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,45 +114,52 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = Run(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       val g0 = gcMs; val j0 = jitMs
+      val (hb0, st0, _) = hostTicks
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Run(
-          (System.nanoTime() - t0) / 1e9,
-          (osBean.getProcessCpuTime - c0) / 1e9,
-          (jitMs - j0) / 1e3,
-          (gcMs - g0) / 1e3)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        val (hb1, st1, _) = hostTicks
+        Run(wall, cpu, (jitMs - j0) / 1e3, (gcMs - g0) / 1e3, hb1 - hb0, st1 - st0)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Run(-1.0, 0.0, 0.0, 0.0)
+          failed
       }
     }
     val results = qs.map { case (name, fn) =>
-      if (warmup) { timed(name, fn); () }
-      val samples = (1 to 3).map(_ => timed(name, fn))
+      // a failing warm-up skips the timed runs: a broken query pays ONE
+      // failing execution, not four, and warm_ok in the detail attributes
+      // the failure to the warm-up pass instead of an unexplained stderr line
+      val warmOk = !warmup || timed(name, fn).wall >= 0
+      val samples = if (warmOk) (1 to 3).map(_ => timed(name, fn)) else Seq(failed)
       val ok = samples.forall(_.wall >= 0)
-      val best = if (ok) samples.minBy(_.wall) else Run(-1.0, 0.0, 0.0, 0.0)
-      (name, best, samples)
+      val best = if (ok) samples.minBy(_.wall) else failed
+      (name, best, samples, warmOk)
     }
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def arr(xs: Seq[Double]): String = xs.map(f).mkString("[", ",", "]")
     val queriesJson = results
-      .map { case (k, best, _) => "\"" + k + "\":" + f(best.wall) }
+      .map { case (k, best, _, _) => "\"" + k + "\":" + f(best.wall) }
       .mkString("{", ",", "}")
     val detailJson = results
-      .map { case (k, best, runs) =>
+      .map { case (k, best, runs, warmOk) =>
         "\"" + k + "\":{\"runs\":" + arr(runs.map(_.wall)) +
           ",\"cpu\":" + f(best.cpu) +
           ",\"cpus\":" + arr(runs.map(_.cpu)) +
           ",\"jit\":" + arr(runs.map(_.jit)) +
-          ",\"gc\":" + arr(runs.map(_.gc)) + "}"
+          ",\"gc\":" + arr(runs.map(_.gc)) +
+          ",\"host\":" + arr(runs.map(_.hostBusy)) +
+          ",\"steal\":" + arr(runs.map(_.steal)) +
+          ",\"warm_ok\":" + warmOk + "}"
       }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, best, _) if best.wall >= 0 => best.wall }.sum
+    val total = results.collect { case (_, best, _, _) if best.wall >= 0 => best.wall }.sum
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"warmup":$warmup,"sf":"$sfDir"}"""
     // durable full artifact: all queries + per-run samples + cpu/jit/gc
@@ -144,7 +180,7 @@ object Bench {
       "x14_neardup_clusters", "x17_sessionize", "x22_tfidf",
       "x31_substring_dedup", "x42_token_shards", "x46_pagerank")
     val headQueries = results
-      .collect { case (k, best, _) if headline(k) => "\"" + k + "\":" + f(best.wall) }
+      .collect { case (k, best, _, _) if headline(k) => "\"" + k + "\":" + f(best.wall) }
       .mkString("{", ",", "}")
     val nOk = results.count(_._2.wall >= 0)
     // stop() BEFORE the metric print: nothing (even a stray executor log, if

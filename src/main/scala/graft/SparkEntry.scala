@@ -2275,10 +2275,11 @@ object SparkEntry {
     * SINGLE slot keyed by (session REFERENCE, dir), not a growing map
     * keyed by an identity hash: `eq` on the live session object cannot
     * collide across a stopped and a new session (an identity HASH can —
-    * and would serve a dead session's persisted frames), and replacing
-    * the one slot on any key change drops the old index's frame
-    * references for the ContextCleaner instead of pinning one entry per
-    * (session, dir) forever.
+    * and would serve a dead session's persisted frames), and replacement
+    * is a compare-and-set that explicitly `unpersistAll()`s the losing
+    * index's four frames — concurrent first invocations can't clobber
+    * each other's slot or leak cached partitions until the
+    * ContextCleaner gets around to them.
     */
   private val nearDupIdxSlot =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Dedup.NearDupIndex)]
@@ -2304,10 +2305,22 @@ object SparkEntry {
     val idx =
       if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
       else {
+        // CAS so concurrent first invocations build at most one winning
+        // index: the loser unpersists ITS frames immediately and serves
+        // the winner's; a stale replaced entry is unpersisted by the
+        // winner (it can't still be racing — its key differs).
         val built = Dedup.buildNearDupIndex(
           docs.where(col("doc_id") < 250), n = 3, threshold = 0.5)
-        nearDupIdxSlot.set((s, dir, built))
-        built
+        if (nearDupIdxSlot.compareAndSet(cur, (s, dir, built))) {
+          if (cur != null) cur._3.unpersistAll()
+          built
+        } else {
+          val winner = nearDupIdxSlot.get()
+          if (winner != null && (winner._1 eq s) && winner._2 == dir) {
+            built.unpersistAll()
+            winner._3
+          } else built // keys differ: keep ours un-memoized for this run
+        }
       }
     Dedup
       .incrementalClassifyIndexed(batch, idx)

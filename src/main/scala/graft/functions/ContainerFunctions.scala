@@ -257,7 +257,11 @@ private[functions] object Mp3Codec {
       case _ => 17
     }
     val x = start + 4 + sideInfo
-    if (x + 8 <= b.length &&
+    // the Xing/Info convention exists only for Layer III (layerBits 1):
+    // the side-info offsets above are Layer-III structures, so probing a
+    // Layer I/II stream would read arbitrary audio payload where a chance
+    // 'Xing' match yields a bogus frame count — gate the probe on layer.
+    if (layerBits == 1 && x + 8 <= b.length &&
       ((b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
         (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'))) {
       val flags = ((b(x + 4) & 0xff) << 24) | ((b(x + 5) & 0xff) << 16) |
@@ -450,7 +454,9 @@ case class BuildAviFrames(wExpr: Expression, hExpr: Expression, framesExpr: Expr
   * transpositions change it; exact BIGINT, oracle-replayable). Returns
   * the sampled checksums in frame order — frame index of element p is
   * p·stride by construction. NULL on anything corrupt (bad magic, no
-  * movi, truncated chunk), never a throw; bounded by a 4096-chunk cap.
+  * movi, truncated chunk), never a throw; a well-formed movi with zero
+  * sampled frames yields an EMPTY array (valid-but-nothing ≠ corrupt);
+  * bounded by a 4096-chunk cap.
   */
 case class AviFrameChecksums(child: Expression, strideExpr: Expression)
     extends BinaryExpression
@@ -505,7 +511,10 @@ case class AviFrameChecksums(child: Expression, strideExpr: Expression)
         }
         p += 8 + size + (size & 1)
       }
-      if (sums.isEmpty) null else new GenericArrayData(sums.toArray)
+      // a well-formed movi with zero sampled dc/db chunks is NOT corrupt:
+      // an empty array distinguishes "valid but nothing to sample" from
+      // the NULL that structural damage returns
+      new GenericArrayData(sums.toArray)
     } catch {
       case _: ArrayIndexOutOfBoundsException => null
     }

@@ -971,7 +971,14 @@ object Dedup {
       lookup: DataFrame,
       arrays: DataFrame,
       prefixes: DataFrame
-  )
+  ) {
+    /** Release the four persisted frames (blocking=false): call when the
+      * index is replaced so its cached partitions don't linger until the
+      * ContextCleaner happens to collect the frame references. */
+    def unpersistAll(): Unit = {
+      digests.unpersist(); lookup.unpersist(); arrays.unpersist(); prefixes.unpersist()
+    }
+  }
 
   /** One-time index build for [[incrementalClassifyIndexed]] — hoists the
     * index-side mining that [[incrementalClassify]] re-runs per delivery
@@ -1071,9 +1078,10 @@ object Dedup {
     *      sid and count toward the set size but never the intersection
     *      (no index doc contains them — they only dilute Jaccard's
     *      denominator, exactly as the union semantics would);
-    *   3. candidates: d's prefix sids join `prefixes` — with the
-    *      delivery side broadcast this is a map-side probe of the index
-    *      postings, no index shuffle;
+    *   3. candidates: d's prefix sids join `prefixes` — the delivery
+    *      side carries an explicit `broadcast()` hint, so the probe is a
+    *      pinned map-side BroadcastHashJoin of the index postings, no
+    *      index shuffle (asserted by DedupSpec's plan check);
     *   4. verify: candidate pairs pull d's and the index's sid arrays by
     *      key and intersect — jac = common/(|A|+|B|−common), rounded 6dp,
     *      thresholded, min index id per class, fanned to class members.
@@ -1130,7 +1138,12 @@ object Dedup {
               lit(1),
               (col("sh_size") - ceil(col("sh_size") * lit(tEff) - lit(1e-9)) + 1).cast("int"))))
           .as("sid"))
-    val candidates = dPrefix
+    // The posture's precondition is delivery ≪ index, so the probe MUST
+    // be a map-side broadcast of the delivery prefix against the index
+    // postings — pinned with an explicit hint rather than left to AQE,
+    // whose silent sort-merge fallback at a 100 TB index would shuffle
+    // the whole postings frame.
+    val candidates = broadcast(dPrefix)
       .join(idx.prefixes, "sid")
       .select("new_rep", "old_id")
       .distinct()

@@ -177,6 +177,23 @@ class ContainerSpec extends SparkSpec {
     assert(aviChecksums(Array.tabulate[Byte](64)(i => (i * 3).toByte), 2) === None)
   }
 
+  test("avi frame sampling: well-formed movi with zero dc/db chunks is an EMPTY array, not NULL") {
+    // hand-build RIFF('AVI ' LIST('movi' '00tx'(4B))) — a movi whose only
+    // chunk is a text stream: structurally valid, nothing to sample. NULL
+    // is reserved for corruption; this must be Some(empty).
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def ascii(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    ascii("RIFF"); le32(4 + 12 + 12) // 'AVI ' + LIST hdr + inner chunk
+    ascii("AVI ")
+    ascii("LIST"); le32(4 + 12); ascii("movi")
+    ascii("00tx"); le32(4); le32(0xdeadbeefL)
+    assert(aviChecksums(out.toByteArray, 2) === Some(Seq.empty[Long]))
+  }
+
   test("existing formats are unaffected by the new fallback probes") {
     // a WAV still decodes as wav (RIFF wins before the MP3 probe)
     GraftFunctions.register(spark)

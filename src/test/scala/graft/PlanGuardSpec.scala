@@ -102,6 +102,32 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank<=N not pushed as WindowGroupLimit")
   }
 
+  test("x75 candidate probe is a pinned BroadcastHashJoin with the delivery prefix as build side") {
+    // incrementalClassifyIndexed's posture is delivery ≪ index: step 3
+    // MUST probe the index postings map-side with the delivery prefix
+    // broadcast. An AQE-decided sort-merge fallback would shuffle the
+    // whole 100 TB postings frame, so the hint is explicit and this test
+    // pins it: exactly one BroadcastHashJoin keyed on `sid`, BuildLeft
+    // (the broadcast(dPrefix) side).
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.operators.Dedup.buildNearDupIndex(
+      docs.where(col("doc_id") < 100), n = 3, threshold = 0.5)
+    val out = graft.operators.Dedup.incrementalClassifyIndexed(
+      docs.where(col("doc_id") >= 100), idx)
+    // simple mode keeps the join keys on the node line (formatted mode
+    // moves them to a detail section), so the sid-keyed probe is greppable
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val probes = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("sid#"))
+      .toSeq
+    assert(probes.nonEmpty, s"x75 probe lost its broadcast pin:\n$p")
+    assert(probes.forall(_.contains("BuildLeft")),
+      s"x75 probe broadcasts the wrong side (index instead of delivery): $probes")
+  }
+
   test("x44 canonical selection is pure hash aggregation — no per-cluster window/sort") {
     // the argmax ships as max(struct(score, -id)) partial aggregates; a
     // refactor to row_number()-over-cluster would buffer whole clusters in
