@@ -109,6 +109,9 @@ object Bench {
       // gives 1-3 scan tasks and serializes scan-stage compute — split
       // finer so scan stages use the full core count
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // see GraftSession: the default 100-entry codegen cache is evicted
+      // by a single CC mega-plan, re-JITing ~86 classes per rep (~3.4 s)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

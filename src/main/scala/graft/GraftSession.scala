@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // The generated-code cache defaults to 100 entries — a single
+      // pair-mining + iterative-CC mega-plan (x44/x14/x71) emits enough
+      // codegen units to evict ITSELF, so every execution re-Janinos and
+      // HotSpot re-JITs ~86 classes (~3.4 s/rep measured, ProbeJit).
+      // 4096 entries makes repeated plans cache-hit (misses drop to ~5,
+      // x44 wall 4.8 → 3.9 s); the cost is bounded driver-side class
+      // retention, negligible against a 122-query engine's footprint.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -66,20 +66,24 @@ object Cluster {
     var iters = 0
     while (!converged && iters < maxIters) {
       // push every vertex's current label across its edges, then take the
-      // min of (own label, all incoming labels) per vertex
+      // min of (own label, all incoming labels) per vertex. Own rows are
+      // tagged so the SAME aggregation also recovers the previous label
+      // (every vertex has exactly one own row; pushed ids ⊆ vertices):
+      // the convergence check is then a narrow filter-count over the
+      // checkpointed result instead of a second shuffle join per round.
       val pushed = bidir
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
       val updated = labels
+        .select(col("id"), col("comp"), lit(true).as("own"))
         .union(pushed)
         .groupBy("id")
-        .agg(min("comp").as("comp"))
+        .agg(
+          min("comp").as("comp"),
+          max(when(col("own"), col("comp"))).as("prev"))
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev"))
-        .count()
-      labels = updated
+      val changed = updated.where(col("comp") =!= col("prev")).count()
+      labels = updated.select(col("id"), col("comp"))
       converged = changed == 0
       iters += 1
     }
