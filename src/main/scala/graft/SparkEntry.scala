@@ -2650,6 +2650,40 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** HTML → text extraction surface (x90): the missing FIRST stage of a
+    * web corpus — every document's text is planted into a deterministic
+    * page ([[graft.functions.BuildHtml]]: head with script/style that
+    * contain decoy markup, a pure-link nav, a comment wrapping a ghost
+    * paragraph, the text in a content block with one inline link, a
+    * link-dense footer with entities), then recovered by
+    * [[graft.functions.HtmlExtract]]'s real single-pass walk: visible
+    * text + per-block link-density boilerplate filter (Kohlschütter et
+    * al., WSDM'10). The oracle rebuilds full_text and main_text from
+    * (doc_id, text) in closed form, so a hash match proves the walk
+    * skipped script/style/comments/head, decoded &#33;/&amp;, split
+    * blocks at block tags, and measured density per block. Map-only;
+    * extraction repartitioned off the 2-split scan (the x34 rule).
+    */
+  private def x90(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        GraftFunctions
+          .htmlExtract(GraftFunctions.buildHtml(col("doc_id"), col("text")), lit(0.5))
+          .as("x"))
+      .select(
+        col("doc_id"),
+        col("x.full_text").as("full_text"),
+        col("x.main_text").as("main_text"),
+        col("x.n_blocks").as("n_blocks"),
+        col("x.n_dropped").as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2809,6 +2843,7 @@ object SparkEntry {
     "x87_knn_graph" -> (x87 _),
     "x88_session_paths" -> (x88 _),
     "x89_avi_frames" -> (x89 _),
+    "x90_html_extract" -> (x90 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4874,6 +4909,27 @@ object SparkEntry {
         |                 for i in range(0, 24)]) AS BIGINT) AS checksum
         |FROM fr WHERE f % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // x90: expected visible/main text rebuilt from (doc_id, text) alone -
+    // the planted-page closed form (BuildHtml's scaladoc): blocks are
+    // [nav item {id} | more links here | Heading {id}! | norm(text) see
+    // ref {id} | about & terms], densities [1, 1, 0, small, >=0.5], so
+    // threshold 0.5 keeps exactly blocks 3-4. norm() collapses runs of
+    // whitespace because the extractor does (corpus text is already
+    // single-spaced; the collapse keeps the oracle SF-robust).
+    "x90_html_extract" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 3 = 1
+        |)
+        |SELECT doc_id,
+        |  'nav item ' || doc_id || ' more links here Heading ' || doc_id
+        |    || '! ' || t || ' see ref ' || doc_id || ' about & terms'
+        |    AS full_text,
+        |  'Heading ' || doc_id || '! ' || t || ' see ref ' || doc_id
+        |    AS main_text,
+        |  CAST(5 AS INT) AS n_blocks, CAST(3 AS INT) AS n_dropped
+        |FROM nrm ORDER BY doc_id""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

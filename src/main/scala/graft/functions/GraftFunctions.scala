@@ -111,6 +111,10 @@ object GraftFunctions {
       "avi_frame_checksums",
       exprs => AviFrameChecksums(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_html", exprs => BuildHtml(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "html_extract", exprs => HtmlExtract(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -345,6 +349,20 @@ object GraftFunctions {
     */
   def aviFrameChecksums(bytes: Column, stride: Column): Column =
     call_function("avi_frame_checksums", bytes, stride)
+
+  /** Deterministic HTML page planting `text` inside id-derived
+    * boilerplate (head/script/style, link-only nav, comment with markup,
+    * link-dense footer) — see BuildHtml.
+    */
+  def buildHtml(id: Column, text: Column): Column =
+    call_function("build_html", id, text)
+
+  /** Real markup walk → struct(full_text, main_text, n_blocks,
+    * n_dropped): visible-text extraction + per-block link-density
+    * boilerplate filter — see HtmlExtract.
+    */
+  def htmlExtract(html: Column, threshold: Column): Column =
+    call_function("html_extract", html, threshold)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =
