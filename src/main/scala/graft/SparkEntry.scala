@@ -2684,6 +2684,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Hash-oracled ANN surface (x91): [[graft.operators.Similarity
+    * .intLshTopK]] — x10's OR-amplified multi-table sign-LSH candidate
+    * path with the bucket assignment in exact integer arithmetic
+    * (floor-1000 quantization, hash40 planes, BIGINT dots), so the DuckDB
+    * oracle replays the ENTIRE algorithm: the 8×6×64 plane grid from md5
+    * closed form, every vector's 8 bucket ids, the shared-bucket
+    * candidate join, the 6-dp cosine, and the (score desc, id asc) top-5
+    * — a hash match certifies the LSH candidate generation itself, which
+    * x10's rows-only check and the recall-floor spec could not.
+    */
+  private def x91(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity
+      .intLshTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        k = 5,
+        tables = 8,
+        bitsPerTable = 6
+      )
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2844,6 +2868,7 @@ object SparkEntry {
     "x88_session_paths" -> (x88 _),
     "x89_avi_frames" -> (x89 _),
     "x90_html_extract" -> (x90 _),
+    "x91_int_lsh_topk" -> (x91 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4930,6 +4955,45 @@ object SparkEntry {
         |    AS main_text,
         |  CAST(5 AS INT) AS n_blocks, CAST(3 AS INT) AS n_dropped
         |FROM nrm ORDER BY doc_id""".stripMargin,
+    // x91: replay the ENTIRE integer LSH — the 8x6x64 plane grid from the
+    // md5 closed form (hash40 % 2001 - 1000), floor-1000 quantization,
+    // BIGINT sign dots, bucket bit-packing, the shared-bucket candidate
+    // join, 6-dp cosine, (score desc, id asc) top-5. A hash match
+    // certifies candidate GENERATION, not just the final ranking.
+    "x91_int_lsh_topk" ->
+      s"""WITH planes AS (
+        |  SELECT t, b, j, CAST(($kmvHexToIntSql) % 2001 AS BIGINT) - 1000 AS c
+        |  FROM (SELECT t, b, j,
+        |          substr(md5('rp:' || t || ':' || b || ':' || j), 1, 10) AS h
+        |        FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(j))
+        |), vq AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT vec_id, t, b, sum(q[j + 1] * c) AS dot
+        |  FROM vq, planes GROUP BY 1, 2, 3
+        |), buckets AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id < 10 AND cb.vec_id >= 10
+        |), s AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
+        |  FROM cand c
+        |  JOIN vq q ON q.vec_id = c.query_id
+        |  JOIN vq n ON n.vec_id = c.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

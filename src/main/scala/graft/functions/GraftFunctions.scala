@@ -111,6 +111,14 @@ object GraftFunctions {
       "avi_frame_checksums",
       exprs => AviFrameChecksums(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "int_lsh_buckets",
+      exprs =>
+        IntLshBuckets(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int],
+          exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "build_html", exprs => BuildHtml(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "html_extract", exprs => HtmlExtract(exprs(0), exprs(1)), "built-in")
@@ -378,6 +386,12 @@ object GraftFunctions {
     */
   def rpBuckets(vec: Column, tables: Int, bitsPerTable: Int, seed: Int): Column =
     call_function("rp_buckets", vec, lit(tables), lit(bitsPerTable), lit(seed))
+
+  /** Exact-integer sign-LSH buckets (hash40-derived planes, floor-1000
+    * quantization) — the oracle-replayable variant; see IntLshBuckets.
+    */
+  def intLshBuckets(vec: Column, tables: Int, bitsPerTable: Int): Column =
+    call_function("int_lsh_buckets", vec, lit(tables), lit(bitsPerTable))
 
   /** Distributed bloom-filter build over a column (binary result — Spark's
     * runtime-filter BloomFilterAggregate; values hashed with XxHash64).

@@ -207,6 +207,148 @@ object RpBuckets {
   }
 }
 
+/** Sign-LSH buckets in EXACT INTEGER arithmetic — [[RpBuckets]]' shape
+  * (one expression emits all `tables` buckets; plane matrix cached per
+  * task; codegen'd inner loop) with every quantity a BIGINT so the bucket
+  * assignment is replayable bit-for-bit by any engine, including a SQL
+  * oracle (the x40 SQ8 lesson: integer dot products have no FP-order
+  * caveats):
+  *
+  *   - vector components quantize ONCE per row to q_j =
+  *     floor(v_j · 1000) — float→double widening is exact and floor of
+  *     one IEEE multiply is correctly rounded, so q_j is identical in
+  *     every engine evaluating the same formula;
+  *   - plane component c_{t,b,j} = hash40("rp:t:b:j") mod 2001 − 1000 ∈
+  *     [−1000, 1000] — the engine-wide md5-prefix integer
+  *     ([[graft.operators.DistinctSketch.hash40Scala]]), the SAME
+  *     derivation every sketch oracle already replays in DuckDB;
+  *   - bit b of table t = [Σ_j q_j·c_{t,b,j} ≥ 0], bucket = Σ_b bit·2^b.
+  *
+  * Longs cannot overflow: |q| ≤ ~2¹¹ for unit-scale embeddings (even
+  * |v| ≤ 10⁶ keeps |q·c| ≤ 2⁴⁰ and dim ≤ 2¹² sums below 2⁵³).
+  * [[RpBuckets]] stays the throughput variant (double planes, one hash
+  * per component at build); this is the ORACLE-GRADE variant that turns
+  * the LSH candidate path itself into a hash-checkable surface (x91).
+  */
+case class IntLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
+    extends UnaryExpression {
+  require(tables >= 1, "need at least one table")
+  require(bitsPerTable >= 1 && bitsPerTable <= 30, "bucket must fit an int")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // Benign race: concurrent tasks may build the same deterministic array.
+  @transient private var cachedPlanes: Array[Long] = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fl = elemIsFloat
+    var planes = cachedPlanes
+    if (planes == null || planes.length != tables * bitsPerTable * n) {
+      planes = IntLshBuckets.buildPlanes(tables, bitsPerTable, n)
+      cachedPlanes = planes
+    }
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      q(j) = math.floor((if (fl) v.getFloat(j).toDouble else v.getDouble(j)) * 1000.0).toLong
+      j += 1
+    }
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bitsPerTable) {
+        val base = (t * bitsPerTable + b) * n
+        var dot = 0L
+        var k = 0
+        while (k < n) { dot += q(k) * planes(base + k); k += 1 }
+        if (dot >= 0L) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val planes = ctx.addMutableState("long[]", "intLshPlanes")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val q = ctx.freshName("q")
+        val t = ctx.freshName("t"); val b = ctx.freshName("b"); val j = ctx.freshName("j")
+        val bucket = ctx.freshName("bucket"); val base = ctx.freshName("base")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = $a.numElements();
+           |if ($planes == null || $planes.length != ${tables * bitsPerTable} * $n) {
+           |  $planes = graft.functions.IntLshBuckets.buildPlanes(
+           |    $tables, $bitsPerTable, $n);
+           |}
+           |long[] $q = new long[$n];
+           |for (int $j = 0; $j < $n; $j++) {
+           |  $q[$j] = (long) java.lang.Math.floor(((double) $a.$get($j)) * 1000.0);
+           |}
+           |int[] $out = new int[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  int $bucket = 0;
+           |  for (int $b = 0; $b < $bitsPerTable; $b++) {
+           |    int $base = ($t * $bitsPerTable + $b) * $n;
+           |    long $dot = 0L;
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      $dot += $q[$j] * $planes[$base + $j];
+           |    }
+           |    if ($dot >= 0L) $bucket |= (1 << $b);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      }
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IntLshBuckets {
+  /** The integer plane matrix for (tables, bits, dim), flattened as
+    * [(t·bits + b)·dim + j]: hash40("rp:t:b:j") mod 2001 − 1000. Size
+    * tables·bits·dim longs, built once per task; static forwarder for
+    * generated Java.
+    */
+  def buildPlanes(tables: Int, bitsPerTable: Int, dim: Int): Array[Long] = {
+    val out = new Array[Long](tables * bitsPerTable * dim)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bitsPerTable) {
+        val base = (t * bitsPerTable + b) * dim
+        var j = 0
+        while (j < dim) {
+          out(base + j) =
+            graft.operators.DistinctSketch.hash40Scala(s"rp:$t:$b:$j") % 2001L - 1000L
+          j += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
+}
+
 /** Dot product, same design as [[CosineSimilarity]]. Useful when vectors are
   * pre-normalized (then dot == cosine and we skip the sqrt per pair).
   */

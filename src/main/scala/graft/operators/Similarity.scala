@@ -191,6 +191,48 @@ object Similarity {
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
 
+  /** [[lshTopK]]'s ORACLE-GRADE twin: identical candidate-generation shape
+    * (OR-amplified multi-table sign-LSH, shared-bucket equi-join, exact
+    * 6-dp cosine on candidates, TopKByScore ranking) but with the bucket
+    * assignment in exact integer arithmetic
+    * ([[graft.functions.IntLshBuckets]]: floor-1000 quantization,
+    * hash40-derived planes in [−1000, 1000], BIGINT dots) so a SQL engine
+    * can replay EVERY bucket — and therefore the exact candidate set and
+    * ranking — bit-for-bit. This is what promotes the 100 TB ANN path
+    * from "recall spec-pinned" to hash-oracled (x91): a match proves the
+    * banding join found precisely the planned candidates, not merely a
+    * plausible top-k. Same scale law as lshTopK: candidates/query ≈
+    * L·n/2^b, never all-pairs.
+    */
+  def intLshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val c = Dedup
+      .spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
+      .select(
+        col("neighbor_id"),
+        col("c_vec"),
+        posexplode(GraftFunctions.intLshBuckets(col("c_vec"), tables, bitsPerTable))
+          .as(Seq("table_id", "bucket"))
+      )
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      posexplode(GraftFunctions.intLshBuckets(col(vecCol), tables, bitsPerTable))
+        .as(Seq("table_id", "bucket"))
+    )
+    val scored = c
+      .join(broadcast(q), Seq("table_id", "bucket"))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
+  }
+
   /** Int8 scalar quantization (SQ8) of an embedding column — the standard
     * 4× compression step of large-scale vector search (FAISS
     * `ScalarQuantizer`-style): per-dimension corpus (min, max) calibration,

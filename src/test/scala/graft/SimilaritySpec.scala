@@ -165,4 +165,70 @@ class SimilaritySpec extends SparkSpec {
     // true cosine and ranks are correct within the candidate set
     assert(approx.nonEmpty && approx.forall { case (a, b) => a != b })
   }
+
+  test("int-LSH buckets: exact-integer replay of planes, quantization, and bit packing") {
+    // independent Scala replay of the documented closed form — the same
+    // arithmetic the x91 DuckDB oracle runs
+    def expectedBuckets(v: Array[Float], tables: Int, bits: Int): Seq[Int] = {
+      val q = v.map(x => math.floor(x.toDouble * 1000.0).toLong)
+      (0 until tables).map { t =>
+        (0 until bits).foldLeft(0) { (acc, b) =>
+          val dot = q.indices.map { j =>
+            q(j) * (graft.operators.DistinctSketch.hash40Scala(s"rp:$t:$b:$j") % 2001L - 1000L)
+          }.sum
+          if (dot >= 0L) acc | (1 << b) else acc
+        }
+      }
+    }
+    // negative components quantize via floor (-0.0015 -> -2, not -1)
+    val vecs = Seq(
+      Array(0.25f, -0.0015f, 0.75f, -1.0f),
+      Array(0.0f, 0.0f, 0.0f, 0.0f), // all-zero: every dot is 0 >= 0 -> all bits set
+      Array(-0.5f, -0.25f, 0.125f, 0.0625f))
+    val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", GraftFunctions.intLshBuckets($"embedding", 3, 5).as("b"))
+      .orderBy($"vec_id")
+      .collect()
+      .map(_.getSeq[Int](1))
+    vecs.indices.foreach { i =>
+      assert(got(i) === expectedBuckets(vecs(i), 3, 5), s"vec $i")
+    }
+    assert(got(1).forall(_ === 31)) // zero vector: all 5 bits of every table
+  }
+
+  test("int-LSH top-k: candidates are exactly the shared-bucket pairs, scored precisely") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity
+      .intLshTopK(emb.where($"vec_id" < 10), emb.where($"vec_id" >= 10),
+        k = 5, tables = 8, bitsPerTable = 6)
+      .collect()
+    assert(out.nonEmpty)
+    // replay candidate generation independently via the expression itself
+    val buckets = emb
+      .select($"vec_id", posexplode(GraftFunctions.intLshBuckets($"embedding", 8, 6))
+        .as(Seq("t", "bucket")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2))).toSet).toMap
+    val qs = buckets.keys.filter(_ < 10)
+    val expectedCand = (for {
+      q <- qs; c <- buckets.keys if c >= 10
+      if (buckets(q) intersect buckets(c)).nonEmpty
+    } yield (q, c)).toSet
+    // every emitted neighbor is a genuine shared-bucket candidate
+    out.foreach { r =>
+      assert(expectedCand.contains((r.getLong(0), r.getLong(1))),
+        s"${r.getLong(0)} -> ${r.getLong(1)} not a bucket candidate")
+    }
+    // ranks 1..n contiguous per query, scores non-increasing
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to sorted.length))
+      assert(sorted.map(_.getDouble(2)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      })
+    }
+  }
 }
