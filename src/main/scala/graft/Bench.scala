@@ -35,11 +35,27 @@ import org.apache.spark.sql.SparkSession
   *     `/proc/stat` deltas — the layer the JVM beans can't see. wall ≫
   *     cpu with steal high = the hypervisor robbed the guest; steal ≈ 0
   *     with host ≫ cpu = another process on the host ate the cores;
+  *   - `mhz`/`thr`: median CPU frequency (`/proc/cpuinfo`) at run end and
+  *     cgroup CPU-throttle seconds accrued during the run — the
+  *     frequency-starvation regime (CPU capping / power save) that
+  *     inflates process-CPU at idle host load and near-zero steal, which
+  *     none of the fields above can see (round-8's x17: 20× CPU
+  *     inflation, host ~10% busy, steal ≈ 0.1 s);
   *   - `warm_ok`: whether the untimed warm-up pass succeeded — when it
   *     fails, the timed runs are SKIPPED (one failing execution per
   *     broken query, not four) and the query reports -1.
-  * So an inflated official run is attributable to steal/JIT/GC from the
-  * artifact alone, with no access to the host.
+  * So an inflated official run is attributable to steal/JIT/GC/frequency
+  * from the artifact alone, with no access to the host.
+  *
+  * And the artifact is SELF-GATING: a query whose three cleanest reps
+  * still disagree >3× in process-CPU (or whose best rep burns >2× the
+  * committed quiet-host baseline's CPU) after self-heal retries is
+  * marked `env_suspect`; a suspect HEADLINE query marks the whole
+  * artifact `"contaminated": true` and exits non-zero — a poisoned run
+  * can no longer be committed as the number of record (round-8 verdict
+  * item #1: BENCH_r08.json shipped 176.7 s while its own per-run fields
+  * showed x44 at cpu [27, 446, 2227] s across three reps of identical
+  * code; the quiet-host rerun was 87.9 s).
   *
   * Failures are logged to stderr and reported as -1 so a broken query is
   * visible instead of masquerading as a fast one.
@@ -72,8 +88,23 @@ object Bench {
     s
   }
 
+  /** Kernel tick rate for `/proc/stat` conversion — `getconf CLK_TCK`
+    * once at startup (USER_HZ is a kernel build constant, virtually
+    * always 100, but reading it costs one exec and removes the
+    * assumption); 100 if getconf is unavailable.
+    */
+  private val tickHz: Double =
+    try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      p.waitFor()
+      val v = out.toDouble
+      if (v > 0) v else 100.0
+    } catch { case _: Throwable => 100.0 }
+
   /** Whole-host CPU seconds from `/proc/stat`'s aggregate "cpu" line —
-    * (busy, steal, iowait) at USER_HZ = 100. The JVM beans above can't see
+    * (busy, steal, iowait) at `tickHz`. The JVM beans above can't see
     * scheduler steal (the hypervisor takes it from OUTSIDE the guest), so
     * this is the attribution layer beneath cpu/jit/gc: a run whose wall ≫
     * cpu with a large steal delta was robbed by the host, one with a small
@@ -87,15 +118,55 @@ object Bench {
         // fields: user nice system idle iowait irq softirq steal ...
         val busy = p(0) + p(1) + p(2) +
           p.lift(5).getOrElse(0L) + p.lift(6).getOrElse(0L)
-        (busy / 100.0, p.lift(7).getOrElse(0L) / 100.0, p.lift(4).getOrElse(0L) / 100.0)
+        (busy / tickHz, p.lift(7).getOrElse(0L) / tickHz, p.lift(4).getOrElse(0L) / tickHz)
       } finally src.close()
     } catch { case _: Throwable => (0.0, 0.0, 0.0) }
 
+  /** Median CPU frequency in MHz from `/proc/cpuinfo` — the attribution
+    * layer NONE of the other fields can see: cgroup CPU capping /
+    * power-state throttling slows every instruction, which inflates
+    * process-CPU-seconds while host-busy and steal both stay low (the
+    * round-8 x17 signature: 20× CPU inflation on an apparently idle
+    * host). A run whose `mhz` sample sits far below the machine's
+    * nominal clock was frequency-starved, not engine-slow. 0 if
+    * unavailable.
+    */
+  private def cpuMhz: Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try {
+        val vs = src.getLines().collect {
+          case l if l.startsWith("cpu MHz") => l.split(":")(1).trim.toDouble
+        }.toArray.sorted
+        if (vs.isEmpty) 0.0 else vs(vs.length / 2)
+      } finally src.close()
+    } catch { case _: Throwable => 0.0 }
+
+  /** Cumulative cgroup CPU-throttle seconds (quota enforcement — the
+    * OTHER way a container runs slow at idle host load): cgroup v1
+    * `cpu/cpu.stat throttled_time` (ns) or v2 `cpu.stat throttled_usec`.
+    * 0 if neither exists.
+    */
+  private def throttledSec: Double = {
+    def read(path: String, key: String, scale: Double): Option[Double] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().collectFirst {
+          case l if l.startsWith(key) => l.split("\\s+")(1).toDouble / scale
+        } finally src.close()
+      } catch { case _: Throwable => None }
+    read("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1e9)
+      .orElse(read("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1e6))
+      .getOrElse(0.0)
+  }
+
   /** One run's evidence: wall s, process-cpu s, jit-compile s, gc s,
-    * whole-host busy s and steal s over the run's wall window. */
+    * whole-host busy s and steal s over the run's wall window, median
+    * CPU MHz at run end, and cgroup throttle-seconds accrued during the
+    * run. */
   private case class Run(
       wall: Double, cpu: Double, jit: Double, gc: Double,
-      hostBusy: Double, steal: Double)
+      hostBusy: Double, steal: Double, mhz: Double, thr: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,9 +188,9 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    val failed = Run(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val failed = Run(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
-      val g0 = gcMs; val j0 = jitMs
+      val g0 = gcMs; val j0 = jitMs; val th0 = throttledSec
       val (hb0, st0, _) = hostTicks
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
@@ -128,30 +199,85 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val (hb1, st1, _) = hostTicks
-        Run(wall, cpu, (jitMs - j0) / 1e3, (gcMs - g0) / 1e3, hb1 - hb0, st1 - st0)
+        Run(wall, cpu, (jitMs - j0) / 1e3, (gcMs - g0) / 1e3, hb1 - hb0, st1 - st0,
+          cpuMhz, throttledSec - th0)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed
       }
     }
+
+    // ---- environment-poisoning gate (round-8 verdict #1) -------------
+    // The committed r8 artifact carried per-run CPU spreads of 80× on
+    // identical code (x44: cpu [27, 446, 2227] s within ONE artifact) and
+    // was committed as the number of record anyway. The bench now refuses
+    // to certify such a run: per query, the THREE CLEANEST reps (lowest
+    // process-CPU — extra reps are added while suspicion persists, so a
+    // transient burst heals itself) must agree. A query is `env_suspect`
+    // when, over those cleanest reps,
+    //   (a) max/min process-CPU > 3× with an absolute gap > 0.5 s (the
+    //       floor keeps 0.05-vs-0.2 s timer noise on tiny queries from
+    //       tripping the ratio), or
+    //   (b) best-rep CPU > 2× (and > 0.5 s above) the committed
+    //       baseline's best CPU for the same query
+    //       (bench_baseline.json — the round-8 quiet-host artifact;
+    //       override with SPARK_GRAFT_BENCH_BASELINE, absent = skip (b)).
+    // If any HEADLINE query stays suspect after retries the artifact is
+    // marked "contaminated": true and the process exits non-zero, so a
+    // poisoned run cannot silently become the number of record.
+    val baselineCpu: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // minimal extraction: per-query `"name":{..."cpus":[a,b,c]...}`
+        // from the detail object — full JSON parsing isn't needed for a
+        // flat numeric lookup, and the artifact is self-produced.
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        val rx = """"([a-z0-9_]+)":\{"runs":[^}]*?"cpus":\[([0-9.,\-]+)\]""".r
+        for (mm <- rx.findAllMatchIn(txt)) {
+          val cs = mm.group(2).split(",").map(_.toDouble).filter(_ >= 0)
+          if (cs.nonEmpty) m(mm.group(1)) = cs.min
+        }
+        m.toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    def envSuspect(samples: Seq[Run], base: Option[Double]): Boolean = {
+      val cpus = samples.filter(_.wall >= 0).map(_.cpu).sorted.take(3)
+      if (cpus.isEmpty) false
+      else {
+        val spread = cpus.last / math.max(cpus.head, 1e-9) > 3.0 &&
+          cpus.last - cpus.head > 0.5
+        val vsBase = base.exists(b =>
+          cpus.head > 2.0 * math.max(b, 1e-9) && cpus.head - b > 0.5)
+        spread || vsBase
+      }
+    }
+    val maxExtraReps = 3
     val results = qs.map { case (name, fn) =>
       // a failing warm-up skips the timed runs: a broken query pays ONE
       // failing execution, not four, and warm_ok in the detail attributes
       // the failure to the warm-up pass instead of an unexplained stderr line
       val warmOk = !warmup || timed(name, fn).wall >= 0
-      val samples = if (warmOk) (1 to 3).map(_ => timed(name, fn)) else Seq(failed)
+      var samples: Seq[Run] = if (warmOk) (1 to 3).map(_ => timed(name, fn)) else Seq(failed)
       val ok = samples.forall(_.wall >= 0)
-      val best = if (ok) samples.minBy(_.wall) else failed
-      (name, best, samples, warmOk)
+      var extra = 0
+      while (ok && envSuspect(samples, baselineCpu.get(name)) && extra < maxExtraReps) {
+        samples = samples :+ timed(name, fn); extra += 1
+      }
+      val suspect = ok && envSuspect(samples, baselineCpu.get(name))
+      val best = if (ok) samples.filter(_.wall >= 0).minBy(_.wall) else failed
+      (name, best, samples, warmOk, suspect)
     }
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def arr(xs: Seq[Double]): String = xs.map(f).mkString("[", ",", "]")
     val queriesJson = results
-      .map { case (k, best, _, _) => "\"" + k + "\":" + f(best.wall) }
+      .map { case (k, best, _, _, _) => "\"" + k + "\":" + f(best.wall) }
       .mkString("{", ",", "}")
     val detailJson = results
-      .map { case (k, best, runs, warmOk) =>
+      .map { case (k, best, runs, warmOk, suspect) =>
         "\"" + k + "\":{\"runs\":" + arr(runs.map(_.wall)) +
           ",\"cpu\":" + f(best.cpu) +
           ",\"cpus\":" + arr(runs.map(_.cpu)) +
@@ -159,16 +285,13 @@ object Bench {
           ",\"gc\":" + arr(runs.map(_.gc)) +
           ",\"host\":" + arr(runs.map(_.hostBusy)) +
           ",\"steal\":" + arr(runs.map(_.steal)) +
+          ",\"mhz\":" + arr(runs.map(_.mhz)) +
+          ",\"thr\":" + arr(runs.map(_.thr)) +
+          ",\"env_suspect\":" + suspect +
           ",\"warm_ok\":" + warmOk + "}"
       }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, best, _, _) if best.wall >= 0 => best.wall }.sum
-    val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"warmup":$warmup,"sf":"$sfDir"}"""
-    // durable full artifact: all queries + per-run samples + cpu/jit/gc
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val total = results.collect { case (_, best, _, _, _) if best.wall >= 0 => best.wall }.sum
     // The driver's stdout capture keeps only the last ~2 KB; the full
     // per-query line is ~10 KB, so it was truncated mid-line and never
     // parsed (BENCH_r01..r04 all carry "parsed": null). Print a COMPACT
@@ -183,16 +306,30 @@ object Bench {
       "x14_neardup_clusters", "x17_sessionize", "x22_tfidf",
       "x31_substring_dedup", "x42_token_shards", "x46_pagerank")
     val headQueries = results
-      .collect { case (k, best, _, _) if headline(k) => "\"" + k + "\":" + f(best.wall) }
+      .collect { case (k, best, _, _, _) if headline(k) => "\"" + k + "\":" + f(best.wall) }
       .mkString("{", ",", "}")
     val nOk = results.count(_._2.wall >= 0)
+    val suspects = results.collect { case (k, _, _, _, true) => k }
+    // The artifact is CONTAMINATED when a headline query is still
+    // env-suspect after self-heal retries: the total cannot be trusted as
+    // the number of record, the artifact says so in-band, and the process
+    // exits non-zero so automation can't commit it silently.
+    val contaminated = suspects.exists(headline)
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"warmup":$warmup,"tick_hz":${f(tickHz)},"env_suspect":$suspectsJson,"contaminated":$contaminated,"sf":"$sfDir"}"""
+    // durable full artifact: all queries + per-run samples + cpu/jit/gc
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stop() BEFORE the metric print: nothing (even a stray executor log, if
     // a driver merges streams) may follow the line the driver parses. Paired
     // with build.sbt's StdoutOutput + showSuccess:=false, this line is the
     // literal final stdout line of the sbt invocation.
     spark.stop()
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$headQueries,"n_queries":${results.size},"n_ok":$nOk,"full":"bench_full.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$headQueries,"n_queries":${results.size},"n_ok":$nOk,"n_env_suspect":${suspects.size},"contaminated":$contaminated,"full":"bench_full.json","sf":"$sfDir"}""")
     System.out.flush()
+    if (contaminated) sys.exit(3)
   }
 }

@@ -2319,7 +2319,17 @@ object SparkEntry {
           if (winner != null && (winner._1 eq s) && winner._2 == dir) {
             built.unpersistAll()
             winner._3
-          } else built // keys differ: keep ours un-memoized for this run
+          } else {
+            // keys differ: ours will never be memoized, so release its
+            // four cached frames NOW rather than waiting on GC + the
+            // ContextCleaner. unpersist() is advisory, not destructive —
+            // the lazy classify plan below still evaluates correctly
+            // against the un-cached frames (it recomputes the mining
+            // instead of reading cache; slow-but-correct on this
+            // race-only path, and nothing lingers).
+            built.unpersistAll()
+            built
+          }
         }
       }
     Dedup
@@ -4937,24 +4947,34 @@ object SparkEntry {
     // x90: expected visible/main text rebuilt from (doc_id, text) alone -
     // the planted-page closed form (BuildHtml's scaladoc): blocks are
     // [nav item {id} | more links here | Heading {id}! | norm(text) see
-    // ref {id} | about & terms], densities [1, 1, 0, small, >=0.5], so
-    // threshold 0.5 keeps exactly blocks 3-4. norm() collapses runs of
-    // whitespace because the extractor does (corpus text is already
-    // single-spaced; the collapse keeps the oracle SF-robust).
+    // ref {id} | about & terms], densities [1, 1, 0, data-dependent,
+    // >=0.5]. norm() collapses runs of whitespace because the extractor
+    // does. Block 4's density is computed, not assumed small: link chars
+    // = len('ref '||id)+1 (the space before the anchor inherits
+    // link-ness), total = len(t)+9+len(id) (or 8+len(id) when t is
+    // empty, where the leading space collapses away), so the strict
+    // <0.5 keep reduces to len(t) > 1+len(id) - a short/empty document
+    // drops block 4 (n_dropped=4) on BOTH sides instead of diverging.
     "x90_html_extract" ->
       """WITH nrm AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
         |  FROM documents WHERE doc_id % 3 = 1
+        |), b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN t = '' THEN 'see ref ' || doc_id
+        |         ELSE t || ' see ref ' || doc_id END AS block4,
+        |    length(t) > 1 + length(CAST(doc_id AS VARCHAR)) AS keep4
+        |  FROM nrm
         |)
         |SELECT doc_id,
         |  'nav item ' || doc_id || ' more links here Heading ' || doc_id
-        |    || '! ' || t || ' see ref ' || doc_id || ' about & terms'
-        |    AS full_text,
-        |  'Heading ' || doc_id || '! ' || t || ' see ref ' || doc_id
-        |    AS main_text,
-        |  CAST(5 AS INT) AS n_blocks, CAST(3 AS INT) AS n_dropped
-        |FROM nrm ORDER BY doc_id""".stripMargin,
+        |    || '! ' || block4 || ' about & terms' AS full_text,
+        |  'Heading ' || doc_id || '!'
+        |    || CASE WHEN keep4 THEN ' ' || block4 ELSE '' END AS main_text,
+        |  CAST(5 AS INT) AS n_blocks,
+        |  CAST(CASE WHEN keep4 THEN 3 ELSE 4 END AS INT) AS n_dropped
+        |FROM b ORDER BY doc_id""".stripMargin,
     // x91: replay the ENTIRE integer LSH — the 8x6x64 plane grid from the
     // md5 closed form (hash40 % 2001 - 1000), floor-1000 quantization,
     // BIGINT sign dots, bucket bit-packing, the shared-bucket candidate
@@ -4968,7 +4988,10 @@ object SparkEntry {
         |        FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(j))
         |), vq AS (
         |  SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
+        |       (CASE WHEN len(embedding) = 64 THEN embedding
+        |             ELSE error('x91 oracle: embedding dim ' || len(embedding)
+        |                        || ' <> plane-grid dim 64') END)] AS q,
         |    CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings
         |), dots AS (

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -164,10 +164,18 @@ case class BuildHtml(idExpr: Expression, textExpr: Expression)
   */
 case class HtmlExtract(htmlExpr: Expression, thresholdExpr: Expression)
     extends BinaryExpression
+    with ImplicitCastInputTypes
     with CodegenFallback {
 
   override def left: Expression = htmlExpr
   override def right: Expression = thresholdExpr
+  // The analyzer inserts implicit casts for SQL callers: a bare `0.5`
+  // literal parses as Decimal and an integer threshold as Int — without
+  // the declared input types both reached nullSafeEval's
+  // asInstanceOf[Double] as a ClassCastException. (Declared as the
+  // covariant Seq[DataType] refinement because AbstractDataType is
+  // private[sql] in Spark 4.)
+  override def inputTypes: Seq[DataType] = Seq(StringType, DoubleType)
   override def dataType: DataType = StructType(Seq(
     StructField("full_text", StringType),
     StructField("main_text", StringType),

@@ -113,6 +113,36 @@ class HtmlSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("short/empty document text drops the content block (density >= 0.5)") {
+    GraftFunctions.register(spark)
+    // block 4 = "{norm(t)} see ref {id}", link chars = len("ref {id}")+1
+    // (the space before the anchor inherits link-ness), so strict <0.5
+    // keeps iff len(norm(t)) > 1 + len(id-digits) — the x90 oracle's
+    // keep4 closed form. id=7 → keep iff len(t) > 2.
+    def run(id: Long, t: String): Row =
+      Seq((id, t)).toDF("id", "t")
+        .select(GraftFunctions
+          .htmlExtract(GraftFunctions.buildHtml(col("id"), col("t")), lit(0.5)).as("x"))
+        .select(col("x.*")).collect()(0)
+    val empty = run(7L, "")
+    assert(empty.getString(0) === "nav item 7 more links here Heading 7! see ref 7 about & terms")
+    assert(empty.getString(1) === "Heading 7!")
+    assert(empty.getInt(2) === 5 && empty.getInt(3) === 4)
+    val short = run(7L, "ab") // len 2 = 1 + len("7") + ... not > 2 → dropped
+    assert(short.getString(1) === "Heading 7!" && short.getInt(3) === 4)
+    val edge = run(7L, "abc") // len 3 > 2 → kept, density just under 0.5
+    assert(edge.getString(1) === "Heading 7! abc see ref 7" && edge.getInt(3) === 3)
+  }
+
+  test("SQL callers: bare decimal and integer thresholds coerce instead of throwing") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT html_extract('<p>a b c d e</p>', 0.5) AS x").createOrReplaceTempView("v1")
+    val r = spark.sql("SELECT x.main_text FROM v1").collect()(0)
+    assert(r.getString(0) === "a b c d e")
+    val i = spark.sql("SELECT html_extract('<p>a b</p>', 1).main_text AS m").collect()(0)
+    assert(i.getString(0) === "a b")
+  }
+
   test("x90 surface matches the closed form on the real corpus at two SFs") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val got = SparkEntry.queries("x90_html_extract")(spark, s"/root/testdata/$sf").collect()
