@@ -42,7 +42,17 @@ object Cluster {
   ): DataFrame = {
     // both edge directions from ONE scan of the pairs subtree (a union of
     // two selects would evaluate the — typically expensive — pair-mining
-    // plan twice when this persist first materializes)
+    // plan twice on first materialization). localCheckpoint — not
+    // persist() — because persist caches DATA but keeps the PLAN: every
+    // round's join would re-analyze and re-optimize the whole pair-mining
+    // subtree (hundreds of nodes for the LSH miners), which at 3-5 rounds
+    // × 2 plans each dominated x14's driver time and kept HotSpot
+    // deopt-recompiling the Catalyst rule lambdas every rep (round-8
+    // verdict wrong #2: 1.6-3.7 s/rep JIT with ZERO janino recompiles —
+    // the churn was plan ANALYSIS, not generated code). The checkpoint
+    // truncates lineage to one LogicalRDD leaf, the same discipline the
+    // label frames already follow; blocks are MEMORY_AND_DISK and the
+    // ContextCleaner frees them when the frame is dropped.
     val bidir = pairs
       .select(
         explode(
@@ -54,7 +64,7 @@ object Cluster {
       )
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var labels = bidir
       .select(col("src").as("id"))
@@ -71,6 +81,8 @@ object Cluster {
       // (every vertex has exactly one own row; pushed ids ⊆ vertices):
       // the convergence check is then a narrow filter-count over the
       // checkpointed result instead of a second shuffle join per round.
+      // The checkpoint is LAZY and the count materializes it — one job
+      // per round (compute + persist + count together), not two.
       val pushed = bidir
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
@@ -81,13 +93,12 @@ object Cluster {
         .agg(
           min("comp").as("comp"),
           max(when(col("own"), col("comp"))).as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = updated.where(col("comp") =!= col("prev")).count()
       labels = updated.select(col("id"), col("comp"))
       converged = changed == 0
       iters += 1
     }
-    bidir.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations " +
@@ -134,13 +145,20 @@ object Cluster {
       bCol: String = "b_id",
       maxIters: Int = 30
   ): DataFrame = {
-    val nodes = pairs
-      .select(explode(array(col(aCol), col(bCol))).as("id"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var edges = pairs
+    // ONE evaluation of the (typically expensive) pair-mining subtree,
+    // lineage-truncated to a leaf: both the node universe and the initial
+    // edge list derive from the checkpointed projection, so no loop round
+    // (and no final join) ever re-analyzes the mining plan — the
+    // connectedComponents discipline.
+    val base = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
+
+    val nodes = base
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct()
+
+    var edges = base
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
@@ -198,11 +216,9 @@ object Cluster {
           "raise maxIters — returning a partially-contracted forest would " +
           "split real components")
     val labeled = edges.select(col("u").as("id"), col("v").as("comp"))
-    val out = nodes
+    nodes
       .join(labeled, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    nodes.unpersist()
-    out
   }
 
   /** End-to-end near-dup clustering: mine n-gram Jaccard pairs, cluster
@@ -293,7 +309,9 @@ object Cluster {
           )).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // lineage-truncated, not persist()ed: see connectedComponents — a
+      // persisted frame keeps the mining plan and every round re-plans it
+      .localCheckpoint(true)
     var labels = bidir
       .select(col("src").as("id"))
       .distinct()
@@ -314,7 +332,6 @@ object Cluster {
         .localCheckpoint()
       r += 1
     }
-    bidir.unpersist()
     labels
   }
 }

@@ -48,14 +48,18 @@ object Hits {
       dstCol: String = "dst"
   ): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
+    // lineage-truncated, not persist()ed (the Cluster.connectedComponents
+    // lesson): both loop joins per round would otherwise re-analyze the
+    // full upstream edge subtree. `nodes` derives from the edge leaf and
+    // is checkpointed too — it joins into every round's rank rebuild.
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var ranks = nodes
       .select(col("node"), lit(1L).as("hub"), lit(1L).as("auth"))
       .localCheckpoint()
@@ -81,8 +85,6 @@ object Hits {
         .localCheckpoint()
       r += 1
     }
-    e.unpersist()
-    nodes.unpersist()
     ranks
   }
 }

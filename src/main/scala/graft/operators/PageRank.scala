@@ -67,10 +67,14 @@ object PageRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edgesDeg = e
       .join(outdeg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // derive the node set from the PERSISTED edge list (one pass over the
-    // cache), not from `e` — the raw edge subtree may embed an expensive
-    // upstream join that would otherwise evaluate a second time
+      // lineage-truncated, not persist()ed: persist caches data but keeps
+      // the plan, so every rank round would re-analyze the full upstream
+      // edge subtree (the Cluster.connectedComponents lesson — that
+      // re-planning, not generated code, was the x14 JIT residual)
+      .localCheckpoint(true)
+    // derive the node set from the CHECKPOINTED edge list (one pass over
+    // the leaf), not from `e` — the raw edge subtree may embed an
+    // expensive upstream join that would otherwise evaluate a second time
     val nodes = edgesDeg
       .select(explode(array(col("src"), col("dst"))).as("node_id"))
       .distinct()
@@ -98,7 +102,6 @@ object PageRank {
         .localCheckpoint(true)
       i += 1
     }
-    edgesDeg.unpersist()
     ranks
   }
 }

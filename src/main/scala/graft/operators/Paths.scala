@@ -58,8 +58,11 @@ object Paths {
           )).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // node universe from the SAME cached edge list (the x46
+      // lineage-truncated, not persist()ed (the Cluster.connectedComponents
+      // lesson): every BFS round joins the frontier against this frame and
+      // would re-analyze the full upstream pair-mining plan each time
+      .localCheckpoint(true)
+    // node universe from the SAME checkpointed edge list (the x46
     // node-set-from-cache lesson: never rescan the expensive pair miner)
     val nodes = bidir.select(col("src").as("node")).distinct()
 
