@@ -158,6 +158,15 @@ object Similarity {
     * stays bounded (candidates/query ≈ L·n/2^b — linear in n for fixed
     * bucket size, vs n per query for brute force); grow `tables` to push
     * recall. All L buckets per vector come from ONE RpBuckets evaluation.
+    *
+    * PRECONDITION (pinned, plan-guarded): `queries` ≪ `corpus`. The
+    * candidate join broadcasts the exploded QUERY side (L rows per query
+    * vector) so the corpus — the 100 TB side — never shuffles; the pin is
+    * explicit because an AQE sort-merge fallback here would exchange the
+    * whole corpus bucket frame. A caller whose query set is too large to
+    * broadcast (≳ tens of millions of query×table rows) should batch the
+    * queries, not unpin the join. PlanGuardSpec asserts the
+    * BroadcastHashJoin and its build side for the x91 twin.
     */
   def lshTopK(
       queries: DataFrame,
@@ -202,7 +211,8 @@ object Similarity {
     * from "recall spec-pinned" to hash-oracled (x91): a match proves the
     * banding join found precisely the planned candidates, not merely a
     * plausible top-k. Same scale law as lshTopK: candidates/query ≈
-    * L·n/2^b, never all-pairs.
+    * L·n/2^b, never all-pairs — and the same PRECONDITION: queries ≪
+    * corpus, query side broadcast (plan-guarded), corpus never shuffled.
     */
   def intLshTopK(
       queries: DataFrame,

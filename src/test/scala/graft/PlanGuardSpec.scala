@@ -128,6 +128,25 @@ class PlanGuardSpec extends SparkSpec {
       s"x75 probe broadcasts the wrong side (index instead of delivery): $probes")
   }
 
+  test("x91/x10 ANN candidate join broadcasts the QUERY side, never the corpus") {
+    // lshTopK/intLshTopK posture is queries ≪ corpus: the bucket
+    // candidate join MUST broadcast the exploded query side (BuildRight —
+    // broadcast(q) is the right input) so the 100 TB corpus bucket frame
+    // never exchanges. Both the integer twin (x91) and the float path
+    // (x10) carry the pin.
+    for (name <- Seq("x91_int_lsh_topk", "x10_ann_lsh")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      val cand = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") &&
+          l.contains("table_id#") && l.contains("bucket#"))
+        .toSeq
+      assert(cand.nonEmpty, s"$name candidate join lost its broadcast pin:\n$p")
+      assert(cand.forall(_.contains("BuildRight")),
+        s"$name broadcasts the corpus instead of the queries: $cand")
+    }
+  }
+
   test("x44 canonical selection is pure hash aggregation — no per-cluster window/sort") {
     // the argmax ships as max(struct(score, -id)) partial aggregates; a
     // refactor to row_number()-over-cluster would buffer whole clusters in
