@@ -2718,6 +2718,48 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** WARC container-ingestion surface (x92): the stage UPSTREAM of x90 —
+    * each selected document becomes a genuine multi-record WARC/1.0 file
+    * ([[graft.functions.BuildWarc]]: a warcinfo record + 1+id%3 resource
+    * records whose payload is the x90 planted page), then
+    * [[graft.functions.WarcRecords]]' real record walk splits it back
+    * (magic check, case-insensitive headers, Content-Length-exact payload
+    * read, two-CRLF separator) and HtmlExtract recovers the main text
+    * from each payload: WARC → records → HTML → text, the complete web
+    * front matter. The oracle rebuilds the ENTIRE byte layout in SQL —
+    * every header string, the page's byte length, and each record's
+    * closed-form byte offset — so a hash match proves the walk consumed
+    * real lengths at real positions (the x89 movi-walk standard applied
+    * to WARC). Map-only; split+extract repartitioned off the scan (the
+    * x34 rule).
+    */
+  private def x92(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 2)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        posexplode(
+          GraftFunctions.warcRecords(
+            GraftFunctions.buildWarc(col("doc_id"), col("text"))))
+          .as(Seq("pos", "r")))
+      .where(col("r.rec_type") === "resource")
+      .select(
+        col("doc_id"),
+        (col("pos") - 1).cast("int").as("rec_idx"),
+        col("r.target_uri").as("target_uri"),
+        col("r.rec_date").as("rec_date"),
+        col("r.rec_offset").as("rec_offset"),
+        col("r.content_length").as("content_length"),
+        GraftFunctions
+          .htmlExtract(col("r.payload"), lit(0.5))
+          .getField("main_text")
+          .as("main_text"))
+      .orderBy(col("doc_id"), col("rec_idx"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2879,6 +2921,7 @@ object SparkEntry {
     "x89_avi_frames" -> (x89 _),
     "x90_html_extract" -> (x90 _),
     "x91_int_lsh_topk" -> (x91 _),
+    "x92_warc_records" -> (x92 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5017,6 +5060,83 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         |  FROM s) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // x92: the full WARC byte layout replayed from (doc_id, text) alone -
+    // the exact page string (BuildHtml's template, esc = &/</> entity
+    // escape), its byte length (= Content-Length), every header string,
+    // and therefore each record's byte offset: warcinfo record size +
+    // i preceding resource records. main_text reuses the x90 closed form
+    // (block-4 density cut included). strlen() is DuckDB's BYTE length,
+    // matching the UTF-8 byte arithmetic of the Scala walk.
+    "x92_warc_records" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
+        |    1 + doc_id % 3 AS nrec,
+        |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 5 = 2
+        |), h AS (
+        |  SELECT *,
+        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
+        |    || '<title>Doc ' || ids || '</title>' || chr(10)
+        |    || '<meta charset="utf-8">' || chr(10)
+        |    || '<script type="text/javascript">var n = ' || ids
+        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
+        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
+        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
+        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
+        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
+        |    || '</ul></nav>' || chr(10)
+        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
+        |    || '<div class="main">' || chr(10)
+        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
+        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+        |                                '<', '&lt;'), '>', '&gt;')
+        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
+        |    || '</div>' || chr(10)
+        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
+        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
+        |  FROM d
+        |), sz AS (
+        |  SELECT doc_id, ids, nrec, t, strlen(html) AS clen,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: warcinfo' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':info>' || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:00Z' || e'\r\n'
+        |      || 'Content-Type: application/warc-fields' || e'\r\n'
+        |      || 'Content-Length: 17' || e'\r\n' || e'\r\n') + 17 + 4 AS isize
+        |  FROM h
+        |), recs AS (
+        |  SELECT doc_id, ids, t, clen, isize, unnest(range(nrec)) AS i FROM sz
+        |), sized AS (
+        |  SELECT *,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: resource' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':' || i || '>' || e'\r\n'
+        |      || 'WARC-Target-URI: http://example.com/doc/' || ids || '/' || i || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:0' || i || 'Z' || e'\r\n'
+        |      || 'Content-Type: text/html' || e'\r\n'
+        |      || 'Content-Length: ' || clen || e'\r\n' || e'\r\n') + clen + 4 AS rsize
+        |  FROM recs
+        |), off AS (
+        |  SELECT *,
+        |    isize + coalesce(sum(rsize) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset
+        |  FROM sized
+        |), b AS (
+        |  SELECT *,
+        |    CASE WHEN t = '' THEN 'see ref ' || ids
+        |         ELSE t || ' see ref ' || ids END AS block4,
+        |    length(t) > 1 + length(ids) AS keep4
+        |  FROM off
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS rec_idx,
+        |  'http://example.com/doc/' || ids || '/' || i AS target_uri,
+        |  '2020-01-01T00:00:0' || i || 'Z' AS rec_date,
+        |  CAST(rec_offset AS BIGINT) AS rec_offset,
+        |  CAST(clen AS INT) AS content_length,
+        |  'Heading ' || ids || '!'
+        |    || CASE WHEN keep4 THEN ' ' || block4 ELSE '' END AS main_text
+        |FROM b ORDER BY doc_id, rec_idx""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -123,6 +123,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "html_extract", exprs => HtmlExtract(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_warc", exprs => BuildWarc(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "warc_records", exprs => WarcRecords(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -371,6 +375,18 @@ object GraftFunctions {
     */
   def htmlExtract(html: Column, threshold: Column): Column =
     call_function("html_extract", html, threshold)
+
+  /** Genuine multi-record WARC/1.0 file (warcinfo + 1+id%3 resource
+    * records, each carrying the planted page) — see BuildWarc.
+    */
+  def buildWarc(id: Column, text: Column): Column =
+    call_function("build_warc", id, text)
+
+  /** Real WARC record walk → array<struct(rec_offset, rec_type,
+    * target_uri, rec_date, content_length, payload)> — see WarcRecords.
+    */
+  def warcRecords(bytes: Column): Column =
+    call_function("warc_records", bytes)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =

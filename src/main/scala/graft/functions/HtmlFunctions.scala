@@ -53,6 +53,49 @@ object HtmlFunctions {
 
   private[functions] val namedEntities: Map[String, Char] = Map(
     "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"', "apos" -> '\'')
+
+  private[functions] def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => b.append("&amp;")
+        case '<' => b.append("&lt;")
+        case '>' => b.append("&gt;")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  /** The deterministic page template shared by [[BuildHtml]] and
+    * [[BuildWarc]] (the WARC fixture embeds the SAME page as each
+    * resource record's payload, so the x92 oracle reuses the x90 closed
+    * form for the extracted text AND rebuilds the exact byte string for
+    * Content-Length / record-offset arithmetic).
+    */
+  private[functions] def page(id: Long, text: String): String = {
+    val h = new StringBuilder(text.length + 512)
+    h.append("<!DOCTYPE html>\n<html>\n<head>\n")
+    h.append(s"<title>Doc $id</title>\n")
+    h.append("<meta charset=\"utf-8\">\n")
+    h.append(s"""<script type="text/javascript">var n = $id; if (n < 100) { document.x = "<p>not text</p>"; }</script>""")
+    h.append('\n')
+    h.append(s"<style>.m${id % 7} { color: #fff; }</style>\n")
+    h.append("</head>\n<body>\n<nav><ul>\n")
+    h.append(s"""<li><a href="/p/$id">nav item $id</a></li>\n""")
+    h.append(s"""<li><a href="/q/${id % 13}">more links here</a></li>\n""")
+    h.append("</ul></nav>\n")
+    h.append("<!-- boilerplate ends <p>ghost paragraph</p> -->\n")
+    h.append("<div class=\"main\">\n")
+    h.append(s"<h1>Heading $id&#33;</h1>\n")
+    h.append(s"""<p>${esc(text)} see <a href="/ref/$id">ref $id</a></p>\n""")
+    h.append("</div>\n")
+    h.append(s"""<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>\n""")
+    h.append("</body>\n</html>\n")
+    h.toString
+  }
 }
 
 /** Deterministic HTML page around a document's text — see
@@ -84,44 +127,11 @@ case class BuildHtml(idExpr: Expression, textExpr: Expression)
   override def right: Expression = textExpr
   override def dataType: DataType = StringType
 
-  private def esc(s: String): String = {
-    val b = new StringBuilder(s.length + 16)
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '&' => b.append("&amp;")
-        case '<' => b.append("&lt;")
-        case '>' => b.append("&gt;")
-        case c => b.append(c)
-      }
-      i += 1
-    }
-    b.toString
-  }
-
-  override protected def nullSafeEval(idAny: Any, textAny: Any): Any = {
-    val id = idAny.asInstanceOf[Long]
-    val text = textAny.asInstanceOf[UTF8String].toString
-    val h = new StringBuilder(text.length + 512)
-    h.append("<!DOCTYPE html>\n<html>\n<head>\n")
-    h.append(s"<title>Doc $id</title>\n")
-    h.append("<meta charset=\"utf-8\">\n")
-    h.append(s"""<script type="text/javascript">var n = $id; if (n < 100) { document.x = "<p>not text</p>"; }</script>""")
-    h.append('\n')
-    h.append(s"<style>.m${id % 7} { color: #fff; }</style>\n")
-    h.append("</head>\n<body>\n<nav><ul>\n")
-    h.append(s"""<li><a href="/p/$id">nav item $id</a></li>\n""")
-    h.append(s"""<li><a href="/q/${id % 13}">more links here</a></li>\n""")
-    h.append("</ul></nav>\n")
-    h.append("<!-- boilerplate ends <p>ghost paragraph</p> -->\n")
-    h.append("<div class=\"main\">\n")
-    h.append(s"<h1>Heading $id&#33;</h1>\n")
-    h.append(s"""<p>${esc(text)} see <a href="/ref/$id">ref $id</a></p>\n""")
-    h.append("</div>\n")
-    h.append(s"""<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>\n""")
-    h.append("</body>\n</html>\n")
-    UTF8String.fromString(h.toString)
-  }
+  override protected def nullSafeEval(idAny: Any, textAny: Any): Any =
+    UTF8String.fromString(
+      HtmlFunctions.page(
+        idAny.asInstanceOf[Long],
+        textAny.asInstanceOf[UTF8String].toString))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(idExpr = l, textExpr = r)

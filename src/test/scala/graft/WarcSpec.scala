@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** WARC container family (x92): fixture roundtrip, record-walk
+  * arithmetic, the ISO 28500 malformedness contract (NULL, never a
+  * throw), and the multi-SF gate parity of the full surface.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private def recordsOf(bytes: Array[Byte]): Row = {
+    Seq(Tuple1(bytes)).toDF("b")
+      .select(GraftFunctions.warcRecords(col("b")).as("r"))
+      .collect()(0)
+  }
+
+  private def build(id: Long, text: String): Array[Byte] =
+    Seq((id, text)).toDF("id", "t")
+      .select(GraftFunctions.buildWarc(col("id"), col("t")).as("w"))
+      .collect()(0).getAs[Array[Byte]](0)
+
+  test("fixture roundtrip: warcinfo + 1+id%3 resources, headers and payloads recovered") {
+    for (id <- Seq(0L, 7L, 11L)) {
+      val rows = recordsOf(build(id, "hello warc world")).getSeq[Row](0)
+      val nrec = 1 + (id % 3).toInt
+      assert(rows.size === 1 + nrec, s"id=$id")
+      val info = rows.head
+      assert(info.getLong(0) === 0L) // first record starts at byte 0
+      assert(info.getString(1) === "warcinfo")
+      assert(info.isNullAt(2)) // warcinfo has no target URI
+      assert(info.getString(5) === "software: graft\r\n")
+      assert(info.getInt(4) === 17)
+      rows.tail.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getString(1) === "resource")
+        assert(r.getString(2) === s"http://example.com/doc/$id/$i")
+        assert(r.getString(3) === s"2020-01-01T00:00:0${i}Z")
+        assert(r.getString(5).contains(s"<h1>Heading $id&#33;</h1>"))
+        assert(r.getInt(4) === r.getString(5)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+      }
+      // offsets are exact prefix sums: each record starts where the
+      // previous one's header+payload+separator ended
+      val raw = build(id, "hello warc world")
+      rows.foreach { r =>
+        val off = r.getLong(0).toInt
+        assert(new String(raw, off, 8, "US-ASCII") === "WARC/1.0", s"id=$id off=$off")
+      }
+      assert(rows.map(_.getLong(0)) === rows.map(_.getLong(0)).sorted)
+    }
+  }
+
+  test("malformed containers return NULL, never a throw (the x89 rule)") {
+    val good = build(5L, "some text")
+    def nullFor(bytes: Array[Byte], why: String): Unit =
+      assert(recordsOf(bytes).isNullAt(0), why)
+    // bad magic
+    nullFor("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII"), "bad magic")
+    nullFor({ val c = good.clone(); c(0) = 'X'.toByte; c }, "corrupted magic")
+    // truncated payload: cut mid-record
+    nullFor(good.take(good.length - 3), "truncated separator")
+    nullFor(good.take(40), "truncated headers")
+    // wrong record separator: flip the final LF
+    nullFor({ val c = good.clone(); c(c.length - 1) = 'x'.toByte; c }, "bad separator")
+    // missing Content-Length
+    nullFor(
+      "WARC/1.0\r\nWARC-Type: resource\r\n\r\nhi\r\n\r\n".getBytes("US-ASCII"),
+      "missing Content-Length")
+    // unparseable Content-Length
+    nullFor(
+      "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: nope\r\n\r\n\r\n\r\n"
+        .getBytes("US-ASCII"),
+      "bad Content-Length")
+    // header line without a colon
+    nullFor(
+      "WARC/1.0\r\ngarbage line\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        .getBytes("US-ASCII"),
+      "colon-less header")
+    // trailing garbage after a valid record
+    nullFor(good ++ "junk".getBytes("US-ASCII"), "trailing garbage")
+    // NULL input → NULL; empty input → empty array, not NULL
+    val n = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("b")
+      .select(GraftFunctions.warcRecords(col("b")).as("r")).collect()(0)
+    assert(n.isNullAt(0))
+    assert(recordsOf(Array.empty[Byte]).getSeq[Row](0).isEmpty)
+  }
+
+  test("header names are case-insensitive; unknown headers are ignored (ISO 28500)") {
+    val bytes =
+      ("WARC/1.0\r\n" +
+        "warc-type: resource\r\n" +
+        "WARC-TARGET-URI: http://x/1\r\n" +
+        "X-Custom-Header: whatever\r\n" +
+        "content-length: 2\r\n" +
+        "\r\nhi\r\n\r\n").getBytes("US-ASCII")
+    val rows = recordsOf(bytes).getSeq[Row](0)
+    assert(rows.size === 1)
+    assert(rows.head.getString(1) === "resource")
+    assert(rows.head.getString(2) === "http://x/1")
+    assert(rows.head.isNullAt(3)) // no WARC-Date header
+    assert(rows.head.getString(5) === "hi")
+  }
+
+  test("x92 surface matches its closed form on the real corpus at two SFs") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val got = SparkEntry.queries("x92_warc_records")(spark, s"/root/testdata/$sf").collect()
+      assert(got.nonEmpty, sf)
+      got.foreach { r =>
+        val id = r.getLong(0)
+        val i = r.getInt(1)
+        assert(r.getString(2) === s"http://example.com/doc/$id/$i", sf)
+        assert(r.getString(3) === s"2020-01-01T00:00:0${i}Z", sf)
+        assert(r.getString(6).startsWith(s"Heading $id!"), sf)
+        // resource records of one doc share a payload → equal lengths,
+        // and consecutive offsets differ by exactly one record's bytes
+        assert(r.getLong(4) > 0, sf)
+      }
+      val byDoc = got.groupBy(_.getLong(0))
+      byDoc.foreach { case (id, rs) =>
+        assert(rs.length === 1 + (id % 3).toInt, s"$sf doc=$id")
+        val sorted = rs.sortBy(_.getInt(1))
+        val offs = sorted.map(_.getLong(4))
+        val gaps = offs.sliding(2).filter(_.size == 2).map(p => p(1) - p(0)).toSeq
+        assert(gaps.distinct.size <= 1, s"$sf doc=$id uneven record stride")
+      }
+    }
+  }
+}
