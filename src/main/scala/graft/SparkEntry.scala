@@ -2760,6 +2760,61 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("rec_idx"))
   }
 
+  /** Link-extraction surface (x93): every `<a href>` of the planted page
+    * in document order via [[graft.functions.HtmlLinks]]' quote-aware
+    * attribute walk — the HTML → WEB-GRAPH step between x90/x92's text
+    * extraction and the graph family. The oracle enumerates the five
+    * closed-form anchors per page (nav /p/{id}, hub /q/{id%13}, inline
+    * /ref/{id}, footer /about + /tos) with their positions, so a hash
+    * match proves the walk parsed real attributes (not regex-grepped
+    * quotes — script/style/comment decoys contain no anchors by
+    * construction, and HtmlLinksSpec pins those against hand-built
+    * pages). Map-only; extraction repartitioned off the scan.
+    */
+  private def x93(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        posexplode(
+          GraftFunctions.htmlLinks(
+            GraftFunctions.buildHtml(col("doc_id"), col("text"))))
+          .as(Seq("pos", "href")))
+      .select(col("doc_id"), col("pos").cast("int").as("link_idx"), col("href"))
+      .orderBy(col("doc_id"), col("link_idx"))
+  }
+
+  /** Web-graph PageRank surface (x94): the END of the web chain — edges
+    * come from x93's EXTRACTED hub anchors (doc d links /q/{d%13}; node
+    * ids doc·2 / hub·2+1, symmetrized), ranked by the same 3-round
+    * integer PageRank as x46. WARC → HTML → links → graph → rank, every
+    * stage a real operator, the whole chain hash-oracled: the oracle
+    * rebuilds the closed-form edge set and unrolls the identical integer
+    * recurrence, so a match proves extraction fed the graph.
+    */
+  private def x94(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val half = t(s, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(
+          GraftFunctions.htmlLinks(
+            GraftFunctions.buildHtml(col("doc_id"), col("text")))).as("href"))
+      .where(col("href").startsWith("/q/"))
+      .select(
+        (col("doc_id") * 2).as("src"),
+        (substring(col("href"), 4, 10).cast("long") * 2 + 1).as("dst"))
+    PageRank
+      .integerPageRank(half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"))))
+      .orderBy(col("node_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2922,6 +2977,8 @@ object SparkEntry {
     "x90_html_extract" -> (x90 _),
     "x91_int_lsh_topk" -> (x91 _),
     "x92_warc_records" -> (x92 _),
+    "x93_html_links" -> (x93 _),
+    "x94_web_pagerank" -> (x94 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5137,6 +5194,71 @@ object SparkEntry {
         |  'Heading ' || ids || '!'
         |    || CASE WHEN keep4 THEN ' ' || block4 ELSE '' END AS main_text
         |FROM b ORDER BY doc_id, rec_idx""".stripMargin,
+    // x93: the planted page carries exactly five anchors in closed form
+    // (document order): nav /p/{id}, hub /q/{id%13}, inline /ref/{id},
+    // footer /about and /tos. unnest + generate_subscripts zip in DuckDB,
+    // giving (value, position) pairs.
+    "x93_html_links" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ['/p/' || doc_id, '/q/' || (doc_id % 13), '/ref/' || doc_id,
+        |     '/about', '/tos'] AS l
+        |  FROM documents WHERE doc_id % 4 = 3
+        |)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(l, 1) - 1 AS INT) AS link_idx,
+        |  unnest(l) AS href
+        |FROM d ORDER BY doc_id, link_idx""".stripMargin,
+    // x94: closed-form web edges (doc*2 <-> (doc%13)*2+1 from the
+    // extracted hub anchor), then the x46 integer-PageRank recurrence
+    // unrolled 3 rounds - same tele/damping arithmetic, same HUGEINT cast.
+    "x94_web_pagerank" ->
+      """WITH docs AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |), base AS (
+        |  SELECT DISTINCT doc_id * 2 AS a, (doc_id % 13) * 2 + 1 AS b FROM docs
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM base
+        |  UNION SELECT b AS src, a AS dst FROM base
+        |), deg AS (
+        |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+        |), n AS (SELECT count(*) AS cnt FROM deg),
+        |r0 AS (
+        |  SELECT src AS node_id, 1000000000000 // cnt AS rank_units, outdeg
+        |  FROM deg, n
+        |), r1 AS (
+        |  SELECT d.src AS node_id,
+        |    (15 * (1000000000000 // n.cnt)) // 100
+        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
+        |    d.outdeg
+        |  FROM deg d CROSS JOIN n
+        |  LEFT JOIN (
+        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
+        |    FROM r0 r JOIN e ON r.node_id = e.src GROUP BY e.dst
+        |  ) c ON d.src = c.dst
+        |), r2 AS (
+        |  SELECT d.src AS node_id,
+        |    (15 * (1000000000000 // n.cnt)) // 100
+        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
+        |    d.outdeg
+        |  FROM deg d CROSS JOIN n
+        |  LEFT JOIN (
+        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
+        |    FROM r1 r JOIN e ON r.node_id = e.src GROUP BY e.dst
+        |  ) c ON d.src = c.dst
+        |), r3 AS (
+        |  SELECT d.src AS node_id,
+        |    (15 * (1000000000000 // n.cnt)) // 100
+        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
+        |    d.outdeg
+        |  FROM deg d CROSS JOIN n
+        |  LEFT JOIN (
+        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
+        |    FROM r2 r JOIN e ON r.node_id = e.src GROUP BY e.dst
+        |  ) c ON d.src = c.dst
+        |)
+        |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
+        |FROM r3 ORDER BY node_id""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -127,6 +127,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "warc_records", exprs => WarcRecords(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "html_links", exprs => HtmlLinks(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -387,6 +389,13 @@ object GraftFunctions {
     */
   def warcRecords(bytes: Column): Column =
     call_function("warc_records", bytes)
+
+  /** Every `<a href>` attribute value in document order (quote-aware
+    * attribute parse; script/style/comments never contribute) — the
+    * HTML → web-graph step; see HtmlLinks.
+    */
+  def htmlLinks(html: Column): Column =
+    call_function("html_links", html)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =

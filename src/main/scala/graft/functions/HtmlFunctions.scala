@@ -327,3 +327,123 @@ case class HtmlExtract(htmlExpr: Expression, thresholdExpr: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(htmlExpr = l, thresholdExpr = r)
 }
+
+/** `<a href>` link extraction — the step that turns an HTML corpus into
+  * a WEB GRAPH (feeds [[graft.operators.PageRank]] / the x14/x56
+  * component family): returns every anchor's href attribute value in
+  * document order as `array<string>`.
+  *
+  * Walk rules (shared contract with [[HtmlExtract]]'s scanner):
+  *   - attribute scan is quote-aware ('>' inside a quoted value does not
+  *     close the tag) and parses real name[=value] pairs — quoted
+  *     (single or double) or unquoted values, names case-insensitive,
+  *     so `<A HREF=/x>` and `<a class="b" href='/x'>` both yield "/x";
+  *   - `<script>`/`<style>` raw text, `<!-- -->` comments, and
+  *     `<!…>`/`<?…?>` declarations never contribute links, exactly as
+  *     they never contribute text;
+  *   - an `<a>` without an href (or with an empty one) yields nothing; a
+  *     truncated tag at end-of-input ends the parse (best effort);
+  *   - values are verbatim (no entity decode — URL normalization is a
+  *     downstream operator's job, and byte-faithful output is what makes
+  *     the closed-form oracle exact).
+  *
+  * NULL only for null input; a page with no anchors yields an empty
+  * array (valid-but-empty ≠ null, the x89 rule). Map-only, no state —
+  * at 100 TB this runs inside the scan projection right next to
+  * HtmlExtract, one pass each.
+  */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(htmlAny: Any): Any = {
+    val s = htmlAny.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    def findCi(pat: String, from: Int): Int = {
+      var p = from
+      val m = pat.length
+      while (p + m <= n) {
+        var k = 0
+        while (k < m && Character.toLowerCase(s.charAt(p + k)) == pat.charAt(k)) k += 1
+        if (k == m) return p
+        p += 1
+      }
+      -1
+    }
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val e = s.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+        } else if (i + 1 < n &&
+          (Character.isLetter(s.charAt(i + 1)) || s.charAt(i + 1) == '/')) {
+          var j = i + 1
+          val closing = s.charAt(j) == '/'
+          if (closing) j += 1
+          val t0 = j
+          while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+          val name = s.substring(t0, j).toLowerCase(java.util.Locale.ROOT)
+          // real attribute parse: name [= value], quote-aware
+          var href: String = null
+          var done = false
+          while (j < n && !done) {
+            val a = s.charAt(j)
+            if (a == '>') { done = true; j += 1 }
+            else if (Character.isWhitespace(a) || a == '/') j += 1
+            else {
+              val a0 = j
+              while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+              val attr = s.substring(a0, j).toLowerCase(java.util.Locale.ROOT)
+              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+              var value: String = null
+              if (j < n && s.charAt(j) == '=') {
+                j += 1
+                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+                if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+                  val q = s.charAt(j)
+                  val e = s.indexOf(q, j + 1)
+                  if (e < 0) { value = s.substring(j + 1); j = n }
+                  else { value = s.substring(j + 1, e); j = e + 1 }
+                } else {
+                  val v0 = j
+                  while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                    s.charAt(j) != '>') j += 1
+                  value = s.substring(v0, j)
+                }
+              }
+              if (attr == "href" && value != null) href = value
+            }
+          }
+          if (!done) i = n // truncated tag: best-effort stop
+          else {
+            i = j
+            if (!closing && name == "a" && href != null && href.nonEmpty)
+              out += UTF8String.fromString(href)
+            if (!closing && (name == "script" || name == "style")) {
+              val e = findCi("</" + name, i)
+              if (e < 0) i = n
+              else {
+                val g = s.indexOf('>', e)
+                i = if (g < 0) n else g + 1
+              }
+            }
+          }
+        } else i += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
