@@ -2815,6 +2815,66 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** URL-canonicalization surface (x95): [[graft.functions
+    * .UrlNormalize]]'s RFC 3986 §6 normalization over a two-form
+    * id-derived URL fixture — uppercase scheme/host lowered, default
+    * port 80 dropped vs explicit 8443 kept, `%41`→`A` and `%7e`→`~`
+    * unreserved decodes, `%2f` reserved-escape hex UPPERCASED (not
+    * decoded), `/./` and `/../` dot segments removed with `//`
+    * preserved, fragment dropped. The step between link extraction
+    * (x93) and URL-keyed dedup: unnormalized aliases inflate every
+    * URL-keyed shuffle at 100 TB. The oracle states the expected
+    * canonical form per id in closed form — the fixture varies with
+    * doc_id, so echoing the input cannot match.
+    */
+  private def x95(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val ids = col("doc_id").cast("string")
+    val url = when(
+      col("doc_id") % 2 === 0,
+      concat(
+        lit("HTTP://EXample"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:80/a"), ids, lit("/./x/../p%41th/"), ids,
+        lit("?b=2&a=%2f#frag"), ids))
+      .otherwise(concat(
+        lit("HTTPS://sub.EXample"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:8443/%7euser//"), ids, lit("/../"), ids, lit("/")))
+    t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"))
+      .select(col("doc_id"), GraftFunctions.urlNormalize(url).as("u"))
+      .select(
+        col("doc_id"),
+        col("u.norm_url").as("norm_url"),
+        col("u.scheme").as("scheme"),
+        col("u.host").as("host"),
+        col("u.path").as("path"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document sentence dedup surface (x96): the C4-style "drop
+    * repeated lines" curation verb, expressed ENTIRELY in builtins —
+    * `split` on the sentence boundary, `array_distinct` (whose
+    * first-occurrence order preservation is the load-bearing semantic,
+    * spec-pinned in UrlAndSentenceSpec), `concat_ws` rebuild — zero
+    * custom code, fully codegen'd, map-only. The input plants a
+    * duplication (text || '. ' || text) so the operator provably fires
+    * on every row; sentences repeated WITHIN the original text collapse
+    * too, and the oracle replays the same first-occurrence algorithm
+    * (min-index window) rather than assuming the plant.
+    */
+  private def x96(s: SparkSession, dir: String): DataFrame = {
+    val sents = split(concat(col("text"), lit(". "), col("text")), "\\. ")
+    dts(s, dir)
+      .where(col("doc_id") % 4 === 1)
+      .select(
+        col("doc_id"),
+        concat_ws(". ", array_distinct(sents)).as("clean_text"),
+        size(sents).as("n_sent"),
+        (size(sents) - size(array_distinct(sents))).as("n_dupes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -2979,6 +3039,8 @@ object SparkEntry {
     "x92_warc_records" -> (x92 _),
     "x93_html_links" -> (x93 _),
     "x94_web_pagerank" -> (x94 _),
+    "x95_url_normalize" -> (x95 _),
+    "x96_sentence_dedup" -> (x96 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5259,6 +5321,55 @@ object SparkEntry {
         |)
         |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // x95: the expected canonical form per id, stated in closed form -
+    // scheme/host lowered, :80 dropped / :8443 kept, %41->A and %7e->~
+    // decoded (unreserved), %2f kept but hex-uppercased (reserved),
+    // /./ and /../ removed with // preserved, fragment dropped.
+    "x95_url_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+        |    CAST(doc_id % 5 AS VARCHAR) AS k
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'http://example' || k || '.com/a' || ids || '/pAth/' || ids
+        |         || '?b=2&a=%2F'
+        |    ELSE 'https://sub.example' || k || '.com:8443/~user//' || ids || '/'
+        |  END AS norm_url,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'example' || k || '.com'
+        |       ELSE 'sub.example' || k || '.com' END AS host,
+        |  CASE WHEN doc_id % 2 = 0 THEN '/a' || ids || '/pAth/' || ids
+        |       ELSE '/~user//' || ids || '/' END AS path
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // x96: replay the same first-occurrence sentence dedup - split on
+    // '. ', keep each sentence's minimum index, rebuild in index order.
+    // The oracle runs the ALGORITHM (min-index window), not the plant.
+    "x96_sentence_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || '. ' || text AS t2
+        |  FROM documents WHERE doc_id % 4 = 1
+        |), s AS (
+        |  SELECT doc_id, unnest(string_split(t2, '. ')) AS sent,
+        |    generate_subscripts(string_split(t2, '. '), 1) AS i
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, sent, i,
+        |    min(i) OVER (PARTITION BY doc_id, sent) AS fi
+        |  FROM s
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_sent FROM s GROUP BY doc_id
+        |), kept AS (
+        |  SELECT doc_id, string_agg(sent, '. ' ORDER BY i) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM f WHERE i = fi GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, k.clean_text,
+        |  CAST(t.n_sent AS INT) AS n_sent,
+        |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
+        |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -129,6 +129,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "html_links", exprs => HtmlLinks(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "url_normalize", exprs => UrlNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -396,6 +398,13 @@ object GraftFunctions {
     */
   def htmlLinks(html: Column): Column =
     call_function("html_links", html)
+
+  /** RFC 3986 §6 URL canonicalization → struct(norm_url, scheme, host,
+    * port, path): case/port/escape/dot-segment normalization, fragment
+    * dropped — see UrlNormalize.
+    */
+  def urlNormalize(url: Column): Column =
+    call_function("url_normalize", url)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =
