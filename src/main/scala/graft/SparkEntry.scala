@@ -2815,6 +2815,52 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Compressed-WARC ingestion surface (x97): the missing compression
+    * layer of the web front matter — real crawls ship `.warc.gz` with
+    * ONE GZIP MEMBER PER RECORD (so readers can seek + inflate a single
+    * record), and [[graft.functions.BuildWarcGz]] writes exactly that
+    * layout. [[graft.functions.GzipMembers]] walks the RFC 1952
+    * container (full header incl. FEXTRA/FNAME/FCOMMENT/FHCRC, reserved
+    * FLG rejection) and REALLY inflates each member (JDK zlib — the PNG
+    * precedent), verifying CRC32 + ISIZE per member; each plaintext then
+    * flows through the x92 record walk and HtmlExtract. The oracle is
+    * x92's closed form minus byte offsets (compressed sizes aren't
+    * closed-form): uri/date/Content-Length/main_text per record — a
+    * match proves member split + inflate + checksum + record walk +
+    * extraction end-to-end. gzip/deflate was the one compressed-stream
+    * family the engine disclosed as out of scope; for WARC it is now
+    * in scope because the JDK ships the codec.
+    */
+  private def x97(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        posexplode(
+          GraftFunctions.gzipMembers(
+            GraftFunctions.buildWarcGz(col("doc_id"), col("text"))))
+          .as(Seq("pos", "m")))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        element_at(GraftFunctions.warcRecords(col("m")), 1).as("r"))
+      .where(col("r.rec_type") === "resource")
+      .select(
+        col("doc_id"),
+        (col("pos") - 1).cast("int").as("rec_idx"),
+        col("r.target_uri").as("target_uri"),
+        col("r.rec_date").as("rec_date"),
+        col("r.content_length").as("content_length"),
+        GraftFunctions
+          .htmlExtract(col("r.payload"), lit(0.5))
+          .getField("main_text")
+          .as("main_text"))
+      .orderBy(col("doc_id"), col("rec_idx"))
+  }
+
   /** URL-canonicalization surface (x95): [[graft.functions
     * .UrlNormalize]]'s RFC 3986 §6 normalization over a two-form
     * id-derived URL fixture — uppercase scheme/host lowered, default
@@ -3041,6 +3087,7 @@ object SparkEntry {
     "x94_web_pagerank" -> (x94 _),
     "x95_url_normalize" -> (x95 _),
     "x96_sentence_dedup" -> (x96 _),
+    "x97_warc_gz" -> (x97 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5321,6 +5368,56 @@ object SparkEntry {
         |)
         |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // x97: x92's closed form minus byte offsets (compressed member sizes
+    // are not closed-form): uri/date/Content-Length/main_text per
+    // resource record of the %7=3 subset - proving member split +
+    // inflate + CRC verify + record walk + extraction end-to-end.
+    "x97_warc_gz" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
+        |    1 + doc_id % 3 AS nrec,
+        |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), h AS (
+        |  SELECT *,
+        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
+        |    || '<title>Doc ' || ids || '</title>' || chr(10)
+        |    || '<meta charset="utf-8">' || chr(10)
+        |    || '<script type="text/javascript">var n = ' || ids
+        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
+        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
+        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
+        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
+        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
+        |    || '</ul></nav>' || chr(10)
+        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
+        |    || '<div class="main">' || chr(10)
+        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
+        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+        |                                '<', '&lt;'), '>', '&gt;')
+        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
+        |    || '</div>' || chr(10)
+        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
+        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
+        |  FROM d
+        |), recs AS (
+        |  SELECT doc_id, ids, t, strlen(html) AS clen,
+        |    unnest(range(nrec)) AS i
+        |  FROM h
+        |), b AS (
+        |  SELECT *,
+        |    CASE WHEN t = '' THEN 'see ref ' || ids
+        |         ELSE t || ' see ref ' || ids END AS block4,
+        |    length(t) > 1 + length(ids) AS keep4
+        |  FROM recs
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS rec_idx,
+        |  'http://example.com/doc/' || ids || '/' || i AS target_uri,
+        |  '2020-01-01T00:00:0' || i || 'Z' AS rec_date,
+        |  CAST(clen AS INT) AS content_length,
+        |  'Heading ' || ids || '!'
+        |    || CASE WHEN keep4 THEN ' ' || block4 ELSE '' END AS main_text
+        |FROM b ORDER BY doc_id, rec_idx""".stripMargin,
     // x95: the expected canonical form per id, stated in closed form -
     // scheme/host lowered, :80 dropped / :8443 kept, %41->A and %7e->~
     // decoded (unreserved), %2f kept but hex-uppercased (reserved),

@@ -131,6 +131,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "url_normalize", exprs => UrlNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_warc_gz", exprs => BuildWarcGz(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "gzip_members", exprs => GzipMembers(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -405,6 +409,18 @@ object GraftFunctions {
     */
   def urlNormalize(url: Column): Column =
     call_function("url_normalize", url)
+
+  /** Per-record-gzip-member WARC file (the Common Crawl `.warc.gz`
+    * layout) — see BuildWarcGz.
+    */
+  def buildWarcGz(id: Column, text: Column): Column =
+    call_function("build_warc_gz", id, text)
+
+  /** Multi-member gzip split + real inflate (RFC 1952 walk, CRC32 +
+    * ISIZE verified per member) → array<binary> — see GzipMembers.
+    */
+  def gzipMembers(bytes: Column): Column =
+    call_function("gzip_members", bytes)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =

@@ -56,6 +56,41 @@ object WarcFunctions {
     StructField("rec_date", StringType, nullable = true),
     StructField("content_length", IntegerType, nullable = false),
     StructField("payload", StringType, nullable = false)))
+
+  /** The per-record byte strings of a document's WARC file, shared by
+    * [[BuildWarc]] (plain concatenation) and [[BuildWarcGz]] (one gzip
+    * MEMBER per record, the Common-Crawl layout). Each string is a
+    * complete record: headers, blank line, payload, two-CRLF separator.
+    */
+  private[functions] def recordStrings(id: Long, text: String): Seq[String] = {
+    val crlf = "\r\n"
+    def rec(
+        typ: String, rid: String, uri: Option[String], date: String,
+        ctype: String, payload: String): String = {
+      val clen = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      val sb = new StringBuilder(payload.length + 256)
+      sb.append("WARC/1.0").append(crlf)
+      sb.append("WARC-Type: ").append(typ).append(crlf)
+      sb.append("WARC-Record-ID: ").append(rid).append(crlf)
+      uri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(crlf))
+      sb.append("WARC-Date: ").append(date).append(crlf)
+      sb.append("Content-Type: ").append(ctype).append(crlf)
+      sb.append("Content-Length: ").append(clen).append(crlf)
+      sb.append(crlf).append(payload).append(crlf).append(crlf)
+      sb.toString
+    }
+    val info = rec(
+      "warcinfo", s"<urn:graft:$id:info>", None, "2020-01-01T00:00:00Z",
+      "application/warc-fields", "software: graft\r\n")
+    val html = HtmlFunctions.page(id, text)
+    val n = (1L + java.lang.Math.floorMod(id, 3L)).toInt
+    info +: (0 until n).map { i =>
+      rec(
+        "resource", s"<urn:graft:$id:$i>",
+        Some(s"http://example.com/doc/$id/$i"),
+        s"2020-01-01T00:00:0${i}Z", "text/html", html)
+    }
+  }
 }
 
 /** Deterministic multi-record WARC/1.0 file around a document — see
@@ -85,42 +120,148 @@ case class BuildWarc(idExpr: Expression, textExpr: Expression)
   override def right: Expression = textExpr
   override def dataType: DataType = BinaryType
 
+  override protected def nullSafeEval(idAny: Any, textAny: Any): Any =
+    WarcFunctions
+      .recordStrings(
+        idAny.asInstanceOf[Long],
+        textAny.asInstanceOf[UTF8String].toString)
+      .mkString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(idExpr = l, textExpr = r)
+}
+
+/** The compressed twin of [[BuildWarc]]: the same records, each written
+  * as its OWN gzip member and concatenated — the exact Common Crawl
+  * `.warc.gz` layout (per-record members so a reader can seek to a
+  * record and inflate only it). JDK GZIPOutputStream headers are fully
+  * deterministic (MTIME = 0, XFL = 0, OS = 0), so the fixture is
+  * byte-stable; the ORACLE never depends on compressed bytes — it
+  * verifies the decompressed contract (x92's closed form).
+  */
+case class BuildWarcGz(idExpr: Expression, textExpr: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = idExpr
+  override def right: Expression = textExpr
+  override def dataType: DataType = BinaryType
+
   override protected def nullSafeEval(idAny: Any, textAny: Any): Any = {
-    val id = idAny.asInstanceOf[Long]
-    val text = textAny.asInstanceOf[UTF8String].toString
-    val crlf = "\r\n"
-    val sb = new StringBuilder(text.length + 1024)
-    def rec(
-        typ: String, rid: String, uri: Option[String], date: String,
-        ctype: String, payload: String): Unit = {
-      val clen = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-      sb.append("WARC/1.0").append(crlf)
-      sb.append("WARC-Type: ").append(typ).append(crlf)
-      sb.append("WARC-Record-ID: ").append(rid).append(crlf)
-      uri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(crlf))
-      sb.append("WARC-Date: ").append(date).append(crlf)
-      sb.append("Content-Type: ").append(ctype).append(crlf)
-      sb.append("Content-Length: ").append(clen).append(crlf)
-      sb.append(crlf).append(payload).append(crlf).append(crlf)
+    val recs = WarcFunctions.recordStrings(
+      idAny.asInstanceOf[Long],
+      textAny.asInstanceOf[UTF8String].toString)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.finish() // flush THIS member's trailer without closing `out`
     }
-    rec(
-      "warcinfo", s"<urn:graft:$id:info>", None, "2020-01-01T00:00:00Z",
-      "application/warc-fields", "software: graft\r\n")
-    val html = HtmlFunctions.page(id, text)
-    var i = 0
-    val n = (1L + java.lang.Math.floorMod(id, 3L)).toInt
-    while (i < n) {
-      rec(
-        "resource", s"<urn:graft:$id:$i>",
-        Some(s"http://example.com/doc/$id/$i"),
-        s"2020-01-01T00:00:0${i}Z", "text/html", html)
-      i += 1
-    }
-    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.toByteArray
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(idExpr = l, textExpr = r)
+}
+
+/** Multi-member gzip splitter + REAL inflate (RFC 1952 container walk +
+  * JDK zlib decompression, the same entropy-decode stance as the PNG
+  * path): returns `array<binary>`, one element per member's decompressed
+  * bytes, in member order. Per member the walk parses the full header —
+  * magic 1f 8b, CM = 8 (deflate), FLG with reserved bits rejected,
+  * MTIME/XFL/OS skipped, FEXTRA (XLEN-prefixed), FNAME/FCOMMENT
+  * (NUL-terminated) and FHCRC consumed — inflates the deflate stream to
+  * its end, then VERIFIES the trailer: CRC32 of the plaintext and
+  * ISIZE = length mod 2^32. The next member begins immediately after.
+  *
+  * NULL contract (the x89 rule): bad magic, unsupported CM, reserved
+  * FLG bits, truncated header/stream/trailer, a deflate error, or a
+  * CRC/ISIZE mismatch → NULL, never a throw; empty input → empty array.
+  *
+  * Scale posture: map-only; at 100 TB this is the first expression over
+  * a binary-file scan of `.warc.gz` shards — parallelism across files,
+  * per-file memory bounded by the crawl's 1 GB rotation, exactly like
+  * [[WarcRecords]]. Chained as gzip_members → warc_records → html
+  * verbs, each stage NULL-isolating its own damage.
+  */
+case class GzipMembers(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(bytesAny: Any): Any = {
+    val b = bytesAny.asInstanceOf[Array[Byte]]
+    val n = b.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var p = 0
+    def u8(i: Int): Int = b(i) & 0xff
+    while (p < n) {
+      // --- RFC 1952 member header ---
+      if (p + 10 > n || u8(p) != 0x1f || u8(p + 1) != 0x8b) return null
+      if (u8(p + 2) != 8) return null // CM: deflate only
+      val flg = u8(p + 3)
+      if ((flg & 0xe0) != 0) return null // reserved bits
+      p += 10 // magic, CM, FLG, MTIME(4), XFL, OS
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > n) return null
+        val xlen = u8(p) | (u8(p + 1) << 8)
+        p += 2 + xlen
+        if (p > n) return null
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (p < n && b(p) != 0) p += 1
+        if (p >= n) return null
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (p < n && b(p) != 0) p += 1
+        if (p >= n) return null
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        p += 2
+        if (p > n) return null
+      }
+      // --- deflate stream ---
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, p, n - p)
+        val buf = new java.io.ByteArrayOutputStream(8192)
+        val tmp = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val got = inf.inflate(tmp)
+            if (got > 0) buf.write(tmp, 0, got)
+            else if (inf.needsInput()) return null // truncated stream
+          }
+        } catch { case _: java.util.zip.DataFormatException => return null }
+        val data = buf.toByteArray
+        p += inf.getBytesRead.toInt
+        // --- trailer: CRC32 + ISIZE, little-endian ---
+        if (p + 8 > n) return null
+        val crc = (u8(p).toLong) | (u8(p + 1).toLong << 8) |
+          (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+        val isize = (u8(p + 4).toLong) | (u8(p + 5).toLong << 8) |
+          (u8(p + 6).toLong << 16) | (u8(p + 7).toLong << 24)
+        p += 8
+        val c = new java.util.zip.CRC32
+        c.update(data)
+        if (c.getValue != crc) return null
+        if ((data.length.toLong & 0xffffffffL) != isize) return null
+        out += data
+      } finally inf.end()
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** WARC record splitter — see [[WarcFunctions]] for contract and

@@ -105,6 +105,75 @@ class WarcSpec extends SparkSpec {
     assert(rows.head.getString(5) === "hi")
   }
 
+  test("gzip members: per-record compression roundtrips; CRC/ISIZE verified; headers handled") {
+    GraftFunctions.register(spark)
+    def members(bytes: Array[Byte]): Row =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(GraftFunctions.gzipMembers(col("b")).as("m"))
+        .collect()(0)
+    val gz = Seq((9L, "compressed warc text")).toDF("id", "t")
+      .select(GraftFunctions.buildWarcGz(col("id"), col("t")).as("w"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // 9 % 3 = 0 → 1 resource + warcinfo = 2 members, concatenation of
+    // members re-parses to the SAME records the plain file carries
+    val ms = members(gz).getSeq[Array[Byte]](0)
+    assert(ms.size === 2)
+    val plain = build(9L, "compressed warc text")
+    assert(ms.map(_.toSeq).reduce(_ ++ _) === plain.toSeq)
+    assert(new String(ms(0), "US-ASCII").startsWith("WARC/1.0\r\nWARC-Type: warcinfo"))
+    // optional header fields: FNAME + FEXTRA + FCOMMENT all consumed
+    val withName = {
+      val bos = new java.io.ByteArrayOutputStream()
+      // hand-built header: magic, deflate, FLG=FEXTRA|FNAME|FCOMMENT
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte, 0, 0, 0, 0, 0, 0))
+      bos.write(Array[Byte](2, 0, 42, 42)) // XLEN=2 + extra bytes
+      bos.write("name.txt".getBytes("US-ASCII")); bos.write(0)
+      bos.write("comment".getBytes("US-ASCII")); bos.write(0)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      val payload = "hello".getBytes("US-ASCII")
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](64)
+      val m = d.deflate(buf)
+      bos.write(buf, 0, m)
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      val t = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      t.putInt(crc.getValue.toInt); t.putInt(payload.length)
+      bos.write(t.array())
+      bos.toByteArray
+    }
+    assert(new String(members(withName).getSeq[Array[Byte]](0)(0), "US-ASCII") === "hello")
+    // damage matrix → NULL, never a throw
+    assert(members(gz.take(gz.length - 3)).isNullAt(0)) // truncated trailer
+    assert(members(gz.take(15)).isNullAt(0)) // truncated stream
+    assert(members({ val c = gz.clone(); c(0) = 'X'.toByte; c }).isNullAt(0)) // magic
+    assert(members({ val c = gz.clone(); c(3) = 0xe0.toByte; c }).isNullAt(0)) // reserved FLG
+    assert(members({ // corrupt the stored CRC of the LAST member
+      val c = gz.clone(); c(c.length - 8) = (c(c.length - 8) ^ 0xff).toByte; c
+    }).isNullAt(0))
+    assert(members(Array.empty[Byte]).getSeq[Array[Byte]](0).isEmpty)
+    val n = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("b")
+      .select(GraftFunctions.gzipMembers(col("b")).as("m")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("x97 surface equals x92's record content on the shared id range") {
+    // same doc → same records whether read from the plain or the
+    // compressed container (offsets aside, which only x92 carries)
+    val sf = "/root/testdata/sf0.001"
+    val gzRows = SparkEntry.queries("x97_warc_gz")(spark, sf).collect()
+    assert(gzRows.nonEmpty)
+    gzRows.foreach { r =>
+      val id = r.getLong(0)
+      val i = r.getInt(1)
+      assert(r.getString(2) === s"http://example.com/doc/$id/$i")
+      assert(r.getString(3) === s"2020-01-01T00:00:0${i}Z")
+      assert(r.getString(5).startsWith(s"Heading $id!"))
+    }
+    assert(gzRows.groupBy(_.getLong(0)).forall { case (id, rs) =>
+      rs.length == 1 + (id % 3).toInt
+    })
+  }
+
   test("x92 surface matches its closed form on the real corpus at two SFs") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val got = SparkEntry.queries("x92_warc_records")(spark, s"/root/testdata/$sf").collect()
