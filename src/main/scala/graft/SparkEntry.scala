@@ -2815,6 +2815,50 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** CDX index-generation surface (x98): the crawl RANDOM-ACCESS index —
+    * real archives pair every `.warc(.gz)` shard with a CDX file of
+    * (SURT key, byte offset, record length) rows so a replay/dedup job
+    * can seek straight to one record. Three existing operators compose:
+    * [[graft.functions.WarcRecords]] provides measured offsets,
+    * [[graft.functions.UrlNormalize]] canonicalizes each record's
+    * target URI, and BUILTINS derive the SURT key (reverse the host
+    * labels: `com,example)/path` — `split`/`reverse`/`array_join`) and
+    * the record length (`lead(offset)` bounded by the measured file
+    * size — a per-FILE window, bounded by records-per-file, never a
+    * global sort). The oracle re-derives every column in closed form
+    * (offset arithmetic as x92, length = header+payload+separator
+    * size), so a match proves measured offsets AND measured lengths
+    * agree with the byte layout.
+    */
+  private def x98(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val u = GraftFunctions.urlNormalize(col("r.target_uri"))
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 2)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        GraftFunctions.buildWarc(col("doc_id"), col("text")).as("bytes"))
+      .select(
+        col("doc_id"),
+        length(col("bytes")).cast("long").as("fsize"),
+        posexplode(GraftFunctions.warcRecords(col("bytes"))).as(Seq("pos", "r")))
+      .withColumn("next_off", lead(col("r.rec_offset"), 1).over(w))
+      .where(col("r.rec_type") === "resource")
+      .select(
+        col("doc_id"),
+        (col("pos") - 1).cast("int").as("rec_idx"),
+        concat(
+          array_join(reverse(split(u.getField("host"), "\\.")), ","),
+          lit(")"),
+          u.getField("path")).as("surt_key"),
+        col("r.rec_offset").as("rec_offset"),
+        (coalesce(col("next_off"), col("fsize")) - col("r.rec_offset")).as("rec_len"))
+      .orderBy(col("doc_id"), col("rec_idx"))
+  }
+
   /** Compressed-WARC ingestion surface (x97): the missing compression
     * layer of the web front matter — real crawls ship `.warc.gz` with
     * ONE GZIP MEMBER PER RECORD (so readers can seek + inflate a single
@@ -3088,6 +3132,7 @@ object SparkEntry {
     "x95_url_normalize" -> (x95 _),
     "x96_sentence_dedup" -> (x96 _),
     "x97_warc_gz" -> (x97 _),
+    "x98_cdx_index" -> (x98 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5368,6 +5413,70 @@ object SparkEntry {
         |)
         |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // x98: the CDX triple re-derived in closed form - SURT key from the
+    // known URI shape, offsets via the x92 prefix-sum, record length =
+    // header + payload + separator bytes. A match proves MEASURED
+    // offsets and lengths agree with the byte layout.
+    "x98_cdx_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
+        |    1 + doc_id % 3 AS nrec
+        |  FROM documents WHERE doc_id % 5 = 2
+        |), h AS (
+        |  SELECT *,
+        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
+        |    || '<title>Doc ' || ids || '</title>' || chr(10)
+        |    || '<meta charset="utf-8">' || chr(10)
+        |    || '<script type="text/javascript">var n = ' || ids
+        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
+        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
+        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
+        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
+        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
+        |    || '</ul></nav>' || chr(10)
+        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
+        |    || '<div class="main">' || chr(10)
+        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
+        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+        |                                '<', '&lt;'), '>', '&gt;')
+        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
+        |    || '</div>' || chr(10)
+        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
+        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
+        |  FROM d
+        |), sz AS (
+        |  SELECT doc_id, ids, nrec, strlen(html) AS clen,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: warcinfo' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':info>' || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:00Z' || e'\r\n'
+        |      || 'Content-Type: application/warc-fields' || e'\r\n'
+        |      || 'Content-Length: 17' || e'\r\n' || e'\r\n') + 17 + 4 AS isize
+        |  FROM h
+        |), recs AS (
+        |  SELECT doc_id, ids, clen, isize, unnest(range(nrec)) AS i FROM sz
+        |), sized AS (
+        |  SELECT *,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: resource' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':' || i || '>' || e'\r\n'
+        |      || 'WARC-Target-URI: http://example.com/doc/' || ids || '/' || i || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:0' || i || 'Z' || e'\r\n'
+        |      || 'Content-Type: text/html' || e'\r\n'
+        |      || 'Content-Length: ' || clen || e'\r\n' || e'\r\n') + clen + 4 AS rsize
+        |  FROM recs
+        |), off AS (
+        |  SELECT *,
+        |    isize + coalesce(sum(rsize) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset
+        |  FROM sized
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS rec_idx,
+        |  'com,example)/doc/' || ids || '/' || i AS surt_key,
+        |  CAST(rec_offset AS BIGINT) AS rec_offset,
+        |  CAST(rsize AS BIGINT) AS rec_len
+        |FROM off ORDER BY doc_id, rec_idx""".stripMargin,
     // x97: x92's closed form minus byte offsets (compressed member sizes
     // are not closed-form): uri/date/Content-Length/main_text per
     // resource record of the %7=3 subset - proving member split +

@@ -174,6 +174,26 @@ class WarcSpec extends SparkSpec {
     })
   }
 
+  test("x98 CDX rows tile the file: offsets strictly increase, lengths sum to file size") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val got = SparkEntry.queries("x98_cdx_index")(spark, s"/root/testdata/$sf").collect()
+      assert(got.nonEmpty, sf)
+      got.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+        val sorted = rs.sortBy(_.getInt(1))
+        sorted.foreach { r =>
+          assert(r.getString(2) === s"com,example)/doc/$id/${r.getInt(1)}", sf)
+          assert(r.getLong(4) > 0, sf)
+        }
+        // consecutive records tile: offset_{i+1} = offset_i + len_i
+        sorted.sliding(2).filter(_.size == 2).foreach { p =>
+          assert(p(1).getLong(3) === p(0).getLong(3) + p(0).getLong(4), s"$sf doc=$id")
+        }
+        // the first resource sits strictly after the warcinfo record
+        assert(sorted.head.getLong(3) > 0, sf)
+      }
+    }
+  }
+
   test("x92 surface matches its closed form on the real corpus at two SFs") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val got = SparkEntry.queries("x92_warc_records")(spark, s"/root/testdata/$sf").collect()
