@@ -2815,6 +2815,55 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** robots.txt evaluation surface (x99): the crawl-politeness gate
+    * between URL discovery (x93/x95) and fetching —
+    * [[graft.functions.RobotsAllowed]]'s full RFC 9309 semantics over a
+    * two-group fixture (a `*` group with prefix rules, an Allow
+    * override, and a star-dot-tmp-dollar wildcard-anchor rule; a merged
+    * graftbot/otherbot group with its own rules) evaluated for six path
+    * cases per document under two crawler identities. The expected
+    * decision matrix is closed-form in (case, agent-parity): group
+    * selection by longest agent-token prefix, longest-pattern
+    * precedence, Allow-wins-ties, and wildcard/anchor matching all
+    * contribute distinguishing rows — a hash match certifies the whole
+    * rule engine.
+    */
+  private def x99(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val ids = col("doc_id").cast("string")
+    val k = (col("doc_id") % 5).cast("string")
+    val robots = concat(
+      lit("# graft fixture\nUser-agent: *\nDisallow: /private"), k,
+      lit("/\nAllow: /private"), k,
+      lit("/ok/\nDisallow: /*.tmp$\n\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /q/\nAllow: /q/open\n"))
+    val agent = when(col("doc_id") % 2 === 0, lit("graftbot/1.0"))
+      .otherwise(lit("randombot"))
+    val paths = array(
+      concat(lit("/a"), ids, lit("/x")),
+      concat(lit("/private"), k, lit("/ok/f")),
+      concat(lit("/private"), k, lit("/secret")),
+      concat(lit("/f"), ids, lit(".tmp")),
+      lit("/q/page"),
+      concat(lit("/q/open"), ids))
+    t(s, dir, "documents")
+      .where(col("doc_id") % 6 === 4)
+      .select(col("doc_id"))
+      .select(
+        col("doc_id"),
+        robots.as("robots"),
+        agent.as("agent"),
+        posexplode(paths).as(Seq("case_idx", "path")))
+      .select(
+        col("doc_id"),
+        col("case_idx").cast("int").as("case_idx"),
+        col("path"),
+        col("agent"),
+        GraftFunctions
+          .robotsAllowed(col("robots"), col("agent"), col("path"))
+          .as("allowed"))
+      .orderBy(col("doc_id"), col("case_idx"))
+  }
+
   /** CDX index-generation surface (x98): the crawl RANDOM-ACCESS index —
     * real archives pair every `.warc(.gz)` shard with a CDX file of
     * (SURT key, byte offset, record length) rows so a replay/dedup job
@@ -3133,6 +3182,7 @@ object SparkEntry {
     "x96_sentence_dedup" -> (x96 _),
     "x97_warc_gz" -> (x97 _),
     "x98_cdx_index" -> (x98 _),
+    "x99_robots" -> (x99 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5413,6 +5463,29 @@ object SparkEntry {
         |)
         |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // x99: the RFC 9309 decision matrix in closed form. graftbot obeys
+    // the merged graftbot/otherbot group (only /q/ rules: case 4 denied,
+    // case 5 saved by the longer Allow); every other agent obeys the *
+    // group (case 2 denied by the prefix rule, case 3 by the /*.tmp$
+    // wildcard-anchor, case 1 saved by the longer Allow override).
+    "x99_robots" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+        |    CAST(doc_id % 5 AS VARCHAR) AS k, doc_id % 2 = 0 AS g
+        |  FROM documents WHERE doc_id % 6 = 4
+        |), c AS (
+        |  SELECT doc_id, ids, k, g, unnest(range(6)) AS ci FROM d
+        |)
+        |SELECT doc_id, CAST(ci AS INT) AS case_idx,
+        |  CASE ci WHEN 0 THEN '/a' || ids || '/x'
+        |          WHEN 1 THEN '/private' || k || '/ok/f'
+        |          WHEN 2 THEN '/private' || k || '/secret'
+        |          WHEN 3 THEN '/f' || ids || '.tmp'
+        |          WHEN 4 THEN '/q/page'
+        |          ELSE '/q/open' || ids END AS path,
+        |  CASE WHEN g THEN 'graftbot/1.0' ELSE 'randombot' END AS agent,
+        |  CASE WHEN g THEN ci <> 4 ELSE ci NOT IN (2, 3) END AS allowed
+        |FROM c ORDER BY doc_id, case_idx""".stripMargin,
     // x98: the CDX triple re-derived in closed form - SURT key from the
     // known URI shape, offsets via the x92 prefix-sum, record length =
     // header + payload + separator bytes. A match proves MEASURED

@@ -135,6 +135,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "gzip_members", exprs => GzipMembers(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "robots_allowed",
+      exprs => RobotsAllowed(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "audio_pcm_features", exprs => AudioPcmFeatures(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rp_buckets",
@@ -421,6 +424,14 @@ object GraftFunctions {
     */
   def gzipMembers(bytes: Column): Column =
     call_function("gzip_members", bytes)
+
+  /** RFC 9309 robots.txt evaluation: may `agent` fetch `path`? Group
+    * selection by longest agent-token prefix, longest-pattern rule
+    * precedence with Allow winning ties, `*`/`$` wildcards — see
+    * RobotsAllowed.
+    */
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    call_function("robots_allowed", robots, agent, path)
 
   /** Minimal genuine AVI (RIFF hdrl/strl/movi, 25 fps) — see BuildAvi. */
   def buildAvi(w: Column, h: Column, frames: Column): Column =
