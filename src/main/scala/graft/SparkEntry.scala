@@ -3014,6 +3014,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance-resampling surface (x100): hashed-token importance
+    * weighting of the raw pool (doc_id % 7 ≠ 0) toward a target exemplar
+    * set (doc_id % 7 = 0) — see [[graft.operators.ImportanceResampling]]
+    * for the fixed-point integer formulation and the one-pass /
+    * broadcast-weights / range-partition-rank scale posture. The oracle
+    * replays the exact same arithmetic (4-hex md5 buckets via positional
+    * strpos decode, add-one-smoothed integer ratio weights, occurrence
+    * sums, row_number under (score desc, id asc), top n_raw//5 keep) so a
+    * hash match certifies bucketing, both distributions, the weight
+    * table, and the selection rank end to end.
+    */
+  private def x100(s: SparkSession, dir: String): DataFrame =
+    ImportanceResampling
+      .scoreAndSelect(
+        dts(s, dir).select(col("doc_id"), col("text")),
+        isTarget = col("doc_id") % 7 === 0,
+        idCol = "doc_id",
+        textCol = "text")
+      .orderBy(col("doc_id"))
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3040,6 +3060,20 @@ object SparkEntry {
       .map(i =>
         s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
           s"${1L << (4 * (DistinctSketch.HexChars - i))}")
+      .mkString(" + ")
+
+  /** DuckDB-side 4-hex-digit prefix → integer for x100's feature buckets,
+    * generated from the SAME positional loop shape as [[kmvHexToIntSql]]
+    * (most-significant digit first) so the decode cannot drift from
+    * [[graft.operators.ImportanceResampling.bucket]]'s `conv(substr(md5,
+    * 1, 4), 16, 10)`. `h` is the 32-char lowercase md5 hex string in
+    * scope at the splice point.
+    */
+  private val hex4ToIntSql: String =
+    (1 to 4)
+      .map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+          s"${1L << (4 * (4 - i))}")
       .mkString(" + ")
 
   /** Shared Z-order geometry for x47: bit width and the DuckDB-side
@@ -3183,6 +3217,7 @@ object SparkEntry {
     "x97_warc_gz" -> (x97 _),
     "x98_cdx_index" -> (x98 _),
     "x99_robots" -> (x99 _),
+    "x100_dsir_resample" -> (x100 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5649,6 +5684,44 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x100: full DSIR replay — md5-hex4 feature buckets (positional
+    // strpos decode, the kmv convention), ONE grouped count carrying both
+    // distributions, add-one-smoothed integer ratio weights over the FULL
+    // bucket range, occurrence-sum scores for the raw pool, row_number
+    // under (score desc, doc_id) and the top-n_raw//5 keep rule.
+    "x100_dsir_resample" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, doc_id % 7 = 0 AS tgt,
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        |  FROM documents
+        |), hx AS (
+        |  SELECT doc_id, tgt, md5(tok) AS h FROM tk WHERE tok <> ''
+        |), f AS (
+        |  SELECT doc_id, tgt, ($hex4ToIntSql) % 256 AS b FROM hx
+        |), cnt AS (
+        |  SELECT b,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t,
+        |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS r
+        |  FROM f GROUP BY b
+        |), w AS (
+        |  SELECT bb.b,
+        |    ((coalesce(t, 0) + 1) * 1000000) // (coalesce(r, 0) + 1) AS w
+        |  FROM (SELECT unnest(range(0, 256)) AS b) bb
+        |  LEFT JOIN cnt ON bb.b = cnt.b
+        |), sc AS (
+        |  SELECT doc_id, count(*) AS n_tok, sum(w) AS score
+        |  FROM f JOIN w USING (b) WHERE NOT tgt GROUP BY doc_id
+        |), n AS (
+        |  SELECT count(*) AS n_raw FROM sc
+        |), rk AS (
+        |  SELECT doc_id, n_tok, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        |  CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank,
+        |  rank <= n_raw // 5 AS selected
+        |FROM rk, n ORDER BY doc_id""".stripMargin,
     "x81_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
