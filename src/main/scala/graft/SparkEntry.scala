@@ -3034,6 +3034,35 @@ object SparkEntry {
         textCol = "text")
       .orderBy(col("doc_id"))
 
+  /** Anchor-text aggregation surface (x101): per link target, the
+    * in-link count, distinct-source count, and plurality anchor string —
+    * [[graft.functions.HtmlAnchors]]' (href, text) walk feeding
+    * [[graft.operators.AnchorText.aggregate]]. Each planted page carries
+    * its five closed-form anchors PLUS an appended snippet re-linking
+    * the page's hub under a doc-varying text ("site {id%5}"), so hub
+    * targets aggregate 6 distinct strings with "more links here" as the
+    * clear plurality — the argmax, distinct counts, and tie-break all do
+    * real work. The oracle rebuilds the pair stream closed-form (no HTML
+    * in SQL) and replays count → row_number plurality, so a hash match
+    * certifies the anchor-text WALK (entity/whitespace rules included:
+    * any leakage of markup into a text breaks a string) and the
+    * aggregation.
+    */
+  private def x101(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val page = concat(
+      GraftFunctions.buildHtml(col("doc_id"), col("text")),
+      lit("<p><a href=\"/q/"), (col("doc_id") % 13).cast("string"),
+      lit("\">site "), (col("doc_id") % 5).cast("string"), lit("</a></p>"))
+    val pairs = t(s, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(GraftFunctions.htmlAnchors(page)).as("a"))
+      .select(col("doc_id"), col("a.href").as("href"), col("a.text").as("text"))
+    AnchorText.aggregate(pairs).orderBy(col("target"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3218,6 +3247,7 @@ object SparkEntry {
     "x98_cdx_index" -> (x98 _),
     "x99_robots" -> (x99 _),
     "x100_dsir_resample" -> (x100 _),
+    "x101_anchor_text" -> (x101 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5684,6 +5714,40 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x101: closed-form pair stream (5 page anchors + the hub re-link
+    // under "site {id%5}") → per-(target, text) counts → row_number
+    // plurality with (cnt desc, text) tie-break → per-target totals.
+    "x101_anchor_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+        |    CAST(doc_id % 13 AS VARCHAR) AS k,
+        |    'site ' || CAST(doc_id % 5 AS VARCHAR) AS st
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), pairs AS (
+        |  SELECT doc_id, '/p/' || ids AS href, 'nav item ' || ids AS txt FROM d
+        |  UNION ALL SELECT doc_id, '/q/' || k, 'more links here' FROM d
+        |  UNION ALL SELECT doc_id, '/ref/' || ids, 'ref ' || ids FROM d
+        |  UNION ALL SELECT doc_id, '/about', 'about' FROM d
+        |  UNION ALL SELECT doc_id, '/tos', 'terms' FROM d
+        |  UNION ALL SELECT doc_id, '/q/' || k, st FROM d
+        |), ct AS (
+        |  SELECT href, txt, count(*) AS cnt FROM pairs GROUP BY href, txt
+        |), top AS (
+        |  SELECT href, txt, cnt,
+        |    row_number() OVER (PARTITION BY href ORDER BY cnt DESC, txt) AS rn
+        |  FROM ct
+        |), agg AS (
+        |  SELECT href, count(*) AS n_links,
+        |    count(DISTINCT doc_id) AS n_src_docs,
+        |    count(DISTINCT txt) AS n_texts
+        |  FROM pairs GROUP BY href
+        |)
+        |SELECT a.href AS target, CAST(n_links AS BIGINT) AS n_links,
+        |  CAST(n_src_docs AS BIGINT) AS n_src_docs,
+        |  CAST(n_texts AS BIGINT) AS n_texts,
+        |  t.txt AS top_text, CAST(t.cnt AS BIGINT) AS top_cnt
+        |FROM agg a JOIN top t ON a.href = t.href AND t.rn = 1
+        |ORDER BY target""".stripMargin,
     // x100: full DSIR replay — md5-hex4 feature buckets (positional
     // strpos decode, the kmv convention), ONE grouped count carrying both
     // distributions, add-one-smoothed integer ratio weights over the FULL

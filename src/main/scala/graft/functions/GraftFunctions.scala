@@ -129,6 +129,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "html_links", exprs => HtmlLinks(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "html_anchors", exprs => HtmlAnchors(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "url_normalize", exprs => UrlNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "build_warc_gz", exprs => BuildWarcGz(exprs(0), exprs(1)), "built-in")
@@ -405,6 +407,13 @@ object GraftFunctions {
     */
   def htmlLinks(html: Column): Column =
     call_function("html_links", html)
+
+  /** Every `<a href>` with its entity-decoded, whitespace-collapsed
+    * anchor TEXT as `array<struct<href, text>>` — the pair stream
+    * anchor-text aggregation consumes; see HtmlAnchors.
+    */
+  def htmlAnchors(html: Column): Column =
+    call_function("html_anchors", html)
 
   /** RFC 3986 §6 URL canonicalization → struct(norm_url, scheme, host,
     * port, path): case/port/escape/dot-segment normalization, fragment

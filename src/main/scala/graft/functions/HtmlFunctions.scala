@@ -447,3 +447,175 @@ case class HtmlLinks(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** `<a href>` extraction WITH anchor text — the (href, text) pair stream
+  * that anchor-text aggregation (x101) consumes: per target URL, the
+  * texts the web uses to describe it (the classic relevance signal —
+  * Brin & Page '98 §2.2 propagate anchor text to the linked page; every
+  * production web index aggregates it per target).
+  *
+  * Returns `array<struct<href, text>>` in document order. The attribute
+  * walk is [[HtmlLinks]]' (quote-aware, name[=value], case-insensitive,
+  * verbatim href); the TEXT between `<a …>` and its close is captured
+  * with [[HtmlExtract]]'s character rules — entities decoded (five XML
+  * names, `&nbsp;`, numeric refs; unknown/unterminated stay literal),
+  * whitespace runs collapsed to one space, trimmed; markup inside the
+  * anchor is stripped but its text kept (`<a><b>x</b> y</a>` → "x y");
+  * script/style inside an anchor contribute nothing.
+  *
+  * Anchor nesting cannot occur in HTML (the parser implicitly closes an
+  * open `<a>` when a new one starts — WHATWG §13.2.6.2); this walk does
+  * the same: a new href-bearing `<a>` emits the open anchor first. An
+  * anchor left open at end-of-input emits best-effort. `<a>` without an
+  * href contributes no pair (matching [[HtmlLinks]]), and its text is
+  * NOT attributed to any neighbor. NULL only for null input; no anchors
+  * → empty array. Map-only, one pass — runs in the scan projection next
+  * to HtmlExtract/HtmlLinks at corpus scale.
+  */
+case class HtmlAnchors(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(
+      StructType(Seq(
+        StructField("href", StringType, nullable = false),
+        StructField("text", StringType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(htmlAny: Any): Any = {
+    val s = htmlAny.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+
+    var openHref: String = null // non-null ⇔ collecting an anchor's text
+    val sb = new StringBuilder
+    var pendingSpace = false
+
+    def emit(c: Char): Unit =
+      if (openHref != null) {
+        if (pendingSpace && sb.nonEmpty) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+    def emitCodePoint(cp: Int): Unit =
+      if (Character.isValidCodePoint(cp) && cp != 0) {
+        if (Character.isWhitespace(cp) || cp == 0xa0) pendingSpace = true
+        else if (Character.isBmpCodePoint(cp)) emit(cp.toChar)
+        else { emit(Character.highSurrogate(cp)); emit(Character.lowSurrogate(cp)) }
+      }
+    def closeAnchor(): Unit =
+      if (openHref != null) {
+        out += InternalRow(
+          UTF8String.fromString(openHref),
+          UTF8String.fromString(sb.toString))
+        openHref = null; sb.setLength(0); pendingSpace = false
+      }
+    def findCi(pat: String, from: Int): Int = {
+      var p = from
+      val m = pat.length
+      while (p + m <= n) {
+        var k = 0
+        while (k < m && Character.toLowerCase(s.charAt(p + k)) == pat.charAt(k)) k += 1
+        if (k == m) return p
+        p += 1
+      }
+      -1
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val e = s.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+        } else if (i + 1 < n &&
+          (Character.isLetter(s.charAt(i + 1)) || s.charAt(i + 1) == '/')) {
+          var j = i + 1
+          val closing = s.charAt(j) == '/'
+          if (closing) j += 1
+          val t0 = j
+          while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+          val name = s.substring(t0, j).toLowerCase(java.util.Locale.ROOT)
+          var href: String = null
+          var done = false
+          while (j < n && !done) {
+            val a = s.charAt(j)
+            if (a == '>') { done = true; j += 1 }
+            else if (Character.isWhitespace(a) || a == '/') j += 1
+            else {
+              val a0 = j
+              while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+              val attr = s.substring(a0, j).toLowerCase(java.util.Locale.ROOT)
+              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+              var value: String = null
+              if (j < n && s.charAt(j) == '=') {
+                j += 1
+                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+                if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+                  val q = s.charAt(j)
+                  val e = s.indexOf(q, j + 1)
+                  if (e < 0) { value = s.substring(j + 1); j = n }
+                  else { value = s.substring(j + 1, e); j = e + 1 }
+                } else {
+                  val v0 = j
+                  while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                    s.charAt(j) != '>') j += 1
+                  value = s.substring(v0, j)
+                }
+              }
+              if (attr == "href" && value != null) href = value
+            }
+          }
+          if (!done) { closeAnchor(); i = n } // truncated tag
+          else {
+            i = j
+            if (name == "a") {
+              closeAnchor() // </a>, or implicit close before a new <a>
+              if (!closing && href != null && href.nonEmpty) openHref = href
+            } else if (!closing && (name == "script" || name == "style")) {
+              val e = findCi("</" + name, i)
+              if (e < 0) i = n
+              else {
+                val g = s.indexOf('>', e)
+                i = if (g < 0) n else g + 1
+              }
+            }
+          }
+        } else { emit('<'); i += 1 }
+      } else if (Character.isWhitespace(c)) {
+        pendingSpace = true; i += 1
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Option[Int] =
+          if (semi < 0 || semi - i > 10) None
+          else {
+            val body = s.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              try Some(Integer.parseInt(body.substring(2), 16))
+              catch { case _: NumberFormatException => None }
+            } else if (body.startsWith("#")) {
+              try Some(Integer.parseInt(body.substring(1)))
+              catch { case _: NumberFormatException => None }
+            } else if (body == "nbsp") Some(0xa0)
+            else HtmlFunctions.namedEntities.get(body).map(_.toInt)
+          }
+        decoded match {
+          case Some(cp) => emitCodePoint(cp); i = semi + 1
+          case None => emit('&'); i += 1
+        }
+      } else { emit(c); i += 1 }
+    }
+    closeAnchor() // anchor open at end-of-input: best effort
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
