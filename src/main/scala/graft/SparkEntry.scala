@@ -3063,6 +3063,39 @@ object SparkEntry {
     AnchorText.aggregate(pairs).orderBy(col("target"))
   }
 
+  /** Sitemap-parsing surface (x102): URL discovery, the crawl stage
+    * beside x99's robots politeness — [[graft.functions.SitemapUrls]]'
+    * XML-lite walk over [[graft.functions.BuildSitemap]] fixtures. The
+    * `% 5 = 2` subset hits every fixture branch: sitemapindex docs
+    * (id % 4 = 0, two `<sitemap>` entries), fully-populated urlset
+    * entries, the optional-fields-omitted branch (id % 3 = 0), the
+    * `&amp;`-entity loc, and the whitespace-padded CDATA loc. The oracle
+    * rebuilds each row closed-form (decoded/trimmed values directly), so
+    * a hash match certifies entity decode, CDATA verbatim capture, trim,
+    * the required-loc rule, and exact integer-ppm priority parsing.
+    */
+  private def x102(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 2)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        posexplode(
+          GraftFunctions.sitemapUrls(GraftFunctions.buildSitemap(col("doc_id"))))
+          .as(Seq("pos", "e")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("entry_idx"),
+        col("e.kind").as("kind"),
+        col("e.loc").as("loc"),
+        col("e.lastmod").as("lastmod"),
+        col("e.changefreq").as("changefreq"),
+        col("e.priority_ppm").as("priority_ppm"))
+      .orderBy(col("doc_id"), col("entry_idx"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3248,6 +3281,7 @@ object SparkEntry {
     "x99_robots" -> (x99 _),
     "x100_dsir_resample" -> (x100 _),
     "x101_anchor_text" -> (x101 _),
+    "x102_sitemap" -> (x102 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5714,6 +5748,55 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x102: closed-form rebuild of every sitemap entry — the decoded /
+    // trimmed / ppm-parsed VALUES are written directly, so any walk
+    // defect (entity leak, CDATA padding, wrong omission) hash-fails.
+    "x102_sitemap" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+        |    CAST(doc_id % 5 AS VARCHAR) AS k
+        |  FROM documents WHERE doc_id % 5 = 2
+        |), idx AS (
+        |  SELECT * FROM d WHERE doc_id % 4 = 0
+        |), us AS (
+        |  SELECT * FROM d WHERE doc_id % 4 <> 0
+        |), rows_ AS (
+        |  SELECT doc_id, 0 AS entry_idx, 'sitemap' AS kind,
+        |    'https://example' || k || '.com/sitemap_' || ids || '_1.xml' AS loc,
+        |    '2024-06-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS lastmod,
+        |    CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS INT) AS priority_ppm
+        |  FROM idx
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'sitemap',
+        |    'https://example' || k || '.com/sitemap_' || ids || '_2.xml',
+        |    NULL, NULL, NULL
+        |  FROM idx
+        |  UNION ALL
+        |  SELECT doc_id, 0, 'url',
+        |    'https://example' || k || '.com/p/' || ids,
+        |    CASE WHEN doc_id % 3 <> 0 THEN
+        |      '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+        |      || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') END,
+        |    CASE doc_id % 3 WHEN 1 THEN 'weekly' WHEN 2 THEN 'monthly' END,
+        |    CASE WHEN doc_id % 3 <> 0
+        |      THEN CAST((doc_id % 10) * 100000 AS INT) END
+        |  FROM us
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'url',
+        |    'https://example' || k || '.com/s?a=' || ids
+        |      || '&b=' || CAST(doc_id % 7 AS VARCHAR),
+        |    NULL, NULL, 500000
+        |  FROM us
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'url',
+        |    'https://example' || k || '.com/cd/' || ids,
+        |    '2024-01-02', NULL, NULL
+        |  FROM us
+        |)
+        |SELECT doc_id, CAST(entry_idx AS INT) AS entry_idx, kind, loc,
+        |  lastmod, changefreq, CAST(priority_ppm AS INT) AS priority_ppm
+        |FROM rows_ ORDER BY doc_id, entry_idx""".stripMargin,
     // x101: closed-form pair stream (5 page anchors + the hub re-link
     // under "site {id%5}") → per-(target, text) counts → row_number
     // plurality with (cnt desc, text) tie-break → per-target totals.

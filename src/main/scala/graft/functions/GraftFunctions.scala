@@ -131,6 +131,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "html_anchors", exprs => HtmlAnchors(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_sitemap", exprs => BuildSitemap(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sitemap_urls", exprs => SitemapUrls(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "url_normalize", exprs => UrlNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "build_warc_gz", exprs => BuildWarcGz(exprs(0), exprs(1)), "built-in")
@@ -414,6 +418,17 @@ object GraftFunctions {
     */
   def htmlAnchors(html: Column): Column =
     call_function("html_anchors", html)
+
+  /** Deterministic sitemap/sitemapindex fixture — see BuildSitemap. */
+  def buildSitemap(id: Column): Column =
+    call_function("build_sitemap", id)
+
+  /** Sitemap parse → array<struct<kind, loc, lastmod, changefreq,
+    * priority_ppm>> (urlset AND sitemapindex; CDATA, entity decode,
+    * integer-ppm priority) — see SitemapUrls.
+    */
+  def sitemapUrls(xml: Column): Column =
+    call_function("sitemap_urls", xml)
 
   /** RFC 3986 §6 URL canonicalization → struct(norm_url, scheme, host,
     * port, path): case/port/escape/dot-segment normalization, fragment
