@@ -3096,6 +3096,51 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("entry_idx"))
   }
 
+  /** CCNet-style per-language fluency bucketing surface (x103): the
+    * curation step Wenzek et al. 2020 run after LM scoring — split each
+    * language's documents into head / middle / tail thirds by model
+    * score, so downstream mixing can oversample the head. Composes the
+    * x05 language-ID argmax with the x70 bigram stupid-backoff fluency
+    * score (reference = even ids, scored pool = odd ids; short docs
+    * carry the -1 sentinel and sink to the tail), then assigns EXACT
+    * SQL-ntile terciles per language via
+    * [[graft.operators.GroupNtile]] — class-table rank decomposition,
+    * no per-language global sort, so the head language's 100 TB share
+    * never funnels through one task. The oracle replays language ID,
+    * the LM, and `ntile(3)` verbatim, and the emitted per-language rank
+    * pins the full total order, not just the bucket boundaries.
+    */
+  private def x103(s: SparkSession, dir: String): DataFrame = {
+    val docs = dts(s, dir).select(col("doc_id"), col("text"))
+    val scored = TextAnalysis
+      .lmFluency(
+        refDocs = docs.where(col("doc_id") % 2 === 0),
+        targetDocs = docs.where(col("doc_id") % 2 === 1))
+      .select(
+        col("doc_id"),
+        coalesce(col("fluency_ppm"), lit(-1L)).as("fluency_ppm"))
+    val lang = docs
+      .where(col("doc_id") % 2 === 1)
+      .select(
+        col("doc_id"),
+        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang"))
+    GroupNtile
+      .withGroupNtile(
+        lang.join(scored, Seq("doc_id")),
+        groupCol = "lang",
+        scoreCol = "fluency_ppm",
+        tieCol = "doc_id",
+        tiles = 3)
+      .select(
+        col("doc_id"), col("lang"), col("fluency_ppm"),
+        col("rank").as("lrank"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail")
+          .as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3282,6 +3327,7 @@ object SparkEntry {
     "x100_dsir_resample" -> (x100 _),
     "x101_anchor_text" -> (x101 _),
     "x102_sitemap" -> (x102 _),
+    "x103_ccnet_buckets" -> (x103 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5748,6 +5794,75 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x103: the x05 language argmax + the full x70 LM replay on the odd
+    // half, then literal ntile(3)/row_number per language — DuckDB's
+    // ntile IS the SQL semantics GroupNtile's closed form reproduces, so
+    // a hash match proves the class-table rank decomposition exactly.
+    "x103_ccnet_buckets" ->
+      """WITH rtk AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt_w
+        |  FROM (SELECT unnest(toks) AS w FROM rtk) GROUP BY w
+        |), big AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(toks) >= 2
+        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
+        |      ELSE [] END) AS p
+        |    FROM rtk)
+        |  GROUP BY 1, 2
+        |), n AS (
+        |  SELECT greatest(CAST(coalesce(sum(cnt_w), 0) AS BIGINT), 1) AS total FROM uni
+        |), ttk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), pd AS (
+        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS m
+        |  FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
+        |      ELSE [] END) AS p
+        |    FROM ttk)
+        |  GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT pd.doc_id, pd.m,
+        |    CASE WHEN b.cnt_b IS NOT NULL THEN b.cnt_b * 1000000 // u1.cnt_w
+        |         ELSE coalesce(u2.cnt_w, 0) * 400000 // n.total END AS p_ppm
+        |  FROM pd
+        |  LEFT JOIN big b ON pd.w1 = b.w1 AND pd.w2 = b.w2
+        |  LEFT JOIN uni u1 ON pd.w1 = u1.w
+        |  LEFT JOIN uni u2 ON pd.w2 = u2.w, n
+        |), flu AS (
+        |  SELECT doc_id, CAST(sum(m * p_ppm) // sum(m) AS BIGINT) AS f
+        |  FROM sc GROUP BY doc_id
+        |), lid AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
+        |  FROM ttk
+        |), joined AS (
+        |  SELECT l.doc_id,
+        |    CASE
+        |      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |      ELSE 'fr'
+        |    END AS lang,
+        |    CAST(coalesce(f, -1) AS BIGINT) AS fluency_ppm
+        |  FROM lid l LEFT JOIN flu USING (doc_id)
+        |)
+        |SELECT doc_id, lang, fluency_ppm,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY lang ORDER BY fluency_ppm DESC, doc_id) AS BIGINT) AS lrank,
+        |  CASE ntile(3) OVER
+        |    (PARTITION BY lang ORDER BY fluency_ppm DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM joined ORDER BY doc_id""".stripMargin,
     // x102: closed-form rebuild of every sitemap entry — the decoded /
     // trimmed / ppm-parsed VALUES are written directly, so any walk
     // defect (entity leak, CDATA padding, wrong omission) hash-fails.
