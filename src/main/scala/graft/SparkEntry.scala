@@ -3141,6 +3141,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Hard-negative mining surface (x104): per query vector, the top-3
+    * most-similar NON-duplicate vectors — x81's SemDeDup component roots
+    * as the exclusion set (threshold 0.45, so real multi-member clusters
+    * exist and the exclusion provably bites), exact cosine scoring, ties
+    * (score desc, neighbor asc). See
+    * [[graft.operators.Similarity.hardNegativesExact]]; the LSH-banded
+    * form is the scale path, recall-pinned in HardNegativesSpec. The
+    * oracle replays the recursive-CTE closure (x81's), the root
+    * exclusion, and a row_number top-3 over the full pair matrix.
+    */
+  private def x104(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .hardNegativesExact(t(s, dir, "embeddings"), k = 3, dupThreshold = 0.45)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3328,6 +3345,7 @@ object SparkEntry {
     "x101_anchor_text" -> (x101 _),
     "x102_sitemap" -> (x102 _),
     "x103_ccnet_buckets" -> (x103 _),
+    "x104_hard_negatives" -> (x104 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5794,6 +5812,44 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x104: x81's recursive closure → roots; exclude same-root pairs;
+    // row_number top-3 over the full directed pair matrix.
+    "x104_hard_negatives" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |), bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION SELECT b_id AS src, a_id AS dst FROM p
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |), comp AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS comp_id
+        |  FROM reach GROUP BY src
+        |), roots AS (
+        |  SELECT em.vec_id, coalesce(comp_id, em.vec_id) AS root
+        |  FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.vec_id
+        |), scored AS (
+        |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qa.v, qb.v), 6) AS score
+        |  FROM e qa
+        |  JOIN e qb ON qa.vec_id <> qb.vec_id
+        |  JOIN roots ra ON ra.vec_id = qa.vec_id
+        |  JOIN roots rb ON rb.vec_id = qb.vec_id
+        |  WHERE ra.root <> rb.root
+        |), rk AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER
+        |      (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // x103: the x05 language argmax + the full x70 LM replay on the odd
     // half, then literal ntile(3)/row_number per language — DuckDB's
     // ntile IS the SQL semantics GroupNtile's closed form reproduces, so

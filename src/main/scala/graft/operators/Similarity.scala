@@ -132,6 +132,92 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — per query, the top-k most-similar vectors
+    * that are NOT semantic duplicates of it (the contrastive-training
+    * verb: DPR, Karpukhin et al. 2020 §3.2 — the best negatives are the
+    * ones the model confuses; in-batch randoms are too easy, and a
+    * positive/duplicate mislabeled as a negative poisons the loss, hence
+    * the cluster exclusion). Composes the corpus onto itself
+    * ([[knnGraphExact]]'s posture) with [[Dedup.semanticDedup]]'s
+    * component roots (threshold = `dupThreshold`): a candidate sharing
+    * the query's root is a DUPLICATE, excluded BEFORE the top-k so the
+    * rank fills with true negatives rather than truncating.
+    *
+    * Exact all-pairs form — the oracle baseline (x104), brute-force
+    * exemption posture shared with x09/x87. [[hardNegativesLsh]] is the
+    * 100 TB path.
+    */
+  def hardNegativesExact(
+      emb: DataFrame,
+      k: Int,
+      dupThreshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val roots = Dedup
+      .semanticDedup(emb, dupThreshold, idCol, vecCol)
+      .select(col(idCol).as("id"), col("root_id"))
+    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = Dedup.spread(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
+    val scored = c
+      .join(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(roots.select(col("id").as("query_id"), col("root_id").as("q_root")), Seq("query_id"))
+      .join(roots.select(col("id").as("neighbor_id"), col("root_id").as("c_root")), Seq("neighbor_id"))
+      .where(col("q_root") =!= col("c_root"))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** LSH-blocked hard negatives — [[hardNegativesExact]] at corpus
+    * scale: candidates from `tables` sign-RP bucket joins (the
+    * [[knnGraphLsh]] machinery, ≈ L·n/2^b candidates per node), root
+    * exclusion joined in BEFORE scoring (a duplicate candidate costs a
+    * join row, never a cosine), exact cosine + TopKByScore reduction.
+    * Precision exact, recall probabilistic with the standard
+    * (1−(1−θ/π)^b)^L miss bound — and mining WANTS near neighbors, the
+    * pairs LSH is best at keeping. Duplicate roots from
+    * [[Dedup.semanticDedup]] ride the same banded machinery, so no
+    * stage is all-pairs.
+    */
+  def hardNegativesLsh(
+      emb: DataFrame,
+      k: Int,
+      dupThreshold: Double,
+      tables: Int = 24,
+      bitsPerTable: Int = 2,
+      seed: Int = 42,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val roots = Dedup
+      .semanticDedup(emb, dupThreshold, idCol, vecCol)
+      .select(col(idCol).as("id"), col("root_id"))
+    val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = base
+      .select(
+        col("id"),
+        posexplode(GraftFunctions.rpBuckets(col("vec"), tables, bitsPerTable, seed))
+          .as(Seq("table_id", "bucket")))
+    val candidates = bucketed
+      .select(col("id").as("query_id"), col("table_id"), col("bucket"))
+      .join(
+        bucketed.select(col("id").as("neighbor_id"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+      .join(roots.select(col("id").as("query_id"), col("root_id").as("q_root")), Seq("query_id"))
+      .join(roots.select(col("id").as("neighbor_id"), col("root_id").as("c_root")), Seq("neighbor_id"))
+      .where(col("q_root") =!= col("c_root"))
+    val scored = candidates
+      .join(base.select(col("id").as("query_id"), col("vec").as("q_vec")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("c_vec")), "neighbor_id")
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Sign-random-projection bucket id: `numPlanes` deterministic
     * pseudo-random hyperplanes; bit p of the bucket = sign of dot(v, h_p).
     * Plane components are XXH64-derived and mapped to [-1, 1] — seed-stable
