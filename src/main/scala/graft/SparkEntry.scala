@@ -3158,6 +3158,34 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Curriculum-interleave surface (x105): deterministic easy→hard
+    * training order (difficulty = whitespace token count) round-robined
+    * across three synthetic sources (doc_id mod 3) — see
+    * [[graft.operators.Curriculum.interleaveBySource]] for the
+    * closed-form position and the no-global-window scale posture. The
+    * oracle computes the SAME order via the definitional window pair
+    * (per-source row_number, then a global row_number over (rank,
+    * source)), so a hash match proves the closed form equals the window
+    * semantics on real data — unequal source sizes and the tail rounds
+    * where short sources drop out included.
+    */
+  private def x105(s: SparkSession, dir: String): DataFrame =
+    Curriculum
+      .interleaveBySource(
+        dts(s, dir)
+          .select(
+            col("doc_id"),
+            when(col("doc_id") % 3 === 0, "src_a")
+              .when(col("doc_id") % 3 === 1, "src_b")
+              .otherwise("src_c")
+              .as("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+        sourceCol = "source",
+        difficultyCol = "n_tok",
+        tieCol = "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tok"), col("src_rank"), col("pos"))
+      .orderBy(col("doc_id"))
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3346,6 +3374,7 @@ object SparkEntry {
     "x102_sitemap" -> (x102 _),
     "x103_ccnet_buckets" -> (x103 _),
     "x104_hard_negatives" -> (x104 _),
+    "x105_curriculum" -> (x105 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5812,6 +5841,25 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x105: the definitional double-window replay of the closed-form
+    // interleave — per-source row_number, then global row_number over
+    // (rank, source).
+    "x105_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'src_a' WHEN 1 THEN 'src_b'
+        |      ELSE 'src_c' END AS source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS src_rank
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tok, src_rank,
+        |  CAST(row_number() OVER (ORDER BY src_rank, source) AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     // x104: x81's recursive closure → roots; exclude same-root pairs;
     // row_number top-3 over the full directed pair matrix.
     "x104_hard_negatives" ->
