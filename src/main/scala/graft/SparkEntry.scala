@@ -3186,6 +3186,37 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_tok"), col("src_rank"), col("pos"))
       .orderBy(col("doc_id"))
 
+  /** Domain-stats rollup surface (x106): host-granularity curation —
+    * hosts derived by [[graft.functions.UrlNormalize]] from mixed-case
+    * default-port synthetic URLs (40 hosts: 5 apex + 35 subdomain),
+    * languages from the x05 argmax, rolled up by
+    * [[graft.operators.DomainStats.rollup]] with the thin-content block
+    * rule at avg_tok < 54 (the corpus mean, so both verdicts stay
+    * populated). The oracle writes the normalized hosts closed-form —
+    * so a normalization defect surfaces as a host-key mismatch — and
+    * replays the counts, integer-div mean, plurality argmax, and block
+    * predicate.
+    */
+  private def x106(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val ids = col("doc_id").cast("string")
+    val url = when(
+      col("doc_id") % 2 === 0,
+      concat(lit("HTTP://EXample"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:80/p/"), ids))
+      .otherwise(concat(lit("https://Sub"), (col("doc_id") % 7).cast("string"),
+        lit(".EXample"), (col("doc_id") % 5).cast("string"),
+        lit(".com:443/p/"), ids))
+    DomainStats
+      .rollup(
+        dts(s, dir).select(
+          GraftFunctions.urlNormalize(url).getField("host").as("host"),
+          TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+        blockBelowAvgTok = 54L)
+      .orderBy(col("host"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3375,6 +3406,7 @@ object SparkEntry {
     "x103_ccnet_buckets" -> (x103 _),
     "x104_hard_negatives" -> (x104 _),
     "x105_curriculum" -> (x105 _),
+    "x106_domain_stats" -> (x106 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5841,6 +5873,54 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x106: hosts written closed-form (normalization defects become
+    // key mismatches), x05 lang argmax, then count/sum rollup with
+    // row_number plurality and the integer-div block rule.
+    "x106_domain_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+        |      ELSE 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+        |        || CAST(doc_id % 5 AS VARCHAR) || '.com' END AS host,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), lg AS (
+        |  SELECT doc_id, host,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
+        |  FROM d
+        |), dl AS (
+        |  SELECT host,
+        |    CASE
+        |      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |      ELSE 'fr'
+        |    END AS lang, n_tok
+        |  FROM lg
+        |), ct AS (
+        |  SELECT host, lang, count(*) AS cnt, sum(n_tok) AS tok
+        |  FROM dl GROUP BY 1, 2
+        |), top AS (
+        |  SELECT host, lang,
+        |    row_number() OVER (PARTITION BY host ORDER BY cnt DESC, lang) AS rn
+        |  FROM ct
+        |), agg AS (
+        |  SELECT host, sum(cnt) AS n_docs, sum(tok) AS tok_sum
+        |  FROM ct GROUP BY host
+        |)
+        |SELECT a.host, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tok_sum AS BIGINT) AS tok_sum,
+        |  CAST(tok_sum // n_docs AS BIGINT) AS avg_tok,
+        |  t.lang AS top_lang,
+        |  (tok_sum // n_docs) < 54 AS blocked
+        |FROM agg a JOIN top t ON a.host = t.host AND t.rn = 1
+        |ORDER BY a.host""".stripMargin,
     // x105: the definitional double-window replay of the closed-form
     // interleave — per-source row_number, then global row_number over
     // (rank, source).
