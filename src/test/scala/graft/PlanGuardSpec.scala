@@ -57,8 +57,11 @@ class PlanGuardSpec extends SparkSpec {
   test("no oracled query plans a cartesian or nested-loop join (documented exceptions aside)") {
     // x09/x11/x41 brute-force paths legitimately cross the (tiny,
     // broadcast) query side against the corpus — that IS the documented
-    // algorithm (x41 is x09's shape over dequantized SQ8 codes).
-    val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk", "x87_knn_graph")
+    // algorithm (x41 is x09's shape over dequantized SQ8 codes; x104's
+    // exact miner is x87's all-pairs baseline with the root exclusion,
+    // whose LSH form hardNegativesLsh is the banded scale path).
+    val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk",
+      "x87_knn_graph", "x104_hard_negatives")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>
