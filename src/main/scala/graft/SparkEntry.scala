@@ -3217,6 +3217,33 @@ object SparkEntry {
       .orderBy(col("host"))
   }
 
+  /** UniMax language-balancing surface (x107): uniform token budget
+    * across the x05 languages with a 1-epoch cap, at budget = half the
+    * corpus — small languages saturate at their full token count, the
+    * rest waterfill, so BOTH outcome classes are live. See
+    * [[graft.operators.Mix.unimaxQuotas]] for the exact integer
+    * waterfill and its prefix proof. One corpus aggregation; the
+    * waterfill runs over the checkpointed per-language table (bounded
+    * rows, the driver-scalar contract). The oracle replays the sorted
+    * prefix predicate, remainder split, and ppm arithmetic in SQL
+    * windows over the same tiny table.
+    */
+  private def x107(s: SparkSession, dir: String): DataFrame = {
+    val perLang = dts(s, dir)
+      .select(
+        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tok"))
+      .localCheckpoint()
+    val totRow = perLang.agg(sum(col("n_tok"))).head()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    Mix
+      .unimaxQuotas(perLang, col("lang"), col("n_tok"),
+        budget = total / 2, epochCap = 1L)
+      .orderBy(col("lang"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3407,6 +3434,7 @@ object SparkEntry {
     "x104_hard_negatives" -> (x104 _),
     "x105_curriculum" -> (x105 _),
     "x106_domain_stats" -> (x106 _),
+    "x107_unimax_quotas" -> (x107 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5873,6 +5901,62 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x107: the waterfill replayed in SQL windows over the per-language
+    // table — same sort, same prefix predicate, same remainder split.
+    "x107_unimax_quotas" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), lid AS (
+        |  SELECT CAST(len(toks) AS BIGINT) AS n_tok,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
+        |  FROM tk
+        |), dl AS (
+        |  SELECT CASE
+        |      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |      ELSE 'fr'
+        |    END AS lang, n_tok
+        |  FROM lid
+        |), pl AS (
+        |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |  FROM dl GROUP BY lang
+        |), srt AS (
+        |  SELECT lang, n_tok, n_tok AS cap,
+        |    row_number() OVER (ORDER BY n_tok, lang) AS j,
+        |    CAST(sum(n_tok) OVER
+        |      (ORDER BY n_tok, lang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+        |    count(*) OVER () AS l,
+        |    CAST((SELECT sum(n_tok) // 2 FROM pl) AS BIGINT) AS b
+        |  FROM pl
+        |), fl AS (
+        |  SELECT *, cap * (l - j + 1) <= b - (s - cap) AS sat FROM srt
+        |), ag AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN sat THEN cap END), 0) AS BIGINT) AS satsum,
+        |    CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS m
+        |  FROM fl
+        |), un AS (
+        |  SELECT lang, row_number() OVER (ORDER BY cap, lang) AS r
+        |  FROM fl WHERE NOT sat
+        |), q AS (
+        |  SELECT f.lang, f.n_tok, f.cap, f.sat,
+        |    CASE WHEN f.sat THEN f.cap
+        |      ELSE (f.b - ag.satsum) // greatest(f.l - ag.m, 1)
+        |        + CASE WHEN u.r <= (f.b - ag.satsum) % greatest(f.l - ag.m, 1)
+        |            THEN 1 ELSE 0 END
+        |    END AS quota
+        |  FROM fl f LEFT JOIN un u USING (lang), ag
+        |)
+        |SELECT lang, n_tok, CAST(cap AS BIGINT) AS cap,
+        |  CAST(quota AS BIGINT) AS quota,
+        |  CAST(CASE WHEN n_tok > 0 THEN quota * 1000000 // n_tok ELSE 0 END
+        |    AS BIGINT) AS keep_ppm,
+        |  sat AS saturated
+        |FROM q ORDER BY lang""".stripMargin,
     // x106: hosts written closed-form (normalization defects become
     // key mismatches), x05 lang argmax, then count/sum rollup with
     // row_number plurality and the integer-div block rule.

@@ -218,6 +218,74 @@ object Mix {
     * as the IVF centroids. Σw is collected and inlined as a literal per
     * the no-NLJ scalar rule.
     */
+  /** UniMax language balancing (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total token budget UNIFORMLY across
+    * languages, except that no language may exceed `epochCap` epochs of
+    * its available tokens — the waterfill whose level rises until the
+    * budget is spent, with small languages saturating at their cap.
+    * The published alternative to [[temperatureQuotas]]' power-law
+    * smoothing: temperature still oversamples the head; UniMax is flat
+    * above the cap.
+    *
+    * Exact integer formulation (sorted by (cap, lang); all Long):
+    * language j (1-based, L total, prefix sums S) is SATURATED iff
+    * `cap_j · (L − j + 1) ≤ budget − S_{j−1}` — by the standard
+    * exchange argument the saturated set is a PREFIX (if j fails, j+1
+    * fails: B − S_j < cap_j·(L−j) ≤ cap_{j+1}·(L−j)), so the per-row
+    * predicate, the sequential greedy, and the real-valued waterfill
+    * all pick the same set. Unsaturated languages split the remainder
+    * `R` as `R div k` each, the first `R mod k` in sort order getting
+    * one extra token — quotas sum to exactly `min(budget, Σcap)`.
+    *
+    * Scale posture: ONE map-side-partial aggregation over the corpus;
+    * the waterfill itself runs on the per-language table — bounded by
+    * the number of LANGUAGES (~hundreds), collected as driver state
+    * under the ivfCentroids/BPE bounded-scalar contract and computed in
+    * plain Scala rather than through a single-partition window.
+    *
+    * Output per language: `n_tok`, `cap`, `quota`, `keep_ppm`
+    * (quota·10⁶ div n_tok — >10⁶ means multiple epochs, capped at
+    * `epochCap`·10⁶), `saturated`.
+    */
+  def unimaxQuotas(
+      docs: DataFrame,
+      group: Column,
+      tokenCount: Column,
+      budget: Long,
+      epochCap: Long
+  ): DataFrame = {
+    require(budget >= 0 && epochCap >= 1, s"budget=$budget epochCap=$epochCap")
+    val s = docs.sparkSession
+    val perLang = docs
+      .groupBy(group.as("lang"))
+      .agg(sum(tokenCount.cast("long")).as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val caps = perLang
+      .map { case (l, n) => (l, n, n * epochCap) }
+      .sortBy { case (l, _, c) => (c, l) }
+    val L = caps.length
+    var rem = budget
+    var slots = L
+    val sat = Array.fill(L)(false)
+    var i = 0
+    while (i < L && slots > 0 && caps(i)._3 * slots <= rem) {
+      sat(i) = true; rem -= caps(i)._3; slots -= 1; i += 1
+    }
+    val base = if (slots > 0) rem / slots else 0L
+    val extra = if (slots > 0) rem % slots else 0L
+    var u = 0
+    val rows = caps.zipWithIndex.map { case ((l, n, c), idx) =>
+      val q =
+        if (sat(idx)) c
+        else { val r = base + (if (u < extra) 1L else 0L); u += 1; r }
+      (l, n, c, q, if (n > 0) q * 1000000L / n else 0L, sat(idx))
+    }
+    s.createDataFrame(rows.toIndexedSeq)
+      .toDF("lang", "n_tok", "cap", "quota", "keep_ppm", "saturated")
+  }
+
   def temperatureQuotas(
       docs: DataFrame,
       group: Column,
