@@ -3244,6 +3244,36 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Obfuscation-resistant word-list filter surface (x108): the
+    * badwords/spam gate with leet folding — see
+    * [[graft.operators.TextAnalysis.foldConfusables]]. Injections per
+    * id mod 3: a doubly-obfuscated spam tail ("w1n a pr1ze at the
+    * c4$ino" — "prize"+"casino" hit only IF the fold works; "w1n" folds
+    * to "win", deliberately NOT listed), a half-plain tail ("free
+    * l0ttery t1cket" — "free"+"lottery" hit, "ticket" is not
+    * listed), or none (the base corpus may still collide with the
+    * list's plain words — the oracle replays, not assumes). Map-only
+    * builtins; flagged at ≥ 2 hits so single incidental collisions
+    * pass.
+    */
+  private def x108(s: SparkSession, dir: String): DataFrame = {
+    val words = Seq("casino", "lottery", "prize", "winner", "free")
+    val injected = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" w1n a pr1ze at the c4$ino")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" free l0ttery t1cket")))
+      .otherwise(col("text"))
+    val hits = TextAnalysis.wordListHits(injected, words)
+    dts(s, dir)
+      .select(
+        col("doc_id"),
+        size(hits).as("n_hits"),
+        size(array_distinct(hits)).as("n_distinct_hits"),
+        array_min(hits).as("first_hit"),
+        (size(hits) >= 2).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3435,6 +3465,7 @@ object SparkEntry {
     "x105_curriculum" -> (x105 _),
     "x106_domain_stats" -> (x106 _),
     "x107_unimax_quotas" -> (x107 _),
+    "x108_wordlist_filter" -> (x108 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5901,6 +5932,33 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x108: identical fold chain (lower → translate → letter-run split)
+    // and the same injection CASE, hit counting via list_filter.
+    "x108_wordlist_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' w1n a pr1ze at the c4$ino'
+        |         WHEN doc_id % 3 = 1 THEN text || ' free l0ttery t1cket'
+        |         ELSE text END AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(
+        |      translate(lower(t), '013457@$', 'oieastas'),
+        |      '[^a-z]+', ' ', 'g')), '\s+') AS toks
+        |  FROM d
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_filter(toks, w -> list_contains(
+        |      ['casino', 'lottery', 'prize', 'winner', 'free'], w)) AS hits
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |  CAST(len(hits) AS INT) AS n_hits,
+        |  CAST(len(list_distinct(hits)) AS INT) AS n_distinct_hits,
+        |  CASE WHEN len(hits) > 0 THEN list_sort(hits)[1] END AS first_hit,
+        |  len(hits) >= 2 AS flagged
+        |FROM h ORDER BY doc_id""".stripMargin,
     // x107: the waterfill replayed in SQL windows over the per-language
     // table — same sort, same prefix predicate, same remainder split.
     "x107_unimax_quotas" ->

@@ -38,6 +38,32 @@ object TextAnalysis {
   /** Stable 32-hex-char document fingerprint over normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
+  /** Obfuscation-resistant normalization for word-list filtering (x108):
+    * lowercase, fold the classic leet confusables (0→o 1→i 3→e 4→a 5→s
+    * 7→t @→a $→s — the UTS #39 confusables idea restricted to the ASCII
+    * substitutions wordlist evasion actually uses), then collapse every
+    * non-letter run to one space. "c4$ino" and "CASINO" and "ca.si.no"
+    * all fold to tokens containing "casino"... the last one does NOT
+    * (separators split tokens) — that variant needs the x31
+    * substring machinery; this fold targets in-token substitution, the
+    * common evasion. Pure builtins (lower/translate/regexp_replace):
+    * codegen'd, map-only, replayable verbatim in DuckDB.
+    */
+  def foldConfusables(text: Column): Column =
+    trim(
+      regexp_replace(
+        translate(lower(text), "013457@$", "oieastas"),
+        "[^a-z]+", " "))
+
+  /** Tokens of the confusable-folded text that appear in `words` — the
+    * word-list (badwords / spam / NSFW) filter primitive; multiplicity
+    * preserved so thresholds can count occurrences.
+    */
+  def wordListHits(text: Column, words: Seq[String]): Column =
+    filter(
+      split(foldConfusables(text), "\\s+"),
+      t => t.isin(words.map(w => w: Any): _*))
+
   /** 64-bit fingerprint (cheaper to store/join than the md5 hex at scale). */
   def fingerprint64(text: Column): Column = xxhash64(normalize(text))
 
