@@ -3274,6 +3274,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Public-suffix surface (x109): registrable-domain (eTLD+1)
+    * extraction per the publicsuffix.org algorithm — see
+    * [[graft.operators.PublicSuffix]]. The host fixture hits every rule
+    * kind: multi-label plain suffixes (co.uk), a private-registry entry
+    * (github.io — and the longest-match rule beats its 'io' parent), the
+    * `*.ck` wildcard, the `!www.ck` exception overriding it, the
+    * implicit-`*` fallback for an unknown TLD, and a host that IS a
+    * public suffix (NULL registrable). The oracle writes the expected
+    * public_suffix/registrable closed-form per branch — hand-derived
+    * from the PSL spec, not replayed — so a hash match certifies the
+    * candidate generation, the two-kind equi-join, the
+    * exception-then-longest argmax, and the +1-label cut.
+    */
+  private def x109(s: SparkSession, dir: String): DataFrame = {
+    val k = (col("doc_id") % 5).cast("string")
+    val host = when(col("doc_id") % 6 === 0, concat(lit("www.example"), k, lit(".com")))
+      .when(col("doc_id") % 6 === 1, concat(lit("a.b.example"), k, lit(".co.uk")))
+      .when(col("doc_id") % 6 === 2, concat(lit("www.user"), k, lit(".github.io")))
+      .when(col("doc_id") % 6 === 3, concat(lit("a.b"), k, lit(".ck")))
+      .when(col("doc_id") % 6 === 4, lit("www.ck"))
+      .otherwise(
+        when(col("doc_id") % 12 === 5, lit("co.uk"))
+          .otherwise(concat(lit("internal"), k, lit(".unknown"))))
+    PublicSuffix
+      .withRegistrableDomain(
+        t(s, dir, "documents").select(col("doc_id"), host.as("host")),
+        hostCol = "host")
+      .select(col("doc_id"), col("host"), col("public_suffix"), col("registrable"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3466,6 +3497,7 @@ object SparkEntry {
     "x106_domain_stats" -> (x106 _),
     "x107_unimax_quotas" -> (x107 _),
     "x108_wordlist_filter" -> (x108 _),
+    "x109_public_suffix" -> (x109 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5932,6 +5964,42 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x109: expected outputs hand-derived from the PSL spec per rule
+    // kind, written closed-form — an independent derivation, not a
+    // replay of the engine's join.
+    "x109_public_suffix" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'www.example' || k || '.com'
+        |    WHEN 1 THEN 'a.b.example' || k || '.co.uk'
+        |    WHEN 2 THEN 'www.user' || k || '.github.io'
+        |    WHEN 3 THEN 'a.b' || k || '.ck'
+        |    WHEN 4 THEN 'www.ck'
+        |    ELSE CASE WHEN doc_id % 12 = 5 THEN 'co.uk'
+        |              ELSE 'internal' || k || '.unknown' END
+        |  END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'com'
+        |    WHEN 1 THEN 'co.uk'
+        |    WHEN 2 THEN 'github.io'
+        |    WHEN 3 THEN 'b' || k || '.ck'
+        |    WHEN 4 THEN 'ck'
+        |    ELSE CASE WHEN doc_id % 12 = 5 THEN 'co.uk' ELSE 'unknown' END
+        |  END AS public_suffix,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'example' || k || '.com'
+        |    WHEN 1 THEN 'example' || k || '.co.uk'
+        |    WHEN 2 THEN 'user' || k || '.github.io'
+        |    WHEN 3 THEN 'a.b' || k || '.ck'
+        |    WHEN 4 THEN 'www.ck'
+        |    ELSE CASE WHEN doc_id % 12 = 5 THEN NULL
+        |              ELSE 'internal' || k || '.unknown' END
+        |  END AS registrable
+        |FROM d ORDER BY doc_id""".stripMargin,
     // x108: identical fold chain (lower → translate → letter-run split)
     // and the same injection CASE, hit counting via list_filter.
     "x108_wordlist_filter" ->
