@@ -3305,6 +3305,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Script-mix surface (x110): per-document Unicode script histogram +
+    * mixed-script flag — keyword-stuffed spam mixes scripts; clean
+    * corpora are script-coherent (a standard quality signal beside x04's
+    * token counts and x05's language argmax). One codepoint pass via the
+    * codegen'd [[graft.functions.ScriptCounts]]; injections per id mod 4
+    * plant Cyrillic, CJK, and a three-script tail so every class and
+    * both flag values are live. The oracle counts every class with
+    * independent RE2 character-class regexes over the SAME injected
+    * text — a replay by different machinery, so a walk defect (surrogate
+    * mishandling, off-by-one range) hash-fails.
+    */
+  private def x110(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val injected = when(col("doc_id") % 4 === 1, concat(col("text"), lit(" привет мир всем")))
+      .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" 你好世界")))
+      .when(col("doc_id") % 4 === 3, concat(col("text"), lit(" mixed привет 你好")))
+      .otherwise(col("text"))
+    val sc = GraftFunctions.scriptCounts(injected)
+    dts(s, dir)
+      .select(col("doc_id"), sc.as("sc"))
+      .select(
+        col("doc_id"),
+        col("sc.n_latin").as("n_latin"),
+        col("sc.n_cyrillic").as("n_cyrillic"),
+        col("sc.n_cjk").as("n_cjk"),
+        col("sc.n_digit").as("n_digit"),
+        col("sc.n_space").as("n_space"),
+        col("sc.n_other").as("n_other"),
+        when(col("sc.n_latin") >= col("sc.n_cyrillic") &&
+          col("sc.n_latin") >= col("sc.n_cjk") && col("sc.n_latin") > 0, "latin")
+          .when(col("sc.n_cyrillic") >= col("sc.n_cjk") && col("sc.n_cyrillic") > 0, "cyrillic")
+          .when(col("sc.n_cjk") > 0, "cjk")
+          .otherwise("none")
+          .as("dominant"),
+        ((col("sc.n_latin") > 0).cast("int") + (col("sc.n_cyrillic") > 0).cast("int") +
+          (col("sc.n_cjk") > 0).cast("int") >= 2).as("mixed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3498,6 +3537,7 @@ object SparkEntry {
     "x107_unimax_quotas" -> (x107 _),
     "x108_wordlist_filter" -> (x108 _),
     "x109_public_suffix" -> (x109 _),
+    "x110_script_mix" -> (x110 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5964,6 +6004,38 @@ object SparkEntry {
         |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
         |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // x110: every class re-counted with an independent RE2 regex over
+    // the same injected text (replay by different machinery).
+    "x110_script_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN text || ' привет мир всем'
+        |         WHEN doc_id % 4 = 2 THEN text || ' 你好世界'
+        |         WHEN doc_id % 4 = 3 THEN text || ' mixed привет 你好'
+        |         ELSE text END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS INT) AS n_latin,
+        |    CAST(len(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS INT) AS n_cyrillic,
+        |    CAST(len(regexp_replace(t, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS INT) AS n_cjk,
+        |    CAST(len(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+        |    CAST(len(t) - len(regexp_replace(t, '\s', '', 'g')) AS INT) AS n_space,
+        |    CAST(len(t) AS INT) AS n_all
+        |  FROM d
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_space,
+        |  n_all - n_latin - n_cyrillic - n_cjk - n_digit - n_space AS n_other,
+        |  CASE
+        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin > 0 THEN 'latin'
+        |    WHEN n_cyrillic >= n_cjk AND n_cyrillic > 0 THEN 'cyrillic'
+        |    WHEN n_cjk > 0 THEN 'cjk'
+        |    ELSE 'none'
+        |  END AS dominant,
+        |  (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
+        |FROM c ORDER BY doc_id""".stripMargin,
     // x109: expected outputs hand-derived from the PSL spec per rule
     // kind, written closed-form — an independent derivation, not a
     // replay of the engine's join.

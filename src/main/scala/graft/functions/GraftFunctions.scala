@@ -135,6 +135,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sitemap_urls", exprs => SitemapUrls(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "script_counts", exprs => ScriptCounts(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "url_normalize", exprs => UrlNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "build_warc_gz", exprs => BuildWarcGz(exprs(0), exprs(1)), "built-in")
@@ -429,6 +431,12 @@ object GraftFunctions {
     */
   def sitemapUrls(xml: Column): Column =
     call_function("sitemap_urls", xml)
+
+  /** Unicode script histogram → struct(n_latin, n_cyrillic, n_cjk,
+    * n_digit, n_space, n_other) — see ScriptCounts.
+    */
+  def scriptCounts(text: Column): Column =
+    call_function("script_counts", text)
 
   /** RFC 3986 §6 URL canonicalization → struct(norm_url, scheme, host,
     * port, path): case/port/escape/dot-segment normalization, fragment

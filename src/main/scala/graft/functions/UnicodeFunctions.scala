@@ -55,3 +55,67 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "nfc_normalize"
 }
+
+/** Static codepoint-class counter backing [[ScriptCounts]] — a plain
+  * static method so the expression codegens to one call and stays
+  * inside whole-stage fusion (the [[UnicodeNorm.nfc]] shim pattern).
+  */
+object ScriptCount {
+  /** (latin, cyrillic, cjk, digit, space, other) counts packed into an
+    * InternalRow. Classes (documented contract, shared with the x110
+    * oracle's closed forms):
+    *   - latin: ASCII A–Z a–z ONLY (extended Latin → other, keeping the
+    *     oracle's `[A-Za-z]` regex an exact twin);
+    *   - cyrillic: U+0400–U+04FF; cjk: U+4E00–U+9FFF unified ideographs
+    *     plus U+3040–U+30FF kana;
+    *   - digit: ASCII 0–9; space: `Character.isWhitespace`;
+    *   - other: everything else, surrogate pairs counted once
+    *     (codepoints, not UTF-16 units — matching both engines'
+    *     character-count semantics).
+    */
+  def counts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var latin, cyr, cjk, digit, space, other = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) latin += 1
+      else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+      else if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)) cjk += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if (Character.isWhitespace(cp)) space += 1
+      else other += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(latin, cyr, cjk, digit, space, other)
+  }
+}
+
+/** Per-document Unicode script histogram — the mixed-script signal
+  * (spam and keyword-stuffed pages mix scripts mid-word; clean corpora
+  * are script-coherent), the x110 front end. Returns
+  * `struct<n_latin, n_cyrillic, n_cjk, n_digit, n_space, n_other>`,
+  * one codepoint pass, map-only. NULL only for null input.
+  */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_latin", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_cyrillic", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_cjk", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_digit", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_space", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_other", org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    ScriptCount.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScriptCount.counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "script_counts"
+}
