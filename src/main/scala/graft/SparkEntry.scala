@@ -3344,6 +3344,93 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Hash-oracled kNN-GRAPH surface (x111): [[graft.operators.Similarity
+    * .knnGraphIntLsh]] — x87's corpus-onto-itself graph build on the
+    * BANDED scale path, with bucket assignment in exact integer
+    * arithmetic (the x91 technique: floor-1000 quantization, hash40
+    * planes, BIGINT dots) so the DuckDB oracle replays the 8×6×64 plane
+    * grid, every vector's 8 buckets, the shared-bucket self-join
+    * candidate edge set, the 6-dp cosine, and the per-node top-3 — a
+    * hash match certifies the LSH candidate generation of the graph
+    * path itself, which x87's all-pairs oracle and the recall spec could
+    * not. Closes the x87 `weak` row from the round-9 verdict.
+    */
+  private def x111(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .knnGraphIntLsh(t(s, dir, "embeddings"), k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hash-oracled HARD-NEGATIVE surface (x112): [[graft.operators
+    * .Similarity.hardNegativesIntLsh]] — x104's contrastive-mining verb
+    * with EVERY stage on the banded integer-LSH path: duplicate roots
+    * from [[graft.operators.Dedup.semanticDedupIntLsh]] (banded pairs →
+    * exact cosine ≥ 0.45 → connected components), negative candidates
+    * from the same plane grid's self-join, root exclusion before
+    * scoring, top-3. The oracle replays planes → buckets → dup pairs →
+    * recursive component closure → roots → candidate edges → exclusion
+    * → ranking end to end (the x91 + x104 techniques fused), so a hash
+    * match certifies the 100 TB mining pipeline itself. Closes the x104
+    * `weak` row.
+    */
+  private def x112(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .hardNegativesIntLsh(t(s, dir, "embeddings"), k = 3, dupThreshold = 0.45)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hash-oracled embedding NEAR-DUP surface (x113): [[graft.operators
+    * .Dedup.embeddingNearDupPairsIntLsh]] — x11's pair miner on the
+    * banded scale path with integer bucket arithmetic, so the oracle
+    * replays candidate generation and the exact surviving ≥0.45 pair set
+    * (9 of the 14 exact pairs at sf0.01, 65 at sf0.1 — the banding miss
+    * is REPLAYED, not hidden: both engines compute the identical
+    * candidate set). Closes the x11 `weak` row: the registered x11 stays
+    * the documented exact baseline; this row certifies the LSH branch's
+    * machinery bit-for-bit.
+    */
+  private def x113(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Dedup
+      .embeddingNearDupPairsIntLsh(t(s, dir, "embeddings"), threshold = 0.45)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The 12-token boilerplate span x114 plants (ONE Scala val
+    * interpolated into both engines, the substrInjA convention):
+    * all-uppercase, so the lowercase synthetic corpus can never
+    * accidentally extend a planted span.
+    */
+  private val spanInj =
+    "REDISTRIBUTION AND USE IN SOURCE AND BINARY FORMS ARE PERMITTED HERE VERBATIM"
+
+  /** Maximal-shared-span surface (x114): [[graft.operators.SubstringDedup
+    * .maximalSharedSpans]] — the ZERO-MISS exact-substring guarantee
+    * (Lee et al. 2022) x31's thinned anchors approximate: every maximal
+    * shared run of ≥ 8 tokens, at arbitrary offsets. Docs ≡0 (mod 37)
+    * APPEND the 12-token boilerplate, ≡0 (mod 41) PREPEND it (doc 0 hits
+    * both; CASE order picks append on both engines) — so
+    * append×prepend pairs share the span at (tail, 0), append×append at
+    * (tail, tail): offset-independence is live in the gate, and the
+    * corpus's organic 8-token repeats ride along. The oracle replays
+    * stride-1 gram digests, the diagonal join, and the island
+    * arithmetic — two engines, one algorithm, every row positional.
+    */
+  private def x114(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" " + spanInj)))
+          .when(col("doc_id") % 41 === 0, concat(lit(spanInj + " "), col("text")))
+          .otherwise(col("text"))
+          .as("text"))
+    SubstringDedup
+      .maximalSharedSpans(docs, l = 8)
+      .orderBy(col("a_id"), col("b_id"), col("a_start"), col("b_start"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3371,6 +3458,39 @@ object SparkEntry {
         s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
           s"${1L << (4 * (DistinctSketch.HexChars - i))}")
       .mkString(" + ")
+
+  /** Shared DuckDB replay CTEs for the integer-LSH family (x91, x111,
+    * x112, x113): the tables×bits×64 plane grid from the md5 closed form
+    * (hash40 % 2001 − 1000 — the exact [[graft.functions.IntLshBuckets
+    * .buildPlanes]] formula), floor-1000 vector quantization, BIGINT sign
+    * dots, bucket bit-packing. Generated from ONE Scala helper so the
+    * four oracles and the engine expression cannot drift; `tables`/`bits`
+    * are spliced from the same literals the Spark side passes. Yields
+    * CTEs `planes`, `vq` (q = quantized BIGINT[], v = DOUBLE[]), `dots`,
+    * `buckets` — spliced directly after WITH [RECURSIVE].
+    */
+  private def intLshCtesSql(tables: Int, bits: Int): String =
+    s"""planes AS (
+       |  SELECT t, b, j, CAST(($kmvHexToIntSql) % 2001 AS BIGINT) - 1000 AS c
+       |  FROM (SELECT t, b, j,
+       |          substr(md5('rp:' || t || ':' || b || ':' || j), 1, 10) AS h
+       |        FROM range(0, $tables) r1(t), range(0, $bits) r2(b), range(0, 64) r3(j))
+       |), vq AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
+       |       (CASE WHEN len(embedding) = 64 THEN embedding
+       |             ELSE error('int-LSH oracle: embedding dim ' ||
+       |                        len(embedding) || ' <> plane-grid dim 64') END)] AS q,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT vec_id, t, b, sum(q[j + 1] * c) AS dot
+       |  FROM vq, planes GROUP BY 1, 2, 3
+       |), buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |)""".stripMargin
 
   /** DuckDB-side 4-hex-digit prefix → integer for x100's feature buckets,
     * generated from the SAME positional loop shape as [[kmvHexToIntSql]]
@@ -3538,6 +3658,10 @@ object SparkEntry {
     "x108_wordlist_filter" -> (x108 _),
     "x109_public_suffix" -> (x109 _),
     "x110_script_mix" -> (x110 _),
+    "x111_int_lsh_knn" -> (x111 _),
+    "x112_int_lsh_hardneg" -> (x112 _),
+    "x113_int_lsh_neardup" -> (x113 _),
+    "x114_max_shared_spans" -> (x114 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5640,27 +5764,7 @@ object SparkEntry {
     // join, 6-dp cosine, (score desc, id asc) top-5. A hash match
     // certifies candidate GENERATION, not just the final ranking.
     "x91_int_lsh_topk" ->
-      s"""WITH planes AS (
-        |  SELECT t, b, j, CAST(($kmvHexToIntSql) % 2001 AS BIGINT) - 1000 AS c
-        |  FROM (SELECT t, b, j,
-        |          substr(md5('rp:' || t || ':' || b || ':' || j), 1, 10) AS h
-        |        FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(j))
-        |), vq AS (
-        |  SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
-        |       (CASE WHEN len(embedding) = 64 THEN embedding
-        |             ELSE error('x91 oracle: embedding dim ' || len(embedding)
-        |                        || ' <> plane-grid dim 64') END)] AS q,
-        |    CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings
-        |), dots AS (
-        |  SELECT vec_id, t, b, sum(q[j + 1] * c) AS dot
-        |  FROM vq, planes GROUP BY 1, 2, 3
-        |), buckets AS (
-        |  SELECT vec_id, t,
-        |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
-        |  FROM dots GROUP BY 1, 2
-        |), cand AS (
+      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
         |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
         |  WHERE qb.vec_id < 10 AND cb.vec_id >= 10
@@ -6036,6 +6140,120 @@ object SparkEntry {
         |   + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
         |   + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
         |FROM c ORDER BY doc_id""".stripMargin,
+    // x111: the x91 plane-grid replay applied to the SELF-join kNN graph
+    // — shared-bucket candidate edges (a≠b), 6-dp cosine, per-node top-3.
+    // A hash match certifies the banded candidate generation of the
+    // graph path itself.
+    "x111_int_lsh_knn" ->
+      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id <> cb.vec_id
+        |), s AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
+        |  FROM cand c
+        |  JOIN vq q ON q.vec_id = c.query_id
+        |  JOIN vq n ON n.vec_id = c.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // x112: the full banded mining pipeline replayed end to end — plane
+    // grid → buckets → near-dup pairs (cos ≥ 0.45 on banded candidates)
+    // → recursive component closure → roots → candidate edges → same-root
+    // exclusion → top-3 (the x91 + x104 oracle techniques fused).
+    "x112_int_lsh_hardneg" ->
+      s"""WITH RECURSIVE ${intLshCtesSql(8, 6)}, np AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM (SELECT DISTINCT qb.vec_id AS a_id, cb.vec_id AS b_id
+        |        FROM buckets qb JOIN buckets cb
+        |          ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |        WHERE qb.vec_id < cb.vec_id) c
+        |  JOIN vq a ON a.vec_id = c.a_id JOIN vq b ON b.vec_id = c.b_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |), bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM np
+        |  UNION SELECT b_id AS src, a_id AS dst FROM np
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |), comp AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS comp_id
+        |  FROM reach GROUP BY src
+        |), roots AS (
+        |  SELECT em.vec_id, coalesce(comp_id, em.vec_id) AS root
+        |  FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.vec_id
+        |), cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id <> cb.vec_id
+        |), s AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
+        |  FROM cand c
+        |  JOIN roots rq ON rq.vec_id = c.query_id
+        |  JOIN roots rn ON rn.vec_id = c.neighbor_id
+        |  JOIN vq q ON q.vec_id = c.query_id
+        |  JOIN vq n ON n.vec_id = c.neighbor_id
+        |  WHERE rq.root <> rn.root
+        |)
+        |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // x113: banded near-dup candidate generation replayed (a<b ordered
+    // pairs), exact 6-dp cosine threshold — both engines compute the
+    // IDENTICAL candidate set, so the banding miss is replayed, not
+    // hidden.
+    "x113_int_lsh_neardup" ->
+      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
+        |  SELECT DISTINCT qb.vec_id AS a_id, cb.vec_id AS b_id
+        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id < cb.vec_id
+        |)
+        |SELECT c.a_id, c.b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM cand c JOIN vq a ON a.vec_id = c.a_id JOIN vq b ON b.vec_id = c.b_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+    // x114: stride-1 8-token gram digests, the diagonal join, and the
+    // island arithmetic replayed verbatim — the planted append/prepend
+    // spans land at different offsets by construction, and the corpus's
+    // organic 8-gram repeats ride along.
+    "x114_max_shared_spans" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 37 = 0 THEN text || ' $spanInj'
+        |         WHEN doc_id % 41 = 0 THEN '$spanInj ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM d0
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    md5(array_to_string(toks[i:i+7], ' ')) AS h
+        |  FROM tk, LATERAL unnest(range(1, len(toks) - 6)) t(i)
+        |  WHERE len(toks) >= 8
+        |), m AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa, b.p AS pb
+        |  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT a_id, b_id, pa - pb AS dg, pa, pb,
+        |    pa - row_number() OVER (
+        |      PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS k
+        |  FROM m
+        |)
+        |SELECT a_id, b_id,
+        |  CAST(min(pa) AS BIGINT) AS a_start,
+        |  CAST(min(pb) AS BIGINT) AS b_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY a_id, b_id, dg, k
+        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
     // x109: expected outputs hand-derived from the PSL spec per rule
     // kind, written closed-form — an independent derivation, not a
     // replay of the engine's join.

@@ -68,10 +68,15 @@ object ScriptCount {
     *     oracle's `[A-Za-z]` regex an exact twin);
     *   - cyrillic: U+0400–U+04FF; cjk: U+4E00–U+9FFF unified ideographs
     *     plus U+3040–U+30FF kana;
-    *   - digit: ASCII 0–9; space: `Character.isWhitespace`;
-    *   - other: everything else, surrogate pairs counted once
-    *     (codepoints, not UTF-16 units — matching both engines'
-    *     character-count semantics).
+    *   - digit: ASCII 0–9; space: EXACTLY the RE2 `\s` set the oracle
+    *     regex counts — tab, LF, FF, CR, space (measured in DuckDB:
+    *     `\s` excludes `\v` U+000B and every non-ASCII whitespace).
+    *     `Character.isWhitespace` would additionally match U+001C–1F,
+    *     U+2028/29, ideographic space etc. and silently land them in
+    *     n_space while the oracle counts them in n_other;
+    *   - other: everything else (including all non-ASCII whitespace),
+    *     surrogate pairs counted once (codepoints, not UTF-16 units —
+    *     matching both engines' character-count semantics).
     */
   def counts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val str = s.toString
@@ -84,7 +89,7 @@ object ScriptCount {
       else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
       else if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)) cjk += 1
       else if (cp >= '0' && cp <= '9') digit += 1
-      else if (Character.isWhitespace(cp)) space += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r') space += 1
       else other += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(latin, cyr, cjk, digit, space, other)

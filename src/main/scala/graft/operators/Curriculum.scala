@@ -35,7 +35,19 @@ object Curriculum {
     * (`difficultyCol` ASC, `tieCol` ASC)) and `pos` (1-based global
     * training position). `difficultyCol` must be integral (it is
     * negated into GroupNtile's descending score).
+    *
+    * BOUND (enforced): at most [[maxSources]] distinct sources. The
+    * closed-form `pos` folds one `when` term per source into a single
+    * Column expression — O(#sources) codegen, the right trade for the
+    * documented dozens-of-languages/domains use case, but at thousands
+    * of sources it would blow past the JIT method limit (the SURVEY
+    * §8.3 lesson). A caller with more sources wants the broadcast-join
+    * formulation (join the size table, aggregate the two terms), not a
+    * bigger expression — the require names that alternative rather
+    * than letting codegen fall over mid-plan.
     */
+  val maxSources = 512
+
   def interleaveBySource(
       df: DataFrame,
       sourceCol: String,
@@ -57,6 +69,11 @@ object Curriculum {
       .collect()
       .map(r => (r.get(0).toString, r.getLong(1)))
       .sortBy(_._1)
+    require(
+      sizes.length <= maxSources,
+      s"interleaveBySource saw ${sizes.length} sources (max $maxSources): " +
+        "the closed-form position folds one expression term per source; " +
+        "rewrite via a broadcast join against the size table for more")
     val pos = sizes
       .map { case (s, n) =>
         least(col("src_rank") - 1L, lit(n)).cast(LongType) +

@@ -538,7 +538,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs. Auto-selects the pair-generation
-    * strategy by corpus size (one cheap count):
+    * strategy by corpus size (`knownCount` if the caller has one, else a
+    * ZERO-JOB estimate from the optimizer's size statistic — never a
+    * count scan, see the body comment):
     *   - n ≤ `lshAbove`: exact all-pairs block-nested-loop
     *     ([[embeddingNearDupPairsExact]]) — below ~10⁵ docs the quadratic
     *     pair space (≤ ~10¹⁰ codegen'd cosines across the cluster) is
@@ -557,9 +559,23 @@ object Dedup {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      lshAbove: Long = 100000L
+      lshAbove: Long = 100000L,
+      knownCount: Long = -1L
   ): DataFrame = {
-    val n = emb.count() // one scan job: drives both the branch and the LSH sizing
+    // The branch is a POSTURE choice (both branches are correct), so it
+    // must not cost a scan job to make: callers with an exact count (an
+    // ingest ledger, catalog stats) pass `knownCount`; otherwise the
+    // count is ESTIMATED from the optimizer's size statistic — for a
+    // parquet relation that is the file-listing byte total, zero jobs.
+    // The 256 B/row divisor (a 64-dim float vector + id, parquet-encoded)
+    // deliberately over-counts small rows, biasing the boundary toward
+    // the LSH branch — the branch that is safe at any scale.
+    val n: Long =
+      if (knownCount >= 0L) knownCount
+      else {
+        val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+        (bytes / 256).min(BigInt(Long.MaxValue)).toLong.max(1L)
+      }
     if (n <= lshAbove)
       embeddingNearDupPairsExact(emb, threshold, idCol, vecCol)
     else {
@@ -610,15 +626,57 @@ object Dedup {
       seed: Int = 42,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    bandedNearDupPairs(
+      emb, threshold, idCol, vecCol,
+      v => GraftFunctions.rpBuckets(v, tables, bitsPerTable, seed))
+
+  /** [[embeddingNearDupPairsLsh]]'s ORACLE-GRADE twin (x113) — the x91
+    * posture applied to the SELF-join near-dup miner: identical banding
+    * shape (multi-table sign-LSH, shared-bucket a<b equi-join, exact 6-dp
+    * cosine ≥ threshold) but with bucket assignment in exact integer
+    * arithmetic ([[graft.functions.IntLshBuckets]]: floor-1000
+    * quantization, hash40-derived planes in [−1000, 1000], BIGINT dots),
+    * so a SQL engine replays EVERY bucket — and therefore the exact
+    * candidate set and the exact surviving pairs — bit-for-bit. A hash
+    * match certifies the banded candidate GENERATION of the 100 TB
+    * near-dup path, which the spec-only ≡-exact check could not. Same
+    * scale law: candidate volume ≈ L·n²/2^b per table worst case but
+    * ~L·n·bucketSize in practice, never all-pairs; recall at angle θ is
+    * 1−(1−(1−θ/π)^b)^L — high-cosine (true-duplicate) pairs are the ones
+    * LSH keeps best.
+    */
+  def embeddingNearDupPairsIntLsh(
+      emb: DataFrame,
+      threshold: Double,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    bandedNearDupPairs(
+      emb, threshold, idCol, vecCol,
+      v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable))
+
+  /** Shared banding skeleton of the two near-dup miners above: bucket via
+    * `bucketsOf` (one codegen'd expression evaluation per vector, all
+    * tables at once), shared-bucket a<b candidate join, distinct, exact
+    * 6-dp cosine verify ≥ threshold.
+    */
+  private def bandedNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String,
+      vecCol: String,
+      bucketsOf: Column => Column
   ): DataFrame = {
     val base = spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // all tables' buckets from ONE codegen'd expression evaluation (RpBuckets)
+    // all tables' buckets from ONE codegen'd expression evaluation
     val bucketed = base
       .select(
         col("id"),
-        posexplode(GraftFunctions.rpBuckets(col("vec"), tables, bitsPerTable, seed))
-          .as(Seq("table_id", "bucket"))
+        posexplode(bucketsOf(col("vec"))).as(Seq("table_id", "bucket"))
       )
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l = bucketed.select(col("id").as("a_id"), col("table_id"), col("bucket"))
@@ -930,8 +988,36 @@ object Dedup {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val pairs = embeddingNearDupPairs(emb, threshold, idCol, vecCol)
+  ): DataFrame =
+    rootsFromPairs(emb, embeddingNearDupPairs(emb, threshold, idCol, vecCol), idCol)
+
+  /** [[semanticDedup]] with [[embeddingNearDupPairsIntLsh]] as the pair
+    * miner — the fully-banded, ORACLE-REPLAYABLE form of the SemDeDup
+    * policy (the roots stage of x112): integer-LSH candidates → exact
+    * cosine ≥ threshold → connected components → min-id keeper, every
+    * stage of which a SQL engine can recompute bit-for-bit. Recall of the
+    * duplicate classes follows the banding math in
+    * [[embeddingNearDupPairsIntLsh]] (true duplicates sit at high cosine,
+    * where table collision probability is highest).
+    */
+  def semanticDedupIntLsh(
+      emb: DataFrame,
+      threshold: Double,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    rootsFromPairs(
+      emb,
+      embeddingNearDupPairsIntLsh(emb, threshold, tables, bitsPerTable, idCol, vecCol),
+      idCol)
+
+  /** The keep/drop tail shared by the SemDeDup variants: components over
+    * the mined pairs, then ONE left join attaches (root_id, keep) to every
+    * corpus row (singletons root to themselves).
+    */
+  private def rootsFromPairs(emb: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val comps = Cluster.connectedComponents(pairs)
     emb
       .select(col(idCol))

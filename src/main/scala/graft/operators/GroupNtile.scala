@@ -68,8 +68,19 @@ object GroupNtile {
     // defined, though rank <= (q+1)*rem always routes those rows to
     // branch one). All `div` — Column./ is fractional and has no place
     // near a driver-hashed integer.
+    //
+    // The class join is NULL-SAFE (<=>): groupBy puts NULL groups/scores
+    // in their own class and the definitional window form ranks them
+    // (desc ⇒ nulls last), so an equi-join here would silently drop
+    // exactly those rows a caller with nullable scores expects ranked.
+    val startsR = starts
+      .withColumnRenamed(groupCol, "graft_nt_g")
+      .withColumnRenamed(scoreCol, "graft_nt_s")
     pos
-      .join(starts, Seq(groupCol, scoreCol))
+      .join(
+        startsR,
+        col(groupCol) <=> col("graft_nt_g") && col(scoreCol) <=> col("graft_nt_s"))
+      .drop("graft_nt_g", "graft_nt_s")
       .withColumn(
         "rank",
         (col("graft_nt_start") + col("graft_nt_rn")).cast(LongType))

@@ -257,8 +257,14 @@ object Mix {
   ): DataFrame = {
     require(budget >= 0 && epochCap >= 1, s"budget=$budget epochCap=$epochCap")
     val s = docs.sparkSession
+    // canonicalize the group key the way withSourceCumSum does: a
+    // non-string column (e.g. an integer domain id) must be cast before
+    // getString, and a NULL group would NPE the (cap, lang) sortBy —
+    // sentinel it as NUL (collision with a real one-char NUL string is
+    // acceptable for corpus group labels)
+    val langStr = when(group.isNull, lit("\u0000")).otherwise(group.cast("string"))
     val perLang = docs
-      .groupBy(group.as("lang"))
+      .groupBy(langStr.as("lang"))
       .agg(sum(tokenCount.cast("long")).as("n_tok"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -55,6 +55,12 @@ object PublicSuffix {
 
   /** `df` plus `public_suffix` and `registrable` columns derived from
     * `hostCol`. Hosts must be normalized lowercase (x95's output).
+    *
+    * Output-column OWNERSHIP: this operator writes `public_suffix` and
+    * `registrable` — a caller column of either name would be silently
+    * replaced by `withColumn`, so their absence is required. A NULL host
+    * yields NULL in both derived columns (not the `concat_ws`-over-NULL
+    * empty string).
     */
   def withRegistrableDomain(
       df: DataFrame,

@@ -105,18 +105,55 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    // persisted for the bucket pass + two score-side joins; referenced by
-    // the returned plan, so cleanup is the ContextCleaner's when the
-    // caller's frame goes unreferenced (the embeddingNearDupPairsLsh
-    // convention — an eager unpersist here would drop blocks the result
-    // still reads)
+    val (base, candidates) = bandedSelfCandidates(
+      emb, idCol, vecCol,
+      v => GraftFunctions.rpBuckets(v, tables, bitsPerTable, seed))
+    rankTopK(scoreCandidates(base, candidates), k)
+  }
+
+  /** [[knnGraphLsh]]'s ORACLE-GRADE twin (x111) — the x91 posture applied
+    * to the corpus-onto-itself graph build: identical banding shape
+    * (multi-table sign-LSH, shared-bucket self-join, a≠b cut, exact 6-dp
+    * cosine, TopKByScore reduction) but with bucket assignment in exact
+    * integer arithmetic ([[graft.functions.IntLshBuckets]]), so a SQL
+    * engine replays every bucket, the exact candidate edge set, and the
+    * exact per-node ranking bit-for-bit. A hash match certifies the
+    * banded candidate GENERATION of the 100 TB kNN-graph path — the step
+    * [[knnGraphExact]]'s all-pairs oracle and the recall-floor spec could
+    * not certify. Same scale law as [[knnGraphLsh]]: candidates per node
+    * ≈ L·n/2^b, never all-pairs.
+    */
+  def knnGraphIntLsh(
+      emb: DataFrame,
+      k: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val (base, candidates) = bandedSelfCandidates(
+      emb, idCol, vecCol,
+      v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable))
+    rankTopK(scoreCandidates(base, candidates), k)
+  }
+
+  /** Shared banding skeleton of the self-join ANN family: persist the
+    * (id, vec) base once (bucket pass + two score-side joins read it;
+    * cleanup is the ContextCleaner's when the caller's frame goes
+    * unreferenced — the embeddingNearDupPairsLsh convention), bucket via
+    * ONE codegen'd expression evaluation, shared-bucket equi-join with
+    * the a≠b cut, distinct.
+    */
+  private def bandedSelfCandidates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketsOf: Column => Column
+  ): (DataFrame, DataFrame) = {
     val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = base
-      .select(
-        col("id"),
-        posexplode(GraftFunctions.rpBuckets(col("vec"), tables, bitsPerTable, seed))
-          .as(Seq("table_id", "bucket")))
+      .select(col("id"), posexplode(bucketsOf(col("vec"))).as(Seq("table_id", "bucket")))
     val candidates = bucketed
       .select(col("id").as("query_id"), col("table_id"), col("bucket"))
       .join(
@@ -125,12 +162,17 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val scored = candidates
+    (base, candidates)
+  }
+
+  /** Attach both vectors to (query_id, neighbor_id) candidates and score
+    * with the exact codegen'd cosine under the x09 round-6dp contract.
+    */
+  private def scoreCandidates(base: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
       .join(base.select(col("id").as("query_id"), col("vec").as("q_vec")), "query_id")
       .join(base.select(col("id").as("neighbor_id"), col("vec").as("c_vec")), "neighbor_id")
       .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
-    rankTopK(scored, k)
-  }
 
   /** Hard-negative mining — per query, the top-k most-similar vectors
     * that are NOT semantic duplicates of it (the contrastive-training
@@ -197,30 +239,52 @@ object Similarity {
     val roots = Dedup
       .semanticDedup(emb, dupThreshold, idCol, vecCol)
       .select(col(idCol).as("id"), col("root_id"))
-    val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketed = base
-      .select(
-        col("id"),
-        posexplode(GraftFunctions.rpBuckets(col("vec"), tables, bitsPerTable, seed))
-          .as(Seq("table_id", "bucket")))
-    val candidates = bucketed
-      .select(col("id").as("query_id"), col("table_id"), col("bucket"))
-      .join(
-        bucketed.select(col("id").as("neighbor_id"), col("table_id"), col("bucket")),
-        Seq("table_id", "bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
+    val (base, candidates) = bandedSelfCandidates(
+      emb, idCol, vecCol,
+      v => GraftFunctions.rpBuckets(v, tables, bitsPerTable, seed))
+    rankTopK(scoreCandidates(base, excludeSameRoot(candidates, roots)), k)
+  }
+
+  /** [[hardNegativesLsh]]'s ORACLE-GRADE twin (x112) — the x91 posture
+    * applied to the ENTIRE mining pipeline, roots included: duplicate
+    * roots come from [[Dedup.semanticDedupIntLsh]] (integer-LSH banded
+    * pairs → exact cosine ≥ dupThreshold → connected components), negative
+    * candidates from the same integer plane grid's shared-bucket
+    * self-join, root exclusion joined in BEFORE scoring, exact 6-dp
+    * cosine + TopKByScore reduction — so a SQL engine replays planes →
+    * buckets → dup pairs → component closure → roots → candidate edges →
+    * exclusion → ranking, end to end. No stage is all-pairs; a hash match
+    * certifies the 100 TB mining path itself, which x104's brute oracle
+    * could not.
+    */
+  def hardNegativesIntLsh(
+      emb: DataFrame,
+      k: Int,
+      dupThreshold: Double,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val roots = Dedup
+      .semanticDedupIntLsh(emb, dupThreshold, tables, bitsPerTable, idCol, vecCol)
+      .select(col(idCol).as("id"), col("root_id"))
+    val (base, candidates) = bandedSelfCandidates(
+      emb, idCol, vecCol,
+      v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable))
+    rankTopK(scoreCandidates(base, excludeSameRoot(candidates, roots)), k)
+  }
+
+  /** Drop candidate pairs whose endpoints share a semantic-duplicate root
+    * (a duplicate candidate costs a join row, never a cosine). `roots` is
+    * component-count-bounded skinny rows.
+    */
+  private def excludeSameRoot(candidates: DataFrame, roots: DataFrame): DataFrame =
+    candidates
       .join(roots.select(col("id").as("query_id"), col("root_id").as("q_root")), Seq("query_id"))
       .join(roots.select(col("id").as("neighbor_id"), col("root_id").as("c_root")), Seq("neighbor_id"))
       .where(col("q_root") =!= col("c_root"))
-    val scored = candidates
-      .join(base.select(col("id").as("query_id"), col("vec").as("q_vec")), "query_id")
-      .join(base.select(col("id").as("neighbor_id"), col("vec").as("c_vec")), "neighbor_id")
-      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
-    rankTopK(scored, k)
-  }
+      .select("query_id", "neighbor_id")
 
   /** Sign-random-projection bucket id: `numPlanes` deterministic
     * pseudo-random hyperplanes; bit p of the bucket = sign of dot(v, h_p).

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 
 /** Exact-substring deduplication — the dedup class that catches documents
@@ -105,5 +107,85 @@ object SubstringDedup {
       .agg(countDistinct(col("g")).as("n_anchors"))
       .join(spans, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), col("n_anchors"), col("max_span"))
+  }
+
+  /** Maximal shared TOKEN spans — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") exact-substring
+    * guarantee that [[anchorPairs]] approximates: EVERY maximal verbatim
+    * run of ≥ `l` tokens shared by two documents is found, at ARBITRARY
+    * offsets, with its exact positions and length. anchorPairs'
+    * content-defined thinning trades a geometrically-small miss
+    * probability for a 4× postings cut; this is the ZERO-MISS form — the
+    * distributed re-expression of the suffix-array scan:
+    *
+    *   1. STRIDE-1 l-token grams — every position, the completeness
+    *      precondition; rendered once per doc by rawNgrams, digested to
+    *      a 16-byte md5 so the join shuffles digests, not 100+-byte gram
+    *      strings (md5 equality ≡ text equality is the repo-wide x01
+    *      exact-dedup contract);
+    *   2. gram-digest equi-join, a<b ordered pairs: a pair sharing a
+    *      span of S ≥ l tokens at (i, j) matches at EVERY (i+t, j+t),
+    *      t ∈ [0, S−l] — all on ONE DIAGONAL d = pa − pb;
+    *   3. diagonal islands: within (a, b, d), `pa − row_number` is
+    *      constant exactly on a consecutive-pa run, so each island of m
+    *      grams IS the maximal shared span of m + l − 1 tokens starting
+    *      at (min pa, min pb).
+    *
+    * COMPLETENESS (spec-pinned against a brute-force reference): for a
+    * maximal shared span a[i..i+S) = b[j..j+S), S ≥ l, every t ∈
+    * [0, S−l] yields a matching gram on diagonal i−j, and maximality
+    * means positions i−1 and i+S−l+1 do NOT match on that diagonal — so
+    * the island is exactly [i, i+S−l] and the emitted row is (i, j, S).
+    * Nothing is thinned, sampled, or df-pruned, so no span can be missed.
+    *
+    * 100 TB shape: one gram-digest exchange (the corpus token stream ×
+    * 16 B) + one (a, b, diagonal)-keyed window bounded by a single
+    * pair-diagonal's matched grams. The quadratic term Σ_g df(g)² is
+    * real but is precisely the duplicated mass being mined: at `l` large
+    * enough that incidental l-token collisions vanish (Lee et al. use
+    * 50), candidate volume ≈ true duplication — the same argument the
+    * single-node suffix-array tool makes. Deliberately NO maxDf prune: a
+    * prune re-introduces the miss this operator exists to eliminate; a
+    * boilerplate-heavy corpus that needs one wants [[anchorPairs]].
+    *
+    * Output: (a_id, b_id, a_start, b_start, span_tokens) per maximal
+    * shared run, 0-based token offsets. Cross-document only (a < b);
+    * intra-document self-repeats are out of scope (x55/x96 territory).
+    */
+  def maximalSharedSpans(
+      docs: DataFrame,
+      l: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(l >= 2, s"span floor must be >= 2 tokens, got $l")
+    // materialize the gram arrays BEFORE the generator (the §8.4
+    // re-evaluation trap, same discipline as winnowFingerprints)
+    val sized = Dedup
+      .spread(docs.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        TextAnalysis.rawNgrams(TextAnalysis.tokens(col(textCol)), l).as("grams"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = sized
+      .select(col(idCol), posexplode(col("grams")).as(Seq("p", "g")))
+      .select(col(idCol), col("p"), md5(col("g")).as("h"))
+    val a = grams.select(col("h"), col(idCol).as("a_id"), col("p").as("pa"))
+    val b = grams.select(col("h"), col(idCol).as("b_id"), col("p").as("pb"))
+    val m = a
+      .join(b, Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"), col("pb"))
+    val w = Window
+      .partitionBy(col("a_id"), col("b_id"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    m
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("d"), col("isl"))
+      .agg(
+        min(col("pa")).cast(LongType).as("a_start"),
+        min(col("pb")).cast(LongType).as("b_start"),
+        (count(lit(1)) + (l - 1)).cast(LongType).as("span_tokens"))
+      .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"), col("span_tokens"))
   }
 }

@@ -51,4 +51,17 @@ class CurriculumSpec extends SparkSpec {
       .select("pos").as[Long].collect().sorted
     assert(pos.toSeq === (1L to 100L))
   }
+
+  test("source-count bound: the O(#sources) closed form refuses past maxSources") {
+    // one expression term per source — past the bound the require names
+    // the broadcast-join alternative instead of letting codegen hit the
+    // JIT method limit mid-plan (SURVEY §8.3)
+    val df = (0 until (Curriculum.maxSources + 1))
+      .map(i => (i.toLong, f"s$i%04d", 1L))
+      .toDF("doc_id", "source", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Curriculum.interleaveBySource(df, "source", "n_tok", "doc_id")
+    }
+    assert(e.getMessage.contains("broadcast join"))
+  }
 }

@@ -187,6 +187,54 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("x113 int-LSH near-dup = exact pair set ∩ banded candidates (precision exact, miss replayable)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairsExact(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.embeddingNearDupPairsIntLsh(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // precision exact: every emitted pair is a true >= threshold pair
+    assert(got.subsetOf(exact), s"false positives: ${got diff exact}")
+    // the miss set is EXACTLY the exact pairs with no shared bucket —
+    // replay candidate generation via the expression itself
+    val buckets = emb
+      .select($"vec_id",
+        posexplode(graft.functions.GraftFunctions.intLshBuckets($"embedding", 8, 6))
+          .as(Seq("t", "bucket")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2))).toSet).toMap
+    val expected = exact.filter { case (a, b, _) =>
+      (buckets(a) intersect buckets(b)).nonEmpty
+    }
+    assert(got === expected)
+    assert(got.nonEmpty, "banding dropped every pair — grid too aggressive for the corpus")
+  }
+
+  test("x11 posture decision launches ZERO jobs (metadata size estimate, not a count scan)") {
+    val sc = spark.sparkContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val before = sc.statusTracker.getJobIdsForGroup(null).toSet
+    val df = Dedup.embeddingNearDupPairs(emb, 0.45) // construction only — lazy
+    assert(df.columns.toSeq === Seq("a_id", "b_id", "cos"))
+    // job submission is synchronous on the calling thread; status-tracker
+    // bookkeeping is async — give the bus a bounded window to surface any
+    // job the construction might have launched
+    val deadline = System.currentTimeMillis() + 1000
+    while (System.currentTimeMillis() < deadline &&
+      sc.statusTracker.getJobIdsForGroup(null).toSet == before) Thread.sleep(50)
+    assert(sc.statusTracker.getJobIdsForGroup(null).toSet === before,
+      "constructing embeddingNearDupPairs ran a Spark job — the posture decision scanned data")
+    // and the estimate picked the same branch the exact count would have:
+    // the small corpus routes to the exact form (crossJoin in the plan)
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+    // knownCount forces the LSH branch past the cutover, zero jobs again
+    val lshForced = Dedup.embeddingNearDupPairs(emb, 0.45, knownCount = 200000L)
+    val direct = Dedup.embeddingNearDupPairsLsh(emb, 0.45, bitsPerTable = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshForced.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === direct)
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

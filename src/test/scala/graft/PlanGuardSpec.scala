@@ -58,8 +58,12 @@ class PlanGuardSpec extends SparkSpec {
     // x09/x11/x41 brute-force paths legitimately cross the (tiny,
     // broadcast) query side against the corpus — that IS the documented
     // algorithm (x41 is x09's shape over dequantized SQ8 codes; x104's
-    // exact miner is x87's all-pairs baseline with the root exclusion,
-    // whose LSH form hardNegativesLsh is the banded scale path).
+    // exact miner is x87's all-pairs baseline with the root exclusion).
+    // Every exempted surface's banded scale twin is ITSELF hash-oracled
+    // since round 10 — x87 → x111 (knnGraphIntLsh), x104 → x112
+    // (hardNegativesIntLsh), x11 → x113 (embeddingNearDupPairsIntLsh),
+    // x09 → x91 (intLshTopK) — so the exemptions below cover only the
+    // documented correctness BASELINES, not the production paths.
     val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk",
       "x87_knn_graph", "x104_hard_negatives")
     val offenders = SparkEntry.queries.keys.toSeq.sorted

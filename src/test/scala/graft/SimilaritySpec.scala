@@ -231,4 +231,62 @@ class SimilaritySpec extends SparkSpec {
       })
     }
   }
+
+  /** The (vec_id → set of (table, bucket)) map from the expression itself —
+    * the independent replay the int-LSH twin tests verify against.
+    */
+  private def intLshBucketMap(emb: org.apache.spark.sql.DataFrame): Map[Long, Set[(Int, Int)]] =
+    emb
+      .select($"vec_id", posexplode(GraftFunctions.intLshBuckets($"embedding", 8, 6))
+        .as(Seq("t", "bucket")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2))).toSet).toMap
+
+  test("x111 knn graph int-LSH: edges are exactly the shared-bucket candidates' top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.knnGraphIntLsh(emb, k = 3).collect()
+    assert(out.nonEmpty)
+    val buckets = intLshBucketMap(emb)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(q != n, "self-pair emitted")
+      assert((buckets(q) intersect buckets(n)).nonEmpty,
+        s"$q -> $n not a shared-bucket candidate")
+    }
+    // within the candidate set the ranking is the true cosine top-k:
+    // replay per-query via the exact graph restricted to candidates
+    val exact = Similarity.knnGraphExact(emb, k = 500)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3))))
+      .toMap
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val candRanked = buckets.keys
+        .filter(c => c != q && (buckets(q) intersect buckets(c)).nonEmpty)
+        .toSeq
+        .map(c => (c, exact((q, c))._1))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(3)
+      assert(rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        === candRanked, s"query $q ranking diverges from candidate-set top-3")
+    }
+  }
+
+  test("x112 hard negatives int-LSH: no emitted pair shares an int-LSH semantic root") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val roots = graft.operators.Dedup
+      .semanticDedupIntLsh(emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = Similarity.hardNegativesIntLsh(emb, k = 3, dupThreshold = 0.45).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(roots(q) != roots(n), s"$q -> $n share root ${roots(q)}")
+    }
+    // candidates still bucket-genuine
+    val buckets = intLshBucketMap(emb)
+    out.foreach { r =>
+      assert((buckets(r.getLong(0)) intersect buckets(r.getLong(1))).nonEmpty)
+    }
+  }
 }

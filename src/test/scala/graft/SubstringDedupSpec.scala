@@ -71,4 +71,106 @@ class SubstringDedupSpec extends SparkSpec {
     val docs = Seq((1L, "short text"), (2L, "short text")).toDF("doc_id", "text")
     assert(SubstringDedup.anchorPairs(docs, k = 24, maxDf = 100).count() === 0L)
   }
+
+  /** Brute-force reference for maximalSharedSpans: all pairs, all
+    * diagonals, maximal matching-token runs ≥ l — O(n²·len²), fine for
+    * hand corpora.
+    */
+  private def bruteSpans(
+      docs: Seq[(Long, String)],
+      l: Int
+  ): Set[(Long, Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    (for {
+      (a, b) <- docs.map(_._1).combinations(2).map(p => (p(0) min p(1), p(0) max p(1))).toSeq
+      ta = toks(a); tb = toks(b)
+      d <- -(tb.length - 1) to (ta.length - 1) // diagonal = ai - bi
+      runs = {
+        val pts = (0 until ta.length)
+          .filter(i => i - d >= 0 && i - d < tb.length && ta(i) == tb(i - d))
+        // maximal consecutive runs
+        pts.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+          case (acc, i) => (i, i) :: acc
+        }
+      }
+      (s, e) <- runs if e - s + 1 >= l
+    } yield (a, b, s.toLong, (s - d).toLong, (e - s + 1).toLong)).toSet
+  }
+
+  test("maximalSharedSpans: completeness + exactness vs brute force, arbitrary offsets") {
+    val span = "one two three four five six seven eight nine ten" // 10 tokens
+    val docs = Seq(
+      (1L, "alpha beta gamma " + span + " delta epsilon"), // span at offset 3
+      (2L, span + " zeta eta theta iota kappa"), // span at offset 0
+      (3L, "pre1 pre2 pre3 pre4 pre5 pre6 pre7 " + span), // offset 7
+      (4L, "totally different words nothing shared here with others at all really truly")
+    )
+    val got = SubstringDedup
+      .maximalSharedSpans(docs.toDF("doc_id", "text"), l = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === bruteSpans(docs, 8))
+    // the three planted offsets are all present, spans exactly 10 tokens
+    assert(got.contains((1L, 2L, 3L, 0L, 10L)))
+    assert(got.contains((1L, 3L, 3L, 7L, 10L)))
+    assert(got.contains((2L, 3L, 0L, 7L, 10L)))
+    assert(!got.exists(_._1 == 4L) && !got.exists(_._2 == 4L))
+  }
+
+  test("maximalSharedSpans: maximality (no sub-spans) and two disjoint spans emit two rows") {
+    val s1 = "aa bb cc dd ee ff gg hh" // 8 tokens
+    val s2 = "pp qq rr ss tt uu vv ww xx" // 9 tokens
+    val docs = Seq(
+      (1L, s1 + " filler1 filler2 " + s2),
+      (2L, s2 + " mid1 mid2 mid3 " + s1)
+    )
+    val got = SubstringDedup
+      .maximalSharedSpans(docs.toDF("doc_id", "text"), l = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // exactly the two maximal runs — no per-gram fragments of s2
+    // (s1 starts at token 12 of doc 2: 9 span tokens + 3 mid tokens)
+    assert(got === Set((1L, 2L, 0L, 12L, 8L), (1L, 2L, 10L, 0L, 9L)))
+    assert(got === bruteSpans(docs, 8))
+  }
+
+  test("maximalSharedSpans: a run below l is never emitted; one of exactly l is") {
+    val seven = "t1 t2 t3 t4 t5 t6 t7"
+    val eight = seven + " t8"
+    val docs = Seq(
+      (1L, seven + " endA uniqA1 uniqA2"),
+      (2L, seven + " endB uniqB1 uniqB2"),
+      (3L, eight + " othC uniqC1"),
+      (4L, eight + " othD uniqD1")
+    )
+    val got = SubstringDedup
+      .maximalSharedSpans(docs.toDF("doc_id", "text"), l = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    // (1,2) share only 7 tokens → absent; (3,4) share exactly 8 → present
+    assert(!got.exists(t => t._1 == 1L && t._2 == 2L))
+    assert(got.contains((3L, 4L, 8L)))
+    // cross pairs (1,3)/(1,4)/(2,3)/(2,4) share the 7-token prefix only → absent
+    assert(got.size === 1)
+  }
+
+  test("maximalSharedSpans: partitioning invariance") {
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val docs = (1 to 20)
+      .map(i => (i.toLong, s"head$i mid$i " + (if (i % 3 == 0) span + " " else "") + s"tail$i end$i"))
+    val df1 = docs.toDF("doc_id", "text").repartition(1)
+    val df8 = docs.toDF("doc_id", "text").repartition(8)
+    def rows(df: org.apache.spark.sql.DataFrame) = SubstringDedup
+      .maximalSharedSpans(df, l = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val r1 = rows(df1)
+    assert(r1 === rows(df8))
+    assert(r1.nonEmpty && r1.forall(_._5 === 9L))
+  }
 }
