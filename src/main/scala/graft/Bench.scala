@@ -226,7 +226,7 @@ object Bench {
     // If any HEADLINE query stays suspect after retries the artifact is
     // marked "contaminated": true and the process exits non-zero, so a
     // poisoned run cannot silently become the number of record.
-    val baselineCpu: Map[String, Double] = {
+    val (baselineCpu: Map[String, Double], baselineMhz: Double) = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
       try {
         val txt = new String(
@@ -241,8 +241,14 @@ object Bench {
           val cs = mm.group(2).split(",").map(_.toDouble).filter(_ >= 0)
           if (cs.nonEmpty) m(mm.group(1)) = cs.min
         }
-        m.toMap
-      } catch { case _: Throwable => Map.empty }
+        // the baseline host's clock: median over every per-run mhz sample
+        // (round-9 quiet baseline: 2600.036 on every sample)
+        val mrx = """"mhz":\[([0-9.,\-]+)\]""".r
+        val mhzs = mrx.findAllMatchIn(txt)
+          .flatMap(_.group(1).split(",").map(_.toDouble)).filter(_ > 0).toSeq.sorted
+        val med = if (mhzs.isEmpty) 0.0 else mhzs(mhzs.size / 2)
+        (m.toMap, med)
+      } catch { case _: Throwable => (Map.empty[String, Double], 0.0) }
     }
     def envSuspect(samples: Seq[Run], base: Option[Double]): Boolean = {
       val cpus = samples.filter(_.wall >= 0).map(_.cpu).sorted.take(3)
@@ -316,8 +322,22 @@ object Bench {
     // exits non-zero so automation can't commit it silently.
     val contaminated = suspects.exists(headline)
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Frequency-normalized ADVISORY total (round-9 verdict #7): a host
+    // capped at a steady lower clock (r9's driver ran every sample at
+    // 2100 MHz vs the 2600 quiet baseline) inflates CPU-bound wall by
+    // ~baseline/run; total_mhz_adj = total · runMhz/baselineMhz gives the
+    // comparable number WITHOUT weakening the gate — contamination still
+    // marks and still exits non-zero; the adjusted line just lets a
+    // capped-but-steady host be read against the quiet baseline.
+    val runMhzSamples = results
+      .flatMap(_._3.map(_.mhz)).filter(_ > 0).sorted
+    val runMhz = if (runMhzSamples.isEmpty) 0.0 else runMhzSamples(runMhzSamples.size / 2)
+    val mhzRatio = if (baselineMhz > 0 && runMhz > 0) runMhz / baselineMhz else 1.0
+    val totalAdj = total * mhzRatio
+    val mhzJson =
+      s""""run_mhz":${f(runMhz)},"baseline_mhz":${f(baselineMhz)},"mhz_ratio":${f(mhzRatio)},"total_mhz_adj":${f(totalAdj)}"""
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"warmup":$warmup,"tick_hz":${f(tickHz)},"env_suspect":$suspectsJson,"contaminated":$contaminated,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"warmup":$warmup,"tick_hz":${f(tickHz)},"env_suspect":$suspectsJson,"contaminated":$contaminated,$mhzJson,"sf":"$sfDir"}"""
     // durable full artifact: all queries + per-run samples + cpu/jit/gc
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -328,7 +348,7 @@ object Bench {
     // literal final stdout line of the sbt invocation.
     spark.stop()
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$headQueries,"n_queries":${results.size},"n_ok":$nOk,"n_env_suspect":${suspects.size},"contaminated":$contaminated,"full":"bench_full.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$headQueries,"n_queries":${results.size},"n_ok":$nOk,"n_env_suspect":${suspects.size},"contaminated":$contaminated,$mhzJson,"full":"bench_full.json","sf":"$sfDir"}""")
     System.out.flush()
     if (contaminated) sys.exit(3)
   }

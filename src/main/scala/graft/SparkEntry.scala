@@ -3431,6 +3431,69 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"), col("a_start"), col("b_start"))
   }
 
+  /** BM25 retrieval surface (x115): [[graft.operators.Retrieval
+    * .bm25TopK]] — sparse lexical top-5 per query under the
+    * exact-integer contract (milli k1/b, four named floor divisions,
+    * rational idf — see the operator scaladoc for why `ln` is the named
+    * float swap-in, not the contract). Queries are every ≡0 (mod 97)
+    * document's first-4-token set probing the WHOLE corpus (with this
+    * corpus's tiny vocabulary the source doc does NOT trivially rank
+    * itself #1 — the ranking does real idf/length work). The oracle
+    * replays tokenization, postings, df, the two corpus scalars, and
+    * every staged division — two engines, one arithmetic.
+    */
+  private def x115(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val queries = docs
+      .where(col("doc_id") % 97 === 0)
+      .select(
+        col("doc_id").as("query_id"),
+        slice(TextAnalysis.tokens(col("text")), 1, 4).as("terms"))
+    Retrieval
+      .bm25TopK(docs, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Cross-document duplicate-gram-fraction surface (x116):
+    * [[graft.operators.TextAnalysis.crossDocDupGramFraction]] at n = 5 —
+    * the corpus duplication PROFILE (what share of each doc's distinct
+    * 5-grams appear in other documents), the audit signal that finds
+    * template farms before any pair miner runs. The synthetic corpus
+    * keeps every output class live organically (429 zero-dup docs, 24
+    * full-duplicate docs, a 9% mean at sf0.01 — no injection needed);
+    * the oracle replays distinct shingling, the df table, and the
+    * floor-ppm division.
+    */
+  private def x116(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .crossDocDupGramFraction(dts(s, dir), n = 5)
+      .orderBy(col("doc_id"))
+
+  /** Integer-PQ ADC surface (x117): [[graft.operators.Similarity
+    * .intPqTopK]] — product quantization, the last missing member of the
+    * vector-compression family (SQ8 x40/x41 compresses components, PQ
+    * compresses SUBSPACES), under the x91 integer-oracle treatment. The
+    * oracle recomputes the per-dimension integer calibration from the
+    * corpus, rebuilds the 32×64×2 range-calibrated codebook grid from
+    * the md5 closed form, replays every corpus vector's per-subspace
+    * argmin code assignment (ties to the smallest code), recomputes each
+    * (query, doc) asymmetric distance from codes alone, and ranks — a
+    * hash match certifies calibration, encode, AND search bit-for-bit.
+    */
+  private def x117(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity
+      .intPqTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        k = 5,
+        m = 32,
+        ksub = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3662,6 +3725,9 @@ object SparkEntry {
     "x112_int_lsh_hardneg" -> (x112 _),
     "x113_int_lsh_neardup" -> (x113 _),
     "x114_max_shared_spans" -> (x114 _),
+    "x115_bm25_topk" -> (x115 _),
+    "x116_dup_gram_profile" -> (x116 _),
+    "x117_int_pq_adc" -> (x117 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6254,6 +6320,125 @@ object SparkEntry {
         |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY a_id, b_id, dg, k
         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+    // x115: the integer BM25 contract replayed stage by stage — postings,
+    // df, the two corpus scalars, lf_ppm / denom_u / norm_ppm / idf_ppm /
+    // contrib with the same floor divisions, term-set queries, top-5 by
+    // (score desc, doc asc).
+    "x115_bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, unnest(toks) AS term FROM tk
+        |), postings AS (
+        |  SELECT term, doc_id, len, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2, 3
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    greatest(CAST(sum(len) AS BIGINT), 1) AS tot
+        |  FROM (SELECT doc_id, any_value(len) AS len FROM postings GROUP BY doc_id)
+        |), dfx AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+        |), q AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:4])) AS term
+        |  FROM tk WHERE doc_id % 97 = 0
+        |), c1 AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    250 * 1000 + 750 * (p.len * nn.n * 1000 // nn.tot) AS lf_ppm,
+        |    least(p.tf, 4000) AS tf_c, dfx.df, nn.n
+        |  FROM q JOIN postings p ON p.term = q.term
+        |  JOIN dfx ON dfx.term = q.term CROSS JOIN nn
+        |), c2 AS (
+        |  SELECT query_id, doc_id, tf_c, df, n,
+        |    tf_c * 1000000 + (1200 * lf_ppm // 1000) AS denom_u
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT query_id, doc_id,
+        |    tf_c * 2200 * 1000000000000 // (1000 * denom_u) AS norm_ppm,
+        |    (n - df) * 1000000 // (df + 1) AS idf_ppm
+        |  FROM c2
+        |), s AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(idf_ppm * (norm_ppm // 1000) // 1000) AS BIGINT) AS score_ppm
+        |  FROM c3 GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, score_ppm, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // x116: distinct 5-gram shingles, document-frequency table, df>=2
+    // rollup, floor-ppm — the same algorithm by different machinery.
+    "x116_dup_gram_profile" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                     for i in range(1, len(toks) - 3)])
+        |    ELSE [] END AS sh
+        |  FROM tk
+        |), p AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM g
+        |), dfx AS (
+        |  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY shingle
+        |), dup AS (
+        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |  FROM p JOIN dfx ON p.shingle = dfx.shingle WHERE dfx.df >= 2
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT g.doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+        |  coalesce(n_dup, 0) AS n_dup,
+        |  CASE WHEN len(sh) > 0
+        |    THEN coalesce(n_dup, 0) * 1000000 // len(sh) ELSE -1 END AS dup_ppm
+        |FROM g LEFT JOIN dup ON g.doc_id = dup.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    // x117: per-dim integer calibration from the CORPUS, the 32x64x2
+    // range-calibrated codebook grid from the md5 closed form, per-vector
+    // per-subspace argmin code (ties to smallest k), ADC distances
+    // recomputed from codes alone, rank ASC by (dist, id).
+    "x117_int_pq_adc" ->
+      s"""WITH vq AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
+        |       (CASE WHEN len(embedding) = 64 THEN embedding
+        |             ELSE error('x117 oracle: embedding dim ' ||
+        |                        len(embedding) || ' <> codebook dim 64') END)] AS q
+        |  FROM embeddings
+        |), dimstat AS (
+        |  SELECT j, min(q[j + 1]) AS mn, max(q[j + 1]) AS mx
+        |  FROM vq, range(0, 64) r(j) WHERE vec_id >= 10 GROUP BY j
+        |), cb AS (
+        |  SELECT s, k, t.j2 AS j,
+        |    ds.mn + CAST(($kmvHexToIntSql) % (ds.mx - ds.mn + 1) AS BIGINT) AS c
+        |  FROM (SELECT s, k, j2,
+        |          substr(md5('pq:' || s || ':' || k || ':' || j2), 1, 10) AS h
+        |        FROM range(0, 32) r1(s), range(0, 64) r2(k), range(0, 2) r3(j2)) t
+        |  JOIN dimstat ds ON ds.j = t.s * 2 + t.j2
+        |), dists AS (
+        |  SELECT vec_id, s, k,
+        |    sum((q[s * 2 + j + 1] - c) * (q[s * 2 + j + 1] - c)) AS d
+        |  FROM vq, cb WHERE vec_id >= 10 GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, k AS code FROM (
+        |    SELECT vec_id, s, k,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+        |    FROM dists) WHERE rn = 1
+        |), adc AS (
+        |  SELECT qv.vec_id AS query_id, codes.vec_id AS neighbor_id,
+        |    sum((qv.q[codes.s * 2 + cb.j + 1] - cb.c)
+        |        * (qv.q[codes.s * 2 + cb.j + 1] - cb.c)) AS dist
+        |  FROM (SELECT * FROM vq WHERE vec_id < 10) qv
+        |  CROSS JOIN codes
+        |  JOIN cb ON cb.s = codes.s AND cb.k = codes.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist,
+        |  CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // x109: expected outputs hand-derived from the PSL spec per rule
     // kind, written closed-form — an independent derivation, not a
     // replay of the engine's join.

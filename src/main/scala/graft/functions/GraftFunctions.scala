@@ -119,6 +119,69 @@ object GraftFunctions {
           exprs(2).eval(null).asInstanceOf[Int]),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "int_pq_codes",
+      exprs =>
+        IntPqCodes(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int],
+          exprs(2).eval(null).asInstanceOf[Int],
+          exprs(3).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray().toSeq,
+          exprs(4).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray().toSeq),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "int_pq_dist",
+      exprs =>
+        IntPqDist(
+          exprs(0),
+          exprs(1),
+          exprs(2).eval(null).asInstanceOf[Int],
+          exprs(3).eval(null).asInstanceOf[Int],
+          exprs(4).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray().toSeq,
+          exprs(5).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray().toSeq),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_train_sums",
+      exprs =>
+        PqTrainSums(
+          exprs(0),
+          exprs(1).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray().toSeq,
+          exprs(2).eval(null).asInstanceOf[Int],
+          exprs(3).eval(null).asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_assign",
+      exprs =>
+        PqAssign(
+          exprs(0),
+          exprs(1).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray().toSeq,
+          exprs(2).eval(null).asInstanceOf[Int],
+          exprs(3).eval(null).asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_adc",
+      exprs =>
+        PqAdc(
+          exprs(0),
+          exprs(1),
+          exprs(2).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray().toSeq,
+          exprs(3).eval(null).asInstanceOf[Int],
+          exprs(4).eval(null).asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "build_html", exprs => BuildHtml(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "html_extract", exprs => HtmlExtract(exprs(0), exprs(1)), "built-in")
@@ -485,6 +548,36 @@ object GraftFunctions {
     */
   def intLshBuckets(vec: Column, tables: Int, bitsPerTable: Int): Column =
     call_function("int_lsh_buckets", vec, lit(tables), lit(bitsPerTable))
+
+  /** Integer product-quantization codes (range-calibrated hash40
+    * codebooks, floor-1000 quantization, argmin integer L2) — see
+    * IntPqCodes. (mns, mxs) are per-dimension integer bounds of the
+    * quantized corpus.
+    */
+  def intPqCodes(vec: Column, m: Int, ksub: Int, mns: Seq[Long], mxs: Seq[Long]): Column =
+    call_function("int_pq_codes", vec, lit(m), lit(ksub), typedlit(mns), typedlit(mxs))
+
+  /** ADC: exact integer squared L2 between a full-precision query and a
+    * PQ-coded corpus vector's reconstruction — see IntPqDist.
+    */
+  def intPqDist(
+      qVec: Column, codes: Column, m: Int, ksub: Int,
+      mns: Seq[Long], mxs: Seq[Long]): Column =
+    call_function("int_pq_dist", qVec, codes, lit(m), lit(ksub), typedlit(mns), typedlit(mxs))
+
+  /** One Lloyd round of PQ training: per-(subspace, code) counts + sums
+    * as a single bounded-state aggregate — see PqTrainSums.
+    */
+  def pqTrainSums(vec: Column, books: Seq[Double], m: Int, ksub: Int): Column =
+    call_function("pq_train_sums", vec, typedlit(books), lit(m), lit(ksub))
+
+  /** Trained-codebook PQ code assignment — see PqAssign. */
+  def pqAssign(vec: Column, books: Seq[Double], m: Int, ksub: Int): Column =
+    call_function("pq_assign", vec, typedlit(books), lit(m), lit(ksub))
+
+  /** Trained-codebook ADC squared L2 — see PqAdc. */
+  def pqAdc(qVec: Column, codes: Column, books: Seq[Double], m: Int, ksub: Int): Column =
+    call_function("pq_adc", qVec, codes, typedlit(books), lit(m), lit(ksub))
 
   /** Distributed bloom-filter build over a column (binary result — Spark's
     * runtime-filter BloomFilterAggregate; values hashed with XxHash64).

@@ -238,3 +238,138 @@ case class VectorMinMax(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0))
 }
+
+/** Mutable per-(subspace, code) assignment accumulator for ONE Lloyd
+  * round of product-quantization training: counts[m·ksub] +
+  * sums[m·ksub·sub] — ~m·ksub·(sub+1) doubles of bounded state per
+  * partition (48 KB at m=32, ksub=64, sub=2), regardless of corpus
+  * size.
+  */
+final class PqSumsBuffer(val m: Int, val ksub: Int, val sub: Int) {
+  var counts: Array[Long] = new Array[Long](m * ksub)
+  var sums: Array[Double] = new Array[Double](m * ksub * sub)
+
+  def mergeFrom(o: PqSumsBuffer): Unit = {
+    var i = 0
+    while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
+    i = 0
+    while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+  }
+}
+
+/** One Lloyd ROUND of PQ training as a single TypedImperativeAggregate:
+  * for every vector, assign each subspace's sub-vector to its nearest
+  * current codebook entry (exact double L2, ties to the smallest code)
+  * and accumulate (count, sub-vector sum) per (subspace, code) cell.
+  * The whole round is ONE map-side-partial aggregation — the
+  * per-subspace-loop alternative runs m driver jobs per round, and the
+  * posexplode twin shuffles m × corpus rows (the x26 explosion). Eval
+  * returns struct(counts: array<long>, sums: array<double>) — one
+  * m·ksub·(sub+1)-bounded row to the driver, the ivfCentroids
+  * bounded-scalar contract.
+  *
+  * `books` is the CURRENT flattened codebook [(s·ksub + k)·sub + j];
+  * the driver folds eval's sums into the next round's books (empty
+  * cells keep their previous entry).
+  */
+case class PqTrainSums(
+    child: Expression,
+    books: Seq[Double],
+    m: Int,
+    ksub: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[PqSumsBuffer] {
+  require(m >= 1 && ksub >= 1 && books.length % (m * ksub) == 0,
+    "books must hold m*ksub entries of dim/m components")
+
+  private val sub: Int = books.length / (m * ksub)
+  @transient private lazy val bookArr: Array[Double] = books.toArray
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("counts", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sums", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  override def createAggregationBuffer(): PqSumsBuffer = new PqSumsBuffer(m, ksub, sub)
+
+  override def update(buf: PqSumsBuffer, input: InternalRow): PqSumsBuffer = {
+    val raw = child.eval(input)
+    if (raw != null) {
+      val v = raw.asInstanceOf[ArrayData]
+      require(v.numElements() == m * sub,
+        s"vector dim ${v.numElements()} != codebook dim ${m * sub}")
+      val fl = elemIsFloat
+      var s = 0
+      while (s < m) {
+        var bestK = 0
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < ksub) {
+          val base = (s * ksub + k) * sub
+          var d = 0.0
+          var j = 0
+          while (j < sub) {
+            val x = if (fl) v.getFloat(s * sub + j).toDouble else v.getDouble(s * sub + j)
+            val diff = x - bookArr(base + j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; bestK = k }
+          k += 1
+        }
+        val cell = s * ksub + bestK
+        buf.counts(cell) += 1
+        var j = 0
+        while (j < sub) {
+          val x = if (fl) v.getFloat(s * sub + j).toDouble else v.getDouble(s * sub + j)
+          buf.sums(cell * sub + j) += x
+          j += 1
+        }
+        s += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: PqSumsBuffer, b2: PqSumsBuffer): PqSumsBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: PqSumsBuffer): Any =
+    InternalRow(new GenericArrayData(buf.counts), new GenericArrayData(buf.sums))
+
+  override def serialize(buf: PqSumsBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.m); out.writeInt(buf.ksub); out.writeInt(buf.sub)
+    var i = 0
+    while (i < buf.counts.length) { out.writeLong(buf.counts(i)); i += 1 }
+    i = 0
+    while (i < buf.sums.length) { out.writeDouble(buf.sums(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): PqSumsBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val bm = in.readInt(); val bk = in.readInt(); val bs = in.readInt()
+    val buf = new PqSumsBuffer(bm, bk, bs)
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) = in.readLong(); i += 1 }
+    i = 0
+    while (i < buf.sums.length) { buf.sums(i) = in.readDouble(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PqTrainSums =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): PqTrainSums =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

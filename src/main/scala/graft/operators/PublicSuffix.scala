@@ -117,14 +117,17 @@ object PublicSuffix {
         col("graft_psl_host").as(hostCol),
         (-col("best.np")).as("graft_psl_p"))
 
+    // derived columns are guarded on a non-null host: concat_ws over a
+    // null slice would otherwise render a NULL host as public_suffix ""
     df.join(matches, Seq(hostCol), "left")
       .withColumn("graft_psl_p2", coalesce(col("graft_psl_p"), lit(1)))
       .withColumn(
         "public_suffix",
-        concat_ws(".", slice(labels, -col("graft_psl_p2"), col("graft_psl_p2"))))
+        when(col(hostCol).isNotNull,
+          concat_ws(".", slice(labels, -col("graft_psl_p2"), col("graft_psl_p2")))))
       .withColumn(
         "registrable",
-        when(n > col("graft_psl_p2"),
+        when(col(hostCol).isNotNull && n > col("graft_psl_p2"),
           concat_ws(".",
             slice(labels, -(col("graft_psl_p2") + 1), col("graft_psl_p2") + 1))))
       .drop("graft_psl_p", "graft_psl_p2")

@@ -397,6 +397,180 @@ object Similarity {
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
 
+  /** Product-quantization ADC top-k in ORACLE-GRADE integer arithmetic
+    * (x117) — the PQ member of the compression family next to SQ8
+    * (x40/x41): the corpus is encoded ONCE to `m` sub-space codes
+    * ([[graft.functions.IntPqCodes]]: floor-1000 quantization,
+    * RANGE-CALIBRATED hash40 codebooks from one VectorMinMax pass,
+    * argmin exact integer L2 per subspace — at m=32, ksub=64 a 64-dim
+    * float vector compresses to 32 codes, ~10× packed), and search
+    * reads ONLY the codes: per pair, [[graft.functions.IntPqDist]]
+    * computes the asymmetric distance (full-precision query vs codebook
+    * reconstruction — FAISS ADC semantics) in dim integer multiplies,
+    * the cost of a dot product over a corpus footprint of m small ints.
+    * Brute shape over codes (the x41 SQ8-search posture — the
+    * compression is the point; IVF lists or LSH banding compose in
+    * front unchanged), query side broadcast. Ranking ASC by distance,
+    * ties neighbor asc; every quantity BIGINT, so the oracle replays
+    * calibration, codebooks, assignment, and ADC bit-for-bit.
+    *
+    * Random-in-range codebooks are NOT data-adapted — the price of the
+    * oracle (measured recall@5 vs exact cosine on the test embeddings:
+    * 0.64 at these defaults, vs 0.02 UNcalibrated — QuantizeSpec pins
+    * the floor so the trade is stated, not implied); the production
+    * variant trains per-subspace Lloyd codebooks with the
+    * [[ivfCentroids]] machinery and swaps them into the same formula.
+    */
+  def intPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 32,
+      ksub: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    // ONE VectorMinMax calibration pass over the corpus (the sq8Ranges
+    // machinery): integer bounds mnq_j = floor(min_j·1000) etc. — floor
+    // is monotone, so the bound of the floors IS the floor of the bound
+    val (mnsD, mxsD) = sq8Ranges(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val mns = mnsD.map(x => math.floor(x * 1000.0).toLong).toSeq
+    val mxs = mxsD.map(x => math.floor(x * 1000.0).toLong).toSeq
+    val codes = Dedup.spread(
+      corpus.select(
+        col(idCol).as("neighbor_id"),
+        GraftFunctions.intPqCodes(col(vecCol), m, ksub, mns, mxs).as("codes")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = codes
+      .join(broadcast(q))
+      .withColumn(
+        "dist",
+        GraftFunctions.intPqDist(col("q_vec"), col("codes"), m, ksub, mns, mxs))
+      // TopKByScore keeps the LARGEST scores; distances rank ascending,
+      // and dist ≤ dim·(3000)² ≪ 2⁵³ rides a double exactly — negate in,
+      // negate out
+      .withColumn("score", -col("dist").cast("double"))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    rankTopK(scored, k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (-col("score")).cast("long").as("dist"),
+        col("rank"))
+  }
+
+  /** Lloyd-TRAINED product-quantization codebooks — the data-adapted
+    * production path [[intPqTopK]]'s scaladoc promises: per-subspace
+    * k-means with `iters` rounds, each round ONE
+    * [[graft.functions.PqTrainSums]] map-side-partial aggregation (the
+    * per-subspace-loop alternative runs m driver jobs per round; the
+    * posexplode twin shuffles m × corpus rows — the x26 explosion).
+    * Driver state is bounded by m·ksub·(dim/m) = dim·ksub doubles (the
+    * ivfCentroids contract); init is the `ksub` corpus vectors with the
+    * smallest `xxhash64(id, seed)`, sliced per subspace — deterministic
+    * and seed-stable (a corpus smaller than ksub wraps, duplicating
+    * init entries; Lloyd separates them if the data does). Empty cells
+    * keep their previous entry. Returns the flattened codebook
+    * [(s·ksub + k)·sub + j].
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int = 2,
+      seed: Int = 42,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Seq[Double] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0, s"bad PQ config m=$m ksub=$ksub iters=$iters")
+    val init: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), xxhash64(col(idCol), lit(seed)).as("h"))
+      .orderBy(col("h"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = init(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    var books = new Array[Double](m * ksub * sub)
+    var s = 0
+    while (s < m) {
+      var k = 0
+      while (k < ksub) {
+        var j = 0
+        while (j < sub) {
+          books((s * ksub + k) * sub + j) = init(k % init.length)(s * sub + j)
+          j += 1
+        }
+        k += 1
+      }
+      s += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val row = corpus
+        .agg(GraftFunctions.pqTrainSums(col(vecCol), books.toSeq, m, ksub).as("r"))
+        .select(col("r.counts"), col("r.sums"))
+        .head()
+      val counts = row.getSeq[Long](0)
+      val sums = row.getSeq[Double](1)
+      val next = books.clone()
+      var cell = 0
+      while (cell < m * ksub) {
+        if (counts(cell) > 0L) {
+          var j = 0
+          while (j < sub) {
+            next(cell * sub + j) = sums(cell * sub + j) / counts(cell)
+            j += 1
+          }
+        }
+        cell += 1
+      }
+      books = next
+      it += 1
+    }
+    books.toSeq
+  }
+
+  /** Trained-PQ ADC top-k — [[intPqTopK]] with [[pqTrain]]'s
+    * data-adapted codebooks through the same assignment/ADC formulas
+    * ([[graft.functions.PqAssign]]/[[graft.functions.PqAdc]], double
+    * domain). Float k-means is not SQL-replayable, so this surface is
+    * spec-pinned (recall floor vs exact, the x13/knnGraphLsh
+    * convention) while x117 certifies the shared machinery bit-for-bit.
+    */
+  def pqTopKTrained(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 32,
+      ksub: Int = 64,
+      iters: Int = 2,
+      seed: Int = 42,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val books = pqTrain(corpus, m, ksub, iters, seed, idCol, vecCol)
+    val codes = Dedup.spread(
+      corpus.select(
+        col(idCol).as("neighbor_id"),
+        GraftFunctions.pqAssign(col(vecCol), books, m, ksub).as("codes")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = codes
+      .join(broadcast(q))
+      .withColumn("dist", GraftFunctions.pqAdc(col("q_vec"), col("codes"), books, m, ksub))
+      .withColumn("score", -col("dist"))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    rankTopK(scored, k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (-col("score")).as("dist"),
+        col("rank"))
+  }
+
   /** Int8 scalar quantization (SQ8) of an embedding column — the standard
     * 4× compression step of large-scale vector search (FAISS
     * `ScalarQuantizer`-style): per-dimension corpus (min, max) calibration,

@@ -186,6 +186,53 @@ object TextAnalysis {
     * most one row per document before any join. The doc-id join's build
     * side is that collapsed table (≤ one row per doc, two ints wide).
     */
+  /** Cross-document duplicate n-gram fraction — the corpus-level
+    * duplication profile quality gates report (Gopher's dup-ngram
+    * metrics are INTRA-doc, x18; SlimPajama/Gopher-style corpus audits
+    * additionally ask "what fraction of this document's n-grams appear
+    * in OTHER documents?" — the signal that finds template farms and
+    * mirror clusters BEFORE pair mining): per doc, the ppm share of its
+    * DISTINCT n-grams whose corpus document frequency is ≥ 2.
+    *
+    * Distinct-per-doc shingles mean df counts DOCUMENTS (self-repetition
+    * cannot inflate it — the x06 distinct-text discipline), and a gram
+    * shared only by a doc with ITSELF is invisible, so the signal is
+    * strictly cross-document. Shape: shingle arrays materialized once
+    * (the §8.4 trap), ONE shingle-keyed exchange for df, the join back
+    * reusing that partitioning, one doc-keyed rollup. Docs with no
+    * grams (< n tokens) report dup_ppm = −1 (the x70 sentinel).
+    */
+  def crossDocDupGramFraction(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sized = docs
+      .select(col(idCol), shingles(tokens(col(textCol)), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posted = sized.select(col(idCol), explode(col("sh")).as("shingle"))
+    val dfTab = posted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dup = posted
+      .join(dfTab, Seq("shingle"))
+      .where(col("df") >= 2)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup"))
+    sized
+      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"))
+      .join(dup, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(
+          col("n_grams") > 0,
+          floor((coalesce(col("n_dup"), lit(0L)) * 1000000L) / col("n_grams")))
+          .otherwise(lit(-1L))
+          .cast("long")
+          .as("dup_ppm"))
+  }
+
   def ngramNovelty(
       docs: DataFrame,
       n: Int,

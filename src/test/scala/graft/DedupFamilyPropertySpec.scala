@@ -108,6 +108,56 @@ class DedupFamilyPropertySpec extends SparkSpec {
     }
   }
 
+  test("exact copies and prefix excerpts are full-length spans of maximalSharedSpans") {
+    val all = corpus(13, 30)
+    val docs = all.toDF("doc_id", "text")
+    val byId = all.toMap
+    val spans = graft.operators.SubstringDedup
+      .maximalSharedSpans(docs, l = 4)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every exact copy pair (id, id+1000) carries the WHOLE doc as a span
+    all.collect { case (id, t) if byId.contains(id + 1000L) && byId(id + 1000L) == t => id }
+      .foreach { id =>
+        val len = byId(id).trim.split("\\s+").length.toLong
+        assert(spans.getOrElse((id, id + 1000L), Set.empty).contains((0L, 0L, len)),
+          s"copy pair $id missing its full-length span")
+      }
+    // every prefix excerpt (id, id+2000) carries its full 8-token prefix at (0, 0)
+    all.collect { case (id, _) if byId.contains(id + 2000L) => id }
+      .foreach { id =>
+        val got = spans.getOrElse((id, id + 2000L), Set.empty)
+        assert(got.exists { case (a, b, s) => a == 0L && b == 0L && s >= 8L },
+          s"excerpt pair $id missing its prefix span: $got")
+      }
+  }
+
+  test("int-LSH near-dup pairs are a SUBSET of the exact relation on every seed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (th <- Seq(0.40, 0.45)) {
+      val exact = Dedup.embeddingNearDupPairsExact(emb, th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Dedup.embeddingNearDupPairsIntLsh(emb, th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded.subsetOf(exact), s"th=$th: false positives ${banded diff exact}")
+    }
+  }
+
+  test("semanticDedupIntLsh partitions the corpus; keepers are its own component minima") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Dedup.semanticDedupIntLsh(emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byRoot = out.groupBy(_._2)
+    byRoot.foreach { case (root, members) =>
+      assert(members.map(_._1).min === root, s"root $root is not its component minimum")
+      assert(members.count(_._3) === 1 && members.find(_._3).get._1 === root)
+    }
+    // partition: every embedding row appears exactly once
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.length === emb.count())
+  }
+
   test("semanticDedup partitions the corpus; keepers are the component minima") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Dedup.semanticDedup(emb, threshold = 0.45)

@@ -64,8 +64,11 @@ class PlanGuardSpec extends SparkSpec {
     // (hardNegativesIntLsh), x11 → x113 (embeddingNearDupPairsIntLsh),
     // x09 → x91 (intLshTopK) — so the exemptions below cover only the
     // documented correctness BASELINES, not the production paths.
+    // x117 is the x41 posture over PQ codes: the brute scan over the
+    // COMPRESSED corpus is the documented shape (compression is the
+    // point; IVF/LSH banding composes in front unchanged).
     val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk",
-      "x87_knn_graph", "x104_hard_negatives")
+      "x87_knn_graph", "x104_hard_negatives", "x117_int_pq_adc")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>

@@ -56,4 +56,16 @@ class PublicSuffixSpec extends SparkSpec {
   test("a bare wildcard-covered label: b.ck is itself public under *.ck") {
     assert(run("b.ck")("b.ck") === (("b.ck", None)))
   }
+
+  test("NULL host yields NULL public_suffix and registrable, not empty strings") {
+    val df = Seq((1L, Option("www.example.com")), (2L, Option.empty[String]))
+      .toDF("id", "host")
+    val out = graft.operators.PublicSuffix
+      .withRegistrableDomain(df, "host")
+      .orderBy($"id")
+      .collect()
+    assert(out(0).getString(2) === "com" && out(0).getString(3) === "example.com")
+    assert(out(1).isNullAt(2), "NULL host must not render public_suffix ''")
+    assert(out(1).isNullAt(3))
+  }
 }

@@ -129,4 +129,102 @@ class QuantizeSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"dim-explode leaked into the plan:\n$plan")
     assert(!plan.contains("Exchange"), s"quantize pass should not shuffle:\n$plan")
   }
+
+  /** Independent replay of the documented int-PQ closed form. */
+  private def refBook(m: Int, ksub: Int, mns: Array[Long], mxs: Array[Long]): Array[Long] = {
+    val sub = mns.length / m
+    Array.tabulate(m * ksub * sub) { idx =>
+      val s = idx / (ksub * sub); val k = (idx / sub) % ksub; val j = idx % sub
+      val g = s * sub + j
+      mns(g) + graft.operators.DistinctSketch.hash40Scala(s"pq:$s:$k:$j") % (mxs(g) - mns(g) + 1L)
+    }
+  }
+
+  test("int-PQ codes: exact replay of calibration, codebooks, and argmin with smallest-k ties") {
+    val m = 2; val ksub = 4
+    val mns = Array(-2000L, -1000L, 0L, -500L)
+    val mxs = Array(2000L, 1000L, 1000L, 500L)
+    val book = refBook(m, ksub, mns, mxs)
+    val vecs = Seq(
+      Array(0.25f, -0.5f, 0.75f, -0.1f),
+      Array(-1.9f, 0.9f, 0.001f, 0.499f),
+      Array(0.0f, 0.0f, 0.0f, 0.0f))
+    def refCodes(v: Array[Float]): Seq[Int] = {
+      val q = v.map(x => math.floor(x * 1000.0).toLong)
+      (0 until m).map { s =>
+        (0 until ksub).minBy { k =>
+          val base = (s * ksub + k) * 2
+          val d = (0 until 2).map { j =>
+            val diff = q(s * 2 + j) - book(base + j); diff * diff
+          }.sum
+          (d, k.toLong) // minBy on (d, k): smallest distance, then smallest k
+        }
+      }
+    }
+    val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id",
+        GraftFunctions.intPqCodes($"embedding", m, ksub, mns.toSeq, mxs.toSeq).as("c"))
+      .orderBy($"vec_id").collect().map(_.getSeq[Int](1))
+    vecs.indices.foreach(i => assert(got(i) === refCodes(vecs(i)), s"vec $i"))
+  }
+
+  test("int-PQ ADC: distance equals the Scala reconstruction sum; wrong-length codes are NULL") {
+    val m = 2; val ksub = 4
+    val mns = Array(-2000L, -1000L, 0L, -500L)
+    val mxs = Array(2000L, 1000L, 1000L, 500L)
+    val book = refBook(m, ksub, mns, mxs)
+    val q = Array(0.3f, -0.2f, 0.6f, 0.1f)
+    val codes = Seq(1, 3)
+    val expected = {
+      val qq = q.map(x => math.floor(x * 1000.0).toLong)
+      (0 until m).map { s =>
+        val base = (s * ksub + codes(s)) * 2
+        (0 until 2).map { j =>
+          val diff = qq(s * 2 + j) - book(base + j); diff * diff
+        }.sum
+      }.sum
+    }
+    val df = Seq((q, codes), (q, Seq(1))).toDF("qv", "codes")
+    val out = df.select(
+      GraftFunctions.intPqDist($"qv", $"codes", m, ksub, mns.toSeq, mxs.toSeq).as("d"))
+      .collect()
+    assert(out(0).getLong(0) === expected)
+    assert(out(1).isNullAt(0), "length-mismatched codes must yield NULL")
+  }
+
+  test("trained PQ: Lloyd codebooks — deterministic, empty-cell-preserving, recall over the random books") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where($"vec_id" >= 10)
+    val b1 = Similarity.pqTrain(corpus, m = 32, ksub = 64, iters = 2)
+    val b2 = Similarity.pqTrain(corpus, m = 32, ksub = 64, iters = 2)
+    assert(b1 === b2, "same seed + corpus must give identical codebooks")
+    assert(b1.length === 32 * 64 * 2)
+    // a 490-vector corpus cannot fill 64 codes in every subspace —
+    // wrapped init entries must survive as-is rather than becoming NaN
+    assert(b1.forall(x => !x.isNaN && !x.isInfinite))
+    val queries = emb.where($"vec_id" < 10)
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val trained = edges(Similarity.pqTopKTrained(queries, corpus, k = 5))
+    val recall = (exact intersect trained).size.toDouble / exact.size
+    assert(recall >= 0.6, s"trained-PQ recall $recall vs exact top-5")
+  }
+
+  test("x117 config recall floor: calibrated int-PQ ADC >= 0.5 of exact top-5") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val corpus = emb.where($"vec_id" >= 10)
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val pq = edges(Similarity.intPqTopK(queries, corpus, k = 5))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // measured 0.64 at m=32, ksub=64 (0.02 UNcalibrated — the
+    // calibration is load-bearing); floor leaves noise margin
+    assert(recall >= 0.5, s"int-PQ recall $recall vs exact top-5")
+  }
 }

@@ -287,4 +287,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(2) === 0L) // no hits
     assert(out(0).getLong(3) === 0L) // backoff over empty ref → 0, not an error
   }
+
+  test("cross-doc dup-gram fraction: hand-computed ppm, sentinel, distinct semantics") {
+    val docs = Seq(
+      // docs 1/2 share "a b c" (their only 2-gram overlap is a b + b c);
+      // with n=2: doc1 grams {a b, b c, c d}, doc2 grams {a b, b c, c e}
+      (1L, "a b c d"),
+      (2L, "a b c e"),
+      (3L, "zz yy xx"), // grams {zz yy, yy xx} — unique
+      (4L, "t"), // < n tokens → no grams → sentinel
+      // self-repetition: doc 5's repeated gram is DISTINCT-collapsed and
+      // shared with nobody — dup fraction 0 despite 3 internal copies
+      (5L, "q r q r q r")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .crossDocDupGramFraction(docs, n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((3L, 2L, 666666L)))
+    assert(out(2L) === ((3L, 2L, 666666L)))
+    assert(out(3L) === ((2L, 0L, 0L)))
+    assert(out(4L) === ((0L, 0L, -1L)))
+    // doc 5: distinct grams {q r, r q} — both self-only → 0 dup
+    assert(out(5L) === ((2L, 0L, 0L)))
+  }
+
+  test("cross-doc dup-gram fraction: a full duplicate scores 10^6; partitioning invariant") {
+    val docs = (1L to 12L)
+      .map(i => (i, if (i <= 2) "same text for both copies here" else s"unique$i words$i only$i here$i now$i"))
+    def run(parts: Int) = graft.operators.TextAnalysis
+      .crossDocDupGramFraction(docs.toDF("doc_id", "text").repartition(parts), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val r1 = run(1)
+    assert(r1(1L) === 1000000L && r1(2L) === 1000000L)
+    assert((3L to 12L).forall(i => r1(i) === 0L))
+    assert(r1 === run(8))
+  }
 }
