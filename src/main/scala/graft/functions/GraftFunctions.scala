@@ -182,6 +182,10 @@ object GraftFunctions {
           exprs(4).eval(null).asInstanceOf[Int]),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "build_tar", exprs => BuildTar(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "tar_entries", exprs => TarEntries(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "build_html", exprs => BuildHtml(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "html_extract", exprs => HtmlExtract(exprs(0), exprs(1)), "built-in")
@@ -463,6 +467,16 @@ object GraftFunctions {
     */
   def buildWarc(id: Column, text: Column): Column =
     call_function("build_warc", id, text)
+
+  /** Genuine WebDataset-style tar sample per (id, text) — see BuildTar. */
+  def buildTar(id: Column, text: Column): Column =
+    call_function("build_tar", id, text)
+
+  /** Real ustar walk → array<struct(name, size, entry_offset, payload)>,
+    * NULL on any malformation — see TarEntries.
+    */
+  def tarEntries(bytes: Column): Column =
+    call_function("tar_entries", bytes)
 
   /** Real WARC record walk → array<struct(rec_offset, rec_type,
     * target_uri, rec_date, content_length, payload)> — see WarcRecords.

@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** POSIX ustar (tar) container walk — the WebDataset front matter:
+  * large-scale multimodal training data ships as tar SHARDS whose
+  * members group into samples by basename (`{key}.txt` + `{key}.json`
+  * + `{key}.cls` …), and the ingest job's first move is exactly this
+  * walk: 512-byte headers, octal size fields, header checksums, block
+  * padding, the two-zero-block terminator. Same container-family
+  * discipline as the MP4/MP3/AVI/WARC walks: REAL structure honored
+  * byte-for-byte, NULL-never-throw on corrupt input (a 100 TB shard
+  * store WILL contain truncated files).
+  */
+private[functions] object TarCodec {
+
+  final case class Entry(name: String, size: Long, offset: Long, payload: Array[Byte])
+
+  /** Parse a NUL/space-padded octal field; -1 on malformed. */
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    // skip leading spaces/NULs
+    while (i < end && (b(i) == ' '.toByte || b(i) == 0)) i += 1
+    var v = 0L
+    var seen = false
+    while (i < end && b(i) != 0 && b(i) != ' '.toByte) {
+      val c = b(i)
+      if (c < '0'.toByte || c > '7'.toByte) return -1L
+      v = v * 8 + (c - '0'.toByte)
+      seen = true
+      i += 1
+    }
+    if (seen) v else -1L
+  }
+
+  private def isZeroBlock(b: Array[Byte], off: Int): Boolean = {
+    var i = off
+    while (i < off + 512) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** The ustar header checksum: unsigned byte sum of the 512-byte header
+    * with the 8-byte chksum field (148..155) read as spaces.
+    */
+  def headerChecksum(b: Array[Byte], off: Int): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else b(off + i) & 0xff)
+      i += 1
+    }
+    sum
+  }
+
+  /** Walk the archive; None on ANY malformation: truncated header or
+    * payload, checksum mismatch, bad octal size, bad magic, missing
+    * terminator, or non-zero trailing bytes after the end blocks.
+    */
+  def entries(b: Array[Byte]): Option[Seq[Entry]] = {
+    val out = Seq.newBuilder[Entry]
+    var off = 0L
+    var terminated = false
+    while (!terminated) {
+      if (off + 512 > b.length) return None // no terminator before EOF
+      if (isZeroBlock(b, off.toInt)) {
+        // end marker: a second zero block must follow, and everything
+        // after must be zero padding (the x92 trailing-garbage rule)
+        if (off + 1024 > b.length || !isZeroBlock(b, off.toInt + 512)) return None
+        var i = off.toInt + 1024
+        while (i < b.length) { if (b(i) != 0) return None; i += 1 }
+        terminated = true
+      } else {
+        val h = off.toInt
+        // magic "ustar" at 257 (NUL- or space-terminated both accepted)
+        if (h + 512 > b.length) return None
+        if (!(b(h + 257) == 'u'.toByte && b(h + 258) == 's'.toByte &&
+            b(h + 259) == 't'.toByte && b(h + 260) == 'a'.toByte &&
+            b(h + 261) == 'r'.toByte)) return None
+        val stored = octal(b, h + 148, 8)
+        if (stored < 0 || stored != headerChecksum(b, h)) return None
+        val size = octal(b, h + 124, 12)
+        if (size < 0) return None
+        var nameEnd = h
+        while (nameEnd < h + 100 && b(nameEnd) != 0) nameEnd += 1
+        val name = new String(b, h, nameEnd - h, java.nio.charset.StandardCharsets.UTF_8)
+        val padded = ((size + 511) / 512) * 512
+        if (off + 512 + padded > b.length) return None // truncated payload
+        val payload = java.util.Arrays.copyOfRange(b, h + 512, h + 512 + size.toInt)
+        out += Entry(name, size, off, payload)
+        off += 512 + padded
+      }
+    }
+    Some(out.result())
+  }
+
+  /** One genuine ustar member: 512-byte header (octal size, computed
+    * checksum, "ustar" magic + "00" version) + zero-padded payload.
+    */
+  def writeMember(out: java.io.ByteArrayOutputStream, name: String, payload: Array[Byte]): Unit = {
+    val h = new Array[Byte](512)
+    val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nameB.length < 100, s"member name too long: $name")
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      // len-1 octal digits, NUL terminated (the common ustar form)
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      var i = 0
+      while (i < len - 1) { h(off + i) = padded.charAt(i).toByte; i += 1 }
+      h(off + len - 1) = 0
+    }
+    oct(420, 100, 8) // mode 0644
+    oct(0, 108, 8) // uid
+    oct(0, 116, 8) // gid
+    oct(payload.length.toLong, 124, 12)
+    oct(0, 136, 12) // mtime
+    h(156) = '0'.toByte // typeflag: regular file
+    h(257) = 'u'; h(258) = 's'; h(259) = 't'; h(260) = 'a'; h(261) = 'r'; h(262) = 0
+    h(263) = '0'; h(264) = '0' // version
+    // checksum over the header with the field as spaces, then write it
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = {
+      var s = 0L; var i = 0
+      while (i < 512) { s += h(i) & 0xff; i += 1 }
+      s
+    }
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = ("0" * (6 - cs.length)) + cs
+    var i = 0
+    while (i < 6) { h(148 + i) = csPad.charAt(i).toByte; i += 1 }
+    h(154) = 0
+    h(155) = ' '.toByte
+    out.write(h)
+    out.write(payload)
+    val pad = ((payload.length + 511) / 512) * 512 - payload.length
+    var p = 0
+    while (p < pad) { out.write(0); p += 1 }
+  }
+}
+
+/** Genuine WebDataset-style tar SAMPLE per (doc_id, text): members
+  * `{id}.txt` (the text), `{id}.json` (deterministic metadata), and —
+  * iff id % 3 ≠ 0 — `{id}.cls` (the single digit id % 10), in that
+  * order, followed by the two-zero-block terminator. Every header field
+  * is real (octal sizes, computed checksums, ustar magic), so a
+  * conformant tar tool reads the archive; the byte LAYOUT is a closed
+  * form of (doc_id, byte-length of text) alone — the x92 WARC oracle
+  * contract on the tar container.
+  */
+case class BuildTar(idExpr: Expression, textExpr: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = idExpr
+  override def right: Expression = textExpr
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(idAny: Any, textAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val text = textAny.asInstanceOf[UTF8String].toString
+    val out = new java.io.ByteArrayOutputStream()
+    TarCodec.writeMember(out, s"$id.txt",
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    TarCodec.writeMember(out, s"$id.json",
+      s"""{"id":$id,"lang":"en"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (id % 3 != 0)
+      TarCodec.writeMember(out, s"$id.cls",
+        s"${id % 10}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    while (i < 1024) { out.write(0); i += 1 }
+    out.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(idExpr = l, textExpr = r)
+}
+
+/** The real ustar walk: array<struct<name, size, entry_offset, payload>>
+  * in archive order, or NULL on any malformation (see [[TarCodec
+  * .entries]] for the full matrix). `entry_offset` is the HEADER block's
+  * byte offset — the seekable unit a shard index stores (payload begins
+  * at +512). Map-only; NULL-never-throw.
+  */
+case class TarEntries(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("entry_offset", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    TarCodec.entries(bytes) match {
+      case None => null
+      case Some(es) =>
+        new GenericArrayData(es.map(e =>
+          InternalRow(
+            UTF8String.fromString(e.name), e.size, e.offset, e.payload)).toArray[Any])
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
