@@ -242,6 +242,15 @@ object GraftFunctions {
           exprs(2).eval(null).asInstanceOf[Int]
         ).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_by_long_score",
+      exprs =>
+        TopKByLongScore(
+          exprs(0),
+          exprs(1),
+          exprs(2).eval(null).asInstanceOf[Int]
+        ).toAggregateExpression(),
+      "built-in")
     // Spark's OWN runtime-filter bloom machinery (the expressions behind
     // spark.sql.optimizer.runtime.bloomFilter), exposed as callable
     // functions: build hashes values with XxHash64 exactly as the probe
@@ -340,6 +349,12 @@ object GraftFunctions {
     */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, lit(k))
+
+  /** [[topKByScore]] over BIGINT scores — exact 64-bit tie order even
+    * above 2^53; see TopKByLongScore.
+    */
+  def topKByLongScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_long_score", score, id, lit(k))
 
   /** L1-normalized 256-bin byte histogram of a binary column. */
   def byteHistogram(payload: Column): Column = call_function("byte_histogram", payload)

@@ -86,9 +86,24 @@ private[functions] object TarCodec {
         if (stored < 0 || stored != headerChecksum(b, h)) return None
         val size = octal(b, h + 124, 12)
         if (size < 0) return None
+        // typeflag (156): only regular files ('0' or pre-POSIX NUL) are
+        // sample members. Anything else — PAX extension headers ('x'/'g'),
+        // GNU long-name records ('L'/'K'), directories, links — is
+        // REJECTED as whole-archive malformation rather than silently
+        // surfaced as a data entry: an unapplied 'x'/'L' header would
+        // otherwise masquerade as a ghost sample with wrong neighbors.
+        val typeflag = b(h + 156)
+        if (typeflag != '0'.toByte && typeflag != 0) return None
         var nameEnd = h
         while (nameEnd < h + 100 && b(nameEnd) != 0) nameEnd += 1
-        val name = new String(b, h, nameEnd - h, java.nio.charset.StandardCharsets.UTF_8)
+        val base = new String(b, h, nameEnd - h, java.nio.charset.StandardCharsets.UTF_8)
+        // ustar prefix (345, 155 bytes): conformant writers split long
+        // paths as prefix + "/" + name — ignoring it would return
+        // silently truncated member names
+        var preEnd = h + 345
+        while (preEnd < h + 345 + 155 && b(preEnd) != 0) preEnd += 1
+        val prefix = new String(b, h + 345, preEnd - (h + 345), java.nio.charset.StandardCharsets.UTF_8)
+        val name = if (prefix.isEmpty) base else prefix + "/" + base
         val padded = ((size + 511) / 512) * 512
         if (off + 512 + padded > b.length) return None // truncated payload
         val payload = java.util.Arrays.copyOfRange(b, h + 512, h + 512 + size.toInt)

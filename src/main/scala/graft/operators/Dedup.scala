@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions
@@ -538,9 +539,11 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs. Auto-selects the pair-generation
-    * strategy by corpus size (`knownCount` if the caller has one, else a
-    * ZERO-JOB estimate from the optimizer's size statistic — never a
-    * count scan, see the body comment):
+    * strategy by corpus size (`knownCount` if the caller has one, else the
+    * optimizer's row-count statistic when defined, else a ZERO-JOB
+    * estimate from its size statistic over a schema-derived bytes-per-row
+    * with `vecDim` as the array width — never a count scan, see the body
+    * comment):
     *   - n ≤ `lshAbove`: exact all-pairs block-nested-loop
     *     ([[embeddingNearDupPairsExact]]) — below ~10⁵ docs the quadratic
     *     pair space (≤ ~10¹⁰ codegen'd cosines across the cluster) is
@@ -560,21 +563,46 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       lshAbove: Long = 100000L,
-      knownCount: Long = -1L
+      knownCount: Long = -1L,
+      vecDim: Int = 64
   ): DataFrame = {
     // The branch is a POSTURE choice (both branches are correct), so it
-    // must not cost a scan job to make: callers with an exact count (an
-    // ingest ledger, catalog stats) pass `knownCount`; otherwise the
-    // count is ESTIMATED from the optimizer's size statistic — for a
-    // parquet relation that is the file-listing byte total, zero jobs.
-    // The 256 B/row divisor (a 64-dim float vector + id, parquet-encoded)
-    // deliberately over-counts small rows, biasing the boundary toward
-    // the LSH branch — the branch that is safe at any scale.
+    // must not cost a scan job to make. Resolution order:
+    //   1. `knownCount` — callers with an exact count (an ingest ledger,
+    //      catalog stats) pass it; this is ALSO the escape hatch for
+    //      callers whose RESULT must be layout-independent, since the
+    //      byte fallback below depends on storage encoding.
+    //   2. The optimizer's ROW-COUNT statistic when it is defined (CBO
+    //      stats, a cached relation, a local relation) — exact or
+    //      near-exact, and layout-independent.
+    //   3. sizeInBytes / schema-derived bytes-per-row — for a fresh
+    //      parquet relation sizeInBytes is the file-listing byte total
+    //      (zero jobs). The divisor is computed from the ACTUAL schema
+    //      (`vecDim` × element size for array columns + fixed field
+    //      sizes), so a 768-dim corpus with vecDim passed correctly no
+    //      longer over-counts n ~12× the way a hard-coded 256 B divisor
+    //      did. Residual bias: parquet compression makes sizeInBytes an
+    //      UNDER-estimate of in-memory bytes, so n is UNDER-estimated —
+    //      which leans toward the exact branch; `lshAbove`'s 10× margin
+    //      below the ~10⁶-row pain point absorbs that lean, and callers
+    //      above it should pass knownCount rather than trust a
+    //      storage-layout estimate.
     val n: Long =
       if (knownCount >= 0L) knownCount
       else {
-        val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-        (bytes / 256).min(BigInt(Long.MaxValue)).toLong.max(1L)
+        val stats = emb.queryExecution.optimizedPlan.stats
+        stats.rowCount match {
+          case Some(rc) => rc.min(BigInt(Long.MaxValue)).toLong.max(1L)
+          case None =>
+            val bytesPerRow = math.max(1L, emb.schema.fields.map { f =>
+              f.dataType match {
+                case ArrayType(et, _) => vecDim.toLong * et.defaultSize + 8L
+                case dt               => dt.defaultSize.toLong
+              }
+            }.sum)
+            (stats.sizeInBytes / bytesPerRow)
+              .min(BigInt(Long.MaxValue)).toLong.max(1L)
+        }
       }
     if (n <= lshAbove)
       embeddingNearDupPairsExact(emb, threshold, idCol, vecCol)

@@ -51,9 +51,12 @@ import graft.functions.GraftFunctions
   * two driver scalars (the bounded-scalar contract); the query side —
   * queries ≪ corpus, the x09 precondition — is BROADCAST onto the
   * postings so the corpus never reshuffles for the probe; per-query
-  * reduction is the TopKByScore partial top-k (score_ppm < 2⁵³ rides a
-  * double exactly), ≤ k rows per partition per query through the final
-  * exchange.
+  * reduction is the TopKByLongScore partial top-k — integer-exact 64-bit
+  * ranking, because score_ppm is a SUM of per-term contribs (each near
+  * 8.8·10¹⁵) and a many-term query can push the sum past 2⁵³, where a
+  * double-ranked top-k would collapse ties the oracle's BIGINT ORDER BY
+  * still distinguishes — ≤ k rows per partition per query through the
+  * final exchange.
   */
 object Retrieval {
 
@@ -115,18 +118,24 @@ object Retrieval {
       .withColumn("contrib", expr("idf_ppm * (norm_ppm div 1000L) div 1000L"))
       .groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("contrib")).as("score_ppm"))
-    // TopKByScore rides the exact-in-double range (score_ppm < 2^53)
+    // Rank on the BIGINT score directly (TopKByLongScore): each CONTRIB is
+    // bounded near 8.8e15, but score_ppm is a SUM over a query's distinct
+    // matched terms, so a many-term query at large N can carry the sum past
+    // 2^53 — where a double detour would collapse exact ties that the
+    // oracle's BIGINT ORDER BY still distinguishes. Integer-exact top-k
+    // keeps map-side partial aggregation AND the oracle's tie order at any
+    // term count.
     scored
       .groupBy(col(qIdCol))
       .agg(
         GraftFunctions
-          .topKByScore(col("score_ppm").cast("double"), col(idCol), k)
+          .topKByLongScore(col("score_ppm"), col(idCol), k)
           .as("top"))
       .select(col(qIdCol), posexplode(col("top")).as(Seq("pos", "t")))
       .select(
         col(qIdCol),
         col("t.neighbor_id").as(idCol),
-        col("t.score").cast("long").as("score_ppm"),
+        col("t.score").as("score_ppm"),
         (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -35,6 +36,26 @@ import graft.operators.Cluster
   * IS the prefix-equality contract the other nine twins carry, and
   * ComponentsStreamSpec pins it after every micro-batch.
   *
+  * RESTART SAFETY (why checkpoint + stateDir survive a crash together):
+  * Spark commits a micro-batch's offsets only AFTER `foreachBatch`
+  * returns, and the maintainer persists the folded labels INSIDE
+  * `foreachBatch` (epoch-versioned parquet + an append-only commit
+  * marker, never an in-place overwrite of live state). So on restart:
+  *   - label write landed, offset commit didn't → Spark replays the
+  *     batch; folding the SAME edge set into labels that already include
+  *     it is IDEMPOTENT (the star invariant again: re-adding present
+  *     edges cannot change the connectivity partition), so the replay is
+  *     harmless;
+  *   - crash mid-label-write → the commit marker was never created, the
+  *     loader falls back to the previous epoch, and Spark replays the
+  *     uncommitted batch on top of it — exactly the fold that was lost.
+  * A Maintainer constructed WITHOUT a stateDir against an existing
+  * checkpoint would silently lose all previously-folded components
+  * (committed batches are never replayed while labels restart empty) —
+  * so `start` refuses that combination unless the caller passes
+  * `allowVolatileState = true` (right only for tests and for checkpoints
+  * known to be fresh).
+  *
   * State size: |nodes| rows — the same frame batch CC materializes, never
   * the edge history. Per batch the work is one batch-CC run over
   * (star edges + the DELTA's edges): O(current nodes + new edges) per
@@ -55,18 +76,59 @@ object ComponentsStream {
 
   /** The maintained labels table + the fold. Thread-safe for the one
     * writer (the streaming engine's foreachBatch) + many readers.
+    *
+    * `stateDir`: when set, every fold is persisted as
+    * `stateDir/epoch=<id>` parquet plus an append-only marker
+    * `stateDir/commits/<id>`, and a fresh Maintainer reloads the highest
+    * committed epoch — making a restart against an existing streaming
+    * checkpoint lossless (see the object scaladoc's crash matrix). Only
+    * the latest two epochs are retained (the previous one backs the
+    * mid-write crash case). When None, labels live only in driver memory
+    * and do NOT survive a restart.
     */
-  final class Maintainer(spark: SparkSession) {
-    @volatile private var labels: DataFrame =
+  final class Maintainer(spark: SparkSession, val stateDir: Option[String] = None) {
+
+    private def fs(p: Path): FileSystem =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Highest epoch with a commit marker AND an extant data dir; -1 if none. */
+    private def latestCommitted(dir: String): Long = {
+      val commits = new Path(dir, "commits")
+      val f = fs(commits)
+      if (!f.exists(commits)) -1L
+      else
+        f.listStatus(commits).toSeq
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+          .sorted(Ordering[Long].reverse)
+          .find(e => f.exists(new Path(dir, s"epoch=$e")))
+          .getOrElse(-1L)
+    }
+
+    private def empty: DataFrame =
       spark.createDataFrame(new java.util.ArrayList[Row](), labelSchema)
+
+    @volatile private var labels: DataFrame = stateDir match {
+      case Some(dir) =>
+        val e = latestCommitted(dir)
+        if (e < 0) empty
+        else spark.read.schema(labelSchema).parquet(s"$dir/epoch=$e").localCheckpoint(true)
+      case None => empty
+    }
+
+    /** True iff construction reloaded a persisted epoch (restart path). */
+    def resumed: Boolean = stateDir.exists(dir => latestCommitted(dir) >= 0)
 
     /** Current (id, comp) snapshot — after batch i, ≡ batch CC over every
       * edge of batches 1..i (plus self-loop singletons).
       */
     def current: DataFrame = labels
 
-    /** Fold one micro-batch of edges into the labels. */
-    private[streaming] def update(newEdges: DataFrame): Unit = {
+    /** Fold one micro-batch of edges into the labels, then (if stateDir is
+      * set) persist epoch `epochId`: data dir first, commit marker second,
+      * GC of epochs < previous-committed last — the write order the crash
+      * matrix in the object scaladoc relies on.
+      */
+    private[streaming] def update(newEdges: DataFrame, epochId: Long): Unit = {
       val star = labels
         .where(col("id") =!= col("comp"))
         .select(col("id").as("a_id"), col("comp").as("b_id"))
@@ -81,12 +143,36 @@ object ComponentsStream {
         .join(comps.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("comp"))
       labels = comps.unionByName(carried).localCheckpoint(true)
+      stateDir.foreach { dir =>
+        val prev = latestCommitted(dir)
+        labels.write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+        val marker = new Path(dir, s"commits/$epochId")
+        val f = fs(marker)
+        f.mkdirs(marker.getParent)
+        f.create(marker, true).close()
+        // retain {epochId, prev}; GC everything older
+        if (prev >= 0) {
+          val commits = new Path(dir, "commits")
+          f.listStatus(commits).toSeq
+            .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+            .filter(e => e < prev)
+            .foreach { e =>
+              f.delete(new Path(dir, s"epoch=$e"), true)
+              f.delete(new Path(dir, s"commits/$e"), false)
+            }
+        }
+      }
     }
   }
 
   /** Start the maintainer over a streaming Dataset[Edge]. The returned
     * query drives `maintainer.update` once per micro-batch; read
     * `maintainer.current` between batches for the live labels.
+    *
+    * Reusing a checkpoint with a memory-only Maintainer silently loses
+    * every previously-folded component (Spark skips committed batches;
+    * the labels restart empty) — so that combination throws unless
+    * `allowVolatileState = true`.
     */
   def start(
       edges: Dataset[Edge],
@@ -95,13 +181,20 @@ object ComponentsStream {
       // a LONG-RUNNING maintainer by default (AvailableNow would fold
       // what exists at start and terminate — right for backfill, wrong
       // for the live-labels contract)
-      trigger: Trigger = Trigger.ProcessingTime(0L)
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      allowVolatileState: Boolean = false
   ): StreamingQuery = {
+    require(
+      checkpoint.isEmpty || maintainer.stateDir.nonEmpty || allowVolatileState,
+      "checkpointLocation set but the Maintainer has no stateDir: a restart " +
+        "would skip committed batches against empty labels and silently lose " +
+        "components. Pass a stateDir (persisted labels) or " +
+        "allowVolatileState = true if the checkpoint is known fresh.")
     val writer = edges.toDF.writeStream
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        maintainer.update(batch.toDF())
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        maintainer.update(batch.toDF(), epochId)
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }

@@ -83,6 +83,59 @@ class ComponentsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("restart: a fresh Maintainer with the same stateDir resumes losslessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ccstream").toString
+    val ckpt = s"$tmp/ckpt"
+    val state = s"$tmp/state"
+    val input = MemoryStream[Edge]
+    val m1 = new ComponentsStream.Maintainer(spark, Some(state))
+    val q1 = ComponentsStream.start(input.toDS(), m1, Some(ckpt))
+    val b1 = Seq(Edge(1, 2), Edge(2, 3), Edge(10, 11))
+    val b2 = Seq(Edge(20, 21))
+    try {
+      input.addData(b1: _*); q1.processAllAvailable()
+      input.addData(b2: _*); q1.processAllAvailable()
+      assert(currentLabels(m1) === batchLabels(b1 ++ b2))
+    } finally q1.stop()
+
+    // restart: a FRESH maintainer (driver memory gone) + the same
+    // stateDir reloads the persisted labels — the committed batches are
+    // NOT replayed by Spark, so these labels are the only copy
+    val m2 = new ComponentsStream.Maintainer(spark, Some(state))
+    assert(m2.resumed)
+    assert(currentLabels(m2) === batchLabels(b1 ++ b2))
+    val q2 = ComponentsStream.start(input.toDS(), m2, Some(ckpt))
+    try {
+      // the bridge merges components folded BEFORE the restart
+      val b3 = Seq(Edge(3, 10), Edge(0, 20))
+      input.addData(b3: _*); q2.processAllAvailable()
+      assert(currentLabels(m2) === batchLabels(b1 ++ b2 ++ b3))
+      assert(currentLabels(m2).contains((11L, 1L)))
+      assert(currentLabels(m2).contains((21L, 0L)))
+      // epoch GC bounds the state dir: at most the latest two epochs
+      val epochs = new java.io.File(state)
+        .listFiles().toSeq.map(_.getName).filter(_.startsWith("epoch="))
+      assert(epochs.size <= 2, s"stale epochs not GC'd: $epochs")
+    } finally q2.stop()
+  }
+
+  test("checkpoint without a stateDir is refused unless explicitly allowed") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ccstream-vol").toString
+    val input = MemoryStream[Edge]
+    val m = new ComponentsStream.Maintainer(spark)
+    assertThrows[IllegalArgumentException] {
+      ComponentsStream.start(input.toDS(), m, Some(s"$tmp/ckpt"))
+    }
+    val q = ComponentsStream.start(
+      input.toDS(), m, Some(s"$tmp/ckpt"), allowVolatileState = true)
+    try {
+      input.addData(Edge(1, 2)); q.processAllAvailable()
+      assert(currentLabels(m) === batchLabels(Seq(Edge(1, 2))))
+    } finally q.stop()
+  }
+
   test("random graph, random batch cuts: prefix equality at every cut") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(42)

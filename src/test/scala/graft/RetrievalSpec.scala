@@ -11,6 +11,7 @@ import graft.operators.Retrieval
   */
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
+  graft.functions.GraftFunctions.register(spark)
 
   /** Independent fold of the documented contract (k1=1200, b=750 milli). */
   private def refBm25(
