@@ -34,12 +34,12 @@ JSON_PATH = None
 if "--json" in sys.argv:
     JSON_PATH = sys.argv[sys.argv.index("--json") + 1]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-# Quadratic-oracle exemption class (documented in SURVEY.md): the oracle
-# replay is an all-pairs closure; the engine-side algorithm is banded.
-EXEMPT_QUADRATIC = {
-    "x06_ngram_jaccard", "x07_minhash_lsh", "x14_neardup_clusters",
-    "x44_cluster_canonical", "x71_leakage_split", "x76_containment",
-}
+# Quadratic-oracle exemption class: formerly the 6 Jaccard/containment
+# closures, now EMPTY — their oracles were rewritten as lossless
+# inverted-index miners (shared-shingle equi-join; a pair above any
+# positive threshold must share a shingle), so they run in seconds at
+# bench scale and are fully hash-checked like everything else.
+EXEMPT_QUADRATIC = set()
 
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(

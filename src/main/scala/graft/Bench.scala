@@ -262,7 +262,30 @@ object Bench {
       }
     }
     val maxExtraReps = 3
-    val results = qs.map { case (name, fn) =>
+    // ---- deferred quiet-host requeue (round-10 verdict #2) -----------
+    // Inline extra reps can't outlast a co-tenant burst that runs longer
+    // than the query's whole rep budget (r10's committed x77 row: 5.68 s
+    // vs 0.68 s quiet, host 32/32 CPUs busy through every rep). So after
+    // the sweep, still-suspect queries are REQUEUED: wait until the host
+    // is actually quiet (1-s /proc/stat busy windows below ~35% of cores,
+    // bounded wait), then append fresh reps. envSuspect judges the three
+    // CLEANEST reps of the merged sample set, so one quiet round heals a
+    // poisoned query, and the committed snapshot becomes load-independent
+    // instead of carrying whichever number the burst left behind.
+    def waitForQuietHost(maxWaitSec: Double): Boolean = {
+      val nCpus = Runtime.getRuntime.availableProcessors()
+      val deadline = System.nanoTime() + (maxWaitSec * 1e9).toLong
+      while (System.nanoTime() < deadline) {
+        val (b0, _, _) = hostTicks
+        Thread.sleep(1000)
+        val (b1, _, _) = hostTicks
+        if (b1 - b0 < nCpus * 0.35) return true
+        Thread.sleep(2000)
+      }
+      false
+    }
+    val firstPass = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Run], Boolean)]
+    qs.foreach { case (name, fn) =>
       // a failing warm-up skips the timed runs: a broken query pays ONE
       // failing execution, not four, and warm_ok in the detail attributes
       // the failure to the warm-up pass instead of an unexplained stderr line
@@ -273,6 +296,32 @@ object Bench {
       while (ok && envSuspect(samples, baselineCpu.get(name)) && extra < maxExtraReps) {
         samples = samples :+ timed(name, fn); extra += 1
       }
+      firstPass(name) = (samples, warmOk)
+    }
+    val fnByName = qs.toMap
+    val maxRequeueRounds = 2
+    var round = 0
+    var requeued = Set.empty[String]
+    while (round < maxRequeueRounds && {
+        val stillSuspect = firstPass.collect {
+          case (name, (samples, _)) if samples.forall(_.wall >= 0) &&
+            envSuspect(samples, baselineCpu.get(name)) => name
+        }.toSeq
+        if (stillSuspect.nonEmpty) {
+          System.err.println(
+            s"[bench] requeue round ${round + 1}: ${stillSuspect.mkString(", ")}")
+          stillSuspect.foreach { name =>
+            waitForQuietHost(90.0)
+            val (samples, warmOk) = firstPass(name)
+            firstPass(name) =
+              (samples ++ (1 to 3).map(_ => timed(name, fnByName(name))), warmOk)
+            requeued += name
+          }
+        }
+        stillSuspect.nonEmpty
+      }) round += 1
+    val results = firstPass.toSeq.map { case (name, (samples, warmOk)) =>
+      val ok = samples.forall(_.wall >= 0)
       val suspect = ok && envSuspect(samples, baselineCpu.get(name))
       val best = if (ok) samples.filter(_.wall >= 0).minBy(_.wall) else failed
       (name, best, samples, warmOk, suspect)
@@ -294,6 +343,7 @@ object Bench {
           ",\"mhz\":" + arr(runs.map(_.mhz)) +
           ",\"thr\":" + arr(runs.map(_.thr)) +
           ",\"env_suspect\":" + suspect +
+          ",\"requeued\":" + requeued(k) +
           ",\"warm_ok\":" + warmOk + "}"
       }
       .mkString("{", ",", "}")

@@ -3882,6 +3882,48 @@ object SparkEntry {
       |  FROM bnd GROUP BY doc_id
       |)""".stripMargin
 
+  /** Shared DuckDB miner for the exact 3-gram-Jaccard pair set at
+    * threshold 0.5 — the INVERTED-INDEX replay that retired the
+    * quadratic-oracle exemption for x06/x07/x14/x44/x71 at bench scale
+    * (the r10 verdict's top item, the x111–x113 posture applied to the
+    * exact-Jaccard family). LOSSLESS by construction, not probabilistic:
+    * jaccard(A,B) ≥ 0.5 > 0 requires at least one shared shingle, so
+    * equi-joining the per-doc DISTINCT-shingle index drops no qualifying
+    * pair, and the per-pair match count IS |A ∩ B| — no list_intersect,
+    * no n²/2 pair loop. Oracle work is Σ_g m_g(m_g−1)/2 over posting
+    * lists (measured ~1.3M candidate rows / ~1.5 s at sf0.1, vs the old
+    * closure's 12.5M list-intersections that blew any budget), the same
+    * candidate-bound law the engine side (Dedup.ngramJaccardPairs) runs.
+    * `tk` deliberately carries `text` — x44's quality stage reuses it.
+    * Exposes `pairs_j(a_id, b_id, jac)` with the threshold applied on the
+    * UNROUNDED ratio, exactly like the engine.
+    */
+  private val invJaccardPairsSql: String =
+    """tk AS (
+      |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
+      |    ELSE [] END AS s
+      |  FROM tk
+      |), jsz AS (
+      |  SELECT doc_id, len(s) AS sz FROM sh
+      |), jinv AS (
+      |  SELECT doc_id, unnest(s) AS g FROM sh
+      |), jcand AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM jinv a JOIN jinv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs_j AS (
+      |  SELECT a_id, b_id,
+      |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+      |  FROM jcand
+      |  JOIN jsz sa ON sa.doc_id = a_id
+      |  JOIN jsz sb ON sb.doc_id = b_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+      |)""".stripMargin
+
   /** Exact cosine top-5 for queries vec_id<10 vs corpus vec_id≥10 — the
     * oracle for x09 (brute force) and, because their candidate sets
     * provably/measuredly cover the exact top-5 at the tested SFs, for x10
@@ -4455,38 +4497,18 @@ object SparkEntry {
         |  END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
     "x06_ngram_jaccard" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-        |    ELSE [] END AS s
-        |  FROM tk
-        |)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      s"""WITH $invJaccardPairsSql
+        |SELECT a_id, b_id, round(jac, 6) AS jac
+        |FROM pairs_j
         |ORDER BY a_id, b_id""".stripMargin,
+    // x07 shares x06's exact oracle: the (bands=32, r=4) S-curve at this
+    // threshold makes the banded result EQUAL the exact pair set on this
+    // corpus — verified by hash at every tested SF now that the oracle is
+    // candidate-bound rather than quadratic.
     "x07_minhash_lsh" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-        |    ELSE [] END AS s
-        |  FROM tk
-        |)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      s"""WITH $invJaccardPairsSql
+        |SELECT a_id, b_id, round(jac, 6) AS jac
+        |FROM pairs_j
         |ORDER BY a_id, b_id""".stripMargin,
     "x08_simhash" ->
       s"""WITH $simhashMd5BandsSql
@@ -4769,22 +4791,9 @@ object SparkEntry {
     "x13_ivf_topk" -> annExactTop5Sql,
     "x09_cosine_topk" -> annExactTop5Sql,
     "x14_neardup_clusters" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-        |    ELSE [] END AS s
-        |  FROM tk
-        |), pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-        |), bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs
+      s"""WITH RECURSIVE $invJaccardPairsSql, bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs_j
+        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs_j
         |), reach AS (
         |  SELECT src, dst FROM bidir
         |  UNION
@@ -5005,22 +5014,9 @@ object SparkEntry {
     // formula, then a window argmax (quality DESC, doc_id) per component —
     // singletons (no edges) cluster as themselves via the LEFT join.
     "x44_cluster_canonical" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-        |    ELSE [] END AS s
-        |  FROM tk
-        |), pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-        |), bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs
+      s"""WITH RECURSIVE $invJaccardPairsSql, bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs_j
+        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs_j
         |), reach AS (
         |  SELECT src, dst FROM bidir
         |  UNION
@@ -5596,6 +5592,10 @@ object SparkEntry {
     // 12-token excerpts (ids +20000); C(A,B) = |∩|/|S(A)|, 6-dp rounded,
     // threshold 0.6. No df prune replay needed: no shingle approaches
     // maxDf=1000 at gate sizes, so kept-space ≡ full-space containment.
+    // x76's oracle is the same inverted-index posture as invJaccardPairsSql
+    // but DIRECTED (containment |A∩B|/|A| over a ≠ b, fragments included in
+    // the base), so it keeps its own CTE chain: containment ≥ 0.6 > 0 still
+    // requires a shared shingle, so the equi-join miner is lossless.
     "x76_containment" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
@@ -5608,11 +5608,18 @@ object SparkEntry {
         |                                for i in range(1, len(t) - 1)]) AS sh
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM base)
         |  WHERE len(t) >= 3
+        |), csz AS (
+        |  SELECT doc_id, len(sh) AS sz FROM sh
+        |), cinv AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM sh
+        |), ccand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM cinv a JOIN cinv b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
         |)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS cont
-        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-        |WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.6
+        |SELECT a_id, b_id, round(inter * 1.0 / sa.sz, 6) AS cont
+        |FROM ccand JOIN csz sa ON sa.doc_id = a_id
+        |WHERE round(inter * 1.0 / sa.sz, 6) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
     // x77: the x45 brand graph, then lpaRounds unrolled synchronous
     // plurality rounds (count → row_number argmax per node).
@@ -7099,22 +7106,9 @@ object SparkEntry {
     // round(0.8·65536) = 0xcccd, round(0.9·65536) = 0xe666 — the same
     // constants Sampling.thresholdHex renders on the Spark side.
     "x71_leakage_split" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-        |    ELSE [] END AS s
-        |  FROM tk
-        |), pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-        |), bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs
+      s"""WITH RECURSIVE $invJaccardPairsSql, bidir AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs_j
+        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs_j
         |), reach AS (
         |  SELECT src, dst FROM bidir
         |  UNION
