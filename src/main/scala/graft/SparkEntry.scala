@@ -3494,6 +3494,28 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** TRAINED integer-PQ ADC surface (x118): [[graft.operators.Similarity
+    * .intPqTopKTrained]] — x117's machinery with Lloyd-trained codebooks,
+    * the whole training loop (calibration → hash40 seeds → `pqIters`
+    * integer Lloyd rounds → assignment → ADC) replayed by the oracle.
+    * Config per the r10 verdict's recall ask: measured recall@5 vs exact
+    * cosine is 0.80 at (m=64, ksub=32, iters=4) on the test embeddings
+    * (QuantizeSpec pins the floor), vs 0.64 for x117's untrained books.
+    */
+  private def x118(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity
+      .intPqTopKTrained(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        k = 5,
+        m = pqTrainM,
+        ksub = pqTrainKsub,
+        iters = pqTrainIters)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3553,6 +3575,54 @@ object SparkEntry {
        |  SELECT vec_id, t,
        |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
        |  FROM dots GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** x118 trained-PQ geometry, shared between the Spark call and the
+    * generated oracle so the two sides cannot drift. (m=64, ksub=32,
+    * iters=4) is the measured recall-0.80 config (QuantizeSpec floor);
+    * sub = dim/m = 1.
+    */
+  private val pqTrainM = 64
+  private val pqTrainKsub = 32
+  private val pqTrainIters = 4
+  private val pqTrainSub = 1
+
+  /** One unrolled integer-Lloyd assignment of the x118 oracle: per
+    * (corpus vector, subspace), distances to every cell of codebook
+    * `prev` as a list, argmin with first-occurrence (= smallest k) ties —
+    * matching PqAssign's strict `<` keep rule.
+    */
+  private def pqAsgSql(name: String, prev: String): String =
+    s"""asg$name AS MATERIALIZED (
+       |  SELECT vec_id, s, CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS k
+       |  FROM (
+       |    SELECT v.vec_id, c.s,
+       |      [list_sum(list_transform(
+       |         [CAST(v.w[c.s * $pqTrainSub + j + 1] AS DOUBLE) - c.cells[kk + 1][j + 1] for j in range(0, $pqTrainSub)],
+       |         x -> x * x)) for kk in range(0, $pqTrainKsub)] AS dl
+       |    FROM wv v, $prev c WHERE v.vec_id >= 10
+       |  )
+       |)""".stripMargin
+
+  /** One unrolled integer-Lloyd round of the x118 oracle: assignment
+    * against cb{r−1}, per-cell integer sums/counts, floor(sum/count)
+    * update (an IEEE division of two exact integers + exact floor — the
+    * replayability argument in Similarity.intPqTopKTrained's scaladoc),
+    * empty cells carried via the LEFT JOIN coalesce.
+    */
+  private def pqRoundSql(r: Int): String =
+    s"""${pqAsgSql(r.toString, s"cb${r - 1}")}, sums$r AS (
+       |  SELECT a.s, a.k, r.j, sum(v.w[a.s * $pqTrainSub + r.j + 1]) AS sm, count(*) AS cnt
+       |  FROM asg$r a JOIN wv v USING (vec_id), range(0, $pqTrainSub) r(j)
+       |  GROUP BY 1, 2, 3
+       |), cell$r AS (
+       |  SELECT s, k, list(floor(CAST(sm AS DOUBLE) / cnt) ORDER BY j) AS newcell
+       |  FROM sums$r GROUP BY s, k
+       |), cb$r AS MATERIALIZED (
+       |  SELECT p.s, list(coalesce(c.newcell, p.cells[kidx.k + 1]) ORDER BY kidx.k) AS cells
+       |  FROM cb${r - 1} p CROSS JOIN range(0, $pqTrainKsub) kidx(k)
+       |  LEFT JOIN cell$r c ON c.s = p.s AND c.k = kidx.k
+       |  GROUP BY p.s
        |)""".stripMargin
 
   /** DuckDB-side 4-hex-digit prefix → integer for x100's feature buckets,
@@ -3728,6 +3798,7 @@ object SparkEntry {
     "x115_bm25_topk" -> (x115 _),
     "x116_dup_gram_profile" -> (x116 _),
     "x117_int_pq_adc" -> (x117 _),
+    "x118_int_pq_trained" -> (x118 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -3789,14 +3860,23 @@ object SparkEntry {
   }
 
   /** x64 merge count, shared between the Spark call and the generated
-    * oracle so the two sides cannot drift.
+    * oracle so the two sides cannot drift. 64 per the r10 verdict: a
+    * contract-demo m=3 was unconvincing as the tokenizer-prep operator;
+    * at m=64 the chain reaches genuine multi-character subwords
+    * ("order" appears whole by iter 64 at sf0.1) while the Spark side
+    * stays at m+2 bounded driver jobs (see Bpe.learnMerges).
     */
-  private val bpeMerges = 3
+  private val bpeMerges = 64
 
   /** One unrolled BPE iteration of the x64 oracle (pair explode → weighted
     * count → (pc desc, pair) argmax → double-space literal replace), CTE
     * names indexed so [[bpeMerges]] of them chain — the x46 unrolled-
-    * iteration technique.
+    * iteration technique. `win`/`w` are AS MATERIALIZED: each w_i is
+    * referenced twice (pair scan + next replace), and at 64 chained
+    * iterations DuckDB's default inlining re-expands the chain to the
+    * base relation exponentially many times (observed: fd exhaustion on
+    * the parquet view before any row moved); materialization makes the
+    * oracle evaluate each iteration once, ~2 s at sf0.1.
     */
   private def bpeIterSql(i: Int): String = {
     val prev = s"w${i - 1}"
@@ -3807,10 +3887,10 @@ object SparkEntry {
        |  FROM (SELECT cnt, string_split_regex(trim(s), '\\s+') AS ts FROM $prev)
        |), g$i AS (
        |  SELECT pair, sum(cnt) AS pc FROM p$i GROUP BY pair
-       |), win$i AS (
+       |), win$i AS MATERIALIZED (
        |  SELECT pair, pc, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
        |  FROM g$i ORDER BY pc DESC, pair LIMIT 1
-       |), w$i AS (
+       |), w$i AS MATERIALIZED (
        |  -- LEFT JOIN ON TRUE, not CROSS JOIN: if the corpus exhausts
        |  -- mergeable pairs before iteration $i, win$i is empty and a cross
        |  -- join would EMPTY the word table — x64 correctly loses the iter
@@ -5504,7 +5584,7 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
         |), wc AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
-        |), w0 AS (
+        |), w0 AS MATERIALIZED (
         |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
         |),""".stripMargin +
         (1 to bpeMerges).map(bpeIterSql).mkString(",") + "\n" +
@@ -5523,7 +5603,7 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
         |), wc AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
-        |), w0 AS (
+        |), w0 AS MATERIALIZED (
         |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
         |),""".stripMargin +
         (1 to bpeMerges).map(bpeIterSql).mkString(",") + "\n" +
@@ -6446,6 +6526,48 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
         |  FROM adc) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // x118: the FULL trained-PQ loop replayed — floor-1000 quantization,
+    // per-dim corpus-min shift, hash40-ordered seeds, pqTrainIters
+    // unrolled integer-Lloyd rounds (pqRoundSql), final assignment, ADC,
+    // (dist asc, neighbor asc) rank. Everything integer-valued, so double
+    // arithmetic on both engines IS integer arithmetic (< 2^53).
+    "x118_int_pq_trained" ->
+      (s"""WITH wq AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
+        |       (CASE WHEN len(embedding) = 64 THEN embedding
+        |             ELSE error('x118 oracle: embedding dim ' ||
+        |                        len(embedding) || ' <> codebook dim 64') END)] AS q
+        |  FROM embeddings
+        |), mn AS MATERIALIZED (
+        |  SELECT list(m ORDER BY j) AS l FROM (
+        |    SELECT j, min(q[j + 1]) AS m FROM wq, range(0, 64) r(j)
+        |    WHERE vec_id >= 10 GROUP BY j)
+        |), wv AS MATERIALIZED (
+        |  SELECT vec_id, [q[j + 1] - l[j + 1] for j in range(0, 64)] AS w FROM wq, mn
+        |), seeds AS MATERIALIZED (
+        |  SELECT w, row_number() OVER (ORDER BY hv, vec_id) - 1 AS k
+        |  FROM (SELECT vec_id, w, CAST(($kmvHexToIntSql) AS BIGINT) AS hv
+        |        FROM (SELECT vec_id, w, md5('pq:' || vec_id) AS h FROM wv WHERE vec_id >= 10))
+        |  ORDER BY hv, vec_id LIMIT $pqTrainKsub
+        |), cb0 AS MATERIALIZED (
+        |  SELECT s, list([CAST(w[s * $pqTrainSub + j + 1] AS DOUBLE) for j in range(0, $pqTrainSub)] ORDER BY k) AS cells
+        |  FROM seeds, range(0, $pqTrainM) rs(s) GROUP BY s
+        |), """.stripMargin +
+        (1 to pqTrainIters).map(pqRoundSql).mkString(", ") +
+        s""", ${pqAsgSql("F", s"cb$pqTrainIters")}, adc AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(
+        |      [CAST(q.w[a.s * $pqTrainSub + j + 1] AS DOUBLE) - b.cells[a.k + 1][j + 1] for j in range(0, $pqTrainSub)],
+        |      x -> x * x))) AS BIGINT) AS dist
+        |  FROM wv q, asgF a JOIN cb$pqTrainIters b ON b.s = a.s
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
     // x109: expected outputs hand-derived from the PSL spec per rule
     // kind, written closed-form — an independent derivation, not a
     // replay of the engine's join.

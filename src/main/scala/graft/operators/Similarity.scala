@@ -571,6 +571,138 @@ object Similarity {
         col("rank"))
   }
 
+  /** Lloyd-TRAINED product-quantization ADC top-k in ORACLE-GRADE
+    * arithmetic (x118) — the surface the r10 verdict asked for: x117
+    * certified calibration/assignment/ADC bit-for-bit but shipped
+    * data-blind random-in-range codebooks (recall 0.64), while the
+    * trained path ([[pqTopKTrained]]) was built but unregistered because
+    * float k-means is not SQL-replayable. This variant makes the WHOLE
+    * training loop replayable by running Lloyd in the integer domain:
+    *
+    *   - CALIBRATION: one [[sq8Ranges]] pass → integer per-dim minima
+    *     mn_j = floor(min_j·1000); every vector maps to
+    *     w_j = floor(v_j·1000) − mn_j (float→double widening exact, one
+    *     correctly-rounded multiply, exact floor — the x91 argument), so
+    *     corpus vectors live on a non-negative integer grid;
+    *   - INIT: the `ksub` corpus vectors with the smallest
+    *     (hash40("pq:" ‖ id), id) — the engine-wide md5-splice order,
+    *     closed-form on both engines; cell k of every subspace starts at
+    *     seed k's slice ([[pqTrain]]'s wrap rule);
+    *   - LLOYD ROUNDS: one [[graft.functions.PqTrainSums]] map-side
+    *     aggregation per round (integer-valued doubles — sums over the
+    *     grid stay ≪ 2⁵³, so double arithmetic IS integer arithmetic);
+    *     the update is floor(sum / count) — an IEEE division of two
+    *     exact integers plus an exact floor, identical in any engine —
+    *     with empty cells keeping their previous entry;
+    *   - ASSIGNMENT/ADC: [[graft.functions.PqAssign]] /
+    *     [[graft.functions.PqAdc]] over the integer codebooks; squared-L2
+    *     sums of integer grid values, BIGINT-rangeable, ranked
+    *     (dist asc, neighbor asc).
+    *
+    * So the DuckDB oracle replays calibration → seeds → every Lloyd
+    * round → assignment → ADC exactly, and recall vs exact cosine is a
+    * spec-pinned floor (QuantizeSpec) — trained codebooks, oracle-grade.
+    *
+    * Driver state: ksub seed vectors + the m·ksub·(dim/m) = dim·ksub
+    * codebook doubles per round (the [[ivfCentroids]] bounded-state
+    * contract); per round the cluster does ONE aggregation pass, the
+    * m-driver-round chain being inherent to Lloyd like BPE's merge chain.
+    */
+  def intPqTopKTrained(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 16,
+      ksub: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(m >= 1 && ksub >= 1 && iters >= 0, s"bad PQ config m=$m ksub=$ksub iters=$iters")
+    val (mnsD, _) = sq8Ranges(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val mns: Array[Long] = mnsD.map(x => math.floor(x * 1000.0).toLong)
+    val dim = mns.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // integer-domain vectors as exact doubles (array<bigint> → array<double>)
+    def intDomain(c: Column): Column =
+      zip_with(
+        c.cast("array<double>"), lit(mns),
+        (x, mn) => floor(x * lit(1000.0)) - mn
+      ).cast("array<double>")
+
+    val corpusW = Dedup.spread(
+      corpus.select(col(idCol), intDomain(col(vecCol)).as("w")))
+    // hash40-ordered deterministic seeds (ksub·dim doubles of driver state)
+    val init: Array[Array[Double]] = corpusW
+      .select(
+        col("w"),
+        conv(substring(md5(concat(lit("pq:"), col(idCol).cast("string"))), 1, 10), 16, 10)
+          .cast("long").as("hv"),
+        col(idCol))
+      .orderBy(col("hv"), col(idCol))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "cannot train PQ on an empty corpus")
+    var books = new Array[Double](m * ksub * sub)
+    var s0 = 0
+    while (s0 < m) {
+      var kk = 0
+      while (kk < ksub) {
+        var j = 0
+        while (j < sub) {
+          books((s0 * ksub + kk) * sub + j) = init(kk % init.length)(s0 * sub + j)
+          j += 1
+        }
+        kk += 1
+      }
+      s0 += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val row = corpusW
+        .agg(GraftFunctions.pqTrainSums(col("w"), books.toSeq, m, ksub).as("r"))
+        .select(col("r.counts"), col("r.sums"))
+        .head()
+      val counts = row.getSeq[Long](0)
+      val sums = row.getSeq[Double](1)
+      val next = books.clone()
+      var cell = 0
+      while (cell < m * ksub) {
+        if (counts(cell) > 0L) {
+          var j = 0
+          while (j < sub) {
+            // floor(integer/integer) — an IEEE division of two exact
+            // integers + exact floor, replayable by any engine
+            next(cell * sub + j) = math.floor(sums(cell * sub + j) / counts(cell))
+            j += 1
+          }
+        }
+        cell += 1
+      }
+      books = next
+      it += 1
+    }
+    val codes = corpusW.select(
+      col(idCol).as("neighbor_id"),
+      GraftFunctions.pqAssign(col("w"), books.toSeq, m, ksub).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), intDomain(col(vecCol)).as("q_vec"))
+    val scored = codes
+      .join(broadcast(q))
+      .withColumn("dist", GraftFunctions.pqAdc(col("q_vec"), col("codes"), books.toSeq, m, ksub))
+      // integer-valued doubles ≪ 2⁵³: negate in, negate out (the intPqTopK rule)
+      .withColumn("score", -col("dist"))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    rankTopK(scored, k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (-col("score")).cast("long").as("dist"),
+        col("rank"))
+  }
+
   /** Int8 scalar quantization (SQ8) of an embedding column — the standard
     * 4× compression step of large-scale vector search (FAISS
     * `ScalarQuantizer`-style): per-dimension corpus (min, max) calibration,
