@@ -7,12 +7,12 @@ exact value equality) against the Spark parquet output.
 Usage: python3 scripts/check_correctness.py [sfdir] [outdir] [--skip-verify]
                                              [--timeout SECS] [--json PATH]
 
-At bench scale (sf0.1) six oracles are brute-force quadratic pair
-closures whose DuckDB side exceeds any sane budget (SURVEY.md "quadratic
-oracle exemption" — the SPARK side is banded/indexed and fine; only the
-oracle replay is O(n^2)). Those are the EXEMPT set: when one times out
-it is recorded as exempt-with-spark-rows rather than failed, and the
-exit code ignores it. Any NON-exempt oracle that times out is a failure.
+The quadratic-oracle EXEMPT set is empty as of round 11: the six former
+members (x06/x07/x14/x44/x71/x76) were rewritten as lossless
+inverted-index miners (see SparkEntry.invJaccardPairsSql), so every
+oracle now runs at bench scale. The exemption machinery is retained so
+a future genuinely-quadratic oracle can declare itself; any NON-exempt
+oracle that times out is a failure.
 Pass --json to write a driver-style per-query artifact (e.g.
 CORRECTNESS_sf0.1_r9.json) so "benchmarked at sf0.1" and "verified at
 sf0.1" are the same claim.

@@ -59,19 +59,38 @@ object ScheduledRunner {
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
       appName = s"graft-scheduled-${args(0)}")
+    val clock = () => {
+      val now = LocalDateTime.now()
+      (now.toLocalDate, now.toLocalDate, now.toLocalTime)
+    }
+    runTick(spark, policy, snapshotDir, sinkPath, checkpointDir, trigger, clock)
+    spark.stop()
+  }
+
+  /** One scheduler tick (or the resident loop, per `trigger`): wire the
+    * snapshot-dir file source through the per-batch pipeline lifecycle
+    * and block until the trigger completes. Extracted from `main` so the
+    * spec drives the EXACT production wiring — file-source offsets in the
+    * checkpoint, sink-as-state chaining, run-constant clock — without the
+    * session/argv plumbing.
+    */
+  def runTick(
+      spark: org.apache.spark.sql.SparkSession,
+      policy: OptionsPipeline.Policy,
+      snapshotDir: String,
+      sinkPath: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      clock: () => (java.time.LocalDate, java.time.LocalDate, java.time.LocalTime)
+  ): Unit = {
     // New snapshot files landing in snapshotDir are the stream; the
     // checkpoint's file-source offset makes each tick incremental.
     val raw = spark.readStream
       .schema(Schemas.ticker)
       .parquet(snapshotDir)
-    val clock = () => {
-      val now = LocalDateTime.now()
-      (now.toLocalDate, now.toLocalDate, now.toLocalTime)
-    }
     val q = PipelineStream.start(
       raw, sinkPath, policy, clock,
       checkpoint = Some(checkpointDir), trigger = trigger)
     q.awaitTermination()
-    spark.stop()
   }
 }

@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Scaling-exponent probe for the heavy-tail registered surfaces (dev
+  * tool, r10 verdict #6): run the EXACT registered query (not a
+  * replica) at two scale factors, fit wall ∝ rows^e per family, and flag
+  * anything super-linear beyond its documented law.
+  *
+  * Documented laws (what "fine" means per family):
+  *   - x77 label-prop / x46 pagerank: rounds × (edges join + agg) — e ≈ 1
+  *     in edges at fixed round count;
+  *   - x11 embed near-dup: the registered corpus sits on the documented
+  *     small-corpus EXACT branch (n ≤ 1e5), which is O(n²) BY CONTRACT —
+  *     e ≈ 2 here is the documented law, not a regression; the scale path
+  *     is the LSH branch (x113), e ≈ 1;
+  *   - x72 seed distance: BFS rounds over fixed-length chains — e ≈ 1;
+  *   - x103 ccnet buckets: scan + group-ntile two-phase rank — e ≈ 1.
+  *
+  * Usage: runMain graft.tools.ExponentProbe [sfA sfB]
+  * Prints one EXP line per family: wall at both SFs (min of 2 after one
+  * warm-up), the input-rows ratio actually realized, and the fitted e.
+  */
+object ExponentProbe {
+
+  private val families: Seq[(String, String)] = Seq(
+    "x77_label_prop" -> "part",
+    "x11_embed_neardup" -> "embeddings",
+    "x46_pagerank" -> "orders",
+    "x72_seed_distance" -> "documents",
+    "x103_ccnet_buckets" -> "documents")
+
+  def main(args: Array[String]): Unit = {
+    val (sfA, sfB) =
+      if (args.length >= 2) (args(0), args(1))
+      else ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "exponent-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rows(dir: String, table: String): Long =
+      spark.read.parquet(s"$dir/$table.parquet").count()
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm-up
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    families.foreach { case (name, table) =>
+      val (rA, rB) = (rows(sfA, table), rows(sfB, table))
+      val (wA, wB) = (time(name, sfA), time(name, sfB))
+      val e = math.log(wB / wA) / math.log(rB.toDouble / rA)
+      println(f"EXP $name%-20s rows=$rA%-8d->$rB%-8d wall=$wA%7.2f->$wB%7.2f s  e=$e%5.2f")
+    }
+    spark.stop()
+  }
+}

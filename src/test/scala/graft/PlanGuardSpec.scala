@@ -64,11 +64,13 @@ class PlanGuardSpec extends SparkSpec {
     // (hardNegativesIntLsh), x11 → x113 (embeddingNearDupPairsIntLsh),
     // x09 → x91 (intLshTopK) — so the exemptions below cover only the
     // documented correctness BASELINES, not the production paths.
-    // x117 is the x41 posture over PQ codes: the brute scan over the
-    // COMPRESSED corpus is the documented shape (compression is the
-    // point; IVF/LSH banding composes in front unchanged).
+    // x117/x118 are the x41 posture over PQ codes: the brute scan over
+    // the COMPRESSED corpus is the documented shape (compression is the
+    // point; IVF/LSH banding composes in front unchanged — x118 only
+    // swaps untrained codebooks for integer-Lloyd-trained ones).
     val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk",
-      "x87_knn_graph", "x104_hard_negatives", "x117_int_pq_adc")
+      "x87_knn_graph", "x104_hard_negatives", "x117_int_pq_adc",
+      "x118_int_pq_trained")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>
