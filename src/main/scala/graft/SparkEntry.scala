@@ -3516,6 +3516,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVFADC surface (x119): [[graft.operators.Similarity
+    * .intIvfPqTopKTrained]] — the Jégou et al. 2011 composition the
+    * x117/x118 scaladocs promised ("IVF banding composes in front
+    * unchanged"), registered: an integer-Lloyd coarse quantizer
+    * (`trainIntBooks` with m = 1, ksub = nlist) routes every corpus
+    * vector to an inverted list, the fine codebooks train on the
+    * RESIDUALS, and each query scores ADC only inside its `ivfNprobe`
+    * nearest lists — candidates ≈ (nprobe/nlist)·n vs x118's full scan.
+    * The oracle replays BOTH training loops, both assignments, the probe
+    * ranking, and ADC bit-for-bit (everything on the floor-1000 integer
+    * grid). Fine geometry matches x118 exactly so the recall delta vs
+    * x118 isolates the IVF pruning effect (QuantizeSpec pins the floor).
+    */
+  private def x119(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity
+      .intIvfPqTopKTrained(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        k = 5,
+        nlist = ivfNlist,
+        nprobe = ivfNprobe,
+        m = pqTrainM,
+        ksub = pqTrainKsub,
+        iters = pqTrainIters)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3587,6 +3616,13 @@ object SparkEntry {
   private val pqTrainIters = 4
   private val pqTrainSub = 1
 
+  /** x119 IVF geometry, shared between the Spark call and the generated
+    * oracle: 8 coarse lists, 4 probed per query (the honest unclustered-
+    * corpus trade — see Similarity.intIvfPqTopKTrained's scaladoc).
+    */
+  private val ivfNlist = 8
+  private val ivfNprobe = 4
+
   /** One unrolled integer-Lloyd assignment of the x118 oracle: per
     * (corpus vector, subspace), distances to every cell of codebook
     * `prev` as a list, argmin with first-occurrence (= smallest k) ties —
@@ -3623,6 +3659,62 @@ object SparkEntry {
        |  FROM cb${r - 1} p CROSS JOIN range(0, $pqTrainKsub) kidx(k)
        |  LEFT JOIN cell$r c ON c.s = p.s AND c.k = kidx.k
        |  GROUP BY p.s
+       |)""".stripMargin
+
+  /** Generalized unrolled integer-Lloyd assignment for the x119 IVFADC
+    * oracle — [[pqAsgSql]] parameterized over CTE prefix, source relation,
+    * and (sub, ksub) geometry so ONE helper replays both the coarse
+    * quantizer (pfx "c", sub = dim, ksub = nlist over the corpus grid)
+    * and the residual fine PQ (pfx "f", x118's geometry over residuals).
+    * Same argmin rule as PqAssign: first-occurrence (smallest k) ties.
+    */
+  private def gAsgSql(
+      pfx: String, name: String, prev: String, src: String, sub: Int, ksub: Int): String =
+    s"""${pfx}asg$name AS MATERIALIZED (
+       |  SELECT vec_id, s, CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS k
+       |  FROM (
+       |    SELECT v.vec_id, c.s,
+       |      [list_sum(list_transform(
+       |         [CAST(v.w[c.s * $sub + j + 1] AS DOUBLE) - c.cells[kk + 1][j + 1] for j in range(0, $sub)],
+       |         x -> x * x)) for kk in range(0, $ksub)] AS dl
+       |    FROM $src v, $prev c
+       |  )
+       |)""".stripMargin
+
+  /** Generalized integer-Lloyd round for the x119 oracle ([[pqRoundSql]]
+    * parameterized): assignment against ${pfx}cb{r−1}, per-cell sums,
+    * floor(sum/count) update, empty cells carried.
+    */
+  private def gRoundSql(pfx: String, r: Int, src: String, sub: Int, ksub: Int): String =
+    s"""${gAsgSql(pfx, r.toString, s"${pfx}cb${r - 1}", src, sub, ksub)}, ${pfx}sums$r AS (
+       |  SELECT a.s, a.k, r.j, sum(v.w[a.s * $sub + r.j + 1]) AS sm, count(*) AS cnt
+       |  FROM ${pfx}asg$r a JOIN $src v USING (vec_id), range(0, $sub) r(j)
+       |  GROUP BY 1, 2, 3
+       |), ${pfx}cell$r AS (
+       |  SELECT s, k, list(floor(CAST(sm AS DOUBLE) / cnt) ORDER BY j) AS newcell
+       |  FROM ${pfx}sums$r GROUP BY s, k
+       |), ${pfx}cb$r AS MATERIALIZED (
+       |  SELECT p.s, list(coalesce(c.newcell, p.cells[kidx.k + 1]) ORDER BY kidx.k) AS cells
+       |  FROM ${pfx}cb${r - 1} p CROSS JOIN range(0, $ksub) kidx(k)
+       |  LEFT JOIN ${pfx}cell$r c ON c.s = p.s AND c.k = kidx.k
+       |  GROUP BY p.s
+       |)""".stripMargin
+
+  /** Generalized hash40-ordered seed selection + round-0 codebook for the
+    * x119 oracle: the Similarity.trainIntBooks INIT step (seeds are the
+    * `ksub` vectors of `src` with the smallest (hash40(seedPrefix ‖ id),
+    * id); cell k of every subspace starts at seed k's slice).
+    */
+  private def gSeedsSql(
+      pfx: String, src: String, seedPrefix: String, m: Int, ksub: Int, sub: Int): String =
+    s"""${pfx}seeds AS MATERIALIZED (
+       |  SELECT w, row_number() OVER (ORDER BY hv, vec_id) - 1 AS k
+       |  FROM (SELECT vec_id, w, CAST(($kmvHexToIntSql) AS BIGINT) AS hv
+       |        FROM (SELECT vec_id, w, md5('$seedPrefix' || vec_id) AS h FROM $src))
+       |  ORDER BY hv, vec_id LIMIT $ksub
+       |), ${pfx}cb0 AS MATERIALIZED (
+       |  SELECT s, list([CAST(w[s * $sub + j + 1] AS DOUBLE) for j in range(0, $sub)] ORDER BY k) AS cells
+       |  FROM ${pfx}seeds, range(0, $m) rs(s) GROUP BY s
        |)""".stripMargin
 
   /** DuckDB-side 4-hex-digit prefix → integer for x100's feature buckets,
@@ -3799,6 +3891,7 @@ object SparkEntry {
     "x116_dup_gram_profile" -> (x116 _),
     "x117_int_pq_adc" -> (x117 _),
     "x118_int_pq_trained" -> (x118 _),
+    "x119_ivf_pq_adc" -> (x119 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6562,6 +6655,71 @@ object SparkEntry {
         |      x -> x * x))) AS BIGINT) AS dist
         |  FROM wv q, asgF a JOIN cb$pqTrainIters b ON b.s = a.s
         |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // x119: the FULL IVFADC chain replayed — the x118 integer grid, then
+    // BOTH training loops (coarse m=1/ksub=nlist over the corpus, fine
+    // x118-geometry over the residuals), both assignments, the per-query
+    // probe ranking (dist asc, list asc), and residual ADC inside probed
+    // lists only. Everything integer-valued (< 2^53), so double
+    // arithmetic on both engines IS integer arithmetic.
+    "x119_ivf_pq_adc" ->
+      (s"""WITH wq AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
+        |       (CASE WHEN len(embedding) = 64 THEN embedding
+        |             ELSE error('x119 oracle: embedding dim ' ||
+        |                        len(embedding) || ' <> codebook dim 64') END)] AS q
+        |  FROM embeddings
+        |), mn AS MATERIALIZED (
+        |  SELECT list(m ORDER BY j) AS l FROM (
+        |    SELECT j, min(q[j + 1]) AS m FROM wq, range(0, 64) r(j)
+        |    WHERE vec_id >= 10 GROUP BY j)
+        |), cw AS MATERIALIZED (
+        |  SELECT vec_id, [q[j + 1] - l[j + 1] for j in range(0, 64)] AS w
+        |  FROM wq, mn WHERE vec_id >= 10
+        |), qv AS MATERIALIZED (
+        |  SELECT vec_id, [q[j + 1] - l[j + 1] for j in range(0, 64)] AS w
+        |  FROM wq, mn WHERE vec_id < 10
+        |), """.stripMargin +
+        gSeedsSql("c", "cw", "ivf:", 1, ivfNlist, 64) + ", " +
+        (1 to pqTrainIters).map(r => gRoundSql("c", r, "cw", 64, ivfNlist)).mkString(", ") +
+        ", " + gAsgSql("c", "F", s"ccb$pqTrainIters", "cw", 64, ivfNlist) +
+        s""", rw AS MATERIALIZED (
+        |  SELECT c.vec_id, a.k AS list_id,
+        |    [CAST(c.w[j + 1] AS DOUBLE) - b.cells[a.k + 1][j + 1] for j in range(0, 64)] AS w
+        |  FROM cw c JOIN casgF a USING (vec_id) JOIN ccb$pqTrainIters b ON b.s = 0
+        |), """.stripMargin +
+        gSeedsSql("f", "rw", "pq:", pqTrainM, pqTrainKsub, pqTrainSub) + ", " +
+        (1 to pqTrainIters)
+          .map(r => gRoundSql("f", r, "rw", pqTrainSub, pqTrainKsub)).mkString(", ") +
+        ", " + gAsgSql("f", "F", s"fcb$pqTrainIters", "rw", pqTrainSub, pqTrainKsub) +
+        s""", qd AS (
+        |  SELECT q.vec_id, r.kk AS list_id,
+        |    list_sum(list_transform(
+        |      [CAST(q.w[j + 1] AS DOUBLE) - b.cells[r.kk + 1][j + 1] for j in range(0, 64)],
+        |      x -> x * x)) AS d
+        |  FROM qv q, ccb$pqTrainIters b, range(0, $ivfNlist) r(kk) WHERE b.s = 0
+        |), probes AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS pr FROM qd)
+        |  WHERE pr <= $ivfNprobe
+        |), qres AS MATERIALIZED (
+        |  SELECT q.vec_id, p.list_id,
+        |    [CAST(q.w[j + 1] AS DOUBLE) - b.cells[p.list_id + 1][j + 1] for j in range(0, 64)] AS w
+        |  FROM qv q JOIN probes p USING (vec_id) JOIN ccb$pqTrainIters b ON b.s = 0
+        |), adc AS (
+        |  SELECT qr.vec_id AS query_id, rr.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(
+        |      [CAST(qr.w[a.s * $pqTrainSub + j + 1] AS DOUBLE) - fb.cells[a.k + 1][j + 1] for j in range(0, $pqTrainSub)],
+        |      x -> x * x))) AS BIGINT) AS dist
+        |  FROM qres qr JOIN rw rr ON rr.list_id = qr.list_id
+        |  JOIN fasgF a ON a.vec_id = rr.vec_id
+        |  JOIN fcb$pqTrainIters fb ON fb.s = a.s
         |  GROUP BY 1, 2
         |)
         |SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank FROM (

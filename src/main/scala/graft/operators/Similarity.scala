@@ -619,33 +619,88 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     require(m >= 1 && ksub >= 1 && iters >= 0, s"bad PQ config m=$m ksub=$ksub iters=$iters")
-    val (mnsD, _) = sq8Ranges(
-      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
-    val mns: Array[Long] = mnsD.map(x => math.floor(x * 1000.0).toLong)
-    val dim = mns.length
+    val (mns, dim) = intGridMins(corpus, idCol, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    // integer-domain vectors as exact doubles (array<bigint> → array<double>)
-    def intDomain(c: Column): Column =
-      zip_with(
-        c.cast("array<double>"), lit(mns),
-        (x, mn) => floor(x * lit(1000.0)) - mn
-      ).cast("array<double>")
+    def intDomain(c: Column): Column = intGridDomain(c, mns)
 
     val corpusW = Dedup.spread(
       corpus.select(col(idCol), intDomain(col(vecCol)).as("w")))
-    // hash40-ordered deterministic seeds (ksub·dim doubles of driver state)
-    val init: Array[Array[Double]] = corpusW
+    val books = trainIntBooks(corpusW, idCol, dim, m, ksub, iters, "pq:")
+    val codes = corpusW.select(
+      col(idCol).as("neighbor_id"),
+      GraftFunctions.pqAssign(col("w"), books.toSeq, m, ksub).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), intDomain(col(vecCol)).as("q_vec"))
+    val scored = codes
+      .join(broadcast(q))
+      .withColumn("dist", GraftFunctions.pqAdc(col("q_vec"), col("codes"), books.toSeq, m, ksub))
+      // integer-valued doubles ≪ 2⁵³: negate in, negate out (the intPqTopK rule)
+      .withColumn("score", -col("dist"))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    rankTopK(scored, k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (-col("score")).cast("long").as("dist"),
+        col("rank"))
+  }
+
+  /** Integer-grid calibration shared by the trained-quantizer family
+    * (x118 intPqTopKTrained, x119 intIvfPqTopKTrained): per-dim corpus
+    * minima on the floor-1000 grid, plus the dimension. One [[sq8Ranges]]
+    * aggregation; 2·dim doubles of driver state.
+    */
+  private def intGridMins(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): (Array[Long], Int) = {
+    val (mnsD, _) = sq8Ranges(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val mns: Array[Long] = mnsD.map(x => math.floor(x * 1000.0).toLong)
+    (mns, mns.length)
+  }
+
+  /** Map a float/double vector column onto the non-negative integer grid:
+    * w_j = floor(v_j·1000) − mn_j, as exact integer-valued doubles
+    * (float→double widening exact, one correctly-rounded multiply, exact
+    * floor — the x91 replayability argument).
+    */
+  private def intGridDomain(c: Column, mns: Array[Long]): Column =
+    zip_with(
+      c.cast("array<double>"), lit(mns),
+      (x, mn) => floor(x * lit(1000.0)) - mn
+    ).cast("array<double>")
+
+  /** The oracle-grade integer Lloyd loop extracted from
+    * [[intPqTopKTrained]] (geometry unchanged — x118's oracle replays this
+    * exact sequence): hash40(`seedPrefix` ‖ id)-ordered seeds, `iters`
+    * [[graft.functions.PqTrainSums]] rounds with the floor(sum/count)
+    * update, empty cells carried. `vectors` must expose `idCol` and an
+    * integer-grid `w` column; returns the flat m·ksub·(dim/m) codebook.
+    * With m = 1, ksub = nlist this IS a coarse quantizer — the x119 IVF
+    * composition's trick: one training loop, two roles.
+    */
+  private def trainIntBooks(
+      vectors: DataFrame,
+      idCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      seedPrefix: String
+  ): Array[Double] = {
+    val sub = dim / m
+    val init: Array[Array[Double]] = vectors
       .select(
         col("w"),
-        conv(substring(md5(concat(lit("pq:"), col(idCol).cast("string"))), 1, 10), 16, 10)
+        conv(substring(md5(concat(lit(seedPrefix), col(idCol).cast("string"))), 1, 10), 16, 10)
           .cast("long").as("hv"),
         col(idCol))
       .orderBy(col("hv"), col(idCol))
       .limit(ksub)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(init.nonEmpty, "cannot train PQ on an empty corpus")
+    require(init.nonEmpty, "cannot train a quantizer on an empty corpus")
     var books = new Array[Double](m * ksub * sub)
     var s0 = 0
     while (s0 < m) {
@@ -662,7 +717,7 @@ object Similarity {
     }
     var it = 0
     while (it < iters) {
-      val row = corpusW
+      val row = vectors
         .agg(GraftFunctions.pqTrainSums(col("w"), books.toSeq, m, ksub).as("r"))
         .select(col("r.counts"), col("r.sums"))
         .head()
@@ -685,13 +740,119 @@ object Similarity {
       books = next
       it += 1
     }
-    val codes = corpusW.select(
+    books
+  }
+
+  /** IVFADC (Jégou et al. 2011, "Product quantization for nearest
+    * neighbor search" §IV) in ORACLE-GRADE integer arithmetic — the x119
+    * surface, and the composition the x117/x118 scaladocs promised
+    * ("IVF/LSH banding composes in front unchanged"), now registered:
+    *
+    *   - COARSE QUANTIZER: [[trainIntBooks]] with m = 1, ksub = `nlist`
+    *     (seed prefix "ivf:") — a coarse quantizer IS product quantization
+    *     with one subspace spanning the whole vector, so the same Lloyd
+    *     loop, the same replayability argument, and the same
+    *     [[graft.functions.PqAssign]] expression serve both roles;
+    *   - INVERTED LISTS: every corpus vector map-assigns to its nearest
+    *     coarse cell (one pass, no shuffle) — `list_id` is the partition
+    *     key a 100 TB deployment would bucket the code table by;
+    *   - RESIDUAL PQ: the fine codebooks train on r = w − c(list_id)
+    *     (exact integer differences), the step that makes IVFADC beat
+    *     plain PQ at equal bytes — residual energy is what's left AFTER
+    *     the coarse cell explains the vector;
+    *   - PROBES: each query computes exact integer L2 to all `nlist`
+    *     coarse cells (nlist·dim driver-literal doubles, map-only) and
+    *     keeps the `nprobe` nearest (dist asc, list asc — deterministic);
+    *   - ADC: candidates are ONLY the vectors in probed lists
+    *     (≈ nprobe/nlist of the corpus per query vs ALL of it for
+    *     x117/x118), scored by [[graft.functions.PqAdc]] against the
+    *     query's PER-LIST residual, ranked (dist asc, neighbor asc).
+    *
+    * Everything lives on the integer grid (squares ≤ (2·10³·2)² · dim
+    * ≪ 2⁵³), so the DuckDB oracle replays BOTH training loops, both
+    * assignments, the probe ranking, and ADC bit-for-bit.
+    *
+    * Scale: the corpus never feeds a per-query scan — the probe join is
+    * an equi-join on `list_id` with the (small) query side broadcast, so
+    * candidates/query ≈ (nprobe/nlist)·n and grow sublinearly when nlist
+    * follows the √n rule. Recall vs exact is a spec-pinned floor
+    * (QuantizeSpec); on unclustered corpora it tracks nprobe/nlist, which
+    * is the honest IVF trade.
+    */
+  def intIvfPqTopKTrained(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 4,
+      m: Int = 16,
+      ksub: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist], got nprobe=$nprobe nlist=$nlist")
+    require(m >= 1 && ksub >= 1 && iters >= 0, s"bad PQ config m=$m ksub=$ksub iters=$iters")
+    val (mns, dim) = intGridMins(corpus, idCol, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+
+    val corpusW = Dedup.spread(
+      corpus.select(col(idCol), intGridDomain(col(vecCol), mns).as("w")))
+    val coarse = trainIntBooks(corpusW, idCol, dim, 1, nlist, iters, "ivf:")
+    val coarseLit = lit(coarse)
+    // w − c(list): exact integer differences (array lookup into the flat
+    // nlist·dim codebook literal)
+    def residual(w: Column, listId: Column): Column =
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        j => element_at(w, j + 1) - element_at(coarseLit, listId * lit(dim) + j + 1)
+      ).cast("array<double>")
+
+    val assigned = corpusW.select(
+      col(idCol),
+      col("w"),
+      element_at(GraftFunctions.pqAssign(col("w"), coarse.toSeq, 1, nlist), 1).as("list_id"))
+    val resid = assigned
+      .select(col(idCol), col("list_id"), residual(col("w"), col("list_id")).as("w"))
+    val fine = trainIntBooks(resid, idCol, dim, m, ksub, iters, "pq:")
+    val codes = resid.select(
       col(idCol).as("neighbor_id"),
-      GraftFunctions.pqAssign(col("w"), books.toSeq, m, ksub).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"), intDomain(col(vecCol)).as("q_vec"))
+      col("list_id"),
+      GraftFunctions.pqAssign(col("w"), fine.toSeq, m, ksub).as("codes"))
+
+    // per-query probe ranking: exact integer L2 to every coarse cell,
+    // (dist asc, list asc) — all inside one map-only projection
+    val qw = queries.select(col(idCol).as("query_id"), intGridDomain(col(vecCol), mns).as("q_w"))
+    val probes = qw
+      .select(
+        col("query_id"),
+        col("q_w"),
+        explode(
+          slice(
+            array_sort(
+              transform(
+                sequence(lit(0), lit(nlist - 1)),
+                l => struct(
+                  aggregate(
+                    sequence(lit(0), lit(dim - 1)),
+                    lit(0.0),
+                    (acc, j) =>
+                      acc + (element_at(col("q_w"), j + 1)
+                        - element_at(coarseLit, l * lit(dim) + j + 1))
+                        * (element_at(col("q_w"), j + 1)
+                          - element_at(coarseLit, l * lit(dim) + j + 1))
+                  ).as("d"),
+                  l.as("list_id")))),
+            1, nprobe)).as("p"))
+      .select(
+        col("query_id"),
+        col("p.list_id").as("list_id"),
+        residual(col("q_w"), col("p.list_id")).as("q_res"))
+
     val scored = codes
-      .join(broadcast(q))
-      .withColumn("dist", GraftFunctions.pqAdc(col("q_vec"), col("codes"), books.toSeq, m, ksub))
+      .join(broadcast(probes), Seq("list_id"))
+      .withColumn("dist", GraftFunctions.pqAdc(col("q_res"), col("codes"), fine.toSeq, m, ksub))
       // integer-valued doubles ≪ 2⁵³: negate in, negate out (the intPqTopK rule)
       .withColumn("score", -col("dist"))
       .select(col("query_id"), col("neighbor_id"), col("score"))
