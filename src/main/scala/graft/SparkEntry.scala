@@ -3545,6 +3545,51 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** End-to-end corpus-curation pipeline (x120): the four screens a
+    * Common-Crawl-to-training-set pass runs, composed as ONE declarative
+    * plan — exact dedup (min-id survivor per md5, the x01 rule) → Gopher
+    * quality gate (x58's integer rule cascade, map-side over the same
+    * rows) → language-identifiability screen (x05's marker argmax ≠
+    * 'und') → per-source cap (x51's deterministic md5-ordered top-N, the
+    * anti-single-source-domination quota) with x04's BPE-ish token count
+    * carried for downstream budget accounting. Each stage is already
+    * individually oracled; this surface certifies the COMPOSITION —
+    * stage plumbing, filter ordering, and column flow — which is what an
+    * actual pipeline run exercises. Plan shape: one md5-partition window
+    * (dedup), then pure map-side expression work, then one source-
+    * partition window (cap) — two bounded shuffles total, no joins, no
+    * collects; every filter is a per-doc predicate so the stages fuse
+    * into single projections between the two exchanges.
+    */
+  private def x120(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = dts(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val survivors = docs
+      .withColumn(
+        "rn_dup",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn_dup") === 1)
+      .drop("rn_dup")
+    val gated = QualityFilter
+      .gopherFlags(survivors)
+      .where(col("keep"))
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))
+      .where(col("lang_pred") =!= "und")
+    Sampling
+      .capPerGroup(
+        gated,
+        group = col("source"),
+        key = col("text"),
+        tieBreak = col("doc_id"),
+        cap = 10)
+      .select(
+        col("source"), col("doc_id"), col("lang_pred"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1
     * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
@@ -3892,6 +3937,7 @@ object SparkEntry {
     "x117_int_pq_adc" -> (x117 _),
     "x118_int_pq_trained" -> (x118 _),
     "x119_ivf_pq_adc" -> (x119 _),
+    "x120_curation_pipeline" -> (x120 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6726,6 +6772,58 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM adc)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // x120: the composed curation pipeline replayed stage by stage —
+    // x01's dedup rule, x58's integer Gopher cascade, x05's marker
+    // argmax, x51's md5-ordered cap, x04's BPE-ish count — each CTE the
+    // same text its standalone oracle uses, so the composition cannot
+    // drift from the pieces.
+    "x120_curation_pipeline" ->
+      s"""WITH surv AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, source, text FROM surv WHERE rn = 1
+        |), tk AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(trim(text), '\\s+') AS toks FROM s1
+        |), g AS (
+        |  SELECT *,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_chars,
+        |    CAST(len(list_intersect(toks,
+        |      [${TextAnalysis.langMarkers.head._2.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
+        |  FROM tk
+        |), q AS (
+        |  SELECT * FROM g
+        |  WHERE n_tok BETWEEN 30 AND 90
+        |    AND 30 * n_tok <= 10 * sum_chars AND 10 * sum_chars <= 52 * n_tok
+        |    AND n_stop >= 2
+        |), sc AS (
+        |  SELECT *,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
+        |  FROM q
+        |), lang AS (
+        |  SELECT *, CASE
+        |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM sc
+        |), fin AS (
+        |  SELECT * FROM lang WHERE lang_pred <> 'und'
+        |), capd AS (
+        |  SELECT source, doc_id, lang_pred,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |  FROM fin
+        |)
+        |SELECT source, doc_id, lang_pred, n_tokens
+        |FROM capd WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     // x109: expected outputs hand-derived from the PSL spec per rule
     // kind, written closed-form — an independent derivation, not a
     // replay of the engine's join.
