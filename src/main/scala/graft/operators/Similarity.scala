@@ -813,8 +813,13 @@ object Similarity {
       col(idCol),
       col("w"),
       element_at(GraftFunctions.pqAssign(col("w"), coarse.toSeq, 1, nlist), 1).as("list_id"))
+    // checkpoint the residual table: the fine-training loop (seeds +
+    // `iters` PqTrainSums rounds + final assignment) re-reads it once per
+    // job, and without truncation each read re-runs scan → quantize →
+    // coarse-assign → subtract — the PageRank/CC lineage rule
     val resid = assigned
       .select(col(idCol), col("list_id"), residual(col("w"), col("list_id")).as("w"))
+      .localCheckpoint(true)
     val fine = trainIntBooks(resid, idCol, dim, m, ksub, iters, "pq:")
     val codes = resid.select(
       col(idCol).as("neighbor_id"),
