@@ -3555,40 +3555,17 @@ object SparkEntry {
     * carried for downstream budget accounting. Each stage is already
     * individually oracled; this surface certifies the COMPOSITION —
     * stage plumbing, filter ordering, and column flow — which is what an
-    * actual pipeline run exercises. Plan shape: one md5-partition window
-    * (dedup), then pure map-side expression work, then one source-
-    * partition window (cap) — two bounded shuffles total, no joins, no
-    * collects; every filter is a per-doc predicate so the stages fuse
-    * into single projections between the two exchanges.
+    * actual pipeline run exercises. Delegates to [[graft.operators
+    * .Curation.curate]] (shared with the CurationStream twin): map-side
+    * screens FIRST (provably result-identical — see Curation's
+    * screen-first equivalence — and they shrink the md5 exchange to the
+    * passing subset), then the md5 dedup window and the source cap
+    * window — two bounded shuffles, no joins, no collects.
     */
-  private def x120(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = dts(s, dir).select(col("doc_id"), col("source"), col("text"))
-    val survivors = docs
-      .withColumn(
-        "rn_dup",
-        row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .where(col("rn_dup") === 1)
-      .drop("rn_dup")
-    val gated = QualityFilter
-      .gopherFlags(survivors)
-      .where(col("keep"))
-      .select(
-        col("doc_id"), col("source"), col("text"),
-        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))
-      .where(col("lang_pred") =!= "und")
-    Sampling
-      .capPerGroup(
-        gated,
-        group = col("source"),
-        key = col("text"),
-        tieBreak = col("doc_id"),
-        cap = 10)
-      .select(
-        col("source"), col("doc_id"), col("lang_pred"),
-        TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens"))
+  private def x120(s: SparkSession, dir: String): DataFrame =
+    Curation
+      .curate(dts(s, dir).select(col("doc_id"), col("source"), col("text")), cap = 10)
       .orderBy(col("source"), col("doc_id"))
-  }
 
   /** Triangle-counting surface: per-node triangle count, degree, and
     * integer-ppm clustering coefficient over the x45 edit-distance-1

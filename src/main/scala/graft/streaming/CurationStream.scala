@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Curation
+
+/** Incremental corpus curation over an unbounded document stream — the
+  * twelfth batch/stream twin: [[graft.operators.Curation]]'s pipeline
+  * (screens → exact dedup → per-source cap) maintained across
+  * micro-batches, so a training-set selection stays current as shards
+  * land instead of re-curating the corpus per delivery.
+  *
+  * The maintained state is ONE table, and it is exactly the state exact
+  * dedup forces anyway: `kept` (text_md5, doc_id, source, lang_pred,
+  * n_tokens) — one row per distinct SCREEN-PASSING text, carrying the
+  * attributes of its current min-id member. The screens run map-side on
+  * each batch before anything touches state (the [[Curation.screened]]
+  * equivalence: the screens are text-functions and an md5 class shares
+  * its text, so pre-filtering cannot change survivorship), which also
+  * means state is bounded by distinct PASSING texts, not corpus size.
+  *
+  * The fold is one keep-min merge: union the batch's screened rows with
+  * state, `min(struct(doc_id, …))` per md5. This handles the case that
+  * makes incremental curation non-trivial — a LATER batch delivering a
+  * SMALLER doc_id for an already-kept text DEMOTES the previous survivor
+  * (and can flip which source's quota the text occupies), exactly as the
+  * batch pipeline would have decided had it seen all docs at once. The
+  * selection (per-source top-`cap` by (md5, id)) derives from state on
+  * demand via the SAME [[Curation.select]] window the batch plan uses —
+  * emission is a revisable VIEW over state, the x67-ingest posture, so
+  * demotions and quota evictions need no retraction protocol.
+  *
+  * RESTART SAFETY — the [[ComponentsStream]] contract, verbatim: Spark
+  * commits a batch's offsets only AFTER foreachBatch returns, and the
+  * keep-min fold is idempotent (re-folding delivered docs cannot lower a
+  * minimum that already includes them), so with a `stateDir` the
+  * maintainer persists each fold as `stateDir/epoch=<id>` parquet plus an
+  * append-only `stateDir/commits/<id>` marker (data first, marker second,
+  * GC to two epochs): marker-but-no-offset → the replayed batch is a
+  * no-op; crash mid-write → the loader falls back one epoch and the
+  * replay re-folds what was lost. A Maintainer WITHOUT a stateDir
+  * against an existing checkpoint silently loses every previously-kept
+  * text, so `start()` refuses that combination unless
+  * `allowVolatileState = true`.
+  *
+  * CurationStreamSpec pins prefix equivalence (selection ≡
+  * [[Curation.curate]] over batches 1..i after every batch, including
+  * cross-batch demotions), double-fold no-ops, and restart resume.
+  */
+object CurationStream {
+
+  final case class Doc(doc_id: Long, source: String, text: String)
+
+  private val keptSchema = StructType(Seq(
+    StructField("text_md5", StringType),
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("lang_pred", StringType),
+    StructField("n_tokens", LongType)))
+
+  final class Maintainer(
+      spark: SparkSession,
+      cap: Int = 10,
+      val stateDir: Option[String] = None
+  ) {
+
+    private def fs(p: Path): FileSystem =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Highest epoch with a commit marker AND an extant data dir; -1 if none. */
+    private def latestCommitted(dir: String): Long = {
+      val commits = new Path(dir, "commits")
+      val f = fs(commits)
+      if (!f.exists(commits)) -1L
+      else
+        f.listStatus(commits).toSeq
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+          .sorted(Ordering[Long].reverse)
+          .find(e => f.exists(new Path(dir, s"epoch=$e")))
+          .getOrElse(-1L)
+    }
+
+    private def empty: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](), keptSchema)
+
+    @volatile private var kept: DataFrame = stateDir match {
+      case Some(dir) =>
+        val e = latestCommitted(dir)
+        if (e < 0) empty
+        else spark.read.schema(keptSchema).parquet(s"$dir/epoch=$e").localCheckpoint(true)
+      case None => empty
+    }
+
+    /** True iff construction reloaded a persisted epoch (restart path). */
+    def resumed: Boolean = stateDir.exists(dir => latestCommitted(dir) >= 0)
+
+    /** The survivor table: one row per distinct screen-passing text. */
+    def state: DataFrame = kept
+
+    /** The current curated selection — the batch twin's output over
+      * everything folded so far.
+      */
+    def selection: DataFrame = Curation.select(kept, cap)
+
+    private[graft] def update(batch: DataFrame, epochId: Long = -1L): Unit = {
+      val s = Curation
+        .screened(batch.select(col("doc_id").cast(LongType), col("source"), col("text")))
+        .select(col("text_md5"), col("doc_id"), col("source"), col("lang_pred"), col("n_tokens"))
+      kept = kept
+        .unionByName(s)
+        .groupBy(col("text_md5"))
+        .agg(min(struct(
+          col("doc_id"), col("source"), col("lang_pred"), col("n_tokens"))).as("m"))
+        .select(
+          col("text_md5"),
+          col("m.doc_id").as("doc_id"),
+          col("m.source").as("source"),
+          col("m.lang_pred").as("lang_pred"),
+          col("m.n_tokens").as("n_tokens"))
+        .localCheckpoint(true)
+      stateDir.foreach { dir =>
+        val prev = latestCommitted(dir)
+        kept.write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+        val marker = new Path(dir, s"commits/$epochId")
+        val f = fs(marker)
+        f.mkdirs(marker.getParent)
+        f.create(marker, true).close()
+        // retain {epochId, prev}; GC everything older
+        if (prev >= 0) {
+          val commits = new Path(dir, "commits")
+          f.listStatus(commits).toSeq
+            .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+            .filter(e => e < prev)
+            .foreach { e =>
+              f.delete(new Path(dir, s"epoch=$e"), true)
+              f.delete(new Path(dir, s"commits/$e"), false)
+            }
+        }
+      }
+    }
+  }
+
+  /** Start the maintainer over a streaming Dataset[Doc]; read
+    * `maintainer.selection` between batches for the live curated set.
+    */
+  def start(
+      docs: Dataset[Doc],
+      maintainer: Maintainer,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      allowVolatileState: Boolean = false
+  ): StreamingQuery = {
+    require(
+      checkpoint.isEmpty || maintainer.stateDir.nonEmpty || allowVolatileState,
+      "checkpointLocation set but the Maintainer has no stateDir: a restart " +
+        "would skip committed batches against an empty survivor table and " +
+        "silently lose kept texts. Pass a stateDir (persisted state) or " +
+        "allowVolatileState = true if the checkpoint is known fresh.")
+    val writer = docs.toDF.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        maintainer.update(batch.toDF(), epochId)
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+}

@@ -217,13 +217,28 @@ object NearDupStream {
   /** Start the maintainer over a streaming Dataset[Doc]; read
     * `maintainer.pairs` between batches for the accumulated near-dup set
     * and `maintainer.index` for the live band postings.
+    *
+    * The Maintainer's five frames live in driver memory only, so reusing
+    * a checkpoint with a fresh Maintainer would skip committed batches
+    * against an empty index and silently lose pairs — the
+    * [[ComponentsStream]] restart trap. Until a persisted-index variant
+    * exists (the epoch+marker scheme generalizes; the shingle frame is
+    * the only heavy one), that combination is refused unless
+    * `allowVolatileState = true`.
     */
   def start(
       docs: Dataset[Doc],
       maintainer: Maintainer,
       checkpoint: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0L)
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      allowVolatileState: Boolean = false
   ): StreamingQuery = {
+    require(
+      checkpoint.isEmpty || allowVolatileState,
+      "checkpointLocation set but the Maintainer's index is memory-only: a " +
+        "restart would skip committed batches against an empty index and " +
+        "silently lose pairs. Pass allowVolatileState = true if the " +
+        "checkpoint is known fresh.")
     val writer = docs.toDF.writeStream
       .outputMode("append")
       .trigger(trigger)
