@@ -166,4 +166,33 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("x44_cluster_canonical")
     assert(!p.contains("(Window"), s"WindowExec crept into the canonical argmax")
   }
+
+  test("x119 IVFADC probe join broadcasts the query side onto the code table") {
+    // IVFADC's posture is probes ≪ codes: the list_id equi-join MUST
+    // broadcast the exploded (query, probed-list) side so the corpus code
+    // table — the 100 TB side, bucketed by list_id in a real deployment —
+    // never exchanges. broadcast(probes) is the right input → BuildRight.
+    val p = SparkEntry.queries("x119_ivf_pq_adc")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val probe = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("list_id#"))
+      .toSeq
+    assert(probe.nonEmpty, s"x119 probe join lost its broadcast pin:\n$p")
+    assert(probe.forall(_.contains("BuildRight")),
+      s"x119 broadcasts the code table instead of the probes: $probe")
+  }
+
+  test("x120 curation pipeline is exactly two exchanges (md5 dedup + source cap)") {
+    // the composed pipeline's scale claim: map-side screens fuse into the
+    // projections around two bounded window shuffles — a refactor that
+    // sneaks in a join-back (e.g. recomputing flags on a separate branch)
+    // or an extra repartition shows up as exchange #3
+    val p = SparkEntry.queries("x120_curation_pipeline")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // dts() repartitions the scan (1) + md5 window (2) + source cap (3) +
+    // the final orderBy's range exchange (4)
+    assert(exchanges <= 4, s"exchange crept into the curation pipeline ($exchanges):\n$p")
+    assert(!p.contains("Join"), s"join-back crept into the curation pipeline:\n$p")
+  }
 }
