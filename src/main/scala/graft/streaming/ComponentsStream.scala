@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -77,46 +76,26 @@ object ComponentsStream {
   /** The maintained labels table + the fold. Thread-safe for the one
     * writer (the streaming engine's foreachBatch) + many readers.
     *
-    * `stateDir`: when set, every fold is persisted as
-    * `stateDir/epoch=<id>` parquet plus an append-only marker
-    * `stateDir/commits/<id>`, and a fresh Maintainer reloads the highest
-    * committed epoch — making a restart against an existing streaming
-    * checkpoint lossless (see the object scaladoc's crash matrix). Only
-    * the latest two epochs are retained (the previous one backs the
-    * mid-write crash case). When None, labels live only in driver memory
-    * and do NOT survive a restart.
+    * `stateDir`: when set, every fold is persisted as an [[EpochStore]]
+    * epoch (data first, append-only commit marker second), and a fresh
+    * Maintainer reloads the highest committed epoch — making a restart
+    * against an existing streaming checkpoint lossless (see the object
+    * scaladoc's crash matrix). Only the latest two epochs are retained
+    * (the previous one backs the mid-write crash case). When None,
+    * labels live only in driver memory and do NOT survive a restart.
     */
   final class Maintainer(spark: SparkSession, val stateDir: Option[String] = None) {
 
-    private def fs(p: Path): FileSystem =
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val store: Option[EpochStore] =
+      stateDir.map(new EpochStore(spark, _, Seq("labels" -> labelSchema)))
 
-    /** Highest epoch with a commit marker AND an extant data dir; -1 if none. */
-    private def latestCommitted(dir: String): Long = {
-      val commits = new Path(dir, "commits")
-      val f = fs(commits)
-      if (!f.exists(commits)) -1L
-      else
-        f.listStatus(commits).toSeq
-          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-          .sorted(Ordering[Long].reverse)
-          .find(e => f.exists(new Path(dir, s"epoch=$e")))
-          .getOrElse(-1L)
-    }
-
-    private def empty: DataFrame =
-      spark.createDataFrame(new java.util.ArrayList[Row](), labelSchema)
-
-    @volatile private var labels: DataFrame = stateDir match {
-      case Some(dir) =>
-        val e = latestCommitted(dir)
-        if (e < 0) empty
-        else spark.read.schema(labelSchema).parquet(s"$dir/epoch=$e").localCheckpoint(true)
-      case None => empty
-    }
+    @volatile private var labels: DataFrame = store
+      .flatMap(_.load())
+      .map(_("labels"))
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), labelSchema))
 
     /** True iff construction reloaded a persisted epoch (restart path). */
-    def resumed: Boolean = stateDir.exists(dir => latestCommitted(dir) >= 0)
+    def resumed: Boolean = store.exists(_.latestCommitted >= 0)
 
     /** Current (id, comp) snapshot — after batch i, ≡ batch CC over every
       * edge of batches 1..i (plus self-loop singletons).
@@ -143,25 +122,7 @@ object ComponentsStream {
         .join(comps.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("comp"))
       labels = comps.unionByName(carried).localCheckpoint(true)
-      stateDir.foreach { dir =>
-        val prev = latestCommitted(dir)
-        labels.write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
-        val marker = new Path(dir, s"commits/$epochId")
-        val f = fs(marker)
-        f.mkdirs(marker.getParent)
-        f.create(marker, true).close()
-        // retain {epochId, prev}; GC everything older
-        if (prev >= 0) {
-          val commits = new Path(dir, "commits")
-          f.listStatus(commits).toSeq
-            .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-            .filter(e => e < prev)
-            .foreach { e =>
-              f.delete(new Path(dir, s"epoch=$e"), true)
-              f.delete(new Path(dir, s"commits/$e"), false)
-            }
-        }
-      }
+      store.foreach(_.save(epochId, Map("labels" -> labels)))
     }
   }
 

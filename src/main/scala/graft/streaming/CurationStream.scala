@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -34,18 +33,16 @@ import graft.operators.Curation
   * emission is a revisable VIEW over state, the x67-ingest posture, so
   * demotions and quota evictions need no retraction protocol.
   *
-  * RESTART SAFETY — the [[ComponentsStream]] contract, verbatim: Spark
-  * commits a batch's offsets only AFTER foreachBatch returns, and the
-  * keep-min fold is idempotent (re-folding delivered docs cannot lower a
-  * minimum that already includes them), so with a `stateDir` the
-  * maintainer persists each fold as `stateDir/epoch=<id>` parquet plus an
-  * append-only `stateDir/commits/<id>` marker (data first, marker second,
-  * GC to two epochs): marker-but-no-offset → the replayed batch is a
-  * no-op; crash mid-write → the loader falls back one epoch and the
-  * replay re-folds what was lost. A Maintainer WITHOUT a stateDir
-  * against an existing checkpoint silently loses every previously-kept
-  * text, so `start()` refuses that combination unless
-  * `allowVolatileState = true`.
+  * RESTART SAFETY — the [[EpochStore]] contract: Spark commits a batch's
+  * offsets only AFTER foreachBatch returns, and the keep-min fold is
+  * idempotent (re-folding delivered docs cannot lower a minimum that
+  * already includes them), so with a `stateDir` the maintainer persists
+  * each fold as an epoch (data first, marker second, GC to two epochs):
+  * marker-but-no-offset → the replayed batch is a no-op; crash mid-write
+  * → the loader falls back one epoch and the replay re-folds what was
+  * lost. A Maintainer WITHOUT a stateDir against an existing checkpoint
+  * silently loses every previously-kept text, so `start()` refuses that
+  * combination unless `allowVolatileState = true`.
   *
   * CurationStreamSpec pins prefix equivalence (selection ≡
   * [[Curation.curate]] over batches 1..i after every batch, including
@@ -68,35 +65,16 @@ object CurationStream {
       val stateDir: Option[String] = None
   ) {
 
-    private def fs(p: Path): FileSystem =
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val store: Option[EpochStore] =
+      stateDir.map(new EpochStore(spark, _, Seq("kept" -> keptSchema)))
 
-    /** Highest epoch with a commit marker AND an extant data dir; -1 if none. */
-    private def latestCommitted(dir: String): Long = {
-      val commits = new Path(dir, "commits")
-      val f = fs(commits)
-      if (!f.exists(commits)) -1L
-      else
-        f.listStatus(commits).toSeq
-          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-          .sorted(Ordering[Long].reverse)
-          .find(e => f.exists(new Path(dir, s"epoch=$e")))
-          .getOrElse(-1L)
-    }
-
-    private def empty: DataFrame =
-      spark.createDataFrame(new java.util.ArrayList[Row](), keptSchema)
-
-    @volatile private var kept: DataFrame = stateDir match {
-      case Some(dir) =>
-        val e = latestCommitted(dir)
-        if (e < 0) empty
-        else spark.read.schema(keptSchema).parquet(s"$dir/epoch=$e").localCheckpoint(true)
-      case None => empty
-    }
+    @volatile private var kept: DataFrame = store
+      .flatMap(_.load())
+      .map(_("kept"))
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), keptSchema))
 
     /** True iff construction reloaded a persisted epoch (restart path). */
-    def resumed: Boolean = stateDir.exists(dir => latestCommitted(dir) >= 0)
+    def resumed: Boolean = store.exists(_.latestCommitted >= 0)
 
     /** The survivor table: one row per distinct screen-passing text. */
     def state: DataFrame = kept
@@ -122,25 +100,7 @@ object CurationStream {
           col("m.lang_pred").as("lang_pred"),
           col("m.n_tokens").as("n_tokens"))
         .localCheckpoint(true)
-      stateDir.foreach { dir =>
-        val prev = latestCommitted(dir)
-        kept.write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
-        val marker = new Path(dir, s"commits/$epochId")
-        val f = fs(marker)
-        f.mkdirs(marker.getParent)
-        f.create(marker, true).close()
-        // retain {epochId, prev}; GC everything older
-        if (prev >= 0) {
-          val commits = new Path(dir, "commits")
-          f.listStatus(commits).toSeq
-            .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-            .filter(e => e < prev)
-            .foreach { e =>
-              f.delete(new Path(dir, s"epoch=$e"), true)
-              f.delete(new Path(dir, s"commits/$e"), false)
-            }
-        }
-      }
+      store.foreach(_.save(epochId, Map("kept" -> kept)))
     }
   }
 

@@ -64,29 +64,47 @@ object NearDupStream {
       n: Int = 3,
       threshold: Double = 0.5,
       bands: Int = 16,
-      rowsPerBand: Int = 8
+      rowsPerBand: Int = 8,
+      val stateDir: Option[String] = None
   ) {
 
-    private def empty(fields: StructField*): DataFrame =
-      spark.createDataFrame(new java.util.ArrayList[Row](), StructType(fields))
+    // the six state frames, schema-declared once for both the fresh
+    // empties and the EpochStore restart loader
+    private val frameSchemas: Seq[(String, StructType)] = Seq(
+      "classes" -> StructType(Seq(
+        StructField("text_md5", StringType), StructField("rep_id", LongType),
+        StructField("shingled", org.apache.spark.sql.types.BooleanType))),
+      "members" -> StructType(Seq(
+        StructField("rep_id", LongType), StructField("member_id", LongType))),
+      "bandIndex" -> StructType(Seq(
+        StructField("band_id", org.apache.spark.sql.types.IntegerType),
+        StructField("band_hash", LongType), StructField("rep_id", LongType))),
+      "repShingles" -> StructType(Seq(
+        StructField("rep_id", LongType),
+        StructField("sh", org.apache.spark.sql.types.ArrayType(StringType)))),
+      "repPairs" -> StructType(Seq(
+        StructField("a_rep", LongType), StructField("b_rep", LongType),
+        StructField("jac", DoubleType))),
+      "allPairs" -> StructType(Seq(
+        StructField("a_id", LongType), StructField("b_id", LongType),
+        StructField("jac", DoubleType))))
 
-    @volatile private var classes: DataFrame = empty(
-      StructField("text_md5", StringType), StructField("rep_id", LongType),
-      StructField("shingled", org.apache.spark.sql.types.BooleanType))
-    @volatile private var members: DataFrame = empty(
-      StructField("rep_id", LongType), StructField("member_id", LongType))
-    @volatile private var bandIndex: DataFrame = empty(
-      StructField("band_id", org.apache.spark.sql.types.IntegerType),
-      StructField("band_hash", LongType), StructField("rep_id", LongType))
-    @volatile private var repShingles: DataFrame = empty(
-      StructField("rep_id", LongType),
-      StructField("sh", org.apache.spark.sql.types.ArrayType(StringType)))
-    @volatile private var repPairs: DataFrame = empty(
-      StructField("a_rep", LongType), StructField("b_rep", LongType),
-      StructField("jac", DoubleType))
-    @volatile private var allPairs: DataFrame = empty(
-      StructField("a_id", LongType), StructField("b_id", LongType),
-      StructField("jac", DoubleType))
+    private val store: Option[EpochStore] =
+      stateDir.map(new EpochStore(spark, _, frameSchemas))
+    private val initial: Map[String, DataFrame] = store.flatMap(_.load()).getOrElse(
+      frameSchemas.map { case (name, schema) =>
+        name -> spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      }.toMap)
+
+    /** True iff construction reloaded a persisted epoch (restart path). */
+    def resumed: Boolean = store.exists(_.latestCommitted >= 0)
+
+    @volatile private var classes: DataFrame = initial("classes")
+    @volatile private var members: DataFrame = initial("members")
+    @volatile private var bandIndex: DataFrame = initial("bandIndex")
+    @volatile private var repShingles: DataFrame = initial("repShingles")
+    @volatile private var repPairs: DataFrame = initial("repPairs")
+    @volatile private var allPairs: DataFrame = initial("allPairs")
 
     /** Accumulated emitted pairs — after batch i, ≡ the batch operator
       * over every document of batches 1..i.
@@ -96,7 +114,7 @@ object NearDupStream {
     /** The live LSH posting lists (band_id, band_hash, rep_id). */
     def index: DataFrame = bandIndex
 
-    private[graft] def update(newDocs: DataFrame): Unit = {
+    private[graft] def update(newDocs: DataFrame, epochId: Long = -1L): Unit = {
       GraftFunctions.register(spark)
       val b = newDocs
         .select(col("doc_id").cast(LongType), col("text"))
@@ -211,6 +229,9 @@ object NearDupStream {
       repShingles = shAll.localCheckpoint(true)
       repPairs = repPairs.unionByName(newRepPairs).localCheckpoint(true)
       allPairs = allPairs.unionByName(newPairs).localCheckpoint(true)
+      store.foreach(_.save(epochId, Map(
+        "classes" -> classes, "members" -> members, "bandIndex" -> bandIndex,
+        "repShingles" -> repShingles, "repPairs" -> repPairs, "allPairs" -> allPairs)))
     }
   }
 
@@ -218,13 +239,15 @@ object NearDupStream {
     * `maintainer.pairs` between batches for the accumulated near-dup set
     * and `maintainer.index` for the live band postings.
     *
-    * The Maintainer's five frames live in driver memory only, so reusing
-    * a checkpoint with a fresh Maintainer would skip committed batches
-    * against an empty index and silently lose pairs — the
-    * [[ComponentsStream]] restart trap. Until a persisted-index variant
-    * exists (the epoch+marker scheme generalizes; the shingle frame is
-    * the only heavy one), that combination is refused unless
-    * `allowVolatileState = true`.
+    * RESTART SAFETY: with a `stateDir` the Maintainer persists all six
+    * frames per epoch through [[EpochStore]] (every frame first, one
+    * commit marker second, GC to two epochs); the fold's replay guard
+    * (left_anti on `members`) makes a marker-but-no-offset replay a
+    * no-op, and a mid-epoch crash falls back one epoch and re-folds. A
+    * memory-only Maintainer against an existing checkpoint would skip
+    * committed batches into an empty index and silently lose pairs — the
+    * [[ComponentsStream]] restart trap — so that combination is refused
+    * unless `allowVolatileState = true`.
     */
   def start(
       docs: Dataset[Doc],
@@ -234,16 +257,16 @@ object NearDupStream {
       allowVolatileState: Boolean = false
   ): StreamingQuery = {
     require(
-      checkpoint.isEmpty || allowVolatileState,
+      checkpoint.isEmpty || maintainer.stateDir.nonEmpty || allowVolatileState,
       "checkpointLocation set but the Maintainer's index is memory-only: a " +
         "restart would skip committed batches against an empty index and " +
-        "silently lose pairs. Pass allowVolatileState = true if the " +
-        "checkpoint is known fresh.")
+        "silently lose pairs. Pass a stateDir (persisted index) or " +
+        "allowVolatileState = true if the checkpoint is known fresh.")
     val writer = docs.toDF.writeStream
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        maintainer.update(batch.toDF())
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        maintainer.update(batch.toDF(), epochId)
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }

@@ -92,6 +92,41 @@ class NearDupStreamSpec extends SparkSpec {
     assert(m.index.count() === 2L * 16L) // nothing re-banded
   }
 
+  test("stateDir restart: a fresh Maintainer resumes the persisted index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndup_state").toString
+    val m1 = new NearDupStream.Maintainer(spark, stateDir = Some(dir))
+    assert(!m1.resumed)
+    m1.update(Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"), epochId = 0L)
+    m1.update(Seq((3L, t1b), (4L, t1)).toDF("doc_id", "text"), epochId = 1L)
+    val before = streamPairs(m1)
+    val idxBefore = m1.index.count()
+
+    // crash: a brand-new Maintainer against the same stateDir
+    val m2 = new NearDupStream.Maintainer(spark, stateDir = Some(dir))
+    assert(m2.resumed)
+    assert(streamPairs(m2) === before)
+    assert(m2.index.count() === idxBefore)
+    // replay of the last batch (offsets not committed) is a no-op
+    m2.update(Seq((3L, t1b), (4L, t1)).toDF("doc_id", "text"), epochId = 1L)
+    assert(streamPairs(m2) === before)
+    // and the fold continues correctly across the restart — a late member
+    // of class t1 inherits the verified (t1, t1b) rep pair from persisted
+    // state
+    m2.update(Seq((5L, t1)).toDF("doc_id", "text"), epochId = 2L)
+    val prefix = Seq((1L, t1), (2L, t2), (3L, t1b), (4L, t1), (5L, t1))
+    assert(streamPairs(m2) === batchPairs(prefix))
+  }
+
+  test("volatile maintainer with a checkpoint is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val m = new NearDupStream.Maintainer(spark)
+    val ck = java.nio.file.Files.createTempDirectory("graft_ndup_ck").toString
+    intercept[IllegalArgumentException] {
+      NearDupStream.start(input.toDS(), m, checkpoint = Some(ck))
+    }
+  }
+
   test("random corpus, random batch cuts: prefix equality at every cut") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(7)
