@@ -304,7 +304,9 @@ object Bench {
     var requeued = Set.empty[String]
     while (round < maxRequeueRounds && {
         val stillSuspect = firstPass.collect {
-          case (name, (samples, _)) if samples.forall(_.wall >= 0) &&
+          // exists, not forall: one transiently-failed extra rep must not
+          // exempt a poisoned query from the requeue/contamination gate
+          case (name, (samples, _)) if samples.exists(_.wall >= 0) &&
             envSuspect(samples, baselineCpu.get(name)) => name
         }.toSeq
         if (stillSuspect.nonEmpty) {
@@ -321,9 +323,13 @@ object Bench {
         stillSuspect.nonEmpty
       }) round += 1
     val results = firstPass.toSeq.map { case (name, (samples, warmOk)) =>
-      val ok = samples.forall(_.wall >= 0)
-      val suspect = ok && envSuspect(samples, baselineCpu.get(name))
-      val best = if (ok) samples.filter(_.wall >= 0).minBy(_.wall) else failed
+      // a query is reported by its best SUCCESSFUL rep: a transient
+      // failure among extra/requeued reps must not turn a query with
+      // valid measurements into a -1 headline (and envSuspect already
+      // judges only the wall >= 0 samples)
+      val good = samples.filter(_.wall >= 0)
+      val suspect = good.nonEmpty && envSuspect(samples, baselineCpu.get(name))
+      val best = if (good.nonEmpty) good.minBy(_.wall) else failed
       (name, best, samples, warmOk, suspect)
     }
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

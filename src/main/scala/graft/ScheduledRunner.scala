@@ -51,10 +51,17 @@ object ScheduledRunner {
       case other    => throw new IllegalArgumentException(s"unknown policy '$other'; $usage")
     }
     val Array(_, snapshotDir, sinkPath, checkpointDir) = args.take(4)
-    val trigger =
-      if (args.length >= 6 && args(4) == "--resident")
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(args(5).toLong * 1000L)
-      else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    // strict trailing-arg parse: a misspelled or interval-less
+    // --resident must fail loudly, not silently degrade the long-lived
+    // service the operator asked for into a one-shot tick (exit 0)
+    val trigger = args.drop(4) match {
+      case Array() => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      case Array("--resident", sec) if sec.forall(_.isDigit) && sec.nonEmpty =>
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(sec.toLong * 1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unrecognized trailing args '${other.mkString(" ")}'; $usage")
+    }
 
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,

@@ -97,12 +97,18 @@ private[functions] object TarCodec {
         var nameEnd = h
         while (nameEnd < h + 100 && b(nameEnd) != 0) nameEnd += 1
         val base = new String(b, h, nameEnd - h, java.nio.charset.StandardCharsets.UTF_8)
-        // ustar prefix (345, 155 bytes): conformant writers split long
-        // paths as prefix + "/" + name — ignoring it would return
-        // silently truncated member names
-        var preEnd = h + 345
-        while (preEnd < h + 345 + 155 && b(preEnd) != 0) preEnd += 1
-        val prefix = new String(b, h + 345, preEnd - (h + 345), java.nio.charset.StandardCharsets.UTF_8)
+        // ustar prefix (345, 155 bytes): conformant POSIX writers split
+        // long paths as prefix + "/" + name — ignoring it would return
+        // silently truncated member names. GATED on version "00" at 263:
+        // GNU-format headers (magic "ustar ", version " \0" or "  ")
+        // store octal atime/ctime at 345, which would otherwise surface
+        // as a garbage prefix on every entry.
+        val posixUstar = b(h + 263) == '0'.toByte && b(h + 264) == '0'.toByte
+        val prefix = if (!posixUstar) "" else {
+          var preEnd = h + 345
+          while (preEnd < h + 345 + 155 && b(preEnd) != 0) preEnd += 1
+          new String(b, h + 345, preEnd - (h + 345), java.nio.charset.StandardCharsets.UTF_8)
+        }
         val name = if (prefix.isEmpty) base else prefix + "/" + base
         val padded = ((size + 511) / 512) * 512
         if (off + 512 + padded > b.length) return None // truncated payload

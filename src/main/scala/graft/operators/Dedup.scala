@@ -120,7 +120,9 @@ object Dedup {
       TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh")
     )
 
-  private def jaccard(aSize: Column, bSize: Column, common: Column): Column =
+  // private[graft]: the streaming twin (NearDupStream) must verify with
+  // the EXACT same formula, or the pairs ≡ batch prefix contract drifts
+  private[graft] def jaccard(aSize: Column, bSize: Column, common: Column): Column =
     common.cast("double") / (aSize + bSize - common).cast("double")
 
   /** N-gram Jaccard near-dup pairs via an inverted shingle index:

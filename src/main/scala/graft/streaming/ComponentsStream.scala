@@ -91,8 +91,8 @@ object ComponentsStream {
 
     @volatile private var labels: DataFrame = store
       .flatMap(_.load())
-      .map(_("labels"))
-      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), labelSchema))
+      .getOrElse(EpochStore.emptyFrames(spark, Seq("labels" -> labelSchema)))
+      .apply("labels")
 
     /** True iff construction reloaded a persisted epoch (restart path). */
     def resumed: Boolean = store.exists(_.latestCommitted >= 0)

@@ -70,8 +70,8 @@ object CurationStream {
 
     @volatile private var kept: DataFrame = store
       .flatMap(_.load())
-      .map(_("kept"))
-      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), keptSchema))
+      .getOrElse(EpochStore.emptyFrames(spark, Seq("kept" -> keptSchema)))
+      .apply("kept")
 
     /** True iff construction reloaded a persisted epoch (restart path). */
     def resumed: Boolean = store.exists(_.latestCommitted >= 0)

@@ -59,35 +59,57 @@ final class EpochStore(
     }.toMap)
   }
 
-  /** Empty frames matching the declared schemas (the fresh-start state). */
-  def emptyFrames: Map[String, DataFrame] =
-    frames.map { case (name, schema) =>
-      name -> spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    }.toMap
-
   /** Persist epoch `epochId`: every frame first, marker second, GC of
     * epochs older than the previous committed one last.
+    *
+    * A negative epochId (the maintainers' direct-drive default, outside a
+    * streaming query) maps to latestCommitted + 1 — epoch "-1" would be
+    * unloadable because the loader treats e < 0 as "fresh dir".
+    *
+    * If this epoch's marker already exists, the save is a NO-OP: the
+    * batch is a replay (offsets crashed before committing), the fold that
+    * produced `state` is idempotent, and rewriting a committed epoch's
+    * frame dirs in place would break the data-first/marker-second crash
+    * invariant (a crash mid-rewrite leaves a marker pointing at a partial
+    * parquet dir).
     */
   def save(epochId: Long, state: Map[String, DataFrame]): Unit = {
     val prev = latestCommitted
+    val e = if (epochId >= 0) epochId else prev + 1
+    val f = fs(new Path(dir))
+    if (f.exists(new Path(dir, s"commits/$e"))) return
     frames.foreach { case (name, _) =>
-      state(name).write.mode("overwrite").parquet(s"$dir/$name/epoch=$epochId")
+      state(name).write.mode("overwrite").parquet(s"$dir/$name/epoch=$e")
     }
-    val marker = new Path(dir, s"commits/$epochId")
-    val f = fs(marker)
+    val marker = new Path(dir, s"commits/$e")
     f.mkdirs(marker.getParent)
     f.create(marker, true).close()
     if (prev >= 0) {
       val commits = new Path(dir, "commits")
       f.listStatus(commits).toSeq
         .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-        .filter(e => e < prev)
-        .foreach { e =>
+        .filter(old => old < prev)
+        .foreach { old =>
           frames.foreach { case (name, _) =>
-            f.delete(new Path(dir, s"$name/epoch=$e"), true)
+            f.delete(new Path(dir, s"$name/epoch=$old"), true)
           }
-          f.delete(new Path(dir, s"commits/$e"), false)
+          f.delete(new Path(dir, s"commits/$old"), false)
         }
     }
   }
+}
+
+object EpochStore {
+
+  /** Empty frames matching the declared schemas — the fresh-start state
+    * every maintainer falls back to when no epoch is committed (or no
+    * stateDir is configured).
+    */
+  def emptyFrames(
+      spark: SparkSession,
+      frames: Seq[(String, StructType)]
+  ): Map[String, DataFrame] =
+    frames.map { case (name, schema) =>
+      name -> spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }.toMap
 }

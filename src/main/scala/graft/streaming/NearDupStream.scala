@@ -91,10 +91,9 @@ object NearDupStream {
 
     private val store: Option[EpochStore] =
       stateDir.map(new EpochStore(spark, _, frameSchemas))
-    private val initial: Map[String, DataFrame] = store.flatMap(_.load()).getOrElse(
-      frameSchemas.map { case (name, schema) =>
-        name -> spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      }.toMap)
+    private val initial: Map[String, DataFrame] = store
+      .flatMap(_.load())
+      .getOrElse(EpochStore.emptyFrames(spark, frameSchemas))
 
     /** True iff construction reloaded a persisted epoch (restart path). */
     def resumed: Boolean = store.exists(_.latestCommitted >= 0)
@@ -170,9 +169,9 @@ object NearDupStream {
       val newRepPairs = cand
         .join(shAll.select(col("rep_id").as("a_rep"), col("sh").as("a_sh")), "a_rep")
         .join(shAll.select(col("rep_id").as("b_rep"), col("sh").as("b_sh")), "b_rep")
-        .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType))
+        .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
         .withColumn("jac",
-          round(col("common") / (size(col("a_sh")) + size(col("b_sh")) - col("common")), 6))
+          round(Dedup.jaccard(size(col("a_sh")), size(col("b_sh")), col("common")), 6))
         .where(col("jac") >= threshold)
         .select(col("a_rep"), col("b_rep"), col("jac"))
         .localCheckpoint(true)

@@ -114,8 +114,10 @@ class ComponentsStreamSpec extends SparkSpec {
       assert(currentLabels(m2).contains((11L, 1L)))
       assert(currentLabels(m2).contains((21L, 0L)))
       // epoch GC bounds the state dir: at most the latest two epochs
-      val epochs = new java.io.File(state)
+      // (EpochStore layout: <stateDir>/labels/epoch=<id>)
+      val epochs = new java.io.File(state, "labels")
         .listFiles().toSeq.map(_.getName).filter(_.startsWith("epoch="))
+      assert(epochs.nonEmpty, "no persisted epochs found — wrong layout?")
       assert(epochs.size <= 2, s"stale epochs not GC'd: $epochs")
     } finally q2.stop()
   }

@@ -119,6 +119,20 @@ class CurationStreamSpec extends SparkSpec {
     assert(streamSel(m2) === batchSel(ds.map { case (id, s, t) => Doc(id, s, t) }, cap = 3))
   }
 
+  test("direct-drive updates (default epochId) persist loadable epochs") {
+    // outside a streaming query there is no epochId; EpochStore maps the
+    // -1 default to latestCommitted + 1 so the persisted state is still
+    // loadable (epoch "-1" would read back as a fresh dir)
+    val ds = passing.take(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_direct").toString
+    val m1 = new CurationStream.Maintainer(spark, cap = 5, stateDir = Some(dir))
+    m1.update(ds.take(2).map { case (id, s, t) => Doc(id, s, t) }.toDF())
+    m1.update(ds.slice(2, 4).map { case (id, s, t) => Doc(id, s, t) }.toDF())
+    val m2 = new CurationStream.Maintainer(spark, cap = 5, stateDir = Some(dir))
+    assert(m2.resumed)
+    assert(streamSel(m2) === streamSel(m1))
+  }
+
   test("volatile maintainer with a checkpoint is refused") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]

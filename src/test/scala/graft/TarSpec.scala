@@ -86,6 +86,26 @@ class TarSpec extends SparkSpec {
     assert(got.get.map(_.getString(0)) === Seq("deep/nested/shard-00042/sample.txt"))
   }
 
+  test("GNU-version headers do NOT join offset 345 as a prefix (it holds atime/ctime there)") {
+    // same header but version " \0" (GNU magic "ustar ") instead of
+    // POSIX "00": bytes at 345 are octal atime/ctime, and joining them
+    // would garble every member name
+    val payload = "x".getBytes("UTF-8")
+    val h = header("sample.txt", "13735123456", '0'.toByte, 1)
+    h(262) = ' '; h(263) = ' '; h(264) = 0 // GNU "ustar  \0" magic+version
+    // re-checksum after the mutation
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.map(_ & 0xff).sum.toLong
+    val cs = java.lang.Long.toOctalString(sum)
+    val cp = ("0" * (6 - cs.length)) + cs
+    for (i <- 0 until 6) h(148 + i) = cp.charAt(i).toByte
+    h(154) = 0; h(155) = ' '.toByte
+    val got = walk(archive((h, payload)))
+    assert(got.isDefined)
+    assert(got.get.map(_.getString(0)) === Seq("sample.txt"),
+      "GNU header's timestamp bytes were joined as a path prefix")
+  }
+
   test("pre-POSIX NUL typeflag is a regular file") {
     val payload = "y".getBytes("UTF-8")
     val got = walk(archive((header("a.txt", "", 0.toByte, 1), payload)))
