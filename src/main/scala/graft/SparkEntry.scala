@@ -2069,6 +2069,30 @@ object SparkEntry {
     Bpe.segmentWords(docs, merges).orderBy(col("w"))
   }
 
+  /** BPE corpus-encode surface (x121): every document rendered to the
+    * subword token ids a training run consumes — the third leg of
+    * tokenizer prep after x64 (learn) and x65 (segment). See
+    * [[graft.operators.Bpe.encodeCorpus]]: frequency-ordered vocabulary
+    * ids (bounded by alphabet + m merges — driver-literal by
+    * construction), one broadcast join of the corpus position explode
+    * against the vocabulary-sized segmentation table. The oracle extends
+    * the x64/x65 unrolled chain with the vocab ranking and the same
+    * parallel-unnest position indexing, so train ≡ segment ≡ encode is
+    * one consistency chain certified end to end.
+    */
+  private def x121(s: SparkSession, dir: String): DataFrame = {
+    val docs = dts(s, dir).select(col("doc_id"), col("text"))
+    val merges = Bpe
+      .learnMerges(docs.select(col("text")), m = bpeMerges)
+      .orderBy(col("iter"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    Bpe
+      .encodeCorpus(docs, merges)
+      .orderBy(col("doc_id"), col("pos"), col("sub_pos"))
+  }
+
   /** Stable-sharding surface: rendezvous (highest-random-weight)
     * assignment of every document to one of 8 shards — see
     * [[graft.operators.Mix.rendezvousShard]]. Map-only, md5-replayable;
@@ -3915,6 +3939,7 @@ object SparkEntry {
     "x118_int_pq_trained" -> (x118 _),
     "x119_ivf_pq_adc" -> (x119 _),
     "x120_curation_pipeline" -> (x120 _),
+    "x121_bpe_encode" -> (x121 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5727,6 +5752,41 @@ object SparkEntry {
            |  array_to_string(string_split_regex(trim(s), '\\s+'), ' ') AS segmentation,
            |  CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_subwords
            |FROM w$bpeMerges ORDER BY w""".stripMargin),
+    // x121: the x64/x65 unrolled chain extended three CTEs — vocab ids by
+    // (weighted count desc, symbol asc) over the final word table,
+    // (doc, pos, word) via DuckDB's parallel unnest (zip) with 0-based
+    // positions over the RAW split (empties filtered after indexing,
+    // matching the Spark side), segmentation re-split with sub positions,
+    // id join. train ≡ segment ≡ encode in one replay.
+    "x121_bpe_encode" ->
+      (s"""WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+        |), wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
+        |), w0 AS MATERIALIZED (
+        |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
+        |),""".stripMargin +
+        (1 to bpeMerges).map(bpeIterSql).mkString(",") + "," +
+        s"""
+        |fin AS MATERIALIZED (
+        |  SELECT w, cnt, string_split_regex(trim(s), '\\s+') AS syms FROM w$bpeMerges
+        |), vocab AS MATERIALIZED (
+        |  SELECT sym, row_number() OVER (ORDER BY c DESC, sym) - 1 AS token_id
+        |  FROM (SELECT sym, sum(cnt) AS c
+        |        FROM (SELECT cnt, unnest(syms) AS sym FROM fin) GROUP BY sym)
+        |), dtk AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(ts) AS w, unnest(range(len(ts))) AS pos
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents))
+        |  WHERE length(w) > 0
+        |), enc AS (
+        |  SELECT d.doc_id, d.pos, unnest(f.syms) AS sym, unnest(range(len(f.syms))) AS sub_pos
+        |  FROM dtk d JOIN fin f USING (w)
+        |)
+        |SELECT e.doc_id, CAST(e.pos AS INT) AS pos, CAST(e.sub_pos AS INT) AS sub_pos,
+        |  CAST(v.token_id AS BIGINT) AS token_id
+        |FROM enc e JOIN vocab v USING (sym)
+        |ORDER BY e.doc_id, pos, sub_pos""".stripMargin),
     // x66: all 8 rendezvous weights per doc via the x57 hex→int splice,
     // argmax by (weight desc, shard asc) — the operator's first-position
     // tie-break in window form.

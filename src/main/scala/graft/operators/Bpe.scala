@@ -178,6 +178,68 @@ object Bpe {
     * @return one row per distinct word: w, cnt, segmentation
     *         (single-space-joined symbols), n_subwords
     */
+  /** Encode every DOCUMENT to subword token ids — the third leg of
+    * tokenizer prep (learn x64 → segment x65 → encode x121), producing
+    * what a training run actually consumes. One row per (doc, word
+    * position, subword position) with the subword's vocabulary id:
+    * flat integers, so the output is hash-stable on any engine.
+    *
+    * VOCABULARY ids are assigned (corpus count desc, symbol asc) over the
+    * trained segmentation's symbols — the standard frequency-ordered id
+    * convention. The vocab is BOUNDED BY CONSTRUCTION: after m merges the
+    * symbol set is (base alphabet ∪ ≤m merged symbols), so collecting it
+    * for the id map is alphabet+m driver rows — the merges-as-literals
+    * posture [[segmentWords]] already takes, NOT corpus-sized state.
+    *
+    * Scale shape: [[segmentWords]] gives the word → segmentation table
+    * (vocabulary-sized); the encode is ONE broadcast equi-join of the
+    * corpus's (doc, pos, word) explode against it, with the id lookup a
+    * map literal inside the projection — no corpus-side shuffle beyond
+    * the explode, order carried by (pos, sub_pos) so no re-sort is
+    * needed to reassemble.
+    *
+    * @return (doc_id, pos, sub_pos, token_id): word position within the
+    *         doc and subword position within the word, both 0-based over
+    *         the raw whitespace split (empty tokens filtered AFTER
+    *         indexing on both engines).
+    */
+  def encodeCorpus(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val seg = segmentWords(docs, merges, textCol)
+    val vocab: Array[(String, Long)] = seg
+      .select(explode(split(col("segmentation"), " ")).as("sym"), col("cnt"))
+      .groupBy(col("sym"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("sym"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (r.getString(0), i.toLong) }
+    val idMap = map(vocab.flatMap { case (s, i) => Seq(lit(s), lit(i)) }.toSeq: _*)
+
+    val words = docs
+      .select(
+        col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+    words
+      .join(
+        broadcast(seg.select(col("w"), split(col("segmentation"), " ").as("syms"))),
+        "w")
+      .select(
+        col(idCol),
+        col("pos").cast("int").as("pos"),
+        posexplode(col("syms")).as(Seq("sub_pos", "sym")))
+      .select(
+        col(idCol),
+        col("pos"),
+        col("sub_pos").cast("int").as("sub_pos"),
+        element_at(idMap, col("sym")).as("token_id"))
+  }
+
   def segmentWords(
       docs: DataFrame,
       merges: Seq[(String, String)],

@@ -112,6 +112,30 @@ class BpeSpec extends SparkSpec {
     assert(seg.toSeq === Seq(("ab", 1L, "a b", 2L), ("abc", 2L, "a b c", 3L)))
   }
 
+  test("encodeCorpus: doc-ordered token ids, frequency-ordered vocab, empty-token indexing") {
+    // corpus: "ab ab ab c" ×2 docs — merge 1 is (a,b); vocab by weighted
+    // count: ab=6, c=2 → ids ab=0, c=1
+    val docs = Seq((1L, "ab ab ab c"), (2L, "ab ab ab c")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs.select($"text"), m = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === Seq(("a", "b")))
+    val enc = Bpe.encodeCorpus(docs, merges)
+      .orderBy($"doc_id", $"pos", $"sub_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val perDoc = Seq((0, 0, 0L), (1, 0, 0L), (2, 0, 0L), (3, 0, 1L))
+    val expected = Seq(1L, 2L).flatMap(d => perDoc.map { case (p, sp, id) => (d, p, sp, id) })
+    assert(enc.toSeq === expected)
+
+    // with ZERO merges, a multi-char word fans out sub positions and the
+    // vocab ranks single chars: a=6, b=6 → tie broken (count desc, sym
+    // asc) → a=0, b=1, c=2
+    val enc0 = Bpe.encodeCorpus(docs.where($"doc_id" === 1), Seq.empty)
+      .orderBy($"pos", $"sub_pos")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(enc0.toSeq === Seq(
+      (0, 0, 0L), (0, 1, 1L), (1, 0, 0L), (1, 1, 1L), (2, 0, 0L), (2, 1, 1L), (3, 0, 2L)))
+  }
+
   test("result is partitioning-invariant") {
     val docs = (0 until 60).map(i => s"tok${i % 7} red${i % 3} blue${i % 5}")
     val base = run(docs, 3)
