@@ -284,19 +284,27 @@ object Bench {
       }
       false
     }
-    val firstPass = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Run], Boolean)]
+    // per query: (all samples, warmup ok, INITIAL reps all ok). The
+    // initial-rep verdict is what the headline reports on: a query that
+    // fails any of its first 3 timed runs is broken-of-record (wall -1),
+    // while a transient failure among EXTRA/requeued reps — runs that
+    // exist only to heal co-tenant noise — must not fake a -1 for a
+    // query with valid initial measurements. Both self-heal tiers gate
+    // on the same initial verdict (healing a failed query is pointless).
+    val firstPass =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Run], Boolean, Boolean)]
     qs.foreach { case (name, fn) =>
       // a failing warm-up skips the timed runs: a broken query pays ONE
       // failing execution, not four, and warm_ok in the detail attributes
       // the failure to the warm-up pass instead of an unexplained stderr line
       val warmOk = !warmup || timed(name, fn).wall >= 0
       var samples: Seq[Run] = if (warmOk) (1 to 3).map(_ => timed(name, fn)) else Seq(failed)
-      val ok = samples.forall(_.wall >= 0)
+      val initialOk = samples.forall(_.wall >= 0)
       var extra = 0
-      while (ok && envSuspect(samples, baselineCpu.get(name)) && extra < maxExtraReps) {
+      while (initialOk && envSuspect(samples, baselineCpu.get(name)) && extra < maxExtraReps) {
         samples = samples :+ timed(name, fn); extra += 1
       }
-      firstPass(name) = (samples, warmOk)
+      firstPass(name) = (samples, warmOk, initialOk)
     }
     val fnByName = qs.toMap
     val maxRequeueRounds = 2
@@ -304,9 +312,7 @@ object Bench {
     var requeued = Set.empty[String]
     while (round < maxRequeueRounds && {
         val stillSuspect = firstPass.collect {
-          // exists, not forall: one transiently-failed extra rep must not
-          // exempt a poisoned query from the requeue/contamination gate
-          case (name, (samples, _)) if samples.exists(_.wall >= 0) &&
+          case (name, (samples, _, initialOk)) if initialOk &&
             envSuspect(samples, baselineCpu.get(name)) => name
         }.toSeq
         if (stillSuspect.nonEmpty) {
@@ -314,22 +320,18 @@ object Bench {
             s"[bench] requeue round ${round + 1}: ${stillSuspect.mkString(", ")}")
           stillSuspect.foreach { name =>
             waitForQuietHost(90.0)
-            val (samples, warmOk) = firstPass(name)
+            val (samples, warmOk, initialOk) = firstPass(name)
             firstPass(name) =
-              (samples ++ (1 to 3).map(_ => timed(name, fnByName(name))), warmOk)
+              (samples ++ (1 to 3).map(_ => timed(name, fnByName(name))), warmOk, initialOk)
             requeued += name
           }
         }
         stillSuspect.nonEmpty
       }) round += 1
-    val results = firstPass.toSeq.map { case (name, (samples, warmOk)) =>
-      // a query is reported by its best SUCCESSFUL rep: a transient
-      // failure among extra/requeued reps must not turn a query with
-      // valid measurements into a -1 headline (and envSuspect already
-      // judges only the wall >= 0 samples)
+    val results = firstPass.toSeq.map { case (name, (samples, warmOk, initialOk)) =>
       val good = samples.filter(_.wall >= 0)
-      val suspect = good.nonEmpty && envSuspect(samples, baselineCpu.get(name))
-      val best = if (good.nonEmpty) good.minBy(_.wall) else failed
+      val suspect = initialOk && envSuspect(samples, baselineCpu.get(name))
+      val best = if (initialOk && good.nonEmpty) good.minBy(_.wall) else failed
       (name, best, samples, warmOk, suspect)
     }
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -165,19 +165,6 @@ object Bpe {
     out(ms.toSeq.map(x => (x.iter, x.a, x.b, x.a + x.b, x.pc, x.after)))
   }
 
-  /** Apply a learned merge list to segment every distinct corpus word —
-    * the ENCODE half of BPE: each merge replaces globally, in learned
-    * order, exactly as training did (so training corpus words segment to
-    * exactly the symbols training left them with).
-    *
-    * Map-only: the merge table is bounded driver state (m rows — the
-    * learnMerges contract), folded into m chained literal replaces inside
-    * one projection; no shuffle beyond the word-count aggregation itself.
-    *
-    * @param merges (left, right) pairs in application order
-    * @return one row per distinct word: w, cnt, segmentation
-    *         (single-space-joined symbols), n_subwords
-    */
   /** Encode every DOCUMENT to subword token ids — the third leg of
     * tokenizer prep (learn x64 → segment x65 → encode x121), producing
     * what a training run actually consumes. One row per (doc, word
@@ -209,7 +196,10 @@ object Bpe {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val seg = segmentWords(docs, merges, textCol)
+    // materialized once: both the vocab collect and the broadcast join
+    // read it, and the un-truncated plan would re-run the corpus word
+    // count + m chained replaces per consumer
+    val seg = segmentWords(docs, merges, textCol).localCheckpoint(true)
     val vocab: Array[(String, Long)] = seg
       .select(explode(split(col("segmentation"), " ")).as("sym"), col("cnt"))
       .groupBy(col("sym"))
@@ -240,6 +230,19 @@ object Bpe {
         element_at(idMap, col("sym")).as("token_id"))
   }
 
+  /** Apply a learned merge list to segment every distinct corpus word —
+    * the ENCODE half of BPE: each merge replaces globally, in learned
+    * order, exactly as training did (so training corpus words segment to
+    * exactly the symbols training left them with).
+    *
+    * Map-only: the merge table is bounded driver state (m rows — the
+    * learnMerges contract), folded into m chained literal replaces inside
+    * one projection; no shuffle beyond the word-count aggregation itself.
+    *
+    * @param merges (left, right) pairs in application order
+    * @return one row per distinct word: w, cnt, segmentation
+    *         (single-space-joined symbols), n_subwords
+    */
   def segmentWords(
       docs: DataFrame,
       merges: Seq[(String, String)],

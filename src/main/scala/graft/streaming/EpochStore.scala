@@ -66,18 +66,30 @@ final class EpochStore(
     * streaming query) maps to latestCommitted + 1 — epoch "-1" would be
     * unloadable because the loader treats e < 0 as "fresh dir".
     *
-    * If this epoch's marker already exists, the save is a NO-OP: the
-    * batch is a replay (offsets crashed before committing), the fold that
-    * produced `state` is idempotent, and rewriting a committed epoch's
-    * frame dirs in place would break the data-first/marker-second crash
-    * invariant (a crash mid-rewrite leaves a marker pointing at a partial
-    * parquet dir).
+    * epochId == latestCommitted is a NO-OP: the batch is a replay
+    * (offsets crashed before committing), the fold that produced `state`
+    * is idempotent, and rewriting a committed epoch's frame dirs in place
+    * would break the data-first/marker-second crash invariant (a crash
+    * mid-rewrite leaves a marker pointing at a partial parquet dir).
+    *
+    * epochId < latestCommitted THROWS: a streaming offset log never goes
+    * backward, so a smaller id means a NEW checkpoint was pointed at this
+    * OLD stateDir (checkpoint wiped, stateDir kept). Proceeding would be
+    * silent data loss twice over — the new batches' saves would GC
+    * themselves (every e < prev is "stale" to the collector) and the
+    * replay no-op would skip the colliding epoch entirely.
     */
   def save(epochId: Long, state: Map[String, DataFrame]): Unit = {
     val prev = latestCommitted
     val e = if (epochId >= 0) epochId else prev + 1
+    if (e == prev) return
+    if (e < prev)
+      throw new IllegalStateException(
+        s"epoch $e is behind this stateDir's committed epoch $prev: a fresh " +
+          "streaming checkpoint is being replayed against old persisted state. " +
+          "Wipe the stateDir together with the checkpoint, or resume the " +
+          "original checkpoint.")
     val f = fs(new Path(dir))
-    if (f.exists(new Path(dir, s"commits/$e"))) return
     frames.foreach { case (name, _) =>
       state(name).write.mode("overwrite").parquet(s"$dir/$name/epoch=$e")
     }

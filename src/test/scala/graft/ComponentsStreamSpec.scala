@@ -114,9 +114,11 @@ class ComponentsStreamSpec extends SparkSpec {
       assert(currentLabels(m2).contains((11L, 1L)))
       assert(currentLabels(m2).contains((21L, 0L)))
       // epoch GC bounds the state dir: at most the latest two epochs
-      // (EpochStore layout: <stateDir>/labels/epoch=<id>)
-      val epochs = new java.io.File(state, "labels")
-        .listFiles().toSeq.map(_.getName).filter(_.startsWith("epoch="))
+      // (EpochStore layout: <stateDir>/labels/epoch=<id>; listFiles is
+      // null when the dir is missing, so guard before the diagnostic)
+      val epochs = Option(new java.io.File(state, "labels").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .toSeq.map(_.getName).filter(_.startsWith("epoch="))
       assert(epochs.nonEmpty, "no persisted epochs found — wrong layout?")
       assert(epochs.size <= 2, s"stale epochs not GC'd: $epochs")
     } finally q2.stop()

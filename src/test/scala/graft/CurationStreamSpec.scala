@@ -133,6 +133,22 @@ class CurationStreamSpec extends SparkSpec {
     assert(streamSel(m2) === streamSel(m1))
   }
 
+  test("a fresh checkpoint replayed against old persisted state fails loudly") {
+    // a streaming offset log never goes backward, so an epochId behind
+    // the stateDir's committed epoch means the checkpoint was wiped while
+    // the state survived — proceeding would silently lose folds (the new
+    // epochs would GC themselves and the colliding epoch would no-op)
+    val ds = passing.take(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_stale").toString
+    val m1 = new CurationStream.Maintainer(spark, cap = 5, stateDir = Some(dir))
+    m1.update(ds.take(2).map { case (id, s, t) => Doc(id, s, t) }.toDF(), epochId = 0L)
+    m1.update(ds.slice(2, 4).map { case (id, s, t) => Doc(id, s, t) }.toDF(), epochId = 1L)
+    val m2 = new CurationStream.Maintainer(spark, cap = 5, stateDir = Some(dir))
+    intercept[IllegalStateException] {
+      m2.update(ds.take(2).map { case (id, s, t) => Doc(id, s, t) }.toDF(), epochId = 0L)
+    }
+  }
+
   test("volatile maintainer with a checkpoint is refused") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
