@@ -28,7 +28,12 @@ object ExponentProbe {
     "x11_embed_neardup" -> "embeddings",
     "x46_pagerank" -> "orders",
     "x72_seed_distance" -> "documents",
-    "x103_ccnet_buckets" -> "documents")
+    "x103_ccnet_buckets" -> "documents",
+    // round-11 additions: the BPE encode (linear in corpus positions on
+    // top of the fixed 64-round merge chain) and IVFADC (training rounds
+    // are fixed driver jobs; the probe join is candidate-bound)
+    "x121_bpe_encode" -> "documents",
+    "x119_ivf_pq_adc" -> "embeddings")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
