@@ -133,6 +133,30 @@ class CurationStreamSpec extends SparkSpec {
     assert(streamSel(m2) === streamSel(m1))
   }
 
+  test("mid-write crash (frames without marker) falls back one epoch and re-folds") {
+    // the EpochStore crash matrix's third row: epoch N+1's frames are on
+    // disk but the commit marker never landed — the loader must resume
+    // from epoch N, and Spark's uncommitted offsets replay batch N+1,
+    // whose re-fold restores exactly what was lost
+    val ds = passing.take(6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_crash").toString
+    val m1 = new CurationStream.Maintainer(spark, cap = 5, stateDir = Some(dir))
+    val b0 = ds.take(3).map { case (id, s, t) => Doc(id, s, t) }
+    val b1 = ds.slice(3, 6).map { case (id, s, t) => Doc(id, s, t) }
+    m1.update(b0.toDF(), epochId = 0L)
+    val afterB0 = streamSel(m1)
+    m1.update(b1.toDF(), epochId = 1L)
+    // simulate the crash: epoch-1 frames persisted, marker gone
+    assert(new java.io.File(dir, "commits/1").delete(), "marker should exist")
+
+    val m2 = new CurationStream.Maintainer(spark, cap = 5, stateDir = Some(dir))
+    assert(m2.resumed)
+    assert(streamSel(m2) === afterB0, "loader did not fall back to epoch 0")
+    // the replayed batch re-folds what was lost
+    m2.update(b1.toDF(), epochId = 1L)
+    assert(streamSel(m2) === batchSel(b0 ++ b1, cap = 5))
+  }
+
   test("a fresh checkpoint replayed against old persisted state fails loudly") {
     // a streaming offset log never goes backward, so an epochId behind
     // the stateDir's committed epoch means the checkpoint was wiped while
