@@ -182,6 +182,19 @@ class PlanGuardSpec extends SparkSpec {
       s"x119 broadcasts the code table instead of the probes: $probe")
   }
 
+  test("x121 encode joins the corpus explode against a BROADCAST segmentation table") {
+    // the segmentation table is vocabulary-sized by construction; the
+    // corpus's (doc, pos, word) explode — the 100 TB side — must never
+    // exchange for the join. broadcast(seg) is the right input →
+    // BuildRight.
+    val p = SparkEntry.queries("x121_bpe_encode")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val joins = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.nonEmpty, s"x121 encode join lost its broadcast pin:\n$p")
+    assert(joins.forall(_.contains("BuildRight")),
+      s"x121 broadcasts the corpus side instead of the segmentation table: $joins")
+  }
+
   test("x120 curation pipeline is exactly two exchanges (md5 dedup + source cap)") {
     // the composed pipeline's scale claim: map-side screens fuse into the
     // projections around two bounded window shuffles — a refactor that
