@@ -3455,6 +3455,28 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"), col("a_start"), col("b_start"))
   }
 
+  /** Exact-substring CLEAN surface (x122): [[graft.operators
+    * .SubstringDedup.removeSharedSpans]] over the SAME span-injected
+    * corpus as x114 — the APPLY half of Lee et al.'s substring dedup:
+    * every losing (b-side, min-id-keeps) span occurrence cut from its
+    * document, overlapping spans merged by the islands window, text
+    * rebuilt map-side from the per-doc interval list. The oracle extends
+    * x114's replay with the same islands merge and a parallel-unnest
+    * rebuild, so find ≡ remove is one certified chain.
+    */
+  private def x122(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" " + spanInj)))
+          .when(col("doc_id") % 41 === 0, concat(lit(spanInj + " "), col("text")))
+          .otherwise(col("text"))
+          .as("text"))
+    SubstringDedup
+      .removeSharedSpans(docs, l = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 retrieval surface (x115): [[graft.operators.Retrieval
     * .bm25TopK]] — sparse lexical top-5 per query under the
     * exact-integer contract (milli k1/b, four named floor divisions,
@@ -3940,6 +3962,7 @@ object SparkEntry {
     "x119_ivf_pq_adc" -> (x119 _),
     "x120_curation_pipeline" -> (x120 _),
     "x121_bpe_encode" -> (x121 _),
+    "x122_remove_spans" -> (x122 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6583,6 +6606,67 @@ object SparkEntry {
         |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY a_id, b_id, dg, k
         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+    // x122: x114's replay extended with the losing-interval islands merge
+    // (running-max window, overlapping spans fuse), a parallel-unnest
+    // token rebuild with 0-based positions, and the anti-join cut — the
+    // find ≡ remove consistency chain.
+    "x122_remove_spans" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 37 = 0 THEN text || ' $spanInj'
+        |         WHEN doc_id % 41 = 0 THEN '$spanInj ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM d0
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    md5(array_to_string(toks[i:i+7], ' ')) AS h
+        |  FROM tk, LATERAL unnest(range(1, len(toks) - 6)) t(i)
+        |  WHERE len(toks) >= 8
+        |), m AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa, b.p AS pb
+        |  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT a_id, b_id, pa - pb AS dg, pa, pb,
+        |    pa - row_number() OVER (
+        |      PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS k
+        |  FROM m
+        |), sp AS (
+        |  SELECT b_id AS doc_id,
+        |    CAST(min(pb) AS BIGINT) AS s,
+        |    CAST(min(pb) + count(*) + 7 AS BIGINT) AS e
+        |  FROM isl GROUP BY a_id, b_id, dg, k
+        |), mg AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (
+        |        PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM sp
+        |), mg2 AS (
+        |  SELECT doc_id, s, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                  ROWS UNBOUNDED PRECEDING) AS isl2
+        |  FROM mg
+        |), iv AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg2 GROUP BY doc_id, isl2
+        |), pos AS (
+        |  SELECT doc_id, unnest(toks) AS t, unnest(range(len(toks))) AS i FROM tk
+        |), kept AS (
+        |  SELECT p.doc_id, p.t, p.i FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |                    WHERE iv.doc_id = p.doc_id AND p.i >= iv.s AND p.i < iv.e)
+        |), kept2 AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT tk.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_tokens
+        |FROM tk LEFT JOIN kept2 k USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin,
     // x115: the integer BM25 contract replayed stage by stage — postings,
     // df, the two corpus scalars, lf_ppm / denom_u / norm_ppm / idf_ppm /
     // contrib with the same floor divisions, term-set queries, top-5 by

@@ -188,4 +188,76 @@ object SubstringDedup {
         (count(lit(1)) + (l - 1)).cast(LongType).as("span_tokens"))
       .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"), col("span_tokens"))
   }
+
+  /** The APPLY half of exact-substring dedup (Lee et al. 2022 §4.1 —
+    * after finding duplicated spans, REMOVE all but one occurrence from
+    * the corpus): every document rebuilt with its losing span tokens cut
+    * out. "Keep one copy" is the deterministic min-id rule: a span's
+    * occurrence in the SMALLEST doc id survives, every other occurrence
+    * (the b-side of each [[maximalSharedSpans]] pair, since a_id < b_id)
+    * is removed — so a licence block quoted by 10 000 pages survives
+    * exactly once, in the earliest page. Output text is the
+    * token-normalized form (single-space joined — the span grid's own
+    * coordinate system).
+    *
+    * Shape: span mining as [[maximalSharedSpans]]; losing intervals
+    * merge per doc via the classic islands-over-running-max window (one
+    * doc-keyed exchange; overlapping spans from DIFFERENT pairs fuse
+    * here); the rebuild is map-side — each doc's merged interval list
+    * (≤ spans-per-doc rows, collected per doc not per token) joins back
+    * once, and the cut is a `filter`/`exists` pass over the token array
+    * with positions, NO token-level join or re-sort.
+    *
+    * @return one row per input doc: doc_id, clean_text, n_tokens
+    *         (original), n_removed_tokens
+    */
+  def removeSharedSpans(
+      docs: DataFrame,
+      l: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val losing = maximalSharedSpans(docs, l, idCol, textCol)
+      .select(
+        col("b_id").as(idCol),
+        col("b_start").as("s"),
+        (col("b_start") + col("span_tokens")).as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val merged = losing
+      .withColumn(
+        "prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "new_isl",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(w))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(ivs, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("toks"),
+        coalesce(col("ivs"), array().cast("array<struct<s:bigint,e:bigint>>")).as("ivs"))
+      .select(
+        col(idCol),
+        filter(
+          zip_with(
+            col("toks"),
+            sequence(lit(0L), size(col("toks")).cast("long") - 1),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+          x => !exists(col("ivs"), iv => x("i") >= iv("s") && x("i") < iv("e"))
+        ).as("kept"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .select(
+        col(idCol),
+        concat_ws(" ", transform(col("kept"), x => x("t"))).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed_tokens"))
+  }
 }

@@ -173,4 +173,40 @@ class SubstringDedupSpec extends SparkSpec {
     assert(r1 === rows(df8))
     assert(r1.nonEmpty && r1.forall(_._5 === 9L))
   }
+
+  test("removeSharedSpans: min-id keeps, losers cut, overlaps merge, untouched docs intact") {
+    // an 8-token span shared by docs 1/2/3: doc 1 keeps it, 2 and 3 lose
+    // it; doc 4 is unrelated and must come back verbatim (token-joined)
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $span"),
+      (2L, s"$span three four"),
+      (3L, s"five $span six"),
+      (4L, "quiet words that nobody repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.removeSharedSpans(docs, l = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("one two " + span, 10L, 0L)), "min-id doc must keep its copy")
+    assert(got(2L) === (("three four", 10L, 8L)))
+    assert(got(3L) === (("five six", 10L, 8L)))
+    assert(got(4L) === (("quiet words that nobody repeats anywhere at all", 8L, 0L)))
+
+    // overlapping losing spans merge: doc 20 shares [0,9) with doc 10 and
+    // [1,10) with doc 11 — the union [0,10) is cut once, not double-counted
+    val s10 = "a1 a2 a3 a4 a5 a6 a7 a8 a9"        // 9 tokens
+    val s11 = "a2 a3 a4 a5 a6 a7 a8 a9 a10"       // 9 tokens, shifted by 1
+    val docs2 = Seq(
+      (10L, s"$s10 filler10 fillerx10"),
+      (11L, s"$s11 filler11 fillerx11"),
+      (20L, s"$s10 a10 tail20 tailx20")           // contains both spans
+    ).toDF("doc_id", "text")
+    val got2 = SubstringDedup.removeSharedSpans(docs2, l = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    assert(got2(20L) === (("tail20 tailx20", 10L)), "overlapping spans must merge to one cut")
+    assert(got2(10L)._2 === 0L, "doc 10 is the min id of its pair — keeps")
+  }
 }
