@@ -49,7 +49,9 @@ import org.apache.spark.sql.SparkSession
   *
   * And the artifact is SELF-GATING: a query whose three cleanest reps
   * still disagree >3× in process-CPU (or whose best rep burns >2× the
-  * committed quiet-host baseline's CPU) after self-heal retries is
+  * committed quiet-host baseline's CPU, or whose best WALL exceeds 2×
+  * the baseline's best wall — the r11 blind spot where co-tenant load
+  * inflated wall and cpu together) after self-heal retries is
   * marked `env_suspect`; a suspect HEADLINE query marks the whole
   * artifact `"contaminated": true` and exits non-zero — a poisoned run
   * can no longer be committed as the number of record (round-8 verdict
@@ -222,11 +224,20 @@ object Bench {
     //   (b) best-rep CPU > 2× (and > 0.5 s above) the committed
     //       baseline's best CPU for the same query
     //       (bench_baseline.json — the round-8 quiet-host artifact;
-    //       override with SPARK_GRAFT_BENCH_BASELINE, absent = skip (b)).
+    //       override with SPARK_GRAFT_BENCH_BASELINE, absent = skip (b)), or
+    //   (c) best-rep WALL > 2× (and > 0.5 s above) the committed
+    //       baseline's best wall for the same query (round-11 verdict #1:
+    //       a co-tenant burst that inflates wall AND cpu together — plus
+    //       the JIT cost of running interpreted — slips under (a)'s
+    //       spread and (b)'s cpu ratio; BENCH_r11 shipped x29 at 3.26×
+    //       and x31 at 2.96× their baseline walls with env_suspect:false.
+    //       The judge's 2×-per-query rule is a WALL rule, so the gate
+    //       must trigger on wall too).
     // If any HEADLINE query stays suspect after retries the artifact is
     // marked "contaminated": true and the process exits non-zero, so a
     // poisoned run cannot silently become the number of record.
-    val (baselineCpu: Map[String, Double], baselineMhz: Double) = {
+    // baseline: name -> (best wall, best cpu)
+    val (baselineBest: Map[String, (Double, Double)], baselineMhz: Double) = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
       try {
         val txt = new String(
@@ -235,11 +246,13 @@ object Bench {
         // minimal extraction: per-query `"name":{..."cpus":[a,b,c]...}`
         // from the detail object — full JSON parsing isn't needed for a
         // flat numeric lookup, and the artifact is self-produced.
-        val m = scala.collection.mutable.Map.empty[String, Double]
-        val rx = """"([a-z0-9_]+)":\{"runs":[^}]*?"cpus":\[([0-9.,\-]+)\]""".r
+        val m = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        val rx =
+          """"([a-z0-9_]+)":\{"runs":\[([0-9.,\-]+)\][^}]*?"cpus":\[([0-9.,\-]+)\]""".r
         for (mm <- rx.findAllMatchIn(txt)) {
-          val cs = mm.group(2).split(",").map(_.toDouble).filter(_ >= 0)
-          if (cs.nonEmpty) m(mm.group(1)) = cs.min
+          val ws = mm.group(2).split(",").map(_.toDouble).filter(_ >= 0)
+          val cs = mm.group(3).split(",").map(_.toDouble).filter(_ >= 0)
+          if (ws.nonEmpty && cs.nonEmpty) m(mm.group(1)) = (ws.min, cs.min)
         }
         // the baseline host's clock: median over every per-run mhz sample
         // (round-9 quiet baseline: 2600.036 on every sample)
@@ -250,15 +263,22 @@ object Bench {
         (m.toMap, med)
       } catch { case _: Throwable => (Map.empty[String, Double], 0.0) }
     }
-    def envSuspect(samples: Seq[Run], base: Option[Double]): Boolean = {
-      val cpus = samples.filter(_.wall >= 0).map(_.cpu).sorted.take(3)
+    def envSuspect(samples: Seq[Run], base: Option[(Double, Double)]): Boolean = {
+      val good = samples.filter(_.wall >= 0)
+      val cpus = good.map(_.cpu).sorted.take(3)
       if (cpus.isEmpty) false
       else {
         val spread = cpus.last / math.max(cpus.head, 1e-9) > 3.0 &&
           cpus.last - cpus.head > 0.5
-        val vsBase = base.exists(b =>
-          cpus.head > 2.0 * math.max(b, 1e-9) && cpus.head - b > 0.5)
-        spread || vsBase
+        val vsBaseCpu = base.exists { case (_, bc) =>
+          cpus.head > 2.0 * math.max(bc, 1e-9) && cpus.head - bc > 0.5 }
+        // (c): the headline number IS the best wall, so judge it directly
+        // against the committed baseline's best wall — the trigger the
+        // r11 x29/x31 rows needed.
+        val vsBaseWall = base.exists { case (bw, _) =>
+          val w = good.map(_.wall).min
+          w > 2.0 * math.max(bw, 1e-9) && w - bw > 0.5 }
+        spread || vsBaseCpu || vsBaseWall
       }
     }
     val maxExtraReps = 3
@@ -301,7 +321,7 @@ object Bench {
       var samples: Seq[Run] = if (warmOk) (1 to 3).map(_ => timed(name, fn)) else Seq(failed)
       val initialOk = samples.forall(_.wall >= 0)
       var extra = 0
-      while (initialOk && envSuspect(samples, baselineCpu.get(name)) && extra < maxExtraReps) {
+      while (initialOk && envSuspect(samples, baselineBest.get(name)) && extra < maxExtraReps) {
         samples = samples :+ timed(name, fn); extra += 1
       }
       firstPass(name) = (samples, warmOk, initialOk)
@@ -313,7 +333,7 @@ object Bench {
     while (round < maxRequeueRounds && {
         val stillSuspect = firstPass.collect {
           case (name, (samples, _, initialOk)) if initialOk &&
-            envSuspect(samples, baselineCpu.get(name)) => name
+            envSuspect(samples, baselineBest.get(name)) => name
         }.toSeq
         if (stillSuspect.nonEmpty) {
           System.err.println(
@@ -330,7 +350,7 @@ object Bench {
       }) round += 1
     val results = firstPass.toSeq.map { case (name, (samples, warmOk, initialOk)) =>
       val good = samples.filter(_.wall >= 0)
-      val suspect = initialOk && envSuspect(samples, baselineCpu.get(name))
+      val suspect = initialOk && envSuspect(samples, baselineBest.get(name))
       val best = if (initialOk && good.nonEmpty) good.minBy(_.wall) else failed
       (name, best, samples, warmOk, suspect)
     }

@@ -81,4 +81,70 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("a_val"), col("b_val")).cast("long"))
       .where(col("dist") <= 1) // exact verify kills deletion-collision FPs
   }
+
+  /** All unordered pairs of distinct values of `strCol` at edit distance
+    * ≤ 2 — the distance real typo/OCR dedup needs (single-key slips are
+    * d=1; transpositions, doubled OCR strokes and fat-finger pairs are
+    * d=2). Same symmetric-deletion blocking, two deletions deep:
+    *
+    *   lev(s, t) ≤ d  ⇒  D_d(s) ∩ D_d(t) ≠ ∅
+    *
+    * (Mor & Fraenkel 1982; Garbe's SymSpell): fix an optimal alignment of
+    * cost ≤ d — it marks ≤ d positions in s (substituted or deleted) and
+    * ≤ d positions in t (substituted or inserted); deleting the marked
+    * positions from each side leaves the SAME common subsequence, a
+    * member of both deletion neighborhoods. So the equi-join on the
+    * ≤2-deletion variant set finds every candidate, and the exact
+    * `levenshtein` verify removes collisions (two deletions collide far
+    * more often than one — e.g. any two strings sharing a length-(L−2)
+    * subsequence — which is exactly why the verify is mandatory, not
+    * optional, at d=2).
+    *
+    * Candidate growth vs d=1 (documented per the r11 verdict): |D_2(s)| ≤
+    * 1 + L + C(L,2) variants per string (quadratic in length, still
+    * corpus-linear overall), and bucket collision rates rise, so the
+    * `minLen` floor matters more — at web scale pair it with a
+    * variant-frequency cap exactly as [[editDistance1Pairs]]'s scaladoc
+    * prescribes. Everything stays ONE shuffle keyed by the variant; no
+    * all-pairs surface anywhere.
+    *
+    * Returns columns: a_val, b_val, dist (long, ∈ {1, 2}).
+    */
+  def editDistance2Pairs(
+      df: DataFrame,
+      strCol: String,
+      minLen: Int = 2
+  ): DataFrame = {
+    val vals = df
+      .select(col(strCol).cast("string").as("s"))
+      .where(col("s").isNotNull && length(col("s")) >= minLen)
+      .distinct()
+    // D_2(s) = {s} ∪ {one char deleted} ∪ {two chars deleted, i < j}.
+    // All codegen'd higher-order functions; array_distinct collapses
+    // coinciding variants (deleting either of a doubled char) so a pair
+    // is not multiplied before the post-join distinct.
+    val del1 =
+      "transform(sequence(1, length(s)), " +
+        "i -> concat(substr(s, 1, i - 1), substr(s, i + 1)))"
+    // guard: sequence(a, b) with a > b is DESCENDING in Spark, so the
+    // two-deletion comprehension must be fenced off for length-1 strings
+    val del2 =
+      "if(length(s) >= 2, " +
+        "flatten(transform(sequence(1, length(s) - 1), " +
+        "i -> transform(sequence(i + 1, length(s)), " +
+        "j -> concat(substr(s, 1, i - 1), substr(s, i + 1, j - i - 1), substr(s, j + 1))))), " +
+        "array())"
+    val variants = vals.select(
+      col("s"),
+      explode(expr(s"array_distinct(concat(array(s), $del1, $del2))")).as("v")
+    )
+    val a = variants.select(col("v"), col("s").as("a_val"))
+    val b = variants.select(col("v"), col("s").as("b_val"))
+    a.join(b, Seq("v"))
+      .where(col("a_val") < col("b_val"))
+      .select(col("a_val"), col("b_val"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_val"), col("b_val")).cast("long"))
+      .where(col("dist") <= 2)
+  }
 }
