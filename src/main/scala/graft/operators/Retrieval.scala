@@ -75,18 +75,53 @@ object Retrieval {
       textCol: String = "text",
       qIdCol: String = "query_id",
       qTermsCol: String = "terms"
+  ): DataFrame =
+    bm25TopKFromPostings(
+      postingsOf(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK),
+      queries, k, k1Milli, bMilli, idCol, qIdCol, qTermsCol)
+
+  /** The postings frame (term, id, len, tf) of a corpus — ONE token-keyed
+    * exchange with map-side partial counts. Exposed separately so the
+    * streaming index maintainer ([[graft.streaming.RetrievalStream]]) can
+    * build per-batch delta postings and fold them into state, then score
+    * through the SAME [[bm25TopKFromPostings]] the batch path uses —
+    * stream ≡ batch by shared code, not by parallel reimplementation.
+    */
+  def postingsOf(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    Dedup
+      .spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("len"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("len"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k over a PRE-BUILT postings frame — the scoring half of
+    * [[bm25TopK]] (same exact-integer contract; df, N, totLen are derived
+    * from the postings, never stored redundantly where they could drift
+    * from it). The caller owns the postings' persistence.
+    */
+  def bm25TopKFromPostings(
+      postings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1Milli: Long = 1200L,
+      bMilli: Long = 750L,
+      idCol: String = "doc_id",
+      qIdCol: String = "query_id",
+      qTermsCol: String = "terms"
   ): DataFrame = {
     require(k >= 1, "k must be positive")
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"k1Milli=$k1Milli bMilli=$bMilli out of contract range")
-    val toks = Dedup
-      .spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), size(col("toks")).as("len"), explode(col("toks")).as("term"))
-    val postings = toks
-      .groupBy(col("term"), col(idCol), col("len"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the integer top-k aggregate is a session temp function; registration
+    // is idempotent (createOrReplaceTempFunction), so self-registering here
+    // keeps every caller — batch query, streaming maintainer, spec — from
+    // needing to know the scorer's implementation detail
+    GraftFunctions.register(postings.sparkSession)
     // two bounded driver scalars off the postings (not a second corpus scan)
     val totals = postings
       .groupBy(col(idCol))
