@@ -397,6 +397,53 @@ object Similarity {
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
 
+  /** [[intLshTopK]] over a PRE-BUILT index — the two frames a persisted
+    * (or incrementally maintained) ANN index holds: `buckets`
+    * (neighbor_id, table_id, bucket — the map-only explode, computed once
+    * per vector at ingest) and `vectors` (neighbor_id, c_vec — the
+    * verification side). Candidate generation, bucket arithmetic
+    * ([[graft.functions.IntLshBuckets]] on the query side), exact 6-dp
+    * cosine, and TopKByScore ranking are IDENTICAL to [[intLshTopK]] —
+    * the only difference is composition: candidates join the vectors
+    * frame by id for scoring instead of carrying c_vec through the bucket
+    * explode (result-identical; AnnIndexStreamSpec pins the equality).
+    * Same preconditions: queries ≪ corpus, query side broadcast into
+    * BOTH the candidate probe and the score join, so neither index frame
+    * ever reshuffles for a query — at 100 TB the frames are bucketed
+    * parquet keyed by (table_id, bucket) and neighbor_id respectively,
+    * the [[graft.operators.Colocate]] posture
+    * ([[graft.operators.Dedup.writeNearDupIndexBucketed]]'s shape).
+    */
+  def intLshTopKFromIndex(
+      buckets: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      posexplode(GraftFunctions.intLshBuckets(col(vecCol), tables, bitsPerTable))
+        .as(Seq("table_id", "bucket"))
+    )
+    // a pair colliding in several tables is one candidate (the same
+    // pre-rank dedup intLshTopK applies)
+    val cand = buckets
+      .join(broadcast(q), Seq("table_id", "bucket"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))),
+        Seq("query_id"))
+      .join(vectors, Seq("neighbor_id"))
+      .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")), k)
+  }
+
   /** Product-quantization ADC top-k in ORACLE-GRADE integer arithmetic
     * (x117) — the PQ member of the compression family next to SQ8
     * (x40/x41): the corpus is encoded ONCE to `m` sub-space codes

@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+/** Incremental ANN (integer-LSH) index maintenance over an unbounded
+  * embedding stream — the FOURTEENTH batch/stream twin, giving the dense
+  * ANN family (x09-x13, x91, x111-x113, x117-x119) its incremental-index
+  * member alongside near-dup (11th), components (10th), curation (12th)
+  * and BM25 (13th): the bucket index a 100 TB similarity service keeps
+  * warm as embedding shards land, instead of re-bucketing the corpus per
+  * query batch.
+  *
+  * State is the TWO frames a persisted LSH index is made of (the
+  * [[graft.operators.Dedup.buildNearDupIndex]] multi-frame posture):
+  *
+  *   - `buckets` (neighbor_id, table_id, bucket): the OR-amplified
+  *     multi-table bucket assignment, computed ONCE per vector at ingest
+  *     by the same oracle-grade [[graft.functions.IntLshBuckets]]
+  *     expression the batch x91 surface uses — map-only per batch, never
+  *     recomputed for the at-rest corpus;
+  *   - `vectors` (neighbor_id, c_vec): the verification side for the
+  *     exact 6-dp cosine re-score.
+  *
+  * The fold is union + keep-one per key ((neighbor_id, table_id) for
+  * buckets — one bucket per table per vector; neighbor_id for vectors):
+  * a vector arrives whole within its micro-batch, so a REPLAYED batch's
+  * delta rows are identical to what state already holds and the merge
+  * collapses them — the EpochStore idempotence requirement. Append-only
+  * ingest posture (the x67/x75 family contract): re-delivering a
+  * DIFFERENT vector under a known id is an index update, i.e. a
+  * retraction protocol, out of scope exactly as it is for the batch
+  * artifact.
+  *
+  * Emission is a revisable VIEW over state: `topK(queries)` runs
+  * [[Similarity.intLshTopKFromIndex]] — the same bucket arithmetic,
+  * candidate dedup, exact cosine and TopKByScore ranking as the batch
+  * [[Similarity.intLshTopK]] (composition aside: candidates pull vectors
+  * by id instead of carrying them through the explode; result-identical,
+  * spec-pinned) — because a new vector can enter any query's top-k, so
+  * any materialized ranking is invalidated by any batch. Unlike BM25
+  * (where scores are global through N/df), cosine scores of EXISTING
+  * pairs never change — what changes is membership — so a production
+  * service could emit per-batch candidate DELTAS; the view form is the
+  * posture that needs no retractions and equals the batch twin exactly.
+  *
+  * RESTART SAFETY: the [[EpochStore]] contract — data first, marker
+  * second, GC to two epochs; marker-without-offsets replays into a
+  * no-op (fold idempotence), mid-write crash falls back one epoch and
+  * re-folds. `start()` refuses a checkpoint without a stateDir unless
+  * `allowVolatileState = true` (a restart would silently serve rankings
+  * over a partial index).
+  *
+  * 100 TB shape: per batch, ONE map-only bucket explode of the delta +
+  * one keyed merge per frame; per ranking, queries broadcast into both
+  * the candidate probe and the score join so neither index frame ever
+  * reshuffles (candidates/query ≈ L·n/2^b, the x91 law). At rest the
+  * frames are bucketed parquet — `buckets` by (table_id, bucket),
+  * `vectors` by neighbor_id — the [[graft.operators.Colocate]] trade.
+  *
+  * AnnIndexStreamSpec pins topK ≡ batch `intLshTopK` after every prefix,
+  * replay no-ops, restart resume, mid-write fallback, and the
+  * stale-checkpoint refusal.
+  */
+object AnnIndexStream {
+
+  final case class Vec(vec_id: Long, embedding: Array[Float])
+
+  private val bucketsSchema = StructType(Seq(
+    StructField("neighbor_id", LongType),
+    StructField("table_id", IntegerType),
+    StructField("bucket", IntegerType)))
+
+  private val vectorsSchema = StructType(Seq(
+    StructField("neighbor_id", LongType),
+    StructField("c_vec", ArrayType(FloatType))))
+
+  private val frames = Seq("buckets" -> bucketsSchema, "vectors" -> vectorsSchema)
+
+  final class Maintainer(
+      spark: SparkSession,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      val stateDir: Option[String] = None
+  ) {
+
+    private val store: Option[EpochStore] =
+      stateDir.map(new EpochStore(spark, _, frames))
+
+    @volatile private var state: Map[String, DataFrame] = store
+      .flatMap(_.load())
+      .getOrElse(EpochStore.emptyFrames(spark, frames))
+
+    /** True iff construction reloaded a persisted epoch (restart path). */
+    def resumed: Boolean = store.exists(_.latestCommitted >= 0)
+
+    /** The live bucket index: one row per (vector, table). */
+    def buckets: DataFrame = state("buckets")
+
+    /** The verification side: one row per vector. */
+    def vectors: DataFrame = state("vectors")
+
+    /** The current top-k per query over everything folded so far — the
+      * batch twin's ranking, through the shared indexed scorer.
+      */
+    def topK(queries: DataFrame, k: Int = 5): DataFrame =
+      Similarity.intLshTopKFromIndex(
+        buckets, vectors, queries, k, tables, bitsPerTable)
+
+    private[graft] def update(batch: DataFrame, epochId: Long = -1L): Unit = {
+      val delta = batch.select(
+        col("vec_id").cast(LongType).as("neighbor_id"),
+        col("embedding").cast(ArrayType(FloatType)).as("c_vec"))
+      // map-only per batch: the delta's buckets are computed here, once,
+      // by the same expression the batch surface uses
+      val deltaBuckets = delta.select(
+        col("neighbor_id"),
+        posexplode(GraftFunctions.intLshBuckets(col("c_vec"), tables, bitsPerTable))
+          .as(Seq("table_id", "bucket")))
+      // keep-one merges: replayed rows are identical (vectors arrive
+      // whole), so min ≡ the committed value — idempotent by construction
+      val newBuckets = state("buckets")
+        .unionByName(deltaBuckets)
+        .groupBy(col("neighbor_id"), col("table_id"))
+        .agg(min(col("bucket")).as("bucket"))
+        .select(col("neighbor_id"), col("table_id"), col("bucket"))
+        .localCheckpoint(true)
+      val newVectors = state("vectors")
+        .unionByName(delta)
+        .groupBy(col("neighbor_id"))
+        .agg(min(col("c_vec")).as("c_vec"))
+        .select(col("neighbor_id"), col("c_vec"))
+        .localCheckpoint(true)
+      state = Map("buckets" -> newBuckets, "vectors" -> newVectors)
+      store.foreach(_.save(epochId, state))
+    }
+  }
+
+  /** Start the maintainer over a streaming Dataset[Vec]; call
+    * `maintainer.topK(queries)` between batches for the live ranking.
+    */
+  def start(
+      vecs: Dataset[Vec],
+      maintainer: Maintainer,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      allowVolatileState: Boolean = false
+  ): StreamingQuery = {
+    require(
+      checkpoint.isEmpty || maintainer.stateDir.nonEmpty || allowVolatileState,
+      "checkpointLocation set but the Maintainer has no stateDir: a restart " +
+        "would skip committed batches against an empty bucket index and " +
+        "silently rank over a partial corpus. Pass a stateDir (persisted " +
+        "state) or allowVolatileState = true if the checkpoint is known fresh.")
+    val writer = vecs.toDF.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        maintainer.update(batch.toDF(), epochId)
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+}
