@@ -49,12 +49,14 @@ import graft.operators.Similarity
   * service could emit per-batch candidate DELTAS; the view form is the
   * posture that needs no retractions and equals the batch twin exactly.
   *
-  * RESTART SAFETY: the [[EpochStore]] contract — data first, marker
-  * second, GC to two epochs; marker-without-offsets replays into a
-  * no-op (fold idempotence), mid-write crash falls back one epoch and
-  * re-folds. `start()` refuses a checkpoint without a stateDir unless
-  * `allowVolatileState = true` (a restart would silently serve rankings
-  * over a partial index).
+  * RESTART SAFETY: the [[DeltaEpochStore]] contract — epochs persist
+  * batch DELTAS (both frames grow with the corpus; full-frame rewrites
+  * would cost O(corpus) per batch), data first, marker second, merged
+  * state compacts every K epochs; marker-without-offsets replays into a
+  * no-op (fold idempotence), a mid-write crash leaves its un-markered
+  * epoch invisible and the replay overwrites it. `start()` refuses a
+  * checkpoint without a stateDir unless `allowVolatileState = true` (a
+  * restart would silently serve rankings over a partial index).
   *
   * 100 TB shape: per batch, ONE map-only bucket explode of the delta +
   * one keyed merge per frame; per ranking, queries broadcast into both
@@ -86,14 +88,24 @@ object AnnIndexStream {
       spark: SparkSession,
       tables: Int = 8,
       bitsPerTable: Int = 6,
-      val stateDir: Option[String] = None
+      val stateDir: Option[String] = None,
+      compactEvery: Int = 8
   ) {
 
-    private val store: Option[EpochStore] =
-      stateDir.map(new EpochStore(spark, _, frames))
+    // DELTA-epoch persistence (see RetrievalStream): both index frames
+    // grow with the corpus, so epochs persist batch deltas and compact
+    // every K — amortized O(delta + state/K) writes per batch instead of
+    // O(corpus)
+    private val store: Option[DeltaEpochStore] =
+      stateDir.map(new DeltaEpochStore(spark, _, frames, compactEvery))
 
     @volatile private var state: Map[String, DataFrame] = store
       .flatMap(_.load())
+      // raw compact+delta unions → the same keep-one merges the update
+      // fold uses, once, at load
+      .map(m => Map(
+        "buckets" -> mergedBuckets(m("buckets")).localCheckpoint(true),
+        "vectors" -> mergedVectors(m("vectors")).localCheckpoint(true)))
       .getOrElse(EpochStore.emptyFrames(spark, frames))
 
     /** True iff construction reloaded a persisted epoch (restart path). */
@@ -112,32 +124,43 @@ object AnnIndexStream {
       Similarity.intLshTopKFromIndex(
         buckets, vectors, queries, k, tables, bitsPerTable)
 
+    /** Keep-one merges: replayed rows are identical (vectors arrive
+      * whole), so min ≡ the committed value — idempotent by construction.
+      * Shared by the update fold and the delta-store load.
+      */
+    private def mergedBuckets(raw: DataFrame): DataFrame =
+      raw
+        .groupBy(col("neighbor_id"), col("table_id"))
+        .agg(min(col("bucket")).as("bucket"))
+        .select(col("neighbor_id"), col("table_id"), col("bucket"))
+
+    private def mergedVectors(raw: DataFrame): DataFrame =
+      raw
+        .groupBy(col("neighbor_id"))
+        .agg(min(col("c_vec")).as("c_vec"))
+        .select(col("neighbor_id"), col("c_vec"))
+
     private[graft] def update(batch: DataFrame, epochId: Long = -1L): Unit = {
       val delta = batch.select(
         col("vec_id").cast(LongType).as("neighbor_id"),
         col("embedding").cast(ArrayType(FloatType)).as("c_vec"))
+        .localCheckpoint(true)
       // map-only per batch: the delta's buckets are computed here, once,
       // by the same expression the batch surface uses
       val deltaBuckets = delta.select(
         col("neighbor_id"),
         posexplode(GraftFunctions.intLshBuckets(col("c_vec"), tables, bitsPerTable))
           .as(Seq("table_id", "bucket")))
-      // keep-one merges: replayed rows are identical (vectors arrive
-      // whole), so min ≡ the committed value — idempotent by construction
-      val newBuckets = state("buckets")
-        .unionByName(deltaBuckets)
-        .groupBy(col("neighbor_id"), col("table_id"))
-        .agg(min(col("bucket")).as("bucket"))
-        .select(col("neighbor_id"), col("table_id"), col("bucket"))
         .localCheckpoint(true)
-      val newVectors = state("vectors")
-        .unionByName(delta)
-        .groupBy(col("neighbor_id"))
-        .agg(min(col("c_vec")).as("c_vec"))
-        .select(col("neighbor_id"), col("c_vec"))
+      val newBuckets = mergedBuckets(state("buckets").unionByName(deltaBuckets))
+        .localCheckpoint(true)
+      val newVectors = mergedVectors(state("vectors").unionByName(delta))
         .localCheckpoint(true)
       state = Map("buckets" -> newBuckets, "vectors" -> newVectors)
-      store.foreach(_.save(epochId, state))
+      store.foreach(_.save(
+        epochId,
+        Map("buckets" -> deltaBuckets, "vectors" -> delta),
+        state))
     }
   }
 

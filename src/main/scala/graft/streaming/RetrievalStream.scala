@@ -41,14 +41,18 @@ import graft.operators.Retrieval
   * The x67-ingest posture (state is the artifact, rankings are queries
   * against it) is the only shape that never needs retractions.
   *
-  * RESTART SAFETY — the [[EpochStore]] contract: offsets commit only
-  * after foreachBatch returns, the fold is idempotent (above), so with a
-  * `stateDir` each fold persists as an epoch (data first, marker second,
-  * GC to two epochs); a marker-but-no-offset crash replays into a no-op,
-  * a mid-write crash falls back one epoch and re-folds. A Maintainer
-  * WITHOUT a stateDir against an existing checkpoint would silently serve
-  * rankings over an empty index, so `start()` refuses that combination
-  * unless `allowVolatileState = true`.
+  * RESTART SAFETY — the [[DeltaEpochStore]] contract (the delta variant
+  * of EpochStore, because postings GROW with the corpus and full-frame
+  * persistence would write O(corpus) per micro-batch): offsets commit
+  * only after foreachBatch returns and the fold is idempotent (above),
+  * so each epoch persists the batch DELTA (data first, marker second),
+  * the merged state compacts every K epochs, and the loader re-applies
+  * the same keep-one merge over compact + committed deltas. A
+  * marker-but-no-offset crash replays into a no-op; a mid-write crash
+  * leaves its partial epoch invisible (un-markered) and the replay
+  * overwrites it. A Maintainer WITHOUT a stateDir against an existing
+  * checkpoint would silently serve rankings over an empty index, so
+  * `start()` refuses that combination unless `allowVolatileState = true`.
   *
   * 100 TB shape: state is postings — the 100 TB-side artifact — and it
   * moves ONCE per batch through a (term, doc_id)-keyed aggregation whose
@@ -73,16 +77,26 @@ object RetrievalStream {
 
   final class Maintainer(
       spark: SparkSession,
-      val stateDir: Option[String] = None
+      val stateDir: Option[String] = None,
+      compactEvery: Int = 8
   ) {
 
-    private val store: Option[EpochStore] =
-      stateDir.map(new EpochStore(spark, _, Seq("postings" -> postingsSchema)))
+    // DELTA-epoch persistence (not full-frame EpochStore): postings grow
+    // with the corpus, and rewriting them per micro-batch is O(corpus)
+    // writes per delivery at 100 TB. Each epoch persists the batch delta;
+    // every compactEvery epochs the merged state compacts and GCs the
+    // chain — amortized O(delta + state/K) writes per batch.
+    private val store: Option[DeltaEpochStore] =
+      stateDir.map(new DeltaEpochStore(spark, _, Seq("postings" -> postingsSchema), compactEvery))
 
     @volatile private var postings: DataFrame = store
       .flatMap(_.load())
-      .getOrElse(EpochStore.emptyFrames(spark, Seq("postings" -> postingsSchema)))
-      .apply("postings")
+      // the loader returns the RAW union (compact + deltas); apply the
+      // same keep-one merge the update fold uses, once, at load
+      .map(m => mergedPostings(m("postings")).localCheckpoint(true))
+      .getOrElse(EpochStore
+        .emptyFrames(spark, Seq("postings" -> postingsSchema))
+        .apply("postings"))
 
     /** True iff construction reloaded a persisted epoch (restart path). */
     def resumed: Boolean = store.exists(_.latestCommitted >= 0)
@@ -96,23 +110,28 @@ object RetrievalStream {
     def topK(queries: DataFrame, k: Int = 5): DataFrame =
       Retrieval.bm25TopKFromPostings(postings, queries, k)
 
+    /** The keep-one merge: a replayed batch's delta rows are IDENTICAL
+      * to rows state already holds (docs arrive whole), so max ≡ first ≡
+      * the committed value — the idempotent fold, one exchange keyed by
+      * (term, doc_id). Shared by the update fold and the delta-store
+      * load, so replay and restart collapse rows identically.
+      */
+    private def mergedPostings(raw: DataFrame): DataFrame =
+      raw
+        .groupBy(col("term"), col("doc_id"))
+        .agg(max(col("len")).as("len"), max(col("tf")).as("tf"))
+        .select(col("term"), col("doc_id"), col("len"), col("tf"))
+
     private[graft] def update(batch: DataFrame, epochId: Long = -1L): Unit = {
       val delta = Retrieval
         .postingsOf(batch.select(col("doc_id").cast(LongType), col("text")))
         .select(
           col("term"), col("doc_id"),
           col("len").cast(LongType).as("len"), col("tf").cast(LongType).as("tf"))
-      // keep-one merge: a replayed batch's delta rows are IDENTICAL to
-      // the rows state already holds (docs arrive whole), so max ≡ first
-      // ≡ the committed value — the idempotent fold, one exchange keyed
-      // by (term, doc_id)
-      postings = postings
-        .unionByName(delta)
-        .groupBy(col("term"), col("doc_id"))
-        .agg(max(col("len")).as("len"), max(col("tf")).as("tf"))
-        .select(col("term"), col("doc_id"), col("len"), col("tf"))
         .localCheckpoint(true)
-      store.foreach(_.save(epochId, Map("postings" -> postings)))
+      postings = mergedPostings(postings.unionByName(delta)).localCheckpoint(true)
+      store.foreach(_.save(
+        epochId, Map("postings" -> delta), Map("postings" -> postings)))
     }
   }
 

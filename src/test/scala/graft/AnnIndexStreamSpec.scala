@@ -134,6 +134,25 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(rank(m2.topK(queries)) === batchTopK(b0 ++ b1))
   }
 
+  test("delta epochs compact: old epochs GC, state survives compaction and further deltas") {
+    val vs = corpus.slice(4, 24)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_compact").toString
+    val m1 = new AnnIndexStream.Maintainer(spark, stateDir = Some(dir), compactEvery = 2)
+    m1.update(vecsDF(vs.take(5)), epochId = 0L)       // delta
+    m1.update(vecsDF(vs.slice(5, 10)), epochId = 1L)  // compact
+    m1.update(vecsDF(vs.slice(10, 15)), epochId = 2L) // delta
+    assert(!new java.io.File(dir, "commits/0").exists, "epoch 0 should be GC'd")
+    assert(new java.io.File(dir, "compacts/1").exists, "epoch 1 should be a compact")
+    val m2 = new AnnIndexStream.Maintainer(spark, stateDir = Some(dir), compactEvery = 2)
+    assert(m2.resumed)
+    assert(rank(m2.topK(queries)) === batchTopK(vs.take(15)))
+    m2.update(vecsDF(vs.slice(15, 20)), epochId = 3L)
+    assert(new java.io.File(dir, "compacts/3").exists, "epoch 3 should compact")
+    assert(rank(m2.topK(queries)) === batchTopK(vs))
+    val m3 = new AnnIndexStream.Maintainer(spark, stateDir = Some(dir), compactEvery = 2)
+    assert(rank(m3.topK(queries)) === batchTopK(vs))
+  }
+
   test("checkpoint without stateDir is refused (silent partial-index restart)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Vec]

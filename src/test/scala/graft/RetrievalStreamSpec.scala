@@ -134,6 +134,30 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(rank(m2.topK(queries)) === batchTopK(docs))
   }
 
+  test("delta epochs compact: old epochs GC, state survives compaction and further deltas") {
+    val docs = corpus.take(20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_compact").toString
+    val m1 = new RetrievalStream.Maintainer(spark, stateDir = Some(dir), compactEvery = 2)
+    m1.update(docs.take(5).toDF("doc_id", "text"), epochId = 0L)   // delta
+    m1.update(docs.slice(5, 10).toDF("doc_id", "text"), epochId = 1L) // compact (1 - (-1) >= 2)
+    m1.update(docs.slice(10, 15).toDF("doc_id", "text"), epochId = 2L) // delta
+    // epoch 0 was GC'd by the compact at 1; 1 and 2 remain
+    assert(!new java.io.File(dir, "commits/0").exists, "epoch 0 should be GC'd")
+    assert(new java.io.File(dir, "compacts/1").exists, "epoch 1 should be a compact")
+    assert(new java.io.File(dir, "commits/2").exists)
+    // a restart over compact+delta equals the full batch build
+    val m2 = new RetrievalStream.Maintainer(spark, stateDir = Some(dir), compactEvery = 2)
+    assert(m2.resumed)
+    assert(rank(m2.topK(queries)) === batchTopK(docs.take(15)))
+    // and folding continues — the next save compacts again (3 - 1 >= 2)
+    m2.update(docs.slice(15, 20).toDF("doc_id", "text"), epochId = 3L)
+    assert(new java.io.File(dir, "compacts/3").exists, "epoch 3 should compact")
+    assert(!new java.io.File(dir, "commits/1").exists, "epoch 1 should be GC'd by compact 3")
+    assert(rank(m2.topK(queries)) === batchTopK(docs))
+    val m3 = new RetrievalStream.Maintainer(spark, stateDir = Some(dir), compactEvery = 2)
+    assert(rank(m3.topK(queries)) === batchTopK(docs))
+  }
+
   test("checkpoint without stateDir is refused (silent empty-index restart)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
