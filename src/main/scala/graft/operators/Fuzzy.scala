@@ -52,18 +52,25 @@ object Fuzzy {
     *
     * Returns columns: a_val, b_val, dist (long).
     */
-  def editDistance1Pairs(
-      df: DataFrame,
-      strCol: String,
-      minLen: Int = 2
-  ): DataFrame = {
-    val vals = df
+  /** The distinct value domain of `strCol` under the `minLen` floor —
+    * one column `s`. Shared by the batch miners and the streaming index
+    * maintainer so both see identical domains.
+    */
+  def valueDomain(df: DataFrame, strCol: String, minLen: Int = 2): DataFrame =
+    df
       .select(col(strCol).cast("string").as("s"))
       .where(col("s").isNotNull && length(col("s")) >= minLen)
       .distinct()
-    // D(s): index 0 = identity, index j ≥ 1 = s with char j (1-based)
-    // deleted. Codegen'd higher-order function — no UDF.
-    val variants = vals.select(
+
+  /** D(s) exploded: (v, s) for every member of the ≤1-deletion
+    * neighborhood — index 0 = identity, index j ≥ 1 = s with char j
+    * (1-based) deleted. Codegen'd higher-order function — no UDF. This
+    * is the INDEX FRAME of the SymSpell posture: map-only per string,
+    * computed once at ingest ([[graft.streaming.FuzzyStream]]) or once
+    * per batch run ([[editDistance1Pairs]]).
+    */
+  def deletionVariants1(vals: DataFrame): DataFrame =
+    vals.select(
       col("s"),
       explode(
         expr(
@@ -72,14 +79,28 @@ object Fuzzy {
         )
       ).as("v")
     )
-    val a = variants.select(col("v"), col("s").as("a_val"))
-    val b = variants.select(col("v"), col("s").as("b_val"))
-    a.join(b, Seq("v"))
+
+  /** The verify-and-shape tail shared by every d ≤ 1 candidate source:
+    * unordered pairs, per-pair dedup (a pair can share several
+    * variants), exact levenshtein ≤ 1.
+    */
+  private[graft] def verifiedPairs1(cand: DataFrame): DataFrame =
+    cand
       .where(col("a_val") < col("b_val"))
       .select(col("a_val"), col("b_val"))
-      .distinct() // a pair can share several variants
+      .distinct()
       .withColumn("dist", levenshtein(col("a_val"), col("b_val")).cast("long"))
       .where(col("dist") <= 1) // exact verify kills deletion-collision FPs
+
+  def editDistance1Pairs(
+      df: DataFrame,
+      strCol: String,
+      minLen: Int = 2
+  ): DataFrame = {
+    val variants = deletionVariants1(valueDomain(df, strCol, minLen))
+    val a = variants.select(col("v"), col("s").as("a_val"))
+    val b = variants.select(col("v"), col("s").as("b_val"))
+    verifiedPairs1(a.join(b, Seq("v")))
   }
 
   /** All unordered pairs of distinct values of `strCol` at edit distance

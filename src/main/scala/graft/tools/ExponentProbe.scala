@@ -33,7 +33,14 @@ object ExponentProbe {
     // top of the fixed 64-round merge chain) and IVFADC (training rounds
     // are fixed driver jobs; the probe join is candidate-bound)
     "x121_bpe_encode" -> "documents",
-    "x119_ivf_pq_adc" -> "embeddings")
+    "x119_ivf_pq_adc" -> "embeddings",
+    // round-12 additions: BM25 (one token-keyed exchange + broadcast
+    // query probe — e ≈ 1 in corpus tokens) and d=2 fuzzy blocking
+    // (variants quadratic in string LENGTH, linear in the value domain;
+    // p_name's domain is near-constant across SFs, so wall should be
+    // ~flat — a rising e here would mean the join went quadratic)
+    "x115_bm25_topk" -> "documents",
+    "x123_fuzzy_editdist2" -> "part")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
