@@ -2397,6 +2397,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Single slot for x124's LOADED bucketed index, same keying discipline
+    * as [[nearDupIdxSlot]] (session REFERENCE + dir, CAS replacement).
+    * The slot holds table-backed frames — the on-disk bucket is the
+    * persistence, so a losing/replaced entry has nothing to unpersist.
+    */
+  private val bucketedIdxSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Dedup.NearDupIndex)]
+
+  /** The x75 classification against the ON-DISK BUCKETED index artifact
+    * (x124): [[graft.operators.Dedup.writeNearDupIndexBucketed]] persists
+    * the four frames `bucketBy` exactly their delivery-join keys, and the
+    * classification re-opens them as bucketed tables — so the production
+    * at-rest posture (the r11 verdict-#3 plan property NearDupBucketedSpec
+    * pins: no raw index frame ever re-shuffles) is ALSO hash-oracled end
+    * to end at both gate SFs, not only spec-pinned. Same index split,
+    * same delivery, same frozen semantics as x75; the oracle is x75's
+    * verbatim by construction. Bench fidelity, the x75 disclosure: the
+    * warm-up pays build + bucketed WRITE; timed runs measure what a
+    * production delivery pays against the at-rest artifact.
+    */
+  private def x124(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") >= 250)
+      .unionAll(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val cur = bucketedIdxSlot.get()
+    val idx =
+      if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
+      else {
+        // dir-disambiguated table names: one session may serve several SF
+        // dirs (the test session does); the artifact of one must not
+        // shadow another's
+        val prefix = s"graft_ndidx_x124_${Integer.toHexString(dir.hashCode)}"
+        val built = Dedup.buildNearDupIndex(
+          docs.where(col("doc_id") < 250), n = 3, threshold = 0.5)
+        Dedup.writeNearDupIndexBucketed(built, buckets = 8, prefix = prefix)
+        built.unpersistAll() // the bucketed write materialized everything
+        val loaded = Dedup.loadNearDupIndexBucketed(
+          s, n = 3, threshold = 0.5, prefix = prefix)
+        if (bucketedIdxSlot.compareAndSet(cur, (s, dir, loaded))) loaded
+        else {
+          // racing first invocations: the winner's tables are equivalent
+          // (same deterministic build); serve whichever is slotted for
+          // this key, else our own freshly written tables
+          val winner = bucketedIdxSlot.get()
+          if (winner != null && (winner._1 eq s) && winner._2 == dir) winner._3
+          else loaded
+        }
+      }
+    Dedup
+      .incrementalClassifyIndexed(batch, idx)
+      .orderBy(col("doc_id"))
+  }
+
   /** Containment-pairs surface (x76): Broder's asymmetric C(A,B) =
     * |S(A)∩S(B)|/|S(A)| over the documents corpus PLUS planted excerpts
     * (the first 12 tokens of every ≥24-token doc, ids +20000) — each
@@ -4000,6 +4054,7 @@ object SparkEntry {
     "x121_bpe_encode" -> (x121 _),
     "x122_remove_spans" -> (x122 _),
     "x123_fuzzy_editdist2" -> (x123 _),
+    "x124_indexed_ingest_bucketed" -> (x124 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4227,7 +4282,7 @@ object SparkEntry {
       |  FROM s) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -7779,6 +7834,18 @@ object SparkEntry {
         |  CAST(coalesce(fp_sum, 0) AS BIGINT) AS fp_sum
         |FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id ORDER BY g.doc_id""".stripMargin
   )
+
+  /** x124 classifies the same delivery against the same frozen index as
+    * x75, re-opened from the BUCKETED on-disk artifact — identical
+    * classification semantics by the [[graft.operators.Dedup
+    * .loadNearDupIndexBucketed]] contract, so the oracle is x75's
+    * verbatim: one definition, two surfaces, and the artifact round-trip
+    * (build → bucketed write → table read → classify) is hash-certified
+    * end to end instead of only spec-pinned.
+    */
+  def oracleSql: Map[String, String] =
+    baseOracleSql +
+      ("x124_indexed_ingest_bucketed" -> baseOracleSql("x75_indexed_ingest"))
 
   /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
     * ending with `q(vec_id, codes)` — both oracles read from one

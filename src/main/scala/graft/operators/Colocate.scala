@@ -24,14 +24,28 @@ object Colocate {
   /** Write `df` as a parquet table bucketed (and sorted) by `key` —
     * `buckets` should be sized so one bucket of the LARGER table fits an
     * executor's memory comfortably (rule of thumb: total size / 128-256 MB).
+    *
+    * Idempotent across PROCESSES, not just sessions: with the in-memory
+    * catalog, a managed table's warehouse directory outlives the JVM that
+    * created it while its catalog entry does not — and `saveAsTable`
+    * refuses a fresh table whose location already exists
+    * (LOCATION_ALREADY_EXISTS) even in overwrite mode. Drop any catalog
+    * entry first, then clear the orphaned location.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Inner-join two same-bucketed tables on `key`. With equal bucket
     * counts this plans as an exchange-free SortMergeJoin (bucket-aligned
