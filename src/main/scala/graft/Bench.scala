@@ -261,7 +261,16 @@ object Bench {
           .flatMap(_.group(1).split(",").map(_.toDouble)).filter(_ > 0).toSeq.sorted
         val med = if (mhzs.isEmpty) 0.0 else mhzs(mhzs.size / 2)
         (m.toMap, med)
-      } catch { case _: Throwable => (Map.empty[String, Double], 0.0) }
+      } catch {
+        // a missing/unreadable baseline silently disables gates (b) and
+        // (c) — say so on stderr, or the r11 blind spot resurfaces the
+        // moment the baseline file is renamed
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] WARNING: baseline unreadable ($path: ${e.getMessage}); " +
+              "cpu/wall vs-baseline suspect gates are OFF for this run")
+          (Map.empty[String, (Double, Double)], 0.0)
+      }
     }
     def envSuspect(samples: Seq[Run], base: Option[(Double, Double)]): Boolean = {
       val good = samples.filter(_.wall >= 0)

@@ -2067,19 +2067,25 @@ object SparkEntry {
     * chain over the same corpus, and the chain is the only
     * driver-serialized computation in the registry (~19.5 s of the 122 s
     * bench when re-learned three times). Learning is memoized per
-    * (session, dir, m): the cached value is the m-row merge table itself —
+    * (dir, m): the cached value is the m-row merge table itself —
     * bounded driver state by the learnMerges contract, NOT corpus data —
     * so semantics are unchanged (same chain, same oracle) and each bench
-    * session pays the 64-round control loop exactly once.
+    * JVM pays the 64-round control loop exactly once per corpus.
     */
+  // Keyed by (dir, m) ONLY — deliberately NOT by the session: the value
+  // is a pure function of the corpus and the merge count (learnMerges is
+  // deterministic), so a session component buys nothing, and an IDENTITY
+  // HASH of a session is exactly the keying the nearDupIdxSlot scaladoc
+  // rejects (it can collide across a stopped and a live session and serve
+  // stale state). Bounded by the number of distinct SF dirs a JVM touches.
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (Int, String, Int), Seq[(Int, String, String, String, Long, Long)]]()
+      (String, Int), Seq[(Int, String, String, String, Long, Long)]]()
 
   private def learnedMerges(
       s: SparkSession, dir: String): Seq[(Int, String, String, String, Long, Long)] =
     bpeMergeCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, bpeMerges),
+      (dir, bpeMerges),
       _ =>
         Bpe
           .learnMerges(dts(s, dir).select(col("text")), m = bpeMerges)
@@ -2425,25 +2431,29 @@ object SparkEntry {
     val cur = bucketedIdxSlot.get()
     val idx =
       if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
-      else {
-        // dir-disambiguated table names: one session may serve several SF
-        // dirs (the test session does); the artifact of one must not
-        // shadow another's
-        val prefix = s"graft_ndidx_x124_${Integer.toHexString(dir.hashCode)}"
-        val built = Dedup.buildNearDupIndex(
-          docs.where(col("doc_id") < 250), n = 3, threshold = 0.5)
-        Dedup.writeNearDupIndexBucketed(built, buckets = 8, prefix = prefix)
-        built.unpersistAll() // the bucketed write materialized everything
-        val loaded = Dedup.loadNearDupIndexBucketed(
-          s, n = 3, threshold = 0.5, prefix = prefix)
-        if (bucketedIdxSlot.compareAndSet(cur, (s, dir, loaded))) loaded
+      else bucketedIdxSlot.synchronized {
+        // SERIALIZED, not CAS-raced like the in-memory x75 slot: two
+        // racers here would DROP + delete + rewrite the SAME warehouse
+        // location concurrently (the table prefix is deterministic), so
+        // the loser could destroy files the winner's scan is reading.
+        // An in-memory slot loser only unpersists its own frames; a
+        // filesystem artifact needs mutual exclusion. Double-check under
+        // the lock so late arrivals reuse the winner's tables.
+        val again = bucketedIdxSlot.get()
+        if (again != null && (again._1 eq s) && again._2 == dir) again._3
         else {
-          // racing first invocations: the winner's tables are equivalent
-          // (same deterministic build); serve whichever is slotted for
-          // this key, else our own freshly written tables
-          val winner = bucketedIdxSlot.get()
-          if (winner != null && (winner._1 eq s) && winner._2 == dir) winner._3
-          else loaded
+          // dir-disambiguated table names: one session may serve several
+          // SF dirs (the test session does); the artifact of one must not
+          // shadow another's
+          val prefix = s"graft_ndidx_x124_${Integer.toHexString(dir.hashCode)}"
+          val built = Dedup.buildNearDupIndex(
+            docs.where(col("doc_id") < 250), n = 3, threshold = 0.5)
+          Dedup.writeNearDupIndexBucketed(built, buckets = 8, prefix = prefix)
+          built.unpersistAll() // the bucketed write materialized everything
+          val loaded = Dedup.loadNearDupIndexBucketed(
+            s, n = 3, threshold = 0.5, prefix = prefix)
+          bucketedIdxSlot.set((s, dir, loaded))
+          loaded
         }
       }
     Dedup

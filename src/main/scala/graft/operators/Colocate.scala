@@ -35,8 +35,14 @@ object Colocate {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // resolve the managed location through the catalog, not by string
+    // concatenation: defaultTablePath is CURRENT-DATABASE-aware
+    // (<warehouse>/<db>.db/<table> outside default), where a hand-built
+    // <warehouse>/<table> path would both miss the real orphan and
+    // recursively delete an unrelated default-database directory
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -44,14 +44,6 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** All unordered pairs of distinct values of `strCol` at edit distance
-    * ≤ 1. Input rows are deduplicated on the string first, so the output
-    * is over the value domain: (a_val < b_val, dist ∈ {1}) — distance-0
-    * pairs are identical strings and are collapsed by the distinct, so
-    * every emitted pair has dist exactly 1.
-    *
-    * Returns columns: a_val, b_val, dist (long).
-    */
   /** The distinct value domain of `strCol` under the `minLen` floor —
     * one column `s`. Shared by the batch miners and the streaming index
     * maintainer so both see identical domains.
@@ -80,18 +72,32 @@ object Fuzzy {
       ).as("v")
     )
 
-  /** The verify-and-shape tail shared by every d ≤ 1 candidate source:
-    * unordered pairs, per-pair dedup (a pair can share several
-    * variants), exact levenshtein ≤ 1.
+  /** The verify-and-shape tail shared by every candidate source at any
+    * distance: unordered pairs, per-pair dedup (a pair can share several
+    * variants), exact levenshtein ≤ `maxDist` — ONE definition so the
+    * d=1 and d=2 surfaces (and the streaming maintainer) cannot diverge
+    * on the domain-filter or verify semantics.
     */
-  private[graft] def verifiedPairs1(cand: DataFrame): DataFrame =
+  private[graft] def verifiedPairs(cand: DataFrame, maxDist: Int): DataFrame =
     cand
       .where(col("a_val") < col("b_val"))
       .select(col("a_val"), col("b_val"))
       .distinct()
       .withColumn("dist", levenshtein(col("a_val"), col("b_val")).cast("long"))
-      .where(col("dist") <= 1) // exact verify kills deletion-collision FPs
+      .where(col("dist") <= maxDist) // exact verify kills deletion-collision FPs
 
+  /** d ≤ 1 alias of [[verifiedPairs]] (the streaming maintainer's entry). */
+  private[graft] def verifiedPairs1(cand: DataFrame): DataFrame =
+    verifiedPairs(cand, 1)
+
+  /** All unordered pairs of distinct values of `strCol` at edit distance
+    * ≤ 1. Input rows are deduplicated on the string first, so the output
+    * is over the value domain: (a_val < b_val, dist ∈ {1}) — distance-0
+    * pairs are identical strings and are collapsed by the distinct, so
+    * every emitted pair has dist exactly 1.
+    *
+    * Returns columns: a_val, b_val, dist (long).
+    */
   def editDistance1Pairs(
       df: DataFrame,
       strCol: String,
@@ -136,10 +142,7 @@ object Fuzzy {
       strCol: String,
       minLen: Int = 2
   ): DataFrame = {
-    val vals = df
-      .select(col(strCol).cast("string").as("s"))
-      .where(col("s").isNotNull && length(col("s")) >= minLen)
-      .distinct()
+    val vals = valueDomain(df, strCol, minLen)
     // D_2(s) = {s} ∪ {one char deleted} ∪ {two chars deleted, i < j}.
     // All codegen'd higher-order functions; array_distinct collapses
     // coinciding variants (deleting either of a doubled char) so a pair
@@ -161,11 +164,6 @@ object Fuzzy {
     )
     val a = variants.select(col("v"), col("s").as("a_val"))
     val b = variants.select(col("v"), col("s").as("b_val"))
-    a.join(b, Seq("v"))
-      .where(col("a_val") < col("b_val"))
-      .select(col("a_val"), col("b_val"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("a_val"), col("b_val")).cast("long"))
-      .where(col("dist") <= 2)
+    verifiedPairs(a.join(b, Seq("v")), 2)
   }
 }

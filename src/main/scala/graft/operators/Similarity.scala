@@ -441,7 +441,10 @@ object Similarity {
         Seq("query_id"))
       .join(vectors, Seq("neighbor_id"))
       .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6))
-    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")), k)
+    // same pre-rank distinct as intLshTopK: a duplicated vectors row (a
+    // RAW DeltaEpochStore union passed unmerged, a replayed ingest) would
+    // otherwise seat one neighbor at two ranks and evict the true k-th
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct(), k)
   }
 
   /** Product-quantization ADC top-k in ORACLE-GRADE integer arithmetic

@@ -130,10 +130,16 @@ object FuzzyStream {
               allVariants.select(col("v"), col("s").as("a_val"))
                 .join(newVariants.select(col("v"), col("s").as("b_val")), Seq("v"))))
         .localCheckpoint(true)
+      // plain unions, NO distinct over accumulated state: newPairs is
+      // provably disjoint from committed pairs (every new pair contains a
+      // never-before-seen string) and already deduped by verifiedPairs1 —
+      // a distinct here would shuffle the full pair history per batch.
+      // The one distinct that IS needed lives on the load path (replay
+      // deltas duplicate committed rows on disk, never in memory).
       state = Map(
         "strings" -> state("strings").unionByName(newStrings).localCheckpoint(true),
         "variants" -> allVariants.localCheckpoint(true),
-        "pairs" -> state("pairs").unionByName(newPairs).distinct().localCheckpoint(true))
+        "pairs" -> state("pairs").unionByName(newPairs).localCheckpoint(true))
       store.foreach(_.save(
         epochId,
         Map("strings" -> newStrings, "variants" -> newVariants, "pairs" -> newPairs),
