@@ -1928,6 +1928,25 @@ object SparkEntry {
       .select(col("id").as("brand"), col("comp").as("cluster_root"))
       .orderBy(col("brand"))
 
+  /** Typo/OCR-regime cluster surface (x125): connected components over
+    * the x123 d ≤ 2 pair graph — x56's composition one edit further out,
+    * where transitive chains actually form (a→b at d=2, b→c at d=2 puts
+    * a,c in one cluster at lev(a,c) up to 4 — the canonical-form grouping
+    * real entity resolution runs on the blocking graph, not on pairwise
+    * distance). Same min-label star contraction, same recursive-CTE
+    * transitive-closure oracle with the threshold at 2.
+    */
+  private def x125(s: SparkSession, dir: String): DataFrame =
+    Cluster
+      .connectedComponentsStar(
+        Fuzzy
+          .editDistance2Pairs(t(s, dir, "part"), "p_name")
+          .select(col("a_val").as("a_id"), col("b_val").as("b_id")),
+        maxIters = 30
+      )
+      .select(col("id").as("name"), col("comp").as("cluster_root"))
+      .orderBy(col("name"))
+
   /** Distinct-count sketch surface: distinct users per event type by KMV
     * k-minimum-values (k = 64) next to the exact twin — the sketch whose
     * exchange stays O(k) per group regardless of cardinality, where exact
@@ -4065,6 +4084,7 @@ object SparkEntry {
     "x122_remove_spans" -> (x122 _),
     "x123_fuzzy_editdist2" -> (x123 _),
     "x124_indexed_ingest_bucketed" -> (x124 _),
+    "x125_fuzzy_clusters_d2" -> (x125 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5664,6 +5684,25 @@ object SparkEntry {
         |)
         |SELECT src AS brand, least(src, min(dst)) AS cluster_root
         |FROM reach GROUP BY src ORDER BY brand""".stripMargin,
+    // x125: x56's transitive-closure replay one edit further out — the
+    // d<=2 pair graph over p_name, threshold 2 in the same recursive CTE.
+    "x125_fuzzy_clusters_d2" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT DISTINCT p_name AS s FROM part
+        |  WHERE p_name IS NOT NULL AND length(p_name) >= 2
+        |), p AS (
+        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
+        |  WHERE levenshtein(a.s, b.s) <= 2
+        |), bidir AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION SELECT b AS src, a AS dst FROM p
+        |), reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+        |)
+        |SELECT src AS name, least(src, min(dst)) AS cluster_root
+        |FROM reach GROUP BY src ORDER BY name""".stripMargin,
     // x57: hash = int of first 10 md5 hex chars (hex→int generated from
     // the same positional loop as the Spark side); k-minima via
     // row_number over DISTINCT hashes; estimate = (k-1)*2^40 // h_k in
