@@ -260,6 +260,14 @@ object Bench {
         val mhzs = mrx.findAllMatchIn(txt)
           .flatMap(_.group(1).split(",").map(_.toDouble)).filter(_ > 0).toSeq.sorted
         val med = if (mhzs.isEmpty) 0.0 else mhzs(mhzs.size / 2)
+        // a READABLE baseline that matches zero entries (writer field-order
+        // drift vs the regex) disables gates (b)/(c) just as silently as a
+        // missing file — flag it the same way
+        if (m.isEmpty)
+          System.err.println(
+            s"[bench] WARNING: baseline at $path parsed to ZERO per-query " +
+              "entries (regex/field-order mismatch?); cpu/wall vs-baseline " +
+              "suspect gates are OFF for this run")
         (m.toMap, med)
       } catch {
         // a missing/unreadable baseline silently disables gates (b) and

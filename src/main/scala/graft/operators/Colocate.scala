@@ -34,17 +34,34 @@ object Colocate {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     // resolve the managed location through the catalog, not by string
     // concatenation: defaultTablePath is CURRENT-DATABASE-aware
     // (<warehouse>/<db>.db/<table> outside default), where a hand-built
     // <warehouse>/<table> path would both miss the real orphan and
     // recursively delete an unrelated default-database directory
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val loc = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident)))
+    // Clear the default location ONLY when it is genuinely ours to clear:
+    // either the existing catalog entry is a MANAGED table whose data
+    // lives AT that default path, or there is no catalog entry at all
+    // (the cross-process orphan case: a prior JVM's managed table whose
+    // in-memory entry died with the session). An EXTERNAL table of the
+    // same name keeps its data elsewhere — the directory at the default
+    // path may then be someone else's, and deleting it would destroy
+    // unrelated data. NOTE: concurrent writers in SEPARATE processes
+    // sharing a warehouse must be externally serialized — the CAS lock
+    // guarding callers (x124) is in-process only.
+    val oursToClear = if (catalog.tableExists(ident)) {
+      val meta = catalog.getTableMetadata(ident)
+      meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED &&
+        org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          new org.apache.hadoop.fs.Path(meta.location)) == loc
+    } else true
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (oursToClear && fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")

@@ -129,6 +129,18 @@ final class DeltaEpochStore(
           "streaming checkpoint is being replayed against old persisted state. " +
           "Wipe the stateDir together with the checkpoint, or resume the " +
           "original checkpoint.")
+    // the mirror-image guard: an OLD checkpoint pointed at a wiped/fresh
+    // stateDir arrives with a forward gap (e >> prev + 1) — the skipped
+    // batches were committed to the checkpoint but never folded here, so
+    // accepting the gap would serve a permanently partial index.
+    if (epochId >= 0 && e > prev + 1)
+      throw new IllegalStateException(
+        s"epoch $e skips past this stateDir's committed epoch $prev " +
+          s"(expected ${prev + 1}): an old streaming checkpoint is being " +
+          "resumed against a wiped or fresh stateDir, so the intervening " +
+          "batches would be permanently missing from durable state. Wipe " +
+          "the checkpoint together with the stateDir, or restore the " +
+          "stateDir that matches this checkpoint.")
     val f = fs(new Path(dir))
     val base = latestCompact(prev)
     val compact = e - base >= compactEvery // base −1 ⇒ first compact at e ≥ K−1

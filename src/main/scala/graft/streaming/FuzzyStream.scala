@@ -136,14 +136,20 @@ object FuzzyStream {
       // a distinct here would shuffle the full pair history per batch.
       // The one distinct that IS needed lives on the load path (replay
       // deltas duplicate committed rows on disk, never in memory).
-      state = Map(
+      val newState = Map(
         "strings" -> state("strings").unionByName(newStrings).localCheckpoint(true),
         "variants" -> allVariants.localCheckpoint(true),
         "pairs" -> state("pairs").unionByName(newPairs).localCheckpoint(true))
+      // save BEFORE the in-memory state moves: if save throws and the
+      // query restarts with this same Maintainer, the replayed batch must
+      // anti-join against the PRE-batch domain (so the delta re-computes
+      // non-empty and the epoch commits) — assigning first would make the
+      // replay's delta empty and lose the batch from durable state.
       store.foreach(_.save(
         epochId,
         Map("strings" -> newStrings, "variants" -> newVariants, "pairs" -> newPairs),
-        state))
+        newState))
+      state = newState
     }
   }
 

@@ -36,4 +36,44 @@ class ColocateSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_emb_b")
     }
   }
+
+  test("an EXTERNAL same-name table never gets the default location deleted") {
+    val table = "graft_ext_guard"
+    val extData = java.nio.file.Files.createTempDirectory("graft_ext_data")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    try {
+      // an EXTERNAL table of that name, data living elsewhere
+      docs.limit(5).write.mode("overwrite").parquet(extData.toString)
+      spark.sql(
+        s"CREATE TABLE `$table` (doc_id BIGINT, text STRING) USING parquet " +
+          s"LOCATION '${extData.toString}'")
+      // …and an UNRELATED directory squatting at the managed default path
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(loc)
+      val sentinel = new org.apache.hadoop.fs.Path(loc, "unrelated_sentinel")
+      fs.create(sentinel, true).close()
+      // writeBucketed must NOT destroy the squatter (saveAsTable will then
+      // refuse the occupied location — failing is correct; deleting is not)
+      intercept[Exception] {
+        Colocate.writeBucketed(docs, table, "doc_id", buckets = 2)
+      }
+      assert(fs.exists(sentinel), "unrelated directory at the default path was destroyed")
+      fs.delete(loc, true)
+      // with the squatter gone the same call (table entry now dropped ⇒
+      // orphan rule applies) succeeds
+      Colocate.writeBucketed(docs, table, "doc_id", buckets = 2)
+      assert(spark.table(table).count() === docs.count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(extData.toFile)
+    }
+  }
 }

@@ -48,6 +48,27 @@ class DeltaEpochStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("behind"))
   }
 
+  test("forward gap (old checkpoint vs wiped stateDir) throws, consecutive succeeds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_des_gap").toString
+    val s = new DeltaEpochStore(spark, dir, frames, compactEvery = 8)
+    // empty stateDir + a checkpoint already at epoch 5: the batches for
+    // epochs 0-4 were committed to the checkpoint but never folded here
+    val e0 = intercept[IllegalStateException] {
+      s.save(5L, Map("f" -> df(1)), Map("f" -> df(1)))
+    }
+    assert(e0.getMessage.contains("skips past"))
+    s.save(0L, Map("f" -> df(1)), Map("f" -> df(1)))
+    val e1 = intercept[IllegalStateException] {
+      s.save(2L, Map("f" -> df(3)), Map("f" -> df(1, 3))) // skips epoch 1
+    }
+    assert(e1.getMessage.contains("skips past"))
+    s.save(1L, Map("f" -> df(2)), Map("f" -> df(1, 2)))   // consecutive: fine
+    assert(loaded(s) === Set(1L, 2L))
+    // negative epoch ids (non-streaming callers) still auto-assign prev+1
+    s.save(-1L, Map("f" -> df(3)), Map("f" -> df(1, 2, 3)))
+    assert(loaded(s) === Set(1L, 2L, 3L))
+  }
+
   test("marker outliving its deleted frames (GC crash) is skipped, not fatal") {
     val dir = java.nio.file.Files.createTempDirectory("graft_des_gc").toString
     val s = new DeltaEpochStore(spark, dir, frames, compactEvery = 100)

@@ -126,6 +126,30 @@ class FuzzyStreamSpec extends SparkSpec {
     assert(pairSet(m2.pairs) === batchPairs(b0 ++ b1))
   }
 
+  test("save failure leaves in-memory state un-advanced; the retry commits the batch") {
+    // the r12 ADVICE hole: if store.save throws AFTER `state` was already
+    // reassigned, the replayed batch anti-joins to an EMPTY delta and the
+    // batch is permanently lost. The fix saves FIRST — pin it by forcing
+    // save to throw (a regular file squatting where the commit-marker
+    // directory must go) and replaying the same epoch.
+    val dirF = java.nio.file.Files.createTempDirectory("graft_fuzzy_savefail")
+    val dir = dirF.toString
+    val m = new FuzzyStream.Maintainer(spark, stateDir = Some(dir))
+    val b0 = vocab.take(8) ++ Seq("margin", "margins")
+    val squatter = new java.io.File(dir, "commits")
+    assert(squatter.createNewFile(), "squatter file should be creatable")
+    intercept[Exception] { m.update(strsDF(b0), epochId = 0L) }
+    assert(pairSet(m.pairs).isEmpty,
+      "in-memory state advanced past a failed save — the replay would lose the batch")
+    assert(squatter.delete())
+    // the foreachBatch replay: same epoch, same batch — must now commit
+    m.update(strsDF(b0), epochId = 0L)
+    assert(pairSet(m.pairs) === batchPairs(b0))
+    val m2 = new FuzzyStream.Maintainer(spark, stateDir = Some(dir))
+    assert(m2.resumed && pairSet(m2.pairs) === batchPairs(b0),
+      "retried batch did not reach durable state")
+  }
+
   test("checkpoint without stateDir is refused") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Str]
