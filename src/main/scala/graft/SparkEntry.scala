@@ -1947,6 +1947,51 @@ object SparkEntry {
       .select(col("id").as("name"), col("comp").as("cluster_root"))
       .orderBy(col("name"))
 
+  /** The x126/x127 planted fastText-style model: 2 classes × 512 hashed
+    * buckets, integer weights from the hash40 closed form — bounded
+    * driver state (1024 longs) inlined into the plan as array literals,
+    * standing in for an offline-trained quantized classifier. ONE
+    * instance shared by both surfaces so the oracles replay one table.
+    */
+  private lazy val ftModel = LinearModel.planted("q", classes = 2, dim = 512)
+
+  /** Learned-model inference surface (x126): the fastText-style
+    * hashed-feature linear classifier ([[graft.operators.LinearModel]])
+    * over every document — unigram+bigram bag, hash40 bucketing,
+    * per-class BIGINT dots, strict-argmax pred, length-normalized
+    * margin. Map-only (weights are literals: zero joins, zero
+    * exchanges — the shape a 100 TB full-corpus scorer needs). The
+    * oracle rebuilds the weight table from the md5 closed form and
+    * replays tokenize → bigram → hash → dot → argmax bit-for-bit (the
+    * x91 discipline), so the hash certifies the whole inference path.
+    */
+  private def x126(s: SparkSession, dir: String): DataFrame =
+    LinearModel
+      .classify(dts(s, dir).select(col("doc_id"), col("text")), "text", ftModel)
+      .select(
+        col("doc_id"), col("n_feats"), col("dot0"), col("dot1"),
+        col("pred"), col("margin"))
+      .orderBy(col("doc_id"))
+
+  /** Learned-screen curation surface (x127): x120's composed pipeline
+    * with the CCNet architecture in the screen slot — the trained
+    * classifier (x126's planted model, keep = class 1) replaces the
+    * Gopher heuristic cascade; md5 dedup, language screen, and
+    * per-source cap unchanged ([[graft.operators.LinearModel
+    * .curateWithModel]]). Same two bounded shuffles, zero joins; the
+    * model screen is a pure function of `text`, so the screen-first
+    * equivalence argument (and the oracle's dedup-first replay) carries
+    * over verbatim.
+    */
+  private def x127(s: SparkSession, dir: String): DataFrame =
+    LinearModel
+      .curateWithModel(
+        dts(s, dir).select(col("doc_id"), col("source"), col("text")),
+        ftModel,
+        keepClass = 1L,
+        cap = 10)
+      .orderBy(col("source"), col("doc_id"))
+
   /** Distinct-count sketch surface: distinct users per event type by KMV
     * k-minimum-values (k = 64) next to the exact twin — the sketch whose
     * exchange stays O(k) per group regardless of cardinality, where exact
@@ -3760,6 +3805,42 @@ object SparkEntry {
           s"${1L << (4 * (DistinctSketch.HexChars - i))}")
       .mkString(" + ")
 
+  /** Shared DuckDB replay CTEs for the x126/x127 fastText-style scorer:
+    * the planted 2×512 integer weight table from the md5 closed form
+    * (the exact [[graft.operators.LinearModel.planted]] formula —
+    * hash40("ftw:q:c:b") mod 2001 − 1000), unigram+bigram bag features,
+    * hash40("ft:" + f) mod 512 bucketing, per-class BIGINT dots. Yields
+    * CTEs `ftw`, `ftwp` (pivoted per-bucket w0/w1), `fttk`, `ftfeats`,
+    * `ftfb`, `ftdots` (doc_id, n_feats, dot0, dot1) — spliced after
+    * WITH. ONE helper for both oracles so they cannot drift from each
+    * other or from the Scala literals.
+    */
+  private val ftCtesSql: String =
+    s"""ftw AS (
+       |  SELECT c, b, CAST(($kmvHexToIntSql) % 2001 AS BIGINT) - 1000 AS w
+       |  FROM (SELECT c, b, substr(md5('ftw:q:' || c || ':' || b), 1, 10) AS h
+       |        FROM range(0, 2) r1(c), range(0, 512) r2(b))
+       |), ftwp AS (
+       |  SELECT b, max(CASE WHEN c = 0 THEN w END) AS w0,
+       |         max(CASE WHEN c = 1 THEN w END) AS w1
+       |  FROM ftw GROUP BY b
+       |), fttk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |), ftfeats AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM fttk
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
+       |  FROM fttk WHERE len(toks) >= 2
+       |), ftfb AS (
+       |  SELECT doc_id, CAST(($kmvHexToIntSql) % 512 AS BIGINT) AS b
+       |  FROM (SELECT doc_id, substr(md5('ft:' || f), 1, 10) AS h FROM ftfeats)
+       |), ftdots AS (
+       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(w.w0) AS BIGINT) AS dot0, CAST(sum(w.w1) AS BIGINT) AS dot1
+       |  FROM ftfb f JOIN ftwp w USING (b) GROUP BY 1
+       |)""".stripMargin
+
   /** Shared DuckDB replay CTEs for the integer-LSH family (x91, x111,
     * x112, x113): the tables×bits×64 plane grid from the md5 closed form
     * (hash40 % 2001 − 1000 — the exact [[graft.functions.IntLshBuckets
@@ -4085,6 +4166,8 @@ object SparkEntry {
     "x123_fuzzy_editdist2" -> (x123 _),
     "x124_indexed_ingest_bucketed" -> (x124 _),
     "x125_fuzzy_clusters_d2" -> (x125 _),
+    "x126_ft_classify" -> (x126 _),
+    "x127_ft_curation" -> (x127 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5703,6 +5786,58 @@ object SparkEntry {
         |)
         |SELECT src AS name, least(src, min(dst)) AS cluster_root
         |FROM reach GROUP BY src ORDER BY name""".stripMargin,
+    // x126: the ENTIRE inference path replayed closed-form — planted
+    // weight table from the md5 formula, unigram+bigram bag, hash40
+    // bucketing, BIGINT dots, strict argmax, one exact-IEEE division for
+    // the margin (the x91 replay discipline applied to model inference).
+    "x126_ft_classify" ->
+      s"""WITH $ftCtesSql
+        |SELECT doc_id, n_feats, dot0, dot1,
+        |  CASE WHEN dot1 > dot0 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS pred,
+        |  CAST(dot1 - dot0 AS DOUBLE) / (1000.0 * greatest(n_feats, 1)) AS margin
+        |FROM ftdots ORDER BY doc_id""".stripMargin,
+    // x127: x120's composed-curation replay with the learned screen in
+    // the quality slot — dedup-first is result-identical because pred is
+    // a pure function of text (the screen-first equivalence argument);
+    // language argmax, BPE-ish count, and md5-ordered cap verbatim from
+    // the x120 oracle.
+    "x127_ft_curation" ->
+      s"""WITH $ftCtesSql, surv AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, source, text FROM surv WHERE rn = 1
+        |), kept AS (
+        |  SELECT s1.doc_id, s1.source, s1.text,
+        |    string_split_regex(trim(s1.text), '\\s+') AS toks
+        |  FROM s1 JOIN ftdots d USING (doc_id) WHERE d.dot1 > d.dot0
+        |), sc AS (
+        |  SELECT *,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
+        |  FROM kept
+        |), lang AS (
+        |  SELECT *, CASE
+        |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM sc
+        |), fin AS (
+        |  SELECT * FROM lang WHERE lang_pred <> 'und'
+        |), capd AS (
+        |  SELECT source, doc_id, lang_pred,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |  FROM fin
+        |)
+        |SELECT source, doc_id, lang_pred, n_tokens
+        |FROM capd WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     // x57: hash = int of first 10 md5 hex chars (hex→int generated from
     // the same positional loop as the Spark side); k-minima via
     // row_number over DISTINCT hashes; estimate = (k-1)*2^40 // h_k in

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DistinctSketch, LinearModel, TextAnalysis}
+import graft.operators.LinearModel.HashedLinearModel
+
+/** The learned-model inference operator: hand-computed scores on a tiny
+  * explicit model (the spec half of the x126 contract — the oracle half
+  * replays the planted model closed-form in DuckDB), the planted-weight
+  * formula, the argmax tie rule, the map-only plan shape, and the
+  * curation wiring's screen-order equivalence.
+  */
+class LinearModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a fully explicit 2-class, dim-4 model: w(c)(b) chosen so every bucket
+  // discriminates and ties are constructible
+  private val w0 = Array(10L, -3L, 7L, 100L)
+  private val w1 = Array(2L, 5L, -1L, 100L)
+  private val tiny = HashedLinearModel(4, Array(w0, w1))
+
+  private def b(feat: String): Int =
+    (DistinctSketch.hash40Scala("ft:" + feat) % 4L).toInt
+
+  test("hand-computed dots, pred, margin on crafted docs") {
+    val docs = Seq((1L, "a b a"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val got = LinearModel
+      .classify(docs, "text", tiny)
+      .select("doc_id", "n_feats", "dot0", "dot1", "pred", "margin")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+
+    // doc 1: features are every OCCURRENCE of [a, b, a] ++ ["a b", "b a"]
+    val f1 = Seq("a", "b", "a", "a b", "b a")
+    val d10 = f1.map(f => w0(b(f))).sum
+    val d11 = f1.map(f => w1(b(f))).sum
+    assert(got(1L).getLong(1) === 5L)
+    assert(got(1L).getLong(2) === d10)
+    assert(got(1L).getLong(3) === d11)
+    assert(got(1L).getLong(4) === (if (d11 > d10) 1L else 0L))
+    assert(got(1L).getDouble(5) === (d11 - d10).toDouble / (1000.0 * 5.0))
+
+    // doc 2: single token — unigram only, no bigrams
+    assert(got(2L).getLong(1) === 1L)
+    assert(got(2L).getLong(2) === w0(b("a")))
+    assert(got(2L).getLong(3) === w1(b("a")))
+
+    // doc 3: empty text tokenizes to [""] (split-of-trim convention) —
+    // one feature, never a crash, never a NULL
+    assert(got(3L).getLong(1) === 1L)
+    assert(got(3L).getLong(2) === w0(b("")))
+  }
+
+  test("argmax ties go to the smallest class index") {
+    // bucket 3 has w0 = w1 = 100: any doc hashing only to bucket 3 ties.
+    // Find a token whose unigram lands in bucket 3 (search a small space).
+    val tok = (0 until 1000).map(i => s"t$i").find(t => b(t) == 3).get
+    val got = LinearModel
+      .classify(Seq((1L, tok)).toDF("doc_id", "text"), "text", tiny)
+      .select("dot0", "dot1", "pred")
+      .head()
+    assert(got.getLong(0) === 100L && got.getLong(1) === 100L)
+    assert(got.getLong(2) === 0L, "tie must keep the smallest class")
+  }
+
+  test("three-class argmax: strict-> keep rule across all positions") {
+    // dim 1: every feature lands in bucket 0, so dots are n_feats * w(c)(0)
+    val m3 = HashedLinearModel(1, Array(Array(5L), Array(9L), Array(9L)))
+    val got = LinearModel
+      .classify(Seq((1L, "x y")).toDF("doc_id", "text"), "text", m3)
+      .select("dot0", "dot1", "dot2", "pred")
+      .head()
+    assert(got.getLong(0) === 15L && got.getLong(1) === 27L && got.getLong(2) === 27L)
+    assert(got.getLong(3) === 1L, "first of the tied maxima wins")
+  }
+
+  test("planted weights replay the hash40 closed form, bounded range") {
+    val m = LinearModel.planted("q", classes = 2, dim = 512)
+    assert(m.classes === 2 && m.dim === 512)
+    for (c <- 0 until 2; bb <- Seq(0, 1, 17, 511)) {
+      val expect = DistinctSketch.hash40Scala(s"ftw:q:$c:$bb") % 2001L - 1000L
+      assert(m.weights(c)(bb) === expect)
+    }
+    assert(m.weights.flatten.forall(x => x >= -1000L && x <= 1000L))
+  }
+
+  test("classify is map-only: zero exchanges, weights ride as literals") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = LinearModel
+      .classify(docs, "text", LinearModel.planted("q", 2, 512))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"full-corpus scorer must not exchange:\n$plan")
+  }
+
+  test("sigmoidScore: 0.5 at zero margin, monotone, bounded") {
+    val got = Seq(-2.0, 0.0, 2.0)
+      .toDF("m")
+      .select(LinearModel.sigmoidScore(col("m")).as("s"))
+      .collect()
+      .map(_.getDouble(0))
+    assert(got(1) === 0.5)
+    assert(math.abs(got(2) - 1.0 / (1.0 + math.exp(-2.0))) < 1e-15)
+    assert(got(0) < got(1) && got(1) < got(2))
+    assert(got.forall(s => s > 0.0 && s < 1.0))
+  }
+
+  test("curateWithModel ≡ dedup-first composition (screen-order equivalence)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val m = LinearModel.planted("q", 2, 512)
+    val got = LinearModel.curateWithModel(docs, m, keepClass = 1L, cap = 10)
+
+    // the independent composition in the OTHER order: min-id md5 dedup
+    // first, model screen + language screen after (the oracle's shape)
+    val dedup = docs
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .drop("rn")
+    val expected = LinearModel
+      .classify(dedup, "text", m)
+      .where(col("pred") === 1L)
+      .select(
+        col("doc_id"), col("source"),
+        md5(col("text")).as("text_md5"),
+        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      .where(col("lang_pred") =!= "und")
+      .withColumn(
+        "rn_cap",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("text_md5"), col("doc_id"))))
+      .where(col("rn_cap") <= 10)
+      .select(col("source"), col("doc_id"), col("lang_pred"), col("n_tokens"))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row] =
+      df.collect().toSet
+    assert(got.count() > 0, "planted screen should keep a nonempty selection")
+    assert(rows(got) === rows(expected))
+  }
+}
