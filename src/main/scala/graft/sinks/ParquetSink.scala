@@ -1,7 +1,6 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parquet sink + bounded state read-back (SURVEY.md §2.1).
@@ -13,10 +12,14 @@ import org.apache.spark.sql.functions._
   * pandas `tail` order becomes explicit, shuffle-deterministic ordering
   * (SURVEY.md §7.4).
   *
-  * Scale: the tail-N read sorts only (sink_seq) pairs — a top-N, not a full
-  * sort — and N is 300, so the driver-side materialization is bounded.
-  * A real deployment would partition the sink by date and prune to the last
-  * partition before the top-N.
+  * Scale: the sink is PARTITIONED BY batch_id, so the tail-N read prunes to
+  * the newest partition(s) — O(tail) I/O per batch instead of O(history):
+  * an unpartitioned sink re-scans its entire accumulated life to keep 300
+  * rows, which at 100× sink age is the dominant cost of every micro-batch.
+  * Partition selection walks batch directories newest-first, accumulating
+  * footer-metadata row counts until ≥ n, then takes the tail via
+  * orderBy(desc).limit(n) — a TakeOrderedAndProject over only the selected
+  * partitions, never a global window over history.
   */
 object ParquetSink {
 
@@ -44,21 +47,56 @@ object ParquetSink {
       .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i + 1L)) }
     spark
       .createDataFrame(rows, schema)
+      .withColumn("batch_id", lit(batchId))
       .write
       .mode("append")
+      .partitionBy("batch_id")
       .parquet(path)
   }
 
   /** Last `n` appended rows (reference tail(300), main.py:260), renamed
     * `state_seq` for Delta.prepareState.
+    *
+    * Partition-pruned: only the newest batch_id directories whose
+    * cumulative row counts reach `n` are read (counts are parquet footer
+    * metadata — no data pages touched), and the tail over that bounded
+    * slice is orderBy(sink_seq desc).limit(n), which plans as
+    * TakeOrderedAndProject (per-partition top-N, one bounded merge) — no
+    * global single-partition window, no full-history scan. Driver state
+    * is one (batch_id, count) pair per selected partition, bounded by
+    * ceil(n / min-batch-rows) non-empty batches. A pre-partitioning
+    * legacy sink (no batch_id= directories) falls back to the full scan
+    * with the same tail semantics.
     */
   def readStateTail(spark: SparkSession, path: String, n: Int = 300): DataFrame = {
-    val w = Window.orderBy(col("sink_seq").desc)
-    spark.read
-      .parquet(path)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
-      .drop("__rn")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs
+      .listStatus(hPath)
+      .toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .flatMap(st =>
+        st.getPath.getName.stripPrefix("batch_id=").toLongOption.map(_ -> st.getPath))
+      .sortBy { case (id, _) => -id }
+    val slice =
+      if (batchDirs.isEmpty) spark.read.parquet(path) // legacy unpartitioned sink
+      else {
+        val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+        var acc = 0L
+        val it = batchDirs.iterator
+        while (acc < n && it.hasNext) {
+          val dir = it.next()._2.toString
+          picked += dir
+          acc += spark.read.parquet(dir).count() // footer metadata only
+        }
+        spark.read
+          .option("basePath", path)
+          .parquet(picked.toSeq: _*)
+          .drop("batch_id")
+      }
+    slice
+      .orderBy(col("sink_seq").desc)
+      .limit(n)
       .withColumnRenamed("sink_seq", "state_seq")
   }
 

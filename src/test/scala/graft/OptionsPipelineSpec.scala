@@ -150,6 +150,48 @@ class OptionsPipelineSpec extends SparkSpec {
     assert(out.head.getLong(out.head.fieldIndex("OI")) === 0L)
   }
 
+  test("sink tail is partition-pruned: newest batches only, no global window") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink_prune").toString + "/data"
+    // three appended batches, 4 rows each (the e2e pipeline output shape)
+    val out = OptionsPipeline.runBatch(
+      toDf(batch("8.5", "80")),
+      ParquetSink.emptyState(spark),
+      OptionsPipeline.Hourly,
+      today,
+      LocalDate.of(2025, 10, 15),
+      LocalTime.of(10, 0, 0))
+    (1L to 3L).foreach(b => ParquetSink.append(out, sink, batchId = b))
+
+    // n = 6 needs batches 3 and 2 (4 rows each) — batch 1 must NOT be read
+    val tail = ParquetSink.readStateTail(spark, sink, n = 6)
+    val seqs = tail.select("state_seq").collect().map(_.getLong(0)).sorted.toSeq
+    val base2 = 2L * (1L << 32); val base3 = 3L * (1L << 32)
+    assert(seqs === Seq(base2 + 3L, base2 + 4L, base3 + 1L, base3 + 2L, base3 + 3L, base3 + 4L),
+      "tail must be the newest 6 rows across the batch boundary")
+
+    // pruning evidence: the scan's input files live only under batches 3 and 2
+    val files = tail.inputFiles
+    assert(files.nonEmpty && files.forall(f => f.contains("batch_id=3") || f.contains("batch_id=2")),
+      s"batch 1 leaked into the pruned tail scan: ${files.mkString(", ")}")
+
+    // plan shape: TakeOrderedAndProject (bounded top-N), zero window execs
+    val plan = tail.queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }
+    assert(windows.isEmpty, s"tail read must not plan a window over history:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected a top-N plan for the tail read:\n$plan")
+
+    // legacy fallback: an unpartitioned pre-partitioning sink still reads
+    val legacy = java.nio.file.Files.createTempDirectory("graft_sink_legacy").toString + "/data"
+    out.withColumn("sink_seq", (lit(1L) * (1L << 32)) + col("OI"))
+      .write.mode("append").parquet(legacy)
+    val lt = ParquetSink.readStateTail(spark, legacy, n = 2)
+    assert(lt.count() === 2L)
+  }
+
   test("flagship entry returns rows on sf0.001") {
     val raw = TickerSource.syntheticFromLineitem(spark, "/root/testdata/sf0.001")
     val out = OptionsPipeline.runBatch(
