@@ -85,6 +85,41 @@ class DeltaEpochStoreSpec extends SparkSpec {
     assert(s.latestCommitted === 1L)
   }
 
+  test("100-epoch soak: bounded chain, GC deletes, every-10th-epoch restart resumes exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_des_soak").toString
+    val K = 5
+    var s = new DeltaEpochStore(spark, dir, frames, compactEvery = K)
+    def commitsOnDisk: Seq[Long] = {
+      val d = new java.io.File(dir, "commits")
+      if (!d.exists) Seq.empty
+      else d.listFiles.flatMap(f => f.getName.toLongOption).toSeq.sorted // skip .crc shadows
+    }
+    var maxChain = 0
+    for (e <- 0L until 100L) {
+      if (e > 0 && e % 10 == 0) {
+        // restart: a fresh store over the same dir resumes exactly
+        s = new DeltaEpochStore(spark, dir, frames, compactEvery = K)
+        assert(s.latestCommitted === e - 1, s"restart at epoch $e lost the frontier")
+        assert(loaded(s) === (0L until e).toSet, s"restart at epoch $e lost rows")
+      }
+      s.save(e, Map("f" -> df(e)), Map("f" -> spark.range(e + 1).toDF("k")))
+      maxChain = math.max(maxChain, commitsOnDisk.size)
+      // storage bound: GC after each compact keeps ≤ K live epochs
+      assert(commitsOnDisk.size <= K,
+        s"epoch $e: ${commitsOnDisk.size} live epochs — GC is not deleting")
+    }
+    // the chain actually cycled (compaction + GC ran many times) and the
+    // full state survived 100 epochs of delta/compact/GC/restart churn
+    assert(maxChain === K)
+    assert(commitsOnDisk.forall(_ >= 95L), s"stale epochs survived GC: $commitsOnDisk")
+    val fresh = new DeltaEpochStore(spark, dir, frames, compactEvery = K)
+    assert(fresh.latestCommitted === 99L)
+    assert(loaded(fresh) === (0L until 100L).toSet)
+    // frame dirs for GC'd epochs are gone too (data, not just markers)
+    assert(!new java.io.File(dir, "f/epoch=0").exists)
+    assert(!new java.io.File(dir, "f/epoch=50").exists)
+  }
+
   test("un-markered partial epoch is invisible and overwritten by the replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_des_partial").toString
     val s = new DeltaEpochStore(spark, dir, frames, compactEvery = 100)
