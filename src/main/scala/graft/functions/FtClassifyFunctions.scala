@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.DistinctSketch
+
+/** The binary fastText-style dot pass as ONE plain-JVM expression — the
+  * [[TextStatFunctions]] lesson applied to x126/x127's scorer: the
+  * pure-Column formulation (two `aggregate` folds over a `transform`ed
+  * feature array, kept in [[graft.operators.LinearModel]] as the
+  * general-classes path and the algebra documentation) is CodegenFallback
+  * all the way down, and when the screen predicate lands in a
+  * FilterExec the interpreted fold re-runs per reference — measured
+  * ~1.8 ms/doc, 8-10 s of x127 wall at sf0.1, in pure interpretation
+  * overhead. This expression walks the tokens once (unigram + adjacent
+  * bigram per step), hashes each feature with the engine-wide
+  * [[DistinctSketch.hash40Scala]], and accumulates both class dots from
+  * the flat [w0 ++ w1] weight array in a tight loop — identical outputs
+  * (same trim/split/hash/mod/weight semantics, LinearModelSpec pins the
+  * two paths equal and the x126/x127 oracles are untouched), ~two orders
+  * cheaper per row.
+  */
+case class FtBinaryDots(child: Expression, weights: Array[Long], dim: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(weights.length == 2 * dim, s"flat weights must be 2*dim, got ${weights.length}")
+
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("n_feats", LongType, nullable = false),
+      StructField("dot0", LongType, nullable = false),
+      StructField("dot1", LongType, nullable = false)
+    )
+  )
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // EXACT twin of the Column path: trim strips 0x20 only (Spark's
+    // trim), split keeps trailing empties (Spark's split is limit -1, so
+    // "" tokenizes to [""]), features are every unigram occurrence plus
+    // every adjacent bigram, bucket = hash40("ft:" + f) mod dim
+    val toks = input.asInstanceOf[UTF8String].trim.toString.split("\\s+", -1)
+    var d0 = 0L
+    var d1 = 0L
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      val b = (DistinctSketch.hash40Scala("ft:" + toks(i)) % dim).toInt
+      d0 += weights(b); d1 += weights(dim + b); n += 1L
+      if (i + 1 < toks.length) {
+        val bb = (DistinctSketch.hash40Scala("ft:" + toks(i) + " " + toks(i + 1)) % dim).toInt
+        d0 += weights(bb); d1 += weights(dim + bb); n += 1L
+      }
+      i += 1
+    }
+    InternalRow(n, d0, d1)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

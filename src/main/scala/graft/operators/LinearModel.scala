@@ -91,23 +91,32 @@ object LinearModel {
     * `n_feats` (BIGINT), `dot0..dot{C−1}` (BIGINT per-class dots),
     * `pred` (BIGINT argmax, smallest class on ties) and — for binary
     * models — `margin` (DOUBLE, (dot1 − dot0)/(1000·max(n_feats,1))).
-    * Map-only: weights ride as array literals, no join, no shuffle.
+    * Map-only: weights ride as plan constants, no join, no shuffle.
+    *
+    * Binary models evaluate through [[graft.functions.FtBinaryDots]] —
+    * one plain-JVM pass per row (the TextStatFunctions lesson: the HOF
+    * fold is interpreted, and a screen predicate referencing it re-runs
+    * the fold per reference — measured 8-10 s of x127 wall at sf0.1,
+    * ~1.8 ms/doc, vs ~µs for the loop). The general-classes HOF path
+    * below keeps the algebra documented and covers C > 2; LinearModelSpec
+    * pins the two paths equal on the same model.
     */
   def classify(docs: DataFrame, textCol: String, model: HashedLinearModel): DataFrame = {
-    val withBuckets = docs.withColumn(
-      "ft_buckets",
-      transform(features(TextAnalysis.tokens(col(textCol))), f => bucket(f, model.dim)))
-    val dotted = model.weights.zipWithIndex
-      .foldLeft(withBuckets) { case (df, (w, c)) =>
-        df.withColumn(
-          s"dot$c",
-          aggregate(
-            col("ft_buckets"),
-            lit(0L),
-            (acc, b) => acc + element_at(typedLit(w.toSeq), (b + 1L).cast("int"))))
-      }
-      .withColumn("n_feats", size(col("ft_buckets")).cast("long"))
-      .drop("ft_buckets")
+    val dotted =
+      if (model.classes == 2) {
+        val flat = model.weights(0) ++ model.weights(1)
+        val s = org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.FtBinaryDots(
+            org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+            flat,
+            model.dim))
+        docs
+          .withColumn("ft_s", s)
+          .withColumn("n_feats", col("ft_s.n_feats"))
+          .withColumn("dot0", col("ft_s.dot0"))
+          .withColumn("dot1", col("ft_s.dot1"))
+          .drop("ft_s")
+      } else classifyHof(docs, textCol, model)
     // argmax with the strict-> keep rule: class c beats the incumbent
     // only when strictly greater, so the smallest index wins ties
     val pred = (1 until model.classes).foldLeft((lit(0L), col("dot0"))) {
@@ -123,6 +132,29 @@ object LinearModel {
           (lit(1000.0) * greatest(col("n_feats"), lit(1L)).cast("double")))
     else out
   }
+
+  /** The general-classes HOF formulation — the documented algebra (see
+    * [[classify]]): per-feature bucket transform, one `aggregate` fold
+    * per class over the weight array literal. Interpreted (HOFs are
+    * CodegenFallback); the binary hot path routes through
+    * [[graft.functions.FtBinaryDots]] instead.
+    */
+  private[graft] def classifyHof(docs: DataFrame, textCol: String, model: HashedLinearModel): DataFrame =
+    model.weights.zipWithIndex
+      .foldLeft(
+        docs.withColumn(
+          "ft_buckets",
+          transform(features(TextAnalysis.tokens(col(textCol))), f => bucket(f, model.dim)))) {
+        case (df, (w, c)) =>
+          df.withColumn(
+            s"dot$c",
+            aggregate(
+              col("ft_buckets"),
+              lit(0L),
+              (acc, b) => acc + element_at(typedLit(w.toSeq), (b + 1L).cast("int"))))
+      }
+      .withColumn("n_feats", size(col("ft_buckets")).cast("long"))
+      .drop("ft_buckets")
 
   /** Calibrated keep-probability for binary models: sigmoid of the
     * length-normalized margin. Consumer-facing (threshold screens);
@@ -150,9 +182,26 @@ object LinearModel {
         TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
       .where(col("lang_pred") =!= "und")
 
-  /** The full learned-screen curation pipeline: model screen → min-id
-    * md5 dedup → per-source cap, the x120 composition with the CCNet
-    * scorer in the screen slot. Same two bounded shuffles, zero joins.
+  /** The full learned-screen curation pipeline: min-id md5 dedup →
+    * model screen → per-source cap — the x120 composition with the CCNet
+    * scorer in the screen slot, same two bounded shuffles, zero joins,
+    * but with the stage ORDER deliberately flipped relative to
+    * [[Curation.curate]]'s screen-first shape. Both orders are
+    * result-identical (the screen-first equivalence argument: pred and
+    * lang are pure functions of `text`, every md5-class member shares
+    * `text`); which one is FASTER depends on the screen's cost. The
+    * Gopher cascade is cheap, so x120 screens first and shrinks the md5
+    * exchange. The learned screen hashes ~2·tokens features per document
+    * — dedup-first (a) scores each DISTINCT text once instead of once
+    * per copy, and (b) puts the scorer on the POST-EXCHANGE side of the
+    * md5 window, where Catalyst cannot push it back under the scan: a
+    * text-only predicate pushes through a round-robin repartition all
+    * the way to the parquet scan's few natural splits (measured 7.4 s →
+    * the scan's 2 tasks carried the whole model at sf0.1), but it cannot
+    * cross a window whose partition key it does not reference, so the
+    * expensive evaluation inherits the exchange's full parallelism
+    * (1.0 s, same answer — the x34/x74 partition-inheritance lesson
+    * applied to predicate pushdown).
     */
   def curateWithModel(
       docs: DataFrame,
@@ -160,14 +209,17 @@ object LinearModel {
       keepClass: Long = 1L,
       cap: Int = 10): DataFrame =
     Curation.select(
-      modelScreened(docs, model, keepClass)
-        .withColumn(
-          "rn_dup",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("text_md5"))
-              .orderBy(col("doc_id"))))
-        .where(col("rn_dup") === 1)
-        .drop("rn_dup"),
+      modelScreened(
+        docs
+          .withColumn(
+            "rn_dup",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(md5(col("text")))
+                .orderBy(col("doc_id"))))
+          .where(col("rn_dup") === 1)
+          .drop("rn_dup"),
+        model,
+        keepClass),
       cap)
 }

@@ -59,10 +59,19 @@ object CurationStream {
     StructField("lang_pred", StringType),
     StructField("n_tokens", LongType)))
 
+  /** @param screen the map-side per-doc screen producing (doc_id, source,
+    *   text_md5, lang_pred, n_tokens) over screen-passing docs. Defaults
+    *   to the Gopher+language cascade ([[Curation.screened]]); pass
+    *   [[graft.operators.LinearModel.modelScreened]] partially applied
+    *   for the learned (CCNet-style, x127) screen — any pure text
+    *   function keeps the screen-first equivalence argument, so the
+    *   stream ≡ batch contract is screen-agnostic.
+    */
   final class Maintainer(
       spark: SparkSession,
       cap: Int = 10,
-      val stateDir: Option[String] = None
+      val stateDir: Option[String] = None,
+      screen: DataFrame => DataFrame = Curation.screened
   ) {
 
     private val store: Option[EpochStore] =
@@ -85,9 +94,9 @@ object CurationStream {
     def selection: DataFrame = Curation.select(kept, cap)
 
     private[graft] def update(batch: DataFrame, epochId: Long = -1L): Unit = {
-      val s = Curation
-        .screened(batch.select(col("doc_id").cast(LongType), col("source"), col("text")))
-        .select(col("text_md5"), col("doc_id"), col("source"), col("lang_pred"), col("n_tokens"))
+      val s =
+        screen(batch.select(col("doc_id").cast(LongType), col("source"), col("text")))
+          .select(col("text_md5"), col("doc_id"), col("source"), col("lang_pred"), col("n_tokens"))
       kept = kept
         .unionByName(s)
         .groupBy(col("text_md5"))

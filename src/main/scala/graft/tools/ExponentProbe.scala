@@ -40,7 +40,11 @@ object ExponentProbe {
     // p_name's domain is near-constant across SFs, so wall should be
     // ~flat — a rising e here would mean the join went quadratic)
     "x115_bm25_topk" -> "documents",
-    "x123_fuzzy_editdist2" -> "part")
+    "x123_fuzzy_editdist2" -> "part",
+    // round-13 addition: learned-model inference is map-only (weights are
+    // plan literals, zero exchanges) — e must sit at ~1 in documents; a
+    // rising e would mean the scorer grew a join it must never have
+    "x126_ft_classify" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =

@@ -85,6 +85,33 @@ class CurationStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("learned screen (x127 model) plugs in: selection ≡ curateWithModel after every batch") {
+    import graft.operators.LinearModel
+    val model = LinearModel.planted("q", 2, 512)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    def modelBatchSel(ds: Seq[Doc]): Set[(String, Long, String, Long)] =
+      LinearModel
+        .curateWithModel(ds.toDF("doc_id", "source", "text"), model, keepClass = 1L, cap = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val m = new CurationStream.Maintainer(
+      spark, cap = 2, screen = LinearModel.modelScreened(_, model, keepClass = 1L))
+    var prefix = Seq.empty[Doc]
+    Seq(docs.take(20), docs.slice(20, 40), docs.slice(40, 60)).foreach { b =>
+      m.update(b.toDF("doc_id", "source", "text"))
+      prefix ++= b
+      assert(streamSel(m) === modelBatchSel(prefix))
+    }
+    assert(streamSel(m).nonEmpty, "planted screen should keep a nonempty selection")
+  }
+
   test("replayed batch is a no-op (idempotent fold)") {
     val ds = passing.take(4)
     val m = new CurationStream.Maintainer(spark, cap = 10)

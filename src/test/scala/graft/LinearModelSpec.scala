@@ -79,6 +79,35 @@ class LinearModelSpec extends SparkSpec {
     assert(got.getLong(3) === 1L, "first of the tied maxima wins")
   }
 
+  test("binary expression path ≡ the HOF algebra on real corpus text") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .limit(60)
+    val m = LinearModel.planted("q", 2, 512)
+    val fast = LinearModel
+      .classify(docs, "text", m)
+      .select("doc_id", "n_feats", "dot0", "dot1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val hof = LinearModel
+      .classifyHof(docs, "text", m)
+      .select("doc_id", "n_feats", "dot0", "dot1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fast === hof)
+    // whitespace-edge cases through both paths: leading tab (trim strips
+    // 0x20 only → leading empty token), multi-space runs, trailing spaces
+    val tricky = Seq((1L, "\ta b\n"), (2L, "  x   y  "), (3L, " ")).toDF("doc_id", "text")
+    val f2 = LinearModel.classify(tricky, "text", m)
+      .select("doc_id", "n_feats", "dot0", "dot1").collect().map(_.toSeq).toSet
+    val h2 = LinearModel.classifyHof(tricky, "text", m)
+      .select("doc_id", "n_feats", "dot0", "dot1").collect().map(_.toSeq).toSet
+    assert(f2 === h2)
+  }
+
   test("planted weights replay the hash40 closed form, bounded range") {
     val m = LinearModel.planted("q", classes = 2, dim = 512)
     assert(m.classes === 2 && m.dim === 512)
