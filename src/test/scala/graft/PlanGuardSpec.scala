@@ -208,4 +208,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges <= 4, s"exchange crept into the curation pipeline ($exchanges):\n$p")
     assert(!p.contains("Join"), s"join-back crept into the curation pipeline:\n$p")
   }
+
+  test("x127 learned screen evaluates post-exchange, exactly once, above the dedup window") {
+    // the r13 lesson: a text-only predicate pushes through a round-robin
+    // repartition to the scan's few natural splits — 7.4 s of x127 wall
+    // came from the model evaluating on 1-2 tasks. The dedup-first shape
+    // parks the screen ABOVE the md5 window (whose partition key the
+    // predicate doesn't reference, so pushdown stops there), post-
+    // exchange, scoring each distinct text once. Pin: (a) the classifier
+    // appears exactly once in the plan; (b) the scan-adjacent filter (if
+    // any) does NOT contain it; (c) still zero joins.
+    val p = plan("x127_ft_curation")
+    // renders as ftbinarydots(text...) — once per dot the predicate reads
+    val clsCount = "(?i)ftbinarydots\\(".r.findAllIn(p).size
+    assert(clsCount >= 1, "classifier missing from the plan — the pin is vacuous")
+    assert(clsCount <= 2, s"classifier expanded $clsCount times:\n${p.take(2000)}")
+    // everything before the first exchange (tree overview + the scan
+    // detail) must not carry the classifier
+    val scanSection = p.split("\\(\\d+\\) Exchange")(0)
+    assert(!scanSection.toLowerCase.contains("ftbinarydots"),
+      s"classifier pushed below the spread exchange:\n${scanSection.take(2000)}")
+    assert(!p.contains("Join"), "join crept into the learned-screen pipeline")
+  }
 }
