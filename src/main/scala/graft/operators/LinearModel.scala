@@ -156,6 +156,81 @@ object LinearModel {
       .withColumn("n_feats", size(col("ft_buckets")).cast("long"))
       .drop("ft_buckets")
 
+  /** Fixed-round INTEGER batch perceptron over hashed features — the
+    * training half of the learned-model story (x128/x129): x126 scores
+    * with planted weights standing in for an offline model; this
+    * operator IS the offline trainer, distributed and exactly
+    * replayable (Rosenblatt 1958; the batch formulation — all
+    * misclassified examples contribute to one synchronous update — is
+    * what makes it order-independent and therefore engine-portable,
+    * unlike the sequential perceptron whose result depends on row
+    * order).
+    *
+    * Round r (w₀ = 0):
+    *   score_i = Σ_b w_r(b)·cnt_i(b)          (BIGINT dot)
+    *   mis_r   = { i : y_i·score_i ≤ 0 }      (the classic ≤, so round 1
+    *                                           updates on every doc)
+    *   w_{r+1}(b) = w_r(b) + Σ_{i ∈ mis_r} y_i·cnt_i(b)
+    *
+    * All integer sums — associative, partitioning-invariant — so a
+    * DuckDB oracle unrolls the rounds closed-form (the x118 integer-
+    * Lloyd discipline applied to training).
+    *
+    * Scale shape: the per-doc bucket-count table (doc, b, cnt, y) is
+    * built ONCE (one explode + one keyed aggregation) and persisted;
+    * each round is one doc-keyed score aggregation + one broadcast of
+    * the misclassified doc set back onto it + one bucket-keyed delta
+    * aggregation collapsing to ≤ dim rows. Weights are driver state
+    * bounded by dim longs (the k-means-codebook contract) and ride into
+    * the next round as an array literal — zero joins against a weight
+    * table.
+    *
+    * @param labelCol ±1 label column (BIGINT)
+    * @return (final weights, per-round misclassified counts)
+    */
+  def trainPerceptron(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      dim: Int,
+      rounds: Int,
+      idCol: String = "doc_id"): (Array[Long], Seq[Long]) = {
+    val fc = docs
+      .select(
+        col(idCol),
+        col(labelCol).cast("long").as("y"),
+        explode(transform(features(TextAnalysis.tokens(col(textCol))), f => bucket(f, dim)))
+          .as("b"))
+      .groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = new Array[Long](dim)
+    val misCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var r = 0
+    while (r < rounds) {
+      val wLit = typedLit(w.toSeq)
+      val scored = fc
+        .groupBy(col(idCol), col("y"))
+        .agg(sum(col("cnt") * element_at(wLit, (col("b") + 1L).cast("int"))).as("score"))
+      // materialized once (localCheckpoint): consumed by both the round's
+      // mis count and the broadcast delta join without re-scoring
+      val mis = scored
+        .where(col("y") * col("score") <= 0L)
+        .select(col(idCol))
+        .localCheckpoint(true)
+      misCounts += mis.count()
+      val deltas = fc
+        .join(broadcast(mis), idCol)
+        .groupBy(col("b"))
+        .agg(sum(col("y") * col("cnt")).as("dw"))
+        .collect()
+      deltas.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
+      r += 1
+    }
+    fc.unpersist()
+    (w, misCounts.toSeq)
+  }
+
   /** Calibrated keep-probability for binary models: sigmoid of the
     * length-normalized margin. Consumer-facing (threshold screens);
     * spec-pinned against hand-computed values, deliberately NOT part of

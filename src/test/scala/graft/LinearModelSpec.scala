@@ -141,6 +141,59 @@ class LinearModelSpec extends SparkSpec {
     assert(got.forall(s => s > 0.0 && s < 1.0))
   }
 
+  test("perceptron: hand-computed two-doc training (bootstrap round, then converged)") {
+    // two single-token docs whose buckets differ under dim 8
+    val (ta, tb) = (0 until 1000)
+      .map(i => s"t$i")
+      .combinations(2)
+      .map(p => (p(0), p(1)))
+      .find { case (a, b0) =>
+        val dim = 8
+        (DistinctSketch.hash40Scala("ft:" + a) % dim) != (DistinctSketch.hash40Scala("ft:" + b0) % dim)
+      }
+      .get
+    val dim = 8
+    val ba = (DistinctSketch.hash40Scala("ft:" + ta) % dim).toInt
+    val bb = (DistinctSketch.hash40Scala("ft:" + tb) % dim).toInt
+    val docs = Seq((0L, ta, 1L), (1L, tb, -1L)).toDF("doc_id", "text", "y")
+    val (w, mis) = LinearModel.trainPerceptron(docs, "text", "y", dim, rounds = 3)
+    // round 1: w=0 scores 0, y*0 <= 0 → BOTH misclassified → w[ba]=+1,
+    // w[bb]=-1; rounds 2-3: both correct, weights frozen
+    assert(mis === Seq(2L, 0L, 0L))
+    val expected = Array.fill(dim)(0L)
+    expected(ba) = 1L; expected(bb) = -1L
+    assert(w.toSeq === expected.toSeq)
+  }
+
+  test("perceptron: separable planted corpus converges and the trained model scores it perfectly") {
+    // +1 docs carry goodtok, −1 docs carry badtok, shared noise words
+    val docs = (0 until 120).map { i =>
+      val marker = if (i % 2 == 0) "goodtok goodtok" else "badtok badtok"
+      (i.toLong, s"common filler $marker words w${i % 7} noise", if (i % 2 == 0) 1L else -1L)
+    }.toDF("doc_id", "text", "y")
+    val (w, mis) = LinearModel.trainPerceptron(docs, "text", "y", dim = 512, rounds = 5)
+    assert(mis.head === 120L, "round 1 must bootstrap on every doc")
+    assert(mis.last === 0L, s"separable data did not converge: $mis")
+    // inference under the trained weights (the x129 shape) is perfect
+    val model = LinearModel.HashedLinearModel(512, Array(Array.fill(512)(0L), w))
+    val wrong = LinearModel
+      .classify(docs, "text", model)
+      .where(col("y") * col("dot1") <= 0L)
+      .count()
+    assert(wrong === 0L)
+  }
+
+  test("perceptron training is partitioning-invariant (integer batch updates)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+    val (w1, m1) = LinearModel.trainPerceptron(docs.repartition(3), "text", "y", 512, 3)
+    val (w2, m2) = LinearModel.trainPerceptron(docs.repartition(17), "text", "y", 512, 3)
+    assert(w1.toSeq === w2.toSeq)
+    assert(m1 === m2)
+  }
+
   test("curateWithModel ≡ dedup-first composition (screen-order equivalence)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
