@@ -1955,6 +1955,12 @@ object SparkEntry {
     */
   private lazy val ftModel = LinearModel.planted("q", classes = 2, dim = 512)
 
+  /** The x130 multi-class head: 4 planted classes over 256 buckets —
+    * the language-ID / domain-router shape (fastText's production C is
+    * dozens-to-hundreds; 4 exercises every strict-argmax position).
+    */
+  private lazy val ftModel4 = LinearModel.planted("m", classes = 4, dim = 256)
+
   /** Learned-model inference surface (x126): the fastText-style
     * hashed-feature linear classifier ([[graft.operators.LinearModel]])
     * over every document — unigram+bigram bag, hash40 bucketing,
@@ -2058,6 +2064,24 @@ object SparkEntry {
         (col("y") * col("dot1") > 0L).as("correct"))
       .orderBy(col("doc_id"))
   }
+
+  /** Multi-class learned-inference surface (x130): the 4-class planted
+    * head over 256 hashed buckets — the language-ID / domain-router
+    * shape — scored through [[graft.functions.FtMultiDots]] (one
+    * plain-JVM token walk charging each hashed bucket to all four
+    * classes; the FtBinaryDots lesson generalized, vs four interpreted
+    * HOF folds per row). Same map-only zero-exchange plan as x126; the
+    * oracle rebuilds the 4×256 weight table closed-form and replays
+    * features → buckets → four BIGINT dots → strict smallest-index
+    * argmax bit-for-bit.
+    */
+  private def x130(s: SparkSession, dir: String): DataFrame =
+    LinearModel
+      .classify(dts(s, dir).select(col("doc_id"), col("text")), "text", ftModel4)
+      .select(
+        col("doc_id"), col("n_feats"),
+        col("dot0"), col("dot1"), col("dot2"), col("dot3"), col("pred"))
+      .orderBy(col("doc_id"))
 
   /** Distinct-count sketch surface: distinct users per event type by KMV
     * k-minimum-values (k = 64) next to the exact twin — the sketch whose
@@ -3872,24 +3896,32 @@ object SparkEntry {
           s"${1L << (4 * (DistinctSketch.HexChars - i))}")
       .mkString(" + ")
 
-  /** Shared DuckDB replay CTEs for the x126/x127 fastText-style scorer:
-    * the planted 2×512 integer weight table from the md5 closed form
-    * (the exact [[graft.operators.LinearModel.planted]] formula —
-    * hash40("ftw:q:c:b") mod 2001 − 1000), unigram+bigram bag features,
-    * hash40("ft:" + f) mod 512 bucketing, per-class BIGINT dots. Yields
-    * CTEs `ftw`, `ftwp` (pivoted per-bucket w0/w1), `fttk`, `ftfeats`,
-    * `ftfb`, `ftdots` (doc_id, n_feats, dot0, dot1) — spliced after
-    * WITH. ONE helper for both oracles so they cannot drift from each
-    * other or from the Scala literals.
+  /** Shared DuckDB replay CTEs for the fastText-style scorers — ONE
+    * generator parameterized exactly like
+    * [[graft.operators.LinearModel.planted]] (seed, classes, dim): the
+    * planted classes×dim integer weight table from the md5 closed form
+    * (hash40("ftw:&lt;seed&gt;:c:b") mod 2001 − 1000), unigram+bigram bag
+    * features, hash40("ft:" + f) mod dim bucketing, per-class BIGINT
+    * dots. Yields CTEs `ftw`, `ftwp` (pivoted per-bucket w0..w{C−1}),
+    * `fttk`, `ftfeats`, `ftfb`, `ftdots` (doc_id, n_feats,
+    * dot0..dot{C−1}) — spliced after WITH. One helper for every
+    * learned-inference oracle (x126/x127 binary, x128/x129 via `ftfb`,
+    * x130 4-class) so none can drift from the others or from the Scala
+    * literals.
     */
-  private val ftCtesSql: String =
+  private def ftCtes(seed: String, classes: Int, dim: Int): String = {
+    val pivot = (0 until classes)
+      .map(c => s"max(CASE WHEN c = $c THEN w END) AS w$c")
+      .mkString(",\n       |         ")
+    val dots = (0 until classes)
+      .map(c => s"CAST(sum(w.w$c) AS BIGINT) AS dot$c")
+      .mkString(",\n       |    ")
     s"""ftw AS (
        |  SELECT c, b, CAST(($kmvHexToIntSql) % 2001 AS BIGINT) - 1000 AS w
-       |  FROM (SELECT c, b, substr(md5('ftw:q:' || c || ':' || b), 1, 10) AS h
-       |        FROM range(0, 2) r1(c), range(0, 512) r2(b))
+       |  FROM (SELECT c, b, substr(md5('ftw:$seed:' || c || ':' || b), 1, 10) AS h
+       |        FROM range(0, $classes) r1(c), range(0, $dim) r2(b))
        |), ftwp AS (
-       |  SELECT b, max(CASE WHEN c = 0 THEN w END) AS w0,
-       |         max(CASE WHEN c = 1 THEN w END) AS w1
+       |  SELECT b, $pivot
        |  FROM ftw GROUP BY b
        |), fttk AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -3900,13 +3932,17 @@ object SparkEntry {
        |    unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
        |  FROM fttk WHERE len(toks) >= 2
        |), ftfb AS (
-       |  SELECT doc_id, CAST(($kmvHexToIntSql) % 512 AS BIGINT) AS b
+       |  SELECT doc_id, CAST(($kmvHexToIntSql) % $dim AS BIGINT) AS b
        |  FROM (SELECT doc_id, substr(md5('ft:' || f), 1, 10) AS h FROM ftfeats)
        |), ftdots AS (
        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-       |    CAST(sum(w.w0) AS BIGINT) AS dot0, CAST(sum(w.w1) AS BIGINT) AS dot1
+       |    $dots
        |  FROM ftfb f JOIN ftwp w USING (b) GROUP BY 1
        |)""".stripMargin
+  }
+
+  /** The x126/x127/x128/x129 binary instance (the planted 2×512 model). */
+  private val ftCtesSql: String = ftCtes("q", classes = 2, dim = 512)
 
   /** Shared DuckDB replay CTEs for the x128/x129 integer batch
     * perceptron — spliced AFTER [[ftCtesSql]] (reuses its `ftfb`
@@ -4277,6 +4313,7 @@ object SparkEntry {
     "x127_ft_curation" -> (x127 _),
     "x128_perceptron_train" -> (x128 _),
     "x129_perceptron_infer" -> (x129 _),
+    "x130_ft_multiclass" -> (x130 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -5968,6 +6005,18 @@ object SparkEntry {
         |       ELSE CAST(-1 AS BIGINT) END AS pred_y,
         |  y AS true_y, (y * score > 0) AS correct
         |FROM sc4 ORDER BY doc_id""".stripMargin,
+    // x130: the 4-class replay — same generator as x126 with
+    // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
+    // the >= cascade (class c wins only if it beats every later class,
+    // earlier classes get first claim — exactly the strict-> keep rule).
+    "x130_ft_multiclass" ->
+      s"""WITH ${ftCtes("m", classes = 4, dim = 256)}
+        |SELECT doc_id, n_feats, dot0, dot1, dot2, dot3,
+        |  CASE WHEN dot0 >= dot1 AND dot0 >= dot2 AND dot0 >= dot3 THEN CAST(0 AS BIGINT)
+        |       WHEN dot1 >= dot2 AND dot1 >= dot3 THEN CAST(1 AS BIGINT)
+        |       WHEN dot2 >= dot3 THEN CAST(2 AS BIGINT)
+        |       ELSE CAST(3 AS BIGINT) END AS pred
+        |FROM ftdots ORDER BY doc_id""".stripMargin,
     // x57: hash = int of first 10 md5 hex chars (hex→int generated from
     // the same positional loop as the Spark side); k-minima via
     // row_number over DISTINCT hashes; estimate = (k-1)*2^40 // h_k in

@@ -62,3 +62,57 @@ case class FtBinaryDots(child: Expression, weights: Array[Long], dim: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** The general-C sibling of [[FtBinaryDots]]: one plain-JVM token walk
+  * accumulating ALL `classes` per-class dots from the flat
+  * [w0 ++ w1 ++ … ++ w{C−1}] weight array — so multi-class inference
+  * (language-ID heads, domain routers: the fastText production shape is
+  * C = dozens-to-hundreds of labels) gets the same ~two-orders win over
+  * the interpreted HOF fold the binary screen got, instead of paying
+  * C CodegenFallback folds per row. Feature semantics are byte-identical
+  * to [[FtBinaryDots]] and the Column algebra in
+  * [[graft.operators.LinearModel.classifyHof]] (trim → whitespace split
+  * with trailing empties → unigram + adjacent-bigram bag →
+  * hash40("ft:" + f) mod dim); each bucket is hashed ONCE and charged to
+  * every class, which is also why the walk beats C independent folds
+  * even before interpretation overhead. LinearModelSpec pins this path ≡
+  * the HOF algebra on real corpus text for C = 4.
+  */
+case class FtMultiDots(child: Expression, weights: Array[Long], dim: Int, classes: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(classes >= 2, s"need >= 2 classes, got $classes")
+  require(weights.length == classes * dim,
+    s"flat weights must be classes*dim = ${classes * dim}, got ${weights.length}")
+
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("n_feats", LongType, nullable = false),
+      StructField("dots", ArrayType(LongType, containsNull = false), nullable = false)
+    )
+  )
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].trim.toString.split("\\s+", -1)
+    val dots = new Array[Long](classes)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      val b = (DistinctSketch.hash40Scala("ft:" + toks(i)) % dim).toInt
+      var c = 0
+      while (c < classes) { dots(c) += weights(c * dim + b); c += 1 }
+      n += 1L
+      if (i + 1 < toks.length) {
+        val bb = (DistinctSketch.hash40Scala("ft:" + toks(i) + " " + toks(i + 1)) % dim).toInt
+        var c2 = 0
+        while (c2 < classes) { dots(c2) += weights(c2 * dim + bb); c2 += 1 }
+        n += 1L
+      }
+      i += 1
+    }
+    InternalRow(n, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(dots))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

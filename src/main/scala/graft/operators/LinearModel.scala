@@ -116,7 +116,27 @@ object LinearModel {
           .withColumn("dot0", col("ft_s.dot0"))
           .withColumn("dot1", col("ft_s.dot1"))
           .drop("ft_s")
-      } else classifyHof(docs, textCol, model)
+      } else {
+        // general C through the same plain-JVM walk (FtMultiDots): each
+        // bucket hashed once, charged to every class — vs C interpreted
+        // HOF folds per row on the classifyHof path (kept below as the
+        // documented algebra; spec-pinned equal)
+        val flat = model.weights.flatten
+        val s = org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.FtMultiDots(
+            org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+            flat,
+            model.dim,
+            model.classes))
+        (0 until model.classes)
+          .foldLeft(
+            docs
+              .withColumn("ft_s", s)
+              .withColumn("n_feats", col("ft_s.n_feats"))) {
+            case (df, c) => df.withColumn(s"dot$c", element_at(col("ft_s.dots"), c + 1))
+          }
+          .drop("ft_s")
+      }
     // argmax with the strict-> keep rule: class c beats the incumbent
     // only when strictly greater, so the smallest index wins ties
     val pred = (1 until model.classes).foldLeft((lit(0L), col("dot0"))) {

@@ -108,6 +108,48 @@ class LinearModelSpec extends SparkSpec {
     assert(f2 === h2)
   }
 
+  test("multi-class expression path ≡ the HOF algebra on real corpus text (C = 4)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .limit(60)
+    val m = LinearModel.planted("m", 4, 256)
+    def dots(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] = df
+      .select("doc_id", "n_feats", "dot0", "dot1", "dot2", "dot3")
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 5).map(r.getLong))
+      .toMap
+    val fast = dots(LinearModel.classify(docs, "text", m))
+    val hof = dots(LinearModel.classifyHof(docs, "text", m))
+    assert(fast.size === 60)
+    assert(fast === hof)
+    // pred re-derived independently: smallest index among the maxima
+    val preds = LinearModel.classify(docs, "text", m)
+      .select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast.foreach { case (id, ns) =>
+      val ds = ns.drop(1)
+      assert(preds(id) === ds.indexOf(ds.max).toLong, s"doc $id dots=$ds")
+    }
+    // whitespace edges through both paths (trim strips 0x20 only; split
+    // keeps trailing empties; single-token docs contribute unigrams only)
+    val tricky = Seq((1L, "\ta b\n"), (2L, "  x   y  "), (3L, " "), (4L, "solo"))
+      .toDF("doc_id", "text")
+    assert(dots(LinearModel.classify(tricky, "text", m)) ===
+      dots(LinearModel.classifyHof(tricky, "text", m)))
+  }
+
+  test("multi-class classify stays map-only: zero exchanges at C = 4") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = LinearModel
+      .classify(docs, "text", LinearModel.planted("m", 4, 256))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"full-corpus scorer must not exchange:\n$plan")
+  }
+
   test("planted weights replay the hash40 closed form, bounded range") {
     val m = LinearModel.planted("q", classes = 2, dim = 512)
     assert(m.classes === 2 && m.dim === 512)
