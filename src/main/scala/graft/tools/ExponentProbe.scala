@@ -44,7 +44,17 @@ object ExponentProbe {
     // round-13 addition: learned-model inference is map-only (weights are
     // plan literals, zero exchanges) — e must sit at ~1 in documents; a
     // rising e would mean the scorer grew a join it must never have
-    "x126_ft_classify" -> "documents")
+    "x126_ft_classify" -> "documents",
+    // round-13 additions (continuation): the learned screen (dedup
+    // exchange + map-only scorer — e ≈ 1), perceptron training (fixed
+    // rounds over the persisted bucket-count table: one doc-keyed agg +
+    // one broadcast + one bucket-keyed agg per round — e ≈ 1 in corpus
+    // tokens; a rising e would mean the mis-set broadcast degenerated),
+    // and the 4-class head (same map-only law as x126 — the per-row cost
+    // is C× the arithmetic but the EXPONENT must not move)
+    "x127_ft_curation" -> "documents",
+    "x128_perceptron_train" -> "documents",
+    "x130_ft_multiclass" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
@@ -56,11 +66,26 @@ object ExponentProbe {
     def rows(dir: String, table: String): Long =
       spark.read.parquet(s"$dir/$table.parquet").count()
     def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
-      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm-up
+      // x128's registered query memoizes trained weights per dir (the x64
+      // shared-cache disclosure), so its timed reps would measure a cache
+      // hit; probe the actual training loop with the registered contract
+      // (planted even-odd labels, dim 512, rounds 3) instead
+      def once(): Unit =
+        if (name == "x128_perceptron_train") {
+          import org.apache.spark.sql.functions._
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+            .withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+          graft.operators.LinearModel
+            .trainPerceptron(docs, "text", "y", dim = 512, rounds = 3)
+        } else {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      once() // warm-up
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        once()
         (System.nanoTime() - t0) / 1e9
       }.min
     }
