@@ -251,6 +251,71 @@ object LinearModel {
     (w, misCounts.toSeq)
   }
 
+  /** One-vs-all multi-class training (Rosenblatt perceptrons, one per
+    * class) — the composition that makes the 4-class inference head
+    * (x130) TRAINABLE, not just plantable: class c's model learns
+    * y_c = +1 iff classOf(doc) = c, prediction is the strict-argmax of
+    * the C per-class scores (the same smallest-index tie rule as
+    * [[classify]]).
+    *
+    * The feature-count table (doc, bucket, cnt) is LABEL-INDEPENDENT, so
+    * it is built and persisted ONCE and every class's training loop —
+    * and the final scoring pass — reuses it; only the ±1 relabeling
+    * `when(cls === c, 1, −1)` differs per class, a free map over the
+    * cached frame. C models therefore cost C × (rounds × three bounded
+    * jobs), NOT C × (explode + feature aggregation), which at 100 TB is
+    * the difference between re-reading the corpus C times and once.
+    * Weights are C × dim longs of driver state (the codebook contract).
+    *
+    * @param classCol 0-based class id column (BIGINT, values < numClasses)
+    * @return per-class (weights, per-round misclassified counts), index c
+    */
+  def trainPerceptronOva(
+      docs: DataFrame,
+      textCol: String,
+      classCol: String,
+      numClasses: Int,
+      dim: Int,
+      rounds: Int,
+      idCol: String = "doc_id"): Seq[(Array[Long], Seq[Long])] = {
+    val fc = docs
+      .select(
+        col(idCol),
+        col(classCol).cast("long").as("cls"),
+        explode(transform(features(TextAnalysis.tokens(col(textCol))), f => bucket(f, dim)))
+          .as("b"))
+      .groupBy(col(idCol), col("cls"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = (0 until numClasses).map { c =>
+      val y = when(col("cls") === c.toLong, 1L).otherwise(-1L)
+      val w = new Array[Long](dim)
+      val misCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var r = 0
+      while (r < rounds) {
+        val wLit = typedLit(w.toSeq)
+        val scored = fc
+          .groupBy(col(idCol), y.as("y"))
+          .agg(sum(col("cnt") * element_at(wLit, (col("b") + 1L).cast("int"))).as("score"))
+        val mis = scored
+          .where(col("y") * col("score") <= 0L)
+          .select(col(idCol))
+          .localCheckpoint(true)
+        misCounts += mis.count()
+        val deltas = fc
+          .join(broadcast(mis), idCol)
+          .groupBy(col("b"))
+          .agg(sum(y * col("cnt")).as("dw"))
+          .collect()
+        deltas.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
+        r += 1
+      }
+      (w, misCounts.toSeq)
+    }
+    fc.unpersist()
+    out
+  }
+
   /** Calibrated keep-probability for binary models: sigmoid of the
     * length-normalized margin. Consumer-facing (threshold screens);
     * spec-pinned against hand-computed values, deliberately NOT part of

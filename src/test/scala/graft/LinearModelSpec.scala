@@ -236,6 +236,28 @@ class LinearModelSpec extends SparkSpec {
     assert(m1 === m2)
   }
 
+  test("one-vs-all training ≡ per-class binary training (shared counts change nothing)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .limit(40)
+      .withColumn("cls", col("doc_id") % 3L)
+    val ova = LinearModel.trainPerceptronOva(
+      docs, "text", "cls", numClasses = 3, dim = 32, rounds = 2)
+    assert(ova.size === 3)
+    (0 until 3).foreach { c =>
+      val (wBin, misBin) = LinearModel.trainPerceptron(
+        docs.withColumn("y", when(col("cls") === c.toLong, 1L).otherwise(-1L)),
+        "text", "y", dim = 32, rounds = 2)
+      assert(ova(c)._1.toSeq === wBin.toSeq, s"class $c weights")
+      assert(ova(c)._2 === misBin, s"class $c per-round mis curve")
+    }
+    // the trained head plugs straight into the multi-class scorer
+    val model = HashedLinearModel(32, ova.map(_._1).toArray)
+    val scored = LinearModel.classify(docs, "text", model)
+    assert(scored.where(col("pred").isin(0L, 1L, 2L)).count() === 40)
+  }
+
   test("curateWithModel ≡ dedup-first composition (screen-order equivalence)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
