@@ -2152,6 +2152,37 @@ object SparkEntry {
       .orderBy(col("cls"))
   }
 
+  /** Active-learning selection surface (x133): uncertainty sampling
+    * (Lewis &amp; Gale 1994, the annotation-targeting staple) — the 5
+    * LOWEST-margin documents per predicted class under x131's trained
+    * one-vs-all head, margin = best dot − runner-up dot
+    * (2·max + min − Σ, all BIGINT). Ranking goes through the bounded
+    * [[graft.functions.TopKByLongScore]] partial top-k on the NEGATED
+    * margin — map-side ≤ k rows per class per task — instead of a
+    * per-class window, whose 3 partitions would funnel the corpus
+    * through 3 tasks (the group-rank lesson). Oracle: x131's replay +
+    * the margin arithmetic + row_number per class.
+    */
+  private def x133(s: SparkSession, dir: String): DataFrame = {
+    val model = LinearModel.HashedLinearModel(128, ovaWeights(s, dir))
+    LinearModel
+      .classify(ovaDocs(s, dir), "text", model)
+      .withColumn(
+        "unc",
+        greatest(col("dot0"), col("dot1"), col("dot2")) * 2L +
+          least(col("dot0"), col("dot1"), col("dot2")) -
+          (col("dot0") + col("dot1") + col("dot2")))
+      .groupBy(col("pred").as("pred_cls"))
+      .agg(GraftFunctions.topKByLongScore(-col("unc"), col("doc_id"), 5).as("top"))
+      .select(col("pred_cls"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("pred_cls"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.neighbor_id").as("doc_id"),
+        (-col("t.score")).as("margin"))
+      .orderBy(col("pred_cls"), col("rank"))
+  }
+
   /** Multi-class learned-inference surface (x130): the 4-class planted
     * head over 256 hashed buckets — the language-ID / domain-router
     * shape — scored through [[graft.functions.FtMultiDots]] (one
@@ -4450,6 +4481,7 @@ object SparkEntry {
     "x130_ft_multiclass" -> (x130 _),
     "x131_ova_train_infer" -> (x131 _),
     "x132_eval_confusion" -> (x132 _),
+    "x133_uncertain_docs" -> (x133 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6184,6 +6216,25 @@ object SparkEntry {
         |  CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm,
         |  CAST(tp * 2000000 // greatest(tp * 2 + fp + fn, 1) AS BIGINT) AS f1_ppm
         |FROM conf ORDER BY cls""".stripMargin,
+    // x133: x131's replay + the margin arithmetic (2·max + min − Σ over
+    // the three BIGINT scores) + per-class row_number on (margin,
+    // doc_id) — the exact tie order TopKByLongScore keeps on the
+    // negated score.
+    "x133_uncertain_docs" ->
+      s"""WITH $ovaCtesSql, u AS (
+        |  SELECT doc_id, pred_cls,
+        |    greatest(score0, score1, score2) * 2 +
+        |    least(score0, score1, score2) -
+        |    (score0 + score1 + score2) AS unc
+        |  FROM pr
+        |), rk AS (
+        |  SELECT pred_cls, doc_id, unc,
+        |    row_number() OVER (PARTITION BY pred_cls ORDER BY unc, doc_id) AS rank
+        |  FROM u
+        |)
+        |SELECT pred_cls, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(unc AS BIGINT) AS margin
+        |FROM rk WHERE rank <= 5 ORDER BY pred_cls, rank""".stripMargin,
     // x57: hash = int of first 10 md5 hex chars (hex→int generated from
     // the same positional loop as the Spark side); k-minima via
     // row_number over DISTINCT hashes; estimate = (k-1)*2^40 // h_k in

@@ -173,7 +173,14 @@ object LinearModel {
               lit(0L),
               (acc, b) => acc + element_at(typedLit(w.toSeq), (b + 1L).cast("int"))))
       }
-      .withColumn("n_feats", size(col("ft_buckets")).cast("long"))
+      // counted via the fold, NOT size(): legacy size(NULL) is -1 with
+      // ANSI off, which would fabricate n_feats = -1 for NULL text where
+      // the expression path (UnaryExpression null-intolerance) and the
+      // dots (aggregate over NULL) are all NULL — FtDotsPropertySpec pins
+      // the NULL-in → NULL-out contract on both paths
+      .withColumn(
+        "n_feats",
+        aggregate(col("ft_buckets"), lit(0L), (acc, _) => acc + 1L))
       .drop("ft_buckets")
 
   /** Fixed-round INTEGER batch perceptron over hashed features — the

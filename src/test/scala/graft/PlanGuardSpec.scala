@@ -230,4 +230,16 @@ class PlanGuardSpec extends SparkSpec {
       s"classifier pushed below the spread exchange:\n${scanSection.take(2000)}")
     assert(!p.contains("Join"), "join crept into the learned-screen pipeline")
   }
+
+  test("x133 uncertainty ranking is bounded top-k aggregation — no per-class window") {
+    // 3 predicted classes: a row_number()-over-pred refactor would funnel
+    // the scored corpus through 3 WindowExec tasks; the registered shape
+    // keeps map-side partial top-k (≤ k rows per class per task) and
+    // exchanges only the partials
+    val p = plan("x133_uncertain_docs")
+    assert(!p.contains("(Window"), s"WindowExec crept into the uncertainty top-k")
+    assert(p.contains("topkbylongscore") || p.toLowerCase.contains("topkbylongscore"),
+      "the bounded top-k aggregate is missing — the pin is vacuous")
+    assert(!p.contains("Join"), "join crept into the uncertainty ranking")
+  }
 }
