@@ -246,8 +246,15 @@ object LinearModel {
         .select(col(idCol))
         .localCheckpoint(true)
       misCounts += mis.count()
-      val deltas = fc
-        .join(broadcast(mis), idCol)
+      // round 1 is provably all-misclassified (w₀ = 0 scores every doc 0
+      // and y·0 ≤ 0), so its delta is the unfiltered sum — the oracle's
+      // d1 — and the join (whose broadcast would be the ENTIRE training
+      // set) is skipped. Later rounds broadcast the shrinking mis set;
+      // the documented contract is that the LABELED set is annotation-
+      // scale (the 100 TB pass is inference, x129/x131's scoring side),
+      // so even a non-converging worst case broadcasts ids bounded by
+      // the labeled corpus, never the inference corpus.
+      val deltas = (if (r == 0) fc else fc.join(broadcast(mis), idCol))
         .groupBy(col("b"))
         .agg(sum(col("y") * col("cnt")).as("dw"))
         .collect()
@@ -309,8 +316,9 @@ object LinearModel {
           .select(col(idCol))
           .localCheckpoint(true)
         misCounts += mis.count()
-        val deltas = fc
-          .join(broadcast(mis), idCol)
+        // round-1 all-misclassified skip + bounded-labeled-set contract:
+        // see trainPerceptron
+        val deltas = (if (r == 0) fc else fc.join(broadcast(mis), idCol))
           .groupBy(col("b"))
           .agg(sum(y * col("cnt")).as("dw"))
           .collect()
