@@ -2131,17 +2131,21 @@ object SparkEntry {
     val scored = LinearModel
       .classify(ovaDocs(s, dir), "text", model)
       .select(col("pred").as("pred_cls"), col("cls").as("true_cls"))
-    val byClass = scored
+    // contingency cells first (ONE count pass over the corpus, ≤ 9 rows
+    // out), then the per-class tp/fp/fn pivot over the tiny cell frame —
+    // never explode the corpus per class
+    val cells = scored.groupBy(col("true_cls"), col("pred_cls")).count()
+    val byClass = cells
       .select(explode(array((0 until 3).map(c => lit(c.toLong)): _*)).as("cls"),
-        col("pred_cls"), col("true_cls"))
+        col("pred_cls"), col("true_cls"), col("count"))
       .groupBy(col("cls"))
       .agg(
-        sum(when(col("true_cls") === col("cls") && col("pred_cls") === col("cls"), 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("true_cls") =!= col("cls") && col("pred_cls") === col("cls"), 1L)
-          .otherwise(0L)).as("fp"),
-        sum(when(col("true_cls") === col("cls") && col("pred_cls") =!= col("cls"), 1L)
-          .otherwise(0L)).as("fn"))
+        sum(when(col("true_cls") === col("cls") && col("pred_cls") === col("cls"),
+          col("count")).otherwise(0L)).as("tp"),
+        sum(when(col("true_cls") =!= col("cls") && col("pred_cls") === col("cls"),
+          col("count")).otherwise(0L)).as("fp"),
+        sum(when(col("true_cls") === col("cls") && col("pred_cls") =!= col("cls"),
+          col("count")).otherwise(0L)).as("fn"))
     byClass
       .select(
         col("cls"),
@@ -4014,19 +4018,6 @@ object SparkEntry {
           s"${1L << (4 * (DistinctSketch.HexChars - i))}")
       .mkString(" + ")
 
-  /** Shared DuckDB replay CTEs for the fastText-style scorers — ONE
-    * generator parameterized exactly like
-    * [[graft.operators.LinearModel.planted]] (seed, classes, dim): the
-    * planted classes×dim integer weight table from the md5 closed form
-    * (hash40("ftw:&lt;seed&gt;:c:b") mod 2001 − 1000), unigram+bigram bag
-    * features, hash40("ft:" + f) mod dim bucketing, per-class BIGINT
-    * dots. Yields CTEs `ftw`, `ftwp` (pivoted per-bucket w0..w{C−1}),
-    * `fttk`, `ftfeats`, `ftfb`, `ftdots` (doc_id, n_feats,
-    * dot0..dot{C−1}) — spliced after WITH. One helper for every
-    * learned-inference oracle (x126/x127 binary, x128/x129 via `ftfb`,
-    * x130 4-class) so none can drift from the others or from the Scala
-    * literals.
-    */
   /** The label/weight-independent feature half: tokenize → unigram +
     * adjacent-bigram bag → hash40("ft:" + f) mod dim buckets. Yields
     * `fttk`, `ftfeats`, `ftfb` — everything a trainer needs (the Scala
@@ -4048,6 +4039,18 @@ object SparkEntry {
        |  FROM (SELECT doc_id, substr(md5('ft:' || f), 1, 10) AS h FROM ftfeats)
        |)""".stripMargin
 
+  /** Shared DuckDB replay CTEs for the fastText-style scorers — ONE
+    * generator parameterized exactly like
+    * [[graft.operators.LinearModel.planted]] (seed, classes, dim): the
+    * planted classes×dim integer weight table from the md5 closed form
+    * (hash40("ftw:&lt;seed&gt;:c:b") mod 2001 − 1000), the
+    * [[ftFeatureCtes]] feature half, per-class BIGINT dots. Yields CTEs
+    * `ftw`, `ftwp` (pivoted per-bucket w0..w{C−1}), `fttk`, `ftfeats`,
+    * `ftfb`, `ftdots` (doc_id, n_feats, dot0..dot{C−1}) — spliced after
+    * WITH. One helper for every learned-inference oracle (x126/x127
+    * binary, x128/x129 via `ftfb`, x130 4-class) so none can drift from
+    * the others or from the Scala literals.
+    */
   private def ftCtes(seed: String, classes: Int, dim: Int): String = {
     val pivot = (0 until classes)
       .map(c => s"max(CASE WHEN c = $c THEN w END) AS w$c")

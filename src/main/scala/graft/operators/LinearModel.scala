@@ -223,6 +223,11 @@ object LinearModel {
       rounds: Int,
       idCol: String = "doc_id"): (Array[Long], Seq[Long]) = {
     val fc = docs
+      // NULL-labeled rows are ignored (they can neither be classified
+      // correctly nor misclassified); dropping them HERE keeps the
+      // round-1 unfiltered delta sum non-NULL — before the round-1 join
+      // skip they fell out implicitly because NULL never entered mis
+      .where(col(labelCol).isNotNull)
       .select(
         col(idCol),
         col(labelCol).cast("long").as("y"),

@@ -73,7 +73,12 @@ object ExponentProbe {
       def once(): Unit =
         if (name == "x128_perceptron_train") {
           import org.apache.spark.sql.functions._
+          // mirror the registered surface's plan shape: dts() spreads the
+          // scan over defaultParallelism before training, so the probe
+          // must too — a raw scan's 1-2 natural splits at small SFs would
+          // bias the fitted exponent low
           val docs = spark.read.parquet(s"$dir/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism)
             .select(col("doc_id"), col("text"))
             .withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
           graft.operators.LinearModel

@@ -238,7 +238,7 @@ class PlanGuardSpec extends SparkSpec {
     // exchanges only the partials
     val p = plan("x133_uncertain_docs")
     assert(!p.contains("(Window"), s"WindowExec crept into the uncertainty top-k")
-    assert(p.contains("topkbylongscore") || p.toLowerCase.contains("topkbylongscore"),
+    assert(p.toLowerCase.contains("topkbylongscore"),
       "the bounded top-k aggregate is missing — the pin is vacuous")
     assert(!p.contains("Join"), "join crept into the uncertainty ranking")
   }
