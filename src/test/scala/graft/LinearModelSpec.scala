@@ -236,6 +236,22 @@ class LinearModelSpec extends SparkSpec {
     assert(m1 === m2)
   }
 
+  test("NULL-labeled rows are ignored by training (round-1 unfiltered delta stays total)") {
+    // regression for the round-1 join-skip: a NULL-label doc whose token
+    // hashes to a bucket no labeled doc touches used to fall out via the
+    // mis anti-membership; the unfiltered round-1 sum would turn that
+    // bucket's delta NULL and NPE on collect
+    val labeled = Seq((1L, "alpha beta", 1L), (2L, "gamma delta", -1L))
+      .toDF("doc_id", "text", "y")
+    val withNull = Seq((1L, "alpha beta", Some(1L)), (2L, "gamma delta", Some(-1L)),
+      (3L, "uniquetokenxyz", Option.empty[Long]))
+      .toDF("doc_id", "text", "y")
+    val (wClean, misClean) = LinearModel.trainPerceptron(labeled, "text", "y", dim = 16, rounds = 2)
+    val (wNull, misNull) = LinearModel.trainPerceptron(withNull, "text", "y", dim = 16, rounds = 2)
+    assert(wNull.toSeq === wClean.toSeq, "NULL-labeled row leaked into the weights")
+    assert(misNull === misClean, "NULL-labeled row leaked into the mis counts")
+  }
+
   test("one-vs-all training ≡ per-class binary training (shared counts change nothing)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
