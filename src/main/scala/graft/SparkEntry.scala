@@ -2065,6 +2065,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** x134's LOADED model, keyed by dir — the save → load happens once
+    * per (corpus, JVM) under the per-key lock; the x124 slot discipline
+    * for a filesystem artifact (two racers would overwrite the same
+    * deterministic table), with computeIfAbsent as the mutual exclusion.
+    */
+  private val loadedModelSlot =
+    new java.util.concurrent.ConcurrentHashMap[String, LinearModel.HashedLinearModel]()
+
+  /** Model-artifact round-trip surface (x134): the x128-trained binary
+    * weights written as an at-rest catalog table
+    * ([[graft.operators.ModelStore]] — the model-registry piece: train
+    * and serve are different PROCESSES in production), re-loaded, and
+    * served through the SAME scoring pass as x129. Oracled against
+    * x129's SQL VERBATIM (the x124 reuse discipline): a hash match
+    * proves the persistence layer is invisible to the scores —
+    * round-trip-lossless coefficients, dense-grid validation, no silent
+    * zero-fill.
+    */
+  private def x134(s: SparkSession, dir: String): DataFrame = {
+    val loaded = loadedModelSlot.computeIfAbsent(
+      dir,
+      _ => {
+        val trained = LinearModel.HashedLinearModel(
+          512, Array(Array.fill(512)(0L), perceptronWeights(s, dir)))
+        val table = s"graft_model_x134_${Integer.toHexString(dir.hashCode)}"
+        ModelStore.save(s, table, trained)
+        ModelStore.load(s, table)
+      })
+    LinearModel
+      .classify(perceptronDocs(s, dir), "text", loaded)
+      .select(
+        col("doc_id"),
+        col("dot1").as("score"),
+        when(col("dot1") > 0L, 1L).otherwise(-1L).as("pred_y"),
+        col("y").as("true_y"),
+        (col("y") * col("dot1") > 0L).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** OVA weights shared within one JVM, keyed by corpus dir (the
     * trainedPerceptron contract: bounded driver state — 3 × 128 longs —
     * that is a pure function of the corpus; the warm-up rep pays the
@@ -4119,6 +4158,21 @@ object SparkEntry {
     head + tail
   }
 
+  /** x129's full replay — shared VERBATIM with x134 (the x124 reuse
+    * discipline): the model-table round-trip must be invisible to the
+    * scores, so both surfaces hash against the same SQL.
+    */
+  private lazy val x129OracleSql: String =
+    s"""WITH $ftCtesSql, ${perceptronCtesSql(rounds = 3, dim = 512)}, sc4 AS (
+      |  SELECT fc.doc_id, fc.y, sum(fc.cnt * w3.w) AS score
+      |  FROM fc JOIN w3 ON w3.b = fc.b GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score,
+      |  CASE WHEN score > 0 THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(-1 AS BIGINT) END AS pred_y,
+      |  y AS true_y, (y * score > 0) AS correct
+      |FROM sc4 ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB replay for x131/x132: the three one-vs-all training
     * chains (one [[perceptronCtesSql]] call per class, prefixed c{c}_,
     * over the shared label-independent `ftfb` at dim 128), one final
@@ -4485,6 +4539,7 @@ object SparkEntry {
     "x131_ova_train_infer" -> (x131 _),
     "x132_eval_confusion" -> (x132 _),
     "x133_uncertain_docs" -> (x133 _),
+    "x134_model_roundtrip" -> (x134 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6166,16 +6221,11 @@ object SparkEntry {
     // x129: one more scoring pass under the unrolled final weights —
     // sign prediction + correctness vs the planted labels, certifying
     // the train → infer composition end to end.
-    "x129_perceptron_infer" ->
-      s"""WITH $ftCtesSql, ${perceptronCtesSql(rounds = 3, dim = 512)}, sc4 AS (
-        |  SELECT fc.doc_id, fc.y, sum(fc.cnt * w3.w) AS score
-        |  FROM fc JOIN w3 ON w3.b = fc.b GROUP BY 1, 2
-        |)
-        |SELECT doc_id, CAST(score AS BIGINT) AS score,
-        |  CASE WHEN score > 0 THEN CAST(1 AS BIGINT)
-        |       ELSE CAST(-1 AS BIGINT) END AS pred_y,
-        |  y AS true_y, (y * score > 0) AS correct
-        |FROM sc4 ORDER BY doc_id""".stripMargin,
+    "x129_perceptron_infer" -> x129OracleSql,
+    // x134: x129's oracle VERBATIM (the x124 reuse discipline) — the
+    // round-trip through the at-rest model table must be invisible to
+    // the scores, so the SAME SQL certifies save → load → serve.
+    "x134_model_roundtrip" -> x129OracleSql,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,
