@@ -2104,6 +2104,49 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Retrieval-quality evaluation surface (x135): recall@3 and
+    * reciprocal rank of the x111 integer-LSH ANN path against exact
+    * ground truth on the `vec_id % 10 = 0` query panel — the
+    * index-tuning measurement (ann-benchmarks-style recall curves, IVF
+    * nprobe sweeps) the ANN family indexes lacked. Both sides score
+    * under the ONE 6-dp-cosine/(score desc, id asc) contract, so the
+    * metrics isolate the banding's candidate miss; the oracle replays
+    * planes → buckets → sampled candidate edges → both rankings → the
+    * hit/RR arithmetic in exact integer ppm. Misses are REPLAYED, not
+    * hidden (the x113 posture): a panel query the LSH misses entirely
+    * emits 0 ppm on both engines.
+    */
+  private def x135(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .annRecallIntLsh(t(s, dir, "embeddings"), k = 3, sampleMod = 10)
+      .orderBy(col("query_id"))
+  }
+
+  /** Preference-rating surface (x136): Bradley-Terry skill fitting over
+    * a pairwise-comparison log ([[graft.operators.Preference]] — the
+    * RLHF/arena staple). The log is planted from the corpus: consecutive
+    * docs compete as items `doc_id % 64`, the longer document (by the
+    * table's own n_chars) wins, ties to the lower item — so both engines
+    * derive the identical log from first principles. Four MM rounds in
+    * BIGINT fixed-point (scale 10⁶, max-normalized), every division a
+    * truncating integer div; the oracle unrolls all four rounds
+    * (the perceptron/LPA discipline).
+    */
+  private def x136(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val cmp = d.as("d1")
+      .join(d.as("d2"), col("d2.doc_id") === col("d1.doc_id") + 1)
+      .select(
+        (col("d1.doc_id") % 64).as("item_a"),
+        (col("d2.doc_id") % 64).as("item_b"),
+        when(col("d1.n_chars") > col("d2.n_chars"), col("d1.doc_id") % 64)
+          .when(col("d2.n_chars") > col("d1.n_chars"), col("d2.doc_id") % 64)
+          .otherwise(least(col("d1.doc_id") % 64, col("d2.doc_id") % 64))
+          .as("winner"))
+    Preference.btRatings(cmp, rounds = 4).orderBy(col("item"))
+  }
+
   /** OVA weights shared within one JVM, keyed by corpus dir (the
     * trainedPerceptron contract: bounded driver state — 3 × 128 longs —
     * that is a pure function of the corpus; the warm-up rep pays the
@@ -4540,6 +4583,8 @@ object SparkEntry {
     "x132_eval_confusion" -> (x132 _),
     "x133_uncertain_docs" -> (x133 _),
     "x134_model_roundtrip" -> (x134 _),
+    "x135_ann_recall" -> (x135 _),
+    "x136_bt_rating" -> (x136 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4587,6 +4632,36 @@ object SparkEntry {
     * plurality count, then a (count desc, label asc) row_number argmax —
     * the same total order the operator's min(struct(−cnt, label)) encodes.
     */
+  /** One unrolled Bradley-Terry MM round for the x136 oracle: the exact
+    * [[graft.operators.Preference.btRatings]] fixed-point arithmetic —
+    * t_ij = n·S² div max(w_i+w_j, 1), denom as both orientations summed,
+    * raw = wins·S² div max(denom, 1), then max-normalization
+    * raw div max(max_raw div S, 1). Expects CTEs `bt_pairs`, `bt_stats`,
+    * and `r${i-1}`; yields `r$i`.
+    */
+  private def btRoundSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""t$i AS MATERIALIZED (
+       |  SELECT p.i, p.j,
+       |    p.n * CAST(1000000000000 AS BIGINT) // greatest(wi.w + wj.w, 1) AS t
+       |  FROM bt_pairs p
+       |  JOIN $prev wi ON wi.item = p.i JOIN $prev wj ON wj.item = p.j
+       |), d$i AS (
+       |  SELECT item, sum(t) AS denom FROM (
+       |    SELECT i AS item, t FROM t$i UNION ALL SELECT j AS item, t FROM t$i)
+       |  GROUP BY item
+       |), raw$i AS MATERIALIZED (
+       |  SELECT s.item,
+       |    s.wins * CAST(1000000000000 AS BIGINT)
+       |      // greatest(coalesce(d.denom, 0), 1) AS w_raw
+       |  FROM bt_stats s LEFT JOIN d$i d USING (item)
+       |), r$i AS MATERIALIZED (
+       |  SELECT item,
+       |    w_raw // greatest((SELECT max(w_raw) FROM raw$i) // 1000000, 1) AS w
+       |  FROM raw$i
+       |)""".stripMargin
+  }
+
   private def lpaIterSql(i: Int): String = {
     val prev = s"l${i - 1}"
     s"""c$i AS (
@@ -6226,6 +6301,92 @@ object SparkEntry {
     // round-trip through the at-rest model table must be invisible to
     // the scores, so the SAME SQL certifies save → load → serve.
     "x134_model_roundtrip" -> x129OracleSql,
+    // x135: the x111 plane-grid replay with the query side of the bucket
+    // join sampled (% 10), plus the brute ground truth over the same
+    // panel and the hit/RR integer-ppm arithmetic. Both rankings share
+    // the 6-dp cosine and (score desc, id asc) tie-break, so the metrics
+    // isolate the banding's candidate miss — which is REPLAYED by both
+    // engines, never hidden.
+    "x135_ann_recall" ->
+      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id <> cb.vec_id AND qb.vec_id % 10 = 0
+        |), s AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
+        |  FROM cand c
+        |  JOIN vq q ON q.vec_id = c.query_id
+        |  JOIN vq n ON n.vec_id = c.neighbor_id
+        |), ann AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM s) WHERE rank <= 3
+        |), qs AS (
+        |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 10 = 0
+        |), es AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv.v, n.v), 6) AS score
+        |  FROM qs q JOIN vq qv ON qv.vec_id = q.query_id, vq n
+        |  WHERE n.vec_id <> q.query_id
+        |), ex AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM es) WHERE rank <= 3
+        |), h AS (
+        |  SELECT a.query_id, count(e.neighbor_id) AS n_hits
+        |  FROM ann a LEFT JOIN ex e
+        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY a.query_id
+        |), rr AS (
+        |  SELECT e.query_id, coalesce(1000000 // a.rank, 0) AS rr_ppm
+        |  FROM ex e LEFT JOIN ann a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  WHERE e.rank = 1
+        |)
+        |SELECT q.query_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) * 1000000 // 3 AS BIGINT) AS recall_ppm,
+        |  CAST(coalesce(rr.rr_ppm, 0) AS BIGINT) AS rr_ppm
+        |FROM qs q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // x136: the comparison log planted from (doc, doc+1) n_chars duels,
+    // per-pair/per-item reductions, then all four Bradley-Terry MM
+    // rounds unrolled in BIGINT fixed-point (btRoundSql — the
+    // perceptron/LPA unrolled-oracle discipline; every division integer,
+    // max-normalized per round exactly like the operator).
+    "x136_bt_rating" ->
+      s"""WITH bt_cmp AS MATERIALIZED (
+        |  SELECT d1.doc_id % 64 AS item_a, d2.doc_id % 64 AS item_b,
+        |    CASE WHEN d1.n_chars > d2.n_chars THEN d1.doc_id % 64
+        |         WHEN d2.n_chars > d1.n_chars THEN d2.doc_id % 64
+        |         ELSE least(d1.doc_id % 64, d2.doc_id % 64) END AS winner
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |  WHERE d1.doc_id % 64 <> d2.doc_id % 64
+        |), bt_pairs AS MATERIALIZED (
+        |  SELECT least(item_a, item_b) AS i, greatest(item_a, item_b) AS j,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bt_cmp GROUP BY 1, 2
+        |), bt_wins AS (
+        |  SELECT winner AS item, CAST(count(*) AS BIGINT) AS wins
+        |  FROM bt_cmp GROUP BY 1
+        |), bt_deg AS (
+        |  SELECT item, CAST(sum(n) AS BIGINT) AS n_comps FROM (
+        |    SELECT i AS item, n FROM bt_pairs
+        |    UNION ALL SELECT j AS item, n FROM bt_pairs)
+        |  GROUP BY item
+        |), bt_stats AS MATERIALIZED (
+        |  SELECT d.item, d.n_comps, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins
+        |  FROM bt_deg d LEFT JOIN bt_wins w USING (item)
+        |), r0 AS MATERIALIZED (
+        |  SELECT item, CAST(1000000 AS BIGINT) AS w FROM bt_stats
+        |), ${(1 to 4).map(btRoundSql).mkString(", ")}
+        |SELECT s.item, s.n_comps, s.wins, CAST(r4.w AS BIGINT) AS rating,
+        |  CAST(row_number() OVER (ORDER BY r4.w DESC, s.item) AS BIGINT) AS rank
+        |FROM bt_stats s JOIN r4 USING (item)
+        |ORDER BY item""".stripMargin,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

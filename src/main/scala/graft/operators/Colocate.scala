@@ -34,25 +34,44 @@ object Colocate {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    clearManagedLocation(spark, table)
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Drop `table` and clear its DEFAULT managed location so a following
+    * `saveAsTable` cannot hit LOCATION_ALREADY_EXISTS. Idempotent across
+    * PROCESSES, not just sessions: with the in-memory catalog, a managed
+    * table's warehouse directory outlives the JVM that created it while
+    * its catalog entry does not — and `saveAsTable` refuses a fresh
+    * table whose location already exists even in overwrite mode.
+    *
+    * The location is resolved through the catalog, not by string
+    * concatenation: defaultTablePath is CURRENT-DATABASE-aware
+    * (<warehouse>/<db>.db/<table> outside default), where a hand-built
+    * <warehouse>/<table> path would both miss the real orphan and
+    * recursively delete an unrelated default-database directory.
+    *
+    * The default location is cleared ONLY when it is genuinely ours to
+    * clear: either the existing catalog entry is a MANAGED table whose
+    * data lives AT that default path, or there is no catalog entry at
+    * all (the cross-process orphan case: a prior JVM's managed table
+    * whose in-memory entry died with the session). An EXTERNAL table of
+    * the same name keeps its data elsewhere — the directory at the
+    * default path may then be someone else's, and deleting it would
+    * destroy unrelated data. NOTE: concurrent writers in SEPARATE
+    * processes sharing a warehouse must be externally serialized — the
+    * CAS locks guarding callers (x124/x134) are in-process only.
+    */
+  def clearManagedLocation(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    // resolve the managed location through the catalog, not by string
-    // concatenation: defaultTablePath is CURRENT-DATABASE-aware
-    // (<warehouse>/<db>.db/<table> outside default), where a hand-built
-    // <warehouse>/<table> path would both miss the real orphan and
-    // recursively delete an unrelated default-database directory
     val loc = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
       new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident)))
-    // Clear the default location ONLY when it is genuinely ours to clear:
-    // either the existing catalog entry is a MANAGED table whose data
-    // lives AT that default path, or there is no catalog entry at all
-    // (the cross-process orphan case: a prior JVM's managed table whose
-    // in-memory entry died with the session). An EXTERNAL table of the
-    // same name keeps its data elsewhere — the directory at the default
-    // path may then be someone else's, and deleting it would destroy
-    // unrelated data. NOTE: concurrent writers in SEPARATE processes
-    // sharing a warehouse must be externally serialized — the CAS lock
-    // guarding callers (x124) is in-process only.
     val oursToClear = if (catalog.tableExists(ident)) {
       val meta = catalog.getTableMetadata(ident)
       meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED &&
@@ -62,12 +81,6 @@ object Colocate {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (oursToClear && fs.exists(loc)) fs.delete(loc, true)
-    df.write
-      .mode("overwrite")
-      .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
   }
 
   /** Inner-join two same-bucketed tables on `key`. With equal bucket

@@ -28,10 +28,16 @@ import graft.operators.LinearModel.HashedLinearModel
 object ModelStore {
 
   /** Persist `model` as managed table `table` (overwrite — retrains
-    * replace the artifact; catalog consistency is saveAsTable's).
+    * replace the artifact). Pre-cleans via
+    * [[Colocate.clearManagedLocation]]: a prior PROCESS's managed table
+    * leaves its warehouse directory behind while its in-memory catalog
+    * entry dies with the JVM, and `saveAsTable` then refuses the fresh
+    * write with LOCATION_ALREADY_EXISTS even in overwrite mode (the
+    * x124 cross-process lesson, which this store originally missed).
     */
   def save(spark: SparkSession, table: String, model: HashedLinearModel): Unit = {
     import spark.implicits._
+    Colocate.clearManagedLocation(spark, table)
     val rows = for {
       c <- 0 until model.classes
       b <- 0 until model.dim

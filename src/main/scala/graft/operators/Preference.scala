@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference aggregation — the RLHF / preference-data staple.
+  *
+  * Reward-model and arena-style pipelines reduce millions of human (or
+  * judge-model) A-vs-B comparisons to one scalar skill per item; the
+  * canonical estimator is the Bradley-Terry model (Bradley & Terry 1952),
+  * fitted by Hunter's MM iteration (Hunter 2004, "MM algorithms for
+  * generalized Bradley-Terry models"):
+  *
+  *     w_i ← W_i / Σ_{j≠i} n_ij / (w_i + w_j)
+  *
+  * with W_i = total wins of i and n_ij = comparisons between i and j.
+  * It is the scoring behind Chatbot-Arena-style leaderboards and the
+  * preference-strength weighting step of RLHF data curation.
+  *
+  * Scale shape: the ONLY corpus-sized stages are the two groupBys that
+  * collapse the raw comparison log to per-pair counts and per-item wins —
+  * one keyed exchange each over the log, map-side combined, never re-read.
+  * What they produce is bounded by the COMPETITOR set (models, policies,
+  * prompt cohorts — dozens to thousands, so ≤ items² pair rows), which is
+  * the same documented bounded-driver-state contract as the BPE merge
+  * table, the k-means codebooks, and the CMS matrix: collect it, solve the
+  * fixed-point on the driver in exact integer arithmetic, emit the
+  * items-sized result. Distributing a ≤10⁶-row fixpoint across executors
+  * would buy nothing and cost a broadcast-NLJ / single-partition shape per
+  * round (the q27 lesson).
+  *
+  * Determinism: ratings are BIGINT fixed-point at `scale` (default 10⁶ —
+  * the repo-wide ppm discipline). Each MM round computes
+  *   t_ij    = n_ij·S² div max(w_i + w_j, 1)        (S-scaled n/(w_i+w_j))
+  *   denom_i = Σ t_ij                               (exact BIGINT sum)
+  *   raw_i   = W_i·S² div max(denom_i, 1)
+  *   w_i     = raw_i div max(max_raw div S, 1)      (top item ≡ S)
+  * The max-normalization replaces MM's geometric-mean constraint with an
+  * overflow-free integer form (BT is scale-invariant, so any per-round
+  * renormalization fits); every division is a truncating nonneg integer
+  * div, so a SQL engine replays all rounds bit-for-bit (the
+  * perceptron/LPA unrolled-oracle discipline). Bounds: with n_ij ≤ 10⁹
+  * and wins ≤ 10⁹ every intermediate stays ≤ 10⁹·10¹² < 2⁶³.
+  */
+object Preference {
+
+  /** Fit Bradley-Terry ratings over a comparison log.
+    *
+    * @param comparisons rows (item_a: long, item_b: long, winner: long)
+    *                    with winner ∈ {item_a, item_b}; self-pairs are
+    *                    dropped (they cancel in the MM update anyway).
+    * @param rounds      fixed MM iterations (unrolled in the oracle)
+    * @param scale       fixed-point scale of the emitted rating
+    * @return one row per item: (item, n_comps, wins, rating, rank) with
+    *         rank by (rating desc, item asc), ordered by item
+    */
+  def btRatings(
+      comparisons: DataFrame,
+      rounds: Int,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    val spark = comparisons.sparkSession
+    val s2 = scale * scale
+    val cmp = comparisons.where(col("item_a") =!= col("item_b"))
+    // corpus-sized reductions; their results are items²- / items-bounded
+    val pairs: Array[(Long, Long, Long)] = cmp
+      .select(
+        least(col("item_a"), col("item_b")).as("i"),
+        greatest(col("item_a"), col("item_b")).as("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wins: Map[Long, Long] = cmp
+      .groupBy(col("winner").as("item"))
+      .agg(count(lit(1)).as("wins"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+
+    val items: Array[Long] =
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val nComps: Map[Long, Long] = pairs
+      .flatMap { case (i, j, n) => Seq(i -> n, j -> n) }
+      .groupBy(_._1).map { case (it, xs) => it -> xs.map(_._2).sum }
+
+    var w: Map[Long, Long] = items.map(_ -> scale).toMap
+    for (_ <- 1 to rounds) {
+      val denom = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((i, j, n) <- pairs) {
+        val t = n * s2 / math.max(w(i) + w(j), 1L)
+        denom(i) += t
+        denom(j) += t
+      }
+      val raw: Map[Long, Long] = items.map { it =>
+        it -> wins.getOrElse(it, 0L) * s2 / math.max(denom(it), 1L)
+      }.toMap
+      val mx = if (raw.isEmpty) 0L else raw.values.max
+      w = raw.map { case (it, v) => it -> v / math.max(mx / scale, 1L) }
+    }
+
+    val ranked: Map[Long, Long] = items
+      .sortBy(it => (-w(it), it))
+      .zipWithIndex.map { case (it, idx) => it -> (idx + 1L) }.toMap
+    import spark.implicits._
+    items.toSeq
+      .map(it => (it, nComps(it), wins.getOrElse(it, 0L), w(it), ranked(it)))
+      .toDF("item", "n_comps", "wins", "rating", "rank")
+  }
+}

@@ -148,13 +148,19 @@ object Similarity {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      bucketsOf: Column => Column
+      bucketsOf: Column => Column,
+      queryFilter: Column => Column = _ => lit(true)
   ): (DataFrame, DataFrame) = {
     val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = base
       .select(col("id"), posexplode(bucketsOf(col("vec"))).as(Seq("table_id", "bucket")))
     val candidates = bucketed
+      // query-side predicate BEFORE the bucket join: an evaluation over a
+      // sampled query set (annRecallIntLsh) pays candidate work
+      // proportional to the sample, not the corpus; the default keeps the
+      // full self-join graph shape for the kNN/near-dup callers.
+      .where(queryFilter(col("id")))
       .select(col("id").as("query_id"), col("table_id"), col("bucket"))
       .join(
         bucketed.select(col("id").as("neighbor_id"), col("table_id"), col("bucket")),
@@ -163,6 +169,79 @@ object Similarity {
       .select("query_id", "neighbor_id")
       .distinct()
     (base, candidates)
+  }
+
+  /** Retrieval-QUALITY evaluation of the banded integer-LSH ANN path
+    * against exact ground truth — the index-tuning verb every production
+    * retrieval stack runs before shipping a recall/latency config (the
+    * measurement behind ann-benchmarks-style recall@k curves and the
+    * nprobe/nlist sweeps of IVF tuning). Per sampled query
+    * (`id % sampleMod = 0`):
+    *
+    *   - `n_hits`     — |ANN top-k ∩ exact top-k|
+    *   - `recall_ppm` — n_hits · 10⁶ div k (integer ppm, the x83/x132
+    *                    exact-arithmetic discipline)
+    *   - `rr_ppm`     — 10⁶ div (ANN rank of the exact nearest neighbor),
+    *                    0 when the true top-1 is missed entirely (MRR's
+    *                    per-query term)
+    *
+    * Both sides share ONE scoring contract (exact 6-dp rounded cosine,
+    * (score desc, id asc) tie-break), so the metrics measure only the
+    * candidate-generation miss of the banding, never scorer drift. Scale
+    * shape: the ANN side filters the QUERY side of the bucket join to the
+    * sample before joining (work ∝ sample · n/2^bits); the exact side is
+    * ground truth and inherently sample × corpus — the standard eval
+    * posture (a fixed few-hundred-query panel), never corpus², and the
+    * panel side is broadcast so the corpus scans once with no vector
+    * shuffle.
+    */
+  def annRecallIntLsh(
+      emb: DataFrame,
+      k: Int,
+      sampleMod: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val (base, candidates) = bandedSelfCandidates(
+      emb, idCol, vecCol,
+      v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable),
+      id => id % sampleMod === 0)
+    val ann = rankTopK(scoreCandidates(base, candidates), k)
+    val queries = base
+      .where(col("id") % sampleMod === 0)
+      .select(col("id").as("query_id"), col("vec").as("q_vec"))
+    val exact = rankTopK(
+      base.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
+        .join(broadcast(queries))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6)),
+      k)
+    val hits = ann
+      .join(
+        exact.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    val rr = exact
+      .where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(
+        ann.select(col("query_id"), col("neighbor_id"), col("rank").as("ann_rank")),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), coalesce(expr("1000000L div ann_rank"), lit(0L)).as("rr_ppm"))
+    // every sampled query appears, LSH-empty ones at zero: recall curves
+    // averaged over a panel that silently drops misses overstate quality.
+    queries
+      .select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .join(rr, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0L) * 1000000L div ${k}L").as("recall_ppm"),
+        coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
   }
 
   /** Attach both vectors to (query_id, neighbor_id) candidates and score

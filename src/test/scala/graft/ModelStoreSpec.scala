@@ -12,6 +12,19 @@ class ModelStoreSpec extends SparkSpec {
 
   private def table(n: String) = s"graft_modelstore_spec_$n"
 
+  /** Hand-written (non-ModelStore) saveAsTable needs the same
+    * cross-process pre-clean ModelStore.save itself does: a previous
+    * test JVM's managed table leaves its warehouse directory behind
+    * while the catalog entry dies with the session, and saveAsTable
+    * then throws LOCATION_ALREADY_EXISTS even in overwrite mode.
+    */
+  private def writeRaw(rows: Seq[(Long, Long, Long)], t: String): Unit = {
+    import spark.implicits._
+    graft.operators.Colocate.clearManagedLocation(spark, t)
+    rows.toDF("c", "b", "w").write.mode("overwrite")
+      .format("parquet").saveAsTable(t)
+  }
+
   test("save → load round-trips every coefficient (binary and 4-class)") {
     Seq(
       LinearModel.planted("q", classes = 2, dim = 64),
@@ -42,19 +55,16 @@ class ModelStoreSpec extends SparkSpec {
     val partial = for {
       c <- 0L to 1L; b <- 0L to 3L; if !(c == 1L && b == 2L)
     } yield (c, b, c * 10 + b)
-    partial.toDF("c", "b", "w").write.mode("overwrite")
-      .format("parquet").saveAsTable(table("part"))
+    writeRaw(partial, table("part"))
     val e1 = intercept[IllegalArgumentException](ModelStore.load(spark, table("part")))
     assert(e1.getMessage.contains("not dense"))
     // right row count but a duplicated cell shadowing a missing one
     val dup = partial :+ (0L, 0L, 99L)
-    dup.toDF("c", "b", "w").write.mode("overwrite")
-      .format("parquet").saveAsTable(table("dup"))
+    writeRaw(dup, table("dup"))
     val e2 = intercept[IllegalArgumentException](ModelStore.load(spark, table("dup")))
     assert(e2.getMessage.contains("duplicate"))
     // empty
-    Seq.empty[(Long, Long, Long)].toDF("c", "b", "w").write.mode("overwrite")
-      .format("parquet").saveAsTable(table("empty"))
+    writeRaw(Seq.empty, table("empty"))
     val e3 = intercept[IllegalArgumentException](ModelStore.load(spark, table("empty")))
     assert(e3.getMessage.contains("empty"))
   }

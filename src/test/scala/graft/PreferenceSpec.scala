@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Preference
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fit(cmp: Seq[(Long, Long, Long)], rounds: Int = 4) =
+    Preference
+      .btRatings(cmp.toDF("item_a", "item_b", "winner"), rounds)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  test("one round on a 2-item duel reproduces the hand-computed MM update") {
+    // items 1,2; three comparisons, 1 wins twice. S = 1e6, w0 = S each.
+    //   t_12  = 3·S² div 2S = 1_500_000
+    //   raw_1 = 2·S² div t = 1_333_333; raw_2 = 1·S² div t = 666_666
+    //   mx div S = 1 → normalization is identity
+    val out = fit(Seq((1L, 2L, 1L), (1L, 2L, 1L), (2L, 1L, 2L)), rounds = 1)
+    assert(out(1L) === ((3L, 2L, 1333333L, 1L)))
+    assert(out(2L) === ((3L, 1L, 666666L, 2L)))
+  }
+
+  test("an undefeated item takes rank 1 and the zero-win item rates 0") {
+    val cmp = Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (1L, 2L, 1L), (2L, 3L, 2L))
+    val out = fit(cmp)
+    assert(out(1L)._4 === 1L) // rank
+    assert(out(3L)._2 === 0L) // wins
+    assert(out(3L)._3 === 0L) // rating collapses to 0 for a winless item
+    assert(out(1L)._3 > out(2L)._3 && out(2L)._3 > out(3L)._3)
+  }
+
+  test("symmetric records give equal ratings; ranks tie-break by item asc") {
+    val cmp = Seq((5L, 9L, 5L), (5L, 9L, 9L), (5L, 9L, 5L), (5L, 9L, 9L))
+    val out = fit(cmp)
+    assert(out(5L)._3 === out(9L)._3)
+    assert(out(5L)._4 === 1L && out(9L)._4 === 2L)
+  }
+
+  test("self-pairs are dropped, not counted as comparisons or wins") {
+    val out = fit(Seq((7L, 7L, 7L), (1L, 2L, 1L)))
+    assert(!out.contains(7L))
+    assert(out(1L)._1 === 1L && out(1L)._2 === 1L)
+  }
+
+  test("orientation-insensitive: (a,b) and (b,a) logs fit identically") {
+    val ab = fit(Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 2L, 2L), (2L, 3L, 2L)))
+    val ba = fit(Seq((2L, 1L, 1L), (1L, 2L, 1L), (2L, 1L, 2L), (3L, 2L, 2L)))
+    assert(ab === ba)
+  }
+
+  test("MM converges toward the BT solution: transitive strength ordering " +
+    "on a chain corpus with mixed results") {
+    // 1 beats 2 most of the time, 2 beats 3 most of the time, no direct
+    // 1-3 games: BT infers 1 > 2 > 3 through the chain.
+    val cmp =
+      Seq.fill(8)((1L, 2L, 1L)) ++ Seq.fill(2)((1L, 2L, 2L)) ++
+        Seq.fill(8)((2L, 3L, 2L)) ++ Seq.fill(2)((2L, 3L, 3L))
+    val out = fit(cmp, rounds = 8)
+    assert(out(1L)._3 > out(2L)._3 && out(2L)._3 > out(3L)._3)
+    assert(out(1L)._4 === 1L && out(2L)._4 === 2L && out(3L)._4 === 3L)
+  }
+
+  test("fixed-point scale: the max-normalized top rating stays in [S, 2S)") {
+    // integer normalization divides by floor(mx/S): the top rating is
+    // bounded by 2S − 1 (quotient ≥ 1) and ≥ S (divided by exactly its
+    // own quotient), never unbounded drift across rounds
+    val cmp = Seq.fill(5)((1L, 2L, 1L)) ++ Seq((1L, 2L, 2L))
+    val out = fit(cmp, rounds = 8)
+    val top = out.values.map(_._3).max
+    assert(top >= 1000000L && top < 2000000L)
+  }
+}
