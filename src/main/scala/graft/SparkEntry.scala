@@ -2147,6 +2147,26 @@ object SparkEntry {
     Preference.btRatings(cmp, rounds = 4).orderBy(col("item"))
   }
 
+  /** PCA-projection surface (x137): every embedding projected onto the
+    * corpus's top principal component ([[graft.operators.Pca]] — the
+    * rotation/whitening step in front of IVF/PQ training and the
+    * anisotropy diagnostic). Covariance trains on the `vec_id % 2 = 0`
+    * HALF of the corpus (rotation trainers sample — the x118 codebook
+    * posture, and the gate then exercises the train-on-sample /
+    * project-everything split), ten fixed matrix SQUARINGS in truncating
+    * integer fixed-point (effective power 1024 — the gate corpus
+    * measures λ₂/λ₁ ≈ 0.98 at bench scale, where round-by-round power
+    * iteration cannot converge in unrollable rounds). The oracle replays
+    * quantization → one-pass moments → n²-scaled covariance → downscale
+    * → all ten squarings → the component projection, bit-for-bit.
+    */
+  private def x137(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Pca
+      .topComponentProjections(t(s, dir, "embeddings"), trainMod = 2, squarings = 10)
+      .orderBy(col("vec_id"))
+  }
+
   /** OVA weights shared within one JVM, keyed by corpus dir (the
     * trainedPerceptron contract: bounded driver state — 3 × 128 longs —
     * that is a pure function of the corpus; the warm-up rep pays the
@@ -4585,6 +4605,7 @@ object SparkEntry {
     "x134_model_roundtrip" -> (x134 _),
     "x135_ann_recall" -> (x135 _),
     "x136_bt_rating" -> (x136 _),
+    "x137_pca_project" -> (x137 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4632,6 +4653,23 @@ object SparkEntry {
     * plurality count, then a (count desc, label asc) row_number argmax —
     * the same total order the operator's min(struct(−cnt, label)) encodes.
     */
+  /** One unrolled fixed-point matrix SQUARING for the x137 oracle:
+    * Mᵣ = (Mᵣ₋₁·Mᵣ₋₁) div max(max|·| div 10⁸, 1) — the exact
+    * [[graft.operators.Pca.powerIterate]] squaring (64³ product rows
+    * per round, dim²-bounded result). Expects `m${i-1}`; yields `m$i`.
+    */
+  private def pcaSquareSql(i: Int): String = {
+    val prev = s"m${i - 1}"
+    s"""sq$i AS MATERIALIZED (
+       |  SELECT a.i, b.j, sum(a.c * b.c) AS c
+       |  FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2
+       |), m$i AS MATERIALIZED (
+       |  SELECT i, j, CAST(c // (SELECT greatest(max(abs(c)) // 100000000, 1)
+       |                          FROM sq$i) AS BIGINT) AS c
+       |  FROM sq$i
+       |)""".stripMargin
+  }
+
   /** One unrolled Bradley-Terry MM round for the x136 oracle: the exact
     * [[graft.operators.Preference.btRatings]] fixed-point arithmetic —
     * t_ij = n·S² div max(w_i+w_j, 1), denom as both orientations summed,
@@ -6387,6 +6425,44 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY r4.w DESC, s.item) AS BIGINT) AS rank
         |FROM bt_stats s JOIN r4 USING (item)
         |ORDER BY item""".stripMargin,
+    // x137: quantization (the vq convention) → one-pass integer moments
+    // over the % 2 training half → n²-scaled covariance (never divides)
+    // → 10⁸ downscale → TEN unrolled matrix squarings (pcaSquareSql —
+    // effective power 1024, the flat-spectrum lesson) → component =
+    // M₁₀·1 renormalized → projection of EVERY vector. All arithmetic
+    // BIGINT/HUGEINT with truncating //, so the replay is bit-for-bit.
+    "x137_pca_project" ->
+      s"""WITH vq AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
+        |       embedding] AS q
+        |  FROM embeddings
+        |), mom AS MATERIALIZED (
+        |  SELECT di.i AS i, dj.j AS j, sum(q[di.i + 1] * q[dj.j + 1]) AS g
+        |  FROM vq, range(0, 64) di(i), range(0, 64) dj(j)
+        |  WHERE vec_id % 2 = 0
+        |  GROUP BY 1, 2
+        |), sv AS MATERIALIZED (
+        |  SELECT di.i AS i, sum(q[di.i + 1]) AS s, count(*) AS n
+        |  FROM vq, range(0, 64) di(i)
+        |  WHERE vec_id % 2 = 0
+        |  GROUP BY 1
+        |), c0 AS MATERIALIZED (
+        |  SELECT m.i, m.j, CAST(si.n * m.g - si.s * sj.s AS BIGINT) AS c
+        |  FROM mom m JOIN sv si ON si.i = m.i JOIN sv sj ON sj.i = m.j
+        |), m0 AS MATERIALIZED (
+        |  SELECT i, j,
+        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
+        |  FROM c0
+        |), ${(1 to 10).map(pcaSquareSql).mkString(", ")}, yv AS MATERIALIZED (
+        |  SELECT i AS d, sum(c) AS y FROM m10 GROUP BY 1
+        |), xf AS MATERIALIZED (
+        |  SELECT d, CAST(y // (SELECT greatest(max(abs(y)) // 1000000, 1)
+        |                       FROM yv) AS BIGINT) AS w
+        |  FROM yv
+        |)
+        |SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS proj
+        |FROM vq v, xf x GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -47,6 +47,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "vector_min_max", exprs => VectorMinMax(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
+      "int_gram", exprs => IntGram(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
       "misra_gries_tokens",
       exprs =>
         MisraGriesTokens(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
@@ -292,6 +294,13 @@ object GraftFunctions {
     * one (count, sums) pair per group×partition ships through the shuffle).
     */
   def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
+
+  /** Exact integer second moments (n, Σq, upper-tri Σqqᵀ) of a quantized
+    * ARRAY<BIGINT> vector column — the one-pass PCA/whitening trainer
+    * input (aggregate; one triple per group×partition ships through the
+    * shuffle).
+    */
+  def intGram(vec: Column): Column = call_function("int_gram", vec)
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 

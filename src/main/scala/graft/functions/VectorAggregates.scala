@@ -373,3 +373,137 @@ case class PqTrainSums(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0))
 }
+
+/** Mutable integer second-moment accumulator for [[IntGram]]: count,
+  * per-dimension sums, and the upper-triangle of Σ q qᵀ (row-major
+  * packed: entry (i, j), i ≤ j, lives at i·dim − i(i−1)/2 + (j − i)).
+  * Sized lazily from the first vector seen.
+  */
+final class IntGramBuffer {
+  var count: Long = 0L
+  var sums: Array[Long] = _
+  var gram: Array[Long] = _
+
+  def add(v: ArrayData): Unit = {
+    val n = v.numElements()
+    if (sums == null) {
+      sums = new Array[Long](n)
+      gram = new Array[Long](n * (n + 1) / 2)
+    }
+    require(n == sums.length, s"ragged vectors: saw dims ${sums.length} and $n")
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val qi = v.getLong(i)
+      sums(i) += qi
+      var j = i
+      while (j < n) { gram(k) += qi * v.getLong(j); j += 1; k += 1 }
+      i += 1
+    }
+    count += 1
+  }
+
+  def mergeFrom(o: IntGramBuffer): Unit =
+    if (o.sums != null) {
+      if (sums == null) {
+        sums = o.sums.clone(); gram = o.gram.clone(); count = o.count
+      } else {
+        require(sums.length == o.sums.length, "ragged vectors across partitions")
+        var i = 0
+        while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+        i = 0
+        while (i < gram.length) { gram(i) += o.gram(i); i += 1 }
+        count += o.count
+      }
+    }
+}
+
+/** Exact integer second moments of a quantized ARRAY<BIGINT> vector
+  * column — (n, Σq, upper-tri Σ q qᵀ) in ONE pass, the inputs a PCA /
+  * whitening / OPQ-rotation trainer needs (covariance·n² derives as
+  * n·Σqqᵀ − (Σq)(Σq)ᵀ without ever dividing, so the result is exact and
+  * engine-replayable).
+  *
+  * Why not posexplode twice + groupBy(i, j): that formulation shuffles
+  * dim²/2 rows PER VECTOR (a 64-dim corpus ships 2 080× its row count —
+  * the VectorAvg explode trap squared); this aggregate keeps whole
+  * vectors in the map task and ships ONE (count, sums[dim],
+  * gram[dim(dim+1)/2]) triple per partition through the exchange.
+  *
+  * Caller contract: |q|·√n must stay far from 2³¹ so the gram entries
+  * (≤ n·max|q|²) cannot overflow — with the engine-standard 10³
+  * quantization that admits corpora to ~10⁹ training rows, far above
+  * the documented sample bound of the trainers that consume this.
+  * NULL vectors are skipped; an all-NULL input yields NULL.
+  */
+case class IntGram(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[IntGramBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("g", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def createAggregationBuffer(): IntGramBuffer = new IntGramBuffer
+
+  override def update(buf: IntGramBuffer, input: InternalRow): IntGramBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    buf
+  }
+
+  override def merge(b1: IntGramBuffer, b2: IntGramBuffer): IntGramBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: IntGramBuffer): Any =
+    if (buf.sums == null || buf.count == 0) null
+    else InternalRow(
+      buf.count,
+      new GenericArrayData(buf.sums),
+      new GenericArrayData(buf.gram))
+
+  override def serialize(buf: IntGramBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.count)
+    val n = if (buf.sums == null) -1 else buf.sums.length
+    out.writeInt(n)
+    var i = 0
+    while (i < math.max(n, 0)) { out.writeLong(buf.sums(i)); i += 1 }
+    i = 0
+    while (i < math.max(if (n < 0) -1 else buf.gram.length, 0)) {
+      out.writeLong(buf.gram(i)); i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): IntGramBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new IntGramBuffer
+    buf.count = in.readLong()
+    val n = in.readInt()
+    if (n >= 0) {
+      buf.sums = new Array[Long](n)
+      buf.gram = new Array[Long](n * (n + 1) / 2)
+      var i = 0
+      while (i < n) { buf.sums(i) = in.readLong(); i += 1 }
+      i = 0
+      while (i < buf.gram.length) { buf.gram(i) = in.readLong(); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): IntGram =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): IntGram =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

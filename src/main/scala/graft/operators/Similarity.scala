@@ -193,7 +193,11 @@ object Similarity {
     * ground truth and inherently sample × corpus — the standard eval
     * posture (a fixed few-hundred-query panel), never corpus², and the
     * panel side is broadcast so the corpus scans once with no vector
-    * shuffle.
+    * shuffle. SCALE CONTRACT: `sampleMod` is the panel-size knob — a
+    * 100 TB caller passes sampleMod ≈ corpus/panelSize so the panel
+    * stays a few hundred queries and the ground-truth stage stays one
+    * linear corpus scan; the gate registers `% 10` only because the
+    * gate corpora are small.
     */
   def annRecallIntLsh(
       emb: DataFrame,

@@ -54,7 +54,18 @@ object ExponentProbe {
     // is C× the arithmetic but the EXPONENT must not move)
     "x127_ft_curation" -> "documents",
     "x128_perceptron_train" -> "documents",
-    "x130_ft_multiclass" -> "documents")
+    "x130_ft_multiclass" -> "documents",
+    // second-continuation additions: BT rating (two log-keyed reductions
+    // + the items²-bounded driver fixpoint — e ≈ 1 in comparisons) and
+    // the PCA projection (one IntGram pass over the training half + a
+    // map-only literal-component projection — e ≈ 1 in vectors; a rising
+    // e would mean the moments agg lost its partial-aggregation shape).
+    // x135 is deliberately NOT watched: its exact ground-truth stage is
+    // the documented offline-eval brute posture (panel × corpus), and
+    // its sampleMod knob exists precisely so a 100 TB caller pins the
+    // panel size; the banded ANN side shares x111's watched law.
+    "x136_bt_rating" -> "documents",
+    "x137_pca_project" -> "embeddings")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Pca
+
+/** x137's operator: exact-integer moments (IntGram), the fixed-point
+  * power iteration, and the projection surface. The alignment test is
+  * the load-bearing one: the integer pipeline must agree with a plain
+  * double-precision power iteration on the real corpus to ≥ 0.999
+  * direction cosine — the fixed-point arithmetic is a replayability
+  * device, not an accuracy compromise.
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("IntGram ≡ brute moments on a multi-partition quantized corpus") {
+    val vecs: Seq[Seq[Long]] =
+      (0 until 37).map(i => Seq(i.toLong, (i * i % 11).toLong, -3L * i, 7L))
+    val df = vecs.toDF("q").repartition(8)
+    val row = df.agg(GraftFunctions.intGram(col("q")).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.g")).head()
+    assert(row.getLong(0) === 37L)
+    val s = row.getSeq[Long](1)
+    val g = row.getSeq[Long](2)
+    for (d <- 0 until 4)
+      assert(s(d) === vecs.map(_(d)).sum, s"sum dim $d")
+    var k = 0
+    for (i <- 0 until 4; j <- i until 4) {
+      assert(g(k) === vecs.map(v => v(i) * v(j)).sum, s"gram ($i,$j)")
+      k += 1
+    }
+  }
+
+  test("IntGram skips NULL vectors; all-NULL input yields NULL") {
+    val df = Seq(Some(Seq(1L, 2L)), None, Some(Seq(3L, 4L))).toDF("q")
+    val row = df.agg(GraftFunctions.intGram(col("q")).as("m"))
+      .select(col("m.n"), col("m.s")).head()
+    assert(row.getLong(0) === 2L && row.getSeq[Long](1) === Seq(4L, 6L))
+    val none = Seq.empty[Option[Seq[Long]]].toDF("q")
+      .agg(GraftFunctions.intGram(col("q"))).head()
+    assert(none.isNullAt(0))
+  }
+
+  test("powerIterate on a hand-built 2-dim corpus finds the dominant axis") {
+    // three vectors: (0,0), (10,1), (20,2) — all variance along (10,1)/√101
+    val vecs = Seq(Array(0L, 0L), Array(10L, 1L), Array(20L, 2L))
+    val n = vecs.length.toLong
+    val s = Array(vecs.map(_(0)).sum, vecs.map(_(1)).sum)
+    val g = Array(
+      vecs.map(v => v(0) * v(0)).sum,
+      vecs.map(v => v(0) * v(1)).sum,
+      vecs.map(v => v(1) * v(1)).sum)
+    val x = Pca.powerIterate(n, s, g, squarings = 10)
+    // direction ∝ (10, 1): the fixed-point ratio must match to ~1e-4
+    assert(math.abs(x(0).toDouble / x(1) - 10.0) < 0.01, x.toSeq.toString)
+  }
+
+  test("integer component ∥ double-precision power iteration on the real corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(
+      transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dim = q.head.length
+    val n = q.length.toLong
+    val s = Array.tabulate(dim)(d => q.map(_(d)).sum)
+    val gU = {
+      val a = new Array[Long](dim * (dim + 1) / 2)
+      var k = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        a(k) = q.map(v => v(i) * v(j)).sum; k += 1
+      }
+      a
+    }
+    val xInt = Pca.powerIterate(n, s, gU, squarings = 10)
+    // plain double power iteration over the same n²-scaled covariance
+    val c = Array.ofDim[Double](dim, dim)
+    var k = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = (n * gU(k) - s(i) * s(j)).toDouble
+      c(i)(j) = v; c(j)(i) = v; k += 1
+    }
+    // 1500 plain rounds: (λ₂/λ₁)^1500 is negligible even at the flattest
+    // measured gate spectrum, so xd here IS the true top component
+    var xd = Array.fill(dim)(1.0)
+    for (_ <- 1 to 1500) {
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * xd(j)).sum)
+      val norm = math.sqrt(y.map(v => v * v).sum)
+      xd = y.map(_ / norm)
+    }
+    val xi = xInt.map(_.toDouble)
+    val cos = (0 until dim).map(d => xi(d) * xd(d)).sum /
+      (math.sqrt(xi.map(v => v * v).sum) * math.sqrt(xd.map(v => v * v).sum))
+    assert(math.abs(cos) > 0.999, s"direction cosine $cos")
+  }
+
+  test("projection variance dominates every coordinate axis (top-PC property)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Pca.topComponentProjections(emb, trainMod = 1, squarings = 10)
+      .collect().map(_.getLong(1).toDouble)
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(v => (v - m) * (v - m)).sum / xs.length
+    }
+    // normalize the component to unit length for a fair axis comparison
+    val q = emb.select(
+      transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dim = q.head.length
+    // proj = q·x with |x| ≉ 1: compare RELATIVE variances — projection
+    // variance / |x|² vs per-axis variance (axis = unit vector)
+    val s = Array.tabulate(dim)(d => q.map(_(d)).sum)
+    val gU = {
+      val a = new Array[Long](dim * (dim + 1) / 2)
+      var k = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        a(k) = q.map(v => v(i) * v(j)).sum; k += 1
+      }
+      a
+    }
+    val x = Pca.powerIterate(q.length.toLong, s, gU, squarings = 10).map(_.toDouble)
+    val x2 = x.map(v => v * v).sum
+    val projVar = variance(proj) / x2
+    for (d <- 0 until dim) {
+      val axisVar = variance(q.map(_(d).toDouble))
+      assert(projVar >= axisVar - 1e-6, s"axis $d variance $axisVar beats projection $projVar")
+    }
+  }
+}
