@@ -2167,6 +2167,43 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** The x128-trained scorer's output in calibration shape: one
+    * (doc_id, score, y) row per document — shared by the x138/x139
+    * calibration surfaces so the diagram and the fit cannot drift.
+    */
+  private def calibScored(s: SparkSession, dir: String): DataFrame = {
+    val w = perceptronWeights(s, dir)
+    val model = LinearModel.HashedLinearModel(512, Array(Array.fill(512)(0L), w))
+    LinearModel
+      .classify(perceptronDocs(s, dir), "text", model)
+      .select(col("doc_id"), col("dot1").as("score"), col("y"))
+  }
+
+  /** Reliability-diagram surface (x138): observed positive rate per
+    * equal-mass score decile of the x128-trained scorer
+    * ([[graft.operators.Calibration.reliabilityBins]] — the diagram a
+    * curation stack reads before trusting classifier thresholds). Rank
+    * deciles via the two-phase global rank (no single-partition
+    * window), all rates exact integer ppm; the oracle extends x129's
+    * unrolled training replay with the rank/bin/aggregate arithmetic.
+    */
+  private def x138(s: SparkSession, dir: String): DataFrame =
+    Calibration
+      .reliabilityBins(calibScored(s, dir), bins = 10)
+      .orderBy(col("bin"))
+
+  /** Isotonic-calibration surface (x139): the monotone rate map over
+    * x138's deciles by the minimax characterization (fit_i = max_{j≤i}
+    * min_{k≥i} pooled-ppm(j..k) — Robertson-Wright-Dykstra), which
+    * replaces PAVA's data-dependent merge loop with a closed bins³ form
+    * both engines evaluate directly. The bins table is constant-size
+    * (bounded-state contract); the fit is driver arithmetic.
+    */
+  private def x139(s: SparkSession, dir: String): DataFrame =
+    Calibration
+      .isotonicCalibration(calibScored(s, dir), bins = 10)
+      .orderBy(col("bin"))
+
   /** OVA weights shared within one JVM, keyed by corpus dir (the
     * trainedPerceptron contract: bounded driver state — 3 × 128 longs —
     * that is a pure function of the corpus; the warm-up rep pays the
@@ -4236,6 +4273,30 @@ object SparkEntry {
       |  y AS true_y, (y * score > 0) AS correct
       |FROM sc4 ORDER BY doc_id""".stripMargin
 
+  /** Shared DuckDB replay for x138/x139: x129's unrolled-training chain
+    * scored once more (`sc4`), then rank deciles and per-bin integer
+    * aggregates — yields `cg` (bin, n_docs, n_pos, min/max/sum_score).
+    * ONE helper so the diagram and the isotonic fit cannot drift.
+    */
+  private lazy val calibBinsSql: String =
+    s"""$ftCtesSql, ${perceptronCtesSql(rounds = 3, dim = 512)}, sc4 AS (
+      |  SELECT fc.doc_id, fc.y, sum(fc.cnt * w3.w) AS score
+      |  FROM fc JOIN w3 ON w3.b = fc.b GROUP BY 1, 2
+      |), cr AS (
+      |  SELECT doc_id, y, CAST(score AS BIGINT) AS score,
+      |    row_number() OVER (ORDER BY score, doc_id) AS rank,
+      |    count(*) OVER () AS n
+      |  FROM sc4
+      |), cg AS MATERIALIZED (
+      |  SELECT (rank - 1) * 10 // n AS bin,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(min(score) AS BIGINT) AS min_score,
+      |    CAST(max(score) AS BIGINT) AS max_score,
+      |    CAST(sum(score) AS BIGINT) AS sum_score
+      |  FROM cr GROUP BY 1
+      |)""".stripMargin
+
   /** Shared DuckDB replay for x131/x132: the three one-vs-all training
     * chains (one [[perceptronCtesSql]] call per class, prefixed c{c}_,
     * over the shared label-independent `ftfb` at dim 128), one final
@@ -4606,6 +4667,8 @@ object SparkEntry {
     "x135_ann_recall" -> (x135 _),
     "x136_bt_rating" -> (x136 _),
     "x137_pca_project" -> (x137 _),
+    "x138_calibration_bins" -> (x138 _),
+    "x139_isotonic_calibration" -> (x139 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6463,6 +6526,41 @@ object SparkEntry {
         |)
         |SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS proj
         |FROM vq v, xf x GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+    // x138: the x129 training replay scored once, rank-deciled, per-bin
+    // integer rates (calibBinsSql — the reliability diagram).
+    "x138_calibration_bins" ->
+      s"""WITH $calibBinsSql
+        |SELECT bin, n_docs, n_pos,
+        |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_ppm,
+        |  min_score, max_score,
+        |  CAST(sum_score // n_docs AS BIGINT) AS mean_score
+        |FROM cg ORDER BY bin""".stripMargin,
+    // x139: the same bins through the minimax isotonic form — pooled
+    // ppm rates over every (j ≤ k) bin range via prefix sums, then
+    // fit_i = max over j ≤ i of (min over k ≥ i of rate(j,k)).
+    "x139_isotonic_calibration" ->
+      s"""WITH $calibBinsSql, ccum AS MATERIALIZED (
+        |  SELECT bin,
+        |    sum(n_pos) OVER (ORDER BY bin) AS cpos,
+        |    sum(n_docs) OVER (ORDER BY bin) AS cn
+        |  FROM cg
+        |), crng AS MATERIALIZED (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    (k.cpos - coalesce(jm.cpos, 0)) * 1000000
+        |      // greatest(k.cn - coalesce(jm.cn, 0), 1) AS rate
+        |  FROM ccum j JOIN ccum k ON j.bin <= k.bin
+        |  LEFT JOIN ccum jm ON jm.bin = j.bin - 1
+        |), cmins AS (
+        |  SELECT i.bin AS bin, r.j, min(r.rate) AS mn
+        |  FROM cg i JOIN crng r ON r.j <= i.bin AND r.k >= i.bin
+        |  GROUP BY 1, 2
+        |), cfit AS (
+        |  SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm FROM cmins GROUP BY 1
+        |)
+        |SELECT g.bin, g.n_docs, g.n_pos,
+        |  CAST(g.n_pos * 1000000 // g.n_docs AS BIGINT) AS pos_ppm,
+        |  f.iso_ppm, g.min_score, g.max_score
+        |FROM cg g JOIN cfit f USING (bin) ORDER BY bin""".stripMargin,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

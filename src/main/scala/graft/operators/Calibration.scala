@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classifier-score calibration — the step between a trained scorer and
+  * a usable quality signal: a curation stack that thresholds or weights
+  * by classifier score (CCNet buckets, DSIR weights, x120's screen)
+  * needs the score to MEAN something, and the standard tooling is the
+  * reliability diagram (observed positive rate per score bin —
+  * Niculescu-Mizil & Caruana 2005) followed by isotonic regression
+  * (Zadrozny & Elkan 2002) when the diagram shows miscalibration.
+  *
+  * Everything is exact-integer (the repo ppm discipline):
+  *   - bins are RANK-deciles of the score (equal-mass, the standard
+  *     reliability binning; rank via the two-phase [[GlobalRank]] — no
+  *     single-partition window);
+  *   - per-bin rate = n_pos·10⁶ div n_docs;
+  *   - the isotonic fit uses the MINIMAX characterization
+  *     (Robertson-Wright-Dykstra: fit_i = max_{j≤i} min_{k≥i}
+  *     rate(j..k)) over the ppm-quantized pooled rates — closed-form
+  *     over bins³ combinations, no data-dependent PAVA merge loop, so a
+  *     SQL engine replays it directly. The fit is monotone by
+  *     construction and equals PAVA up to the ppm quantization of the
+  *     pooled means.
+  *
+  * Scale shape: ONE corpus-sized stage (the rank partition + per-bin
+  * aggregation, map-side combined); the bins table is a constant-size
+  * frame (default 10 rows) under the bounded-driver-state contract, and
+  * the minimax fit is O(bins³) driver arithmetic.
+  */
+object Calibration {
+
+  /** Equal-mass reliability bins of a scored, binary-labeled frame.
+    *
+    * @param scored (idCol, scoreCol, labelCol) rows; label ∈ {+1, −1}
+    * @return one row per bin: (bin, n_docs, n_pos, pos_ppm, min_score,
+    *         max_score, mean_score), bin = (rank−1)·bins div n
+    */
+  def reliabilityBins(
+      scored: DataFrame,
+      bins: Int = 10,
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      labelCol: String = "y"
+  ): DataFrame = {
+    val base = scored.select(
+      col(idCol).as("id"), col(scoreCol).as("score"), col(labelCol).as("y"))
+    // one extra count job; the scalar feeds the bin arithmetic as a
+    // literal (the x137 moments-row posture)
+    val n = base.count()
+    GlobalRank
+      .withGlobalRank(base, Seq(col("score"), col("id")))
+      .withColumn("bin", expr(s"(rank - 1) * $bins div ${n}L"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min("score").as("min_score"),
+        max("score").as("max_score"),
+        sum("score").as("sum_score"))
+      .select(
+        col("bin"),
+        col("n_docs"),
+        col("n_pos"),
+        expr("n_pos * 1000000L div n_docs").as("pos_ppm"),
+        col("min_score"),
+        col("max_score"),
+        expr("sum_score div n_docs").as("mean_score"))
+  }
+
+  /** Isotonic fit over ordered (n_pos, n_docs) bins by the minimax
+    * characterization: fit_i = max_{j ≤ i} min_{k ≥ i} pooled-ppm(j..k),
+    * pooled-ppm(j..k) = (Σ n_pos)·10⁶ div (Σ n_docs). Pure integer
+    * arithmetic over bins³ combinations; monotone non-decreasing by
+    * construction. Exposed for the spec; no Spark.
+    */
+  private[graft] def isotonicFitPpm(binStats: Seq[(Long, Long)]): Seq[Long] = {
+    val b = binStats.length
+    val cumPos = binStats.scanLeft(0L)(_ + _._1).toArray
+    val cumN = binStats.scanLeft(0L)(_ + _._2).toArray
+    def rate(j: Int, k: Int): Long = {
+      val docs = cumN(k + 1) - cumN(j)
+      (cumPos(k + 1) - cumPos(j)) * 1000000L / math.max(docs, 1L)
+    }
+    (0 until b).map { i =>
+      (0 to i).map(j => (i until b).map(k => rate(j, k)).min).max
+    }
+  }
+
+  /** [[reliabilityBins]] + [[isotonicFitPpm]]: the calibration MAP —
+    * per bin, the raw observed rate and the monotone isotonic rate a
+    * downstream thresholder should use. The bins frame is
+    * constant-size, so the collect is the bounded-state contract, and
+    * the emitted frame is literal rows.
+    */
+  def isotonicCalibration(
+      scored: DataFrame,
+      bins: Int = 10,
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      labelCol: String = "y"
+  ): DataFrame = {
+    val spark = scored.sparkSession
+    val rb = reliabilityBins(scored, bins, idCol, scoreCol, labelCol)
+      .select("bin", "n_docs", "n_pos", "pos_ppm", "min_score", "max_score")
+      .collect()
+      .sortBy(_.getLong(0))
+    val iso = isotonicFitPpm(rb.map(r => (r.getLong(2), r.getLong(1))).toSeq)
+    import spark.implicits._
+    rb.zip(iso).toSeq
+      .map { case (r, f) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), f,
+          r.getLong(4), r.getLong(5))
+      }
+      .toDF("bin", "n_docs", "n_pos", "pos_ppm", "iso_ppm", "min_score", "max_score")
+  }
+}
