@@ -2204,6 +2204,20 @@ object SparkEntry {
       .isotonicCalibration(calibScored(s, dir), bins = 10)
       .orderBy(col("bin"))
 
+  /** Corpus data-card surface (x140): the per-(source, lang) release
+    * summary ([[graft.operators.DomainStats.corpusReport]] — volumes,
+    * exact-duplicate mass, emptiness, length envelope, rates in exact
+    * integer ppm). Tokens by the x83 whitespace idiom, digests by md5
+    * (the x84 convention); only (stratum, digest) pairs shuffle.
+    */
+  private def x140(s: SparkSession, dir: String): DataFrame =
+    DomainStats
+      .corpusReport(
+        t(s, dir, "documents").select(
+          col("source"), col("lang"), col("text"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
+      .orderBy(col("source"), col("lang"))
+
   /** OVA weights shared within one JVM, keyed by corpus dir (the
     * trainedPerceptron contract: bounded driver state — 3 × 128 longs —
     * that is a pure function of the corpus; the warm-up rep pays the
@@ -4669,6 +4683,7 @@ object SparkEntry {
     "x137_pca_project" -> (x137 _),
     "x138_calibration_bins" -> (x138 _),
     "x139_isotonic_calibration" -> (x139 _),
+    "x140_corpus_report" -> (x140 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6561,6 +6576,41 @@ object SparkEntry {
         |  CAST(g.n_pos * 1000000 // g.n_docs AS BIGINT) AS pos_ppm,
         |  f.iso_ppm, g.min_score, g.max_score
         |FROM cg g JOIN cfit f USING (bin) ORDER BY bin""".stripMargin,
+    // x140: the data card replayed directly — x83's token idiom, x84's
+    // md5 digests, per-stratum volumes/dup-mass/empties, ppm by //.
+    "x140_corpus_report" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5(text) AS digest,
+        |    (len(trim(text)) = 0) AS empty
+        |  FROM documents
+        |), dup AS (
+        |  SELECT source, lang,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS dup_docs,
+        |    CAST(count(*) AS BIGINT) AS distinct_texts
+        |  FROM (SELECT source, lang, digest, count(*) AS cnt
+        |        FROM tk GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(sum(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |    CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |    CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |  FROM tk GROUP BY 1, 2
+        |)
+        |SELECT st.source, st.lang, n_docs, n_tokens, n_chars,
+        |  distinct_texts, dup_docs,
+        |  CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+        |  n_empty, min_tokens, max_tokens,
+        |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens
+        |FROM st JOIN dup USING (source, lang)
+        |ORDER BY source, lang""".stripMargin,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,
