@@ -2133,18 +2133,49 @@ object SparkEntry {
     * truncating integer div; the oracle unrolls all four rounds
     * (the perceptron/LPA discipline).
     */
-  private def x136(s: SparkSession, dir: String): DataFrame = {
+  /** The planted pairwise-preference log shared by x136/x141 (one Scala
+    * helper, one SQL generator — the substrInjA convention): consecutive
+    * docs duel as items `doc_id % 64`, the longer document (by the
+    * table's own n_chars) wins, ties to the lower item.
+    */
+  private def btComparisons(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    val cmp = d.as("d1")
+    d.as("d1")
       .join(d.as("d2"), col("d2.doc_id") === col("d1.doc_id") + 1)
       .select(
+        col("d1.doc_id").as("cmp_id"),
         (col("d1.doc_id") % 64).as("item_a"),
         (col("d2.doc_id") % 64).as("item_b"),
         when(col("d1.n_chars") > col("d2.n_chars"), col("d1.doc_id") % 64)
           .when(col("d2.n_chars") > col("d1.n_chars"), col("d2.doc_id") % 64)
           .otherwise(least(col("d1.doc_id") % 64, col("d2.doc_id") % 64))
           .as("winner"))
-    Preference.btRatings(cmp, rounds = 4).orderBy(col("item"))
+      .where(col("item_a") =!= col("item_b"))
+  }
+
+  private def x136(s: SparkSession, dir: String): DataFrame =
+    Preference
+      .btRatings(
+        btComparisons(s, dir).select("item_a", "item_b", "winner"),
+        rounds = 4)
+      .orderBy(col("item"))
+
+  /** Preference-pair curation surface (x141): the RLHF loop closed —
+    * x136's fitted board turned back on its own log
+    * ([[graft.operators.Preference.curatedPairs]]): per comparison the
+    * (chosen, rejected) training pair, both ratings, the signed margin,
+    * the model-agreement flag, and the keep gate at margin ≥ 0.1·S.
+    * The log never shuffles (items-bounded ratings broadcast onto it);
+    * the oracle reuses x136's verbatim CTE chain (btCtesSql).
+    */
+  private def x141(s: SparkSession, dir: String): DataFrame = {
+    val cmp = btComparisons(s, dir)
+    Preference
+      .curatedPairs(
+        cmp,
+        Preference.btRatings(cmp.select("item_a", "item_b", "winner"), rounds = 4),
+        minMargin = 100000L)
+      .orderBy(col("cmp_id"))
   }
 
   /** PCA-projection surface (x137): every embedding projected onto the
@@ -4684,6 +4715,7 @@ object SparkEntry {
     "x138_calibration_bins" -> (x138 _),
     "x139_isotonic_calibration" -> (x139 _),
     "x140_corpus_report" -> (x140 _),
+    "x141_preference_pairs" -> (x141 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4747,6 +4779,44 @@ object SparkEntry {
        |  FROM sq$i
        |)""".stripMargin
   }
+
+  /** Shared DuckDB replay CTEs for the Bradley-Terry family (x136,
+    * x141): the comparison log planted from (doc, doc+1) n_chars duels,
+    * per-pair/per-item reductions, then all four MM rounds unrolled
+    * ([[btRoundSql]]) in BIGINT fixed-point. ONE generator so the
+    * rating and pair-curation replays cannot drift. Yields CTEs
+    * `bt_cmp` (cmp_id, item_a, item_b, winner), `bt_pairs`, `bt_stats`,
+    * and `r0`..`r4`. CTEs referenced more than once are MATERIALIZED —
+    * DuckDB inlines otherwise, and the doubly-referenced round chain
+    * expands exponentially.
+    */
+  private lazy val btCtesSql: String =
+    s"""bt_cmp AS MATERIALIZED (
+      |  SELECT d1.doc_id AS cmp_id,
+      |    d1.doc_id % 64 AS item_a, d2.doc_id % 64 AS item_b,
+      |    CASE WHEN d1.n_chars > d2.n_chars THEN d1.doc_id % 64
+      |         WHEN d2.n_chars > d1.n_chars THEN d2.doc_id % 64
+      |         ELSE least(d1.doc_id % 64, d2.doc_id % 64) END AS winner
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |  WHERE d1.doc_id % 64 <> d2.doc_id % 64
+      |), bt_pairs AS MATERIALIZED (
+      |  SELECT least(item_a, item_b) AS i, greatest(item_a, item_b) AS j,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM bt_cmp GROUP BY 1, 2
+      |), bt_wins AS (
+      |  SELECT winner AS item, CAST(count(*) AS BIGINT) AS wins
+      |  FROM bt_cmp GROUP BY 1
+      |), bt_deg AS (
+      |  SELECT item, CAST(sum(n) AS BIGINT) AS n_comps FROM (
+      |    SELECT i AS item, n FROM bt_pairs
+      |    UNION ALL SELECT j AS item, n FROM bt_pairs)
+      |  GROUP BY item
+      |), bt_stats AS MATERIALIZED (
+      |  SELECT d.item, d.n_comps, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins
+      |  FROM bt_deg d LEFT JOIN bt_wins w USING (item)
+      |), r0 AS MATERIALIZED (
+      |  SELECT item, CAST(1000000 AS BIGINT) AS w FROM bt_stats
+      |), ${(1 to 4).map(btRoundSql).mkString(", ")}""".stripMargin
 
   /** One unrolled Bradley-Terry MM round for the x136 oracle: the exact
     * [[graft.operators.Preference.btRatings]] fixed-point arithmetic —
@@ -6474,35 +6544,30 @@ object SparkEntry {
     // perceptron/LPA unrolled-oracle discipline; every division integer,
     // max-normalized per round exactly like the operator).
     "x136_bt_rating" ->
-      s"""WITH bt_cmp AS MATERIALIZED (
-        |  SELECT d1.doc_id % 64 AS item_a, d2.doc_id % 64 AS item_b,
-        |    CASE WHEN d1.n_chars > d2.n_chars THEN d1.doc_id % 64
-        |         WHEN d2.n_chars > d1.n_chars THEN d2.doc_id % 64
-        |         ELSE least(d1.doc_id % 64, d2.doc_id % 64) END AS winner
-        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
-        |  WHERE d1.doc_id % 64 <> d2.doc_id % 64
-        |), bt_pairs AS MATERIALIZED (
-        |  SELECT least(item_a, item_b) AS i, greatest(item_a, item_b) AS j,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM bt_cmp GROUP BY 1, 2
-        |), bt_wins AS (
-        |  SELECT winner AS item, CAST(count(*) AS BIGINT) AS wins
-        |  FROM bt_cmp GROUP BY 1
-        |), bt_deg AS (
-        |  SELECT item, CAST(sum(n) AS BIGINT) AS n_comps FROM (
-        |    SELECT i AS item, n FROM bt_pairs
-        |    UNION ALL SELECT j AS item, n FROM bt_pairs)
-        |  GROUP BY item
-        |), bt_stats AS MATERIALIZED (
-        |  SELECT d.item, d.n_comps, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins
-        |  FROM bt_deg d LEFT JOIN bt_wins w USING (item)
-        |), r0 AS MATERIALIZED (
-        |  SELECT item, CAST(1000000 AS BIGINT) AS w FROM bt_stats
-        |), ${(1 to 4).map(btRoundSql).mkString(", ")}
+      s"""WITH $btCtesSql
         |SELECT s.item, s.n_comps, s.wins, CAST(r4.w AS BIGINT) AS rating,
         |  CAST(row_number() OVER (ORDER BY r4.w DESC, s.item) AS BIGINT) AS rank
         |FROM bt_stats s JOIN r4 USING (item)
         |ORDER BY item""".stripMargin,
+    // x141: the fitted board turned back on its own log — per
+    // comparison, both sides' r4 ratings, the signed margin, the
+    // model-agreement flag, and the curation keep (margin ≥ 0.1·S).
+    // Same generator chain as x136, so the two replays cannot drift.
+    "x141_preference_pairs" ->
+      s"""WITH $btCtesSql
+        |SELECT c.cmp_id, c.winner AS chosen,
+        |  CASE WHEN c.winner = c.item_a THEN c.item_b
+        |       ELSE c.item_a END AS rejected,
+        |  CAST(rw.w AS BIGINT) AS chosen_rating,
+        |  CAST(rl.w AS BIGINT) AS rejected_rating,
+        |  CAST(rw.w - rl.w AS BIGINT) AS margin,
+        |  (rw.w - rl.w > 0) AS agree,
+        |  (rw.w - rl.w >= 100000) AS kept
+        |FROM bt_cmp c
+        |JOIN r4 rw ON rw.item = c.winner
+        |JOIN r4 rl ON rl.item =
+        |  (CASE WHEN c.winner = c.item_a THEN c.item_b ELSE c.item_a END)
+        |ORDER BY cmp_id""".stripMargin,
     // x137: quantization (the vq convention) → one-pass integer moments
     // over the % 2 training half → n²-scaled covariance (never divides)
     // → 10⁸ downscale → TEN unrolled matrix squarings (pcaSquareSql —

@@ -107,4 +107,52 @@ object Preference {
       .map(it => (it, nComps(it), wins.getOrElse(it, 0L), w(it), ranked(it)))
       .toDF("item", "n_comps", "wins", "rating", "rank")
   }
+
+  /** Turn the fitted board back on its own log — preference-PAIR
+    * curation, the step between comparison collection and DPO/reward
+    * training (Rafailov et al. 2023 train on (chosen, rejected) pairs;
+    * production filters drop pairs whose label the fitted model
+    * contradicts or barely separates — likely annotation noise, and
+    * noise in preference pairs poisons the loss like a mislabeled
+    * positive does in contrastive mining). Per comparison: both sides'
+    * ratings, the signed margin (chosen − rejected), `agree` (the
+    * fitted model backs the observed winner), and `kept`
+    * (margin ≥ minMargin — the curation gate).
+    *
+    * Scale shape: the ratings frame is items-bounded → both lookups are
+    * broadcast joins; the log streams through map-side, one row out per
+    * comparison, no shuffle of the log at all.
+    *
+    * @param comparisons (cmp_id, item_a, item_b, winner) rows
+    * @param ratings     [[btRatings]] output (or any (item, rating))
+    * @param minMargin   fixed-point keep threshold (same scale as ratings)
+    */
+  def curatedPairs(
+      comparisons: DataFrame,
+      ratings: DataFrame,
+      minMargin: Long
+  ): DataFrame = {
+    val r = ratings.select(col("item"), col("rating"))
+    comparisons
+      .where(col("item_a") =!= col("item_b"))
+      .withColumn(
+        "rejected",
+        when(col("winner") === col("item_a"), col("item_b"))
+          .otherwise(col("item_a")))
+      .join(
+        broadcast(r.select(col("item").as("winner"), col("rating").as("chosen_rating"))),
+        "winner")
+      .join(
+        broadcast(r.select(col("item").as("rejected"), col("rating").as("rejected_rating"))),
+        "rejected")
+      .select(
+        col("cmp_id"),
+        col("winner").as("chosen"),
+        col("rejected"),
+        col("chosen_rating"),
+        col("rejected_rating"),
+        (col("chosen_rating") - col("rejected_rating")).as("margin"),
+        (col("chosen_rating") - col("rejected_rating") > 0L).as("agree"),
+        (col("chosen_rating") - col("rejected_rating") >= minMargin).as("kept"))
+  }
 }

@@ -64,6 +64,43 @@ class PreferenceSpec extends SparkSpec {
     assert(out(1L)._4 === 1L && out(2L)._4 === 2L && out(3L)._4 === 3L)
   }
 
+  test("curatedPairs: margins, agreement, and the keep gate on an upset log") {
+    // item 1 dominates item 2 (4 wins to 1): the single upset (cmp 104,
+    // winner 2) must come out agree = false with a negative margin
+    val cmp = Seq(
+      (100L, 1L, 2L, 1L), (101L, 1L, 2L, 1L), (102L, 2L, 1L, 1L),
+      (103L, 1L, 2L, 1L), (104L, 1L, 2L, 2L))
+    val cmpDf = cmp.toDF("cmp_id", "item_a", "item_b", "winner")
+    val ratings = Preference.btRatings(
+      cmpDf.select("item_a", "item_b", "winner"), rounds = 4)
+    val out = Preference.curatedPairs(cmpDf, ratings, minMargin = 100000L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    val rMap = ratings.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val gap = rMap(1L) - rMap(2L)
+    assert(gap > 0L)
+    // the four wins of item 1: chosen=1, rejected=2, margin=+gap
+    Seq(100L, 101L, 102L, 103L).foreach { id =>
+      assert(out(id) === ((1L, 2L, gap, true, gap >= 100000L)), s"cmp $id")
+    }
+    // the upset: chosen=2 (the observed winner), margin negative, dropped
+    assert(out(104L) === ((2L, 1L, -gap, false, false)))
+  }
+
+  test("curatedPairs: ratings broadcast onto the log, self-pairs dropped") {
+    val cmpDf = Seq((1L, 5L, 5L, 5L), (2L, 5L, 6L, 5L))
+      .toDF("cmp_id", "item_a", "item_b", "winner")
+    val ratings = Preference.btRatings(
+      cmpDf.select("item_a", "item_b", "winner"), rounds = 2)
+    val out = Preference.curatedPairs(cmpDf, ratings, minMargin = 0L).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    val plan = Preference.curatedPairs(cmpDf, ratings, minMargin = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "ratings lookup should broadcast")
+  }
+
   test("fixed-point scale: the max-normalized top rating stays in [S, 2S)") {
     // integer normalization divides by floor(mx/S): the top rating is
     // bounded by 2S − 1 (quotient ≥ 1) and ≥ S (divided by exactly its
