@@ -49,6 +49,7 @@ object Calibration {
     // one extra count job; the scalar feeds the bin arithmetic as a
     // literal (the x137 moments-row posture)
     val n = base.count()
+    require(n > 0L, "reliabilityBins over an empty frame (bin arithmetic would NULL)")
     GlobalRank
       .withGlobalRank(base, Seq(col("score"), col("id")))
       .withColumn("bin", expr(s"(rank - 1) * $bins div ${n}L"))

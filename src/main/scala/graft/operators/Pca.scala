@@ -113,6 +113,8 @@ object Pca {
       .agg(GraftFunctions.intGram(q).as("m"))
       .select(col("m.n"), col("m.s"), col("m.g"))
       .head()
+    require(!row.isNullAt(0),
+      s"PCA training sample is empty ($idCol % $trainMod = 0 selected no rows)")
     val x = powerIterate(
       row.getLong(0),
       row.getSeq[Long](1).toArray,
