@@ -2241,6 +2241,20 @@ object SparkEntry {
     * integer ppm). Tokens by the x83 whitespace idiom, digests by md5
     * (the x84 convention); only (stratum, digest) pairs shuffle.
     */
+  /** Calibrated-screen surface (x142): the calibration USED — every
+    * document kept or dropped by whether its bin's ISOTONIC rate clears
+    * 0.5 ([[graft.operators.Calibration.calibratedScreen]]): a raw-score
+    * threshold cuts at an arbitrary dot value; the calibrated threshold
+    * targets precision by construction. One rank pass, the
+    * constant-size fit on the driver, a 10-row broadcast back onto the
+    * docs.
+    */
+  private def x142(s: SparkSession, dir: String): DataFrame =
+    Calibration
+      .calibratedScreen(calibScored(s, dir), bins = 10, minIsoPpm = 500000L)
+      .withColumn("bin", col("bin").cast("long"))
+      .orderBy(col("doc_id"))
+
   private def x140(s: SparkSession, dir: String): DataFrame =
     DomainStats
       .corpusReport(
@@ -4332,14 +4346,40 @@ object SparkEntry {
       |    row_number() OVER (ORDER BY score, doc_id) AS rank,
       |    count(*) OVER () AS n
       |  FROM sc4
+      |), cb AS MATERIALIZED (
+      |  SELECT doc_id, y, score, (rank - 1) * 10 // n AS bin FROM cr
       |), cg AS MATERIALIZED (
-      |  SELECT (rank - 1) * 10 // n AS bin,
+      |  SELECT bin,
       |    CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
       |    CAST(min(score) AS BIGINT) AS min_score,
       |    CAST(max(score) AS BIGINT) AS max_score,
       |    CAST(sum(score) AS BIGINT) AS sum_score
-      |  FROM cr GROUP BY 1
+      |  FROM cb GROUP BY 1
+      |)""".stripMargin
+
+  /** The isotonic-fit CTE chain over `cg` (x139/x142 shared): prefix
+    * sums → pooled ppm rates for every j ≤ k bin range → the minimax
+    * fold — yields `cfit` (bin, iso_ppm).
+    */
+  private lazy val isoFitSql: String =
+    """ccum AS MATERIALIZED (
+      |  SELECT bin,
+      |    sum(n_pos) OVER (ORDER BY bin) AS cpos,
+      |    sum(n_docs) OVER (ORDER BY bin) AS cn
+      |  FROM cg
+      |), crng AS MATERIALIZED (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    (k.cpos - coalesce(jm.cpos, 0)) * 1000000
+      |      // greatest(k.cn - coalesce(jm.cn, 0), 1) AS rate
+      |  FROM ccum j JOIN ccum k ON j.bin <= k.bin
+      |  LEFT JOIN ccum jm ON jm.bin = j.bin - 1
+      |), cmins AS (
+      |  SELECT i.bin AS bin, r.j, min(r.rate) AS mn
+      |  FROM cg i JOIN crng r ON r.j <= i.bin AND r.k >= i.bin
+      |  GROUP BY 1, 2
+      |), cfit AS MATERIALIZED (
+      |  SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm FROM cmins GROUP BY 1
       |)""".stripMargin
 
   /** Shared DuckDB replay for x131/x132: the three one-vs-all training
@@ -4716,6 +4756,7 @@ object SparkEntry {
     "x139_isotonic_calibration" -> (x139 _),
     "x140_corpus_report" -> (x140 _),
     "x141_preference_pairs" -> (x141 _),
+    "x142_calibrated_screen" -> (x142 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6619,28 +6660,20 @@ object SparkEntry {
     // ppm rates over every (j ≤ k) bin range via prefix sums, then
     // fit_i = max over j ≤ i of (min over k ≥ i of rate(j,k)).
     "x139_isotonic_calibration" ->
-      s"""WITH $calibBinsSql, ccum AS MATERIALIZED (
-        |  SELECT bin,
-        |    sum(n_pos) OVER (ORDER BY bin) AS cpos,
-        |    sum(n_docs) OVER (ORDER BY bin) AS cn
-        |  FROM cg
-        |), crng AS MATERIALIZED (
-        |  SELECT j.bin AS j, k.bin AS k,
-        |    (k.cpos - coalesce(jm.cpos, 0)) * 1000000
-        |      // greatest(k.cn - coalesce(jm.cn, 0), 1) AS rate
-        |  FROM ccum j JOIN ccum k ON j.bin <= k.bin
-        |  LEFT JOIN ccum jm ON jm.bin = j.bin - 1
-        |), cmins AS (
-        |  SELECT i.bin AS bin, r.j, min(r.rate) AS mn
-        |  FROM cg i JOIN crng r ON r.j <= i.bin AND r.k >= i.bin
-        |  GROUP BY 1, 2
-        |), cfit AS (
-        |  SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm FROM cmins GROUP BY 1
-        |)
+      s"""WITH $calibBinsSql, $isoFitSql
         |SELECT g.bin, g.n_docs, g.n_pos,
         |  CAST(g.n_pos * 1000000 // g.n_docs AS BIGINT) AS pos_ppm,
         |  f.iso_ppm, g.min_score, g.max_score
         |FROM cg g JOIN cfit f USING (bin) ORDER BY bin""".stripMargin,
+    // x142: the calibration USED — the per-doc bin frame joined to the
+    // shared isotonic fit, keep = calibrated rate ≥ 0.5. Same cb/cg/cfit
+    // generators as x138/x139, so the three replays cannot drift.
+    "x142_calibrated_screen" ->
+      s"""WITH $calibBinsSql, $isoFitSql
+        |SELECT b.doc_id, b.score, b.y, CAST(b.bin AS BIGINT) AS bin,
+        |  f.iso_ppm, (f.iso_ppm >= 500000) AS kept
+        |FROM cb b JOIN cfit f USING (bin)
+        |ORDER BY doc_id""".stripMargin,
     // x140: the data card replayed directly — x83's token idiom, x84's
     // md5 digests, per-stratum volumes/dup-mass/empties, ppm by //.
     "x140_corpus_report" ->

@@ -37,6 +37,27 @@ object Calibration {
     * @return one row per bin: (bin, n_docs, n_pos, pos_ppm, min_score,
     *         max_score, mean_score), bin = (rank−1)·bins div n
     */
+  /** Per-row equal-mass bin assignment: (id, score, y, bin). Shared by
+    * the diagram, the fit, and the screen so the binning cannot drift.
+    */
+  private def binned(
+      scored: DataFrame,
+      bins: Int,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val base = scored.select(
+      col(idCol).as("id"), col(scoreCol).as("score"), col(labelCol).as("y"))
+    // one extra count job; the scalar feeds the bin arithmetic as a
+    // literal (the x137 moments-row posture)
+    val n = base.count()
+    require(n > 0L, "calibration over an empty frame (bin arithmetic would NULL)")
+    GlobalRank
+      .withGlobalRank(base, Seq(col("score"), col("id")))
+      .withColumn("bin", expr(s"(rank - 1) * $bins div ${n}L"))
+  }
+
   def reliabilityBins(
       scored: DataFrame,
       bins: Int = 10,
@@ -44,15 +65,7 @@ object Calibration {
       scoreCol: String = "score",
       labelCol: String = "y"
   ): DataFrame = {
-    val base = scored.select(
-      col(idCol).as("id"), col(scoreCol).as("score"), col(labelCol).as("y"))
-    // one extra count job; the scalar feeds the bin arithmetic as a
-    // literal (the x137 moments-row posture)
-    val n = base.count()
-    require(n > 0L, "reliabilityBins over an empty frame (bin arithmetic would NULL)")
-    GlobalRank
-      .withGlobalRank(base, Seq(col("score"), col("id")))
-      .withColumn("bin", expr(s"(rank - 1) * $bins div ${n}L"))
+    binned(scored, bins, idCol, scoreCol, labelCol)
       .groupBy("bin")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -115,5 +128,47 @@ object Calibration {
           r.getLong(4), r.getLong(5))
       }
       .toDF("bin", "n_docs", "n_pos", "pos_ppm", "iso_ppm", "min_score", "max_score")
+  }
+
+  /** The calibration USED: a per-document screen that keeps rows whose
+    * CALIBRATED positive rate clears `minIsoPpm` — the threshold a
+    * curation stack should apply instead of a raw-score cut (the raw
+    * score's meaning varies across the range; the isotonic map is the
+    * score → P(positive) contract, and thresholding it at p is
+    * precision-targeting by construction). One corpus-sized rank pass,
+    * the constant-size fit on the driver, then a bins-row broadcast
+    * back onto the per-doc frame — the log/corpus never reshuffles for
+    * the lookup.
+    *
+    * @return per row: (idCol, score, y, bin, iso_ppm, kept)
+    */
+  def calibratedScreen(
+      scored: DataFrame,
+      bins: Int = 10,
+      minIsoPpm: Long = 500000L,
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      labelCol: String = "y"
+  ): DataFrame = {
+    val perDoc = binned(scored, bins, idCol, scoreCol, labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = perDoc
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val iso = isotonicFitPpm(stats.map(r => (r.getLong(2), r.getLong(1))).toSeq)
+    val isoDf = {
+      import scored.sparkSession.implicits._
+      stats.map(_.getLong(0)).zip(iso).toSeq.toDF("bin", "iso_ppm")
+    }
+    perDoc
+      .join(broadcast(isoDf), "bin")
+      .select(
+        col("id").as(idCol),
+        col("score"), col("y"), col("bin"), col("iso_ppm"),
+        (col("iso_ppm") >= minIsoPpm).as("kept"))
   }
 }

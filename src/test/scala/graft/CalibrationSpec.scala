@@ -70,6 +70,28 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("calibratedScreen: keep set is a bin suffix; flags consistent with the fit") {
+    val scored = (0 until 400).map { i =>
+      val y = if ((i * 2654435761L >> 7) % 100L < 10 + i / 5) 1L else -1L
+      (i.toLong, (i * 13 % 397).toLong, y)
+    }.toDF("doc_id", "score", "y")
+    val out = Calibration.calibratedScreen(scored, bins = 10, minIsoPpm = 500000L)
+      .collect()
+    // per-bin iso rate must be a single value, and kept ⇔ iso ≥ threshold
+    val byBin = out.groupBy(_.getLong(3)).map { case (b, rows) =>
+      val isos = rows.map(_.getLong(4)).distinct
+      assert(isos.length === 1, s"bin $b has ${isos.length} iso values")
+      rows.foreach(r => assert(r.getBoolean(5) === (r.getLong(4) >= 500000L)))
+      b -> isos.head
+    }
+    // the isotonic fit is monotone in bin, so the kept bins form a SUFFIX
+    val keptBins = byBin.filter(_._2 >= 500000L).keys.toSeq.sorted
+    if (keptBins.nonEmpty)
+      assert(keptBins === (keptBins.min to 9L), s"kept bins not a suffix: $keptBins")
+    // every doc appears exactly once
+    assert(out.map(_.getLong(0)).distinct.length === 400)
+  }
+
   test("isotonicCalibration end-to-end: monotone map over the real scorer") {
     // a synthetic scored frame with a noisy-but-rising signal: the raw
     // diagram has local violations, the fit must be monotone and within
