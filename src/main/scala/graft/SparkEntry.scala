@@ -2198,6 +2198,22 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Dimensionality-reduction surface (x143): every embedding projected
+    * onto the top FOUR principal components
+    * ([[graft.operators.Pca.reduceProjections]] — solve-then-deflate,
+    * the front half of an OPQ-style rotate-reduce-index stack). Same
+    * train-on-half posture as x137; the integer Hotelling deflation's
+    * >2⁶³ intermediates ride Scala BigInt ≡ DuckDB HUGEINT (identical
+    * trunc-toward-zero), so the oracle replays all four solve+deflate
+    * chains and the four projections bit-for-bit.
+    */
+  private def x143(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Pca
+      .reduceProjections(t(s, dir, "embeddings"), r = 4, trainMod = 2, squarings = 10)
+      .orderBy(col("vec_id"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -4757,6 +4773,7 @@ object SparkEntry {
     "x140_corpus_report" -> (x140 _),
     "x141_preference_pairs" -> (x141 _),
     "x142_calibrated_screen" -> (x142 _),
+    "x143_pca_reduce" -> (x143 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -4809,16 +4826,78 @@ object SparkEntry {
     * [[graft.operators.Pca.powerIterate]] squaring (64³ product rows
     * per round, dim²-bounded result). Expects `m${i-1}`; yields `m$i`.
     */
-  private def pcaSquareSql(i: Int): String = {
-    val prev = s"m${i - 1}"
-    s"""sq$i AS MATERIALIZED (
+  private def pcaSquareSql(i: Int, pfx: String = "m", sqPfx: String = "sq"): String = {
+    val prev = s"$pfx${i - 1}"
+    s"""$sqPfx$i AS MATERIALIZED (
        |  SELECT a.i, b.j, sum(a.c * b.c) AS c
        |  FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2
-       |), m$i AS MATERIALIZED (
+       |), $pfx$i AS MATERIALIZED (
        |  SELECT i, j, CAST(c // (SELECT greatest(max(abs(c)) // 100000000, 1)
-       |                          FROM sq$i) AS BIGINT) AS c
-       |  FROM sq$i
+       |                          FROM $sqPfx$i) AS BIGINT) AS c
+       |  FROM $sqPfx$i
        |)""".stripMargin
+  }
+
+  /** Shared x137/x143 moment CTEs: quantization (the vq convention),
+    * one-pass integer moments over the % 2 training half, and the
+    * n²-scaled covariance `c0` — generated once so the projection and
+    * reduction replays cannot drift.
+    */
+  private lazy val pcaMomentsCtesSql: String =
+    """vq AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
+      |       embedding] AS q
+      |  FROM embeddings
+      |), mom AS MATERIALIZED (
+      |  SELECT di.i AS i, dj.j AS j, sum(q[di.i + 1] * q[dj.j + 1]) AS g
+      |  FROM vq, range(0, 64) di(i), range(0, 64) dj(j)
+      |  WHERE vec_id % 2 = 0
+      |  GROUP BY 1, 2
+      |), sv AS MATERIALIZED (
+      |  SELECT di.i AS i, sum(q[di.i + 1]) AS s, count(*) AS n
+      |  FROM vq, range(0, 64) di(i)
+      |  WHERE vec_id % 2 = 0
+      |  GROUP BY 1
+      |), c0 AS MATERIALIZED (
+      |  SELECT m.i, m.j, CAST(si.n * m.g - si.s * sj.s AS BIGINT) AS c
+      |  FROM mom m JOIN sv si ON si.i = m.i JOIN sv sj ON sj.i = m.j
+      |)""".stripMargin
+
+  /** One component of the x143 deflation chain: rescale the chain
+    * matrix `cc$k`, ten squarings, the component `xf$k`, and (below the
+    * last component) the integer Hotelling deflation producing
+    * `cc${k+1}` — the exact [[graft.operators.Pca.topComponents]] loop,
+    * with the >2⁶³ intermediates on HUGEINT (mirroring Scala BigInt,
+    * identical trunc-toward-zero `//`).
+    */
+  private def pcaComponentSql(k: Int, last: Boolean): String = {
+    val pfx = s"m${k}_"
+    val solve =
+      s"""${pfx}0 AS MATERIALIZED (
+         |  SELECT i, j, c // (SELECT greatest(max(abs(c)) // 100000000, 1)
+         |                     FROM cc$k) AS c
+         |  FROM cc$k
+         |), ${(1 to 10).map(i => pcaSquareSql(i, pfx, s"sq${k}_")).mkString(", ")}, yv$k AS MATERIALIZED (
+         |  SELECT i AS d, sum(c) AS y FROM ${pfx}10 GROUP BY 1
+         |), xf$k AS MATERIALIZED (
+         |  SELECT d, CAST(y // (SELECT greatest(max(abs(y)) // 1000000, 1)
+         |                       FROM yv$k) AS BIGINT) AS w
+         |  FROM yv$k
+         |)""".stripMargin
+    if (last) solve
+    else
+      solve + s""", xtx$k AS (
+         |  SELECT greatest(sum(CAST(w AS HUGEINT) * w), 1) AS v FROM xf$k
+         |), xcx$k AS (
+         |  SELECT sum(CAST(c.c AS HUGEINT) * xi.w * xj.w) AS v
+         |  FROM cc$k c JOIN xf$k xi ON xi.d = c.i JOIN xf$k xj ON xj.d = c.j
+         |), cc${k + 1} AS MATERIALIZED (
+         |  SELECT c.i, c.j, CAST(c.c -
+         |    (CAST((SELECT v FROM xcx$k) // (SELECT v FROM xtx$k) AS HUGEINT)
+         |       * xi.w * xj.w) // (SELECT v FROM xtx$k) AS BIGINT) AS c
+         |  FROM cc$k c JOIN xf$k xi ON xi.d = c.i JOIN xf$k xj ON xj.d = c.j
+         |)""".stripMargin
   }
 
   /** Shared DuckDB replay CTEs for the Bradley-Terry family (x136,
@@ -6616,29 +6695,11 @@ object SparkEntry {
     // M₁₀·1 renormalized → projection of EVERY vector. All arithmetic
     // BIGINT/HUGEINT with truncating //, so the replay is bit-for-bit.
     "x137_pca_project" ->
-      s"""WITH vq AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
-        |       embedding] AS q
-        |  FROM embeddings
-        |), mom AS MATERIALIZED (
-        |  SELECT di.i AS i, dj.j AS j, sum(q[di.i + 1] * q[dj.j + 1]) AS g
-        |  FROM vq, range(0, 64) di(i), range(0, 64) dj(j)
-        |  WHERE vec_id % 2 = 0
-        |  GROUP BY 1, 2
-        |), sv AS MATERIALIZED (
-        |  SELECT di.i AS i, sum(q[di.i + 1]) AS s, count(*) AS n
-        |  FROM vq, range(0, 64) di(i)
-        |  WHERE vec_id % 2 = 0
-        |  GROUP BY 1
-        |), c0 AS MATERIALIZED (
-        |  SELECT m.i, m.j, CAST(si.n * m.g - si.s * sj.s AS BIGINT) AS c
-        |  FROM mom m JOIN sv si ON si.i = m.i JOIN sv sj ON sj.i = m.j
-        |), m0 AS MATERIALIZED (
+      s"""WITH $pcaMomentsCtesSql, m0 AS MATERIALIZED (
         |  SELECT i, j,
         |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
         |  FROM c0
-        |), ${(1 to 10).map(pcaSquareSql).mkString(", ")}, yv AS MATERIALIZED (
+        |), ${(1 to 10).map(i => pcaSquareSql(i)).mkString(", ")}, yv AS MATERIALIZED (
         |  SELECT i AS d, sum(c) AS y FROM m10 GROUP BY 1
         |), xf AS MATERIALIZED (
         |  SELECT d, CAST(y // (SELECT greatest(max(abs(y)) // 1000000, 1)
@@ -6647,6 +6708,25 @@ object SparkEntry {
         |)
         |SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS proj
         |FROM vq v, xf x GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+    // x143: the top-4 reduction — the c0 chain rescaled once (cc0),
+    // then per component: solve (pcaComponentSql) and integer Hotelling
+    // deflation into cc{k+1}; per-component projections joined on
+    // vec_id. Scala BigInt ≡ HUGEINT on the >2⁶³ intermediates.
+    "x143_pca_reduce" ->
+      s"""WITH $pcaMomentsCtesSql, cc0 AS MATERIALIZED (
+        |  SELECT i, j,
+        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
+        |  FROM c0
+        |), ${(0 until 4).map(k => pcaComponentSql(k, last = k == 3)).mkString(", ")},
+        |${(0 until 4).map(k =>
+             s"""pr$k AS MATERIALIZED (
+             |  SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS p${k + 1}
+             |  FROM vq v, xf$k x GROUP BY 1
+             |)""".stripMargin).mkString(", ")}
+        |SELECT pr0.vec_id, pr0.p1, pr1.p2, pr2.p3, pr3.p4
+        |FROM pr0 JOIN pr1 USING (vec_id) JOIN pr2 USING (vec_id)
+        |JOIN pr3 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     // x138: the x129 training replay scored once, rank-deciled, per-bin
     // integer rates (calibBinsSql — the reliability diagram).
     "x138_calibration_bins" ->

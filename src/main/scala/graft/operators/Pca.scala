@@ -58,6 +58,36 @@ object Pca {
     a.map(_.map(_ / div))
   }
 
+  /** The n²-scaled integer covariance from a moment triple. */
+  private def covariance(n: Long, s: Array[Long], gUpper: Array[Long]): Array[Array[Long]] = {
+    val dim = s.length
+    val c = Array.ofDim[Long](dim, dim)
+    var k = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = n * gUpper(k) - s(i) * s(j)
+      c(i)(j) = v
+      c(j)(i) = v
+      k += 1
+    }
+    c
+  }
+
+  /** One matrix-squaring solve: rescale → `squarings` squarings → M·1 →
+    * fixed-point normalization. Pure integer arithmetic.
+    */
+  private def solveDominant(c: Array[Array[Long]], squarings: Int): Array[Long] = {
+    val dim = c.length
+    var m = rescale(c, 100000000L)
+    for (_ <- 1 to squarings) {
+      val sq = Array.tabulate(dim, dim)((i, j) =>
+        (0 until dim).map(t => m(i)(t) * m(t)(j)).sum)
+      m = rescale(sq, 100000000L)
+    }
+    val y = m.map(_.sum) // Mₛ·1
+    val div = math.max(y.foldLeft(0L)((mx, v) => math.max(mx, math.abs(v))) / 1000000L, 1L)
+    y.map(_ / div)
+  }
+
   /** Fixed-point matrix-squaring power method over the n²-scaled integer
     * covariance; returns the dominant component as fixed-point longs
     * after `squarings` squarings (effective power 2^squarings). Exposed
@@ -68,25 +98,43 @@ object Pca {
       s: Array[Long],
       gUpper: Array[Long],
       squarings: Int
-  ): Array[Long] = {
+  ): Array[Long] =
+    solveDominant(covariance(n, s, gUpper), squarings)
+
+  /** Top `r` components by solve-then-DEFLATE (Hotelling): after each
+    * dominant solve, subtract the component's spectral share
+    *
+    *   C ← C − d,   d_ij = (t₁·x_i·x_j) div xᵀx,  t₁ = xᵀCx div xᵀx
+    *
+    * — the rank-one update λvvᵀ in pure truncating integer arithmetic
+    * (ONE final division per entry, so the truncation error is ±1 on
+    * the covariance scale; xᵀCx and t₁·x_i·x_j overflow 2⁶³ and ride
+    * int128 — Scala BigInt here, HUGEINT in the oracle, identical
+    * trunc-toward-zero semantics). The deflated solve re-enters the
+    * same rescale, so residual drift never compounds past the 10⁸
+    * headroom. Exposed for the spec; pure integer arithmetic, no Spark.
+    */
+  private[graft] def topComponents(
+      n: Long,
+      s: Array[Long],
+      gUpper: Array[Long],
+      r: Int,
+      squarings: Int
+  ): Seq[Array[Long]] = {
     val dim = s.length
-    val c = Array.ofDim[Long](dim, dim)
-    var k = 0
-    for (i <- 0 until dim; j <- i until dim) {
-      val v = n * gUpper(k) - s(i) * s(j)
-      c(i)(j) = v
-      c(j)(i) = v
-      k += 1
+    // the deflation chain runs on the RESCALED covariance so the BigInt
+    // intermediates stay bounded and the oracle can mirror with HUGEINT
+    var c = rescale(covariance(n, s, gUpper), 100000000L)
+    (0 until r).map { _ =>
+      val x = solveDominant(c, squarings)
+      val xtx = math.max(x.map(v => v * v).sum, 1L)
+      val xcx = (for (i <- 0 until dim; j <- 0 until dim)
+        yield BigInt(c(i)(j)) * x(i) * x(j)).sum
+      val t1 = xcx / xtx
+      c = Array.tabulate(dim, dim)((i, j) =>
+        c(i)(j) - ((t1 * x(i) * x(j)) / xtx).toLong)
+      x
     }
-    var m = rescale(c, 100000000L)
-    for (_ <- 1 to squarings) {
-      val sq = Array.tabulate(dim, dim)((i, j) =>
-        (0 until dim).map(t => m(i)(t) * m(t)(j)).sum)
-      m = rescale(sq, 100000000L)
-    }
-    val y = m.map(_.sum) // Mₛ·1
-    val div = math.max(y.foldLeft(0L)((mx, v) => math.max(mx, math.abs(v))) / 1000000L, 1L)
-    y.map(_ / div)
   }
 
   /** Project every vector onto the corpus's top principal component.
@@ -125,5 +173,44 @@ object Pca {
       .map { case (w, d) => element_at(q, d + 1) * lit(w) }
       .reduce(_ + _)
     emb.select(col(idCol), proj.as("proj"))
+  }
+
+  /** Dimensionality REDUCTION: every vector projected onto the top `r`
+    * principal components (solve-then-deflate, [[topComponents]]) — the
+    * front half of an OPQ-style rotate-reduce-index stack, emitted as r
+    * fixed-point BIGINT columns `p1..pr`. Same scale shape as
+    * [[topComponentProjections]]: one IntGram pass over the training
+    * sample, the dim²-bounded multi-component solve on the driver, one
+    * map-only pass over the full corpus with all r components inlined
+    * as literals (r codegen'd dot products per row, no join).
+    */
+  def reduceProjections(
+      emb: DataFrame,
+      r: Int = 4,
+      trainMod: Int = 1,
+      squarings: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = quantize(vecCol)
+    val row = emb
+      .where(col(idCol) % trainMod === 0)
+      .agg(GraftFunctions.intGram(q).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.g"))
+      .head()
+    require(!row.isNullAt(0),
+      s"PCA training sample is empty ($idCol % $trainMod = 0 selected no rows)")
+    val comps = topComponents(
+      row.getLong(0),
+      row.getSeq[Long](1).toArray,
+      row.getSeq[Long](2).toArray,
+      r, squarings)
+    val cols = comps.zipWithIndex.map { case (x, k) =>
+      x.zipWithIndex
+        .map { case (w, d) => element_at(q, d + 1) * lit(w) }
+        .reduce(_ + _)
+        .as(s"p${k + 1}")
+    }
+    emb.select(col(idCol) +: cols: _*)
   }
 }

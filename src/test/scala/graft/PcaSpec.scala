@@ -97,6 +97,56 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(cos) > 0.999, s"direction cosine $cos")
   }
 
+  test("topComponents: four deflated components are mutually near-orthogonal " +
+    "and align with converged double-precision solve-and-deflate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(
+      transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dim = q.head.length
+    val n = q.length.toLong
+    val s = Array.tabulate(dim)(d => q.map(_(d)).sum)
+    val gU = {
+      val a = new Array[Long](dim * (dim + 1) / 2)
+      var k = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        a(k) = q.map(v => v(i) * v(j)).sum; k += 1
+      }
+      a
+    }
+    val comps = Pca.topComponents(n, s, gU, r = 4, squarings = 10)
+      .map(_.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(v => v * v).sum) * math.sqrt(b.map(v => v * v).sum))
+    // pairwise near-orthogonality of the integer components
+    for (i <- 0 until 4; j <- i + 1 until 4)
+      assert(math.abs(cos(comps(i), comps(j))) < 0.02,
+        s"components $i,$j cos ${cos(comps(i), comps(j))}")
+    // double-precision reference: converged power iteration + exact
+    // Hotelling deflation, component by component
+    var c = Array.ofDim[Double](dim, dim)
+    var k2 = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = (n * gU(k2) - s(i) * s(j)).toDouble
+      c(i)(j) = v; c(j)(i) = v; k2 += 1
+    }
+    for (r <- 0 until 4) {
+      var xd = Array.fill(dim)(1.0)
+      for (_ <- 1 to 1500) {
+        val y = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * xd(j)).sum)
+        val norm = math.sqrt(y.map(v => v * v).sum)
+        xd = y.map(_ / norm)
+      }
+      assert(math.abs(cos(comps(r), xd)) > 0.99,
+        s"component $r misaligned: ${math.abs(cos(comps(r), xd))}")
+      val lam = (0 until dim).map(i =>
+        (0 until dim).map(j => c(i)(j) * xd(j)).sum * xd(i)).sum
+      for (i <- 0 until dim; j <- 0 until dim)
+        c(i)(j) -= lam * xd(i) * xd(j)
+    }
+  }
+
   test("projection variance dominates every coordinate axis (top-PC property)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val proj = Pca.topComponentProjections(emb, trainMod = 1, squarings = 10)
