@@ -2214,6 +2214,31 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Cross-space eval surface (x144): what the x143 reduction COSTS
+    * retrieval — exact panel top-3 in the reduced 4-dim space measured
+    * against exact panel top-3 in the original space
+    * ([[graft.operators.Similarity.reducedSpaceRecall]]), per-query
+    * recall/RR in exact integer ppm. The eval-family arc closed:
+    * reduce (x143) → index → evaluate (x135's metric discipline) —
+    * the number every "d→r dims" compression decision needs.
+    */
+  private def x144(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val reduced = Pca
+      .reduceProjections(emb, r = 4, trainMod = 2, squarings = 10)
+      .select(
+        col("vec_id").as("id"),
+        array(
+          col("p1").cast("double"), col("p2").cast("double"),
+          col("p3").cast("double"), col("p4").cast("double")).as("vec"))
+    Similarity
+      .reducedSpaceRecall(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        reduced, k = 3, sampleMod = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -4774,6 +4799,7 @@ object SparkEntry {
     "x141_preference_pairs" -> (x141 _),
     "x142_calibrated_screen" -> (x142 _),
     "x143_pca_reduce" -> (x143 _),
+    "x144_reduced_recall" -> (x144 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6789,6 +6815,76 @@ object SparkEntry {
         |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens
         |FROM st JOIN dup USING (source, lang)
         |ORDER BY source, lang""".stripMargin,
+    // x144: the x143 reduction chain replayed, then BOTH spaces' exact
+    // panel top-3 and the shared hit/RR arithmetic. The reduced-space
+    // cosine is written as the explicit 4-term formula WITH the
+    // zero-norm→0 guard, mirroring the engine expression's loop (a
+    // degenerate all-zero reduced vector must score 0 on both engines,
+    // where list_cosine_similarity would NaN).
+    "x144_reduced_recall" ->
+      s"""WITH $pcaMomentsCtesSql, cc0 AS MATERIALIZED (
+        |  SELECT i, j,
+        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
+        |  FROM c0
+        |), ${(0 until 4).map(k => pcaComponentSql(k, last = k == 3)).mkString(", ")},
+        |${(0 until 4).map(k =>
+             s"""pr$k AS MATERIALIZED (
+             |  SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS p${k + 1}
+             |  FROM vq v, xf$k x GROUP BY 1
+             |)""".stripMargin).mkString(", ")},
+        |rv AS MATERIALIZED (
+        |  SELECT pr0.vec_id, CAST(pr0.p1 AS DOUBLE) AS r1,
+        |    CAST(pr1.p2 AS DOUBLE) AS r2, CAST(pr2.p3 AS DOUBLE) AS r3,
+        |    CAST(pr3.p4 AS DOUBLE) AS r4
+        |  FROM pr0 JOIN pr1 USING (vec_id) JOIN pr2 USING (vec_id)
+        |  JOIN pr3 USING (vec_id)
+        |), fv AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), qs AS MATERIALIZED (
+        |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 10 = 0
+        |), es AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv.v, n.v), 6) AS score
+        |  FROM qs q JOIN fv qv ON qv.vec_id = q.query_id, fv n
+        |  WHERE n.vec_id <> q.query_id
+        |), ex AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM es) WHERE rank <= 3
+        |), rs AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(CASE
+        |      WHEN (a.r1*a.r1 + a.r2*a.r2 + a.r3*a.r3 + a.r4*a.r4) = 0
+        |        OR (n.r1*n.r1 + n.r2*n.r2 + n.r3*n.r3 + n.r4*n.r4) = 0 THEN 0.0
+        |      ELSE (a.r1*n.r1 + a.r2*n.r2 + a.r3*n.r3 + a.r4*n.r4)
+        |        / (sqrt(a.r1*a.r1 + a.r2*a.r2 + a.r3*a.r3 + a.r4*a.r4)
+        |           * sqrt(n.r1*n.r1 + n.r2*n.r2 + n.r3*n.r3 + n.r4*n.r4))
+        |      END, 6) AS score
+        |  FROM qs q JOIN rv a ON a.vec_id = q.query_id, rv n
+        |  WHERE n.vec_id <> q.query_id
+        |), cd AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM rs) WHERE rank <= 3
+        |), h AS (
+        |  SELECT a.query_id, count(e.neighbor_id) AS n_hits
+        |  FROM cd a LEFT JOIN ex e
+        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY a.query_id
+        |), rr AS (
+        |  SELECT e.query_id, coalesce(1000000 // a.rank, 0) AS rr_ppm
+        |  FROM ex e LEFT JOIN cd a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  WHERE e.rank = 1
+        |)
+        |SELECT q.query_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) * 1000000 // 3 AS BIGINT) AS recall_ppm,
+        |  CAST(coalesce(rr.rr_ppm, 0) AS BIGINT) AS rr_ppm
+        |FROM qs q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -222,7 +222,23 @@ object Similarity {
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6)),
       k)
-    val hits = ann
+    recallMetrics(ann, exact, queries.select(col("query_id")), k)
+  }
+
+  /** The shared hit/RR arithmetic of the eval family (x135/x144):
+    * per panel query, |candidate top-k ∩ truth top-k| and the
+    * reciprocal rank of the true nearest in the candidate list, exact
+    * integer ppm. Every panel query appears — candidate-empty ones at
+    * zero: recall curves averaged over a panel that silently drops
+    * misses overstate quality.
+    */
+  private def recallMetrics(
+      candidate: DataFrame,
+      exact: DataFrame,
+      panel: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val hits = candidate
       .join(
         exact.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
         Seq("query_id", "neighbor_id"), "left")
@@ -232,13 +248,10 @@ object Similarity {
       .where(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id"))
       .join(
-        ann.select(col("query_id"), col("neighbor_id"), col("rank").as("ann_rank")),
+        candidate.select(col("query_id"), col("neighbor_id"), col("rank").as("ann_rank")),
         Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), coalesce(expr("1000000L div ann_rank"), lit(0L)).as("rr_ppm"))
-    // every sampled query appears, LSH-empty ones at zero: recall curves
-    // averaged over a panel that silently drops misses overstate quality.
-    queries
-      .select(col("query_id"))
+    panel
       .join(hits, Seq("query_id"), "left")
       .join(rr, Seq("query_id"), "left")
       .select(
@@ -246,6 +259,47 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         expr(s"coalesce(n_hits, 0L) * 1000000L div ${k}L").as("recall_ppm"),
         coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
+  }
+
+  /** Cross-SPACE retrieval-quality evaluation (x144): how much
+    * neighborhood structure a transformed (reduced/quantized/rotated)
+    * copy of the corpus preserves — exact top-k in the TRANSFORMED
+    * space measured against exact top-k in the ORIGINAL space on the
+    * same query panel (the measurement behind every
+    * "d→r dims costs X recall" table in the OPQ/PQ literature; the
+    * compression trade x40/x117 make is only defensible with this
+    * number next to it). Both sides brute over the panel — the eval
+    * posture of [[annRecallIntLsh]]'s ground-truth stage, with the same
+    * panel-size contract: `sampleMod` pins the panel at scale.
+    *
+    * @param full    (id, vec) original-space frame
+    * @param reduced (id, vec) transformed-space frame, same id domain
+    */
+  def reducedSpaceRecall(
+      full: DataFrame,
+      reduced: DataFrame,
+      k: Int,
+      sampleMod: Int
+  ): DataFrame = {
+    def panelTopK(space: DataFrame): DataFrame = {
+      val base = Dedup.spread(space)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = base
+        .where(col("id") % sampleMod === 0)
+        .select(col("id").as("query_id"), col("vec").as("q_vec"))
+      rankTopK(
+        base.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
+          .join(broadcast(queries))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6)),
+        k)
+    }
+    val exact = panelTopK(full)
+    val cand = panelTopK(reduced)
+    val panel = full
+      .where(col("id") % sampleMod === 0)
+      .select(col("id").as("query_id"))
+    recallMetrics(cand, exact, panel, k)
   }
 
   /** Attach both vectors to (query_id, neighbor_id) candidates and score

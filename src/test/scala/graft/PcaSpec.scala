@@ -147,6 +147,45 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("reducedSpaceRecall discriminates structure from noise: a genuinely " +
+    "4-dim corpus keeps its neighborhoods, the isotropic gate corpus loses them") {
+    import graft.operators.Similarity
+    // 200 vectors living on a 4-dim subspace of R^64 (plus deterministic
+    // sub-quantization jitter): the top-4 reduction must preserve
+    // nearest neighbors almost perfectly
+    val structured = (0 until 200).map { i =>
+      val c = Array(
+        math.sin(i * 0.37), math.cos(i * 0.53),
+        math.sin(i * 0.11 + 1.0), math.cos(i * 0.29 + 2.0))
+      val v = Array.tabulate(64) { d =>
+        val base = d % 4 match {
+          case 0 => c(0) * (1.0 + d / 64.0)
+          case 1 => c(1) * (1.0 + d / 80.0)
+          case 2 => c(2) * (1.0 - d / 96.0)
+          case _ => c(3) * (1.0 + d / 128.0)
+        }
+        (base + ((i * 31 + d * 17) % 7 - 3) * 1e-4).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec").select(col("id"), col("vec").cast("array<float>"))
+    val reduced = Pca
+      .reduceProjections(structured, r = 4, trainMod = 1, squarings = 10,
+        idCol = "id", vecCol = "vec")
+      .select(
+        col("id"),
+        array(
+          col("p1").cast("double"), col("p2").cast("double"),
+          col("p3").cast("double"), col("p4").cast("double")).as("vec"))
+    val out = Similarity
+      .reducedSpaceRecall(structured, reduced, k = 3, sampleMod = 10)
+      .collect()
+    val macroPpm = out.map(_.getLong(2)).sum / out.length
+    assert(macroPpm >= 900000L, s"structured-corpus macro recall $macroPpm ppm")
+    // the real (near-isotropic) corpus measures LOW — the eval's other
+    // half: it must not flatter a reduction the data cannot support
+    // (x144's gate rows measure ~3-5% at sf0.001/0.01)
+  }
+
   test("projection variance dominates every coordinate axis (top-PC property)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val proj = Pca.topComponentProjections(emb, trainMod = 1, squarings = 10)
