@@ -68,14 +68,15 @@ class PlanGuardSpec extends SparkSpec {
     // the COMPRESSED corpus is the documented shape (compression is the
     // point; IVF/LSH banding composes in front unchanged — x118 only
     // swaps untrained codebooks for integer-Lloyd-trained ones).
-    // x135 is the retrieval-quality EVAL: its ANN side is banded
-    // (query-sampled bucket join, no NLJ), but its ground-truth side is
-    // definitionally brute force — a bounded query panel broadcast onto
-    // the corpus (the x09 posture); an eval that only scored LSH-found
-    // candidates would measure recall against itself.
+    // x135/x144 are the retrieval-quality EVALs: x135's ANN side is
+    // banded (query-sampled bucket join, no NLJ), but ground-truth
+    // sides are definitionally brute force — a bounded query panel
+    // broadcast onto the corpus (the x09 posture); an eval that only
+    // scored LSH-found candidates would measure recall against itself,
+    // and x144 compares exact panel top-k in TWO spaces by definition.
     val exempt = Set("x09_cosine_topk", "x11_embed_neardup", "x41_sq8_topk",
       "x87_knn_graph", "x104_hard_negatives", "x117_int_pq_adc",
-      "x118_int_pq_trained", "x135_ann_recall")
+      "x118_int_pq_trained", "x135_ann_recall", "x144_reduced_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>
