@@ -2239,6 +2239,22 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** MMR-diversification surface (x145): top-3 diversified results per
+    * query over the banded integer-LSH top-10 candidates
+    * ([[graft.operators.Similarity.mmrDiversifyIntLsh]], λ = 0.7 —
+    * the RAG-context-assembly verb: near-duplicate passages waste the
+    * window). Candidate generation replays through the x111 plane grid;
+    * the greedy's two selection steps are unrolled in the oracle with
+    * the identical 6-dp blend arithmetic and (mmr desc, id asc)
+    * tie-break.
+    */
+  private def x145(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity
+      .mmrDiversifyIntLsh(t(s, dir, "embeddings"), k = 3, candK = 10, lambdaTenths = 7)
+      .orderBy(col("query_id"), col("pos"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -4800,6 +4816,7 @@ object SparkEntry {
     "x142_calibrated_screen" -> (x142 _),
     "x143_pca_reduce" -> (x143 _),
     "x144_reduced_recall" -> (x144 _),
+    "x145_mmr_diversify" -> (x145 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6885,6 +6902,80 @@ object SparkEntry {
         |  CAST(coalesce(rr.rr_ppm, 0) AS BIGINT) AS rr_ppm
         |FROM qs q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    // x145: plane grid → shared-bucket candidates → top-10 by 6-dp
+    // cosine → candK²-bounded pairwise sims → the greedy's two
+    // selection steps unrolled (λ-blend on identical rounded inputs,
+    // (mmr desc, id asc) tie-break, picked ids anti-joined out).
+    "x145_mmr_diversify" ->
+      s"""WITH ${intLshCtesSql(8, 6)}, cand0 AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id <> cb.vec_id
+        |), sc AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
+        |  FROM cand0 c
+        |  JOIN vq q ON q.vec_id = c.query_id
+        |  JOIN vq n ON n.vec_id = c.neighbor_id
+        |), cand AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(score * 1000000) AS BIGINT) AS score_ppm, rank
+        |  FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM sc) WHERE rank <= 10
+        |), sims AS MATERIALIZED (
+        |  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+        |    CAST(round(round(list_cosine_similarity(va.v, vb.v), 6) * 1000000)
+        |         AS BIGINT) AS sim_ppm
+        |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+        |  JOIN vq va ON va.vec_id = a.neighbor_id
+        |  JOIN vq vb ON vb.vec_id = b.neighbor_id
+        |), p1 AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, CAST(1 AS INT) AS pos,
+        |    score_ppm AS mmr_ppm
+        |  FROM cand WHERE rank = 1
+        |), r1 AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, score_ppm FROM cand WHERE rank <> 1
+        |), v2 AS (
+        |  SELECT r.query_id, r.neighbor_id,
+        |    (7 * r.score_ppm - 3 * max(s.sim_ppm)) // 10 AS mmr_ppm
+        |  FROM r1 r
+        |  JOIN sims s ON s.query_id = r.query_id AND s.a_id = r.neighbor_id
+        |  JOIN p1 p ON p.query_id = s.query_id AND p.neighbor_id = s.b_id
+        |  GROUP BY r.query_id, r.neighbor_id, r.score_ppm
+        |), p2 AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, CAST(2 AS INT) AS pos,
+        |    CAST(mmr_ppm AS BIGINT) AS mmr_ppm FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY mmr_ppm DESC, neighbor_id) AS rn
+        |    FROM v2) WHERE rn = 1
+        |), r2 AS (
+        |  SELECT r.query_id, r.neighbor_id, r.score_ppm FROM r1 r
+        |  LEFT JOIN p2 ON p2.query_id = r.query_id
+        |    AND p2.neighbor_id = r.neighbor_id
+        |  WHERE p2.neighbor_id IS NULL
+        |), pk AS (
+        |  SELECT query_id, neighbor_id FROM p1
+        |  UNION ALL SELECT query_id, neighbor_id FROM p2
+        |), v3 AS (
+        |  SELECT r.query_id, r.neighbor_id,
+        |    (7 * r.score_ppm - 3 * max(s.sim_ppm)) // 10 AS mmr_ppm
+        |  FROM r2 r
+        |  JOIN sims s ON s.query_id = r.query_id AND s.a_id = r.neighbor_id
+        |  JOIN pk p ON p.query_id = s.query_id AND p.neighbor_id = s.b_id
+        |  GROUP BY r.query_id, r.neighbor_id, r.score_ppm
+        |), p3 AS (
+        |  SELECT query_id, neighbor_id, CAST(3 AS INT) AS pos,
+        |    CAST(mmr_ppm AS BIGINT) AS mmr_ppm FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY mmr_ppm DESC, neighbor_id) AS rn
+        |    FROM v3) WHERE rn = 1
+        |)
+        |SELECT query_id, pos, neighbor_id, mmr_ppm FROM (
+        |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |  UNION ALL SELECT * FROM p3)
+        |ORDER BY query_id, pos""".stripMargin,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -261,6 +261,95 @@ object Similarity {
         coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
   }
 
+  /** Maximal-Marginal-Relevance diversification (x145) — the
+    * result-set post-processor of every retrieval stack whose corpus
+    * contains near-duplicates (Carbonell & Goldstein 1998): a plain
+    * top-k returns k copies of the best match; MMR greedily picks the
+    * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * picked, trading relevance for coverage. RAG context assembly is
+    * the modern instance — k near-identical passages waste the window.
+    *
+    * Shape: candidates come from the banded integer-LSH path (top
+    * `candK` per query by the exact 6-dp cosine — [[knnGraphIntLsh]]'s
+    * machinery), so candidate generation is replayable and never
+    * all-pairs; the greedy runs as `k−1` unrolled join/agg steps over
+    * the (query, candidate) frame — per-query work is candK²-bounded
+    * (the pairwise-sim frame), windows partition by query (thousands of
+    * tiny groups, never a global window). The λ-blend runs in INTEGER
+    * ppm — relevance and similarity lift exactly from their 6-dp
+    * contract (round(score·10⁶) is an exact integer on both engines),
+    * then mmr_ppm = (λ₁₀·rel − (10−λ₁₀)·maxSim) div 10 — because the
+    * float blend of two 6-dp values lands on exact decimal HALVES,
+    * where the engines' round() diverge (measured: 14 one-ulp
+    * mismatches per 500 rows before the integer form). Ties break by
+    * neighbor id.
+    *
+    * @param lambdaTenths λ in tenths (7 = the classic 0.7)
+    * @return (query_id, pos 1..k, neighbor_id, mmr_ppm) — pos 1's
+    *         mmr_ppm is the raw relevance; later rows carry the blend
+    */
+  def mmrDiversifyIntLsh(
+      emb: DataFrame,
+      k: Int = 3,
+      candK: Int = 10,
+      lambdaTenths: Int = 7,
+      tables: Int = 8,
+      bitsPerTable: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val (base, candidates) = bandedSelfCandidates(
+      emb, idCol, vecCol,
+      v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable))
+    val cand = rankTopK(scoreCandidates(base, candidates), candK)
+      .withColumn("score_ppm", round(col("score") * 1000000).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cv = cand
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("n_vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("score_ppm"), col("rank"), col("n_vec"))
+    // candK²-bounded pairwise sims per query, same 6-dp contract as the
+    // relevance scores, lifted to exact ppm
+    val sims = cv.as("a")
+      .join(cv.as("b"), col("a.query_id") === col("b.query_id"))
+      .select(
+        col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("a_id"),
+        col("b.neighbor_id").as("b_id"),
+        round(round(GraftFunctions.cosineSim(col("a.n_vec"), col("b.n_vec")), 6) * 1000000)
+          .cast("long").as("sim_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val lam = lambdaTenths
+    var picks = cand
+      .where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("pos"),
+        col("score_ppm").as("mmr_ppm"))
+    var remaining = cand.where(col("rank") =!= 1)
+      .select("query_id", "neighbor_id", "score_ppm")
+    for (step <- 2 to k) {
+      val valued = remaining
+        .join(
+          sims.select(col("query_id"), col("a_id").as("neighbor_id"), col("b_id"), col("sim_ppm")),
+          Seq("query_id", "neighbor_id"))
+        .join(
+          picks.select(col("query_id"), col("neighbor_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy("query_id", "neighbor_id", "score_ppm")
+        .agg(max("sim_ppm").as("max_sim_ppm"))
+        .withColumn("mmr_ppm",
+          expr(s"(${lam}L * score_ppm - ${10 - lam}L * max_sim_ppm) div 10L"))
+      val pick = valued
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("mmr_ppm").desc, col("neighbor_id"))))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(step).as("pos"), col("mmr_ppm"))
+      picks = picks.unionByName(pick)
+      remaining = remaining
+        .join(pick.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_anti")
+    }
+    picks
+  }
+
   /** Cross-SPACE retrieval-quality evaluation (x144): how much
     * neighborhood structure a transformed (reduced/quantized/rotated)
     * copy of the corpus preserves — exact top-k in the TRANSFORMED
