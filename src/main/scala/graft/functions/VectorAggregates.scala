@@ -472,13 +472,14 @@ case class IntGram(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(buf.count)
-    val n = if (buf.sums == null) -1 else buf.sums.length
-    out.writeInt(n)
-    var i = 0
-    while (i < math.max(n, 0)) { out.writeLong(buf.sums(i)); i += 1 }
-    i = 0
-    while (i < math.max(if (n < 0) -1 else buf.gram.length, 0)) {
-      out.writeLong(buf.gram(i)); i += 1
+    // sums and gram are null together (sized on the first add)
+    if (buf.sums == null) out.writeInt(-1)
+    else {
+      out.writeInt(buf.sums.length)
+      var i = 0
+      while (i < buf.sums.length) { out.writeLong(buf.sums(i)); i += 1 }
+      i = 0
+      while (i < buf.gram.length) { out.writeLong(buf.gram(i)); i += 1 }
     }
     out.flush()
     bos.toByteArray

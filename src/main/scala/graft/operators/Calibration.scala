@@ -47,10 +47,14 @@ object Calibration {
       scoreCol: String,
       labelCol: String
   ): DataFrame = {
+    // persist BEFORE the count: the scorer chain upstream (a full
+    // corpus classify for x138/x139/x142) would otherwise evaluate
+    // twice — once for the count job, once for GlobalRank's range
+    // shuffle. The count's scalar feeds the bin arithmetic as a
+    // literal (the x137 moments-row posture).
     val base = scored.select(
       col(idCol).as("id"), col(scoreCol).as("score"), col(labelCol).as("y"))
-    // one extra count job; the scalar feeds the bin arithmetic as a
-    // literal (the x137 moments-row posture)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
     require(n > 0L, "calibration over an empty frame (bin arithmetic would NULL)")
     GlobalRank

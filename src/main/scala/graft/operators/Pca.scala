@@ -58,8 +58,18 @@ object Pca {
     a.map(_.map(_ / div))
   }
 
-  /** The n²-scaled integer covariance from a moment triple. */
+  /** The n²-scaled integer covariance from a moment triple. The n·g
+    * and s·s products carry an extra factor of n over IntGram's own
+    * bound: with the engine-standard 10³ quantization they stay under
+    * 2⁶³ only for n ≤ ~3·10⁶ training rows — fail loudly, never wrap
+    * (covariance trainers SAMPLE; pass a larger trainMod, the x118
+    * codebook posture — O(dim) samples estimate the rotation).
+    */
   private def covariance(n: Long, s: Array[Long], gUpper: Array[Long]): Array[Array[Long]] = {
+    require(n <= 3000000L,
+      s"covariance over $n training rows risks 2⁶³ overflow in n·Σqqᵀ " +
+        "(the bound is ~3e6 at the 10³ quantization); sample the trainer " +
+        "with a larger trainMod — rotations converge in O(dim) samples")
     val dim = s.length
     val c = Array.ofDim[Long](dim, dim)
     var k = 0
@@ -154,8 +164,26 @@ object Pca {
       vecCol: String = "embedding"
   ): DataFrame = {
     val q = quantize(vecCol)
-    // one-pass moments over the training sample; the result is
-    // 1 + dim + dim(dim+1)/2 longs of bounded driver state
+    val (n, s, g) = trainedMoments(emb, trainMod, idCol, q)
+    val x = powerIterate(n, s, g, squarings)
+    // map-only projection with the component inlined as literals
+    val proj = x.zipWithIndex
+      .map { case (w, d) => element_at(q, d + 1) * lit(w) }
+      .reduce(_ + _)
+    emb.select(col(idCol), proj.as("proj"))
+  }
+
+  /** One-pass moments over the training sample; the result is
+    * 1 + dim + dim(dim+1)/2 longs of bounded driver state. Shared by
+    * the projection and reduction surfaces so the sample contract and
+    * the empty-sample guard cannot drift.
+    */
+  private def trainedMoments(
+      emb: DataFrame,
+      trainMod: Int,
+      idCol: String,
+      q: Column
+  ): (Long, Array[Long], Array[Long]) = {
     val row = emb
       .where(col(idCol) % trainMod === 0)
       .agg(GraftFunctions.intGram(q).as("m"))
@@ -163,16 +191,7 @@ object Pca {
       .head()
     require(!row.isNullAt(0),
       s"PCA training sample is empty ($idCol % $trainMod = 0 selected no rows)")
-    val x = powerIterate(
-      row.getLong(0),
-      row.getSeq[Long](1).toArray,
-      row.getSeq[Long](2).toArray,
-      squarings)
-    // map-only projection with the component inlined as literals
-    val proj = x.zipWithIndex
-      .map { case (w, d) => element_at(q, d + 1) * lit(w) }
-      .reduce(_ + _)
-    emb.select(col(idCol), proj.as("proj"))
+    (row.getLong(0), row.getSeq[Long](1).toArray, row.getSeq[Long](2).toArray)
   }
 
   /** Dimensionality REDUCTION: every vector projected onto the top `r`
@@ -193,18 +212,8 @@ object Pca {
       vecCol: String = "embedding"
   ): DataFrame = {
     val q = quantize(vecCol)
-    val row = emb
-      .where(col(idCol) % trainMod === 0)
-      .agg(GraftFunctions.intGram(q).as("m"))
-      .select(col("m.n"), col("m.s"), col("m.g"))
-      .head()
-    require(!row.isNullAt(0),
-      s"PCA training sample is empty ($idCol % $trainMod = 0 selected no rows)")
-    val comps = topComponents(
-      row.getLong(0),
-      row.getSeq[Long](1).toArray,
-      row.getSeq[Long](2).toArray,
-      r, squarings)
+    val (n, s, g) = trainedMoments(emb, trainMod, idCol, q)
+    val comps = topComponents(n, s, g, r, squarings)
     val cols = comps.zipWithIndex.map { case (x, k) =>
       x.zipWithIndex
         .map { case (w, d) => element_at(q, d + 1) * lit(w) }

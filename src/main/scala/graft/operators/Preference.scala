@@ -39,8 +39,13 @@ import org.apache.spark.sql.functions._
   * overflow-free integer form (BT is scale-invariant, so any per-round
   * renormalization fits); every division is a truncating nonneg integer
   * div, so a SQL engine replays all rounds bit-for-bit (the
-  * perceptron/LPA unrolled-oracle discipline). Bounds: with n_ij ≤ 10⁹
-  * and wins ≤ 10⁹ every intermediate stays ≤ 10⁹·10¹² < 2⁶³.
+  * perceptron/LPA unrolled-oracle discipline). Bounds: t_ij = n_ij·S²
+  * caps the PER-PAIR comparison count at 2⁶³/10¹² ≈ 9.2·10⁶ (and wins
+  * per item likewise) — plenty for arena-scale logs, and GUARDED
+  * loudly in [[btRatings]] (the oracle's BIGINT would error where
+  * Scala would silently wrap, so an unguarded overflow would also be
+  * an engine divergence); a log beyond the bound should pre-scale its
+  * counts (BT is invariant to uniform count scaling).
   */
 object Preference {
 
@@ -77,6 +82,21 @@ object Preference {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toMap
+
+    // the fixed-point headroom bound (scaladoc): n_ij·S² and wins·S²
+    // must stay under 2⁶³ — fail loudly, never wrap (and never diverge
+    // from the oracle's BIGINT, which errors instead of wrapping)
+    val maxSafe = Long.MaxValue / s2
+    pairs.foreach { case (i, j, nn) =>
+      require(nn <= maxSafe,
+        s"pair ($i, $j) has $nn comparisons > fixed-point headroom $maxSafe " +
+          "at this scale; pre-scale the log's counts (BT is scale-invariant)")
+    }
+    wins.foreach { case (it, w) =>
+      require(w <= maxSafe,
+        s"item $it has $w wins > fixed-point headroom $maxSafe at this " +
+          "scale; pre-scale the log's counts (BT is scale-invariant)")
+    }
 
     val items: Array[Long] =
       pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted

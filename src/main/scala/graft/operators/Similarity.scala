@@ -213,16 +213,31 @@ object Similarity {
       v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable),
       id => id % sampleMod === 0)
     val ann = rankTopK(scoreCandidates(base, candidates), k)
+    val exact = panelBruteTopK(base, k, sampleMod)
+    val panel = base
+      .where(col("id") % sampleMod === 0)
+      .select(col("id").as("query_id"))
+    recallMetrics(ann, exact, panel, k)
+  }
+
+  /** Exact top-k ground truth over the `id % sampleMod = 0` query
+    * panel of an (id, vec) frame — ONE definition of the eval family's
+    * scoring contract (broadcast panel, self-cut, 6-dp cosine,
+    * (score desc, id asc) tie-break) shared by x135's ground truth and
+    * both of x144's spaces, so the contract cannot drift between the
+    * eval surfaces. Callers pass an already spread/persisted frame
+    * (both read it twice: panel + corpus side).
+    */
+  private def panelBruteTopK(base: DataFrame, k: Int, sampleMod: Int): DataFrame = {
     val queries = base
       .where(col("id") % sampleMod === 0)
       .select(col("id").as("query_id"), col("vec").as("q_vec"))
-    val exact = rankTopK(
+    rankTopK(
       base.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
         .join(broadcast(queries))
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6)),
       k)
-    recallMetrics(ann, exact, queries.select(col("query_id")), k)
   }
 
   /** The shared hit/RR arithmetic of the eval family (x135/x144):
@@ -370,21 +385,11 @@ object Similarity {
       k: Int,
       sampleMod: Int
   ): DataFrame = {
-    def panelTopK(space: DataFrame): DataFrame = {
-      val base = Dedup.spread(space)
+    def spreadP(space: DataFrame): DataFrame =
+      Dedup.spread(space.select(col("id"), col("vec")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val queries = base
-        .where(col("id") % sampleMod === 0)
-        .select(col("id").as("query_id"), col("vec").as("q_vec"))
-      rankTopK(
-        base.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
-          .join(broadcast(queries))
-          .where(col("query_id") =!= col("neighbor_id"))
-          .withColumn("score", round(GraftFunctions.cosineSim(col("q_vec"), col("c_vec")), 6)),
-        k)
-    }
-    val exact = panelTopK(full)
-    val cand = panelTopK(reduced)
+    val exact = panelBruteTopK(spreadP(full), k, sampleMod)
+    val cand = panelBruteTopK(spreadP(reduced), k, sampleMod)
     val panel = full
       .where(col("id") % sampleMod === 0)
       .select(col("id").as("query_id"))

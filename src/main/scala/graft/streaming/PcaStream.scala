@@ -46,7 +46,7 @@ object PcaStream {
 
   final case class Embedding(vec_id: Long, embedding: Array[Float])
 
-  private def momentsSchema(dim: Int) = StructType(Seq(
+  private val momentsSchema = StructType(Seq(
     StructField("n", LongType),
     StructField("s", ArrayType(LongType, containsNull = false)),
     StructField("g", ArrayType(LongType, containsNull = false))))
@@ -76,7 +76,7 @@ object PcaStream {
 
     private val store: Option[DeltaEpochStore] =
       stateDir.map(new DeltaEpochStore(
-        spark, _, Seq("moments" -> momentsSchema(dim)), compactEvery))
+        spark, _, Seq("moments" -> momentsSchema), compactEvery))
 
     private def rowsToMoments(df: DataFrame): Moments =
       df.collect().foldLeft(empty) { (acc, r) =>
@@ -117,15 +117,23 @@ object PcaStream {
         .select(col("m.n"), col("m.s"), col("m.g"))
         .collect()
       if (agg.isEmpty || agg(0).isNullAt(0)) empty
-      else Moments(
-        agg(0).getLong(0),
-        agg(0).getSeq[Long](1).toArray,
-        agg(0).getSeq[Long](2).toArray)
+      else {
+        val m = Moments(
+          agg(0).getLong(0),
+          agg(0).getSeq[Long](1).toArray,
+          agg(0).getSeq[Long](2).toArray)
+        // dim is a live contract, not decoration: a batch of mismatched
+        // vectors must fail here, not as a ragged-add crash (or worse,
+        // a silent schema mismatch) epochs later
+        require(m.s.length == dim,
+          s"batch embeddings are ${m.s.length}-dim, Maintainer expects $dim")
+        m
+      }
     }
 
     private def toDf(m: Moments): DataFrame = {
       import spark.implicits._
-      if (m.n == 0L) EpochStore.emptyFrames(spark, Seq("moments" -> momentsSchema(dim)))("moments")
+      if (m.n == 0L) EpochStore.emptyFrames(spark, Seq("moments" -> momentsSchema))("moments")
       else Seq((m.n, m.s.toSeq, m.g.toSeq)).toDF("n", "s", "g")
     }
 
@@ -135,8 +143,14 @@ object PcaStream {
       // fold would DOUBLE it. The store's epoch ledger is the idempotence
       // guard — a replayed committed epoch is a full no-op (state already
       // contains it, both in memory after restart-load and on disk).
+      // ONLY the genuine replay (== latestCommitted) is skipped: an epoch
+      // BEHIND the ledger means a fresh checkpoint is running against an
+      // old stateDir, and that must fall through to store.save's loud
+      // IllegalStateException (the DeltaEpochStore contract) — a >= guard
+      // here would silently drop every batch until the ids caught up and
+      // serve a component over a permanently partial corpus.
       // Without a store there is no cross-restart replay to guard.
-      if (epochId >= 0 && store.exists(_.latestCommitted >= epochId)) return
+      if (epochId >= 0 && store.exists(_.latestCommitted == epochId)) return
       // delta from the batch ALONE (one IntGram pass); replay after a
       // failed save re-derives the identical triple
       val delta = momentsOf(batch)

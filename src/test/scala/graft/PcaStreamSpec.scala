@@ -109,6 +109,23 @@ class PcaStreamSpec extends SparkSpec {
     assert(stateOf(m2) === refMoments(all))
   }
 
+  test("an epoch BEHIND the ledger throws loudly instead of silently dropping") {
+    // the review regression: a >= replay guard would swallow epochs 0..N
+    // when a fresh checkpoint runs against an old stateDir and serve a
+    // component over a permanently partial corpus; only == is a replay,
+    // behind must reach DeltaEpochStore.save's IllegalStateException
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_behind").toString
+    val m = new PcaStream.Maintainer(spark, stateDir = Some(dir))
+    m.update(toDf(all.take(30)), epochId = 0L)
+    m.update(toDf(all.slice(30, 60)), epochId = 1L)
+    val before = stateOf(m)
+    val e = intercept[IllegalStateException] {
+      m.update(toDf(all.slice(60, 90)), epochId = 0L) // fresh checkpoint, old state
+    }
+    assert(e.getMessage.contains("behind"))
+    assert(stateOf(m) === before, "failed save must leave pre-batch state")
+  }
+
   test("empty and NULL-bearing batches fold as zero, not as corruption") {
     val m = new PcaStream.Maintainer(spark)
     m.update(toDf(all.take(10)))

@@ -101,6 +101,19 @@ class PreferenceSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "ratings lookup should broadcast")
   }
 
+  test("a pair count past the fixed-point headroom fails loudly, never wraps") {
+    // 2^63 / S^2 ≈ 9.2e6: one pair with more comparisons than that would
+    // silently wrap t_ij negative in Long (and diverge from the oracle's
+    // BIGINT, which errors) — the guard must throw first
+    import org.apache.spark.sql.functions._
+    val cmp = spark.range(9300000L).select(
+      lit(1L).as("item_a"), lit(2L).as("item_b"), lit(1L).as("winner"))
+    val e = intercept[IllegalArgumentException] {
+      Preference.btRatings(cmp, rounds = 1)
+    }
+    assert(e.getMessage.contains("headroom"))
+  }
+
   test("fixed-point scale: the max-normalized top rating stays in [S, 2S)") {
     // integer normalization divides by floor(mx/S): the top rating is
     // bounded by 2S − 1 (quotient ≥ 1) and ≥ S (divided by exactly its
