@@ -70,14 +70,29 @@ object Pca {
       s"covariance over $n training rows risks 2⁶³ overflow in n·Σqqᵀ " +
         "(the bound is ~3e6 at the 10³ quantization); sample the trainer " +
         "with a larger trainMod — rotations converge in O(dim) samples")
+    // the n-bound above assumes |q| ≤ ~10³ (unit-range embeddings at the
+    // 10³ quantization) but quantize() does not clamp — out-of-range
+    // vectors could wrap n·g or sᵢ·sⱼ without tripping it. Exact
+    // arithmetic closes the hole: fail loudly, never wrap (the oracle's
+    // HUGEINT would keep going where Long cannot — a silent-wrap here is
+    // an engine divergence, the Preference doctrine).
     val dim = s.length
     val c = Array.ofDim[Long](dim, dim)
     var k = 0
-    for (i <- 0 until dim; j <- i until dim) {
-      val v = n * gUpper(k) - s(i) * s(j)
-      c(i)(j) = v
-      c(j)(i) = v
-      k += 1
+    try {
+      for (i <- 0 until dim; j <- i until dim) {
+        val v = Math.subtractExact(
+          Math.multiplyExact(n, gUpper(k)),
+          Math.multiplyExact(s(i), s(j)))
+        c(i)(j) = v
+        c(j)(i) = v
+        k += 1
+      }
+    } catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        "n·Σqqᵀ − (Σq)(Σq)ᵀ overflowed 2⁶³ — embeddings outside the " +
+          "assumed [-1,1] range at the 10³ quantization (or an extreme " +
+          "sample); rescale the vectors or sample with a larger trainMod")
     }
     c
   }

@@ -62,20 +62,31 @@ object Preference {
   def btRatings(
       comparisons: DataFrame,
       rounds: Int,
-      scale: Long = 1000000L
+      scale: Long = 1000000L,
+      maxPairs: Int = 10000000
   ): DataFrame = {
     val spark = comparisons.sparkSession
     val s2 = scale * scale
     val cmp = comparisons.where(col("item_a") =!= col("item_b"))
-    // corpus-sized reductions; their results are items²- / items-bounded
-    val pairs: Array[(Long, Long, Long)] = cmp
+    // corpus-sized reductions; their results are items²- / items-bounded.
+    // The bounded-driver-state contract gets a LOUD guard (the
+    // Pca.covariance precedent): limit(maxPairs+1) makes the very collect
+    // that would OOM the driver fail first — one extra row, zero extra jobs.
+    val pairRows = cmp
       .select(
         least(col("item_a"), col("item_b")).as("i"),
         greatest(col("item_a"), col("item_b")).as("j"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"))
+      .limit(maxPairs + 1)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(pairRows.length <= maxPairs,
+      s"comparison log has > $maxPairs distinct (item_a, item_b) pairs — " +
+        "beyond the driver-fixpoint contract (Preference scaladoc); use the " +
+        "distributed MM formulation (btRatingsDistributed) or raise maxPairs " +
+        "if driver memory genuinely allows")
+    val pairs: Array[(Long, Long, Long)] =
+      pairRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val wins: Map[Long, Long] = cmp
       .groupBy(col("winner").as("item"))
       .agg(count(lit(1)).as("wins"))
@@ -109,8 +120,20 @@ object Preference {
       val denom = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
       for ((i, j, n) <- pairs) {
         val t = n * s2 / math.max(w(i) + w(j), 1L)
-        denom(i) += t
-        denom(j) += t
+        // per-item denominator is an UNGUARDED sum of guarded terms: many
+        // near-max-count pairs with collapsed rating sums (t ≈ n·S²) can
+        // wrap the Long where the oracle's sum promotes to HUGEINT — fail
+        // loudly, never silently diverge (the fixed-point doctrine)
+        denom(i) = try Math.addExact(denom(i), t) catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"per-item MM denominator overflowed 2⁶³ at item $i; " +
+              "pre-scale the log's counts (BT is scale-invariant)")
+        }
+        denom(j) = try Math.addExact(denom(j), t) catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"per-item MM denominator overflowed 2⁶³ at item $j; " +
+              "pre-scale the log's counts (BT is scale-invariant)")
+        }
       }
       val raw: Map[Long, Long] = items.map { it =>
         it -> wins.getOrElse(it, 0L) * s2 / math.max(denom(it), 1L)

@@ -93,6 +93,14 @@ object PcaStream {
       .map(m => rowsToMoments(m("moments")))
       .getOrElse(empty)
 
+    // the IN-MEMORY ledger: last epoch actually folded into `moments`.
+    // Durable-committed does NOT imply in-memory-folded — save() can
+    // throw AFTER its commit marker is durable (e.g. during the GC
+    // step), leaving `moments` one epoch behind the store; the replay
+    // guard must not trust the durable ledger alone (see update()).
+    @volatile private var foldedEpoch: Long = store
+      .map(_.latestCommitted).getOrElse(-1L)
+
     /** True iff construction reloaded a persisted epoch (restart path). */
     def resumed: Boolean = store.exists(_.latestCommitted >= 0)
 
@@ -150,7 +158,21 @@ object PcaStream {
       // here would silently drop every batch until the ids caught up and
       // serve a component over a permanently partial corpus.
       // Without a store there is no cross-restart replay to guard.
-      if (epochId >= 0 && store.exists(_.latestCommitted == epochId)) return
+      if (epochId >= 0 && store.exists(_.latestCommitted == epochId)) {
+        // durable ledger says committed — but if save() threw AFTER the
+        // marker became durable (GC-step failure), the in-memory swap
+        // never ran and `moments` is missing this epoch. The additive
+        // fold cannot self-heal by re-folding (it would double), so
+        // resync from durable state, which IS complete through epochId.
+        if (foldedEpoch != epochId) {
+          moments = store
+            .flatMap(_.load())
+            .map(m => rowsToMoments(m("moments")))
+            .getOrElse(empty)
+          foldedEpoch = epochId
+        }
+        return
+      }
       // delta from the batch ALONE (one IntGram pass); replay after a
       // failed save re-derives the identical triple
       val delta = momentsOf(batch)
@@ -161,6 +183,7 @@ object PcaStream {
         Map("moments" -> toDf(delta)),
         Map("moments" -> toDf(newMoments))))
       moments = newMoments
+      if (epochId >= 0) foldedEpoch = epochId
     }
   }
 

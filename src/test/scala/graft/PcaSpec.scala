@@ -59,6 +59,25 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(x(0).toDouble / x(1) - 10.0) < 0.01, x.toSeq.toString)
   }
 
+  test("covariance overflow from out-of-range vectors fails loudly, never wraps") {
+    // the r13 advice hole: the n ≤ 3e6 guard assumes |q| ≤ ~10³ but
+    // quantize() does not clamp — vectors far outside [-1,1] can wrap
+    // n·Σqqᵀ without tripping it. Exact arithmetic must throw instead.
+    // Direct moments: n·g = 10 · 1.8e18 > 2⁶³ while n passes the row bound.
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.powerIterate(10L, Array(0L, 0L), Array(1800000000000000000L, 0L, 1L), 2)
+    }
+    assert(e1.getMessage.contains("overflowed"))
+    // and through the public API: |v| ≈ 3.16e5 → q ≈ 3.16e8, whose gram
+    // sums pass IntGram's own Long bound but wrap at the n·g / s·sᵀ step
+    val wild = (0 until 10).map(i => (i.toLong, Seq(316000.0f, 316000.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.topComponentProjections(wild).collect()
+    }
+    assert(e2.getMessage.contains("overflowed"))
+  }
+
   test("integer component ∥ double-precision power iteration on the real corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.select(

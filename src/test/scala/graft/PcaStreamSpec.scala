@@ -126,6 +126,31 @@ class PcaStreamSpec extends SparkSpec {
     assert(stateOf(m) === before, "failed save must leave pre-batch state")
   }
 
+  test("durable-committed but unfolded epoch resyncs from the store " +
+    "instead of being skipped (save-throws-after-marker crash shape)") {
+    // the r13 advice scenario: save() can fail AFTER its commit marker is
+    // durable (e.g. during GC), so `moments` misses the epoch while the
+    // ledger says committed. Reproduced here without fault injection: two
+    // Maintainers share a stateDir; m1 advances the durable ledger to
+    // epoch 1 while m2's in-memory fold is still at epoch 0 — exactly the
+    // durable-ahead-of-memory state the crash leaves behind.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_resync").toString
+    val m1 = new PcaStream.Maintainer(spark, stateDir = Some(dir))
+    m1.update(toDf(all.take(50)), epochId = 0L)
+    val m2 = new PcaStream.Maintainer(spark, stateDir = Some(dir))
+    assert(stateOf(m2) === refMoments(all.take(50)))
+    m1.update(toDf(all.slice(50, 80)), epochId = 1L) // durable ledger → 1
+    // m2 replays epoch 1: ledger says committed, but m2 never folded it.
+    // A ledger-only guard would return with state stuck at epoch 0 forever
+    // and the NEXT compaction would persist that loss durably.
+    m2.update(toDf(all.slice(50, 80)), epochId = 1L)
+    assert(stateOf(m2) === refMoments(all.take(80)),
+      "replay of a durable-but-unfolded epoch must resync from the store")
+    // and the stream continues normally from the resynced state
+    m2.update(toDf(all.slice(80, 120)), epochId = 2L)
+    assert(stateOf(m2) === refMoments(all.take(120)))
+  }
+
   test("empty and NULL-bearing batches fold as zero, not as corruption") {
     val m = new PcaStream.Maintainer(spark)
     m.update(toDf(all.take(10)))

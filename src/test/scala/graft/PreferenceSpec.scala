@@ -114,6 +114,39 @@ class PreferenceSpec extends SparkSpec {
     assert(e.getMessage.contains("headroom"))
   }
 
+  test("a pair set past the driver-fixpoint bound fails loudly BEFORE " +
+    "the collect materializes it") {
+    // the r13 verdict defect: the headroom requires fired only after the
+    // driver had already collected the pair array — a 10⁸-pair log would
+    // OOM before any guard. The limit(maxPairs+1) guard trips first.
+    import org.apache.spark.sql.functions._
+    val cmp = spark.range(12L).select( // 12 distinct pairs vs bound 5
+      lit(0L).as("item_a"), (col("id") + 1L).as("item_b"), lit(0L).as("winner"))
+    val e = intercept[IllegalArgumentException] {
+      Preference.btRatings(cmp, rounds = 1, maxPairs = 5)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("per-item denominator overflow fails loudly, never wraps (addExact)") {
+    // engineered so round 2 sums two ≈2⁶³-sized t terms at one item:
+    // pairs (1,2) and (1,3) each carry exactly maxSafe comparisons whose
+    // winner is an OUTSIDE id, so items 1,2,3 are winless → all ratings
+    // collapse to 0 after round 1 → round 2's t = n·S²/max(0,1) = n·S²
+    // ≈ 2⁶³ per pair, and denom(1) = t+t wraps in unguarded Long where
+    // the oracle's BIGINT sum would not
+    import org.apache.spark.sql.functions._
+    val n = Long.MaxValue / (1000000L * 1000000L) // the per-pair headroom
+    val pair12 = spark.range(n).select(
+      lit(1L).as("item_a"), lit(2L).as("item_b"), lit(998L).as("winner"))
+    val pair13 = spark.range(n).select(
+      lit(1L).as("item_a"), lit(3L).as("item_b"), lit(999L).as("winner"))
+    val e = intercept[IllegalArgumentException] {
+      Preference.btRatings(pair12.unionAll(pair13), rounds = 2)
+    }
+    assert(e.getMessage.contains("denominator overflowed"))
+  }
+
   test("fixed-point scale: the max-normalized top rating stays in [S, 2S)") {
     // integer normalization divides by floor(mx/S): the top rating is
     // bounded by 2S − 1 (quotient ≥ 1) and ≥ S (divided by exactly its
