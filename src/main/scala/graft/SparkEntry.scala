@@ -2255,6 +2255,31 @@ object SparkEntry {
       .orderBy(col("query_id"), col("pos"))
   }
 
+  /** Full web-corpus arc surface (x146): the COMPOSED pipeline — WARC
+    * ingest → record walk → URL normalize → HTML extract → Gopher +
+    * lang-ID screens → exact dedup → MinHash near-dup → eval-set
+    * decontamination → planted-model screen → trained-scorer calibrated
+    * keep → per-source cap → next-fit pack ([[graft.operators.WebArc]];
+    * every stage an individually oracled operator, chained so
+    * cross-stage plan pathologies have a surface to appear on). The
+    * oracle CTE-chains the stage oracles (x92's page closed form, x120's
+    * screen arithmetic, x07's inverted-index Jaccard, x21's gram
+    * overlap, x126's planted dots, x128's unrolled training, x142's
+    * bins + minimax fit, x51's cap window, x24's recursive next-fit
+    * walk) over the same derived pages. Documents is scanned exactly
+    * twice (arc input + eval set) — WebArcSpec pins the plan shape.
+    */
+  private def x146(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    WebArc
+      .pipeline(
+        docs = docs.select(col("doc_id"), col("source"), col("text")),
+        evalDocs = docs.where(col("doc_id") % 50 === 0).select(col("text")),
+        model = ftModel)
+      .orderBy(col("doc_id"), col("rec_idx"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -4280,9 +4305,16 @@ object SparkEntry {
     * .trainPerceptronOva]] building ONE persisted count table for all C
     * models).
     */
-  private def ftFeatureCtes(dim: Int): String =
+  private def ftFeatureCtes(dim: Int): String = ftFeatureCtesOver(dim, "documents")
+
+  /** [[ftFeatureCtes]] over an arbitrary (doc_id, text) CTE/table — the
+    * x146 composed arc scores DERIVED pages (page_id AS doc_id, main_text
+    * AS text), not the documents table; one generator so the feature walk
+    * cannot drift between the standalone and composed oracles.
+    */
+  private def ftFeatureCtesOver(dim: Int, src: String): String =
     s"""fttk AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src
        |), ftfeats AS (
        |  SELECT doc_id, unnest(toks) AS f FROM fttk
        |  UNION ALL
@@ -4306,7 +4338,10 @@ object SparkEntry {
     * binary, x128/x129 via `ftfb`, x130 4-class) so none can drift from
     * the others or from the Scala literals.
     */
-  private def ftCtes(seed: String, classes: Int, dim: Int): String = {
+  private def ftCtes(seed: String, classes: Int, dim: Int): String =
+    ftCtesOver(seed, classes, dim, "documents")
+
+  private def ftCtesOver(seed: String, classes: Int, dim: Int, src: String): String = {
     val pivot = (0 until classes)
       .map(c => s"max(CASE WHEN c = $c THEN w END) AS w$c")
       .mkString(",\n       |         ")
@@ -4320,7 +4355,7 @@ object SparkEntry {
        |), ftwp AS (
        |  SELECT b, $pivot
        |  FROM ftw GROUP BY b
-       |), ${ftFeatureCtes(dim)}, ftdots AS (
+       |), ${ftFeatureCtesOver(dim, src)}, ftdots AS (
        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
        |    $dots
        |  FROM ftfb f JOIN ftwp w USING (b) GROUP BY 1
@@ -4344,12 +4379,13 @@ object SparkEntry {
       dim: Int,
       labelSql: String = "CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT) " +
         "ELSE CAST(-1 AS BIGINT) END",
-      pfx: String = ""): String = {
+      pfx: String = "",
+      fbSrc: String = "ftfb"): String = {
     val head =
       s"""${pfx}fc AS (
          |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt,
          |    $labelSql AS y
-         |  FROM ftfb GROUP BY 1, 2
+         |  FROM $fbSrc GROUP BY 1, 2
          |), ${pfx}d1 AS (
          |  SELECT b, sum(y * cnt) AS dw FROM ${pfx}fc GROUP BY b
          |), ${pfx}w1 AS (
@@ -4438,6 +4474,190 @@ object SparkEntry {
       |), cfit AS MATERIALIZED (
       |  SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm FROM cmins GROUP BY 1
       |)""".stripMargin
+
+  /** The x146 composed-arc oracle: every stage of [[graft.operators
+    * .WebArc.pipeline]] replayed as one CTE chain over the SAME derived
+    * pages — the x92 page/main_text closed form, the x120 screen
+    * arithmetic, exact dedup, the inverted-index exact-Jaccard pair set
+    * (the x07 oracle posture: LSH candidates at (32, 4) provably/
+    * measuredly cover every qualifying pair at the tested SFs, and the
+    * engine verifies candidates with the same exact Jaccard), the x21
+    * gram-overlap decontamination, the planted-model dots
+    * ([[ftCtesOver]] retargeted at the derived pages), the UNROLLED
+    * 3-round perceptron training over the screened subset
+    * ([[perceptronCtesSql]] with the page-parity label page_id//4 % 2),
+    * rank-decile bins + the minimax isotonic fit ([[isoFitSql]]), the
+    * per-source cap window, and the recursive next-fit pack walk (x24).
+    */
+  private lazy val webArcOracleSql: String = {
+    val markers = TextAnalysis.langMarkers
+    val stopList = markers.head._2.map(w => s"'$w'").mkString(",")
+    val scoreCols = markers
+      .map { case (lang, ws) =>
+        s"len(list_filter(toks, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS s_$lang"
+      }
+      .mkString(",\n      |    ")
+    val best = markers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+    val langCase = markers.init
+      .map { case (lang, _) => s"WHEN s_$lang = $best THEN '$lang'" }
+      .mkString("\n      |    ")
+    val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    s"""WITH RECURSIVE aw AS (
+      |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS ids,
+      |    1 + doc_id % 3 AS nrec,
+      |    trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS t
+      |  FROM documents
+      |), ap0 AS (
+      |  SELECT doc_id, source, ids, t, unnest(range(nrec)) AS i FROM aw
+      |), ap AS (
+      |  SELECT doc_id, source, CAST(i AS INT) AS rec_idx,
+      |    doc_id * 4 + i AS page_id, 'example.com' AS host,
+      |    'Heading ' || ids || '!' ||
+      |      CASE WHEN length(t) > 1 + length(ids)
+      |        THEN ' ' || CASE WHEN t = '' THEN 'see ref ' || ids
+      |                         ELSE t || ' see ref ' || ids END
+      |        ELSE '' END AS main_text
+      |  FROM ap0
+      |), atk AS (
+      |  SELECT *, string_split_regex(trim(main_text), '\\s+') AS toks FROM ap
+      |), ag AS (
+      |  SELECT *,
+      |    CAST(len(toks) AS BIGINT) AS n_tok,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_chars,
+      |    CAST(len(list_intersect(toks, [$stopList])) AS BIGINT) AS n_stop
+      |  FROM atk
+      |), aq AS (
+      |  SELECT * FROM ag
+      |  WHERE n_tok BETWEEN 30 AND 90
+      |    AND 30 * n_tok <= 10 * sum_chars AND 10 * sum_chars <= 52 * n_tok
+      |    AND n_stop >= 2
+      |), amk AS (
+      |  SELECT *,
+      |    $scoreCols
+      |  FROM aq
+      |), alng AS (
+      |  SELECT *, CASE
+      |    WHEN $best = 0 THEN 'und'
+      |    $langCase
+      |    ELSE '${markers.last._1}' END AS lang_pred
+      |  FROM amk
+      |), ascp AS (
+      |  SELECT * FROM alng WHERE lang_pred <> 'und'
+      |), adup AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY md5(main_text) ORDER BY page_id) AS rn_dup
+      |  FROM ascp
+      |), asv AS MATERIALIZED (
+      |  SELECT * FROM adup WHERE rn_dup = 1
+      |), ash AS MATERIALIZED (
+      |  SELECT page_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                     for i in range(1, len(toks) - 1)])
+      |    ELSE [] END AS s
+      |  FROM asv
+      |), ajsz AS (
+      |  SELECT page_id, len(s) AS sz FROM ash
+      |), ajinv AS (
+      |  SELECT page_id, unnest(s) AS g FROM ash
+      |), ajc AS (
+      |  SELECT a.page_id AS a_id, b.page_id AS b_id, count(*) AS inter
+      |  FROM ajinv a JOIN ajinv b ON a.g = b.g AND a.page_id < b.page_id
+      |  GROUP BY 1, 2
+      |), andrp AS (
+      |  SELECT DISTINCT b_id FROM ajc
+      |  JOIN ajsz sa ON sa.page_id = a_id
+      |  JOIN ajsz sb ON sb.page_id = b_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+      |), anear AS MATERIALIZED (
+      |  SELECT * FROM asv WHERE page_id NOT IN (SELECT b_id FROM andrp)
+      |), aevt AS (
+      |  SELECT string_split_regex(trim(text), '\\s+') AS toks
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), aev AS (
+      |  SELECT DISTINCT unnest(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                     for i in range(1, len(toks) - 1)])
+      |    ELSE [] END) AS gram
+      |  FROM aevt
+      |), adcg AS (
+      |  SELECT a.page_id, len(h.s) AS n_grams, unnest(h.s) AS gram
+      |  FROM anear a JOIN ash h USING (page_id)
+      |), adct AS (
+      |  SELECT page_id FROM adcg JOIN aev USING (gram)
+      |  GROUP BY page_id, n_grams
+      |  HAVING round(CAST(count(*) AS DOUBLE) / n_grams, 4) >= 0.5
+      |), acln AS MATERIALIZED (
+      |  SELECT * FROM anear WHERE page_id NOT IN (SELECT page_id FROM adct)
+      |), adoc AS MATERIALIZED (
+      |  SELECT page_id AS doc_id, main_text AS text FROM acln
+      |), ${ftCtesOver("q", classes = 2, dim = 512, src = "adoc")}, amscr AS MATERIALIZED (
+      |  SELECT a.* FROM acln a
+      |  JOIN ftdots d ON d.doc_id = a.page_id WHERE d.dot1 > d.dot0
+      |), ${perceptronCtesSql(
+          rounds = 3,
+          dim = 512,
+          labelSql = "CASE WHEN (doc_id // 4) % 2 = 0 THEN CAST(1 AS BIGINT) " +
+            "ELSE CAST(-1 AS BIGINT) END",
+          fbSrc = "(SELECT f.doc_id, f.b FROM ftfb f " +
+            "JOIN amscr s ON s.page_id = f.doc_id)")}, asc4 AS (
+      |  SELECT fc.doc_id AS page_id, fc.y,
+      |    CAST(sum(fc.cnt * w3.w) AS BIGINT) AS score
+      |  FROM fc JOIN w3 ON w3.b = fc.b GROUP BY 1, 2
+      |), acr AS (
+      |  SELECT page_id, y, score,
+      |    row_number() OVER (ORDER BY score, page_id) AS rank,
+      |    count(*) OVER () AS n
+      |  FROM asc4
+      |), acb AS MATERIALIZED (
+      |  SELECT page_id, y, score, (rank - 1) * 10 // n AS bin FROM acr
+      |), cg AS MATERIALIZED (
+      |  SELECT bin,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM acb GROUP BY 1
+      |), $isoFitSql, akpt AS (
+      |  SELECT b.page_id, b.score, f.iso_ppm
+      |  FROM acb b JOIN cfit f USING (bin) WHERE f.iso_ppm >= 500000
+      |), acal AS (
+      |  SELECT s.source, s.doc_id, s.rec_idx, s.page_id, s.host,
+      |    s.lang_pred, s.main_text, k.score, k.iso_ppm
+      |  FROM amscr s JOIN akpt k USING (page_id)
+      |), acap AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(main_text), page_id) AS rn_cap
+      |  FROM acal
+      |), afin AS MATERIALIZED (
+      |  SELECT source, doc_id, rec_idx, page_id, host, lang_pred,
+      |    CAST(len(regexp_extract_all(main_text, '$bpeish')) AS BIGINT)
+      |      AS n_tokens,
+      |    score, iso_ppm
+      |  FROM acap WHERE rn_cap <= 10
+      |), arnk AS (
+      |  SELECT page_id, n_tokens, page_id % 8 AS grp,
+      |    row_number() OVER (PARTITION BY page_id % 8 ORDER BY page_id) AS prn
+      |  FROM afin
+      |), awalk AS (
+      |  SELECT page_id, grp, n_tokens, prn,
+      |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      |  FROM arnk WHERE prn = 1
+      |  UNION ALL
+      |  SELECT r.page_id, r.grp, r.n_tokens, r.prn,
+      |    CASE WHEN w.fill + r.n_tokens > 256 AND w.fill > 0
+      |         THEN w.bin + 1 ELSE w.bin END,
+      |    CASE WHEN w.fill + r.n_tokens > 256 AND w.fill > 0
+      |         THEN r.n_tokens ELSE w.fill + r.n_tokens END
+      |  FROM arnk r JOIN awalk w ON r.grp = w.grp AND r.prn = w.prn + 1
+      |)
+      |SELECT f.source, f.doc_id, f.rec_idx, f.host, f.lang_pred,
+      |  f.n_tokens, f.score, f.iso_ppm,
+      |  w.grp AS pack_grp, w.bin AS pack_bin,
+      |  CAST(sum(w.n_tokens) OVER (PARTITION BY w.grp, w.bin) AS BIGINT)
+      |    AS bin_fill
+      |FROM awalk w JOIN afin f USING (page_id)
+      |ORDER BY f.doc_id, f.rec_idx""".stripMargin
+  }
 
   /** Shared DuckDB replay for x131/x132: the three one-vs-all training
     * chains (one [[perceptronCtesSql]] call per class, prefixed c{c}_,
@@ -4817,6 +5037,7 @@ object SparkEntry {
     "x143_pca_reduce" -> (x143 _),
     "x144_reduced_recall" -> (x144 _),
     "x145_mmr_diversify" -> (x145 _),
+    "x146_web_arc" -> (x146 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6902,6 +7123,9 @@ object SparkEntry {
         |  CAST(coalesce(rr.rr_ppm, 0) AS BIGINT) AS rr_ppm
         |FROM qs q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    // x146: the composed arc — every stage oracle CTE-chained over the
+    // derived pages; see webArcOracleSql's scaladoc.
+    "x146_web_arc" -> webArcOracleSql,
     // x145: plane grid → shared-bucket candidates → top-10 by 6-dp
     // cosine → candK²-bounded pairwise sims → the greedy's two
     // selection steps unrolled (λ-blend on identical rounded inputs,
