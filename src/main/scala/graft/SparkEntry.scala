@@ -2160,6 +2160,24 @@ object SparkEntry {
         rounds = 4)
       .orderBy(col("item"))
 
+  /** Distributed Bradley-Terry surface (x147): the SAME planted log and
+    * four MM rounds as x136, fitted by
+    * [[graft.operators.Preference.btRatingsDistributed]] — each round a
+    * pairs ⋈ ratings DataFrame step with items-bounded shuffles,
+    * per-round localCheckpoint lineage cuts, DECIMAL-exact denominator
+    * sums, and a two-phase global rank. The oracle is x136's CTE chain
+    * VERBATIM (the x134 reuse discipline): the distributed formulation
+    * must be invisible to the fit, so both surfaces hash against the
+    * same SQL — lifting the driver-fixpoint contract documented at
+    * `Preference.scala`'s scaladoc without changing one rating bit.
+    */
+  private def x147(s: SparkSession, dir: String): DataFrame =
+    Preference
+      .btRatingsDistributed(
+        btComparisons(s, dir).select("item_a", "item_b", "winner"),
+        rounds = 4)
+      .orderBy(col("item"))
+
   /** Preference-pair curation surface (x141): the RLHF loop closed —
     * x136's fitted board turned back on its own log
     * ([[graft.operators.Preference.curatedPairs]]): per comparison the
@@ -2212,6 +2230,25 @@ object SparkEntry {
     Pca
       .reduceProjections(t(s, dir, "embeddings"), r = 4, trainMod = 2, squarings = 10)
       .orderBy(col("vec_id"))
+  }
+
+  /** Adaptive-k PCA surface (x148): explained-variance accounting over
+    * the x143 deflation chain ([[graft.operators.Pca.explainedVariance]])
+    * — per candidate component its spectral share and cumulative share
+    * in exact integer ppm of the covariance trace, plus the chosen k
+    * (smallest count clearing the 90% target, rMax = 4 fallback when
+    * the spectrum never gets there — which is the HONEST verdict on the
+    * near-isotropic gate corpus, the same signal x144 measures as
+    * recall collapse). The oracle extends x143's chain with the
+    * per-component xᵀCx / xᵀx shares, the trace, and the same k rule.
+    */
+  private def x148(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Pca
+      .explainedVariance(
+        t(s, dir, "embeddings"),
+        rMax = 4, targetPpm = 900000L, trainMod = 2, squarings = 10)
+      .orderBy(col("comp"))
   }
 
   /** Cross-space eval surface (x144): what the x143 reduction COSTS
@@ -5038,6 +5075,8 @@ object SparkEntry {
     "x144_reduced_recall" -> (x144 _),
     "x145_mmr_diversify" -> (x145 _),
     "x146_web_arc" -> (x146 _),
+    "x147_bt_distributed" -> (x147 _),
+    "x148_explained_variance" -> (x148 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x46_pagerank" -> (x46 _),
     "x47_zorder_zones" -> (x47 _),
@@ -6933,6 +6972,14 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY r4.w DESC, s.item) AS BIGINT) AS rank
         |FROM bt_stats s JOIN r4 USING (item)
         |ORDER BY item""".stripMargin,
+    // x147: x136's oracle VERBATIM (the x134 reuse discipline) — the
+    // distributed MM formulation must be invisible to the fit.
+    "x147_bt_distributed" ->
+      s"""WITH $btCtesSql
+        |SELECT s.item, s.n_comps, s.wins, CAST(r4.w AS BIGINT) AS rating,
+        |  CAST(row_number() OVER (ORDER BY r4.w DESC, s.item) AS BIGINT) AS rank
+        |FROM bt_stats s JOIN r4 USING (item)
+        |ORDER BY item""".stripMargin,
     // x141: the fitted board turned back on its own log — per
     // comparison, both sides' r4 ratings, the signed margin, the
     // model-agreement flag, and the curation keep (margin ≥ 0.1·S).
@@ -7018,6 +7065,37 @@ object SparkEntry {
         |  f.iso_ppm, (f.iso_ppm >= 500000) AS kept
         |FROM cb b JOIN cfit f USING (bin)
         |ORDER BY doc_id""".stripMargin,
+    // x148: the x143 deflation chain with its spectral accounting — per
+    // component t1 = xᵀCx // xᵀx (HUGEINT, clamped at 0 for reporting),
+    // shares in ppm of the rescaled trace, cumulative window sum, and
+    // the smallest-k-clearing-target rule with the rMax fallback.
+    "x148_explained_variance" ->
+      s"""WITH $pcaMomentsCtesSql, cc0 AS MATERIALIZED (
+        |  SELECT i, j,
+        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
+        |  FROM c0
+        |), ${(0 until 4).map(k => pcaComponentSql(k, last = false)).mkString(", ")},
+        |tr AS (
+        |  SELECT greatest(sum(CASE WHEN i = j THEN c ELSE 0 END), 1) AS v
+        |  FROM cc0
+        |), tv AS (
+        |${(0 until 4).map(k =>
+             s"  SELECT ${k + 1} AS comp, greatest(CAST((SELECT v FROM xcx$k) " +
+               s"// (SELECT v FROM xtx$k) AS BIGINT), 0) AS t1").mkString("\n      |  UNION ALL\n      |")}
+        |), vr AS (
+        |  SELECT comp, CAST(t1 * 1000000 // (SELECT v FROM tr) AS BIGINT) AS var_ppm
+        |  FROM tv
+        |), cm AS MATERIALIZED (
+        |  SELECT comp, var_ppm,
+        |    CAST(sum(var_ppm) OVER (ORDER BY comp) AS BIGINT) AS cum_ppm
+        |  FROM vr
+        |), kk AS (
+        |  SELECT CAST(coalesce(min(comp), 4) AS BIGINT) AS k
+        |  FROM cm WHERE cum_ppm >= 900000
+        |)
+        |SELECT CAST(comp AS BIGINT) AS comp, var_ppm, cum_ppm,
+        |  (SELECT k FROM kk) AS k
+        |FROM cm ORDER BY comp""".stripMargin,
     // x140: the data card replayed directly — x83's token idiom, x84's
     // md5 digests, per-stratum volumes/dup-mass/empties, ppm by //.
     "x140_corpus_report" ->

@@ -145,21 +145,44 @@ object Pca {
       gUpper: Array[Long],
       r: Int,
       squarings: Int
-  ): Seq[Array[Long]] = {
+  ): Seq[Array[Long]] =
+    componentChain(n, s, gUpper, r, squarings)._1
+
+  /** The solve-then-deflate chain WITH its spectral accounting: the
+    * components, each component's spectral share t1 = xᵀCx div xᵀx on
+    * the rescaled-covariance scale (the deflation's own eigenvalue
+    * estimate — clamped at 0 for reporting: a deflated residual's
+    * truncation noise can dip epsilon-negative, and a variance share is
+    * nonnegative by meaning), and the rescaled covariance's trace (the
+    * total variance on the same scale, ≥ 1). Pure integer arithmetic;
+    * the x148 oracle mirrors every step (HUGEINT for the >2⁶³
+    * intermediates, identical trunc-toward-zero division).
+    */
+  private[graft] def componentChain(
+      n: Long,
+      s: Array[Long],
+      gUpper: Array[Long],
+      r: Int,
+      squarings: Int
+  ): (Seq[Array[Long]], Seq[Long], Long) = {
     val dim = s.length
     // the deflation chain runs on the RESCALED covariance so the BigInt
     // intermediates stay bounded and the oracle can mirror with HUGEINT
     var c = rescale(covariance(n, s, gUpper), 100000000L)
-    (0 until r).map { _ =>
+    val trace = math.max((0 until dim).map(i => c(i)(i)).sum, 1L)
+    val out = (0 until r).map { _ =>
       val x = solveDominant(c, squarings)
       val xtx = math.max(x.map(v => v * v).sum, 1L)
       val xcx = (for (i <- 0 until dim; j <- 0 until dim)
         yield BigInt(c(i)(j)) * x(i) * x(j)).sum
       val t1 = xcx / xtx
+      // deflation uses the UNclamped t1 (the oracle's xcx // xtx);
+      // only the REPORTED share clamps
       c = Array.tabulate(dim, dim)((i, j) =>
         c(i)(j) - ((t1 * x(i) * x(j)) / xtx).toLong)
-      x
+      (x, math.max(t1.toLong, 0L))
     }
+    (out.map(_._1), out.map(_._2), trace)
   }
 
   /** Project every vector onto the corpus's top principal component.
@@ -229,12 +252,84 @@ object Pca {
     val q = quantize(vecCol)
     val (n, s, g) = trainedMoments(emb, trainMod, idCol, q)
     val comps = topComponents(n, s, g, r, squarings)
-    val cols = comps.zipWithIndex.map { case (x, k) =>
+    emb.select(col(idCol) +: projectionCols(q, comps): _*)
+  }
+
+  private def projectionCols(
+      q: Column,
+      comps: Seq[Array[Long]]
+  ): Seq[Column] =
+    comps.zipWithIndex.map { case (x, k) =>
       x.zipWithIndex
         .map { case (w, d) => element_at(q, d + 1) * lit(w) }
         .reduce(_ + _)
         .as(s"p${k + 1}")
     }
-    emb.select(col(idCol) +: cols: _*)
+
+  /** Explained-variance accounting for ADAPTIVE-k reduction (x148): the
+    * missing verb between x143 ("reduce to a fixed k") and x144 ("the
+    * eval can veto a fixed k") — pick k from the data. One row per
+    * candidate component 1..`rMax`: its spectral share in exact integer
+    * ppm of the (rescaled) covariance trace, the cumulative share, and
+    * `k` — the smallest component count whose cumulative share clears
+    * `targetPpm`, or `rMax` when the spectrum never gets there (the
+    * near-isotropic gate corpus: ~1.6%/component, the same honest
+    * "don't reduce" signal x144 measures as recall collapse).
+    *
+    * Same scale shape as [[reduceProjections]]: one IntGram pass over
+    * the training sample, the dim²-bounded chain on the driver, a
+    * constant-size literal result (bounded-state contract).
+    */
+  def explainedVariance(
+      emb: DataFrame,
+      rMax: Int = 4,
+      targetPpm: Long = 900000L,
+      trainMod: Int = 1,
+      squarings: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    val (vars, trace) = {
+      val q = quantize(vecCol)
+      val (n, s, g) = trainedMoments(emb, trainMod, idCol, q)
+      val (_, v, t) = componentChain(n, s, g, rMax, squarings)
+      (v, t)
+    }
+    val ppm = vars.map(v => v * 1000000L / trace)
+    val cum = ppm.scanLeft(0L)(_ + _).tail
+    val k = cum.indexWhere(_ >= targetPpm) match {
+      case -1 => rMax.toLong
+      case i  => i + 1L
+    }
+    import spark.implicits._
+    ppm.indices
+      .map(i => ((i + 1).toLong, ppm(i), cum(i), k))
+      .toDF("comp", "var_ppm", "cum_ppm", "k")
+  }
+
+  /** Adaptive reduction: [[explainedVariance]]'s k, then project onto
+    * the top k components — x143's map-only projection with the column
+    * count chosen by the spectrum instead of by fiat.
+    */
+  def adaptiveReduceProjections(
+      emb: DataFrame,
+      rMax: Int = 4,
+      targetPpm: Long = 900000L,
+      trainMod: Int = 1,
+      squarings: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = quantize(vecCol)
+    val (n, s, g) = trainedMoments(emb, trainMod, idCol, q)
+    val (comps, vars, trace) = componentChain(n, s, g, rMax, squarings)
+    val ppm = vars.map(v => v * 1000000L / trace)
+    val cum = ppm.scanLeft(0L)(_ + _).tail
+    val k = cum.indexWhere(_ >= targetPpm) match {
+      case -1 => rMax
+      case i  => i + 1
+    }
+    emb.select(col(idCol) +: projectionCols(q, comps.take(k)): _*)
   }
 }

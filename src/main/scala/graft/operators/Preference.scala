@@ -151,6 +151,124 @@ object Preference {
       .toDF("item", "n_comps", "wins", "rating", "rank")
   }
 
+  /** Distributed Bradley-Terry: the SAME fixed-point MM arithmetic as
+    * [[btRatings]], with each round expressed as DataFrame joins — for
+    * item sets beyond the driver-fixpoint contract (the
+    * `Preference.scala` scaladoc's "distributing a ≤10⁶-row fixpoint
+    * would buy nothing" note is a COHORT-scale ruling; this is the lift
+    * for when the competitor set itself is corpus-sized: users as items,
+    * prompts as items, pages dueling by engagement).
+    *
+    * Scale shape: the log collapses once to per-pair counts and per-item
+    * wins (map-side combined, the only corpus-sized stages — identical
+    * to the driver path); each MM round is then pairs ⋈ ratings (twice,
+    * keyed on the item) → a t-orientation union agg → ratings-sized
+    * frames only. Every round ends in a `localCheckpoint` (the PageRank
+    * per-round posture: items-bounded materialization, lineage cut so
+    * round r's plan never re-derives rounds 1..r−1) plus ONE scalar agg
+    * for the max-normalization. No single-partition window anywhere —
+    * the final rank uses the two-phase [[GlobalRank]].
+    *
+    * Overflow posture mirrors the driver path's loud guards: per-pair
+    * n·S² and per-item wins·S² headroom are `require`d from one agg
+    * pass; the per-item denominator is summed in DECIMAL(38,0) (exact,
+    * the HUGEINT twin) and `require`d under 2⁶³ before casting back —
+    * the silent Long wrap [[btRatings]]' addExact guards against cannot
+    * occur here by construction.
+    *
+    * Output schema identical to [[btRatings]]; on any log within both
+    * contracts the two fits are BIT-EQUAL (spec-pinned), because every
+    * step is the same truncating integer arithmetic.
+    */
+  def btRatingsDistributed(
+      comparisons: DataFrame,
+      rounds: Int,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    val spark = comparisons.sparkSession
+    val s2 = scale * scale
+    val maxSafe = Long.MaxValue / s2
+    val cmp = comparisons.where(col("item_a") =!= col("item_b"))
+    val pairs = cmp
+      .select(
+        least(col("item_a"), col("item_b")).as("i"),
+        greatest(col("item_a"), col("item_b")).as("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    if (pairs.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("item", "n_comps", "wins", "rating", "rank")
+    }
+    val wins = cmp
+      .groupBy(col("winner").as("item"))
+      .agg(count(lit(1)).as("wins"))
+    val stats = pairs
+      .select(col("i").as("item"), col("n"))
+      .unionAll(pairs.select(col("j").as("item"), col("n")))
+      .groupBy("item")
+      .agg(sum(col("n")).as("n_comps"))
+      .join(wins, Seq("item"), "left")
+      .select(
+        col("item"), col("n_comps"),
+        coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint(true)
+
+    // the same loud fixed-point headroom guards as the driver path,
+    // from ONE agg over the two bounded frames
+    val hr = pairs.agg(max(col("n"))).head.getLong(0)
+    require(hr <= maxSafe,
+      s"a pair has $hr comparisons > fixed-point headroom $maxSafe at this " +
+        "scale; pre-scale the log's counts (BT is scale-invariant)")
+    val hw = stats.agg(max(col("wins"))).head.getLong(0)
+    require(hw <= maxSafe,
+      s"an item has $hw wins > fixed-point headroom $maxSafe at this " +
+        "scale; pre-scale the log's counts (BT is scale-invariant)")
+
+    var w = stats.select(col("item"), lit(scale).as("w")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val t = pairs
+        .join(w.select(col("item").as("i"), col("w").as("wi")), "i")
+        .join(w.select(col("item").as("j"), col("w").as("wj")), "j")
+        .select(
+          col("i"), col("j"),
+          expr(s"n * ${s2}L div greatest(wi + wj, 1L)").as("t"))
+      // exact DECIMAL(38,0) sum — the oracle's HUGEINT twin; a per-item
+      // denominator past 2⁶³ fails loudly instead of wrapping
+      val denom = t
+        .select(col("i").as("item"), col("t"))
+        .unionAll(t.select(col("j").as("item"), col("t")))
+        .groupBy("item")
+        .agg(sum(col("t").cast("decimal(38,0)")).as("denom_d"))
+        .localCheckpoint(true)
+      require(
+        denom.where(col("denom_d") > lit(Long.MaxValue).cast("decimal(38,0)")).isEmpty,
+        "per-item MM denominator overflowed 2⁶³; pre-scale the log's " +
+          "counts (BT is scale-invariant)")
+      val raw = stats
+        .join(denom, Seq("item"), "left")
+        .select(
+          col("item"),
+          expr(s"wins * ${s2}L div greatest(CAST(coalesce(denom_d, 0) AS BIGINT), 1L)")
+            .as("w_raw"))
+      val mx = raw.agg(max(col("w_raw"))).head.getLong(0)
+      w = raw
+        .select(
+          col("item"),
+          expr(s"w_raw div ${math.max(mx / scale, 1L)}L").as("w"))
+        .localCheckpoint(true)
+    }
+
+    GlobalRank
+      .withGlobalRank(
+        stats.join(w, "item"),
+        Seq(negate(col("w")), col("item")))
+      .select(
+        col("item"), col("n_comps"), col("wins"),
+        col("w").as("rating"), col("rank"))
+  }
+
   /** Turn the fitted board back on its own log — preference-PAIR
     * curation, the step between comparison collection and DPO/reward
     * training (Rafailov et al. 2023 train on (chosen, rejected) pairs;

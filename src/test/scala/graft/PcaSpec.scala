@@ -166,6 +166,81 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("explainedVariance picks k from planted spectral shares") {
+    // 200 vectors exactly in span(e0..e3), amplitudes 8/4/2/1 → variance
+    // shares ≈ 64:16:4:1 of 85 → cumulative ≈ 75.3 / 94.1 / 98.8 / 100 %
+    val planted = (0 until 200).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(0) = (8.0 * math.sin(i * 0.37)).toFloat
+      v(1) = (4.0 * math.cos(i * 0.53)).toFloat
+      v(2) = (2.0 * math.sin(i * 0.11 + 1.0)).toFloat
+      v(3) = math.cos(i * 0.29 + 2.0).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec").select(col("id"), col("vec").cast("array<float>"))
+    def kAt(target: Long): Long =
+      Pca.explainedVariance(planted, rMax = 4, targetPpm = target,
+          idCol = "id", vecCol = "vec")
+        .select("k").head().getLong(0)
+    assert(kAt(500000L) === 1L)
+    assert(kAt(900000L) === 2L)
+    assert(kAt(999000L) === 4L)
+    // shares decrease along the deflation chain and cumulate monotonically
+    val rows = Pca.explainedVariance(planted, rMax = 4, targetPpm = 900000L,
+        idCol = "id", vecCol = "vec")
+      .orderBy("comp").collect()
+    val ppm = rows.map(_.getLong(1))
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => a >= b }, ppm.toSeq.toString)
+    assert(rows.last.getLong(2) >= 990000L, s"4 components must explain a " +
+      s"4-dim corpus: ${rows.last.getLong(2)} ppm")
+  }
+
+  test("adaptiveReduceProjections: x144's recall re-measured at the CHOSEN k " +
+    "stays ≥ 0.9 on the structured corpus") {
+    import graft.operators.Similarity
+    val structured = (0 until 200).map { i =>
+      val c = Array(
+        math.sin(i * 0.37), math.cos(i * 0.53),
+        math.sin(i * 0.11 + 1.0), math.cos(i * 0.29 + 2.0))
+      val v = Array.tabulate(64) { d =>
+        val base = d % 4 match {
+          case 0 => c(0) * (1.0 + d / 64.0)
+          case 1 => c(1) * (1.0 + d / 80.0)
+          case 2 => c(2) * (1.0 - d / 96.0)
+          case _ => c(3) * (1.0 + d / 128.0)
+        }
+        (base + ((i * 31 + d * 17) % 7 - 3) * 1e-4).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec").select(col("id"), col("vec").cast("array<float>"))
+    def recallAt(targetPpm: Long): (Int, Long) = {
+      val k = Pca.explainedVariance(structured, rMax = 4, targetPpm = targetPpm,
+          idCol = "id", vecCol = "vec")
+        .select("k").head().getLong(0).toInt
+      val reduced = Pca.adaptiveReduceProjections(structured, rMax = 4,
+          targetPpm = targetPpm, idCol = "id", vecCol = "vec")
+        .select(
+          col("id"),
+          array((1 to k).map(i => col(s"p$i").cast("double")): _*).as("vec"))
+      val out = Similarity
+        .reducedSpaceRecall(structured, reduced, k = 3, sampleMod = 10)
+        .collect()
+      (k, out.map(_.getLong(2)).sum / out.length)
+    }
+    // at a 99% target the full 4-dim structure is selected and the
+    // neighborhoods survive
+    val (k99, r99) = recallAt(990000L)
+    assert(k99 === 4, s"99% target should select the full subspace, got $k99")
+    assert(r99 >= 900000L, s"k=4 macro recall $r99 ppm")
+    // the honest tension x144 exists to expose: a 90% VARIANCE target
+    // picks k=3, but the dropped ~10%-variance component carries real
+    // neighborhood structure — recall collapses (measured ~0.55). The
+    // variance rule proposes; the recall eval disposes.
+    val (k90, r90) = recallAt(900000L)
+    assert(k90 === 3, s"90% target on this spectrum selects 3, got $k90")
+    assert(r90 < r99, s"dropping a structural component cannot improve " +
+      s"recall ($r90 vs $r99)")
+  }
+
   test("reducedSpaceRecall discriminates structure from noise: a genuinely " +
     "4-dim corpus keeps its neighborhoods, the isotropic gate corpus loses them") {
     import graft.operators.Similarity

@@ -147,6 +147,47 @@ class PreferenceSpec extends SparkSpec {
     assert(e.getMessage.contains("denominator overflowed"))
   }
 
+  test("btRatingsDistributed ≡ btRatings bit-for-bit across log shapes") {
+    // the distributed MM formulation lifts the driver-fixpoint contract;
+    // every step is the same truncating integer arithmetic, so the fits
+    // must be EQUAL, not just close — on duels, chains, upsets, ties
+    val logs = Seq(
+      Seq((1L, 2L, 1L), (1L, 2L, 1L), (2L, 1L, 2L)),
+      Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L), (1L, 2L, 1L), (2L, 3L, 2L)),
+      Seq((5L, 9L, 5L), (5L, 9L, 9L), (5L, 9L, 5L), (5L, 9L, 9L)),
+      Seq.fill(8)((1L, 2L, 1L)) ++ Seq.fill(2)((1L, 2L, 2L)) ++
+        Seq.fill(8)((2L, 3L, 2L)) ++ Seq.fill(2)((2L, 3L, 3L)) ++
+        Seq((7L, 7L, 7L)))
+    for ((log, k) <- logs.zipWithIndex; rounds <- Seq(1, 4)) {
+      val df = log.toDF("item_a", "item_b", "winner")
+      val a = Preference.btRatings(df, rounds).orderBy("item")
+        .collect().map(_.toSeq).toSeq
+      val b = Preference.btRatingsDistributed(df, rounds).orderBy("item")
+        .collect().map(_.toSeq).toSeq
+      assert(a === b, s"log $k rounds $rounds diverged")
+    }
+  }
+
+  test("btRatingsDistributed: empty and self-pair-only logs fit to empty") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "winner")
+    assert(Preference.btRatingsDistributed(empty, 4).count() === 0L)
+    val selfOnly = Seq((3L, 3L, 3L)).toDF("item_a", "item_b", "winner")
+    assert(Preference.btRatingsDistributed(selfOnly, 4).count() === 0L)
+  }
+
+  test("btRatingsDistributed plans no single-partition window") {
+    // the rank must come from the two-phase GlobalRank: a Window with an
+    // empty partition spec would serialize every item through one task
+    val cmp = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L))
+      .toDF("item_a", "item_b", "winner")
+    val plan = Preference.btRatingsDistributed(cmp, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      "global window in the distributed BT plan")
+    assert(plan.contains("__part") || plan.contains("ExistingRDD"),
+      "two-phase rank machinery missing from the plan")
+  }
+
   test("fixed-point scale: the max-normalized top rating stays in [S, 2S)") {
     // integer normalization divides by floor(mx/S): the top rating is
     // bounded by 2S − 1 (quotient ≥ 1) and ≥ S (divided by exactly its
