@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classifier-score calibration — the step between a trained scorer and
@@ -133,6 +133,44 @@ object Calibration {
       }
       .toDF("bin", "n_docs", "n_pos", "pos_ppm", "iso_ppm", "min_score", "max_score")
   }
+
+  /** Fixed-width score-range bin (clamped to [0, bins−1]) — the
+    * STREAM-STABLE binning: a pure per-row function of the score, so
+    * per-bin counts are ADDITIVE across deliveries (rank-decile bins —
+    * [[binned]] — shift as data arrives and cannot fold incrementally;
+    * [[graft.streaming.CalibrationStream]] maintains exactly this bin's
+    * counts). Integer arithmetic only: (score − lo)·bins div (hi − lo).
+    */
+  def fixedBin(score: Column, bins: Int, lo: Long, hi: Long): Column = {
+    require(hi > lo, s"degenerate score range [$lo, $hi]")
+    // the double round-trip is exact while |(score−lo)·bins| < 2⁵³ —
+    // far beyond any fixed-point score this engine emits; truncation
+    // toward zero only acts on the sub-lo side, which clamps to 0 anyway
+    val raw = (score - lit(lo)) * lit(bins.toLong) / lit(hi - lo)
+    least(greatest(raw.cast("long"), lit(0L)), lit(bins.toLong - 1L))
+  }
+
+  /** Per-fixed-bin (n_pos, n_docs) over a scored, labeled frame — ONE
+    * corpus pass, map-side combined; shared by the streaming twin's
+    * per-batch delta and the spec's batch comparator so the fold and
+    * the batch path cannot drift.
+    */
+  def fixedBinStats(
+      scored: DataFrame,
+      bins: Int,
+      lo: Long,
+      hi: Long,
+      scoreCol: String = "score",
+      labelCol: String = "y"
+  ): DataFrame =
+    scored
+      .select(
+        fixedBin(col(scoreCol), bins, lo, hi).as("bin"),
+        col(labelCol).as("y"))
+      .groupBy("bin")
+      .agg(
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n_docs"))
 
   /** The calibration USED: a per-document screen that keeps rows whose
     * CALIBRATED positive rate clears `minIsoPpm` — the threshold a
