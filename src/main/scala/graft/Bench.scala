@@ -221,9 +221,11 @@ object Bench {
     //   (a) max/min process-CPU > 3× with an absolute gap > 0.5 s (the
     //       floor keeps 0.05-vs-0.2 s timer noise on tiny queries from
     //       tripping the ratio), or
-    //   (b) best-rep CPU > 2× (and > 0.5 s above) the committed
-    //       baseline's best CPU for the same query
-    //       (bench_baseline.json — the round-8 quiet-host artifact;
+    //   (b) best-rep CPU·MHZ (cycles — drift-proof; falls back to raw
+    //       cpu when either side lacks an mhz sample) > 2× (and > 0.5 s
+    //       at the baseline clock above) the committed baseline's best
+    //       cpu·mhz for the same query
+    //       (bench_baseline.json — the quiet-host artifact;
     //       override with SPARK_GRAFT_BENCH_BASELINE, absent = skip (b)), or
     //   (c) best-rep WALL > 2× (and > 0.5 s above) the committed
     //       baseline's best wall for the same query (round-11 verdict #1:
@@ -236,39 +238,28 @@ object Bench {
     // If any HEADLINE query stays suspect after retries the artifact is
     // marked "contaminated": true and the process exits non-zero, so a
     // poisoned run cannot silently become the number of record.
-    // baseline: name -> (best wall, best cpu)
-    val (baselineBest: Map[String, (Double, Double)], baselineMhz: Double) = {
+    // baseline: name -> (best wall, best cpu), plus the baseline host's
+    // median MHz. Parsing and the trigger logic live in [[BenchGate]]
+    // (spec-testable against synthetic detail JSONs — r13 verdict #3);
+    // the vs-baseline CPU trigger is CYCLES-primary there: cpu·mhz
+    // cancels frequency drift, so only the WALL gate ever needs a
+    // re-baseline when the host slows (the r13 drift lesson).
+    val baseline: BenchGate.Baseline = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
       try {
         val txt = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)
-        // minimal extraction: per-query `"name":{..."cpus":[a,b,c]...}`
-        // from the detail object — full JSON parsing isn't needed for a
-        // flat numeric lookup, and the artifact is self-produced.
-        val m = scala.collection.mutable.Map.empty[String, (Double, Double)]
-        val rx =
-          """"([a-z0-9_]+)":\{"runs":\[([0-9.,\-]+)\][^}]*?"cpus":\[([0-9.,\-]+)\]""".r
-        for (mm <- rx.findAllMatchIn(txt)) {
-          val ws = mm.group(2).split(",").map(_.toDouble).filter(_ >= 0)
-          val cs = mm.group(3).split(",").map(_.toDouble).filter(_ >= 0)
-          if (ws.nonEmpty && cs.nonEmpty) m(mm.group(1)) = (ws.min, cs.min)
-        }
-        // the baseline host's clock: median over every per-run mhz sample
-        // (round-9 quiet baseline: 2600.036 on every sample)
-        val mrx = """"mhz":\[([0-9.,\-]+)\]""".r
-        val mhzs = mrx.findAllMatchIn(txt)
-          .flatMap(_.group(1).split(",").map(_.toDouble)).filter(_ > 0).toSeq.sorted
-        val med = if (mhzs.isEmpty) 0.0 else mhzs(mhzs.size / 2)
+        val b = BenchGate.parseBaseline(txt)
         // a READABLE baseline that matches zero entries (writer field-order
         // drift vs the regex) disables gates (b)/(c) just as silently as a
         // missing file — flag it the same way
-        if (m.isEmpty)
+        if (b.best.isEmpty)
           System.err.println(
             s"[bench] WARNING: baseline at $path parsed to ZERO per-query " +
               "entries (regex/field-order mismatch?); cpu/wall vs-baseline " +
               "suspect gates are OFF for this run")
-        (m.toMap, med)
+        b
       } catch {
         // a missing/unreadable baseline silently disables gates (b) and
         // (c) — say so on stderr, or the r11 blind spot resurfaces the
@@ -277,26 +268,20 @@ object Bench {
           System.err.println(
             s"[bench] WARNING: baseline unreadable ($path: ${e.getMessage}); " +
               "cpu/wall vs-baseline suspect gates are OFF for this run")
-          (Map.empty[String, (Double, Double)], 0.0)
+          BenchGate.empty
       }
+    }
+    val baselineBest = baseline.best
+    val baselineMhz = baseline.mhz
+    def medianMhz(samples: Seq[Run]): Double = {
+      val vs = samples.map(_.mhz).filter(_ > 0).sorted
+      if (vs.isEmpty) 0.0 else vs(vs.size / 2)
     }
     def envSuspect(samples: Seq[Run], base: Option[(Double, Double)]): Boolean = {
       val good = samples.filter(_.wall >= 0)
-      val cpus = good.map(_.cpu).sorted.take(3)
-      if (cpus.isEmpty) false
-      else {
-        val spread = cpus.last / math.max(cpus.head, 1e-9) > 3.0 &&
-          cpus.last - cpus.head > 0.5
-        val vsBaseCpu = base.exists { case (_, bc) =>
-          cpus.head > 2.0 * math.max(bc, 1e-9) && cpus.head - bc > 0.5 }
-        // (c): the headline number IS the best wall, so judge it directly
-        // against the committed baseline's best wall — the trigger the
-        // r11 x29/x31 rows needed.
-        val vsBaseWall = base.exists { case (bw, _) =>
-          val w = good.map(_.wall).min
-          w > 2.0 * math.max(bw, 1e-9) && w - bw > 0.5 }
-        spread || vsBaseCpu || vsBaseWall
-      }
+      if (good.isEmpty) false
+      else BenchGate.envSuspect(
+        good.map(_.wall), good.map(_.cpu), base, medianMhz(good), baselineMhz)
     }
     val maxExtraReps = 3
     // ---- deferred quiet-host requeue (round-10 verdict #2) -----------
@@ -429,8 +414,17 @@ object Bench {
     val runMhz = if (runMhzSamples.isEmpty) 0.0 else runMhzSamples(runMhzSamples.size / 2)
     val mhzRatio = if (baselineMhz > 0 && runMhz > 0) runMhz / baselineMhz else 1.0
     val totalAdj = total * mhzRatio
+    // BOTH drift diagnostics in-band (r13 verdict #3): over the queries
+    // present in run AND baseline, the total-wall ratio and the total
+    // cpu-CYCLES ratio. Drift signature: wall ratio up, cycles flat →
+    // re-baseline wall; engine regression: both up → investigate.
+    val (wallRatio, cyclesRatio) = BenchGate.totalRatios(
+      results.map { case (name, best, samples, _, _) =>
+        (name, best.wall, best.cpu, medianMhz(samples.filter(_.wall >= 0)))
+      },
+      baseline)
     val mhzJson =
-      s""""run_mhz":${f(runMhz)},"baseline_mhz":${f(baselineMhz)},"mhz_ratio":${f(mhzRatio)},"total_mhz_adj":${f(totalAdj)}"""
+      s""""run_mhz":${f(runMhz)},"baseline_mhz":${f(baselineMhz)},"mhz_ratio":${f(mhzRatio)},"total_mhz_adj":${f(totalAdj)},"total_wall_ratio":${f(wallRatio)},"total_cpu_cycles_ratio":${f(cyclesRatio)}"""
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"detail":$detailJson,"warmup":$warmup,"tick_hz":${f(tickHz)},"env_suspect":$suspectsJson,"contaminated":$contaminated,$mhzJson,"sf":"$sfDir"}"""
     // durable full artifact: all queries + per-run samples + cpu/jit/gc
