@@ -1,0 +1,1239 @@
+package graft
+
+import java.time.{LocalDate, LocalTime}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+import graft.operators._
+import graft.sinks.ParquetSink
+import graft.sources.TickerSource
+
+/** Options/TPC-H query family (q01-q34): the reference pipeline's own
+  * surfaces plus the TPC-H-ish relational battery.
+  *
+  * Part of the SparkEntry registry split — see [[SparkEntryBase]].
+  */
+private[graft] trait OptionsRegistry extends SparkEntryBase {
+  /** §2.3 aggregation: TPC-H-Q1-shaped pricing summary over lineitem. */
+  protected def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-12-31 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        discountedRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** §2.2 strike-band predicate as a pushed-down BETWEEN (reference
+    * filter_strikes_by_percentage, main.py:83-87): ±7% band around a fixed
+    * spot of 30000 over l_extendedprice.
+    */
+  protected def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(Snapshot.strikeBand(col("l_extendedprice"), lit(30000.0), 7.0))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** §2.3 keep-LAST dedup (reference drop_duplicates keep='last',
+    * main.py:233) over events keyed by user_id, arrival order (ts, event_id).
+    */
+  protected def q03(s: SparkSession, dir: String): DataFrame =
+    Snapshot
+      .keepLastBy(ev(s, dir), Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .orderBy(col("user_id"))
+
+  /** §2.4 per-key previous-snapshot diff in its windowed form: lag(value)
+    * over (user_id, ts) — Open/OI_Change semantics (miss → 0).
+    */
+  protected def q04(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_us"),
+        col("value"),
+        coalesce(col("prev_value"), lit(0.0)).as("open_value"),
+        when(col("prev_value").isNotNull, col("value") - col("prev_value"))
+          .otherwise(lit(0.0))
+          .as("delta")
+      )
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** §2.4 the reference's snapshot-diff join, end to end on real tables:
+    * current batch = keep-last event per user on 2024-01-30; state = the
+    * sink tail (last 300 events before that day, reference tail(300)
+    * main.py:260) deduped keep-last per user; broadcast LEFT join;
+    * Open = prev value (miss → 0), OI_Change-style delta (miss → 0).
+    */
+  protected def q05(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val day = lit(java.sql.Date.valueOf("2024-01-30"))
+    val cur = Snapshot.keepLastBy(
+      events.where(tsNsDate(col("ts_ns")) === day),
+      Seq("user_id"),
+      Seq(col("ts_us"), col("event_id"))
+    )
+    val tail300 = events
+      .where(tsNsDate(col("ts_ns")) < day)
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(300)
+    val state = Snapshot
+      .keepLastBy(tail300, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("value").as("prev_value"))
+    cur
+      .join(broadcast(state), Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        coalesce(col("prev_value"), lit(0.0)).as("open_value"),
+        when(col("prev_value").isNotNull, col("value") - col("prev_value"))
+          .otherwise(lit(0.0))
+          .as("oi_change")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.3 E0/E1/E2 nearest-expiry policy as sorted-limit over distinct
+    * dates (reference get_current_and_next_expiry, main.py:43-80).
+    */
+  protected def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderdate").cast(DateType).as("expiry"))
+      .where(col("expiry") >= lit(java.sql.Date.valueOf("1998-06-01")))
+      .distinct()
+      .orderBy(col("expiry"))
+      .limit(3)
+
+  /** §2.3 Friday W1/W2 policy (reference deltaweekly.py:43-111): first
+    * Friday with ≥2 active dates strictly before it, and the next Friday
+    * after that.
+    */
+  protected def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val active = t(s, dir, "orders")
+      .select(col("o_orderdate").cast(DateType).as("expiry"))
+      .where(col("expiry") >= lit(java.sql.Date.valueOf("1998-06-01")))
+    val picked = ExpiryPolicy.fridayExpiries(active, LocalDate.of(1998, 6, 1))
+    picked
+      .zip(Seq("W1", "W2"))
+      .map { case (d, w) => (w, java.sql.Date.valueOf(d)) }
+      .toDF("which", "expiry")
+      .orderBy(col("which"))
+  }
+
+  /** §2.2 symbol construction + parse round-trip: build
+    * {C|P}-ETH-<strike>-<DDMMYY> symbols from lineitem, then recover strike,
+    * expiry (reference year = 2000+YY rule, main.py:185-187) and option
+    * type with pure string/date expressions.
+    */
+  protected def q08(s: SparkSession, dir: String): DataFrame = {
+    val sym = concat(
+      when(col("l_linenumber") % 2 === 0, lit("C")).otherwise(lit("P")),
+      lit("-ETH-"),
+      floor(col("l_extendedprice")).cast(StringType),
+      lit("-"),
+      date_format(col("l_shipdate"), "ddMMyy")
+    )
+    // materialize the split once, structurally: the six downstream
+    // extractions reference a named `parts`/`tok` column instead of a live
+    // `split(...)` expression. Measured equal today (CollapseProject
+    // already declines to duplicate non-cheap expressions, SPARK-36718) —
+    // this shape just stops depending on that heuristic.
+    // repartition BEFORE the symbol build: the date_format/split/make_date
+    // chain is the cost and the local lineitem file is 2 scan splits —
+    // the dts() rationale (measured 2.3 s wall at 1.6-core occupancy)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_shipdate"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("l_orderkey"), col("l_linenumber"), sym.as("symbol"))
+      .withColumn("parts", split(col("symbol"), "-"))
+      .withColumn("tok", element_at(col("parts"), -1))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("symbol"),
+        element_at(col("parts"), 3).try_cast(DoubleType).as("strike"),
+        make_date(
+          substring(col("tok"), 5, 2).try_cast(IntegerType) + lit(2000),
+          substring(col("tok"), 3, 2).try_cast(IntegerType),
+          substring(col("tok"), 1, 2).try_cast(IntegerType)
+        ).as("expiry"),
+        when(element_at(col("parts"), 1) === "C", lit("Call"))
+          .otherwise(lit("Put"))
+          .as("opt_type")
+      )
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Multi-way join with broadcast dims: revenue by nation for one region
+    * (exercises the join-shape the delta join takes when state outgrows the
+    * broadcast bound).
+    */
+  protected def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        discountedRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("n_name"))
+
+  /** §2.3 windowed top-N per key (the row_number pattern that encodes all
+    * the reference's keep-last/tail semantics): top-2 orders per customer.
+    */
+  protected def q10(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** §2.2 stringly coercion (reference to_numeric(errors='coerce') → 0,
+    * main.py:276-285): extract digits from a JSON-ish string column,
+    * try_cast with 0 default; plus a guaranteed-failing cast.
+    */
+  protected def q11(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn(
+        "k",
+        coalesce(regexp_extract(col("props"), "[0-9]+", 0).try_cast(LongType), lit(0L))
+      )
+      .withColumn("bad", coalesce(col("event_type").try_cast(DoubleType), lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        round(sum(col("bad")), 2).as("sum_bad"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("event_type"))
+
+  /** §2.2 NaN/Inf → NULL sink cleanup (reference clean_dataframe_for_json,
+    * main.py:33-41): inject NaN/Inf by predicate, clean, aggregate.
+    */
+  protected def q12(s: SparkSession, dir: String): DataFrame = {
+    val x = when(col("l_discount") > 0.05, lit(Double.NaN)).otherwise(col("l_discount"))
+    val y = when(col("l_tax") === 0.0, lit(Double.PositiveInfinity)).otherwise(col("l_tax"))
+    t(s, dir, "lineitem")
+      .withColumn("xc", Snapshot.cleanNumeric(x))
+      .withColumn("yc", Snapshot.cleanNumeric(y))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("xc")).as("n_x_kept"),
+        count(col("yc")).as("n_y_kept"),
+        round(sum(col("xc")), 4).as("sum_x"),
+        round(sum(col("yc")), 4).as("sum_y")
+      )
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** §3 the WHOLE reference batch lifecycle as one oracled query: synthetic
+    * snapshot → parse → ±7% band → E0/E1/E2 policy → keep-last dedup →
+    * delta vs empty state → canonical sort, against an independent pure-SQL
+    * formulation of the same pipeline.
+    */
+  protected def q13(s: SparkSession, dir: String): DataFrame =
+    OptionsPipeline.runBatch(
+      TickerSource.syntheticFromLineitem(s, dir),
+      ParquetSink.emptyState(s),
+      OptionsPipeline.Hourly,
+      today = LocalDate.of(2000, 1, 1),
+      batchDate = LocalDate.of(2000, 1, 1),
+      batchTime = LocalTime.of(12, 0, 0)
+    )
+
+  /** §3 the WEEKLY lifecycle end-to-end (deltaweekly.py): same batch shape
+    * as q13 but with the Friday W1/W2 policy (count≥2 rule + fallback,
+    * dw:43-111) and the ±25% band (dw:152-153), on a synthetic snapshot
+    * whose expiries cover all weekdays. Oracled against an independent SQL
+    * formulation that parses expiry back out of the symbol (so the DDMMYY
+    * 2000+YY roundtrip semantics are identical on both engines).
+    */
+  protected def q14(s: SparkSession, dir: String): DataFrame =
+    OptionsPipeline.runBatch(
+      TickerSource.syntheticWeeklyFromLineitem(s, dir),
+      ParquetSink.emptyState(s),
+      OptionsPipeline.Weekly,
+      today = LocalDate.of(2000, 1, 1),
+      batchDate = LocalDate.of(2000, 1, 1),
+      batchTime = LocalTime.of(12, 0, 0)
+    )
+
+  /** OLAP surface: exact multi-percentiles per group (linear interpolation,
+    * matching DuckDB quantile_cont / NumPy type-7). Taken over the
+    * INTEGER-VALUED quantity column on purpose: type-7 interpolation between
+    * integers with p ∈ {.5,.9,.99} yields at most two exact decimals, so the
+    * 2-dp round can never sit on a .xx5 boundary where a 1-ulp cross-engine
+    * difference flips the hash (observed with l_extendedprice at sf0.001:
+    * 52724.245 rounded to .25 in DuckDB and .24 in Spark).
+    */
+  protected def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 2).as("p90"),
+        round(percentile(col("l_quantity"), lit(0.99)), 2).as("p99"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** OLAP surface: ROLLUP hierarchy totals. Subtotal rows are labeled 'ALL'
+    * via coalesce on BOTH engines, sidestepping NULL-ordering divergence
+    * (Spark sorts NULLs first, DuckDB last).
+    */
+  protected def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_price"),
+        col("n")
+      )
+      .orderBy(col("flag"), col("status"))
+
+  /** OLAP surface: pivot with an explicit value list (explicit = one pass;
+    * value-discovering pivot needs an extra distinct job).
+    */
+  protected def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  /** Backward as-of join (each purchase ← latest prior-or-equal click of
+    * the same user), union+window formulation vs DuckDB's NATIVE ASOF JOIN
+    * — two independent algorithms, one answer.
+    */
+  protected def q18(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val clicks = e
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us"),
+        col("value").as("click_value")
+      )
+    AsofJoin
+      .backward(purchases, clicks, Seq("user_id"), "ts_us", "click_ts_us")
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** Bin-blocked range join: view events into 2-day signup windows of the
+    * same user (425 views fall in overlapping windows → genuine
+    * many-to-many), vs a plain BETWEEN inequality join in DuckDB.
+    */
+  protected def q19(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val intervals = e
+      .where(col("event_type") === "signup")
+      .select(
+        col("user_id"),
+        col("event_id").as("signup_id"),
+        col("ts_us").as("start_us"),
+        (col("ts_us") + lit(172800000000L)).as("end_us")
+      )
+    val points = e
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
+    RangeJoin
+      .binned(points, intervals, Seq("user_id"), "view_ts_us", "start_us", "end_us",
+        binWidth = 86400000000L)
+      .select(col("user_id"), col("view_id"), col("view_ts_us"), col("signup_id"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("view_id"), col("signup_id"))
+  }
+
+  /** OLAP surface: event-time RANGE frame — 7-day trailing revenue over the
+    * daily rollup. RANGE (value-based) frames are a distinct window family
+    * from the row-based lag/rank/running-sum queries: the frame holds
+    * whatever DAYS fall in [d-6, d], not a fixed row count, so gaps in the
+    * calendar shrink it. Global window is safe here BECAUSE it runs on the
+    * daily rollup (thousands of rows at any corpus scale), never on raw
+    * orders — the groupBy does the data-size reduction first.
+    */
+  protected def q20(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("d"))
+      .agg(round(sum(col("o_totalprice")), 2).as("day_rev"))
+      .withColumn("d_epoch", datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.orderBy(col("d_epoch")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", round(sum(col("day_rev")).over(w), 2))
+      .select(col("d"), col("day_rev"), col("rev_7d"))
+      .orderBy(col("d"))
+  }
+
+  /** OLAP surface: CUBE — all 2^2 grouping-set combinations in one pass
+    * (Spark expands grouping sets map-side; one shuffle keyed by the
+    * grouping-set id + keys). Labels subtotals 'ALL' on both engines like
+    * q16's rollup, so NULL-ordering divergence can't bite.
+    */
+  protected def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"),
+        col("n")
+      )
+      .orderBy(col("flag"), col("status"))
+
+  /** Join surface: LEFT SEMI (EXISTS) — orders having ≥1 returned lineitem,
+    * counted per priority. Semi joins never duplicate the probe side, so
+    * the count needs no downstream distinct; at scale the build side
+    * reduces to distinct orderkeys and AQE broadcasts it when small.
+    */
+  protected def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        t(s, dir, "lineitem").where(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi"
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Join surface: LEFT ANTI (NOT EXISTS) — customers with no orders,
+    * counted per nation. The anti join ships only o_custkey (column-pruned
+    * build side); the TPC-H Q22 shape.
+    */
+  protected def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** OLAP surface: week-over-week user retention over the event stream.
+    * One distinct (user, week) pass, then a self equi-join on
+    * (user, week+1) — both sides partitioned by the same key pair, and the
+    * left-join + count(b) gives cohort size and survivors in one agg.
+    * Weeks are epoch-day/7 buckets (identical integer arithmetic on both
+    * engines; date_trunc('week') was avoided to sidestep locale rules).
+    */
+  protected def q24(s: SparkSession, dir: String): DataFrame = {
+    val uw = ev(s, dir)
+      .select(
+        col("user_id"),
+        (datediff(tsNsDate(col("ts_ns")), lit(java.sql.Date.valueOf("1970-01-01"))) / 7)
+          .cast(LongType) // DuckDB date-diff // 7 is BIGINT; match width (the q11 dtype lesson)
+          .as("wk")
+      )
+      .distinct()
+    val nxt = uw.select(col("user_id").as("n_user_id"), col("wk").as("n_wk"))
+    uw.join(
+        nxt,
+        col("user_id") === col("n_user_id") && col("n_wk") === col("wk") + 1,
+        "left"
+      )
+      .groupBy(col("wk"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        count(col("n_user_id")).as("retained_users"),
+        round(count(col("n_user_id")).cast(DoubleType) / count(lit(1)), 4).as("retention")
+      )
+      .orderBy(col("wk"))
+  }
+
+  /** Aggregation surface: exact COUNT(DISTINCT) per group. Spark plans this
+    * as a two-phase expand + partial agg (no row ships twice); the
+    * 100 TB companion is approx_count_distinct (HLL++ sketch, fixed-size
+    * state, one shuffle of sketches) — DistinctCountSpec pins its error
+    * within the configured rsd against this exact query.
+    */
+  protected def q25(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy(col("event_type"))
+
+  /** Semi-structured surface: parse the JSON `props` column with a typed
+    * schema (`from_json` — Jackson parse once, then columnar access; the
+    * 100 TB point is that the parse happens INSIDE codegen next to the
+    * scan, no intermediate string materialization) and aggregate the
+    * extracted field. Distinct from q11, which treats props as an opaque
+    * string (regexp coercion parity); this is the structured fast path.
+    */
+  protected def q26(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(
+        col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_missing")
+      )
+      .orderBy(col("event_type"))
+
+  /** Window-function surface: equi-depth deciles (ntile) + percent_rank
+    * over order totals — WITHOUT the `Window.orderBy(...)` (no partition
+    * spec) single-partition window the naive formulation plans, which
+    * funnels every order through one task. Instead the exact global rank
+    * comes from [[graft.operators.GlobalRank]] (range-partition + parallel
+    * local windows + broadcast offsets), and `ntile`/`percent_rank` are
+    * then CLOSED FORMS of (rank, N) applied map-side:
+    *   - ntile(10): the first N mod 10 tiles hold ⌈N/10⌉ rows, the rest
+    *     ⌊N/10⌋ (the SQL-standard rule both Spark and DuckDB implement);
+    *   - percent_rank = (rank−1)/(N−1), exact because the sort key is a
+    *     total order so rank ≡ row_number.
+    * The oracle keeps the window formulation — two derivations, one
+    * hash-matched answer. PlanGuardSpec pins that no single-partition
+    * window survives in any oracled plan.
+    */
+  protected def q27(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select(col("o_totalprice"), col("o_orderkey"))
+    val n = orders.count()
+    val tileQ = n / 10
+    val rem = n % 10
+    val bigEnd = rem * (tileQ + 1) // ranks 1..bigEnd fall in the ⌈N/10⌉-sized tiles
+    GlobalRank
+      .withGlobalRank(orders, Seq(col("o_totalprice"), col("o_orderkey")), "rank")
+      .withColumn(
+        "decile",
+        when(
+          col("rank") <= lit(bigEnd),
+          ((col("rank") - 1) / lit(tileQ + 1)).cast("long") + 1
+        ).otherwise(
+          lit(rem) + ((col("rank") - lit(bigEnd) - 1) / lit(math.max(tileQ, 1L))).cast("long") + 1
+        ).cast("int")
+      )
+      .withColumn("pr", round((col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        round(max(col("pr")), 6).as("max_pr")
+      )
+      .orderBy(col("decile"))
+  }
+
+  /** Statistical-aggregate surface: sample stddev, Pearson correlation and
+    * sample covariance per group. Round 2 taught that the built-in
+    * merge-formula aggregates (Welford-style M2 state) accumulate in
+    * engine-specific order, so `round(stddev_samp(double), 4)` flips a
+    * 4-dp midpoint whenever Spark's and the oracle's doubles differ by an
+    * ulp — rows/schema matched but the hash flaked. This formulation is
+    * order-independent on BOTH engines: the money columns are 2-dp-valued
+    * doubles, so scaling to integer cents and summing the power sums as
+    * DECIMAL is exact integer arithmetic (any accumulation order, any
+    * partitioning), and the closed-form moment formulas then run the same
+    * IEEE expression tree over bit-identical inputs. StatsDeterminismSpec
+    * pins the closed forms ≡ the built-ins to 1e-9 so the statistic itself
+    * is unchanged. Scale posture: one partial-agg shuffle, 11 exact sums —
+    * the same single-pass shape as the built-ins.
+    *
+    * VALIDITY BOUND: "both engines cast the exact sums to double
+    * identically" holds while every power sum stays below 2^63 ≈ 9.2e18 —
+    * above that DuckDB's DECIMAL sums live in hugeint and its
+    * hugeint→double conversion is two-term (not single-rounded), so the
+    * casts can differ by an ulp. sum(cents²) is the binding term: at
+    * ~1.1e10 per row (prices ≤ ~$1,050) the bound holds to ~8×10⁸ rows
+    * per group — sf ~1e3, three orders past the sweep range. Past that,
+    * subtract per-group decimal means before casting (shrinks the sums by
+    * ~n) or emit the decimal sums and let the gate compare decimals.
+    *
+    * Degenerate groups (n=1, or zero variance under corr) return NULL —
+    * mirroring the built-ins' stddev_samp/corr NULL contract — instead of
+    * the NaN/Infinity the bare closed forms would produce; the guards run
+    * on the SAME cast doubles in both engines so they flip identically.
+    */
+  protected def q28(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(18, 0))
+    val cents = dec(round(col("l_extendedprice") * 100))
+    val qty = dec(round(col("l_quantity")))
+    val d100 = dec(round(col("l_discount") * 100))
+    val t100 = dec(round(col("l_tax") * 100))
+    val dbl = (n: String) => col(n).cast(DoubleType)
+    val varX = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val varQ = dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents).as("sx"),
+        sum(cents * cents).as("sxx"),
+        sum(qty).as("sq"),
+        sum(qty * qty).as("sqq"),
+        sum(cents * qty).as("sxq"),
+        sum(d100).as("sd"),
+        sum(t100).as("st"),
+        sum(d100 * t100).as("sdt")
+      )
+      .select(
+        col("l_returnflag"),
+        when(col("n") > 1,
+          round4(sqrt(varX / (dbl("n") * (dbl("n") - 1))) / 100)).as("sd_price"),
+        when(col("n") > 1 && varX > 0 && varQ > 0,
+          round4((dbl("n") * dbl("sxq") - dbl("sx") * dbl("sq")) /
+            (sqrt(varX) * sqrt(varQ)))).as("corr_pq"),
+        when(col("n") > 1,
+          round4((dbl("n") * dbl("sdt") - dbl("sd") * dbl("st")) /
+            (dbl("n") * (dbl("n") - 1)) / 10000)).as("cov_dt"),
+        col("n")
+      )
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Floor-form 4-dp rounding: pure IEEE multiply/add/floor, bit-identical
+    * across engines given bit-identical input (the q31/x12 lesson — native
+    * `round` rounds the shortest-decimal rendering on Spark but the binary
+    * double on SQL engines).
+    */
+  protected def round4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** Order-independent `sum(price * (1 - discount))`. The double product
+    * sits on a 4-dp grid, so its float sum can land within an ulp of a
+    * 2-dp rounding midpoint (x.xx5) and flip the last digit between
+    * engines — the same flake class as x17/q28. Both money columns are
+    * 2-dp-valued, so computing the product and sum in DECIMAL is exact;
+    * the final HALF_UP round of an exact positive decimal is identical on
+    * Spark and DuckDB, and the cast back to double is a single
+    * correctly-rounded conversion.
+    */
+  protected def discountedRevenue(price: Column, disc: Column): Column = {
+    val d2 = DecimalType(18, 2)
+    round(sum(price.cast(d2) * (lit(1).cast(d2) - disc.cast(d2))), 2).cast(DoubleType)
+  }
+
+  /** Set-operation surface: INTERSECT / EXCEPT / UNION-distinct over the
+    * active-customer sets of two half-years. Spark plans intersect/except
+    * as left-semi/anti aggregates on the same key partitioning — no new
+    * shuffle shapes beyond the distinct — and the three tagged counts union
+    * into one result so the whole surface is a single oracled query.
+    */
+  protected def q29(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey"),
+      col("o_orderdate").cast(DateType).as("d")
+    )
+    val h1 = o
+      .where(col("d").between(
+        lit(java.sql.Date.valueOf("1998-01-01")), lit(java.sql.Date.valueOf("1998-06-30"))))
+      .select(col("o_custkey")).distinct()
+    val h2 = o
+      .where(col("d").between(
+        lit(java.sql.Date.valueOf("1998-07-01")), lit(java.sql.Date.valueOf("1998-12-31"))))
+      .select(col("o_custkey")).distinct()
+    val tag = (dfx: DataFrame, name: String) =>
+      dfx.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tag(h1.intersect(h2), "intersect")
+      .unionAll(tag(h1.except(h2), "except"))
+      .unionAll(tag(h1.union(h2).distinct(), "union"))
+      .orderBy(col("op"))
+  }
+
+  /** Correlated-scalar-subquery surface: orders priced >1.5× their own
+    * customer's average. Written as SQL on purpose — the DataFrame API has
+    * no correlated-subquery constructor — so the query exercises Catalyst's
+    * DECORRELATION: the optimizer rewrites the per-row subquery into an
+    * aggregate + equi-join (visible as one Aggregate feeding a join in the
+    * plan), which is the only formulation that scales; a naive engine would
+    * re-run the inner aggregate per outer row.
+    */
+  protected def q30(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q30_orders")
+    s.sql(
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM graft_q30_orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(i.o_totalprice) FROM graft_q30_orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin
+    )
+  }
+
+  /** Event-time tumbling windows in batch (the same `window()` expression
+    * the streaming path uses — one shuffle keyed by (bucket), epoch-aligned
+    * like DuckDB's time_bucket). Bucket boundary emitted as epoch-micros so
+    * the compare never depends on timestamp rendering.
+    */
+  protected def q31(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)) / lit(100.0)).as("sum_value")
+      )
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+      .orderBy(col("ws_us"))
+
+  /** Sliding (hopping) event-time windows: 1-hour windows every 30 minutes,
+    * so each event lands in exactly window/slide = 2 buckets. Spark's
+    * `window(t, win, slide)` expands the assignments map-side (no join);
+    * the oracle derives the same two starts per event with an explicit
+    * 2-offset cross join. Completes the window-family coverage: tumbling
+    * (q31), sliding (q32), session (x17), value-RANGE (q20).
+    */
+  protected def q32(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        (floor(sum(col("value")) * lit(100.0) + lit(0.5)) / lit(100.0)).as("sum_value")
+      )
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+      .orderBy(col("ws_us"))
+
+  // ------------------------------------------------- north-star extensions
+
+  /** SCD2 / gaps-and-islands surface: compress each user's event history
+    * into validity intervals, one row per maximal run of an unchanged
+    * event_type. One hash exchange total (boundary lag, island running
+    * sum, island aggregation, and valid_to lead all reuse the user_id
+    * partitioning) — plan-pinned in Scd2Spec. Times are epoch micros
+    * (ts_us), timezone-free on both engines.
+    */
+  protected def q33(s: SparkSession, dir: String): DataFrame =
+    Scd2
+      .compressHistory(
+        ev(s, dir),
+        keyCol = col("user_id"),
+        stateCol = col("event_type"),
+        orderCols = Seq(col("ts_us"), col("event_id")),
+        validityCol = col("ts_us")
+      )
+      .select(
+        col("graft_key").as("user_id"),
+        col("state").as("event_type"),
+        col("valid_from"),
+        col("valid_to"),
+        col("n_events")
+      )
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** Cohort-retention surface (q34): users bucketed by first-seen epoch
+    * day, distinct active users per (cohort_day, day_offset) — the
+    * classic retention triangle, all-integer (epoch_us div 86 400s).
+    * Two user-keyed exchanges: first-seen min agg, then the join-back and
+    * the (cohort, offset) distinct count.
+    */
+  protected def q34(s: SparkSession, dir: String): DataFrame = {
+    val d = ev(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val cohorts = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  protected lazy val optionsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_band_filter" -> (q02 _),
+    "q03_keep_last" -> (q03 _),
+    "q04_lag_delta" -> (q04 _),
+    "q05_snapshot_diff" -> (q05 _),
+    "q06_nearest_expiry" -> (q06 _),
+    "q07_friday_policy" -> (q07 _),
+    "q08_symbol_roundtrip" -> (q08 _),
+    "q09_revenue_by_nation" -> (q09 _),
+    "q10_top_orders_per_cust" -> (q10 _),
+    "q11_stringly_coerce" -> (q11 _),
+    "q12_nan_clean" -> (q12 _),
+    "q13_options_pipeline" -> (q13 _),
+    "q14_weekly_pipeline" -> (q14 _),
+    "q15_percentiles" -> (q15 _),
+    "q16_rollup" -> (q16 _),
+    "q17_pivot" -> (q17 _),
+    "q18_asof_join" -> (q18 _),
+    "q19_range_join" -> (q19 _),
+    "q20_rolling_window" -> (q20 _),
+    "q21_cube" -> (q21 _),
+    "q22_semi_join" -> (q22 _),
+    "q23_anti_join" -> (q23 _),
+    "q24_retention" -> (q24 _),
+    "q25_distinct_count" -> (q25 _),
+    "q26_json_extract" -> (q26 _),
+    "q27_ntile" -> (q27 _),
+    "q28_stats_agg" -> (q28 _),
+    "q29_set_ops" -> (q29 _),
+    "q30_correlated" -> (q30 _),
+    "q31_tumbling" -> (q31 _),
+    "q32_sliding" -> (q32 _),
+    "q33_scd2_islands" -> (q33 _),
+    "q34_cohort_retention" -> (q34 _)
+  )
+
+  protected lazy val optionsOracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_band_filter" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_extendedprice BETWEEN 30000.0 * (1 - 7.0/100.0) AND 30000.0 * (1 + 7.0/100.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q03_keep_last" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q04_lag_delta" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        | coalesce(prev_value, 0.0) AS open_value,
+        | CASE WHEN prev_value IS NOT NULL THEN value - prev_value ELSE 0.0 END AS delta
+        |FROM (
+        |  SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q05_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT user_id, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30') WHERE rn = 1
+        |), tail300 AS (
+        |  SELECT * FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-30'
+        |  ORDER BY ts DESC, event_id DESC LIMIT 300
+        |), state AS (
+        |  SELECT user_id, value AS prev_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM tail300) WHERE rn = 1
+        |)
+        |SELECT cur.user_id, cur.event_id, cur.value,
+        | coalesce(state.prev_value, 0.0) AS open_value,
+        | CASE WHEN state.prev_value IS NOT NULL THEN cur.value - state.prev_value ELSE 0.0 END AS oi_change
+        |FROM cur LEFT JOIN state ON cur.user_id = state.user_id
+        |ORDER BY cur.user_id""".stripMargin,
+    "q06_nearest_expiry" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS expiry FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+        |ORDER BY expiry LIMIT 3""".stripMargin,
+    "q07_friday_policy" ->
+      """WITH active AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+        |), num AS (
+        |  SELECT d, row_number() OVER (ORDER BY d) - 1 AS n_before,
+        |         dayofweek(d) = 5 AS isfri
+        |  FROM active
+        |), w1 AS (
+        |  SELECT coalesce(
+        |    (SELECT min(d) FROM num WHERE isfri AND n_before >= 2),
+        |    (SELECT min(d) FROM num WHERE isfri)) AS d
+        |), w2 AS (
+        |  SELECT min(num.d) AS d FROM num, w1 WHERE num.isfri AND num.d > w1.d
+        |)
+        |SELECT 'W1' AS which, d AS expiry FROM w1 WHERE d IS NOT NULL
+        |UNION ALL
+        |SELECT 'W2' AS which, d AS expiry FROM w2 WHERE d IS NOT NULL
+        |ORDER BY which""".stripMargin,
+    "q08_symbol_roundtrip" ->
+      """WITH built AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
+        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)
+        |      || '-' || strftime(l_shipdate, '%d%m%y') AS symbol
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber, symbol,
+        |  TRY_CAST(string_split(symbol, '-')[3] AS DOUBLE) AS strike,
+        |  make_date(
+        |    2000 + TRY_CAST(substr(string_split(symbol, '-')[4], 5, 2) AS INT),
+        |    TRY_CAST(substr(string_split(symbol, '-')[4], 3, 2) AS INT),
+        |    TRY_CAST(substr(string_split(symbol, '-')[4], 1, 2) AS INT)) AS expiry,
+        |  CASE WHEN string_split(symbol, '-')[1] = 'C' THEN 'Call' ELSE 'Put' END AS opt_type
+        |FROM built
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q09_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q10_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q11_stringly_coerce" ->
+      """SELECT event_type,
+        | CAST(sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT), 0)) AS BIGINT) AS sum_k,
+        | round(sum(coalesce(TRY_CAST(event_type AS DOUBLE), 0.0)), 2) AS sum_bad,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_nan_clean" ->
+      """WITH injected AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_discount > 0.05 THEN 'NaN'::DOUBLE ELSE l_discount END AS x,
+        |    CASE WHEN l_tax = 0.0 THEN 'Infinity'::DOUBLE ELSE l_tax END AS y
+        |  FROM lineitem
+        |), cleaned AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN isnan(x) OR x = 'Infinity'::DOUBLE OR x = '-Infinity'::DOUBLE THEN NULL ELSE x END AS xc,
+        |    CASE WHEN isnan(y) OR y = 'Infinity'::DOUBLE OR y = '-Infinity'::DOUBLE THEN NULL ELSE y END AS yc
+        |  FROM injected
+        |)
+        |SELECT l_returnflag, count(*) AS n_total,
+        | count(xc) AS n_x_kept, count(yc) AS n_y_kept,
+        | round(sum(xc), 4) AS sum_x, round(sum(yc), 4) AS sum_y
+        |FROM cleaned
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_options_pipeline" ->
+      """WITH raw AS (
+        |  SELECT
+        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
+        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)
+        |      || '-' || strftime(date_trunc('month', l_shipdate), '%d%m%y') AS symbol,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'call_options' ELSE 'put_options' END AS contract_type,
+        |    FLOOR(l_extendedprice) AS strike,
+        |    round(l_extendedprice * 0.001, 2) AS mark,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS oi,
+        |    l_orderkey * 10 + l_linenumber AS src_seq,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS expiry
+        |  FROM lineitem
+        |), active AS (
+        |  SELECT DISTINCT expiry FROM raw WHERE expiry >= DATE '2000-01-01'
+        |  ORDER BY expiry LIMIT 3
+        |), banded AS (
+        |  SELECT * FROM raw
+        |  WHERE strike BETWEEN 30000.0 * (1 - 7.0/100.0) AND 30000.0 * (1 + 7.0/100.0)
+        |    AND expiry IN (SELECT expiry FROM active)
+        |), dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY src_seq DESC) AS rn
+        |    FROM banded) WHERE rn = 1
+        |)
+        |SELECT symbol AS "SYMBOL", '2000-01-01' AS "Date", '12:00:00' AS "Time",
+        |  30000.0 AS "Future_Price", strftime(expiry, '%Y-%m-%d') AS "Expiry_Date",
+        |  CAST(strike AS DOUBLE) AS "Strike",
+        |  CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS "Option_Type",
+        |  mark AS "Close", oi AS "OI",
+        |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
+        |FROM dedup
+        |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
+    "q14_weekly_pipeline" ->
+      """WITH raw AS (
+        |  SELECT
+        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
+        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % 30000 + 15000 AS VARCHAR)
+        |      || '-' || strftime(CAST(date_trunc('week', l_shipdate) AS DATE) + INTERVAL (l_orderkey % 7) DAY, '%d%m%y') AS symbol,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'call_options' ELSE 'put_options' END AS contract_type,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) % 30000 + 15000 AS strike,
+        |    round(l_extendedprice * 0.001, 2) AS mark,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS oi,
+        |    l_orderkey * 10 + l_linenumber AS src_seq
+        |  FROM lineitem
+        |), parsed AS (
+        |  SELECT *,
+        |    make_date(
+        |      2000 + TRY_CAST(substr(string_split(symbol, '-')[4], 5, 2) AS INT),
+        |      TRY_CAST(substr(string_split(symbol, '-')[4], 3, 2) AS INT),
+        |      TRY_CAST(substr(string_split(symbol, '-')[4], 1, 2) AS INT)) AS expiry
+        |  FROM raw
+        |), active AS (
+        |  SELECT DISTINCT expiry AS d FROM parsed WHERE expiry >= DATE '2000-01-01'
+        |), num AS (
+        |  SELECT d, row_number() OVER (ORDER BY d) - 1 AS n_before,
+        |         dayofweek(d) = 5 AS isfri
+        |  FROM active
+        |), w1 AS (
+        |  SELECT coalesce(
+        |    (SELECT min(d) FROM num WHERE isfri AND n_before >= 2),
+        |    (SELECT min(d) FROM num WHERE isfri)) AS d
+        |), w2 AS (
+        |  SELECT min(num.d) AS d FROM num, w1 WHERE num.isfri AND num.d > w1.d
+        |), targets AS (
+        |  SELECT d FROM w1 WHERE d IS NOT NULL
+        |  UNION ALL SELECT d FROM w2 WHERE d IS NOT NULL
+        |), banded AS (
+        |  SELECT * FROM parsed
+        |  WHERE strike BETWEEN 30000.0 * (1 - 25.0/100.0) AND 30000.0 * (1 + 25.0/100.0)
+        |    AND expiry IN (SELECT d FROM targets)
+        |), dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY src_seq DESC) AS rn
+        |    FROM banded) WHERE rn = 1
+        |)
+        |SELECT symbol AS "SYMBOL", '2000-01-01' AS "Date", '12:00:00' AS "Time",
+        |  30000.0 AS "Future_Price", strftime(expiry, '%Y-%m-%d') AS "Expiry_Date",
+        |  CAST(strike AS DOUBLE) AS "Strike",
+        |  CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS "Option_Type",
+        |  mark AS "Close", oi AS "OI",
+        |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
+        |FROM dedup
+        |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        | round(quantile_cont(l_quantity, 0.9), 2) AS p90,
+        | round(quantile_cont(l_quantity, 0.99), 2) AS p99,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q17_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
+        | round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'purchase'
+        |), r2 AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.user_id, l.event_id, l.ts_us, l.value, r2.click_id, r2.click_ts_us, r2.click_value
+        |FROM l ASOF LEFT JOIN r2 ON l.user_id = r2.user_id AND l.ts_us >= r2.click_ts_us
+        |ORDER BY l.user_id, l.ts_us, l.event_id""".stripMargin,
+    "q19_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id AS signup_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + 172800000000 AS end_us
+        |  FROM events WHERE event_type = 'signup'
+        |), pt AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT pt.user_id, pt.view_id, pt.view_ts_us, iv.signup_id, iv.start_us, iv.end_us
+        |FROM pt JOIN iv ON pt.user_id = iv.user_id
+        |  AND pt.view_ts_us BETWEEN iv.start_us AND iv.end_us
+        |ORDER BY pt.user_id, pt.view_id, iv.signup_id""".stripMargin,
+    "q20_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         round(sum(o_totalprice), 2) AS day_rev
+        |  FROM orders GROUP BY 1
+        |), e AS (
+        |  SELECT d, day_rev, date_diff('day', DATE '1970-01-01', d) AS d_epoch FROM daily
+        |)
+        |SELECT d, day_rev,
+        |  round(sum(day_rev) OVER (ORDER BY d_epoch RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM e ORDER BY d""".stripMargin,
+    "q21_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q22_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q23_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q24_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM events
+        |)
+        |SELECT a.wk, count(*) AS active_users,
+        |  count(b.user_id) AS retained_users,
+        |  round(CAST(count(b.user_id) AS DOUBLE) / count(*), 4) AS retention
+        |FROM uw a LEFT JOIN uw b
+        |  ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |GROUP BY a.wk ORDER BY a.wk""".stripMargin,
+    "q25_distinct_count" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_ntile" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+        |    round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+        |  FROM orders
+        |)
+        |SELECT decile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi,
+        |  round(max(pr), 6) AS max_pr
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
+    "q28_stats_agg" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS cents,
+        |    CAST(round(l_quantity) AS DECIMAL(18,0)) AS qty,
+        |    CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS d100,
+        |    CAST(round(l_tax * 100) AS DECIMAL(18,0)) AS t100
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(cents) AS sx, sum(cents * cents) AS sxx,
+        |    sum(qty) AS sq, sum(qty * qty) AS sqq,
+        |    sum(cents * qty) AS sxq,
+        |    sum(d100) AS sd, sum(t100) AS st, sum(d100 * t100) AS sdt
+        |  FROM b GROUP BY l_returnflag
+        |), d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+        |    CAST(sq AS DOUBLE) AS sq, CAST(sqq AS DOUBLE) AS sqq,
+        |    CAST(sxq AS DOUBLE) AS sxq,
+        |    CAST(sd AS DOUBLE) AS sd, CAST(st AS DOUBLE) AS st,
+        |    CAST(sdt AS DOUBLE) AS sdt
+        |  FROM s
+        |)
+        |SELECT l_returnflag,
+        |  CASE WHEN n > 1 THEN
+        |    floor(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))) / 100 * 1e4 + 0.5) / 1e4
+        |  END AS sd_price,
+        |  CASE WHEN n > 1 AND (nd * sxx - sx * sx) > 0 AND (nd * sqq - sq * sq) > 0 THEN
+        |    floor((nd * sxq - sx * sq) /
+        |          (sqrt(nd * sxx - sx * sx) * sqrt(nd * sqq - sq * sq)) * 1e4 + 0.5) / 1e4
+        |  END AS corr_pq,
+        |  CASE WHEN n > 1 THEN
+        |    floor((nd * sdt - sd * st) / (nd * (nd - 1)) / 10000 * 1e4 + 0.5) / 1e4
+        |  END AS cov_dt,
+        |  n
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q31_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+        |  count(*) AS n,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_sliding" ->
+      """WITH w AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+        |           - (o.k * INTERVAL '30 minutes')) AS ws_us,
+        |         value
+        |  FROM events, (SELECT unnest([0, 1]) AS k) o
+        |)
+        |SELECT ws_us, count(*) AS n,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM w GROUP BY ws_us ORDER BY ws_us""".stripMargin,
+    "q30_correlated" ->
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(i.o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q29_set_ops" ->
+      """WITH h1 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-06-30'
+        |), h2 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-07-01' AND DATE '1998-12-31'
+        |)
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM h1 UNION SELECT * FROM h2)
+        |ORDER BY op""".stripMargin,
+    "q33_scd2_islands" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type IS NOT DISTINCT FROM
+        |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM events
+        |), isl AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS island
+        |  FROM ordered
+        |), agg AS (
+        |  SELECT user_id, island, min(event_type) AS event_type,
+        |    min(ts_us) AS valid_from, count(*) AS n_events
+        |  FROM isl GROUP BY user_id, island
+        |)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+        |  n_events
+        |FROM agg ORDER BY user_id, valid_from""".stripMargin,
+    // x81: brute cosine pairs at 0.45 → recursive component closure →
+    // min-id keep — the x71 oracle technique on the embedding graph.
+    // q34: first-seen day per user, then the distinct-user retention
+    // triangle; all counts BIGINT-cast (the HUGEINT lesson).
+    "q34_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+        |)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY cohort_day, day - cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin
+  )
+}

@@ -27,63 +27,7 @@ import graft.sources.TickerSource
   *   - all casts are `try_*` so queries behave the same under ANSI (the
   *     driver's session) and non-ANSI (GraftSession) modes.
   */
-object SparkEntry {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** The documents scan spread to cluster parallelism — for surfaces whose
-    * CPU cost is map-side expression work over the text (tokenize /
-    * n-gram / codec-decode fold expressions). The local testdata table is
-    * ONE sub-row-group-size parquet file, so without this every such
-    * surface runs its hot loop in a single scan task (wall ≈ cpu on a
-    * 32-core host — the x34/x74 partition-inheritance lesson, and the
-    * amplifier behind the round-6 driver-environment bench inflation:
-    * a JIT-starved interpreted loop hurts 32× more when it cannot
-    * parallelize). This belongs in the QUERY BUILDERS, not the operators:
-    * a 100 TB scan has thousands of natural splits and a forced text
-    * repartition there would be a pure shuffle tax, while map-only
-    * operators (text stats, PII scrub, rule flags) must stay map-only.
-    */
-  private def dts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
-
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read the physical INT64 as epoch-nanos (`ts_ns`) via an explicit
-    * schema. Keeping nanos as long also preserves the full arrival order —
-    * truncating to micros would merge 99.9% of events into ties.
-    */
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // Two on-disk generations of events.parquet exist: TIMESTAMP(NANOS)
-    // (Spark rejects the logical type at schema inference, so it can only
-    // be read as raw LONG nanos) and TIMESTAMP(MICROS/NTZ) (Spark infers a
-    // timestamp type). Either way the physical column is a raw int64, so
-    // force a LONG read — timezone-free — and use the footer probe only to
-    // decide the SCALE. Forcing LONG while assuming nanos on the MICROS
-    // generation silently mis-scales every derived time by 1000×.
-    val rawIsMicros = scala.util
-      .Try(s.read.parquet(path).schema("ts").dataType)
-      .toOption
-      .exists(t => t == TimestampType || t == TimestampNTZType)
-    val base = s.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(path)
-    val withTimes =
-      if (rawIsMicros)
-        base
-          .withColumnRenamed("ts", "ts_us")
-          .withColumn("ts_ns", col("ts_us") * lit(1000L))
-      else
-        base
-          .withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts_us", expr("ts_ns div 1000"))
-    withTimes.select(col("event_id"), col("ts_ns"), col("user_id"),
-      col("event_type"), col("value"), col("props"), col("ts_us"))
-  }
-
-  private def tsNsDate(c: Column): Column =
-    to_date(timestamp_micros((c / 1000).cast(LongType)))
+object SparkEntry extends LearnedRegistry {
 
   /** Flagship: the full options-pipeline batch (parse → band → expiry policy
     * → dedup → delta join → canonical sort) on a deterministic synthetic
@@ -103,9423 +47,13 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- parity
 
-  /** §2.3 aggregation: TPC-H-Q1-shaped pricing summary over lineitem. */
-  private def q01(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-12-31 00:00:00")))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        discountedRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        count(lit(1)).as("n")
-      )
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
-
-  /** §2.2 strike-band predicate as a pushed-down BETWEEN (reference
-    * filter_strikes_by_percentage, main.py:83-87): ±7% band around a fixed
-    * spot of 30000 over l_extendedprice.
-    */
-  private def q02(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .where(Snapshot.strikeBand(col("l_extendedprice"), lit(30000.0), 7.0))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("l_extendedprice")).as("min_price"),
-        max(col("l_extendedprice")).as("max_price")
-      )
-      .orderBy(col("l_returnflag"))
-
-  /** §2.3 keep-LAST dedup (reference drop_duplicates keep='last',
-    * main.py:233) over events keyed by user_id, arrival order (ts, event_id).
-    */
-  private def q03(s: SparkSession, dir: String): DataFrame =
-    Snapshot
-      .keepLastBy(ev(s, dir), Seq("user_id"), Seq(col("ts_us"), col("event_id")))
-      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-      .orderBy(col("user_id"))
-
-  /** §2.4 per-key previous-snapshot diff in its windowed form: lag(value)
-    * over (user_id, ts) — Open/OI_Change semantics (miss → 0).
-    */
-  private def q04(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    ev(s, dir)
-      .withColumn("prev_value", lag(col("value"), 1).over(w))
-      .select(
-        col("user_id"),
-        col("event_id"),
-        col("ts_us"),
-        col("value"),
-        coalesce(col("prev_value"), lit(0.0)).as("open_value"),
-        when(col("prev_value").isNotNull, col("value") - col("prev_value"))
-          .otherwise(lit(0.0))
-          .as("delta")
-      )
-      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
-  }
-
-  /** §2.4 the reference's snapshot-diff join, end to end on real tables:
-    * current batch = keep-last event per user on 2024-01-30; state = the
-    * sink tail (last 300 events before that day, reference tail(300)
-    * main.py:260) deduped keep-last per user; broadcast LEFT join;
-    * Open = prev value (miss → 0), OI_Change-style delta (miss → 0).
-    */
-  private def q05(s: SparkSession, dir: String): DataFrame = {
-    val events = ev(s, dir)
-    val day = lit(java.sql.Date.valueOf("2024-01-30"))
-    val cur = Snapshot.keepLastBy(
-      events.where(tsNsDate(col("ts_ns")) === day),
-      Seq("user_id"),
-      Seq(col("ts_us"), col("event_id"))
-    )
-    val tail300 = events
-      .where(tsNsDate(col("ts_ns")) < day)
-      .orderBy(col("ts_us").desc, col("event_id").desc)
-      .limit(300)
-    val state = Snapshot
-      .keepLastBy(tail300, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
-      .select(col("user_id"), col("value").as("prev_value"))
-    cur
-      .join(broadcast(state), Seq("user_id"), "left")
-      .select(
-        col("user_id"),
-        col("event_id"),
-        col("value"),
-        coalesce(col("prev_value"), lit(0.0)).as("open_value"),
-        when(col("prev_value").isNotNull, col("value") - col("prev_value"))
-          .otherwise(lit(0.0))
-          .as("oi_change")
-      )
-      .orderBy(col("user_id"))
-  }
-
-  /** §2.3 E0/E1/E2 nearest-expiry policy as sorted-limit over distinct
-    * dates (reference get_current_and_next_expiry, main.py:43-80).
-    */
-  private def q06(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select(col("o_orderdate").cast(DateType).as("expiry"))
-      .where(col("expiry") >= lit(java.sql.Date.valueOf("1998-06-01")))
-      .distinct()
-      .orderBy(col("expiry"))
-      .limit(3)
-
-  /** §2.3 Friday W1/W2 policy (reference deltaweekly.py:43-111): first
-    * Friday with ≥2 active dates strictly before it, and the next Friday
-    * after that.
-    */
-  private def q07(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val active = t(s, dir, "orders")
-      .select(col("o_orderdate").cast(DateType).as("expiry"))
-      .where(col("expiry") >= lit(java.sql.Date.valueOf("1998-06-01")))
-    val picked = ExpiryPolicy.fridayExpiries(active, LocalDate.of(1998, 6, 1))
-    picked
-      .zip(Seq("W1", "W2"))
-      .map { case (d, w) => (w, java.sql.Date.valueOf(d)) }
-      .toDF("which", "expiry")
-      .orderBy(col("which"))
-  }
-
-  /** §2.2 symbol construction + parse round-trip: build
-    * {C|P}-ETH-<strike>-<DDMMYY> symbols from lineitem, then recover strike,
-    * expiry (reference year = 2000+YY rule, main.py:185-187) and option
-    * type with pure string/date expressions.
-    */
-  private def q08(s: SparkSession, dir: String): DataFrame = {
-    val sym = concat(
-      when(col("l_linenumber") % 2 === 0, lit("C")).otherwise(lit("P")),
-      lit("-ETH-"),
-      floor(col("l_extendedprice")).cast(StringType),
-      lit("-"),
-      date_format(col("l_shipdate"), "ddMMyy")
-    )
-    // materialize the split once, structurally: the six downstream
-    // extractions reference a named `parts`/`tok` column instead of a live
-    // `split(...)` expression. Measured equal today (CollapseProject
-    // already declines to duplicate non-cheap expressions, SPARK-36718) —
-    // this shape just stops depending on that heuristic.
-    // repartition BEFORE the symbol build: the date_format/split/make_date
-    // chain is the cost and the local lineitem file is 2 scan splits —
-    // the dts() rationale (measured 2.3 s wall at 1.6-core occupancy)
-    t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_shipdate"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("l_orderkey"), col("l_linenumber"), sym.as("symbol"))
-      .withColumn("parts", split(col("symbol"), "-"))
-      .withColumn("tok", element_at(col("parts"), -1))
-      .select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        col("symbol"),
-        element_at(col("parts"), 3).try_cast(DoubleType).as("strike"),
-        make_date(
-          substring(col("tok"), 5, 2).try_cast(IntegerType) + lit(2000),
-          substring(col("tok"), 3, 2).try_cast(IntegerType),
-          substring(col("tok"), 1, 2).try_cast(IntegerType)
-        ).as("expiry"),
-        when(element_at(col("parts"), 1) === "C", lit("Call"))
-          .otherwise(lit("Put"))
-          .as("opt_type")
-      )
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
-  }
-
-  /** Multi-way join with broadcast dims: revenue by nation for one region
-    * (exercises the join-shape the delta join takes when state outgrows the
-    * broadcast bound).
-    */
-  private def q09(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .where(col("r_name") === "ASIA")
-      .groupBy(col("n_name"))
-      .agg(
-        discountedRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        count(lit(1)).as("n_items")
-      )
-      .orderBy(col("n_name"))
-
-  /** §2.3 windowed top-N per key (the row_number pattern that encodes all
-    * the reference's keep-last/tail semantics): top-2 orders per customer.
-    */
-  private def q10(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 2)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-      .orderBy(col("o_custkey"), col("rn"))
-  }
-
-  /** §2.2 stringly coercion (reference to_numeric(errors='coerce') → 0,
-    * main.py:276-285): extract digits from a JSON-ish string column,
-    * try_cast with 0 default; plus a guaranteed-failing cast.
-    */
-  private def q11(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .withColumn(
-        "k",
-        coalesce(regexp_extract(col("props"), "[0-9]+", 0).try_cast(LongType), lit(0L))
-      )
-      .withColumn("bad", coalesce(col("event_type").try_cast(DoubleType), lit(0.0)))
-      .groupBy(col("event_type"))
-      .agg(
-        sum(col("k")).as("sum_k"),
-        round(sum(col("bad")), 2).as("sum_bad"),
-        count(lit(1)).as("n")
-      )
-      .orderBy(col("event_type"))
-
-  /** §2.2 NaN/Inf → NULL sink cleanup (reference clean_dataframe_for_json,
-    * main.py:33-41): inject NaN/Inf by predicate, clean, aggregate.
-    */
-  private def q12(s: SparkSession, dir: String): DataFrame = {
-    val x = when(col("l_discount") > 0.05, lit(Double.NaN)).otherwise(col("l_discount"))
-    val y = when(col("l_tax") === 0.0, lit(Double.PositiveInfinity)).otherwise(col("l_tax"))
-    t(s, dir, "lineitem")
-      .withColumn("xc", Snapshot.cleanNumeric(x))
-      .withColumn("yc", Snapshot.cleanNumeric(y))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n_total"),
-        count(col("xc")).as("n_x_kept"),
-        count(col("yc")).as("n_y_kept"),
-        round(sum(col("xc")), 4).as("sum_x"),
-        round(sum(col("yc")), 4).as("sum_y")
-      )
-      .orderBy(col("l_returnflag"))
-  }
-
-  /** §3 the WHOLE reference batch lifecycle as one oracled query: synthetic
-    * snapshot → parse → ±7% band → E0/E1/E2 policy → keep-last dedup →
-    * delta vs empty state → canonical sort, against an independent pure-SQL
-    * formulation of the same pipeline.
-    */
-  private def q13(s: SparkSession, dir: String): DataFrame =
-    OptionsPipeline.runBatch(
-      TickerSource.syntheticFromLineitem(s, dir),
-      ParquetSink.emptyState(s),
-      OptionsPipeline.Hourly,
-      today = LocalDate.of(2000, 1, 1),
-      batchDate = LocalDate.of(2000, 1, 1),
-      batchTime = LocalTime.of(12, 0, 0)
-    )
-
-  /** §3 the WEEKLY lifecycle end-to-end (deltaweekly.py): same batch shape
-    * as q13 but with the Friday W1/W2 policy (count≥2 rule + fallback,
-    * dw:43-111) and the ±25% band (dw:152-153), on a synthetic snapshot
-    * whose expiries cover all weekdays. Oracled against an independent SQL
-    * formulation that parses expiry back out of the symbol (so the DDMMYY
-    * 2000+YY roundtrip semantics are identical on both engines).
-    */
-  private def q14(s: SparkSession, dir: String): DataFrame =
-    OptionsPipeline.runBatch(
-      TickerSource.syntheticWeeklyFromLineitem(s, dir),
-      ParquetSink.emptyState(s),
-      OptionsPipeline.Weekly,
-      today = LocalDate.of(2000, 1, 1),
-      batchDate = LocalDate.of(2000, 1, 1),
-      batchTime = LocalTime.of(12, 0, 0)
-    )
-
-  /** OLAP surface: exact multi-percentiles per group (linear interpolation,
-    * matching DuckDB quantile_cont / NumPy type-7). Taken over the
-    * INTEGER-VALUED quantity column on purpose: type-7 interpolation between
-    * integers with p ∈ {.5,.9,.99} yields at most two exact decimals, so the
-    * 2-dp round can never sit on a .xx5 boundary where a 1-ulp cross-engine
-    * difference flips the hash (observed with l_extendedprice at sf0.001:
-    * 52724.245 rounded to .25 in DuckDB and .24 in Spark).
-    */
-  private def q15(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_quantity"), lit(0.9)), 2).as("p90"),
-        round(percentile(col("l_quantity"), lit(0.99)), 2).as("p99"),
-        count(lit(1)).as("n")
-      )
-      .orderBy(col("l_returnflag"))
-
-  /** OLAP surface: ROLLUP hierarchy totals. Subtotal rows are labeled 'ALL'
-    * via coalesce on BOTH engines, sidestepping NULL-ordering divergence
-    * (Spark sorts NULLs first, DuckDB last).
-    */
-  private def q16(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("sum_price"),
-        col("n")
-      )
-      .orderBy(col("flag"), col("status"))
-
-  /** OLAP surface: pivot with an explicit value list (explicit = one pass;
-    * value-discovering pivot needs an extra distinct job).
-    */
-  private def q17(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .pivot("l_linestatus", Seq("F", "O"))
-      .agg(round(sum(col("l_quantity")), 2))
-      .withColumnRenamed("F", "qty_f")
-      .withColumnRenamed("O", "qty_o")
-      .orderBy(col("l_returnflag"))
-
-  /** Backward as-of join (each purchase ← latest prior-or-equal click of
-    * the same user), union+window formulation vs DuckDB's NATIVE ASOF JOIN
-    * — two independent algorithms, one answer.
-    */
-  private def q18(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    val purchases = e
-      .where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-    val clicks = e
-      .where(col("event_type") === "click")
-      .select(
-        col("user_id"),
-        col("event_id").as("click_id"),
-        col("ts_us").as("click_ts_us"),
-        col("value").as("click_value")
-      )
-    AsofJoin
-      .backward(purchases, clicks, Seq("user_id"), "ts_us", "click_ts_us")
-      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
-  }
-
-  /** Bin-blocked range join: view events into 2-day signup windows of the
-    * same user (425 views fall in overlapping windows → genuine
-    * many-to-many), vs a plain BETWEEN inequality join in DuckDB.
-    */
-  private def q19(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    val intervals = e
-      .where(col("event_type") === "signup")
-      .select(
-        col("user_id"),
-        col("event_id").as("signup_id"),
-        col("ts_us").as("start_us"),
-        (col("ts_us") + lit(172800000000L)).as("end_us")
-      )
-    val points = e
-      .where(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
-    RangeJoin
-      .binned(points, intervals, Seq("user_id"), "view_ts_us", "start_us", "end_us",
-        binWidth = 86400000000L)
-      .select(col("user_id"), col("view_id"), col("view_ts_us"), col("signup_id"), col("start_us"), col("end_us"))
-      .orderBy(col("user_id"), col("view_id"), col("signup_id"))
-  }
-
-  /** OLAP surface: event-time RANGE frame — 7-day trailing revenue over the
-    * daily rollup. RANGE (value-based) frames are a distinct window family
-    * from the row-based lag/rank/running-sum queries: the frame holds
-    * whatever DAYS fall in [d-6, d], not a fixed row count, so gaps in the
-    * calendar shrink it. Global window is safe here BECAUSE it runs on the
-    * daily rollup (thousands of rows at any corpus scale), never on raw
-    * orders — the groupBy does the data-size reduction first.
-    */
-  private def q20(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "orders")
-      .groupBy(col("o_orderdate").cast(DateType).as("d"))
-      .agg(round(sum(col("o_totalprice")), 2).as("day_rev"))
-      .withColumn("d_epoch", datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))))
-    val w = Window.orderBy(col("d_epoch")).rangeBetween(-6, 0)
-    daily
-      .withColumn("rev_7d", round(sum(col("day_rev")).over(w), 2))
-      .select(col("d"), col("day_rev"), col("rev_7d"))
-      .orderBy(col("d"))
-  }
-
-  /** OLAP surface: CUBE — all 2^2 grouping-set combinations in one pass
-    * (Spark expands grouping sets map-side; one shuffle keyed by the
-    * grouping-set id + keys). Labels subtotals 'ALL' on both engines like
-    * q16's rollup, so NULL-ordering divergence can't bite.
-    */
-  private def q21(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("sum_qty"),
-        col("n")
-      )
-      .orderBy(col("flag"), col("status"))
-
-  /** Join surface: LEFT SEMI (EXISTS) — orders having ≥1 returned lineitem,
-    * counted per priority. Semi joins never duplicate the probe side, so
-    * the count needs no downstream distinct; at scale the build side
-    * reduces to distinct orderkeys and AQE broadcasts it when small.
-    */
-  private def q22(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .join(
-        t(s, dir, "lineitem").where(col("l_returnflag") === "R"),
-        col("o_orderkey") === col("l_orderkey"),
-        "left_semi"
-      )
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("o_orderpriority"))
-
-  /** Join surface: LEFT ANTI (NOT EXISTS) — customers with no orders,
-    * counted per nation. The anti join ships only o_custkey (column-pruned
-    * build side); the TPC-H Q22 shape.
-    */
-  private def q23(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .join(
-        t(s, dir, "orders"),
-        col("c_custkey") === col("o_custkey"),
-        "left_anti"
-      )
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_customers"))
-      .orderBy(col("c_nationkey"))
-
-  /** OLAP surface: week-over-week user retention over the event stream.
-    * One distinct (user, week) pass, then a self equi-join on
-    * (user, week+1) — both sides partitioned by the same key pair, and the
-    * left-join + count(b) gives cohort size and survivors in one agg.
-    * Weeks are epoch-day/7 buckets (identical integer arithmetic on both
-    * engines; date_trunc('week') was avoided to sidestep locale rules).
-    */
-  private def q24(s: SparkSession, dir: String): DataFrame = {
-    val uw = ev(s, dir)
-      .select(
-        col("user_id"),
-        (datediff(tsNsDate(col("ts_ns")), lit(java.sql.Date.valueOf("1970-01-01"))) / 7)
-          .cast(LongType) // DuckDB date-diff // 7 is BIGINT; match width (the q11 dtype lesson)
-          .as("wk")
-      )
-      .distinct()
-    val nxt = uw.select(col("user_id").as("n_user_id"), col("wk").as("n_wk"))
-    uw.join(
-        nxt,
-        col("user_id") === col("n_user_id") && col("n_wk") === col("wk") + 1,
-        "left"
-      )
-      .groupBy(col("wk"))
-      .agg(
-        count(lit(1)).as("active_users"),
-        count(col("n_user_id")).as("retained_users"),
-        round(count(col("n_user_id")).cast(DoubleType) / count(lit(1)), 4).as("retention")
-      )
-      .orderBy(col("wk"))
-  }
-
-  /** Aggregation surface: exact COUNT(DISTINCT) per group. Spark plans this
-    * as a two-phase expand + partial agg (no row ships twice); the
-    * 100 TB companion is approx_count_distinct (HLL++ sketch, fixed-size
-    * state, one shuffle of sketches) — DistinctCountSpec pins its error
-    * within the configured rsd against this exact query.
-    */
-  private def q25(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events")
-      )
-      .orderBy(col("event_type"))
-
-  /** Semi-structured surface: parse the JSON `props` column with a typed
-    * schema (`from_json` — Jackson parse once, then columnar access; the
-    * 100 TB point is that the parse happens INSIDE codegen next to the
-    * scan, no intermediate string materialization) and aggregate the
-    * extracted field. Distinct from q11, which treats props as an opaque
-    * string (regexp coercion parity); this is the structured fast path.
-    */
-  private def q26(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .select(
-        col("event_type"),
-        from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k").as("k")
-      )
-      .groupBy(col("event_type"))
-      .agg(
-        sum(col("k")).as("sum_k"),
-        max(col("k")).as("max_k"),
-        count(when(col("k").isNull, 1)).as("n_missing")
-      )
-      .orderBy(col("event_type"))
-
-  /** Window-function surface: equi-depth deciles (ntile) + percent_rank
-    * over order totals — WITHOUT the `Window.orderBy(...)` (no partition
-    * spec) single-partition window the naive formulation plans, which
-    * funnels every order through one task. Instead the exact global rank
-    * comes from [[graft.operators.GlobalRank]] (range-partition + parallel
-    * local windows + broadcast offsets), and `ntile`/`percent_rank` are
-    * then CLOSED FORMS of (rank, N) applied map-side:
-    *   - ntile(10): the first N mod 10 tiles hold ⌈N/10⌉ rows, the rest
-    *     ⌊N/10⌋ (the SQL-standard rule both Spark and DuckDB implement);
-    *   - percent_rank = (rank−1)/(N−1), exact because the sort key is a
-    *     total order so rank ≡ row_number.
-    * The oracle keeps the window formulation — two derivations, one
-    * hash-matched answer. PlanGuardSpec pins that no single-partition
-    * window survives in any oracled plan.
-    */
-  private def q27(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders").select(col("o_totalprice"), col("o_orderkey"))
-    val n = orders.count()
-    val tileQ = n / 10
-    val rem = n % 10
-    val bigEnd = rem * (tileQ + 1) // ranks 1..bigEnd fall in the ⌈N/10⌉-sized tiles
-    GlobalRank
-      .withGlobalRank(orders, Seq(col("o_totalprice"), col("o_orderkey")), "rank")
-      .withColumn(
-        "decile",
-        when(
-          col("rank") <= lit(bigEnd),
-          ((col("rank") - 1) / lit(tileQ + 1)).cast("long") + 1
-        ).otherwise(
-          lit(rem) + ((col("rank") - lit(bigEnd) - 1) / lit(math.max(tileQ, 1L))).cast("long") + 1
-        ).cast("int")
-      )
-      .withColumn("pr", round((col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6))
-      .groupBy(col("decile"))
-      .agg(
-        count(lit(1)).as("n"),
-        round(min(col("o_totalprice")), 2).as("lo"),
-        round(max(col("o_totalprice")), 2).as("hi"),
-        round(max(col("pr")), 6).as("max_pr")
-      )
-      .orderBy(col("decile"))
-  }
-
-  /** Statistical-aggregate surface: sample stddev, Pearson correlation and
-    * sample covariance per group. Round 2 taught that the built-in
-    * merge-formula aggregates (Welford-style M2 state) accumulate in
-    * engine-specific order, so `round(stddev_samp(double), 4)` flips a
-    * 4-dp midpoint whenever Spark's and the oracle's doubles differ by an
-    * ulp — rows/schema matched but the hash flaked. This formulation is
-    * order-independent on BOTH engines: the money columns are 2-dp-valued
-    * doubles, so scaling to integer cents and summing the power sums as
-    * DECIMAL is exact integer arithmetic (any accumulation order, any
-    * partitioning), and the closed-form moment formulas then run the same
-    * IEEE expression tree over bit-identical inputs. StatsDeterminismSpec
-    * pins the closed forms ≡ the built-ins to 1e-9 so the statistic itself
-    * is unchanged. Scale posture: one partial-agg shuffle, 11 exact sums —
-    * the same single-pass shape as the built-ins.
-    *
-    * VALIDITY BOUND: "both engines cast the exact sums to double
-    * identically" holds while every power sum stays below 2^63 ≈ 9.2e18 —
-    * above that DuckDB's DECIMAL sums live in hugeint and its
-    * hugeint→double conversion is two-term (not single-rounded), so the
-    * casts can differ by an ulp. sum(cents²) is the binding term: at
-    * ~1.1e10 per row (prices ≤ ~$1,050) the bound holds to ~8×10⁸ rows
-    * per group — sf ~1e3, three orders past the sweep range. Past that,
-    * subtract per-group decimal means before casting (shrinks the sums by
-    * ~n) or emit the decimal sums and let the gate compare decimals.
-    *
-    * Degenerate groups (n=1, or zero variance under corr) return NULL —
-    * mirroring the built-ins' stddev_samp/corr NULL contract — instead of
-    * the NaN/Infinity the bare closed forms would produce; the guards run
-    * on the SAME cast doubles in both engines so they flip identically.
-    */
-  private def q28(s: SparkSession, dir: String): DataFrame = {
-    val dec = (c: Column) => c.cast(DecimalType(18, 0))
-    val cents = dec(round(col("l_extendedprice") * 100))
-    val qty = dec(round(col("l_quantity")))
-    val d100 = dec(round(col("l_discount") * 100))
-    val t100 = dec(round(col("l_tax") * 100))
-    val dbl = (n: String) => col(n).cast(DoubleType)
-    val varX = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
-    val varQ = dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(cents).as("sx"),
-        sum(cents * cents).as("sxx"),
-        sum(qty).as("sq"),
-        sum(qty * qty).as("sqq"),
-        sum(cents * qty).as("sxq"),
-        sum(d100).as("sd"),
-        sum(t100).as("st"),
-        sum(d100 * t100).as("sdt")
-      )
-      .select(
-        col("l_returnflag"),
-        when(col("n") > 1,
-          round4(sqrt(varX / (dbl("n") * (dbl("n") - 1))) / 100)).as("sd_price"),
-        when(col("n") > 1 && varX > 0 && varQ > 0,
-          round4((dbl("n") * dbl("sxq") - dbl("sx") * dbl("sq")) /
-            (sqrt(varX) * sqrt(varQ)))).as("corr_pq"),
-        when(col("n") > 1,
-          round4((dbl("n") * dbl("sdt") - dbl("sd") * dbl("st")) /
-            (dbl("n") * (dbl("n") - 1)) / 10000)).as("cov_dt"),
-        col("n")
-      )
-      .orderBy(col("l_returnflag"))
-  }
-
-  /** Floor-form 4-dp rounding: pure IEEE multiply/add/floor, bit-identical
-    * across engines given bit-identical input (the q31/x12 lesson — native
-    * `round` rounds the shortest-decimal rendering on Spark but the binary
-    * double on SQL engines).
-    */
-  private def round4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
-
-  /** Order-independent `sum(price * (1 - discount))`. The double product
-    * sits on a 4-dp grid, so its float sum can land within an ulp of a
-    * 2-dp rounding midpoint (x.xx5) and flip the last digit between
-    * engines — the same flake class as x17/q28. Both money columns are
-    * 2-dp-valued, so computing the product and sum in DECIMAL is exact;
-    * the final HALF_UP round of an exact positive decimal is identical on
-    * Spark and DuckDB, and the cast back to double is a single
-    * correctly-rounded conversion.
-    */
-  private def discountedRevenue(price: Column, disc: Column): Column = {
-    val d2 = DecimalType(18, 2)
-    round(sum(price.cast(d2) * (lit(1).cast(d2) - disc.cast(d2))), 2).cast(DoubleType)
-  }
-
-  /** Set-operation surface: INTERSECT / EXCEPT / UNION-distinct over the
-    * active-customer sets of two half-years. Spark plans intersect/except
-    * as left-semi/anti aggregates on the same key partitioning — no new
-    * shuffle shapes beyond the distinct — and the three tagged counts union
-    * into one result so the whole surface is a single oracled query.
-    */
-  private def q29(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(
-      col("o_custkey"),
-      col("o_orderdate").cast(DateType).as("d")
-    )
-    val h1 = o
-      .where(col("d").between(
-        lit(java.sql.Date.valueOf("1998-01-01")), lit(java.sql.Date.valueOf("1998-06-30"))))
-      .select(col("o_custkey")).distinct()
-    val h2 = o
-      .where(col("d").between(
-        lit(java.sql.Date.valueOf("1998-07-01")), lit(java.sql.Date.valueOf("1998-12-31"))))
-      .select(col("o_custkey")).distinct()
-    val tag = (dfx: DataFrame, name: String) =>
-      dfx.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
-    tag(h1.intersect(h2), "intersect")
-      .unionAll(tag(h1.except(h2), "except"))
-      .unionAll(tag(h1.union(h2).distinct(), "union"))
-      .orderBy(col("op"))
-  }
-
-  /** Correlated-scalar-subquery surface: orders priced >1.5× their own
-    * customer's average. Written as SQL on purpose — the DataFrame API has
-    * no correlated-subquery constructor — so the query exercises Catalyst's
-    * DECORRELATION: the optimizer rewrites the per-row subquery into an
-    * aggregate + equi-join (visible as one Aggregate feeding a join in the
-    * plan), which is the only formulation that scales; a naive engine would
-    * re-run the inner aggregate per outer row.
-    */
-  private def q30(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("graft_q30_orders")
-    s.sql(
-      """SELECT o_custkey, count(*) AS n_big
-        |FROM graft_q30_orders o
-        |WHERE o_totalprice > 1.5 * (
-        |  SELECT avg(i.o_totalprice) FROM graft_q30_orders i
-        |  WHERE i.o_custkey = o.o_custkey)
-        |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin
-    )
-  }
-
-  /** Event-time tumbling windows in batch (the same `window()` expression
-    * the streaming path uses — one shuffle keyed by (bucket), epoch-aligned
-    * like DuckDB's time_bucket). Bucket boundary emitted as epoch-micros so
-    * the compare never depends on timestamp rendering.
-    */
-  private def q31(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
-      .agg(
-        count(lit(1)).as("n"),
-        (floor(sum(col("value")) * lit(100.0) + lit(0.5)) / lit(100.0)).as("sum_value")
-      )
-      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
-      .orderBy(col("ws_us"))
-
-  /** Sliding (hopping) event-time windows: 1-hour windows every 30 minutes,
-    * so each event lands in exactly window/slide = 2 buckets. Spark's
-    * `window(t, win, slide)` expands the assignments map-side (no join);
-    * the oracle derives the same two starts per event with an explicit
-    * 2-offset cross join. Completes the window-family coverage: tumbling
-    * (q31), sliding (q32), session (x17), value-RANGE (q20).
-    */
-  private def q32(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "30 minutes").as("w"))
-      .agg(
-        count(lit(1)).as("n"),
-        (floor(sum(col("value")) * lit(100.0) + lit(0.5)) / lit(100.0)).as("sum_value")
-      )
-      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
-      .orderBy(col("ws_us"))
-
-  // ------------------------------------------------- north-star extensions
-
-  /** Exact dedup by text digest. */
-  private def x01(s: SparkSession, dir: String): DataFrame =
-    Dedup
-      .exact(t(s, dir, "documents"))
-      .orderBy(col("text_md5"))
-
-  /** Normalized-text fingerprint per document. */
-  private def x02(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
-
-  /** Per-document text statistics. */
-  private def x03(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .withTextStats(dts(s, dir))
-      .select(
-        col("doc_id"),
-        col("n_chars_c"),
-        col("n_tokens"),
-        col("n_distinct_tokens"),
-        col("avg_token_len"),
-        col("type_token_ratio")
-      )
-      .orderBy(col("doc_id"))
-
-  /** Token counting: whitespace words + BPE-ish regex tokens. */
-  private def x04(s: SparkSession, dir: String): DataFrame =
-    dts(s, dir)
-      .select(
-        col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
-        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens")
-      )
-      .orderBy(col("doc_id"))
-
-  /** Language-ID heuristic (marker stopword argmax). */
-  private def x05(s: SparkSession, dir: String): DataFrame =
-    dts(s, dir)
-      .select(col("doc_id"), TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))
-      .orderBy(col("doc_id"))
-
-  /** Exact 3-gram Jaccard near-dup pairs (inverted-index formulation). */
-  private def x06(s: SparkSession, dir: String): DataFrame =
-    Dedup
-      .ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
-      .orderBy(col("a_id"), col("b_id"))
-
-  /** MinHash-LSH near-dup pairs, verified with exact Jaccard — must agree
-    * with x06 given the (bands=32, r=4) S-curve at this threshold.
-    */
-  private def x07(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Dedup
-      .minhashLshPairs(
-        t(s, dir, "documents"),
-        n = 3,
-        threshold = 0.5,
-        bands = 32,
-        rowsPerBand = 4
-      )
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  /** SimHash signatures per document, in the MD5-derived form whose every
-    * bit is reproducible in DuckDB (`md5()` + nibble bit-extraction) — so
-    * the signature itself is driver-oracled, closing round 2's `no_oracle`
-    * row. Emitted as the four 16-bit bands the Hamming blocking uses. The
-    * xxhash64 production signature keeps its spec golden (DedupSpec).
-    *
-    * The pivot shape (posexplode → groupBy) evaluates the signature
-    * expression ONCE per document; four element_at projections would let
-    * CollapseProject inline — and recompute — it per band (the MinHashBands
-    * lesson).
-    */
-  private def x08(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        posexplode(GraftFunctions.simhashMd5Bands(TextAnalysis.tokens(col("text"))))
-          .as(Seq("j", "v"))
-      )
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("j") === 0, col("v"))).as("band0"),
-        max(when(col("j") === 1, col("v"))).as("band1"),
-        max(when(col("j") === 2, col("v"))).as("band2"),
-        max(when(col("j") === 3, col("v"))).as("band3")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Brute-force cosine top-5 neighbors for query vectors vec_id<10. */
-  private def x09(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    Similarity
-      .bruteForceTopK(
-        emb.where(col("vec_id") < 10),
-        emb.where(col("vec_id") >= 10),
-        k = 5
-      )
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** LSH-bucketed approximate top-5 (scale path). Registered at L=48
-    * tables: AnnRecallProbe's committed tables sweep (16/32/48, re-run
-    * this round) measures that at 48 tables the OR-amplified candidate set
-    * covers the exact top-5 for every query at sf0.001/0.01/0.1 — 32
-    * covers sf0.01/0.1 but misses 2 of 50 at sf0.001, and 16 reaches only
-    * 0.58–0.84 — and since candidates are reranked by the same exact
-    * rounded cosine with the same tie-break, the output then EQUALS brute
-    * force, which makes the x09-shaped DuckDB SQL a true oracle for this
-    * query (closing round 2's `no_oracle` row) while the plan remains
-    * genuinely bucketed (per-query work is candidate-set-sized, not
-    * corpus-sized). CAVEAT: candidate coverage is an empirical property of
-    * THIS corpus at these three SFs — regenerated embeddings or a new SF
-    * need a fresh probe run before trusting the exact oracle (leaner
-    * production configs keep their spec-pinned recall floors instead,
-    * SimilaritySpec).
-    */
-  private def x10(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    Similarity
-      .lshTopK(
-        emb.where(col("vec_id") < 10),
-        emb.where(col("vec_id") >= 10),
-        k = 5,
-        tables = 48,
-        bitsPerTable = 4
-      )
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Embedding-cosine near-dup pairs at 0.45 (max pair sim in this corpus
-    * is ~0.51, so the threshold yields a non-trivial, stable pair set).
-    * Uses the auto-switching operator: exact all-pairs below 10⁵ docs (this
-    * corpus), RP-LSH table blocking above — both branches are code, and
-    * DedupSpec pins LSH ≡ exact on the real corpus.
-    */
-  private def x11(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Dedup
-      .embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  /** Composite document quality score (length saturation, alpha ratio,
-    * stopword presence, type-token ratio — TextAnalysis.qualityScore).
-    */
-  private def x12(s: SparkSession, dir: String): DataFrame =
-    dts(s, dir)
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-      .orderBy(col("doc_id"))
-
-  /** Near-dup clustering: connected components (Pregel-style min-label
-    * propagation, see [[graft.operators.Cluster]]) over the x06 pair set —
-    * the pairs→clusters→canonical step of corpus dedup. Oracled against a
-    * DuckDB recursive-CTE transitive closure of the same edges.
-    */
-  private def x14(s: SparkSession, dir: String): DataFrame =
-    Cluster
-      .connectedComponents(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5))
-      .select(col("id").as("doc_id"), col("comp").as("comp_id"))
-      .orderBy(col("doc_id"))
-
-  /** Deterministic stratified sampling: language-rebalance the corpus with
-    * content-hash (md5-bucket) keep decisions — reproducible across runs,
-    * clusters, and retries (no rand()).
-    */
-  private def x15(s: SparkSession, dir: String): DataFrame =
-    Sampling
-      .stratifiedSample(
-        t(s, dir, "documents"),
-        key = col("text"),
-        strata = col("lang"),
-        rates = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 0.25)
-      )
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
-
-  /** Train/eval decontamination: every 50th doc plays the eval set; corpus
-    * docs sharing ≥1 distinct 3-gram with it are flagged with their overlap
-    * ratio (broadcast eval grams, one corpus pass).
-    */
-  private def x16(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Decontaminate
-      .overlap(
-        corpus = docs.where(col("doc_id") % 50 =!= 0),
-        evalSet = docs.where(col("doc_id") % 50 === 0),
-        n = 3
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** The bloom-prefiltered decontamination scale path (filter bits
-    * broadcast instead of the gram set, exact verification after): MUST
-    * hash-match x16's oracle exactly — bloom has no false negatives and
-    * the verify join removes its false positives.
-    */
-  private def x21(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val docs = t(s, dir, "documents")
-    Decontaminate
-      .overlapBloom(
-        corpus = docs.where(col("doc_id") % 50 =!= 0),
-        evalSet = docs.where(col("doc_id") % 50 === 0),
-        n = 3,
-        expectedGrams = 10000L
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Gap-based sessionization of the event stream (6 h gap): one shuffle,
-    * two stacked windows + rollup on the same partitioning. The value sum
-    * is emitted as exact integer cents ([[Sessionize.sessionsCents]]) so
-    * the output contract is all-integer — round 3's only red driver row
-    * was this query failing `hash_match` while exact value equality
-    * passed, i.e. a double-RENDERING divergence in the gate's hash, not a
-    * numeric one; an integer contract removes that class entirely.
-    */
-  private def x17(s: SparkSession, dir: String): DataFrame =
-    Sessionize
-      .sessionsCents(
-        ev(s, dir),
-        key = col("user_id"),
-        ts = col("ts_us"),
-        maxGap = 21600000000L,
-        tieBreak = col("event_id"),
-        valueCol = col("value")
-      )
-      .orderBy(col("key"), col("session_idx"))
-
-  /** Within-doc repetition signals (Gopher-style quality pre-filter).
-    * Spark side is map-only (sorted-array fold for top-token count); the
-    * oracle uses the explode/group formulation — agreeing results pin both.
-    */
-  private def x18(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .withRepetitionStats(dts(s, dir))
-      .select(col("doc_id"), col("top_token_frac"), col("dup_2gram_frac"), col("dup_3gram_frac"))
-      .orderBy(col("doc_id"))
-
-  /** Corpus TF-IDF: top-3 terms per document (smoothed idf, rounded-score
-    * ranking — see [[TextAnalysis.tfIdfTopTerms]] for the 4-stage
-    * distributed shape and why the per-doc window cannot skew).
-    */
-  private def x22(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .tfIdfTopTerms(dts(s, dir), k = 3)
-      .orderBy(col("doc_id"), col("rank"))
-
-  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], codegen'd
-    * custom expression — Spark has no built-in normalizer) over documents
-    * with a decomposed-form suffix appended (combining acute/diaeresis),
-    * since the corpus itself is pure ASCII — same injection pattern as q12's
-    * NaN and x19's PII. n_before > n_after proves composition happened;
-    * md5 pins the exact normalized bytes against DuckDB's nfc_normalize.
-    */
-  private def x23(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val raw = concat(
-      col("text"),
-      lit(" cafe\u0301 u\u0308ber no\u0308e\u0301l") // decomposed: U+0301 acute, U+0308 diaeresis — matches oracle chr(769)/chr(776)
-    )
-    dts(s, dir)
-      .select(
-        col("doc_id"),
-        length(raw).as("n_before"),
-        length(GraftFunctions.nfcNormalize(raw)).as("n_after"),
-        md5(GraftFunctions.nfcNormalize(raw)).as("norm_md5")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Sequence packing ([[Pack.nextFit]]): whitespace-token counts into
-    * 256-token bins, 32 packing groups keyed doc_id%32 (the oracle can't
-    * reproduce xxhash64, so the test pins the group rule explicitly; the
-    * default hash grouping is spec-covered in PackSpec). Oracled against a
-    * DuckDB recursive-CTE walk of the same next-fit rule — recursion depth
-    * = docs per group, which is exactly the bounded-group-size property
-    * the distributed design relies on.
-    */
-  private def x24(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir)
-      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
-    Pack
-      .nextFit(
-        docs,
-        idCol = "doc_id",
-        tokensCol = "n_tokens",
-        capacity = 256,
-        numGroups = 32,
-        groupExpr = Some(pmod(col("doc_id"), lit(32)))
-      )
-      .select(col("grp"), col("bin"), col("doc"), col("toks"), col("bin_fill"), col("oversize"))
-      .orderBy(col("doc"))
-  }
-
-  /** Character-entropy quality signal ([[TextAnalysis.charEntropy]] — the
-    * map-only sorted-run fold; the oracle is the explode/groupBy
-    * formulation, so agreement pins both algorithms).
-    */
-  private def x25(s: SparkSession, dir: String): DataFrame =
-    dts(s, dir)
-      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("char_entropy"))
-      .orderBy(col("doc_id"))
-
-  /** PII scrub over documents with deterministic synthetic PII appended
-    * (the corpus itself is PII-free, like q12 injects NaN): per-class hit
-    * counts + md5 of the redacted text.
-    */
-  private def x19(s: SparkSession, dir: String): DataFrame =
-    Scrub
-      .withPiiRedaction(
-        dts(s, dir).select(
-          col("doc_id"),
-          concat(
-            col("text"),
-            lit(" contact user"), col("doc_id"),
-            lit("@example.com or http://example"), col("doc_id"),
-            lit(".org call +1 555 000"), col("doc_id")
-          ).as("text")
-        )
-      )
-      .select(
-        col("doc_id"),
-        col("n_emails"),
-        col("n_urls"),
-        col("n_phones"),
-        md5(col("text_redacted")).as("red_md5")
-      )
-      .orderBy(col("doc_id"))
-
-  /** Per-label embedding centroids via [[graft.functions.VectorAvg]] (one
-    * (count, sums) pair per group×partition through the shuffle; the
-    * oracle's unnest/groupBy twin ships one row per DIMENSION per vector).
-    * Output exploded to (label, idx, c) rows only AFTER aggregation —
-    * labels × dims rows, constant in corpus size.
-    */
-  private def x26(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "embeddings")
-      .groupBy(col("label"))
-      .agg(
-        GraftFunctions.vectorAvg(col("embedding")).as("centroid"),
-        count(lit(1)).as("n_vecs")
-      )
-      .select(col("label"), col("n_vecs"), posexplode(col("centroid")).as(Seq("pos", "v")))
-      .select(
-        col("label"),
-        (col("pos") + 1).as("idx"), // 1-based, matching SQL ordinality
-        (floor(col("v") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("c"),
-        col("n_vecs")
-      )
-      .orderBy(col("label"), col("idx"))
-  }
-
-  /** Centroid-similarity outlier signal: every vector's cosine to its own
-    * label centroid — the diversity/off-distribution filter of embedding
-    * curation (prune the far tail before training). Composes the x26
-    * aggregate with the codegen'd [[graft.functions.CosineSimilarity]]:
-    * centroids (10 rows) broadcast back onto the corpus, one map-side pass.
-    */
-  private def x27(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    val cents = emb
-      .groupBy(col("label"))
-      .agg(GraftFunctions.vectorAvg(col("embedding")).as("centroid"))
-    emb
-      .join(broadcast(cents), "label")
-      .select(
-        col("label"),
-        col("vec_id"),
-        (floor(GraftFunctions.cosineSim(col("embedding"), col("centroid")) * lit(1000000.0)
-          + lit(0.5)) / lit(1000000.0)).as("sim")
-      )
-      .orderBy(col("label"), col("vec_id"))
-  }
-
-  /** IVF-Flat top-5 (the second ANN scale path besides x10's LSH),
-    * registered at FULL probe (nprobe = nlist): probing every inverted
-    * list pins the whole IVF machinery end-to-end — deterministic k-means
-    * training, the partition property of list assignment (a lost or
-    * double-assigned vector shows up as a missing/duplicate rank), the
-    * probe join, and the exact rerank — against the x09-shaped DuckDB
-    * oracle, since full probe must equal brute force exactly. The synthetic
-    * embeddings are near-uniform on the sphere, so partial probes genuinely
-    * approximate here (AnnRecallProbe: even nprobe=15/16 drops 4/50 hits at
-    * sf0.01); approximate configs keep their spec-pinned golden + recall
-    * floor (SimilaritySpec).
-    */
-  private def x13(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    Similarity
-      .ivfTopK(
-        emb.where(col("vec_id") < 10),
-        emb.where(col("vec_id") >= 10),
-        k = 5,
-        nlist = 16,
-        nprobe = 16
-      )
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** MD5-simhash near-dup pairs (Hamming ≤ 3) via 4-band blocking. The
-    * banding is provably lossless at this radius (pigeonhole: ≤3 differing
-    * bits cannot touch all 4 bands), so the banded plan must equal the
-    * all-pairs SQL formulation exactly — a fully oracled near-dup surface
-    * for the simhash family to complement x07's MinHash-LSH one.
-    */
-  private def x28(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Dedup
-      .simhashMd5Pairs(t(s, dir, "documents"), maxHamming = 3)
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  /** Image perceptual hashing (x29): genuine uncompressed BMP payloads are
-    * synthesized from a closed-form pixel formula
-    * ([[graft.functions.BuildBmp]] — real files any BMP reader opens),
-    * then REALLY pixel-decoded and 8×8 average-hashed by
-    * [[graft.functions.ImageAHash]] — no codec library, pure byte
-    * arithmetic, map-only. The oracle never sees the bytes: it recomputes
-    * the hash from the same pixel FORMULA (two independent derivations,
-    * one hash-matched answer — the encode→decode→hash round-trip is what's
-    * being verified). The hash is emitted as two unsigned 32-bit halves so
-    * neither engine touches the sign bit of a 64-bit value.
-    */
-  private def x29(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 3 === 0)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .imageAHash(
-            GraftFunctions.buildBmp(
-              col("doc_id"),
-              (lit(16) + col("doc_id") % 16).cast("int"),
-              (lit(16) + col("doc_id") % 12).cast("int")
-            )
-          )
-          .as("ahash")
-      )
-      .select(
-        col("doc_id"),
-        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
-        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Image near-dup pairs (x30): docs 4k and 4k+1 build their BMP from the
-    * same base id (identical images, Hamming 0 — the planted duplicates),
-    * all other bases differ; aHash signatures go through the SAME 4×16-bit
-    * banded Hamming join as the simhash family
-    * ([[Dedup.hammingPairs]] — pigeonhole-lossless at radius 3). The
-    * oracle recomputes every hash from the pixel formula and mines pairs
-    * with an equivalent band-blocked self-join — band partition choice
-    * cancels out, since banding only GENERATES candidates and the emitted
-    * pairs are exactly those at Hamming ≤ 3.
-    */
-  private def x30(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val base = expr("CAST(doc_id DIV 2 AS BIGINT)")
-    val sig = dts(s, dir)
-      .where(col("doc_id") % 4 < 2)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .imageAHash(
-            GraftFunctions.buildBmp(
-              base,
-              (lit(16) + base % 16).cast("int"),
-              (lit(16) + base % 12).cast("int")
-            )
-          )
-          .as("sim")
-      )
-    Dedup
-      .hammingPairs(sig, maxHamming = 3, idCol = "doc_id")
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  /** GIF aHash (x32): the same encode→decode→hash contract as x29 but
-    * through a REAL LZW entropy decoder — [[graft.functions.BuildGif]]
-    * writes a genuinely valid GIF89a (256-entry grayscale table,
-    * uncompressed-LZW code stream with periodic clears), and
-    * [[graft.functions.ImageAHash]]'s full LZW decoder (variable code
-    * width, KwKwK, interlace) recovers the pixels. The oracle is the SAME
-    * closed form as x29 — the pixel formula is shared — so a hash match
-    * proves the LZW round-trip is byte-exact. Different doc subset than
-    * x29 so the two queries cannot mask each other.
-    */
-  private def x32(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 3 === 1)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .imageAHash(
-            GraftFunctions.buildGif(
-              col("doc_id"),
-              (lit(16) + col("doc_id") % 16).cast("int"),
-              (lit(16) + col("doc_id") % 12).cast("int")
-            )
-          )
-          .as("ahash")
-      )
-      .select(
-        col("doc_id"),
-        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
-        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Audio PCM feature extraction (x33): genuine 16-bit PCM mono WAV
-    * payloads are synthesized from a closed-form sample formula
-    * ([[graft.functions.BuildWav]] — real files any WAV reader plays),
-    * then REALLY sample-decoded and folded to raw integer statistics by
-    * [[graft.functions.AudioPcmFeatures]] (Σs², Σ|s|, peak, sign-change
-    * count, floor-ms duration) — the x29 encode→decode→verify contract
-    * applied to audio. All-integer output per the round-3 lesson (doubles
-    * in a contract invite cross-engine rendering divergence); RMS/mean
-    * amplitude derive from sum_sq/sum_abs in Column space when needed.
-    * The oracle recomputes every statistic from the sample FORMULA — the
-    * bytes never leave Spark.
-    */
-  private def x33(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 4 === 2)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .audioPcmFeatures(
-            GraftFunctions.buildWav(
-              col("doc_id"),
-              (lit(8000) + (col("doc_id") % 5) * 2000).cast("int"),
-              (lit(400) + col("doc_id") % 377).cast("int")
-            )
-          )
-          .as("f")
-      )
-      .select(
-        col("doc_id"),
-        col("f.n_samples").as("n_samples"),
-        col("f.sample_rate").as("sample_rate"),
-        col("f.sum_sq").as("sum_sq"),
-        col("f.sum_abs").as("sum_abs"),
-        col("f.peak").as("peak"),
-        col("f.zero_cross").as("zero_cross"),
-        col("f.duration_ms").as("duration_ms")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** GIF frame sampling (x34): multi-frame GIF89a payloads
-    * ([[graft.functions.BuildAnimGif]] — real animations, frame f's
-    * pixels = the shared closed form shifted by f·37) are decoded
-    * frame-by-frame through the full LZW core into per-frame aHashes
-    * ([[graft.functions.GifFrameHashes]]), then SAMPLED declaratively:
-    * posexplode + `frame_idx % 2 = 0` — the "sample every k-th frame"
-    * video-pipeline verb, with the decode map-only and the sampling
-    * filter inside codegen. The oracle recomputes each sampled frame's
-    * hash from (id, f, x, y) alone, so a match proves the multi-frame
-    * walk (graphic-control extensions, per-frame sub-block chains, LZW
-    * per frame) byte-exact.
-    */
-  private def x34(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    // The multi-frame LZW decode is the most CPU-expensive media kernel in
-    // the suite, and a single-file parquet scan hands it 1-2 tasks — round
-    // 5 benched wall ≈ cpu on 32 cores. Project down to the scalar ids and
-    // repartition to cluster parallelism BEFORE the build+decode chain
-    // (same round-1 `Dedup.spread` lesson): a decode stage must never
-    // inherit its parallelism from input file count. The explicit partition
-    // count keeps AQE from re-coalescing the tiny id shuffle.
-    t(s, dir, "documents")
-      .where(col("doc_id") % 4 === 3)
-      .select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .gifFrameHashes(
-            GraftFunctions.buildAnimGif(
-              col("doc_id"),
-              (lit(16) + col("doc_id") % 13).cast("int"),
-              (lit(16) + col("doc_id") % 9).cast("int"),
-              (lit(3) + col("doc_id") % 4).cast("int")
-            )
-          )
-          .as("fh")
-      )
-      .select(col("doc_id"), posexplode(col("fh")).as(Seq("frame_idx", "fhash")))
-      .where(col("frame_idx") % 2 === 0)
-      .select(
-        col("doc_id"),
-        col("frame_idx"),
-        shiftright(col("fhash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_hi"),
-        col("fhash").bitwiseAND(lit(0xFFFFFFFFL)).as("fhash_lo")
-      )
-      .orderBy(col("doc_id"), col("frame_idx"))
-  }
-
-  /** Image resize (x35): real BMP payloads are nearest-neighbor-resized
-    * by [[graft.functions.ResizeBmp]] (decode pixels → NN map
-    * src=(x·w/w2, y·h/h2) floor → re-encode 24-bit BMP) and the RESIZED
-    * file is then decoded and hashed by ImageAHash — two full
-    * encode→decode round-trips chained through the resize. The oracle
-    * composes the source-pixel formula with the same floor-division
-    * mapping, so a hash match pins the resize geometry (row order, floor
-    * semantics, padding) exactly. Dims vary per doc (8..14 × 8..12) to
-    * sweep the NN mapping across ratios.
-    */
-  private def x35(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 3 === 2)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .imageAHash(
-            GraftFunctions.resizeBmp(
-              GraftFunctions.buildBmp(
-                col("doc_id"),
-                (lit(16) + col("doc_id") % 16).cast("int"),
-                (lit(16) + col("doc_id") % 12).cast("int")
-              ),
-              (lit(8) + col("doc_id") % 7).cast("int"),
-              (lit(8) + col("doc_id") % 5).cast("int")
-            )
-          )
-          .as("ahash")
-      )
-      .select(
-        col("doc_id"),
-        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
-        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Token-budget corpus mixing (x36): the data-mixing verb of training-set
-    * assembly — each language keeps a deterministic hash-ordered prefix of
-    * its documents whose inclusive token sum stays within that language's
-    * budget ([[graft.operators.Mix.tokenBudgetFill]]). Spark computes the
-    * running sum with the TWO-PHASE distributed shape (range partition →
-    * per-slice sums → broadcast offsets → partition-local ROWS window — the
-    * [[graft.operators.GlobalRank]] pattern generalized from row_number to
-    * weighted sums; no single-partition window, the q27 lesson); the oracle
-    * uses DuckDB's plain global window — two algorithms, one answer. Token
-    * counts and hash order are the x04/x15 contracts (whitespace split,
-    * md5), so every column is an integer or a verbatim string.
-    */
-  private def x36(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir).select(
-      col("doc_id"),
-      col("lang"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
-      md5(col("text")).as("h")
-    )
-    Mix
-      .tokenBudgetFill(
-        docs,
-        source = col("lang"),
-        sort = Seq(col("h"), col("doc_id")),
-        weight = col("n_tok"),
-        budgets = Map("en" -> 20000L),
-        defaultBudget = 8000L
-      )
-      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Token-window chunking (x37): window 48, stride 32, so ~60-token docs
-    * exercise both the short-doc single-chunk branch and the multi-chunk
-    * overlap path. Map-only — see [[Chunk.tokenWindows]]. The chunk text
-    * itself is in the hash-compared contract, so slicing/joining must
-    * agree byte-for-byte with the oracle's list_slice.
-    */
-  private def x37(s: SparkSession, dir: String): DataFrame =
-    Chunk
-      .tokenWindows(dts(s, dir), window = 48, stride = 32)
-      .orderBy(col("doc_id"), col("chunk_idx"))
-
-  /** Corpus bigram vocabulary (x38): global top-50 by total occurrence,
-    * gram-ascending tie-break. Spark plans the top-k as
-    * TakeOrderedAndProject (per-partition heaps, no global sort) — the
-    * vocab-building shape that survives a 100 TB corpus; the oracle is a
-    * plain ORDER BY ... LIMIT.
-    */
-  private def x38(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .topNgramVocab(dts(s, dir), n = 2, k = 50)
-
-  /** N-gram novelty in doc-id order (x39): first-occurrence counting via
-    * min-doc-id per shingle — see [[TextAnalysis.ngramNovelty]] for why
-    * novel counts collapse to one row per doc BEFORE any join. Integer
-    * ppm contract (the x17 lesson).
-    */
-  private def x39(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .ngramNovelty(dts(s, dir), n = 3)
-      .orderBy(col("doc_id"))
-
-  /** Int8 scalar quantization of the embedding corpus (x40): per-dim
-    * (min, max) calibration in ONE [[graft.functions.VectorMinMax]] pass,
-    * then a map-only floor quantize — see [[Similarity.sq8Codes]]. Codes
-    * ship as a space-joined string plus an integer checksum, so the
-    * hash-compared contract is strings and integers only; the floor form
-    * `(v−mn)·255/(mx−mn)` is the same three correctly-rounded IEEE ops on
-    * both engines, so codes agree bit-for-bit.
-    */
-  private def x40(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .sq8Codes(t(s, dir, "embeddings"))
-      .select(
-        col("vec_id"),
-        size(col("codes")).as("n_dims"),
-        array_join(col("codes"), " ").as("codes_str"),
-        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum")
-      )
-      .orderBy(col("vec_id"))
-  }
-
-  /** Quantized top-5 (x41): the compressed search path over
-    * [[Similarity.sq8TopK]] — cosine over DEQUANTIZED codes (the FAISS-SQ8
-    * semantics; raw code dots rank the min-shifted space and measured
-    * 0.06 recall), scores under the x09 round-6dp contract. The oracle
-    * recomputes quantize → dequantize → cosine from the same closed
-    * forms. Same query/corpus split as x09/x10/x13.
-    */
-  private def x41(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .sq8TopK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Token-balanced contiguous sharding (x42): cut the md5-ordered corpus
-    * into 8 shards of near-equal TOKEN mass — see [[Mix.tokenShards]] for
-    * why token (not document-count) balance is the verb training shards
-    * need. Spark computes the running sum two-phase (no single-partition
-    * window); the oracle uses the plain global window plus the same
-    * `offset·S div total` closed form — two algorithms, one answer, all
-    * integers.
-    */
-  private def x42(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir).select(
-      col("doc_id"),
-      md5(col("text")).as("h"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")
-    )
-    Mix
-      .tokenShards(docs, sort = Seq(col("h"), col("doc_id")), weight = col("n_tok"), numShards = 8)
-      .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("shard"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Exact heavy hitters (every token at >= 2% corpus frequency) via the
-    * Misra-Gries sketch + exact-recount two-phase shape — see
-    * [[TextAnalysis.heavyTokens]] for the candidate-completeness bound and
-    * why the one-phase groupBy-everything twin (the DuckDB oracle) is the
-    * 100 TB anti-pattern this replaces. phi = 1/50, k = 100 = 2·denom/num.
-    */
-  private def x43(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.heavyTokens(dts(s, dir), phiNum = 1L, phiDenom = 50L, k = 100)
-
-  /** Canonical-doc selection per near-dup cluster — the curation step after
-    * x14's connected components: keep the highest-quality member (x12's
-    * score; ties → lowest doc id), singletons as their own cluster. Argmax
-    * via `max(struct(score, -id))` — no per-cluster window/sort; see
-    * [[Cluster.canonical]].
-    */
-  private def x44(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val scored = docs.select(
-      col("doc_id").as("id"),
-      TextAnalysis.qualityScore(col("text")).as("score"))
-    val comps = Cluster.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5))
-    Cluster
-      .canonical(scored, comps)
-      .select(col("comp_id"), col("keep_id"), col("score").as("quality"), col("n_members"))
-      .orderBy(col("comp_id"))
-  }
-
-  /** SCD2 / gaps-and-islands surface: compress each user's event history
-    * into validity intervals, one row per maximal run of an unchanged
-    * event_type. One hash exchange total (boundary lag, island running
-    * sum, island aggregation, and valid_to lead all reuse the user_id
-    * partitioning) — plan-pinned in Scd2Spec. Times are epoch micros
-    * (ts_us), timezone-free on both engines.
-    */
-  private def q33(s: SparkSession, dir: String): DataFrame =
-    Scd2
-      .compressHistory(
-        ev(s, dir),
-        keyCol = col("user_id"),
-        stateCol = col("event_type"),
-        orderCols = Seq(col("ts_us"), col("event_id")),
-        validityCol = col("ts_us")
-      )
-      .select(
-        col("graft_key").as("user_id"),
-        col("state").as("event_type"),
-        col("valid_from"),
-        col("valid_to"),
-        col("n_events")
-      )
-      .orderBy(col("user_id"), col("valid_from"))
-
-  /** Fuzzy-matching surface: every unordered pair of distinct p_brand
-    * values at edit distance ≤ 1, found via symmetric-deletion blocking
-    * (SymSpell) — NOT an all-pairs levenshtein. The deletion-variant
-    * equi-join is provably complete for distance ≤ 1; the exact
-    * levenshtein verify runs on candidates only. The brand domain is
-    * small, but the operator is the corpus-scale shape (variant
-    * explosion is map-side and length-bounded; one shuffle on the
-    * variant key) — FuzzySpec pins blocking ≡ brute force on an open
-    * vocabulary.
-    */
-  private def x45(s: SparkSession, dir: String): DataFrame =
-    Fuzzy
-      .editDistance1Pairs(t(s, dir, "part"), "p_brand")
-      .orderBy(col("a_val"), col("b_val"))
-
-  /** Fuzzy-match surface at distance 2 (x123): [[graft.operators.Fuzzy
-    * .editDistance2Pairs]] over the part-name domain — two-deletion
-    * SymSpell blocking (provably complete for lev ≤ 2, see the operator
-    * scaladoc) with the exact `levenshtein` verify. The domain
-    * (`p_name`, 64 varied multi-word phrases in this testdata) exercises
-    * real d=2 structure — substitution+substitution across word
-    * boundaries, insert+delete pairs — unlike p_brand where a shared
-    * 6-char prefix makes every pair trivially ≤ 2. The oracle is the
-    * honest brute-force: DuckDB levenshtein over all value pairs,
-    * threshold 2 — so blocking completeness is certified, not assumed.
-    */
-  private def x123(s: SparkSession, dir: String): DataFrame =
-    Fuzzy
-      .editDistance2Pairs(t(s, dir, "part"), "p_name")
-      .orderBy(col("a_val"), col("b_val"))
-
-  /** Graph-centrality surface: 3-iteration PageRank in exact integer
-    * arithmetic over the symmetrized customer–supplier trade graph
-    * (edge = customer ordered a part shipped by supplier; node ids are
-    * disambiguated 2*custkey / 2*suppkey+1). Integer rank units make the
-    * result bit-identical across engines and partitionings — the DuckDB
-    * oracle replays the same three truncating-arithmetic iterations.
-    */
-  private def x46(s: SparkSession, dir: String): DataFrame = {
-    val trade = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(
-        (col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b")
-      )
-      .distinct()
-    val sym = trade
-      .select(
-        explode(
-          array(
-            struct(col("a").as("src"), col("b").as("dst")),
-            struct(col("b").as("src"), col("a").as("dst"))
-          )
-        ).as("e")
-      )
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    PageRank
-      .integerPageRank(sym, iters = 3)
-      .orderBy(col("node_id"))
-  }
-
-  /** Data-layout surface: Z-order (Morton) zone maps over lineitem's
-    * (partkey, suppkey) — 16 equal-width zones of the 20-bit interleaved
-    * code, each reporting its min/max span in BOTH dimensions. The
-    * pruning claim is in the numbers: every zone spans ≤ 1/4 of each
-    * 10-bit dimension (top 2 bits of each dim are fixed per zone), which
-    * a single-column sort cannot give for the second column. All-integer
-    * bit arithmetic — the DuckDB oracle interleaves the same bits from a
-    * programmatically shared bit-term list (the two sides cannot drift).
-    */
-  private def x47(s: SparkSession, dir: String): DataFrame =
-    ZOrder
-      .zoneSpans(
-        t(s, dir, "lineitem"),
-        a = col("l_partkey") % 1024,
-        b = col("l_suppkey") % 1024,
-        bits = zorderBits,
-        buckets = 16
-      )
-      .orderBy(col("zone"))
-
-  /** Robust-stats surface: per-event-type median/MAD outlier screen over
-    * the value stream (|dev|·10 > MAD·35, the conventional k=3.5 rule in
-    * integer-scaled form — pure IEEE multiplies, both engines flag the
-    * identical rows). Exact type-7 percentiles, parity pinned by q15.
-    */
-  private def x48(s: SparkSession, dir: String): DataFrame =
-    Robust
-      .madOutliers(ev(s, dir), col("event_type"), col("value"))
-      .select(
-        col("graft_key").as("event_type"),
-        col("med"),
-        col("mad"),
-        col("n_total"),
-        col("n_outliers")
-      )
-      .orderBy(col("event_type"))
-
-  /** PNG pixel-decode surface: x29's shape over PNG bytes — build_png
-    * writes real zlib/DEFLATE-framed scanlines (stored blocks), the
-    * decode inflates and filter-reconstructs them, and the oracle is the
-    * SAME closed-form pixel formula as x29/x32 (a third doc subset).
-    * The three image formats now share one pixel ground truth across
-    * three genuinely different byte encodings.
-    */
-  private def x49(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 3 === 2)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .imageAHash(
-            GraftFunctions.buildPng(
-              col("doc_id"),
-              (lit(16) + col("doc_id") % 16).cast("int"),
-              (lit(16) + col("doc_id") % 12).cast("int")
-            )
-          )
-          .as("ahash")
-      )
-      .select(
-        col("doc_id"),
-        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
-        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** JPEG pixel-decode surface: build_jpeg emits baseline JPEGs whose
-    * 8×8 tiles are block-constant (DC-only FDCT — exact with quant 1),
-    * the decode runs the REAL baseline pipeline (canonical Huffman,
-    * EXTEND, dequant, IDCT, MCU crop), and the oracle recomputes the
-    * pixels from the per-BLOCK closed form g(x div 8, y div 8). A hash
-    * match proves the Huffman+IDCT walk byte-exact — the x32 LZW
-    * argument, now for the last image codec.
-    */
-  private def x50(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 3 === 0)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .imageAHash(
-            GraftFunctions.buildJpeg(
-              col("doc_id"),
-              (lit(16) + col("doc_id") % 16).cast("int"),
-              (lit(16) + col("doc_id") % 12).cast("int")
-            )
-          )
-          .as("ahash")
-      )
-      .select(
-        col("doc_id"),
-        shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
-        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Curation surface: per-source document cap (domain capping) — keep at
-    * most 30 docs per source, chosen by content-hash order so the kept
-    * set is reproducible and arrival-order-free. Plan is a rank-limited
-    * window (WindowGroupLimit) over one source exchange.
-    */
-  private def x51(s: SparkSession, dir: String): DataFrame =
-    Sampling
-      .capPerGroup(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
-        group = col("source"),
-        key = col("text"),
-        tieBreak = col("doc_id"),
-        cap = 30
-      )
-      .select(col("source"), col("doc_id"))
-      .orderBy(col("source"), col("doc_id"))
-
-  /** Robust-stats surface #2: per-event-type winsorization audit — exact
-    * p05/p95 clip bounds plus all-integer counts of what each side would
-    * clip. Same percentile parity and broadcast shape as x48.
-    */
-  private def x52(s: SparkSession, dir: String): DataFrame =
-    Robust
-      .winsorBounds(ev(s, dir), col("event_type"), col("value"))
-      .select(
-        col("graft_key").as("event_type"),
-        col("lo"),
-        col("hi"),
-        col("n_below"),
-        col("n_above"),
-        col("n_total")
-      )
-      .orderBy(col("event_type"))
-
-  /** Multimodal metadata surface #1: MP4 container decode — genuine
-    * ISO-BMFF files ([[graft.functions.BuildMp4]]: ftyp + moov(mvhd +
-    * trak(tkhd)) + mdat) are REALLY box-walked by
-    * [[graft.functions.Mp4Codec]] (mvhd timescale→duration, tkhd 16.16
-    * dims), shrinking the long-standing `fakeDecodeMeta` stub to
-    * compressed-stream payloads only. The oracle recomputes dims/duration
-    * from the doc_id closed form — the x33 encode→decode→verify contract
-    * applied to the video container.
-    */
-  private def x53(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 5 === 1)
-      .select(
-        col("doc_id"),
-        Multimodal
-          .decodeMeta(
-            GraftFunctions.buildMp4(
-              (lit(16) + col("doc_id") % 73 * 2).cast("int"),
-              (lit(16) + col("doc_id") % 57 * 2).cast("int"),
-              (lit(1000) + col("doc_id") % 997 * 7).cast("int")
-            )
-          )
-          .as("m")
-      )
-      .select(
-        col("doc_id"),
-        col("m.format").as("format"),
-        col("m.width").as("width"),
-        col("m.height").as("height"),
-        col("m.duration_ms").as("duration_ms")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Multimodal metadata surface #2: MP3 frame-header decode — genuine
-    * CBR MPEG1-Layer-III files behind a real ID3v2 tag
-    * ([[graft.functions.BuildMp3]]) are parsed by
-    * [[graft.functions.Mp3Codec]] (syncsafe tag skip, frame sync,
-    * bitrate/samplerate table lookup, CBR duration estimate). The tag
-    * size varies per doc so the skip path is exercised corpus-wide.
-    */
-  private def x54(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 5 === 3)
-      .select(
-        col("doc_id"),
-        Multimodal
-          .decodeMeta(
-            GraftFunctions.buildMp3(
-              col("doc_id"),
-              (lit(3) + col("doc_id") % 29).cast("int"),
-              (col("doc_id") % 17).cast("int")
-            )
-          )
-          .as("m")
-      )
-      .select(
-        col("doc_id"),
-        col("m.format").as("format"),
-        col("m.sample_rate").as("sample_rate"),
-        col("m.channels").as("channels"),
-        col("m.duration_ms").as("duration_ms")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Curation surface: cross-document segment dedup (C4-style "remove
-    * duplicated lines corpus-wide" on the pipeline's own 8-token chunking
-    * grid) — see [[graft.operators.Dedup.segmentDedup]]. The md5 of each
-    * reassembled document is in the contract, so the oracle must agree on
-    * the split, the keep-first rule AND the reassembly byte-for-byte.
-    */
-  private def x55(s: SparkSession, dir: String): DataFrame =
-    Dedup
-      .segmentDedup(dts(s, dir).select(col("doc_id"), col("text")), window = 8)
-      .orderBy(col("doc_id"))
-
-  /** Graph surface: edit-distance-1 brand clusters — x45's SymSpell pair
-    * mining fed through large-star/small-star contraction
-    * ([[graft.operators.Cluster.connectedComponentsStar]], the
-    * O(log n)-round CC for graphs whose diameter makes min-label
-    * propagation's round count unaffordable; spec-pinned ≡ label
-    * propagation in ClusterSpec). `cluster_root` is the lexicographic
-    * minimum brand reachable — the same contract the oracle's
-    * recursive-CTE transitive closure computes, so a hash match proves
-    * the contraction found exactly the true components.
-    */
-  private def x56(s: SparkSession, dir: String): DataFrame =
-    Cluster
-      .connectedComponentsStar(
-        Fuzzy
-          .editDistance1Pairs(t(s, dir, "part"), "p_brand")
-          .select(col("a_val").as("a_id"), col("b_val").as("b_id")),
-        maxIters = 30
-      )
-      .select(col("id").as("brand"), col("comp").as("cluster_root"))
-      .orderBy(col("brand"))
-
-  /** Typo/OCR-regime cluster surface (x125): connected components over
-    * the x123 d ≤ 2 pair graph — x56's composition one edit further out,
-    * where transitive chains actually form (a→b at d=2, b→c at d=2 puts
-    * a,c in one cluster at lev(a,c) up to 4 — the canonical-form grouping
-    * real entity resolution runs on the blocking graph, not on pairwise
-    * distance). Same min-label star contraction, same recursive-CTE
-    * transitive-closure oracle with the threshold at 2.
-    */
-  private def x125(s: SparkSession, dir: String): DataFrame =
-    Cluster
-      .connectedComponentsStar(
-        Fuzzy
-          .editDistance2Pairs(t(s, dir, "part"), "p_name")
-          .select(col("a_val").as("a_id"), col("b_val").as("b_id")),
-        maxIters = 30
-      )
-      .select(col("id").as("name"), col("comp").as("cluster_root"))
-      .orderBy(col("name"))
-
-  /** The x126/x127 planted fastText-style model: 2 classes × 512 hashed
-    * buckets, integer weights from the hash40 closed form — bounded
-    * driver state (1024 longs) inlined into the plan as array literals,
-    * standing in for an offline-trained quantized classifier. ONE
-    * instance shared by both surfaces so the oracles replay one table.
-    */
-  private lazy val ftModel = LinearModel.planted("q", classes = 2, dim = 512)
-
-  /** The x130 multi-class head: 4 planted classes over 256 buckets —
-    * the language-ID / domain-router shape (fastText's production C is
-    * dozens-to-hundreds; 4 exercises every strict-argmax position).
-    */
-  private lazy val ftModel4 = LinearModel.planted("m", classes = 4, dim = 256)
-
-  /** Learned-model inference surface (x126): the fastText-style
-    * hashed-feature linear classifier ([[graft.operators.LinearModel]])
-    * over every document — unigram+bigram bag, hash40 bucketing,
-    * per-class BIGINT dots, strict-argmax pred, length-normalized
-    * margin. Map-only (weights are literals: zero joins, zero
-    * exchanges — the shape a 100 TB full-corpus scorer needs). The
-    * oracle rebuilds the weight table from the md5 closed form and
-    * replays tokenize → bigram → hash → dot → argmax bit-for-bit (the
-    * x91 discipline), so the hash certifies the whole inference path.
-    */
-  private def x126(s: SparkSession, dir: String): DataFrame =
-    LinearModel
-      .classify(dts(s, dir).select(col("doc_id"), col("text")), "text", ftModel)
-      .select(
-        col("doc_id"), col("n_feats"), col("dot0"), col("dot1"),
-        col("pred"), col("margin"))
-      .orderBy(col("doc_id"))
-
-  /** Learned-screen curation surface (x127): x120's composed pipeline
-    * with the CCNet architecture in the screen slot — the trained
-    * classifier (x126's planted model, keep = class 1) replaces the
-    * Gopher heuristic cascade; md5 dedup, language screen, and
-    * per-source cap unchanged ([[graft.operators.LinearModel
-    * .curateWithModel]]). Same two bounded shuffles, zero joins; the
-    * model screen is a pure function of `text`, so the screen-first
-    * equivalence argument (and the oracle's dedup-first replay) carries
-    * over verbatim.
-    */
-  private def x127(s: SparkSession, dir: String): DataFrame =
-    LinearModel
-      .curateWithModel(
-        dts(s, dir).select(col("doc_id"), col("source"), col("text")),
-        ftModel,
-        keepClass = 1L,
-        cap = 10)
-      .orderBy(col("source"), col("doc_id"))
-
-  /** Trained weights shared by x128/x129 within one JVM, keyed by the
-    * corpus dir (the learnedMerges contract at x64: bounded driver
-    * state — 512 longs per dir — that is a pure function of the corpus).
-    * Bench disclosure, same as x64: when x128 runs first in a session,
-    * x129's row measures inference + one reuse of the trained table, not
-    * a second training run — the production shape (train once, apply per
-    * delivery).
-    */
-  private val trainedPerceptron =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-
-  private def perceptronDocs(s: SparkSession, dir: String): DataFrame =
-    dts(s, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
-
-  private def perceptronWeights(s: SparkSession, dir: String): Array[Long] =
-    trainedPerceptron.computeIfAbsent(
-      dir,
-      _ =>
-        LinearModel
-          .trainPerceptron(perceptronDocs(s, dir), "text", "y", dim = 512, rounds = 3)
-          ._1)
-
-  /** Learned-model TRAINING surface (x128): fixed-round integer batch
-    * perceptron ([[graft.operators.LinearModel.trainPerceptron]]) over
-    * the hashed unigram+bigram features, labels planted closed-form
-    * (y = +1 iff doc_id is even) so the oracle can replay the ENTIRE
-    * training loop — round 1's all-misclassified bootstrap, each round's
-    * BIGINT scores, the ≤ 0 misclassification rule, and the synchronous
-    * integer weight update — unrolled round by round in SQL (the x118
-    * integer-Lloyd discipline applied to learning). Output: the dense
-    * 512-bucket trained weight vector.
-    */
-  private def x128(s: SparkSession, dir: String): DataFrame = {
-    val w = perceptronWeights(s, dir)
-    import s.implicits._
-    w.zipWithIndex
-      .map { case (wv, b) => (b.toLong, wv) }
-      .toSeq
-      .toDF("b", "w")
-      .orderBy(col("b"))
-  }
-
-  /** Train-then-infer surface (x129): every document scored under the
-    * x128-trained weights through the SAME inference expression x126
-    * uses ([[graft.functions.FtBinaryDots]] via a (0, w) binary model —
-    * dot1 IS the perceptron score), with the sign prediction and
-    * correctness against the planted labels. Certifies the full
-    * train → apply composition end to end: the oracle extends x128's
-    * unrolled training with one more scoring pass under the final
-    * weights.
-    */
-  private def x129(s: SparkSession, dir: String): DataFrame = {
-    val w = perceptronWeights(s, dir)
-    val model = LinearModel.HashedLinearModel(512, Array(Array.fill(512)(0L), w))
-    LinearModel
-      .classify(perceptronDocs(s, dir), "text", model)
-      .select(
-        col("doc_id"),
-        col("dot1").as("score"),
-        when(col("dot1") > 0L, 1L).otherwise(-1L).as("pred_y"),
-        col("y").as("true_y"),
-        (col("y") * col("dot1") > 0L).as("correct"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** x134's LOADED model, keyed by dir — the save → load happens once
-    * per (corpus, JVM) under the per-key lock; the x124 slot discipline
-    * for a filesystem artifact (two racers would overwrite the same
-    * deterministic table), with computeIfAbsent as the mutual exclusion.
-    */
-  private val loadedModelSlot =
-    new java.util.concurrent.ConcurrentHashMap[String, LinearModel.HashedLinearModel]()
-
-  /** Model-artifact round-trip surface (x134): the x128-trained binary
-    * weights written as an at-rest catalog table
-    * ([[graft.operators.ModelStore]] — the model-registry piece: train
-    * and serve are different PROCESSES in production), re-loaded, and
-    * served through the SAME scoring pass as x129. Oracled against
-    * x129's SQL VERBATIM (the x124 reuse discipline): a hash match
-    * proves the persistence layer is invisible to the scores —
-    * round-trip-lossless coefficients, dense-grid validation, no silent
-    * zero-fill.
-    */
-  private def x134(s: SparkSession, dir: String): DataFrame = {
-    val loaded = loadedModelSlot.computeIfAbsent(
-      dir,
-      _ => {
-        val trained = LinearModel.HashedLinearModel(
-          512, Array(Array.fill(512)(0L), perceptronWeights(s, dir)))
-        val table = s"graft_model_x134_${Integer.toHexString(dir.hashCode)}"
-        ModelStore.save(s, table, trained)
-        ModelStore.load(s, table)
-      })
-    LinearModel
-      .classify(perceptronDocs(s, dir), "text", loaded)
-      .select(
-        col("doc_id"),
-        col("dot1").as("score"),
-        when(col("dot1") > 0L, 1L).otherwise(-1L).as("pred_y"),
-        col("y").as("true_y"),
-        (col("y") * col("dot1") > 0L).as("correct"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Retrieval-quality evaluation surface (x135): recall@3 and
-    * reciprocal rank of the x111 integer-LSH ANN path against exact
-    * ground truth on the `vec_id % 10 = 0` query panel — the
-    * index-tuning measurement (ann-benchmarks-style recall curves, IVF
-    * nprobe sweeps) the ANN family indexes lacked. Both sides score
-    * under the ONE 6-dp-cosine/(score desc, id asc) contract, so the
-    * metrics isolate the banding's candidate miss; the oracle replays
-    * planes → buckets → sampled candidate edges → both rankings → the
-    * hit/RR arithmetic in exact integer ppm. Misses are REPLAYED, not
-    * hidden (the x113 posture): a panel query the LSH misses entirely
-    * emits 0 ppm on both engines.
-    */
-  private def x135(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .annRecallIntLsh(t(s, dir, "embeddings"), k = 3, sampleMod = 10)
-      .orderBy(col("query_id"))
-  }
-
-  /** Preference-rating surface (x136): Bradley-Terry skill fitting over
-    * a pairwise-comparison log ([[graft.operators.Preference]] — the
-    * RLHF/arena staple). The log is planted from the corpus: consecutive
-    * docs compete as items `doc_id % 64`, the longer document (by the
-    * table's own n_chars) wins, ties to the lower item — so both engines
-    * derive the identical log from first principles. Four MM rounds in
-    * BIGINT fixed-point (scale 10⁶, max-normalized), every division a
-    * truncating integer div; the oracle unrolls all four rounds
-    * (the perceptron/LPA discipline).
-    */
-  /** The planted pairwise-preference log shared by x136/x141 (one Scala
-    * helper, one SQL generator — the substrInjA convention): consecutive
-    * docs duel as items `doc_id % 64`, the longer document (by the
-    * table's own n_chars) wins, ties to the lower item.
-    */
-  private def btComparisons(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    d.as("d1")
-      .join(d.as("d2"), col("d2.doc_id") === col("d1.doc_id") + 1)
-      .select(
-        col("d1.doc_id").as("cmp_id"),
-        (col("d1.doc_id") % 64).as("item_a"),
-        (col("d2.doc_id") % 64).as("item_b"),
-        when(col("d1.n_chars") > col("d2.n_chars"), col("d1.doc_id") % 64)
-          .when(col("d2.n_chars") > col("d1.n_chars"), col("d2.doc_id") % 64)
-          .otherwise(least(col("d1.doc_id") % 64, col("d2.doc_id") % 64))
-          .as("winner"))
-      .where(col("item_a") =!= col("item_b"))
-  }
-
-  private def x136(s: SparkSession, dir: String): DataFrame =
-    Preference
-      .btRatings(
-        btComparisons(s, dir).select("item_a", "item_b", "winner"),
-        rounds = 4)
-      .orderBy(col("item"))
-
-  /** Distributed Bradley-Terry surface (x147): the SAME planted log and
-    * four MM rounds as x136, fitted by
-    * [[graft.operators.Preference.btRatingsDistributed]] — each round a
-    * pairs ⋈ ratings DataFrame step with items-bounded shuffles,
-    * per-round localCheckpoint lineage cuts, DECIMAL-exact denominator
-    * sums, and a two-phase global rank. The oracle is x136's CTE chain
-    * VERBATIM (the x134 reuse discipline): the distributed formulation
-    * must be invisible to the fit, so both surfaces hash against the
-    * same SQL — lifting the driver-fixpoint contract documented at
-    * `Preference.scala`'s scaladoc without changing one rating bit.
-    */
-  private def x147(s: SparkSession, dir: String): DataFrame =
-    Preference
-      .btRatingsDistributed(
-        btComparisons(s, dir).select("item_a", "item_b", "winner"),
-        rounds = 4)
-      .orderBy(col("item"))
-
-  /** Preference-pair curation surface (x141): the RLHF loop closed —
-    * x136's fitted board turned back on its own log
-    * ([[graft.operators.Preference.curatedPairs]]): per comparison the
-    * (chosen, rejected) training pair, both ratings, the signed margin,
-    * the model-agreement flag, and the keep gate at margin ≥ 0.1·S.
-    * The log never shuffles (items-bounded ratings broadcast onto it);
-    * the oracle reuses x136's verbatim CTE chain (btCtesSql).
-    */
-  private def x141(s: SparkSession, dir: String): DataFrame = {
-    val cmp = btComparisons(s, dir)
-    Preference
-      .curatedPairs(
-        cmp,
-        Preference.btRatings(cmp.select("item_a", "item_b", "winner"), rounds = 4),
-        minMargin = 100000L)
-      .orderBy(col("cmp_id"))
-  }
-
-  /** PCA-projection surface (x137): every embedding projected onto the
-    * corpus's top principal component ([[graft.operators.Pca]] — the
-    * rotation/whitening step in front of IVF/PQ training and the
-    * anisotropy diagnostic). Covariance trains on the `vec_id % 2 = 0`
-    * HALF of the corpus (rotation trainers sample — the x118 codebook
-    * posture, and the gate then exercises the train-on-sample /
-    * project-everything split), ten fixed matrix SQUARINGS in truncating
-    * integer fixed-point (effective power 1024 — the gate corpus
-    * measures λ₂/λ₁ ≈ 0.98 at bench scale, where round-by-round power
-    * iteration cannot converge in unrollable rounds). The oracle replays
-    * quantization → one-pass moments → n²-scaled covariance → downscale
-    * → all ten squarings → the component projection, bit-for-bit.
-    */
-  private def x137(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Pca
-      .topComponentProjections(t(s, dir, "embeddings"), trainMod = 2, squarings = 10)
-      .orderBy(col("vec_id"))
-  }
-
-  /** Dimensionality-reduction surface (x143): every embedding projected
-    * onto the top FOUR principal components
-    * ([[graft.operators.Pca.reduceProjections]] — solve-then-deflate,
-    * the front half of an OPQ-style rotate-reduce-index stack). Same
-    * train-on-half posture as x137; the integer Hotelling deflation's
-    * >2⁶³ intermediates ride Scala BigInt ≡ DuckDB HUGEINT (identical
-    * trunc-toward-zero), so the oracle replays all four solve+deflate
-    * chains and the four projections bit-for-bit.
-    */
-  private def x143(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Pca
-      .reduceProjections(t(s, dir, "embeddings"), r = 4, trainMod = 2, squarings = 10)
-      .orderBy(col("vec_id"))
-  }
-
-  /** Adaptive-k PCA surface (x148): explained-variance accounting over
-    * the x143 deflation chain ([[graft.operators.Pca.explainedVariance]])
-    * — per candidate component its spectral share and cumulative share
-    * in exact integer ppm of the covariance trace, plus the chosen k
-    * (smallest count clearing the 90% target, rMax = 4 fallback when
-    * the spectrum never gets there — which is the HONEST verdict on the
-    * near-isotropic gate corpus, the same signal x144 measures as
-    * recall collapse). The oracle extends x143's chain with the
-    * per-component xᵀCx / xᵀx shares, the trace, and the same k rule.
-    */
-  private def x148(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Pca
-      .explainedVariance(
-        t(s, dir, "embeddings"),
-        rMax = 4, targetPpm = 900000L, trainMod = 2, squarings = 10)
-      .orderBy(col("comp"))
-  }
-
-  /** Cross-space eval surface (x144): what the x143 reduction COSTS
-    * retrieval — exact panel top-3 in the reduced 4-dim space measured
-    * against exact panel top-3 in the original space
-    * ([[graft.operators.Similarity.reducedSpaceRecall]]), per-query
-    * recall/RR in exact integer ppm. The eval-family arc closed:
-    * reduce (x143) → index → evaluate (x135's metric discipline) —
-    * the number every "d→r dims" compression decision needs.
-    */
-  private def x144(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    val reduced = Pca
-      .reduceProjections(emb, r = 4, trainMod = 2, squarings = 10)
-      .select(
-        col("vec_id").as("id"),
-        array(
-          col("p1").cast("double"), col("p2").cast("double"),
-          col("p3").cast("double"), col("p4").cast("double")).as("vec"))
-    Similarity
-      .reducedSpaceRecall(
-        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-        reduced, k = 3, sampleMod = 10)
-      .orderBy(col("query_id"))
-  }
-
-  /** MMR-diversification surface (x145): top-3 diversified results per
-    * query over the banded integer-LSH top-10 candidates
-    * ([[graft.operators.Similarity.mmrDiversifyIntLsh]], λ = 0.7 —
-    * the RAG-context-assembly verb: near-duplicate passages waste the
-    * window). Candidate generation replays through the x111 plane grid;
-    * the greedy's two selection steps are unrolled in the oracle with
-    * the identical 6-dp blend arithmetic and (mmr desc, id asc)
-    * tie-break.
-    */
-  private def x145(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .mmrDiversifyIntLsh(t(s, dir, "embeddings"), k = 3, candK = 10, lambdaTenths = 7)
-      .orderBy(col("query_id"), col("pos"))
-  }
-
-  /** Full web-corpus arc surface (x146): the COMPOSED pipeline — WARC
-    * ingest → record walk → URL normalize → HTML extract → Gopher +
-    * lang-ID screens → exact dedup → MinHash near-dup → eval-set
-    * decontamination → planted-model screen → trained-scorer calibrated
-    * keep → per-source cap → next-fit pack ([[graft.operators.WebArc]];
-    * every stage an individually oracled operator, chained so
-    * cross-stage plan pathologies have a surface to appear on). The
-    * oracle CTE-chains the stage oracles (x92's page closed form, x120's
-    * screen arithmetic, x07's inverted-index Jaccard, x21's gram
-    * overlap, x126's planted dots, x128's unrolled training, x142's
-    * bins + minimax fit, x51's cap window, x24's recursive next-fit
-    * walk) over the same derived pages. Documents is scanned exactly
-    * twice (arc input + eval set) — WebArcSpec pins the plan shape.
-    */
-  private def x146(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val docs = t(s, dir, "documents")
-    WebArc
-      .pipeline(
-        docs = docs.select(col("doc_id"), col("source"), col("text")),
-        evalDocs = docs.where(col("doc_id") % 50 === 0).select(col("text")),
-        model = ftModel)
-      .orderBy(col("doc_id"), col("rec_idx"))
-  }
-
-  /** The x128-trained scorer's output in calibration shape: one
-    * (doc_id, score, y) row per document — shared by the x138/x139
-    * calibration surfaces so the diagram and the fit cannot drift.
-    */
-  private def calibScored(s: SparkSession, dir: String): DataFrame = {
-    val w = perceptronWeights(s, dir)
-    val model = LinearModel.HashedLinearModel(512, Array(Array.fill(512)(0L), w))
-    LinearModel
-      .classify(perceptronDocs(s, dir), "text", model)
-      .select(col("doc_id"), col("dot1").as("score"), col("y"))
-  }
-
-  /** Reliability-diagram surface (x138): observed positive rate per
-    * equal-mass score decile of the x128-trained scorer
-    * ([[graft.operators.Calibration.reliabilityBins]] — the diagram a
-    * curation stack reads before trusting classifier thresholds). Rank
-    * deciles via the two-phase global rank (no single-partition
-    * window), all rates exact integer ppm; the oracle extends x129's
-    * unrolled training replay with the rank/bin/aggregate arithmetic.
-    */
-  private def x138(s: SparkSession, dir: String): DataFrame =
-    Calibration
-      .reliabilityBins(calibScored(s, dir), bins = 10)
-      .orderBy(col("bin"))
-
-  /** Isotonic-calibration surface (x139): the monotone rate map over
-    * x138's deciles by the minimax characterization (fit_i = max_{j≤i}
-    * min_{k≥i} pooled-ppm(j..k) — Robertson-Wright-Dykstra), which
-    * replaces PAVA's data-dependent merge loop with a closed bins³ form
-    * both engines evaluate directly. The bins table is constant-size
-    * (bounded-state contract); the fit is driver arithmetic.
-    */
-  private def x139(s: SparkSession, dir: String): DataFrame =
-    Calibration
-      .isotonicCalibration(calibScored(s, dir), bins = 10)
-      .orderBy(col("bin"))
-
-  /** Corpus data-card surface (x140): the per-(source, lang) release
-    * summary ([[graft.operators.DomainStats.corpusReport]] — volumes,
-    * exact-duplicate mass, emptiness, length envelope, rates in exact
-    * integer ppm). Tokens by the x83 whitespace idiom, digests by md5
-    * (the x84 convention); only (stratum, digest) pairs shuffle.
-    */
-  /** Calibrated-screen surface (x142): the calibration USED — every
-    * document kept or dropped by whether its bin's ISOTONIC rate clears
-    * 0.5 ([[graft.operators.Calibration.calibratedScreen]]): a raw-score
-    * threshold cuts at an arbitrary dot value; the calibrated threshold
-    * targets precision by construction. One rank pass, the
-    * constant-size fit on the driver, a 10-row broadcast back onto the
-    * docs.
-    */
-  private def x142(s: SparkSession, dir: String): DataFrame =
-    Calibration
-      .calibratedScreen(calibScored(s, dir), bins = 10, minIsoPpm = 500000L)
-      .withColumn("bin", col("bin").cast("long"))
-      .orderBy(col("doc_id"))
-
-  private def x140(s: SparkSession, dir: String): DataFrame =
-    DomainStats
-      .corpusReport(
-        t(s, dir, "documents").select(
-          col("source"), col("lang"), col("text"), col("n_chars"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
-      .orderBy(col("source"), col("lang"))
-
-  /** OVA weights shared within one JVM, keyed by corpus dir (the
-    * trainedPerceptron contract: bounded driver state — 3 × 128 longs —
-    * that is a pure function of the corpus; the warm-up rep pays the
-    * training, timed reps measure the train-once/apply-per-delivery
-    * production shape, disclosed as with x64/x128).
-    */
-  private val trainedOva =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
-
-  private def ovaDocs(s: SparkSession, dir: String): DataFrame =
-    dts(s, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("cls", col("doc_id") % 3L)
-
-  private def ovaWeights(s: SparkSession, dir: String): Array[Array[Long]] =
-    trainedOva.computeIfAbsent(
-      dir,
-      _ =>
-        LinearModel
-          .trainPerceptronOva(
-            ovaDocs(s, dir), "text", "cls", numClasses = 3, dim = 128, rounds = 2)
-          .map(_._1)
-          .toArray)
-
-  /** Multi-class train-then-infer surface (x131): three one-vs-all
-    * integer perceptrons ([[graft.operators.LinearModel
-    * .trainPerceptronOva]] — ONE persisted label-independent
-    * feature-count table feeds all three training loops) over the
-    * planted 3-way classes (cls = doc_id mod 3), then every document
-    * scored under the trained 3×128 head through the SAME
-    * [[graft.functions.FtMultiDots]] walk x130 uses, with the
-    * strict-argmax prediction and correctness against the plant. The
-    * oracle unrolls all three training chains (the x128 discipline,
-    * prefixed per class) plus the final scoring joins — a hash match
-    * certifies the complete multi-class learn → apply composition.
-    */
-  private def x131(s: SparkSession, dir: String): DataFrame = {
-    val model = LinearModel.HashedLinearModel(128, ovaWeights(s, dir))
-    LinearModel
-      .classify(ovaDocs(s, dir), "text", model)
-      .select(
-        col("doc_id"),
-        col("dot0").as("score0"),
-        col("dot1").as("score1"),
-        col("dot2").as("score2"),
-        col("pred").as("pred_cls"),
-        col("cls").as("true_cls"),
-        (col("pred") === col("cls")).as("correct"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Model-evaluation surface (x132): the per-class confusion row —
-    * tp/fp/fn counts plus exact integer-ppm precision, recall, and F1
-    * (f1_ppm = 2·tp·10⁶ ∕ (2·tp + fp + fn), one BIGINT division — the
-    * harmonic mean rewritten so it never touches floats) — over x131's
-    * trained one-vs-all predictions vs the planted classes. The eval
-    * half every training pipeline runs after the infer half; one
-    * class-keyed aggregation over the scored frame (3 groups — the
-    * exchange is O(classes), not O(corpus)). The oracle extends x131's
-    * unrolled train+score replay with the same confusion aggregation.
-    */
-  private def x132(s: SparkSession, dir: String): DataFrame = {
-    val model = LinearModel.HashedLinearModel(128, ovaWeights(s, dir))
-    val scored = LinearModel
-      .classify(ovaDocs(s, dir), "text", model)
-      .select(col("pred").as("pred_cls"), col("cls").as("true_cls"))
-    // contingency cells first (ONE count pass over the corpus, ≤ 9 rows
-    // out), then the per-class tp/fp/fn pivot over the tiny cell frame —
-    // never explode the corpus per class
-    val cells = scored.groupBy(col("true_cls"), col("pred_cls")).count()
-    val byClass = cells
-      .select(explode(array((0 until 3).map(c => lit(c.toLong)): _*)).as("cls"),
-        col("pred_cls"), col("true_cls"), col("count"))
-      .groupBy(col("cls"))
-      .agg(
-        sum(when(col("true_cls") === col("cls") && col("pred_cls") === col("cls"),
-          col("count")).otherwise(0L)).as("tp"),
-        sum(when(col("true_cls") =!= col("cls") && col("pred_cls") === col("cls"),
-          col("count")).otherwise(0L)).as("fp"),
-        sum(when(col("true_cls") === col("cls") && col("pred_cls") =!= col("cls"),
-          col("count")).otherwise(0L)).as("fn"))
-    byClass
-      .select(
-        col("cls"),
-        col("tp"), col("fp"), col("fn"),
-        expr("tp * 1000000 div greatest(tp + fp, 1)").as("precision_ppm"),
-        expr("tp * 1000000 div greatest(tp + fn, 1)").as("recall_ppm"),
-        expr("tp * 2000000 div greatest(tp * 2 + fp + fn, 1)").as("f1_ppm"))
-      .orderBy(col("cls"))
-  }
-
-  /** Active-learning selection surface (x133): uncertainty sampling
-    * (Lewis &amp; Gale 1994, the annotation-targeting staple) — the 5
-    * LOWEST-margin documents per predicted class under x131's trained
-    * one-vs-all head, margin = best dot − runner-up dot
-    * (2·max + min − Σ, all BIGINT). Ranking goes through the bounded
-    * [[graft.functions.TopKByLongScore]] partial top-k on the NEGATED
-    * margin — map-side ≤ k rows per class per task — instead of a
-    * per-class window, whose 3 partitions would funnel the corpus
-    * through 3 tasks (the group-rank lesson). Oracle: x131's replay +
-    * the margin arithmetic + row_number per class.
-    */
-  private def x133(s: SparkSession, dir: String): DataFrame = {
-    val model = LinearModel.HashedLinearModel(128, ovaWeights(s, dir))
-    LinearModel
-      .classify(ovaDocs(s, dir), "text", model)
-      .withColumn(
-        "unc",
-        greatest(col("dot0"), col("dot1"), col("dot2")) * 2L +
-          least(col("dot0"), col("dot1"), col("dot2")) -
-          (col("dot0") + col("dot1") + col("dot2")))
-      .groupBy(col("pred").as("pred_cls"))
-      .agg(GraftFunctions.topKByLongScore(-col("unc"), col("doc_id"), 5).as("top"))
-      .select(col("pred_cls"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(
-        col("pred_cls"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("t.neighbor_id").as("doc_id"),
-        (-col("t.score")).as("margin"))
-      .orderBy(col("pred_cls"), col("rank"))
-  }
-
-  /** Multi-class learned-inference surface (x130): the 4-class planted
-    * head over 256 hashed buckets — the language-ID / domain-router
-    * shape — scored through [[graft.functions.FtMultiDots]] (one
-    * plain-JVM token walk charging each hashed bucket to all four
-    * classes; the FtBinaryDots lesson generalized, vs four interpreted
-    * HOF folds per row). Same map-only zero-exchange plan as x126; the
-    * oracle rebuilds the 4×256 weight table closed-form and replays
-    * features → buckets → four BIGINT dots → strict smallest-index
-    * argmax bit-for-bit.
-    */
-  private def x130(s: SparkSession, dir: String): DataFrame =
-    LinearModel
-      .classify(dts(s, dir).select(col("doc_id"), col("text")), "text", ftModel4)
-      .select(
-        col("doc_id"), col("n_feats"),
-        col("dot0"), col("dot1"), col("dot2"), col("dot3"), col("pred"))
-      .orderBy(col("doc_id"))
-
-  /** Distinct-count sketch surface: distinct users per event type by KMV
-    * k-minimum-values (k = 64) next to the exact twin — the sketch whose
-    * exchange stays O(k) per group regardless of cardinality, where exact
-    * `count(distinct)` ships every (group, user) pair; see
-    * [[graft.operators.DistinctSketch]]. The SFs split the contract's two
-    * branches: 15 users/type at sf0.001 exercises exact-below-k
-    * (kth_hash NULL), 150 at sf0.01 the (k-1)·2^40/h_(k) estimator —
-    * both get driver coverage. The oracle replays hash, k-minima, and
-    * integer-division estimate bit-for-bit.
-    */
-  private def x57(s: SparkSession, dir: String): DataFrame = {
-    val events = ev(s, dir)
-    val sketch = DistinctSketch.kmvDistinct(
-      events.select(col("event_type"), col("user_id")),
-      groupCols = Seq("event_type"),
-      elem = col("user_id"),
-      k = 64
-    )
-    val exact = events
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_distinct"))
-    sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
-  }
-
-  /** Rule-cascade filtering surface: Gopher structural screens (token
-    * count, mean word length, stopword presence) in audit shape — per-rule
-    * flags plus the final keep, all integer arithmetic, map-only; see
-    * [[graft.operators.QualityFilter]]. At sf0.01 every rule cuts both
-    * ways (351/498/317 of 500 pass; 252 keep), so the oracle exercises
-    * each flag's boundary.
-    */
-  private def x58(s: SparkSession, dir: String): DataFrame =
-    QualityFilter
-      .gopherFlags(dts(s, dir).select(col("doc_id"), col("text")))
-      .select(
-        col("doc_id"), col("n_tokens"), col("sum_token_chars"), col("n_stopwords"),
-        col("pass_count"), col("pass_meanlen"), col("pass_stop"), col("keep"))
-      .orderBy(col("doc_id"))
-
-  /** Weighted-sampling surface: 30 docs per language, inclusion odds
-    * proportional to token count, by deterministic sequential Poisson
-    * sampling — see [[graft.operators.Sampling.weightedSamplePerGroup]].
-    * The integer priority (hash40 div weight) makes the sample replayable
-    * bit-for-bit by the oracle; sf0.001's 10-doc groups exercise the
-    * k-exceeds-group branch, sf0.01's 100-doc groups the real selection.
-    */
-  private def x59(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("weight", size(TextAnalysis.tokens(col("text"))).cast("long"))
-    Sampling
-      .weightedSamplePerGroup(
-        docs,
-        group = col("lang"),
-        key = col("doc_id").cast("string"),
-        weight = col("weight"),
-        tieBreak = col("doc_id"),
-        k = 30
-      )
-      .select(col("lang"), col("doc_id"), col("weight"), col("priority"))
-      .orderBy(col("lang"), col("doc_id"))
-  }
-
-  /** Count-min-sketch surface: every vocabulary token's point estimate
-    * from ONE depth=3 × width=16 counter matrix next to its exact count —
-    * see [[graft.operators.FrequencySketch]]. The 31-token vocabulary in
-    * 16 cells/row guarantees collisions (pigeonhole), so both contract
-    * branches get driver coverage at sf0.01: 21 tokens overestimated,
-    * 10 exact, `overestimate >= 0` for all (the CMS one-sided bound).
-    * The oracle replays every cell and every min-of-3 estimate
-    * bit-for-bit from the same md5 row hashes.
-    */
-  private def x60(s: SparkSession, dir: String): DataFrame =
-    FrequencySketch
-      .cmsTokenCounts(
-        dts(s, dir).select(col("text")),
-        text = col("text"),
-        depth = cmsDepth,
-        width = cmsWidth
-      )
-      .orderBy(col("token"))
-
-  /** Collocation-mining surface: every adjacent-pair phrase score
-    * (Mikolov word2vec formula, δ = 2, threshold 1.3) next to its raw
-    * counts — see [[graft.operators.TextAnalysis.collocations]]. At both
-    * gate SFs the 916 distinct bigrams split all three contract branches
-    * (24-27 phrases, ~12 discount-zeroed rare pairs, the rest plain),
-    * and the integer lift replays exactly in the oracle.
-    */
-  private def x61(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .collocations(
-        dts(s, dir).select(col("text")),
-        delta = 2L,
-        thresholdX1000 = 1300L
-      )
-      .select(
-        col("w1"), col("w2"), col("cnt_pair"), col("cnt_w1"), col("cnt_w2"),
-        col("lift_x1000"), col("is_phrase"))
-      .orderBy(col("w1"), col("w2"))
-
-  /** Scalable exact-quantile surface: per-event-type p50 AND p95 of the
-    * integer cents value by two-pass histogram refinement — see
-    * [[graft.operators.Robust.binnedQuantileDisc]]. No reducer buffers a
-    * group's values (the open-domain upgrade to x48/x52's per-group
-    * percentile buffers): 2^10-cent bins give ~48 occupied bins and ~40
-    * in-bin rows per group at sf0.01. Discrete-quantile contract — the
-    * exact element at rank (p·(n−1)) div 1 — so the oracle replays it
-    * with a plain row_number selection, all-integer.
-    */
-  private def x62(s: SparkSession, dir: String): DataFrame = {
-    val cents = ev(s, dir)
-      .select(
-        col("event_type"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
-    def q(pNum: Long, pDenom: Long, label: String) =
-      Robust
-        .binnedQuantileDisc(cents, col("event_type"), col("v"),
-          pNum = pNum, pDenom = pDenom, binShift = 10)
-        .select(
-          col("graft_key").as("event_type"), lit(label).as("p_label"),
-          col("n_total"), col("target_rank"), col("q_value"))
-    q(1, 2, "p50").unionAll(q(95, 100, "p95")).orderBy(col("event_type"), col("p_label"))
-  }
-
-  /** BPE vocabulary-learning surface: the first 3 merges over the
-    * documents corpus — see [[graft.operators.Bpe]]. Each iteration is
-    * vocabulary-sized (the corpus collapses to word counts first), the
-    * winner is one TakeOrdered row of driver state, and the double-space
-    * canonical-merge encoding makes literal string replace ≡ leftmost
-    * non-overlapping BPE on BOTH engines, so the oracle replays merges,
-    * tie-breaks, weighted counts and post-merge corpus symbol totals
-    * exactly (validated against an independent list-walk reference).
-    */
-  /** Shared learned-merge cache (r11 verdict #2): x64 (learn), x65
-    * (segment) and x121 (encode) all consume the IDENTICAL m-round merge
-    * chain over the same corpus, and the chain is the only
-    * driver-serialized computation in the registry (~19.5 s of the 122 s
-    * bench when re-learned three times). Learning is memoized per
-    * (dir, m): the cached value is the m-row merge table itself —
-    * bounded driver state by the learnMerges contract, NOT corpus data —
-    * so semantics are unchanged (same chain, same oracle) and each bench
-    * JVM pays the 64-round control loop exactly once per corpus.
-    */
-  // Keyed by (dir, m) ONLY — deliberately NOT by the session: the value
-  // is a pure function of the corpus and the merge count (learnMerges is
-  // deterministic), so a session component buys nothing, and an IDENTITY
-  // HASH of a session is exactly the keying the nearDupIdxSlot scaladoc
-  // rejects (it can collide across a stopped and a live session and serve
-  // stale state). Bounded by the number of distinct SF dirs a JVM touches.
-  private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, Int), Seq[(Int, String, String, String, Long, Long)]]()
-
-  private def learnedMerges(
-      s: SparkSession, dir: String): Seq[(Int, String, String, String, Long, Long)] =
-    bpeMergeCache.computeIfAbsent(
-      (dir, bpeMerges),
-      _ =>
-        Bpe
-          .learnMerges(dts(s, dir).select(col("text")), m = bpeMerges)
-          .orderBy(col("iter"))
-          .collect()
-          .map(r =>
-            (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
-              r.getLong(4), r.getLong(5)))
-          .toSeq)
-
-  private def x64(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    learnedMerges(s, dir)
-      .toDF("iter", "left", "right", "merged", "pair_count", "corpus_symbols_after")
-      .orderBy(col("iter"))
-  }
-
-  /** BPE encode surface: every distinct corpus word segmented by the x64
-    * merge table, in learned order — see
-    * [[graft.operators.Bpe.segmentWords]]. The merge list is bounded
-    * driver state (3 rows) folded into chained literal replaces; the
-    * oracle reads the SAME unrolled CTE chain's final word table, so
-    * train ≡ encode consistency is part of the contract.
-    */
-  private def x65(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir).select(col("text"))
-    val merges = learnedMerges(s, dir).map(t => (t._2, t._3))
-    Bpe.segmentWords(docs, merges).orderBy(col("w"))
-  }
-
-  /** BPE corpus-encode surface (x121): every document rendered to the
-    * subword token ids a training run consumes — the third leg of
-    * tokenizer prep after x64 (learn) and x65 (segment). See
-    * [[graft.operators.Bpe.encodeCorpus]]: frequency-ordered vocabulary
-    * ids (bounded by alphabet + m merges — driver-literal by
-    * construction), one broadcast join of the corpus position explode
-    * against the vocabulary-sized segmentation table. The oracle extends
-    * the x64/x65 unrolled chain with the vocab ranking and the same
-    * parallel-unnest position indexing, so train ≡ segment ≡ encode is
-    * one consistency chain certified end to end.
-    */
-  private def x121(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir).select(col("doc_id"), col("text"))
-    val merges = learnedMerges(s, dir).map(t => (t._2, t._3))
-    Bpe
-      .encodeCorpus(docs, merges)
-      .orderBy(col("doc_id"), col("pos"), col("sub_pos"))
-  }
-
-  /** Stable-sharding surface: rendezvous (highest-random-weight)
-    * assignment of every document to one of 8 shards — see
-    * [[graft.operators.Mix.rendezvousShard]]. Map-only, md5-replayable;
-    * the oracle recomputes all 8 weights per doc and takes the same
-    * (weight desc, shard asc) argmax.
-    */
-  private def x66(s: SparkSession, dir: String): DataFrame =
-    Mix
-      .rendezvousShard(
-        t(s, dir, "documents").select(col("doc_id")),
-        key = col("doc_id"),
-        nShards = hrwShards)
-      .select(col("doc_id"), col("shard"), col("shard_weight"))
-      .orderBy(col("doc_id"))
-
-  /** x66 shard count, shared between the Spark call and the oracle. */
-  private val hrwShards = 8
-
-  /** Incremental-ingest surface: docs ≥ 250 plus 20 PLANTED exact copies
-    * (ids +10000, texts of docs < 20) arrive as the new batch against the
-    * < 250 index — see [[graft.operators.Dedup.incrementalClassify]].
-    * All three classes get driver coverage at both SFs: 20 exact, 12-13
-    * near (the cross-split Jaccard ≥ 0.5 pairs), the rest novel; the
-    * planted copies also near-match (Jaccard 1) so the oracle exercises
-    * the exact-over-near precedence.
-    */
-  private def x67(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val index = docs.where(col("doc_id") < 250)
-    val batch = docs.where(col("doc_id") >= 250)
-      .unionAll(docs.where(col("doc_id") < 20)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    Dedup
-      .incrementalClassify(batch, index, n = 3, threshold = 0.5)
-      .orderBy(col("doc_id"))
-  }
-
-  /** Multimodal metadata surface #3: AVI container decode — genuine RIFF
-    * hdrl/strl/movi files ([[graft.functions.BuildAvi]], fixed 25 fps)
-    * parsed by [[graft.functions.AviCodec]]'s MainAVIHeader walk; dims
-    * from avih, duration = frames · 40 ms. Same closed-form
-    * encode→decode→verify contract as x53/x54.
-    */
-  private def x69(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .where(col("doc_id") % 5 === 2)
-      .select(
-        col("doc_id"),
-        Multimodal
-          .decodeMeta(
-            GraftFunctions.buildAvi(
-              (lit(32) + col("doc_id") % 61 * 2).cast("int"),
-              (lit(24) + col("doc_id") % 47 * 2).cast("int"),
-              (lit(10) + col("doc_id") % 241).cast("int")
-            )
-          )
-          .as("m")
-      )
-      .select(
-        col("doc_id"),
-        col("m.format").as("format"),
-        col("m.width").as("width"),
-        col("m.height").as("height"),
-        col("m.duration_ms").as("duration_ms")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** Burst-detection surface: per-(event_type, epoch-hour) counts flagged
-    * by the all-integer median/MAD rule — see
-    * [[graft.operators.Robust.burstScreen]]. Buckets from the raw
-    * `ts_us div 3600000000` (the ev() micros contract), 89-121 flagged
-    * buckets of ~3400/870 at the gate SFs so both flag values get
-    * coverage.
-    */
-  private def x68(s: SparkSession, dir: String): DataFrame =
-    Robust
-      .burstScreen(
-        ev(s, dir),
-        keyCol = col("event_type"),
-        bucketCol = expr("ts_us div 3600000000"))
-      .select(
-        col("graft_key").as("event_type"), col("bucket"),
-        col("n_events"), col("is_burst"))
-      .orderBy(col("event_type"), col("bucket"))
-
-  /** LM fluency scoring surface (x70): bigram stupid-backoff LM trained
-    * on the even-id half of the corpus, scoring the odd-id half — the
-    * CCNet reference-corpus-vs-target split, and the split is what makes
-    * both contract branches live (unseen target bigrams exercise the
-    * backoff; self-scoring would never miss). See
-    * [[graft.operators.TextAnalysis.lmFluency]] for the all-integer
-    * ppm contract.
-    */
-  private def x70(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir).select(col("doc_id"), col("text"))
-    TextAnalysis
-      .lmFluency(
-        refDocs = docs.where(col("doc_id") % 2 === 0),
-        targetDocs = docs.where(col("doc_id") % 2 === 1))
-      // the operator's NULL-when-no-pairs would render the BIGINT column
-      // float64 through pandas if any short doc appeared — sentinel -1
-      // keeps the hashed column integer-rendered on both engines
-      .select(
-        col("doc_id"), col("n_pairs"), col("n_hit"),
-        coalesce(col("fluency_ppm"), lit(-1L)).as("fluency_ppm"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Leakage-safe split surface (x71): train/val/test assignment keyed by
-    * the md5 bucket of each document's NEAR-DUP CLUSTER ROOT (x14's
-    * component minimum; singletons root to themselves) — near-duplicates
-    * provably share a split. 80/10/10 via the [[graft.operators
-    * .Sampling.thresholdHex]] hex-threshold convention.
-    */
-  private def x71(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    Sampling
-      .leakageSafeSplit(
-        docs.select(col("doc_id")),
-        Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5),
-        trainRate = 0.8,
-        valRate = 0.1)
-      .orderBy(col("doc_id"))
-  }
-
-  /** Seed-distance BFS surface (x72): exact hop distance from a seed set
-    * over 12-node doc-id chains — even-numbered chains are seeded at
-    * their head, odd chains are unreachable and surface NULL (the "no
-    * trusted page vouches for this" signal). Multi-hop (dist 0..11), so
-    * the frontier loop in [[graft.operators.Paths.seedDistance]] is
-    * exercised to real depth, and the DuckDB oracle replays the same
-    * graph with a recursive-CTE walk.
-    */
-  private def x72(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"))
-    val edges = ids
-      .where(col("doc_id") % 12 =!= 11)
-      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
-      .join(ids.select(col("doc_id").as("b")), Seq("b"))
-    val seeds = ids
-      .where(col("doc_id") % 12 === 0 && expr("(doc_id div 12) % 2 = 0"))
-      .select(col("doc_id").as("node"))
-    Paths
-      .seedDistance(edges, seeds, maxIters = 40)
-      // NULL-in-BIGINT renders float64 through pandas (the HUGEINT
-      // lesson's sibling): surface unreachable as -1 so the hashed
-      // column stays integer-rendered on both engines
-      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
-      .orderBy(col("node"))
-  }
-
-  /** Temperature-mixing planner surface (x73): per-source token totals →
-    * exact-isqrt T=2 weights → ppm shares/quotas/keep-rates — see
-    * [[graft.operators.Mix.temperatureQuotas]]. Whitespace token counts
-    * so the oracle replays the count, the corrected isqrt, and every
-    * integer division bit-for-bit.
-    */
-  private def x73(s: SparkSession, dir: String): DataFrame =
-    Mix
-      .temperatureQuotas(
-        dts(s, dir),
-        group = col("source"),
-        tokenCount = size(TextAnalysis.tokens(col("text"))))
-      .orderBy(col("source"))
-
-  /** Winnowing fingerprint surface (x74): per-doc fingerprint summary of
-    * [[graft.operators.Dedup.winnowFingerprints]] (k = 3 grams, window
-    * w = 4) — gram count, selected-fingerprint count, and the integer
-    * checksum of selected hashes, so the DuckDB oracle must replay the
-    * hash40, the rightmost-min encoding, and the frame-window selection
-    * bit-for-bit to match.
-    */
-  private def x74(s: SparkSession, dir: String): DataFrame = {
-    // dts: the summary branch re-tokenizes every doc for n_grams — on the
-    // raw single-file scan that ran serial (measured 1.8-core occupancy
-    // for the whole query even after the operator-side spread)
-    val docs = dts(s, dir).select(col("doc_id"), col("text"))
-    val fps = Dedup.winnowFingerprints(docs, k = 3, w = 4)
-    val agg = fps
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fps"), sum(col("fp_hash")).as("fp_sum"))
-    docs
-      .select(
-        col("doc_id"),
-        size(TextAnalysis.rawNgrams(TextAnalysis.tokens(col("text")), 3)).as("n_grams"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_grams"),
-        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
-        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Memoized [[graft.operators.Dedup.NearDupIndex]] per (session, dir):
-    * the x75 surface measures the AMORTIZED per-delivery cost — the whole
-    * point of the persisted-index posture is that the index is built once
-    * and reused across deliveries, so in Bench the warm-up run pays the
-    * build and the timed runs measure what a production delivery pays
-    * (the first `runs` entry of a no-warmup run shows build+classify;
-    * disclosed here and in SURVEY §8.2). Verify builds it exactly once.
-    *
-    * SINGLE slot keyed by (session REFERENCE, dir), not a growing map
-    * keyed by an identity hash: `eq` on the live session object cannot
-    * collide across a stopped and a new session (an identity HASH can —
-    * and would serve a dead session's persisted frames), and replacement
-    * is a compare-and-set that explicitly `unpersistAll()`s the losing
-    * index's four frames — concurrent first invocations can't clobber
-    * each other's slot or leak cached partitions until the
-    * ContextCleaner gets around to them.
-    */
-  private val nearDupIdxSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Dedup.NearDupIndex)]
-
-  /** Amortized incremental-ingest surface: the same delivery, index,
-    * parameters, and output contract as x67, but against the one-time
-    * [[graft.operators.Dedup.buildNearDupIndex]] artifact — only the
-    * delivery is shingled per run; the index contributes keyed joins
-    * against its persisted digest/lookup/array/prefix frames.
-    * FROZEN-INDEX semantics: df statistics fixed at build time (≡ x67's
-    * union semantics unless a delivery pushes a shingle's df across
-    * maxDf — impossible at gate corpus sizes, spec-pinned in general).
-    * The oracle replays frozen semantics brute-force: index-df stop set,
-    * kept shingle sets (delivery-unseen shingles count in the set size,
-    * never the intersection), 6-dp Jaccard, exact > near precedence.
-    */
-  private def x75(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val batch = docs.where(col("doc_id") >= 250)
-      .unionAll(docs.where(col("doc_id") < 20)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val cur = nearDupIdxSlot.get()
-    val idx =
-      if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
-      else {
-        // CAS so concurrent first invocations build at most one winning
-        // index: the loser unpersists ITS frames immediately and serves
-        // the winner's; a stale replaced entry is unpersisted by the
-        // winner (it can't still be racing — its key differs).
-        val built = Dedup.buildNearDupIndex(
-          docs.where(col("doc_id") < 250), n = 3, threshold = 0.5)
-        if (nearDupIdxSlot.compareAndSet(cur, (s, dir, built))) {
-          if (cur != null) cur._3.unpersistAll()
-          built
-        } else {
-          val winner = nearDupIdxSlot.get()
-          if (winner != null && (winner._1 eq s) && winner._2 == dir) {
-            built.unpersistAll()
-            winner._3
-          } else {
-            // keys differ: ours will never be memoized, so release its
-            // four cached frames NOW rather than waiting on GC + the
-            // ContextCleaner. unpersist() is advisory, not destructive —
-            // the lazy classify plan below still evaluates correctly
-            // against the un-cached frames (it recomputes the mining
-            // instead of reading cache; slow-but-correct on this
-            // race-only path, and nothing lingers).
-            built.unpersistAll()
-            built
-          }
-        }
-      }
-    Dedup
-      .incrementalClassifyIndexed(batch, idx)
-      .orderBy(col("doc_id"))
-  }
-
-  /** Single slot for x124's LOADED bucketed index, same keying discipline
-    * as [[nearDupIdxSlot]] (session REFERENCE + dir, CAS replacement).
-    * The slot holds table-backed frames — the on-disk bucket is the
-    * persistence, so a losing/replaced entry has nothing to unpersist.
-    */
-  private val bucketedIdxSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Dedup.NearDupIndex)]
-
-  /** The x75 classification against the ON-DISK BUCKETED index artifact
-    * (x124): [[graft.operators.Dedup.writeNearDupIndexBucketed]] persists
-    * the four frames `bucketBy` exactly their delivery-join keys, and the
-    * classification re-opens them as bucketed tables — so the production
-    * at-rest posture (the r11 verdict-#3 plan property NearDupBucketedSpec
-    * pins: no raw index frame ever re-shuffles) is ALSO hash-oracled end
-    * to end at both gate SFs, not only spec-pinned. Same index split,
-    * same delivery, same frozen semantics as x75; the oracle is x75's
-    * verbatim by construction. Bench fidelity, the x75 disclosure: the
-    * warm-up pays build + bucketed WRITE; timed runs measure what a
-    * production delivery pays against the at-rest artifact.
-    */
-  private def x124(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val batch = docs.where(col("doc_id") >= 250)
-      .unionAll(docs.where(col("doc_id") < 20)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val cur = bucketedIdxSlot.get()
-    val idx =
-      if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
-      else bucketedIdxSlot.synchronized {
-        // SERIALIZED, not CAS-raced like the in-memory x75 slot: two
-        // racers here would DROP + delete + rewrite the SAME warehouse
-        // location concurrently (the table prefix is deterministic), so
-        // the loser could destroy files the winner's scan is reading.
-        // An in-memory slot loser only unpersists its own frames; a
-        // filesystem artifact needs mutual exclusion. Double-check under
-        // the lock so late arrivals reuse the winner's tables.
-        val again = bucketedIdxSlot.get()
-        if (again != null && (again._1 eq s) && again._2 == dir) again._3
-        else {
-          // dir-disambiguated table names: one session may serve several
-          // SF dirs (the test session does); the artifact of one must not
-          // shadow another's
-          val prefix = s"graft_ndidx_x124_${Integer.toHexString(dir.hashCode)}"
-          val built = Dedup.buildNearDupIndex(
-            docs.where(col("doc_id") < 250), n = 3, threshold = 0.5)
-          Dedup.writeNearDupIndexBucketed(built, buckets = 8, prefix = prefix)
-          built.unpersistAll() // the bucketed write materialized everything
-          val loaded = Dedup.loadNearDupIndexBucketed(
-            s, n = 3, threshold = 0.5, prefix = prefix)
-          bucketedIdxSlot.set((s, dir, loaded))
-          loaded
-        }
-      }
-    Dedup
-      .incrementalClassifyIndexed(batch, idx)
-      .orderBy(col("doc_id"))
-  }
-
-  /** Containment-pairs surface (x76): Broder's asymmetric C(A,B) =
-    * |S(A)∩S(B)|/|S(A)| over the documents corpus PLUS planted excerpts
-    * (the first 12 tokens of every ≥24-token doc, ids +20000) — each
-    * excerpt's shingle set is a strict subset of its parent's, so
-    * containment is exactly 1.0 while Jaccard is ≤ 10/22 < 0.5:
-    * invisible to every symmetric miner (x06/x07/x08/x74), which is the
-    * operator's whole point. See [[graft.operators.Dedup
-    * .containmentPairs]]. The oracle brute-forces ordered pairs with
-    * list_intersect over the same corpus.
-    */
-  private def x76(s: SparkSession, dir: String): DataFrame = {
-    // plain scan for the miner input — containmentPairs spreads
-    // internally (withShingles), so a dts() here would shuffle the full
-    // text corpus twice back-to-back; only the excerpt DERIVATION (which
-    // tokenizes on the scan side) takes the spread frame
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val excerpts = dts(s, dir)
-      .select(col("doc_id"), col("text"))
-      .where(size(TextAnalysis.tokens(col("text"))) >= 24)
-      .select(
-        (col("doc_id") + 20000).as("doc_id"),
-        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)).as("text"))
-    Dedup
-      .containmentPairs(docs.unionAll(excerpts), n = 3, threshold = 0.6)
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  /** Shared x77 round count — interpolated into the Spark call AND the
-    * unrolled oracle CTEs so the two sides cannot drift.
-    */
-  private val lpaRounds = 3
-
-  /** Label-propagation surface (x77): synchronous plurality-label
-    * communities after [[lpaRounds]] rounds over the x45 brand
-    * edit-distance graph — density communities vs x14/x56's connectivity
-    * components, fully deterministic via the smallest-label tie-break.
-    * The oracle unrolls each round as a count → row_number argmax CTE
-    * (the x46 technique on a per-node plurality instead of a rank sum).
-    */
-  private def x77(s: SparkSession, dir: String): DataFrame =
-    Cluster
-      .labelPropagation(
-        Fuzzy
-          .editDistance1Pairs(t(s, dir, "part"), "p_brand")
-          .select(col("a_val").as("a_id"), col("b_val").as("b_id")),
-        rounds = lpaRounds)
-      .select(col("id").as("node"), col("label"))
-      .orderBy(col("node"))
-
-  /** Shared x78 round count, same no-drift contract as [[lpaRounds]]. */
-  private val hitsRounds = 2
-
-  /** HITS surface (x78): unnormalized exact-integer hubs & authorities
-    * after [[hitsRounds]] synchronous rounds on the DIRECTED
-    * customer→supplier trade graph (the x46 node encoding: cust·2,
-    * supp·2+1 — here kept directed, which is exactly what PageRank's
-    * symmetrized walk erases). Bipartite, so hubs live on customers and
-    * authorities on suppliers — both zero-branches driver-covered. After
-    * round 2: auth(s) = Σ_{c→s} outdeg(c), hub(c) = Σ_{c→s} indeg(s),
-    * plain join-aggregate SQL for the oracle. See
-    * [[graft.operators.Hits]].
-    */
-  private def x78(s: SparkSession, dir: String): DataFrame =
-    Hits
-      .hubsAndAuthorities(
-        t(s, dir, "orders")
-          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select(
-            (col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst")),
-        rounds = hitsRounds)
-      .orderBy(col("node"))
-
-  /** HLL distinct-sketch surface (x79): per-source distinct-SHINGLE
-    * estimate (3-gram vocabulary size, ~1.2-1.5k per source at sf0.01 —
-    * solidly in HLL's raw regime; the corpus's flat 31-token vocabulary
-    * would sit in the small-range regime the raw estimator disclaims)
-    * from the 64-register HyperLogLog file — the constant-state
-    * union-friendly companion to x57's KMV; see
-    * [[graft.operators.DistinctSketch.hllDistinct]] for the
-    * exact-integer estimator contract the oracle replays (registers from
-    * hash40 top-6-bit buckets, rho capped at 31, est = α_ppm·m²·2^R div
-    * (10⁶·S)). r_max / s_scaled / n_zero_regs surface the whole register
-    * summary so the driver hash pins the registers, not just the
-    * estimate.
-    */
-  private def x79(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    DistinctSketch
-      .hllDistinct(
-        dts(s, dir)
-          .select(
-            col("source"),
-            explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("g")),
-        Seq("source"),
-        col("g"))
-      .orderBy(col("source"))
-  }
-
-  /** VBR MP3 surface (x80): genuinely variable-bitrate fixtures
-    * ([[graft.functions.BuildMp3Vbr]] — audio frames alternate 128/64
-    * kbps, each with its own correct header) whose duration the decoder
-    * must recover through the Xing frame-count tag; the CBR byte-length
-    * estimate is wrong on these files by construction. Duration closed
-    * form: frames · 1152 · 1000 div 44100 ms. Closes the "header-only
-    * CBR estimate" caveat that was the container story's one asterisk
-    * (x54 stays as the CBR regression pin).
-    */
-  private def x80(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    dts(s, dir)
-      .where(col("doc_id") % 5 === 4)
-      .select(
-        col("doc_id"),
-        Multimodal
-          .decodeMeta(
-            GraftFunctions.buildMp3Vbr(
-              col("doc_id"),
-              (lit(3) + col("doc_id") % 29).cast("int"),
-              (col("doc_id") % 17).cast("int")
-            )
-          )
-          .as("m")
-      )
-      .select(
-        col("doc_id"),
-        col("m.format").as("format"),
-        col("m.sample_rate").as("sample_rate"),
-        col("m.channels").as("channels"),
-        col("m.duration_ms").as("duration_ms")
-      )
-      .orderBy(col("doc_id"))
-  }
-
-  /** SemDeDup surface (x81): embedding-space keep/drop policy — cosine
-    * pairs ≥ 0.45 (the x11 threshold) closed transitively into semantic
-    * groups, min-id representative kept per group. See
-    * [[graft.operators.Dedup.semanticDedup]]. Oracle: brute-force cosine
-    * pairs + recursive-CTE component closure (the x71 technique) + the
-    * same min-id keep rule.
-    */
-  private def x81(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Dedup
-      .semanticDedup(t(s, dir, "embeddings"), threshold = 0.45)
-      .orderBy(col("vec_id"))
-  }
-
-  /** Bipartite co-occurrence surface (x82): customers projected through
-    * shared parts — weight = |shared parts|, hub parts (degree > 40,
-    * live at sf0.01 where 51 of 2000 parts exceed it) excluded by the
-    * df-prune discipline, weight ≥ 2 — see
-    * [[graft.operators.Bipartite.coOccurrencePairs]].
-    */
-  private def x82(s: SparkSession, dir: String): DataFrame =
-    Bipartite
-      .coOccurrencePairs(
-        t(s, dir, "orders")
-          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"), col("l_partkey").as("part")),
-        leftCol = "cust",
-        rightCol = "part",
-        maxDegree = 40,
-        minShared = 2L)
-      .orderBy(col("a_id"), col("b_id"))
-
-  /** Rank-normalization surface (x83): documents calibrated to integer
-    * rank_ppm by token count with doc_id tie-break — the two-phase
-    * GlobalRank machinery end-to-end (no single-partition window), see
-    * [[graft.operators.Robust.rankNormalizePpm]]. The oracle replays
-    * row_number + the exact ppm division.
-    */
-  private def x83(s: SparkSession, dir: String): DataFrame =
-    Robust
-      .rankNormalizePpm(
-        dts(s, dir)
-          .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
-        sort = Seq(col("n_tokens"), col("doc_id")))
-      .orderBy(col("doc_id"))
-
-  /** Corpus-diff surface (x84): documents vs a simulated v2 release —
-    * ids % 13 = 0 removed, % 11 = 0 (surviving) rewritten with a ' rev2'
-    * suffix, % 17 = 0 re-added as fresh ids +30000 — so all four
-    * statuses are live. Digest-only comparison, see
-    * [[graft.operators.CorpusDiff]].
-    */
-  private def x84(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val v2 = docs
-      .where(col("doc_id") % 13 =!= 0)
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")).as("text"))
-      .unionAll(docs.where(col("doc_id") % 17 === 0)
-        .select(
-          (col("doc_id") + 30000).as("doc_id"),
-          concat(lit("new release doc "), col("doc_id")).as("text")))
-    CorpusDiff.diff(docs, v2).orderBy(col("doc_id"))
-  }
-
-  /** Transition-matrix surface (x85): per-(prev, next) event-type counts
-    * and departure-fraction ppm over each user's (ts_us, event_id)-ordered
-    * stream — see [[graft.operators.Sessionize.transitionCounts]]. The
-    * oracle replays lag() inside each user partition plus the exact
-    * integer division.
-    */
-  private def x85(s: SparkSession, dir: String): DataFrame =
-    Sessionize
-      .transitionCounts(
-        ev(s, dir),
-        key = col("user_id"),
-        ts = col("ts_us"),
-        tieBreak = col("event_id"),
-        state = col("event_type"))
-      .orderBy(col("prev_state"), col("next_state"))
-
-  /** Cohort-retention surface (q34): users bucketed by first-seen epoch
-    * day, distinct active users per (cohort_day, day_offset) — the
-    * classic retention triangle, all-integer (epoch_us div 86 400s).
-    * Two user-keyed exchanges: first-seen min agg, then the join-back and
-    * the (cohort, offset) distinct count.
-    */
-  private def q34(s: SparkSession, dir: String): DataFrame = {
-    val d = ev(s, dir)
-      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
-    val cohorts = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    d.join(cohorts, Seq("user_id"))
-      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
-      .distinct()
-      .groupBy(col("cohort_day"), col("day_offset"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("cohort_day"), col("day_offset"))
-  }
-
-  /** Funnel surface (x86): signup → purchase → error over each user's
-    * first two days of events (the window keeps conversion genuinely
-    * partial: 86/41/13 users at stages 1/2/3 of 150 at sf0.01; the
-    * stage-3 branch is empty at sf0.001 and live at sf0.01 — the
-    * multi-SF sweep covers both) — see
-    * [[graft.operators.Sessionize.funnelStages]]. Positions sentinel to
-    * −1 (the nullable-BIGINT rendering rule).
-    */
-  private def x86(s: SparkSession, dir: String): DataFrame =
-    Sessionize
-      .funnelStages(
-        ev(s, dir).where(col("ts_us") < lit(1704067200000000L + 2L * 86400000000L)),
-        key = col("user_id"),
-        ts = col("ts_us"),
-        tieBreak = col("event_id"),
-        state = col("event_type"),
-        steps = Seq("signup", "purchase", "error"))
-      .withColumnRenamed("key", "user_id")
-      .orderBy(col("user_id"))
-
-  /** kNN-graph surface (x87): every embedding's exact top-3 cosine
-    * neighbors among all others — the corpus-wired-to-itself verb behind
-    * graph-ANN indexes and neighborhood propagation; see
-    * [[graft.operators.Similarity.knnGraphExact]] (the brute-force
-    * baseline the LSH-blocked [[graft.operators.Similarity.knnGraphLsh]]
-    * is spec-measured against). Ties (score desc, neighbor asc) make the
-    * full (query, rank) table deterministic for the oracle's
-    * row_number replay.
-    */
-  private def x87(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .knnGraphExact(t(s, dir, "embeddings"), k = 3)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Session-paths surface (x88): top-20 most frequent per-session
-    * event-type journeys under the x17 6-hour gap (the events table's
-    * ~10.7 h mean inter-event gap makes single-event sessions common, so
-    * path counts are genuinely repeated) — see
-    * [[graft.operators.Sessionize.sessionPaths]]. (n_sessions desc,
-    * path) is a total order (paths are distinct rows), so the LIMIT 20
-    * set is deterministic on both engines, the x38 contract.
-    */
-  private def x88(s: SparkSession, dir: String): DataFrame =
-    Sessionize
-      .sessionPaths(
-        ev(s, dir),
-        key = col("user_id"),
-        ts = col("ts_us"),
-        maxGap = 21600000000L,
-        tieBreak = col("event_id"),
-        state = col("event_type"))
-      .orderBy(col("n_sessions").desc, col("path"))
-      .limit(20)
-
-  /** AVI frame-sampling surface (x89): every 2nd movi frame's
-    * position-weighted payload checksum from genuine multi-frame RIFF
-    * files ([[graft.functions.BuildAviFrames]] — one '00dc' chunk per
-    * frame, payload byte i of frame f = (w·31+h·17+f·7+i·13) mod 256) —
-    * the x34 video-frame-sampling verb on the second container, via
-    * [[graft.functions.AviFrameChecksums]]' real chunk walk. The oracle
-    * recomputes each sampled checksum from (w, h, f) alone, so a match
-    * proves the movi walk ran. Decode repartitioned off the scan (the
-    * x34 rule).
-    */
-  private def x89(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .where(col("doc_id") % 7 === 1)
-      .select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        posexplode(
-          GraftFunctions.aviFrameChecksums(
-            GraftFunctions.buildAviFrames(
-              (lit(8) + col("doc_id") % 23).cast("int"),
-              (lit(8) + col("doc_id") % 19).cast("int"),
-              (lit(2) + col("doc_id") % 9).cast("int")),
-            lit(2))).as(Seq("pos", "checksum")))
-      .select(
-        col("doc_id"),
-        (col("pos") * 2).cast("int").as("frame_idx"),
-        col("checksum"))
-      .orderBy(col("doc_id"), col("frame_idx"))
-  }
-
-  /** HTML → text extraction surface (x90): the missing FIRST stage of a
-    * web corpus — every document's text is planted into a deterministic
-    * page ([[graft.functions.BuildHtml]]: head with script/style that
-    * contain decoy markup, a pure-link nav, a comment wrapping a ghost
-    * paragraph, the text in a content block with one inline link, a
-    * link-dense footer with entities), then recovered by
-    * [[graft.functions.HtmlExtract]]'s real single-pass walk: visible
-    * text + per-block link-density boilerplate filter (Kohlschütter et
-    * al., WSDM'10). The oracle rebuilds full_text and main_text from
-    * (doc_id, text) in closed form, so a hash match proves the walk
-    * skipped script/style/comments/head, decoded &#33;/&amp;, split
-    * blocks at block tags, and measured density per block. Map-only;
-    * extraction repartitioned off the 2-split scan (the x34 rule).
-    */
-  private def x90(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .where(col("doc_id") % 3 === 1)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        GraftFunctions
-          .htmlExtract(GraftFunctions.buildHtml(col("doc_id"), col("text")), lit(0.5))
-          .as("x"))
-      .select(
-        col("doc_id"),
-        col("x.full_text").as("full_text"),
-        col("x.main_text").as("main_text"),
-        col("x.n_blocks").as("n_blocks"),
-        col("x.n_dropped").as("n_dropped"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Hash-oracled ANN surface (x91): [[graft.operators.Similarity
-    * .intLshTopK]] — x10's OR-amplified multi-table sign-LSH candidate
-    * path with the bucket assignment in exact integer arithmetic
-    * (floor-1000 quantization, hash40 planes, BIGINT dots), so the DuckDB
-    * oracle replays the ENTIRE algorithm: the 8×6×64 plane grid from md5
-    * closed form, every vector's 8 bucket ids, the shared-bucket
-    * candidate join, the 6-dp cosine, and the (score desc, id asc) top-5
-    * — a hash match certifies the LSH candidate generation itself, which
-    * x10's rows-only check and the recall-floor spec could not.
-    */
-  private def x91(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    Similarity
-      .intLshTopK(
-        emb.where(col("vec_id") < 10),
-        emb.where(col("vec_id") >= 10),
-        k = 5,
-        tables = 8,
-        bitsPerTable = 6
-      )
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** WARC container-ingestion surface (x92): the stage UPSTREAM of x90 —
-    * each selected document becomes a genuine multi-record WARC/1.0 file
-    * ([[graft.functions.BuildWarc]]: a warcinfo record + 1+id%3 resource
-    * records whose payload is the x90 planted page), then
-    * [[graft.functions.WarcRecords]]' real record walk splits it back
-    * (magic check, case-insensitive headers, Content-Length-exact payload
-    * read, two-CRLF separator) and HtmlExtract recovers the main text
-    * from each payload: WARC → records → HTML → text, the complete web
-    * front matter. The oracle rebuilds the ENTIRE byte layout in SQL —
-    * every header string, the page's byte length, and each record's
-    * closed-form byte offset — so a hash match proves the walk consumed
-    * real lengths at real positions (the x89 movi-walk standard applied
-    * to WARC). Map-only; split+extract repartitioned off the scan (the
-    * x34 rule).
-    */
-  private def x92(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .where(col("doc_id") % 5 === 2)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        posexplode(
-          GraftFunctions.warcRecords(
-            GraftFunctions.buildWarc(col("doc_id"), col("text"))))
-          .as(Seq("pos", "r")))
-      .where(col("r.rec_type") === "resource")
-      .select(
-        col("doc_id"),
-        (col("pos") - 1).cast("int").as("rec_idx"),
-        col("r.target_uri").as("target_uri"),
-        col("r.rec_date").as("rec_date"),
-        col("r.rec_offset").as("rec_offset"),
-        col("r.content_length").as("content_length"),
-        GraftFunctions
-          .htmlExtract(col("r.payload"), lit(0.5))
-          .getField("main_text")
-          .as("main_text"))
-      .orderBy(col("doc_id"), col("rec_idx"))
-  }
-
-  /** Link-extraction surface (x93): every `<a href>` of the planted page
-    * in document order via [[graft.functions.HtmlLinks]]' quote-aware
-    * attribute walk — the HTML → WEB-GRAPH step between x90/x92's text
-    * extraction and the graph family. The oracle enumerates the five
-    * closed-form anchors per page (nav /p/{id}, hub /q/{id%13}, inline
-    * /ref/{id}, footer /about + /tos) with their positions, so a hash
-    * match proves the walk parsed real attributes (not regex-grepped
-    * quotes — script/style/comment decoys contain no anchors by
-    * construction, and HtmlLinksSpec pins those against hand-built
-    * pages). Map-only; extraction repartitioned off the scan.
-    */
-  private def x93(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .where(col("doc_id") % 4 === 3)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        posexplode(
-          GraftFunctions.htmlLinks(
-            GraftFunctions.buildHtml(col("doc_id"), col("text"))))
-          .as(Seq("pos", "href")))
-      .select(col("doc_id"), col("pos").cast("int").as("link_idx"), col("href"))
-      .orderBy(col("doc_id"), col("link_idx"))
-  }
-
-  /** Web-graph PageRank surface (x94): the END of the web chain — edges
-    * come from x93's EXTRACTED hub anchors (doc d links /q/{d%13}; node
-    * ids doc·2 / hub·2+1, symmetrized), ranked by the same 3-round
-    * integer PageRank as x46. WARC → HTML → links → graph → rank, every
-    * stage a real operator, the whole chain hash-oracled: the oracle
-    * rebuilds the closed-form edge set and unrolls the identical integer
-    * recurrence, so a match proves extraction fed the graph.
-    */
-  private def x94(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val half = t(s, dir, "documents")
-      .where(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        explode(
-          GraftFunctions.htmlLinks(
-            GraftFunctions.buildHtml(col("doc_id"), col("text")))).as("href"))
-      .where(col("href").startsWith("/q/"))
-      .select(
-        (col("doc_id") * 2).as("src"),
-        (substring(col("href"), 4, 10).cast("long") * 2 + 1).as("dst"))
-    PageRank
-      .integerPageRank(half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"))))
-      .orderBy(col("node_id"))
-  }
-
-  /** robots.txt evaluation surface (x99): the crawl-politeness gate
-    * between URL discovery (x93/x95) and fetching —
-    * [[graft.functions.RobotsAllowed]]'s full RFC 9309 semantics over a
-    * two-group fixture (a `*` group with prefix rules, an Allow
-    * override, and a star-dot-tmp-dollar wildcard-anchor rule; a merged
-    * graftbot/otherbot group with its own rules) evaluated for six path
-    * cases per document under two crawler identities. The expected
-    * decision matrix is closed-form in (case, agent-parity): group
-    * selection by longest agent-token prefix, longest-pattern
-    * precedence, Allow-wins-ties, and wildcard/anchor matching all
-    * contribute distinguishing rows — a hash match certifies the whole
-    * rule engine.
-    */
-  private def x99(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val ids = col("doc_id").cast("string")
-    val k = (col("doc_id") % 5).cast("string")
-    val robots = concat(
-      lit("# graft fixture\nUser-agent: *\nDisallow: /private"), k,
-      lit("/\nAllow: /private"), k,
-      lit("/ok/\nDisallow: /*.tmp$\n\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /q/\nAllow: /q/open\n"))
-    val agent = when(col("doc_id") % 2 === 0, lit("graftbot/1.0"))
-      .otherwise(lit("randombot"))
-    val paths = array(
-      concat(lit("/a"), ids, lit("/x")),
-      concat(lit("/private"), k, lit("/ok/f")),
-      concat(lit("/private"), k, lit("/secret")),
-      concat(lit("/f"), ids, lit(".tmp")),
-      lit("/q/page"),
-      concat(lit("/q/open"), ids))
-    t(s, dir, "documents")
-      .where(col("doc_id") % 6 === 4)
-      .select(col("doc_id"))
-      .select(
-        col("doc_id"),
-        robots.as("robots"),
-        agent.as("agent"),
-        posexplode(paths).as(Seq("case_idx", "path")))
-      .select(
-        col("doc_id"),
-        col("case_idx").cast("int").as("case_idx"),
-        col("path"),
-        col("agent"),
-        GraftFunctions
-          .robotsAllowed(col("robots"), col("agent"), col("path"))
-          .as("allowed"))
-      .orderBy(col("doc_id"), col("case_idx"))
-  }
-
-  /** CDX index-generation surface (x98): the crawl RANDOM-ACCESS index —
-    * real archives pair every `.warc(.gz)` shard with a CDX file of
-    * (SURT key, byte offset, record length) rows so a replay/dedup job
-    * can seek straight to one record. Three existing operators compose:
-    * [[graft.functions.WarcRecords]] provides measured offsets,
-    * [[graft.functions.UrlNormalize]] canonicalizes each record's
-    * target URI, and BUILTINS derive the SURT key (reverse the host
-    * labels: `com,example)/path` — `split`/`reverse`/`array_join`) and
-    * the record length (`lead(offset)` bounded by the measured file
-    * size — a per-FILE window, bounded by records-per-file, never a
-    * global sort). The oracle re-derives every column in closed form
-    * (offset arithmetic as x92, length = header+payload+separator
-    * size), so a match proves measured offsets AND measured lengths
-    * agree with the byte layout.
-    */
-  private def x98(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val u = GraftFunctions.urlNormalize(col("r.target_uri"))
-    t(s, dir, "documents")
-      .where(col("doc_id") % 5 === 2)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        GraftFunctions.buildWarc(col("doc_id"), col("text")).as("bytes"))
-      .select(
-        col("doc_id"),
-        length(col("bytes")).cast("long").as("fsize"),
-        posexplode(GraftFunctions.warcRecords(col("bytes"))).as(Seq("pos", "r")))
-      .withColumn("next_off", lead(col("r.rec_offset"), 1).over(w))
-      .where(col("r.rec_type") === "resource")
-      .select(
-        col("doc_id"),
-        (col("pos") - 1).cast("int").as("rec_idx"),
-        concat(
-          array_join(reverse(split(u.getField("host"), "\\.")), ","),
-          lit(")"),
-          u.getField("path")).as("surt_key"),
-        col("r.rec_offset").as("rec_offset"),
-        (coalesce(col("next_off"), col("fsize")) - col("r.rec_offset")).as("rec_len"))
-      .orderBy(col("doc_id"), col("rec_idx"))
-  }
-
-  /** Compressed-WARC ingestion surface (x97): the missing compression
-    * layer of the web front matter — real crawls ship `.warc.gz` with
-    * ONE GZIP MEMBER PER RECORD (so readers can seek + inflate a single
-    * record), and [[graft.functions.BuildWarcGz]] writes exactly that
-    * layout. [[graft.functions.GzipMembers]] walks the RFC 1952
-    * container (full header incl. FEXTRA/FNAME/FCOMMENT/FHCRC, reserved
-    * FLG rejection) and REALLY inflates each member (JDK zlib — the PNG
-    * precedent), verifying CRC32 + ISIZE per member; each plaintext then
-    * flows through the x92 record walk and HtmlExtract. The oracle is
-    * x92's closed form minus byte offsets (compressed sizes aren't
-    * closed-form): uri/date/Content-Length/main_text per record — a
-    * match proves member split + inflate + checksum + record walk +
-    * extraction end-to-end. gzip/deflate was the one compressed-stream
-    * family the engine disclosed as out of scope; for WARC it is now
-    * in scope because the JDK ships the codec.
-    */
-  private def x97(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .where(col("doc_id") % 7 === 3)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        posexplode(
-          GraftFunctions.gzipMembers(
-            GraftFunctions.buildWarcGz(col("doc_id"), col("text"))))
-          .as(Seq("pos", "m")))
-      .select(
-        col("doc_id"),
-        col("pos"),
-        element_at(GraftFunctions.warcRecords(col("m")), 1).as("r"))
-      .where(col("r.rec_type") === "resource")
-      .select(
-        col("doc_id"),
-        (col("pos") - 1).cast("int").as("rec_idx"),
-        col("r.target_uri").as("target_uri"),
-        col("r.rec_date").as("rec_date"),
-        col("r.content_length").as("content_length"),
-        GraftFunctions
-          .htmlExtract(col("r.payload"), lit(0.5))
-          .getField("main_text")
-          .as("main_text"))
-      .orderBy(col("doc_id"), col("rec_idx"))
-  }
-
-  /** URL-canonicalization surface (x95): [[graft.functions
-    * .UrlNormalize]]'s RFC 3986 §6 normalization over a two-form
-    * id-derived URL fixture — uppercase scheme/host lowered, default
-    * port 80 dropped vs explicit 8443 kept, `%41`→`A` and `%7e`→`~`
-    * unreserved decodes, `%2f` reserved-escape hex UPPERCASED (not
-    * decoded), `/./` and `/../` dot segments removed with `//`
-    * preserved, fragment dropped. The step between link extraction
-    * (x93) and URL-keyed dedup: unnormalized aliases inflate every
-    * URL-keyed shuffle at 100 TB. The oracle states the expected
-    * canonical form per id in closed form — the fixture varies with
-    * doc_id, so echoing the input cannot match.
-    */
-  private def x95(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val ids = col("doc_id").cast("string")
-    val url = when(
-      col("doc_id") % 2 === 0,
-      concat(
-        lit("HTTP://EXample"), (col("doc_id") % 5).cast("string"),
-        lit(".COM:80/a"), ids, lit("/./x/../p%41th/"), ids,
-        lit("?b=2&a=%2f#frag"), ids))
-      .otherwise(concat(
-        lit("HTTPS://sub.EXample"), (col("doc_id") % 5).cast("string"),
-        lit(".COM:8443/%7euser//"), ids, lit("/../"), ids, lit("/")))
-    t(s, dir, "documents")
-      .where(col("doc_id") % 3 === 2)
-      .select(col("doc_id"))
-      .select(col("doc_id"), GraftFunctions.urlNormalize(url).as("u"))
-      .select(
-        col("doc_id"),
-        col("u.norm_url").as("norm_url"),
-        col("u.scheme").as("scheme"),
-        col("u.host").as("host"),
-        col("u.path").as("path"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Intra-document sentence dedup surface (x96): the C4-style "drop
-    * repeated lines" curation verb, expressed ENTIRELY in builtins —
-    * `split` on the sentence boundary, `array_distinct` (whose
-    * first-occurrence order preservation is the load-bearing semantic,
-    * spec-pinned in UrlAndSentenceSpec), `concat_ws` rebuild — zero
-    * custom code, fully codegen'd, map-only. The input plants a
-    * duplication (text || '. ' || text) so the operator provably fires
-    * on every row; sentences repeated WITHIN the original text collapse
-    * too, and the oracle replays the same first-occurrence algorithm
-    * (min-index window) rather than assuming the plant.
-    */
-  private def x96(s: SparkSession, dir: String): DataFrame = {
-    val sents = split(concat(col("text"), lit(". "), col("text")), "\\. ")
-    dts(s, dir)
-      .where(col("doc_id") % 4 === 1)
-      .select(
-        col("doc_id"),
-        concat_ws(". ", array_distinct(sents)).as("clean_text"),
-        size(sents).as("n_sent"),
-        (size(sents) - size(array_distinct(sents))).as("n_dupes"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** DSIR importance-resampling surface (x100): hashed-token importance
-    * weighting of the raw pool (doc_id % 7 ≠ 0) toward a target exemplar
-    * set (doc_id % 7 = 0) — see [[graft.operators.ImportanceResampling]]
-    * for the fixed-point integer formulation and the one-pass /
-    * broadcast-weights / range-partition-rank scale posture. The oracle
-    * replays the exact same arithmetic (4-hex md5 buckets via positional
-    * strpos decode, add-one-smoothed integer ratio weights, occurrence
-    * sums, row_number under (score desc, id asc), top n_raw//5 keep) so a
-    * hash match certifies bucketing, both distributions, the weight
-    * table, and the selection rank end to end.
-    */
-  private def x100(s: SparkSession, dir: String): DataFrame =
-    ImportanceResampling
-      .scoreAndSelect(
-        dts(s, dir).select(col("doc_id"), col("text")),
-        isTarget = col("doc_id") % 7 === 0,
-        idCol = "doc_id",
-        textCol = "text")
-      .orderBy(col("doc_id"))
-
-  /** Anchor-text aggregation surface (x101): per link target, the
-    * in-link count, distinct-source count, and plurality anchor string —
-    * [[graft.functions.HtmlAnchors]]' (href, text) walk feeding
-    * [[graft.operators.AnchorText.aggregate]]. Each planted page carries
-    * its five closed-form anchors PLUS an appended snippet re-linking
-    * the page's hub under a doc-varying text ("site {id%5}"), so hub
-    * targets aggregate 6 distinct strings with "more links here" as the
-    * clear plurality — the argmax, distinct counts, and tie-break all do
-    * real work. The oracle rebuilds the pair stream closed-form (no HTML
-    * in SQL) and replays count → row_number plurality, so a hash match
-    * certifies the anchor-text WALK (entity/whitespace rules included:
-    * any leakage of markup into a text breaks a string) and the
-    * aggregation.
-    */
-  private def x101(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val page = concat(
-      GraftFunctions.buildHtml(col("doc_id"), col("text")),
-      lit("<p><a href=\"/q/"), (col("doc_id") % 13).cast("string"),
-      lit("\">site "), (col("doc_id") % 5).cast("string"), lit("</a></p>"))
-    val pairs = t(s, dir, "documents")
-      .where(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(GraftFunctions.htmlAnchors(page)).as("a"))
-      .select(col("doc_id"), col("a.href").as("href"), col("a.text").as("text"))
-    AnchorText.aggregate(pairs).orderBy(col("target"))
-  }
-
-  /** Sitemap-parsing surface (x102): URL discovery, the crawl stage
-    * beside x99's robots politeness — [[graft.functions.SitemapUrls]]'
-    * XML-lite walk over [[graft.functions.BuildSitemap]] fixtures. The
-    * `% 5 = 2` subset hits every fixture branch: sitemapindex docs
-    * (id % 4 = 0, two `<sitemap>` entries), fully-populated urlset
-    * entries, the optional-fields-omitted branch (id % 3 = 0), the
-    * `&amp;`-entity loc, and the whitespace-padded CDATA loc. The oracle
-    * rebuilds each row closed-form (decoded/trimmed values directly), so
-    * a hash match certifies entity decode, CDATA verbatim capture, trim,
-    * the required-loc rule, and exact integer-ppm priority parsing.
-    */
-  private def x102(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, dir, "documents")
-      .where(col("doc_id") % 5 === 2)
-      .select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"),
-        posexplode(
-          GraftFunctions.sitemapUrls(GraftFunctions.buildSitemap(col("doc_id"))))
-          .as(Seq("pos", "e")))
-      .select(
-        col("doc_id"),
-        col("pos").cast("int").as("entry_idx"),
-        col("e.kind").as("kind"),
-        col("e.loc").as("loc"),
-        col("e.lastmod").as("lastmod"),
-        col("e.changefreq").as("changefreq"),
-        col("e.priority_ppm").as("priority_ppm"))
-      .orderBy(col("doc_id"), col("entry_idx"))
-  }
-
-  /** CCNet-style per-language fluency bucketing surface (x103): the
-    * curation step Wenzek et al. 2020 run after LM scoring — split each
-    * language's documents into head / middle / tail thirds by model
-    * score, so downstream mixing can oversample the head. Composes the
-    * x05 language-ID argmax with the x70 bigram stupid-backoff fluency
-    * score (reference = even ids, scored pool = odd ids; short docs
-    * carry the -1 sentinel and sink to the tail), then assigns EXACT
-    * SQL-ntile terciles per language via
-    * [[graft.operators.GroupNtile]] — class-table rank decomposition,
-    * no per-language global sort, so the head language's 100 TB share
-    * never funnels through one task. The oracle replays language ID,
-    * the LM, and `ntile(3)` verbatim, and the emitted per-language rank
-    * pins the full total order, not just the bucket boundaries.
-    */
-  private def x103(s: SparkSession, dir: String): DataFrame = {
-    val docs = dts(s, dir).select(col("doc_id"), col("text"))
-    val scored = TextAnalysis
-      .lmFluency(
-        refDocs = docs.where(col("doc_id") % 2 === 0),
-        targetDocs = docs.where(col("doc_id") % 2 === 1))
-      .select(
-        col("doc_id"),
-        coalesce(col("fluency_ppm"), lit(-1L)).as("fluency_ppm"))
-    val lang = docs
-      .where(col("doc_id") % 2 === 1)
-      .select(
-        col("doc_id"),
-        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang"))
-    GroupNtile
-      .withGroupNtile(
-        lang.join(scored, Seq("doc_id")),
-        groupCol = "lang",
-        scoreCol = "fluency_ppm",
-        tieCol = "doc_id",
-        tiles = 3)
-      .select(
-        col("doc_id"), col("lang"), col("fluency_ppm"),
-        col("rank").as("lrank"),
-        when(col("tile") === 1, "head")
-          .when(col("tile") === 2, "middle")
-          .otherwise("tail")
-          .as("bucket"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Hard-negative mining surface (x104): per query vector, the top-3
-    * most-similar NON-duplicate vectors — x81's SemDeDup component roots
-    * as the exclusion set (threshold 0.45, so real multi-member clusters
-    * exist and the exclusion provably bites), exact cosine scoring, ties
-    * (score desc, neighbor asc). See
-    * [[graft.operators.Similarity.hardNegativesExact]]; the LSH-banded
-    * form is the scale path, recall-pinned in HardNegativesSpec. The
-    * oracle replays the recursive-CTE closure (x81's), the root
-    * exclusion, and a row_number top-3 over the full pair matrix.
-    */
-  private def x104(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .hardNegativesExact(t(s, dir, "embeddings"), k = 3, dupThreshold = 0.45)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Curriculum-interleave surface (x105): deterministic easy→hard
-    * training order (difficulty = whitespace token count) round-robined
-    * across three synthetic sources (doc_id mod 3) — see
-    * [[graft.operators.Curriculum.interleaveBySource]] for the
-    * closed-form position and the no-global-window scale posture. The
-    * oracle computes the SAME order via the definitional window pair
-    * (per-source row_number, then a global row_number over (rank,
-    * source)), so a hash match proves the closed form equals the window
-    * semantics on real data — unequal source sizes and the tail rounds
-    * where short sources drop out included.
-    */
-  private def x105(s: SparkSession, dir: String): DataFrame =
-    Curriculum
-      .interleaveBySource(
-        dts(s, dir)
-          .select(
-            col("doc_id"),
-            when(col("doc_id") % 3 === 0, "src_a")
-              .when(col("doc_id") % 3 === 1, "src_b")
-              .otherwise("src_c")
-              .as("source"),
-            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
-        sourceCol = "source",
-        difficultyCol = "n_tok",
-        tieCol = "doc_id")
-      .select(col("doc_id"), col("source"), col("n_tok"), col("src_rank"), col("pos"))
-      .orderBy(col("doc_id"))
-
-  /** Domain-stats rollup surface (x106): host-granularity curation —
-    * hosts derived by [[graft.functions.UrlNormalize]] from mixed-case
-    * default-port synthetic URLs (40 hosts: 5 apex + 35 subdomain),
-    * languages from the x05 argmax, rolled up by
-    * [[graft.operators.DomainStats.rollup]] with the thin-content block
-    * rule at avg_tok < 54 (the corpus mean, so both verdicts stay
-    * populated). The oracle writes the normalized hosts closed-form —
-    * so a normalization defect surfaces as a host-key mismatch — and
-    * replays the counts, integer-div mean, plurality argmax, and block
-    * predicate.
-    */
-  private def x106(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val ids = col("doc_id").cast("string")
-    val url = when(
-      col("doc_id") % 2 === 0,
-      concat(lit("HTTP://EXample"), (col("doc_id") % 5).cast("string"),
-        lit(".COM:80/p/"), ids))
-      .otherwise(concat(lit("https://Sub"), (col("doc_id") % 7).cast("string"),
-        lit(".EXample"), (col("doc_id") % 5).cast("string"),
-        lit(".com:443/p/"), ids))
-    DomainStats
-      .rollup(
-        dts(s, dir).select(
-          GraftFunctions.urlNormalize(url).getField("host").as("host"),
-          TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
-        blockBelowAvgTok = 54L)
-      .orderBy(col("host"))
-  }
-
-  /** UniMax language-balancing surface (x107): uniform token budget
-    * across the x05 languages with a 1-epoch cap, at budget = half the
-    * corpus — small languages saturate at their full token count, the
-    * rest waterfill, so BOTH outcome classes are live. See
-    * [[graft.operators.Mix.unimaxQuotas]] for the exact integer
-    * waterfill and its prefix proof. One corpus aggregation; the
-    * waterfill runs over the checkpointed per-language table (bounded
-    * rows, the driver-scalar contract). The oracle replays the sorted
-    * prefix predicate, remainder split, and ppm arithmetic in SQL
-    * windows over the same tiny table.
-    */
-  private def x107(s: SparkSession, dir: String): DataFrame = {
-    val perLang = dts(s, dir)
-      .select(
-        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy(col("lang"))
-      .agg(sum(col("n_tok")).as("n_tok"))
-      .localCheckpoint()
-    val totRow = perLang.agg(sum(col("n_tok"))).head()
-    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-    Mix
-      .unimaxQuotas(perLang, col("lang"), col("n_tok"),
-        budget = total / 2, epochCap = 1L)
-      .orderBy(col("lang"))
-  }
-
-  /** Obfuscation-resistant word-list filter surface (x108): the
-    * badwords/spam gate with leet folding — see
-    * [[graft.operators.TextAnalysis.foldConfusables]]. Injections per
-    * id mod 3: a doubly-obfuscated spam tail ("w1n a pr1ze at the
-    * c4$ino" — "prize"+"casino" hit only IF the fold works; "w1n" folds
-    * to "win", deliberately NOT listed), a half-plain tail ("free
-    * l0ttery t1cket" — "free"+"lottery" hit, "ticket" is not
-    * listed), or none (the base corpus may still collide with the
-    * list's plain words — the oracle replays, not assumes). Map-only
-    * builtins; flagged at ≥ 2 hits so single incidental collisions
-    * pass.
-    */
-  private def x108(s: SparkSession, dir: String): DataFrame = {
-    val words = Seq("casino", "lottery", "prize", "winner", "free")
-    val injected = when(col("doc_id") % 3 === 0,
-      concat(col("text"), lit(" w1n a pr1ze at the c4$ino")))
-      .when(col("doc_id") % 3 === 1,
-        concat(col("text"), lit(" free l0ttery t1cket")))
-      .otherwise(col("text"))
-    val hits = TextAnalysis.wordListHits(injected, words)
-    dts(s, dir)
-      .select(
-        col("doc_id"),
-        size(hits).as("n_hits"),
-        size(array_distinct(hits)).as("n_distinct_hits"),
-        array_min(hits).as("first_hit"),
-        (size(hits) >= 2).as("flagged"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Public-suffix surface (x109): registrable-domain (eTLD+1)
-    * extraction per the publicsuffix.org algorithm — see
-    * [[graft.operators.PublicSuffix]]. The host fixture hits every rule
-    * kind: multi-label plain suffixes (co.uk), a private-registry entry
-    * (github.io — and the longest-match rule beats its 'io' parent), the
-    * `*.ck` wildcard, the `!www.ck` exception overriding it, the
-    * implicit-`*` fallback for an unknown TLD, and a host that IS a
-    * public suffix (NULL registrable). The oracle writes the expected
-    * public_suffix/registrable closed-form per branch — hand-derived
-    * from the PSL spec, not replayed — so a hash match certifies the
-    * candidate generation, the two-kind equi-join, the
-    * exception-then-longest argmax, and the +1-label cut.
-    */
-  private def x109(s: SparkSession, dir: String): DataFrame = {
-    val k = (col("doc_id") % 5).cast("string")
-    val host = when(col("doc_id") % 6 === 0, concat(lit("www.example"), k, lit(".com")))
-      .when(col("doc_id") % 6 === 1, concat(lit("a.b.example"), k, lit(".co.uk")))
-      .when(col("doc_id") % 6 === 2, concat(lit("www.user"), k, lit(".github.io")))
-      .when(col("doc_id") % 6 === 3, concat(lit("a.b"), k, lit(".ck")))
-      .when(col("doc_id") % 6 === 4, lit("www.ck"))
-      .otherwise(
-        when(col("doc_id") % 12 === 5, lit("co.uk"))
-          .otherwise(concat(lit("internal"), k, lit(".unknown"))))
-    PublicSuffix
-      .withRegistrableDomain(
-        t(s, dir, "documents").select(col("doc_id"), host.as("host")),
-        hostCol = "host")
-      .select(col("doc_id"), col("host"), col("public_suffix"), col("registrable"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Script-mix surface (x110): per-document Unicode script histogram +
-    * mixed-script flag — keyword-stuffed spam mixes scripts; clean
-    * corpora are script-coherent (a standard quality signal beside x04's
-    * token counts and x05's language argmax). One codepoint pass via the
-    * codegen'd [[graft.functions.ScriptCounts]]; injections per id mod 4
-    * plant Cyrillic, CJK, and a three-script tail so every class and
-    * both flag values are live. The oracle counts every class with
-    * independent RE2 character-class regexes over the SAME injected
-    * text — a replay by different machinery, so a walk defect (surrogate
-    * mishandling, off-by-one range) hash-fails.
-    */
-  private def x110(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val injected = when(col("doc_id") % 4 === 1, concat(col("text"), lit(" привет мир всем")))
-      .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" 你好世界")))
-      .when(col("doc_id") % 4 === 3, concat(col("text"), lit(" mixed привет 你好")))
-      .otherwise(col("text"))
-    val sc = GraftFunctions.scriptCounts(injected)
-    dts(s, dir)
-      .select(col("doc_id"), sc.as("sc"))
-      .select(
-        col("doc_id"),
-        col("sc.n_latin").as("n_latin"),
-        col("sc.n_cyrillic").as("n_cyrillic"),
-        col("sc.n_cjk").as("n_cjk"),
-        col("sc.n_digit").as("n_digit"),
-        col("sc.n_space").as("n_space"),
-        col("sc.n_other").as("n_other"),
-        when(col("sc.n_latin") >= col("sc.n_cyrillic") &&
-          col("sc.n_latin") >= col("sc.n_cjk") && col("sc.n_latin") > 0, "latin")
-          .when(col("sc.n_cyrillic") >= col("sc.n_cjk") && col("sc.n_cyrillic") > 0, "cyrillic")
-          .when(col("sc.n_cjk") > 0, "cjk")
-          .otherwise("none")
-          .as("dominant"),
-        ((col("sc.n_latin") > 0).cast("int") + (col("sc.n_cyrillic") > 0).cast("int") +
-          (col("sc.n_cjk") > 0).cast("int") >= 2).as("mixed"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Hash-oracled kNN-GRAPH surface (x111): [[graft.operators.Similarity
-    * .knnGraphIntLsh]] — x87's corpus-onto-itself graph build on the
-    * BANDED scale path, with bucket assignment in exact integer
-    * arithmetic (the x91 technique: floor-1000 quantization, hash40
-    * planes, BIGINT dots) so the DuckDB oracle replays the 8×6×64 plane
-    * grid, every vector's 8 buckets, the shared-bucket self-join
-    * candidate edge set, the 6-dp cosine, and the per-node top-3 — a
-    * hash match certifies the LSH candidate generation of the graph
-    * path itself, which x87's all-pairs oracle and the recall spec could
-    * not. Closes the x87 `weak` row from the round-9 verdict.
-    */
-  private def x111(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .knnGraphIntLsh(t(s, dir, "embeddings"), k = 3)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Hash-oracled HARD-NEGATIVE surface (x112): [[graft.operators
-    * .Similarity.hardNegativesIntLsh]] — x104's contrastive-mining verb
-    * with EVERY stage on the banded integer-LSH path: duplicate roots
-    * from [[graft.operators.Dedup.semanticDedupIntLsh]] (banded pairs →
-    * exact cosine ≥ 0.45 → connected components), negative candidates
-    * from the same plane grid's self-join, root exclusion before
-    * scoring, top-3. The oracle replays planes → buckets → dup pairs →
-    * recursive component closure → roots → candidate edges → exclusion
-    * → ranking end to end (the x91 + x104 techniques fused), so a hash
-    * match certifies the 100 TB mining pipeline itself. Closes the x104
-    * `weak` row.
-    */
-  private def x112(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity
-      .hardNegativesIntLsh(t(s, dir, "embeddings"), k = 3, dupThreshold = 0.45)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Hash-oracled embedding NEAR-DUP surface (x113): [[graft.operators
-    * .Dedup.embeddingNearDupPairsIntLsh]] — x11's pair miner on the
-    * banded scale path with integer bucket arithmetic, so the oracle
-    * replays candidate generation and the exact surviving ≥0.45 pair set
-    * (9 of the 14 exact pairs at sf0.01, 65 at sf0.1 — the banding miss
-    * is REPLAYED, not hidden: both engines compute the identical
-    * candidate set). Closes the x11 `weak` row: the registered x11 stays
-    * the documented exact baseline; this row certifies the LSH branch's
-    * machinery bit-for-bit.
-    */
-  private def x113(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Dedup
-      .embeddingNearDupPairsIntLsh(t(s, dir, "embeddings"), threshold = 0.45)
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  /** The 12-token boilerplate span x114 plants (ONE Scala val
-    * interpolated into both engines, the substrInjA convention):
-    * all-uppercase, so the lowercase synthetic corpus can never
-    * accidentally extend a planted span.
-    */
-  private val spanInj =
-    "REDISTRIBUTION AND USE IN SOURCE AND BINARY FORMS ARE PERMITTED HERE VERBATIM"
-
-  /** Maximal-shared-span surface (x114): [[graft.operators.SubstringDedup
-    * .maximalSharedSpans]] — the ZERO-MISS exact-substring guarantee
-    * (Lee et al. 2022) x31's thinned anchors approximate: every maximal
-    * shared run of ≥ 8 tokens, at arbitrary offsets. Docs ≡0 (mod 37)
-    * APPEND the 12-token boilerplate, ≡0 (mod 41) PREPEND it (doc 0 hits
-    * both; CASE order picks append on both engines) — so
-    * append×prepend pairs share the span at (tail, 0), append×append at
-    * (tail, tail): offset-independence is live in the gate, and the
-    * corpus's organic 8-token repeats ride along. The oracle replays
-    * stride-1 gram digests, the diagonal join, and the island
-    * arithmetic — two engines, one algorithm, every row positional.
-    */
-  private def x114(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" " + spanInj)))
-          .when(col("doc_id") % 41 === 0, concat(lit(spanInj + " "), col("text")))
-          .otherwise(col("text"))
-          .as("text"))
-    SubstringDedup
-      .maximalSharedSpans(docs, l = 8)
-      .orderBy(col("a_id"), col("b_id"), col("a_start"), col("b_start"))
-  }
-
-  /** Exact-substring CLEAN surface (x122): [[graft.operators
-    * .SubstringDedup.removeSharedSpans]] over the SAME span-injected
-    * corpus as x114 — the APPLY half of Lee et al.'s substring dedup:
-    * every losing (b-side, min-id-keeps) span occurrence cut from its
-    * document, overlapping spans merged by the islands window, text
-    * rebuilt map-side from the per-doc interval list. The oracle extends
-    * x114's replay with the same islands merge and a parallel-unnest
-    * rebuild, so find ≡ remove is one certified chain.
-    */
-  private def x122(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" " + spanInj)))
-          .when(col("doc_id") % 41 === 0, concat(lit(spanInj + " "), col("text")))
-          .otherwise(col("text"))
-          .as("text"))
-    SubstringDedup
-      .removeSharedSpans(docs, l = 8)
-      .orderBy(col("doc_id"))
-  }
-
-  /** BM25 retrieval surface (x115): [[graft.operators.Retrieval
-    * .bm25TopK]] — sparse lexical top-5 per query under the
-    * exact-integer contract (milli k1/b, four named floor divisions,
-    * rational idf — see the operator scaladoc for why `ln` is the named
-    * float swap-in, not the contract). Queries are every ≡0 (mod 97)
-    * document's first-4-token set probing the WHOLE corpus (with this
-    * corpus's tiny vocabulary the source doc does NOT trivially rank
-    * itself #1 — the ranking does real idf/length work). The oracle
-    * replays tokenization, postings, df, the two corpus scalars, and
-    * every staged division — two engines, one arithmetic.
-    */
-  private def x115(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val queries = docs
-      .where(col("doc_id") % 97 === 0)
-      .select(
-        col("doc_id").as("query_id"),
-        slice(TextAnalysis.tokens(col("text")), 1, 4).as("terms"))
-    Retrieval
-      .bm25TopK(docs, queries, k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Cross-document duplicate-gram-fraction surface (x116):
-    * [[graft.operators.TextAnalysis.crossDocDupGramFraction]] at n = 5 —
-    * the corpus duplication PROFILE (what share of each doc's distinct
-    * 5-grams appear in other documents), the audit signal that finds
-    * template farms before any pair miner runs. The synthetic corpus
-    * keeps every output class live organically (429 zero-dup docs, 24
-    * full-duplicate docs, a 9% mean at sf0.01 — no injection needed);
-    * the oracle replays distinct shingling, the df table, and the
-    * floor-ppm division.
-    */
-  private def x116(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .crossDocDupGramFraction(dts(s, dir), n = 5)
-      .orderBy(col("doc_id"))
-
-  /** Integer-PQ ADC surface (x117): [[graft.operators.Similarity
-    * .intPqTopK]] — product quantization, the last missing member of the
-    * vector-compression family (SQ8 x40/x41 compresses components, PQ
-    * compresses SUBSPACES), under the x91 integer-oracle treatment. The
-    * oracle recomputes the per-dimension integer calibration from the
-    * corpus, rebuilds the 32×64×2 range-calibrated codebook grid from
-    * the md5 closed form, replays every corpus vector's per-subspace
-    * argmin code assignment (ties to the smallest code), recomputes each
-    * (query, doc) asymmetric distance from codes alone, and ranks — a
-    * hash match certifies calibration, encode, AND search bit-for-bit.
-    */
-  private def x117(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    Similarity
-      .intPqTopK(
-        emb.where(col("vec_id") < 10),
-        emb.where(col("vec_id") >= 10),
-        k = 5,
-        m = 32,
-        ksub = 64)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** TRAINED integer-PQ ADC surface (x118): [[graft.operators.Similarity
-    * .intPqTopKTrained]] — x117's machinery with Lloyd-trained codebooks,
-    * the whole training loop (calibration → hash40 seeds → `pqIters`
-    * integer Lloyd rounds → assignment → ADC) replayed by the oracle.
-    * Config per the r10 verdict's recall ask: measured recall@5 vs exact
-    * cosine is 0.80 at (m=64, ksub=32, iters=4) on the test embeddings
-    * (QuantizeSpec pins the floor), vs 0.64 for x117's untrained books.
-    */
-  private def x118(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    Similarity
-      .intPqTopKTrained(
-        emb.where(col("vec_id") < 10),
-        emb.where(col("vec_id") >= 10),
-        k = 5,
-        m = pqTrainM,
-        ksub = pqTrainKsub,
-        iters = pqTrainIters)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** IVFADC surface (x119): [[graft.operators.Similarity
-    * .intIvfPqTopKTrained]] — the Jégou et al. 2011 composition the
-    * x117/x118 scaladocs promised ("IVF banding composes in front
-    * unchanged"), registered: an integer-Lloyd coarse quantizer
-    * (`trainIntBooks` with m = 1, ksub = nlist) routes every corpus
-    * vector to an inverted list, the fine codebooks train on the
-    * RESIDUALS, and each query scores ADC only inside its `ivfNprobe`
-    * nearest lists — candidates ≈ (nprobe/nlist)·n vs x118's full scan.
-    * The oracle replays BOTH training loops, both assignments, the probe
-    * ranking, and ADC bit-for-bit (everything on the floor-1000 integer
-    * grid). Fine geometry matches x118 exactly so the recall delta vs
-    * x118 isolates the IVF pruning effect (QuantizeSpec pins the floor).
-    */
-  private def x119(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
-    Similarity
-      .intIvfPqTopKTrained(
-        emb.where(col("vec_id") < 10),
-        emb.where(col("vec_id") >= 10),
-        k = 5,
-        nlist = ivfNlist,
-        nprobe = ivfNprobe,
-        m = pqTrainM,
-        ksub = pqTrainKsub,
-        iters = pqTrainIters)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** End-to-end corpus-curation pipeline (x120): the four screens a
-    * Common-Crawl-to-training-set pass runs, composed as ONE declarative
-    * plan — exact dedup (min-id survivor per md5, the x01 rule) → Gopher
-    * quality gate (x58's integer rule cascade, map-side over the same
-    * rows) → language-identifiability screen (x05's marker argmax ≠
-    * 'und') → per-source cap (x51's deterministic md5-ordered top-N, the
-    * anti-single-source-domination quota) with x04's BPE-ish token count
-    * carried for downstream budget accounting. Each stage is already
-    * individually oracled; this surface certifies the COMPOSITION —
-    * stage plumbing, filter ordering, and column flow — which is what an
-    * actual pipeline run exercises. Delegates to [[graft.operators
-    * .Curation.curate]] (shared with the CurationStream twin): map-side
-    * screens FIRST (provably result-identical — see Curation's
-    * screen-first equivalence — and they shrink the md5 exchange to the
-    * passing subset), then the md5 dedup window and the source cap
-    * window — two bounded shuffles, no joins, no collects.
-    */
-  private def x120(s: SparkSession, dir: String): DataFrame =
-    Curation
-      .curate(dts(s, dir).select(col("doc_id"), col("source"), col("text")), cap = 10)
-      .orderBy(col("source"), col("doc_id"))
-
-  /** Triangle-counting surface: per-node triangle count, degree, and
-    * integer-ppm clustering coefficient over the x45 edit-distance-1
-    * brand graph (130 edges, 301 triangles at sf0.01) by degree-oriented
-    * wedge join — see [[graft.operators.Triangles]]. Rounds out the graph
-    * family (PageRank x46, components x14/x56) with the community-density
-    * signal; the oracle triple-joins the canonical a<b edge list, which
-    * counts each triangle exactly once, same as the orientation argument.
-    */
-  private def x63(s: SparkSession, dir: String): DataFrame =
-    Triangles
-      .perNode(
-        Fuzzy
-          .editDistance1Pairs(t(s, dir, "part"), "p_brand")
-          .select(col("a_val").as("a"), col("b_val").as("b")))
-      .orderBy(col("node"))
-
-  /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
-    * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
-    * decodes (most-significant digit first) so the two sides cannot drift.
-    * `h` is the 10-char lowercase hex string in scope at the splice point.
-    */
-  private val kmvHexToIntSql: String =
-    (1 to DistinctSketch.HexChars)
-      .map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
-          s"${1L << (4 * (DistinctSketch.HexChars - i))}")
-      .mkString(" + ")
-
-  /** The label/weight-independent feature half: tokenize → unigram +
-    * adjacent-bigram bag → hash40("ft:" + f) mod dim buckets. Yields
-    * `fttk`, `ftfeats`, `ftfb` — everything a trainer needs (the Scala
-    * twin of this independence is [[graft.operators.LinearModel
-    * .trainPerceptronOva]] building ONE persisted count table for all C
-    * models).
-    */
-  private def ftFeatureCtes(dim: Int): String = ftFeatureCtesOver(dim, "documents")
-
-  /** [[ftFeatureCtes]] over an arbitrary (doc_id, text) CTE/table — the
-    * x146 composed arc scores DERIVED pages (page_id AS doc_id, main_text
-    * AS text), not the documents table; one generator so the feature walk
-    * cannot drift between the standalone and composed oracles.
-    */
-  private def ftFeatureCtesOver(dim: Int, src: String): String =
-    s"""fttk AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src
-       |), ftfeats AS (
-       |  SELECT doc_id, unnest(toks) AS f FROM fttk
-       |  UNION ALL
-       |  SELECT doc_id,
-       |    unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS f
-       |  FROM fttk WHERE len(toks) >= 2
-       |), ftfb AS (
-       |  SELECT doc_id, CAST(($kmvHexToIntSql) % $dim AS BIGINT) AS b
-       |  FROM (SELECT doc_id, substr(md5('ft:' || f), 1, 10) AS h FROM ftfeats)
-       |)""".stripMargin
-
-  /** Shared DuckDB replay CTEs for the fastText-style scorers — ONE
-    * generator parameterized exactly like
-    * [[graft.operators.LinearModel.planted]] (seed, classes, dim): the
-    * planted classes×dim integer weight table from the md5 closed form
-    * (hash40("ftw:&lt;seed&gt;:c:b") mod 2001 − 1000), the
-    * [[ftFeatureCtes]] feature half, per-class BIGINT dots. Yields CTEs
-    * `ftw`, `ftwp` (pivoted per-bucket w0..w{C−1}), `fttk`, `ftfeats`,
-    * `ftfb`, `ftdots` (doc_id, n_feats, dot0..dot{C−1}) — spliced after
-    * WITH. One helper for every learned-inference oracle (x126/x127
-    * binary, x128/x129 via `ftfb`, x130 4-class) so none can drift from
-    * the others or from the Scala literals.
-    */
-  private def ftCtes(seed: String, classes: Int, dim: Int): String =
-    ftCtesOver(seed, classes, dim, "documents")
-
-  private def ftCtesOver(seed: String, classes: Int, dim: Int, src: String): String = {
-    val pivot = (0 until classes)
-      .map(c => s"max(CASE WHEN c = $c THEN w END) AS w$c")
-      .mkString(",\n       |         ")
-    val dots = (0 until classes)
-      .map(c => s"CAST(sum(w.w$c) AS BIGINT) AS dot$c")
-      .mkString(",\n       |    ")
-    s"""ftw AS (
-       |  SELECT c, b, CAST(($kmvHexToIntSql) % 2001 AS BIGINT) - 1000 AS w
-       |  FROM (SELECT c, b, substr(md5('ftw:$seed:' || c || ':' || b), 1, 10) AS h
-       |        FROM range(0, $classes) r1(c), range(0, $dim) r2(b))
-       |), ftwp AS (
-       |  SELECT b, $pivot
-       |  FROM ftw GROUP BY b
-       |), ${ftFeatureCtesOver(dim, src)}, ftdots AS (
-       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-       |    $dots
-       |  FROM ftfb f JOIN ftwp w USING (b) GROUP BY 1
-       |)""".stripMargin
-  }
-
-  /** The x126/x127/x128/x129 binary instance (the planted 2×512 model). */
-  private val ftCtesSql: String = ftCtes("q", classes = 2, dim = 512)
-
-  /** Shared DuckDB replay CTEs for the x128/x129 integer batch
-    * perceptron — spliced AFTER [[ftCtesSql]] (reuses its `ftfb`
-    * feature-bucket rows). Yields `fc` (doc_id, b, cnt, y with the
-    * planted even-odd label), a dense `w1` (round 1 updates on every doc
-    * because w₀ = 0 scores everything 0 and y·0 ≤ 0), and for each round
-    * r ≥ 2 the score/mis/delta/update chain `sc{r}`/`m{r}`/`d{r}`/`w{r}`
-    * — ONE Scala generator so the unrolled SQL cannot drift from
-    * [[graft.operators.LinearModel.trainPerceptron]]'s loop.
-    */
-  private def perceptronCtesSql(
-      rounds: Int,
-      dim: Int,
-      labelSql: String = "CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT) " +
-        "ELSE CAST(-1 AS BIGINT) END",
-      pfx: String = "",
-      fbSrc: String = "ftfb"): String = {
-    val head =
-      s"""${pfx}fc AS (
-         |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt,
-         |    $labelSql AS y
-         |  FROM $fbSrc GROUP BY 1, 2
-         |), ${pfx}d1 AS (
-         |  SELECT b, sum(y * cnt) AS dw FROM ${pfx}fc GROUP BY b
-         |), ${pfx}w1 AS (
-         |  SELECT r.range AS b, CAST(coalesce(${pfx}d1.dw, 0) AS BIGINT) AS w
-         |  FROM range(0, $dim) r LEFT JOIN ${pfx}d1 ON ${pfx}d1.b = r.range
-         |)""".stripMargin
-    val tail = (2 to rounds).map { r =>
-      val p = s"${pfx}w${r - 1}"
-      s""", ${pfx}sc$r AS (
-         |  SELECT fc.doc_id, fc.y, sum(fc.cnt * $p.w) AS score
-         |  FROM ${pfx}fc fc JOIN $p ON $p.b = fc.b GROUP BY 1, 2
-         |), ${pfx}m$r AS (
-         |  SELECT doc_id FROM ${pfx}sc$r WHERE y * score <= 0
-         |), ${pfx}d$r AS (
-         |  SELECT fc.b, sum(fc.y * fc.cnt) AS dw
-         |  FROM ${pfx}fc fc JOIN ${pfx}m$r USING (doc_id) GROUP BY 1
-         |), ${pfx}w$r AS (
-         |  SELECT p.b, CAST(p.w + coalesce(${pfx}d$r.dw, 0) AS BIGINT) AS w
-         |  FROM $p p LEFT JOIN ${pfx}d$r ON ${pfx}d$r.b = p.b
-         |)""".stripMargin
-    }.mkString
-    head + tail
-  }
-
-  /** x129's full replay — shared VERBATIM with x134 (the x124 reuse
-    * discipline): the model-table round-trip must be invisible to the
-    * scores, so both surfaces hash against the same SQL.
-    */
-  private lazy val x129OracleSql: String =
-    s"""WITH $ftCtesSql, ${perceptronCtesSql(rounds = 3, dim = 512)}, sc4 AS (
-      |  SELECT fc.doc_id, fc.y, sum(fc.cnt * w3.w) AS score
-      |  FROM fc JOIN w3 ON w3.b = fc.b GROUP BY 1, 2
-      |)
-      |SELECT doc_id, CAST(score AS BIGINT) AS score,
-      |  CASE WHEN score > 0 THEN CAST(1 AS BIGINT)
-      |       ELSE CAST(-1 AS BIGINT) END AS pred_y,
-      |  y AS true_y, (y * score > 0) AS correct
-      |FROM sc4 ORDER BY doc_id""".stripMargin
-
-  /** Shared DuckDB replay for x138/x139: x129's unrolled-training chain
-    * scored once more (`sc4`), then rank deciles and per-bin integer
-    * aggregates — yields `cg` (bin, n_docs, n_pos, min/max/sum_score).
-    * ONE helper so the diagram and the isotonic fit cannot drift.
-    */
-  private lazy val calibBinsSql: String =
-    s"""$ftCtesSql, ${perceptronCtesSql(rounds = 3, dim = 512)}, sc4 AS (
-      |  SELECT fc.doc_id, fc.y, sum(fc.cnt * w3.w) AS score
-      |  FROM fc JOIN w3 ON w3.b = fc.b GROUP BY 1, 2
-      |), cr AS (
-      |  SELECT doc_id, y, CAST(score AS BIGINT) AS score,
-      |    row_number() OVER (ORDER BY score, doc_id) AS rank,
-      |    count(*) OVER () AS n
-      |  FROM sc4
-      |), cb AS MATERIALIZED (
-      |  SELECT doc_id, y, score, (rank - 1) * 10 // n AS bin FROM cr
-      |), cg AS MATERIALIZED (
-      |  SELECT bin,
-      |    CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-      |    CAST(min(score) AS BIGINT) AS min_score,
-      |    CAST(max(score) AS BIGINT) AS max_score,
-      |    CAST(sum(score) AS BIGINT) AS sum_score
-      |  FROM cb GROUP BY 1
-      |)""".stripMargin
-
-  /** The isotonic-fit CTE chain over `cg` (x139/x142 shared): prefix
-    * sums → pooled ppm rates for every j ≤ k bin range → the minimax
-    * fold — yields `cfit` (bin, iso_ppm).
-    */
-  private lazy val isoFitSql: String =
-    """ccum AS MATERIALIZED (
-      |  SELECT bin,
-      |    sum(n_pos) OVER (ORDER BY bin) AS cpos,
-      |    sum(n_docs) OVER (ORDER BY bin) AS cn
-      |  FROM cg
-      |), crng AS MATERIALIZED (
-      |  SELECT j.bin AS j, k.bin AS k,
-      |    (k.cpos - coalesce(jm.cpos, 0)) * 1000000
-      |      // greatest(k.cn - coalesce(jm.cn, 0), 1) AS rate
-      |  FROM ccum j JOIN ccum k ON j.bin <= k.bin
-      |  LEFT JOIN ccum jm ON jm.bin = j.bin - 1
-      |), cmins AS (
-      |  SELECT i.bin AS bin, r.j, min(r.rate) AS mn
-      |  FROM cg i JOIN crng r ON r.j <= i.bin AND r.k >= i.bin
-      |  GROUP BY 1, 2
-      |), cfit AS MATERIALIZED (
-      |  SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm FROM cmins GROUP BY 1
-      |)""".stripMargin
-
-  /** The x146 composed-arc oracle: every stage of [[graft.operators
-    * .WebArc.pipeline]] replayed as one CTE chain over the SAME derived
-    * pages — the x92 page/main_text closed form, the x120 screen
-    * arithmetic, exact dedup, the inverted-index exact-Jaccard pair set
-    * (the x07 oracle posture: LSH candidates at (32, 4) provably/
-    * measuredly cover every qualifying pair at the tested SFs, and the
-    * engine verifies candidates with the same exact Jaccard), the x21
-    * gram-overlap decontamination, the planted-model dots
-    * ([[ftCtesOver]] retargeted at the derived pages), the UNROLLED
-    * 3-round perceptron training over the screened subset
-    * ([[perceptronCtesSql]] with the page-parity label page_id//4 % 2),
-    * rank-decile bins + the minimax isotonic fit ([[isoFitSql]]), the
-    * per-source cap window, and the recursive next-fit pack walk (x24).
-    */
-  private lazy val webArcOracleSql: String = {
-    val markers = TextAnalysis.langMarkers
-    val stopList = markers.head._2.map(w => s"'$w'").mkString(",")
-    val scoreCols = markers
-      .map { case (lang, ws) =>
-        s"len(list_filter(toks, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS s_$lang"
-      }
-      .mkString(",\n      |    ")
-    val best = markers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
-    val langCase = markers.init
-      .map { case (lang, _) => s"WHEN s_$lang = $best THEN '$lang'" }
-      .mkString("\n      |    ")
-    val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-    s"""WITH RECURSIVE aw AS (
-      |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS ids,
-      |    1 + doc_id % 3 AS nrec,
-      |    trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS t
-      |  FROM documents
-      |), ap0 AS (
-      |  SELECT doc_id, source, ids, t, unnest(range(nrec)) AS i FROM aw
-      |), ap AS (
-      |  SELECT doc_id, source, CAST(i AS INT) AS rec_idx,
-      |    doc_id * 4 + i AS page_id, 'example.com' AS host,
-      |    'Heading ' || ids || '!' ||
-      |      CASE WHEN length(t) > 1 + length(ids)
-      |        THEN ' ' || CASE WHEN t = '' THEN 'see ref ' || ids
-      |                         ELSE t || ' see ref ' || ids END
-      |        ELSE '' END AS main_text
-      |  FROM ap0
-      |), atk AS (
-      |  SELECT *, string_split_regex(trim(main_text), '\\s+') AS toks FROM ap
-      |), ag AS (
-      |  SELECT *,
-      |    CAST(len(toks) AS BIGINT) AS n_tok,
-      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_chars,
-      |    CAST(len(list_intersect(toks, [$stopList])) AS BIGINT) AS n_stop
-      |  FROM atk
-      |), aq AS (
-      |  SELECT * FROM ag
-      |  WHERE n_tok BETWEEN 30 AND 90
-      |    AND 30 * n_tok <= 10 * sum_chars AND 10 * sum_chars <= 52 * n_tok
-      |    AND n_stop >= 2
-      |), amk AS (
-      |  SELECT *,
-      |    $scoreCols
-      |  FROM aq
-      |), alng AS (
-      |  SELECT *, CASE
-      |    WHEN $best = 0 THEN 'und'
-      |    $langCase
-      |    ELSE '${markers.last._1}' END AS lang_pred
-      |  FROM amk
-      |), ascp AS (
-      |  SELECT * FROM alng WHERE lang_pred <> 'und'
-      |), adup AS (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY md5(main_text) ORDER BY page_id) AS rn_dup
-      |  FROM ascp
-      |), asv AS MATERIALIZED (
-      |  SELECT * FROM adup WHERE rn_dup = 1
-      |), ash AS MATERIALIZED (
-      |  SELECT page_id,
-      |    CASE WHEN len(toks) >= 3 THEN
-      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                     for i in range(1, len(toks) - 1)])
-      |    ELSE [] END AS s
-      |  FROM asv
-      |), ajsz AS (
-      |  SELECT page_id, len(s) AS sz FROM ash
-      |), ajinv AS (
-      |  SELECT page_id, unnest(s) AS g FROM ash
-      |), ajc AS (
-      |  SELECT a.page_id AS a_id, b.page_id AS b_id, count(*) AS inter
-      |  FROM ajinv a JOIN ajinv b ON a.g = b.g AND a.page_id < b.page_id
-      |  GROUP BY 1, 2
-      |), andrp AS (
-      |  SELECT DISTINCT b_id FROM ajc
-      |  JOIN ajsz sa ON sa.page_id = a_id
-      |  JOIN ajsz sb ON sb.page_id = b_id
-      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-      |), anear AS MATERIALIZED (
-      |  SELECT * FROM asv WHERE page_id NOT IN (SELECT b_id FROM andrp)
-      |), aevt AS (
-      |  SELECT string_split_regex(trim(text), '\\s+') AS toks
-      |  FROM documents WHERE doc_id % 50 = 0
-      |), aev AS (
-      |  SELECT DISTINCT unnest(
-      |    CASE WHEN len(toks) >= 3 THEN
-      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                     for i in range(1, len(toks) - 1)])
-      |    ELSE [] END) AS gram
-      |  FROM aevt
-      |), adcg AS (
-      |  SELECT a.page_id, len(h.s) AS n_grams, unnest(h.s) AS gram
-      |  FROM anear a JOIN ash h USING (page_id)
-      |), adct AS (
-      |  SELECT page_id FROM adcg JOIN aev USING (gram)
-      |  GROUP BY page_id, n_grams
-      |  HAVING round(CAST(count(*) AS DOUBLE) / n_grams, 4) >= 0.5
-      |), acln AS MATERIALIZED (
-      |  SELECT * FROM anear WHERE page_id NOT IN (SELECT page_id FROM adct)
-      |), adoc AS MATERIALIZED (
-      |  SELECT page_id AS doc_id, main_text AS text FROM acln
-      |), ${ftCtesOver("q", classes = 2, dim = 512, src = "adoc")}, amscr AS MATERIALIZED (
-      |  SELECT a.* FROM acln a
-      |  JOIN ftdots d ON d.doc_id = a.page_id WHERE d.dot1 > d.dot0
-      |), ${perceptronCtesSql(
-          rounds = 3,
-          dim = 512,
-          labelSql = "CASE WHEN (doc_id // 4) % 2 = 0 THEN CAST(1 AS BIGINT) " +
-            "ELSE CAST(-1 AS BIGINT) END",
-          fbSrc = "(SELECT f.doc_id, f.b FROM ftfb f " +
-            "JOIN amscr s ON s.page_id = f.doc_id)")}, asc4 AS (
-      |  SELECT fc.doc_id AS page_id, fc.y,
-      |    CAST(sum(fc.cnt * w3.w) AS BIGINT) AS score
-      |  FROM fc JOIN w3 ON w3.b = fc.b GROUP BY 1, 2
-      |), acr AS (
-      |  SELECT page_id, y, score,
-      |    row_number() OVER (ORDER BY score, page_id) AS rank,
-      |    count(*) OVER () AS n
-      |  FROM asc4
-      |), acb AS MATERIALIZED (
-      |  SELECT page_id, y, score, (rank - 1) * 10 // n AS bin FROM acr
-      |), cg AS MATERIALIZED (
-      |  SELECT bin,
-      |    CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-      |  FROM acb GROUP BY 1
-      |), $isoFitSql, akpt AS (
-      |  SELECT b.page_id, b.score, f.iso_ppm
-      |  FROM acb b JOIN cfit f USING (bin) WHERE f.iso_ppm >= 500000
-      |), acal AS (
-      |  SELECT s.source, s.doc_id, s.rec_idx, s.page_id, s.host,
-      |    s.lang_pred, s.main_text, k.score, k.iso_ppm
-      |  FROM amscr s JOIN akpt k USING (page_id)
-      |), acap AS (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY source ORDER BY md5(main_text), page_id) AS rn_cap
-      |  FROM acal
-      |), afin AS MATERIALIZED (
-      |  SELECT source, doc_id, rec_idx, page_id, host, lang_pred,
-      |    CAST(len(regexp_extract_all(main_text, '$bpeish')) AS BIGINT)
-      |      AS n_tokens,
-      |    score, iso_ppm
-      |  FROM acap WHERE rn_cap <= 10
-      |), arnk AS (
-      |  SELECT page_id, n_tokens, page_id % 8 AS grp,
-      |    row_number() OVER (PARTITION BY page_id % 8 ORDER BY page_id) AS prn
-      |  FROM afin
-      |), awalk AS (
-      |  SELECT page_id, grp, n_tokens, prn,
-      |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
-      |  FROM arnk WHERE prn = 1
-      |  UNION ALL
-      |  SELECT r.page_id, r.grp, r.n_tokens, r.prn,
-      |    CASE WHEN w.fill + r.n_tokens > 256 AND w.fill > 0
-      |         THEN w.bin + 1 ELSE w.bin END,
-      |    CASE WHEN w.fill + r.n_tokens > 256 AND w.fill > 0
-      |         THEN r.n_tokens ELSE w.fill + r.n_tokens END
-      |  FROM arnk r JOIN awalk w ON r.grp = w.grp AND r.prn = w.prn + 1
-      |)
-      |SELECT f.source, f.doc_id, f.rec_idx, f.host, f.lang_pred,
-      |  f.n_tokens, f.score, f.iso_ppm,
-      |  w.grp AS pack_grp, w.bin AS pack_bin,
-      |  CAST(sum(w.n_tokens) OVER (PARTITION BY w.grp, w.bin) AS BIGINT)
-      |    AS bin_fill
-      |FROM awalk w JOIN afin f USING (page_id)
-      |ORDER BY f.doc_id, f.rec_idx""".stripMargin
-  }
-
-  /** Shared DuckDB replay for x131/x132: the three one-vs-all training
-    * chains (one [[perceptronCtesSql]] call per class, prefixed c{c}_,
-    * over the shared label-independent `ftfb` at dim 128), one final
-    * scoring pass per class, and the strict smallest-index argmax —
-    * yields `pr` (doc_id, score0..2, pred_cls). ONE helper so the
-    * train-infer and eval oracles cannot drift.
-    */
-  private lazy val ovaCtesSql: String = {
-    val chains = (0 until 3).map { c =>
-      perceptronCtesSql(
-        rounds = 2, dim = 128,
-        labelSql = s"CASE WHEN doc_id % 3 = $c THEN CAST(1 AS BIGINT) " +
-          "ELSE CAST(-1 AS BIGINT) END",
-        pfx = s"c${c}_")
-    }.mkString(", ")
-    val finals = (0 until 3).map { c =>
-      s"""s$c AS (
-         |  SELECT fc.doc_id, sum(fc.cnt * w.w) AS score
-         |  FROM c0_fc fc JOIN c${c}_w2 w ON w.b = fc.b GROUP BY 1
-         |)""".stripMargin
-    }.mkString(", ")
-    s"""${ftFeatureCtes(128)}, $chains, $finals, pr AS (
-       |  SELECT s0.doc_id,
-       |    CAST(s0.score AS BIGINT) AS score0,
-       |    CAST(s1.score AS BIGINT) AS score1,
-       |    CAST(s2.score AS BIGINT) AS score2,
-       |    CASE WHEN s0.score >= s1.score AND s0.score >= s2.score THEN CAST(0 AS BIGINT)
-       |         WHEN s1.score >= s2.score THEN CAST(1 AS BIGINT)
-       |         ELSE CAST(2 AS BIGINT) END AS pred_cls
-       |  FROM s0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
-       |)""".stripMargin
-  }
-
-  /** Shared DuckDB replay CTEs for the integer-LSH family (x91, x111,
-    * x112, x113): the tables×bits×64 plane grid from the md5 closed form
-    * (hash40 % 2001 − 1000 — the exact [[graft.functions.IntLshBuckets
-    * .buildPlanes]] formula), floor-1000 vector quantization, BIGINT sign
-    * dots, bucket bit-packing. Generated from ONE Scala helper so the
-    * four oracles and the engine expression cannot drift; `tables`/`bits`
-    * are spliced from the same literals the Spark side passes. Yields
-    * CTEs `planes`, `vq` (q = quantized BIGINT[], v = DOUBLE[]), `dots`,
-    * `buckets` — spliced directly after WITH [RECURSIVE].
-    */
-  private def intLshCtesSql(tables: Int, bits: Int): String =
-    s"""planes AS (
-       |  SELECT t, b, j, CAST(($kmvHexToIntSql) % 2001 AS BIGINT) - 1000 AS c
-       |  FROM (SELECT t, b, j,
-       |          substr(md5('rp:' || t || ':' || b || ':' || j), 1, 10) AS h
-       |        FROM range(0, $tables) r1(t), range(0, $bits) r2(b), range(0, 64) r3(j))
-       |), vq AS (
-       |  SELECT vec_id,
-       |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
-       |       (CASE WHEN len(embedding) = 64 THEN embedding
-       |             ELSE error('int-LSH oracle: embedding dim ' ||
-       |                        len(embedding) || ' <> plane-grid dim 64') END)] AS q,
-       |    CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings
-       |), dots AS (
-       |  SELECT vec_id, t, b, sum(q[j + 1] * c) AS dot
-       |  FROM vq, planes GROUP BY 1, 2, 3
-       |), buckets AS (
-       |  SELECT vec_id, t,
-       |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
-       |  FROM dots GROUP BY 1, 2
-       |)""".stripMargin
-
-  /** x118 trained-PQ geometry, shared between the Spark call and the
-    * generated oracle so the two sides cannot drift. (m=64, ksub=32,
-    * iters=4) is the measured recall-0.80 config (QuantizeSpec floor);
-    * sub = dim/m = 1.
-    */
-  private val pqTrainM = 64
-  private val pqTrainKsub = 32
-  private val pqTrainIters = 4
-  private val pqTrainSub = 1
-
-  /** x119 IVF geometry, shared between the Spark call and the generated
-    * oracle: 8 coarse lists, 4 probed per query (the honest unclustered-
-    * corpus trade — see Similarity.intIvfPqTopKTrained's scaladoc).
-    */
-  private val ivfNlist = 8
-  private val ivfNprobe = 4
-
-  /** One unrolled integer-Lloyd assignment of the x118 oracle: per
-    * (corpus vector, subspace), distances to every cell of codebook
-    * `prev` as a list, argmin with first-occurrence (= smallest k) ties —
-    * matching PqAssign's strict `<` keep rule.
-    */
-  private def pqAsgSql(name: String, prev: String): String =
-    s"""asg$name AS MATERIALIZED (
-       |  SELECT vec_id, s, CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS k
-       |  FROM (
-       |    SELECT v.vec_id, c.s,
-       |      [list_sum(list_transform(
-       |         [CAST(v.w[c.s * $pqTrainSub + j + 1] AS DOUBLE) - c.cells[kk + 1][j + 1] for j in range(0, $pqTrainSub)],
-       |         x -> x * x)) for kk in range(0, $pqTrainKsub)] AS dl
-       |    FROM wv v, $prev c WHERE v.vec_id >= 10
-       |  )
-       |)""".stripMargin
-
-  /** One unrolled integer-Lloyd round of the x118 oracle: assignment
-    * against cb{r−1}, per-cell integer sums/counts, floor(sum/count)
-    * update (an IEEE division of two exact integers + exact floor — the
-    * replayability argument in Similarity.intPqTopKTrained's scaladoc),
-    * empty cells carried via the LEFT JOIN coalesce.
-    */
-  private def pqRoundSql(r: Int): String =
-    s"""${pqAsgSql(r.toString, s"cb${r - 1}")}, sums$r AS (
-       |  SELECT a.s, a.k, r.j, sum(v.w[a.s * $pqTrainSub + r.j + 1]) AS sm, count(*) AS cnt
-       |  FROM asg$r a JOIN wv v USING (vec_id), range(0, $pqTrainSub) r(j)
-       |  GROUP BY 1, 2, 3
-       |), cell$r AS (
-       |  SELECT s, k, list(floor(CAST(sm AS DOUBLE) / cnt) ORDER BY j) AS newcell
-       |  FROM sums$r GROUP BY s, k
-       |), cb$r AS MATERIALIZED (
-       |  SELECT p.s, list(coalesce(c.newcell, p.cells[kidx.k + 1]) ORDER BY kidx.k) AS cells
-       |  FROM cb${r - 1} p CROSS JOIN range(0, $pqTrainKsub) kidx(k)
-       |  LEFT JOIN cell$r c ON c.s = p.s AND c.k = kidx.k
-       |  GROUP BY p.s
-       |)""".stripMargin
-
-  /** Generalized unrolled integer-Lloyd assignment for the x119 IVFADC
-    * oracle — [[pqAsgSql]] parameterized over CTE prefix, source relation,
-    * and (sub, ksub) geometry so ONE helper replays both the coarse
-    * quantizer (pfx "c", sub = dim, ksub = nlist over the corpus grid)
-    * and the residual fine PQ (pfx "f", x118's geometry over residuals).
-    * Same argmin rule as PqAssign: first-occurrence (smallest k) ties.
-    */
-  private def gAsgSql(
-      pfx: String, name: String, prev: String, src: String, sub: Int, ksub: Int): String =
-    s"""${pfx}asg$name AS MATERIALIZED (
-       |  SELECT vec_id, s, CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS k
-       |  FROM (
-       |    SELECT v.vec_id, c.s,
-       |      [list_sum(list_transform(
-       |         [CAST(v.w[c.s * $sub + j + 1] AS DOUBLE) - c.cells[kk + 1][j + 1] for j in range(0, $sub)],
-       |         x -> x * x)) for kk in range(0, $ksub)] AS dl
-       |    FROM $src v, $prev c
-       |  )
-       |)""".stripMargin
-
-  /** Generalized integer-Lloyd round for the x119 oracle ([[pqRoundSql]]
-    * parameterized): assignment against ${pfx}cb{r−1}, per-cell sums,
-    * floor(sum/count) update, empty cells carried.
-    */
-  private def gRoundSql(pfx: String, r: Int, src: String, sub: Int, ksub: Int): String =
-    s"""${gAsgSql(pfx, r.toString, s"${pfx}cb${r - 1}", src, sub, ksub)}, ${pfx}sums$r AS (
-       |  SELECT a.s, a.k, r.j, sum(v.w[a.s * $sub + r.j + 1]) AS sm, count(*) AS cnt
-       |  FROM ${pfx}asg$r a JOIN $src v USING (vec_id), range(0, $sub) r(j)
-       |  GROUP BY 1, 2, 3
-       |), ${pfx}cell$r AS (
-       |  SELECT s, k, list(floor(CAST(sm AS DOUBLE) / cnt) ORDER BY j) AS newcell
-       |  FROM ${pfx}sums$r GROUP BY s, k
-       |), ${pfx}cb$r AS MATERIALIZED (
-       |  SELECT p.s, list(coalesce(c.newcell, p.cells[kidx.k + 1]) ORDER BY kidx.k) AS cells
-       |  FROM ${pfx}cb${r - 1} p CROSS JOIN range(0, $ksub) kidx(k)
-       |  LEFT JOIN ${pfx}cell$r c ON c.s = p.s AND c.k = kidx.k
-       |  GROUP BY p.s
-       |)""".stripMargin
-
-  /** Generalized hash40-ordered seed selection + round-0 codebook for the
-    * x119 oracle: the Similarity.trainIntBooks INIT step (seeds are the
-    * `ksub` vectors of `src` with the smallest (hash40(seedPrefix ‖ id),
-    * id); cell k of every subspace starts at seed k's slice).
-    */
-  private def gSeedsSql(
-      pfx: String, src: String, seedPrefix: String, m: Int, ksub: Int, sub: Int): String =
-    s"""${pfx}seeds AS MATERIALIZED (
-       |  SELECT w, row_number() OVER (ORDER BY hv, vec_id) - 1 AS k
-       |  FROM (SELECT vec_id, w, CAST(($kmvHexToIntSql) AS BIGINT) AS hv
-       |        FROM (SELECT vec_id, w, md5('$seedPrefix' || vec_id) AS h FROM $src))
-       |  ORDER BY hv, vec_id LIMIT $ksub
-       |), ${pfx}cb0 AS MATERIALIZED (
-       |  SELECT s, list([CAST(w[s * $sub + j + 1] AS DOUBLE) for j in range(0, $sub)] ORDER BY k) AS cells
-       |  FROM ${pfx}seeds, range(0, $m) rs(s) GROUP BY s
-       |)""".stripMargin
-
-  /** DuckDB-side 4-hex-digit prefix → integer for x100's feature buckets,
-    * generated from the SAME positional loop shape as [[kmvHexToIntSql]]
-    * (most-significant digit first) so the decode cannot drift from
-    * [[graft.operators.ImportanceResampling.bucket]]'s `conv(substr(md5,
-    * 1, 4), 16, 10)`. `h` is the 32-char lowercase md5 hex string in
-    * scope at the splice point.
-    */
-  private val hex4ToIntSql: String =
-    (1 to 4)
-      .map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
-          s"${1L << (4 * (4 - i))}")
-      .mkString(" + ")
-
-  /** Shared Z-order geometry for x47: bit width and the DuckDB-side
-    * interleave expression generated from the SAME loop shape as
-    * [[graft.operators.ZOrder.zValue]] (a on even bits, b on odd).
-    */
-  private val zorderBits = 10
-  private val zorderInterleaveSql: String =
-    (0 until zorderBits)
-      .flatMap(i =>
-        Seq(
-          s"((((za >> $i) & 1)::BIGINT) << ${2 * i})",
-          s"((((zb >> $i) & 1)::BIGINT) << ${2 * i + 1})"
-        )
-      )
-      .mkString(" | ")
-
-  /** The two boilerplate spans x31 plants (single Scala vals interpolated
-    * into BOTH the Spark injection and the DuckDB oracle, so the two sides
-    * cannot drift): distinctive uppercase/punctuation content that the
-    * lowercase synthetic corpus can never accidentally extend.
-    */
-  private val substrInjA =
-    " ### COMMON LICENSE HEADER v2.1: Redistribution and use in source and binary forms, with or without modification, are permitted. ###"
-  private val substrInjB =
-    " >>> SHARED FOOTER: Generated by a synthetic corpus tool; do not edit below this line. <<<"
-
-  /** Exact-substring dedup (x31): documents sharing a long VERBATIM span.
-    * Docs ≡0 (mod 37) get boilerplate A appended, ≡0 (mod 41) boilerplate
-    * B (doc 0 hits both predicates; CASE order picks A identically on both
-    * engines) — the planted substring-duplicate classes; the corpus's own
-    * 24-char gram collisions (tiny vocabulary) ride along and must match
-    * too. See [[SubstringDedup.anchorPairs]] for the anchor + extend
-    * design and its scale posture. maxDf=200 keeps the planted classes
-    * (≤136 docs at sf0.1) below the boilerplate-prune threshold at every
-    * SF.
-    */
-  private def x31(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 37 === 0, concat(col("text"), lit(substrInjA)))
-          .when(col("doc_id") % 41 === 0, concat(col("text"), lit(substrInjB)))
-          .otherwise(col("text"))
-          .as("text")
-      )
-    SubstringDedup
-      .anchorPairs(docs, k = 24, maxDf = 200)
-      .orderBy(col("a_id"), col("b_id"))
-  }
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (q01 _),
-    "q02_band_filter" -> (q02 _),
-    "q03_keep_last" -> (q03 _),
-    "q04_lag_delta" -> (q04 _),
-    "q05_snapshot_diff" -> (q05 _),
-    "q06_nearest_expiry" -> (q06 _),
-    "q07_friday_policy" -> (q07 _),
-    "q08_symbol_roundtrip" -> (q08 _),
-    "q09_revenue_by_nation" -> (q09 _),
-    "q10_top_orders_per_cust" -> (q10 _),
-    "q11_stringly_coerce" -> (q11 _),
-    "q12_nan_clean" -> (q12 _),
-    "q13_options_pipeline" -> (q13 _),
-    "q14_weekly_pipeline" -> (q14 _),
-    "q15_percentiles" -> (q15 _),
-    "q16_rollup" -> (q16 _),
-    "q17_pivot" -> (q17 _),
-    "q18_asof_join" -> (q18 _),
-    "q19_range_join" -> (q19 _),
-    "q20_rolling_window" -> (q20 _),
-    "q21_cube" -> (q21 _),
-    "q22_semi_join" -> (q22 _),
-    "q23_anti_join" -> (q23 _),
-    "q24_retention" -> (q24 _),
-    "q25_distinct_count" -> (q25 _),
-    "q26_json_extract" -> (q26 _),
-    "q27_ntile" -> (q27 _),
-    "q28_stats_agg" -> (q28 _),
-    "q29_set_ops" -> (q29 _),
-    "q30_correlated" -> (q30 _),
-    "q31_tumbling" -> (q31 _),
-    "q32_sliding" -> (q32 _),
-    "x01_dedup_exact" -> (x01 _),
-    "x02_fingerprint" -> (x02 _),
-    "x03_text_stats" -> (x03 _),
-    "x04_token_counts" -> (x04 _),
-    "x05_lang_id" -> (x05 _),
-    "x06_ngram_jaccard" -> (x06 _),
-    "x07_minhash_lsh" -> (x07 _),
-    "x08_simhash" -> (x08 _),
-    "x09_cosine_topk" -> (x09 _),
-    "x10_ann_lsh" -> (x10 _),
-    "x11_embed_neardup" -> (x11 _),
-    "x12_quality_score" -> (x12 _),
-    "x13_ivf_topk" -> (x13 _),
-    "x14_neardup_clusters" -> (x14 _),
-    "x15_hash_sample" -> (x15 _),
-    "x16_decontaminate" -> (x16 _),
-    "x17_sessionize" -> (x17 _),
-    "x18_repetition" -> (x18 _),
-    "x19_pii_scrub" -> (x19 _),
-    "x21_decontaminate_bloom" -> (x21 _),
-    "x22_tfidf" -> (x22 _),
-    "x23_unicode_norm" -> (x23 _),
-    "x24_pack" -> (x24 _),
-    "x25_char_entropy" -> (x25 _),
-    "x26_label_centroids" -> (x26 _),
-    "x27_centroid_outliers" -> (x27 _),
-    "x28_simhash_neardup" -> (x28 _),
-    "x29_image_ahash" -> (x29 _),
-    "x30_image_neardup" -> (x30 _),
-    "x31_substring_dedup" -> (x31 _),
-    "x32_gif_ahash" -> (x32 _),
-    "x33_audio_features" -> (x33 _),
-    "x34_gif_frame_sample" -> (x34 _),
-    "x35_image_resize" -> (x35 _),
-    "x36_token_budget_mix" -> (x36 _),
-    "x37_token_chunks" -> (x37 _),
-    "x38_vocab_topk" -> (x38 _),
-    "x39_ngram_novelty" -> (x39 _),
-    "x40_sq8_codes" -> (x40 _),
-    "x41_sq8_topk" -> (x41 _),
-    "x42_token_shards" -> (x42 _),
-    "x43_heavy_tokens" -> (x43 _),
-    "x44_cluster_canonical" -> (x44 _),
-    "q33_scd2_islands" -> (q33 _),
-    "q34_cohort_retention" -> (q34 _),
-    "x86_funnel" -> (x86 _),
-    "x87_knn_graph" -> (x87 _),
-    "x88_session_paths" -> (x88 _),
-    "x89_avi_frames" -> (x89 _),
-    "x90_html_extract" -> (x90 _),
-    "x91_int_lsh_topk" -> (x91 _),
-    "x92_warc_records" -> (x92 _),
-    "x93_html_links" -> (x93 _),
-    "x94_web_pagerank" -> (x94 _),
-    "x95_url_normalize" -> (x95 _),
-    "x96_sentence_dedup" -> (x96 _),
-    "x97_warc_gz" -> (x97 _),
-    "x98_cdx_index" -> (x98 _),
-    "x99_robots" -> (x99 _),
-    "x100_dsir_resample" -> (x100 _),
-    "x101_anchor_text" -> (x101 _),
-    "x102_sitemap" -> (x102 _),
-    "x103_ccnet_buckets" -> (x103 _),
-    "x104_hard_negatives" -> (x104 _),
-    "x105_curriculum" -> (x105 _),
-    "x106_domain_stats" -> (x106 _),
-    "x107_unimax_quotas" -> (x107 _),
-    "x108_wordlist_filter" -> (x108 _),
-    "x109_public_suffix" -> (x109 _),
-    "x110_script_mix" -> (x110 _),
-    "x111_int_lsh_knn" -> (x111 _),
-    "x112_int_lsh_hardneg" -> (x112 _),
-    "x113_int_lsh_neardup" -> (x113 _),
-    "x114_max_shared_spans" -> (x114 _),
-    "x115_bm25_topk" -> (x115 _),
-    "x116_dup_gram_profile" -> (x116 _),
-    "x117_int_pq_adc" -> (x117 _),
-    "x118_int_pq_trained" -> (x118 _),
-    "x119_ivf_pq_adc" -> (x119 _),
-    "x120_curation_pipeline" -> (x120 _),
-    "x121_bpe_encode" -> (x121 _),
-    "x122_remove_spans" -> (x122 _),
-    "x123_fuzzy_editdist2" -> (x123 _),
-    "x124_indexed_ingest_bucketed" -> (x124 _),
-    "x125_fuzzy_clusters_d2" -> (x125 _),
-    "x126_ft_classify" -> (x126 _),
-    "x127_ft_curation" -> (x127 _),
-    "x128_perceptron_train" -> (x128 _),
-    "x129_perceptron_infer" -> (x129 _),
-    "x130_ft_multiclass" -> (x130 _),
-    "x131_ova_train_infer" -> (x131 _),
-    "x132_eval_confusion" -> (x132 _),
-    "x133_uncertain_docs" -> (x133 _),
-    "x134_model_roundtrip" -> (x134 _),
-    "x135_ann_recall" -> (x135 _),
-    "x136_bt_rating" -> (x136 _),
-    "x137_pca_project" -> (x137 _),
-    "x138_calibration_bins" -> (x138 _),
-    "x139_isotonic_calibration" -> (x139 _),
-    "x140_corpus_report" -> (x140 _),
-    "x141_preference_pairs" -> (x141 _),
-    "x142_calibrated_screen" -> (x142 _),
-    "x143_pca_reduce" -> (x143 _),
-    "x144_reduced_recall" -> (x144 _),
-    "x145_mmr_diversify" -> (x145 _),
-    "x146_web_arc" -> (x146 _),
-    "x147_bt_distributed" -> (x147 _),
-    "x148_explained_variance" -> (x148 _),
-    "x45_fuzzy_editdist" -> (x45 _),
-    "x46_pagerank" -> (x46 _),
-    "x47_zorder_zones" -> (x47 _),
-    "x48_mad_outliers" -> (x48 _),
-    "x49_png_ahash" -> (x49 _),
-    "x50_jpeg_ahash" -> (x50 _),
-    "x51_source_cap" -> (x51 _),
-    "x52_winsor_bounds" -> (x52 _),
-    "x53_mp4_meta" -> (x53 _),
-    "x54_mp3_meta" -> (x54 _),
-    "x55_segment_dedup" -> (x55 _),
-    "x56_fuzzy_clusters" -> (x56 _),
-    "x57_kmv_distinct" -> (x57 _),
-    "x58_gopher_rules" -> (x58 _),
-    "x59_weighted_sample" -> (x59 _),
-    "x60_cms_counts" -> (x60 _),
-    "x61_collocations" -> (x61 _),
-    "x62_binned_quantile" -> (x62 _),
-    "x63_triangles" -> (x63 _),
-    "x64_bpe_merges" -> (x64 _),
-    "x65_bpe_segment" -> (x65 _),
-    "x66_rendezvous_shard" -> (x66 _),
-    "x67_incremental_ingest" -> (x67 _),
-    "x68_burst_screen" -> (x68 _),
-    "x69_avi_meta" -> (x69 _),
-    "x70_lm_fluency" -> (x70 _),
-    "x71_leakage_split" -> (x71 _),
-    "x72_seed_distance" -> (x72 _),
-    "x73_temp_quotas" -> (x73 _),
-    "x74_winnow_fps" -> (x74 _),
-    "x75_indexed_ingest" -> (x75 _),
-    "x76_containment" -> (x76 _),
-    "x77_label_prop" -> (x77 _),
-    "x78_hits" -> (x78 _),
-    "x79_hll_distinct" -> (x79 _),
-    "x80_mp3_vbr" -> (x80 _),
-    "x81_semdedup" -> (x81 _),
-    "x82_cooccurrence" -> (x82 _),
-    "x83_rank_ppm" -> (x83 _),
-    "x84_corpus_diff" -> (x84 _),
-    "x85_transitions" -> (x85 _)
-  )
-
-  /** One unrolled synchronous LPA round for the x77 oracle: neighbor-label
-    * plurality count, then a (count desc, label asc) row_number argmax —
-    * the same total order the operator's min(struct(−cnt, label)) encodes.
-    */
-  /** One unrolled fixed-point matrix SQUARING for the x137 oracle:
-    * Mᵣ = (Mᵣ₋₁·Mᵣ₋₁) div max(max|·| div 10⁸, 1) — the exact
-    * [[graft.operators.Pca.powerIterate]] squaring (64³ product rows
-    * per round, dim²-bounded result). Expects `m${i-1}`; yields `m$i`.
-    */
-  private def pcaSquareSql(i: Int, pfx: String = "m", sqPfx: String = "sq"): String = {
-    val prev = s"$pfx${i - 1}"
-    s"""$sqPfx$i AS MATERIALIZED (
-       |  SELECT a.i, b.j, sum(a.c * b.c) AS c
-       |  FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2
-       |), $pfx$i AS MATERIALIZED (
-       |  SELECT i, j, CAST(c // (SELECT greatest(max(abs(c)) // 100000000, 1)
-       |                          FROM $sqPfx$i) AS BIGINT) AS c
-       |  FROM $sqPfx$i
-       |)""".stripMargin
-  }
-
-  /** Shared x137/x143 moment CTEs: quantization (the vq convention),
-    * one-pass integer moments over the % 2 training half, and the
-    * n²-scaled covariance `c0` — generated once so the projection and
-    * reduction replays cannot drift.
-    */
-  private lazy val pcaMomentsCtesSql: String =
-    """vq AS MATERIALIZED (
-      |  SELECT vec_id,
-      |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
-      |       embedding] AS q
-      |  FROM embeddings
-      |), mom AS MATERIALIZED (
-      |  SELECT di.i AS i, dj.j AS j, sum(q[di.i + 1] * q[dj.j + 1]) AS g
-      |  FROM vq, range(0, 64) di(i), range(0, 64) dj(j)
-      |  WHERE vec_id % 2 = 0
-      |  GROUP BY 1, 2
-      |), sv AS MATERIALIZED (
-      |  SELECT di.i AS i, sum(q[di.i + 1]) AS s, count(*) AS n
-      |  FROM vq, range(0, 64) di(i)
-      |  WHERE vec_id % 2 = 0
-      |  GROUP BY 1
-      |), c0 AS MATERIALIZED (
-      |  SELECT m.i, m.j, CAST(si.n * m.g - si.s * sj.s AS BIGINT) AS c
-      |  FROM mom m JOIN sv si ON si.i = m.i JOIN sv sj ON sj.i = m.j
-      |)""".stripMargin
-
-  /** One component of the x143 deflation chain: rescale the chain
-    * matrix `cc$k`, ten squarings, the component `xf$k`, and (below the
-    * last component) the integer Hotelling deflation producing
-    * `cc${k+1}` — the exact [[graft.operators.Pca.topComponents]] loop,
-    * with the >2⁶³ intermediates on HUGEINT (mirroring Scala BigInt,
-    * identical trunc-toward-zero `//`).
-    */
-  private def pcaComponentSql(k: Int, last: Boolean): String = {
-    val pfx = s"m${k}_"
-    val solve =
-      s"""${pfx}0 AS MATERIALIZED (
-         |  SELECT i, j, c // (SELECT greatest(max(abs(c)) // 100000000, 1)
-         |                     FROM cc$k) AS c
-         |  FROM cc$k
-         |), ${(1 to 10).map(i => pcaSquareSql(i, pfx, s"sq${k}_")).mkString(", ")}, yv$k AS MATERIALIZED (
-         |  SELECT i AS d, sum(c) AS y FROM ${pfx}10 GROUP BY 1
-         |), xf$k AS MATERIALIZED (
-         |  SELECT d, CAST(y // (SELECT greatest(max(abs(y)) // 1000000, 1)
-         |                       FROM yv$k) AS BIGINT) AS w
-         |  FROM yv$k
-         |)""".stripMargin
-    if (last) solve
-    else
-      solve + s""", xtx$k AS (
-         |  SELECT greatest(sum(CAST(w AS HUGEINT) * w), 1) AS v FROM xf$k
-         |), xcx$k AS (
-         |  SELECT sum(CAST(c.c AS HUGEINT) * xi.w * xj.w) AS v
-         |  FROM cc$k c JOIN xf$k xi ON xi.d = c.i JOIN xf$k xj ON xj.d = c.j
-         |), cc${k + 1} AS MATERIALIZED (
-         |  SELECT c.i, c.j, CAST(c.c -
-         |    (CAST((SELECT v FROM xcx$k) // (SELECT v FROM xtx$k) AS HUGEINT)
-         |       * xi.w * xj.w) // (SELECT v FROM xtx$k) AS BIGINT) AS c
-         |  FROM cc$k c JOIN xf$k xi ON xi.d = c.i JOIN xf$k xj ON xj.d = c.j
-         |)""".stripMargin
-  }
-
-  /** Shared DuckDB replay CTEs for the Bradley-Terry family (x136,
-    * x141): the comparison log planted from (doc, doc+1) n_chars duels,
-    * per-pair/per-item reductions, then all four MM rounds unrolled
-    * ([[btRoundSql]]) in BIGINT fixed-point. ONE generator so the
-    * rating and pair-curation replays cannot drift. Yields CTEs
-    * `bt_cmp` (cmp_id, item_a, item_b, winner), `bt_pairs`, `bt_stats`,
-    * and `r0`..`r4`. CTEs referenced more than once are MATERIALIZED —
-    * DuckDB inlines otherwise, and the doubly-referenced round chain
-    * expands exponentially.
-    */
-  private lazy val btCtesSql: String =
-    s"""bt_cmp AS MATERIALIZED (
-      |  SELECT d1.doc_id AS cmp_id,
-      |    d1.doc_id % 64 AS item_a, d2.doc_id % 64 AS item_b,
-      |    CASE WHEN d1.n_chars > d2.n_chars THEN d1.doc_id % 64
-      |         WHEN d2.n_chars > d1.n_chars THEN d2.doc_id % 64
-      |         ELSE least(d1.doc_id % 64, d2.doc_id % 64) END AS winner
-      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
-      |  WHERE d1.doc_id % 64 <> d2.doc_id % 64
-      |), bt_pairs AS MATERIALIZED (
-      |  SELECT least(item_a, item_b) AS i, greatest(item_a, item_b) AS j,
-      |    CAST(count(*) AS BIGINT) AS n
-      |  FROM bt_cmp GROUP BY 1, 2
-      |), bt_wins AS (
-      |  SELECT winner AS item, CAST(count(*) AS BIGINT) AS wins
-      |  FROM bt_cmp GROUP BY 1
-      |), bt_deg AS (
-      |  SELECT item, CAST(sum(n) AS BIGINT) AS n_comps FROM (
-      |    SELECT i AS item, n FROM bt_pairs
-      |    UNION ALL SELECT j AS item, n FROM bt_pairs)
-      |  GROUP BY item
-      |), bt_stats AS MATERIALIZED (
-      |  SELECT d.item, d.n_comps, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins
-      |  FROM bt_deg d LEFT JOIN bt_wins w USING (item)
-      |), r0 AS MATERIALIZED (
-      |  SELECT item, CAST(1000000 AS BIGINT) AS w FROM bt_stats
-      |), ${(1 to 4).map(btRoundSql).mkString(", ")}""".stripMargin
-
-  /** One unrolled Bradley-Terry MM round for the x136 oracle: the exact
-    * [[graft.operators.Preference.btRatings]] fixed-point arithmetic —
-    * t_ij = n·S² div max(w_i+w_j, 1), denom as both orientations summed,
-    * raw = wins·S² div max(denom, 1), then max-normalization
-    * raw div max(max_raw div S, 1). Expects CTEs `bt_pairs`, `bt_stats`,
-    * and `r${i-1}`; yields `r$i`.
-    */
-  private def btRoundSql(i: Int): String = {
-    val prev = s"r${i - 1}"
-    s"""t$i AS MATERIALIZED (
-       |  SELECT p.i, p.j,
-       |    p.n * CAST(1000000000000 AS BIGINT) // greatest(wi.w + wj.w, 1) AS t
-       |  FROM bt_pairs p
-       |  JOIN $prev wi ON wi.item = p.i JOIN $prev wj ON wj.item = p.j
-       |), d$i AS (
-       |  SELECT item, sum(t) AS denom FROM (
-       |    SELECT i AS item, t FROM t$i UNION ALL SELECT j AS item, t FROM t$i)
-       |  GROUP BY item
-       |), raw$i AS MATERIALIZED (
-       |  SELECT s.item,
-       |    s.wins * CAST(1000000000000 AS BIGINT)
-       |      // greatest(coalesce(d.denom, 0), 1) AS w_raw
-       |  FROM bt_stats s LEFT JOIN d$i d USING (item)
-       |), r$i AS MATERIALIZED (
-       |  SELECT item,
-       |    w_raw // greatest((SELECT max(w_raw) FROM raw$i) // 1000000, 1) AS w
-       |  FROM raw$i
-       |)""".stripMargin
-  }
-
-  private def lpaIterSql(i: Int): String = {
-    val prev = s"l${i - 1}"
-    s"""c$i AS (
-       |  SELECT b.dst AS id, l.label, count(*) AS c
-       |  FROM bidir b JOIN $prev l ON b.src = l.id GROUP BY b.dst, l.label
-       |), l$i AS (
-       |  SELECT id, label FROM (
-       |    SELECT id, label,
-       |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
-       |    FROM c$i) WHERE rn = 1
-       |)""".stripMargin
-  }
-
-  /** x64 merge count, shared between the Spark call and the generated
-    * oracle so the two sides cannot drift. 64 per the r10 verdict: a
-    * contract-demo m=3 was unconvincing as the tokenizer-prep operator;
-    * at m=64 the chain reaches genuine multi-character subwords
-    * ("order" appears whole by iter 64 at sf0.1) while the Spark side
-    * stays at m+2 bounded driver jobs (see Bpe.learnMerges).
-    */
-  private val bpeMerges = 64
-
-  /** One unrolled BPE iteration of the x64 oracle (pair explode → weighted
-    * count → (pc desc, pair) argmax → double-space literal replace), CTE
-    * names indexed so [[bpeMerges]] of them chain — the x46 unrolled-
-    * iteration technique. `win`/`w` are AS MATERIALIZED: each w_i is
-    * referenced twice (pair scan + next replace), and at 64 chained
-    * iterations DuckDB's default inlining re-expands the chain to the
-    * base relation exponentially many times (observed: fd exhaustion on
-    * the parquet view before any row moved); materialization makes the
-    * oracle evaluate each iteration once, ~2 s at sf0.1.
-    */
-  private def bpeIterSql(i: Int): String = {
-    val prev = s"w${i - 1}"
-    s"""p$i AS (
-       |  SELECT unnest(CASE WHEN len(ts) >= 2
-       |                     THEN [ts[j] || ' ' || ts[j+1] for j in range(1, len(ts))]
-       |                     ELSE [] END) AS pair, cnt
-       |  FROM (SELECT cnt, string_split_regex(trim(s), '\\s+') AS ts FROM $prev)
-       |), g$i AS (
-       |  SELECT pair, sum(cnt) AS pc FROM p$i GROUP BY pair
-       |), win$i AS MATERIALIZED (
-       |  SELECT pair, pc, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-       |  FROM g$i ORDER BY pc DESC, pair LIMIT 1
-       |), w$i AS MATERIALIZED (
-       |  -- LEFT JOIN ON TRUE, not CROSS JOIN: if the corpus exhausts
-       |  -- mergeable pairs before iteration $i, win$i is empty and a cross
-       |  -- join would EMPTY the word table — x64 correctly loses the iter
-       |  -- row (matching Spark) but x65 must still see the full final word
-       |  -- table, so s degrades to the previous iteration's s instead
-       |  SELECT w, cnt,
-       |    CASE WHEN a IS NULL THEN s
-       |         ELSE replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') END AS s
-       |  FROM $prev LEFT JOIN win$i ON TRUE
-       |), after$i AS (
-       |  SELECT sum(cnt * len(string_split_regex(trim(s), '\\s+'))) AS n FROM w$i
-       |)""".stripMargin
-  }
-
-  /** Shared x60 CMS geometry, interpolated into BOTH the Spark call and
-    * the DuckDB oracle so the two sides cannot drift.
-    */
-  private val cmsDepth = 3
-  private val cmsWidth = 16
-
-  /** Shared by x16 (broadcast path) and x21 (bloom path) — one ground
-    * truth, two distributed strategies.
-    */
-  private val decontaminateOracle: String =
-    """WITH tk AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) >= 3 THEN
-      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-      |    ELSE [] END AS s
-      |  FROM tk
-      |), ev AS (
-      |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
-      |), cg AS (
-      |  SELECT doc_id, len(s) AS n_grams, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0
-      |)
-      |SELECT cg.doc_id, count(*) AS n_hit_grams, n_grams,
-      |  round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS contamination
-      |FROM cg JOIN ev USING (gram)
-      |GROUP BY cg.doc_id, n_grams ORDER BY cg.doc_id""".stripMargin
-
-  /** Shared DuckDB derivation of the MD5-simhash bands — the SQL mirror of
-    * [[graft.functions.SimHashMd5Bands]]'s bit convention: every token
-    * occurrence votes ±1 per bit, bit b of the hash is
-    * `(nibble(hexchar[b/4]) >> (3 - b%4)) & 1` over md5's hex rendering,
-    * sign>0 → 1, and band j packs bits 16j..16j+15 MSB-first.
-    */
-  private val simhashMd5BandsSql: String =
-    """tk AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
-      |), bits AS (
-      |  SELECT doc_id, g.b,
-      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), (g.b // 4) + 1, 1)) - 1)
-      |               >> (3 - (g.b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
-      |  FROM tk CROSS JOIN (SELECT unnest(range(64)) AS b) g
-      |), sbit AS (
-      |  SELECT doc_id, b, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS bit
-      |  FROM bits GROUP BY doc_id, b
-      |), bnd AS (
-      |  SELECT doc_id, b // 16 AS j, CAST(sum(bit * (1 << (15 - (b % 16)))) AS INT) AS v
-      |  FROM sbit GROUP BY doc_id, b // 16
-      |), piv AS (
-      |  SELECT doc_id,
-      |    max(CASE WHEN j = 0 THEN v END) AS band0,
-      |    max(CASE WHEN j = 1 THEN v END) AS band1,
-      |    max(CASE WHEN j = 2 THEN v END) AS band2,
-      |    max(CASE WHEN j = 3 THEN v END) AS band3
-      |  FROM bnd GROUP BY doc_id
-      |)""".stripMargin
-
-  /** Shared DuckDB miner for the exact 3-gram-Jaccard pair set at
-    * threshold 0.5 — the INVERTED-INDEX replay that retired the
-    * quadratic-oracle exemption for x06/x07/x14/x44/x71 at bench scale
-    * (the r10 verdict's top item, the x111–x113 posture applied to the
-    * exact-Jaccard family). LOSSLESS by construction, not probabilistic:
-    * jaccard(A,B) ≥ 0.5 > 0 requires at least one shared shingle, so
-    * equi-joining the per-doc DISTINCT-shingle index drops no qualifying
-    * pair, and the per-pair match count IS |A ∩ B| — no list_intersect,
-    * no n²/2 pair loop. Oracle work is Σ_g m_g(m_g−1)/2 over posting
-    * lists (measured ~1.3M candidate rows / ~1.5 s at sf0.1, vs the old
-    * closure's 12.5M list-intersections that blew any budget), the same
-    * candidate-bound law the engine side (Dedup.ngramJaccardPairs) runs.
-    * `tk` deliberately carries `text` — x44's quality stage reuses it.
-    * Exposes `pairs_j(a_id, b_id, jac)` with the threshold applied on the
-    * UNROUNDED ratio, exactly like the engine.
-    */
-  private val invJaccardPairsSql: String =
-    """tk AS (
-      |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) >= 3 THEN
-      |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-      |    ELSE [] END AS s
-      |  FROM tk
-      |), jsz AS (
-      |  SELECT doc_id, len(s) AS sz FROM sh
-      |), jinv AS (
-      |  SELECT doc_id, unnest(s) AS g FROM sh
-      |), jcand AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-      |  FROM jinv a JOIN jinv b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), pairs_j AS (
-      |  SELECT a_id, b_id,
-      |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
-      |  FROM jcand
-      |  JOIN jsz sa ON sa.doc_id = a_id
-      |  JOIN jsz sb ON sb.doc_id = b_id
-      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-      |)""".stripMargin
-
-  /** Exact cosine top-5 for queries vec_id<10 vs corpus vec_id≥10 — the
-    * oracle for x09 (brute force) and, because their candidate sets
-    * provably/measuredly cover the exact top-5 at the tested SFs, for x10
-    * (48-table LSH) and x13 (full-probe IVF) as well.
-    */
-  private val annExactTop5Sql: String =
-    """WITH q AS (
-      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      |  FROM embeddings WHERE vec_id < 10
-      |), c AS (
-      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-      |  FROM embeddings WHERE vec_id >= 10
-      |), s AS (
-      |  SELECT query_id, neighbor_id,
-      |    round(list_cosine_similarity(qv, cv), 6) AS score
-      |  FROM q CROSS JOIN c
-      |)
-      |SELECT query_id, neighbor_id, score, rank FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-      |  FROM s) WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin
-
-  private lazy val baseOracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base,
-        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-12-31 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q02_band_filter" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
-        |FROM lineitem
-        |WHERE l_extendedprice BETWEEN 30000.0 * (1 - 7.0/100.0) AND 30000.0 * (1 + 7.0/100.0)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q03_keep_last" ->
-      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1
-        |ORDER BY user_id""".stripMargin,
-    "q04_lag_delta" ->
-      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
-        | coalesce(prev_value, 0.0) AS open_value,
-        | CASE WHEN prev_value IS NOT NULL THEN value - prev_value ELSE 0.0 END AS delta
-        |FROM (
-        |  SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-        |  FROM events)
-        |ORDER BY user_id, ts, event_id""".stripMargin,
-    "q05_snapshot_diff" ->
-      """WITH cur AS (
-        |  SELECT user_id, event_id, value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30') WHERE rn = 1
-        |), tail300 AS (
-        |  SELECT * FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-30'
-        |  ORDER BY ts DESC, event_id DESC LIMIT 300
-        |), state AS (
-        |  SELECT user_id, value AS prev_value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM tail300) WHERE rn = 1
-        |)
-        |SELECT cur.user_id, cur.event_id, cur.value,
-        | coalesce(state.prev_value, 0.0) AS open_value,
-        | CASE WHEN state.prev_value IS NOT NULL THEN cur.value - state.prev_value ELSE 0.0 END AS oi_change
-        |FROM cur LEFT JOIN state ON cur.user_id = state.user_id
-        |ORDER BY cur.user_id""".stripMargin,
-    "q06_nearest_expiry" ->
-      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS expiry FROM orders
-        |WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
-        |ORDER BY expiry LIMIT 3""".stripMargin,
-    "q07_friday_policy" ->
-      """WITH active AS (
-        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
-        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
-        |), num AS (
-        |  SELECT d, row_number() OVER (ORDER BY d) - 1 AS n_before,
-        |         dayofweek(d) = 5 AS isfri
-        |  FROM active
-        |), w1 AS (
-        |  SELECT coalesce(
-        |    (SELECT min(d) FROM num WHERE isfri AND n_before >= 2),
-        |    (SELECT min(d) FROM num WHERE isfri)) AS d
-        |), w2 AS (
-        |  SELECT min(num.d) AS d FROM num, w1 WHERE num.isfri AND num.d > w1.d
-        |)
-        |SELECT 'W1' AS which, d AS expiry FROM w1 WHERE d IS NOT NULL
-        |UNION ALL
-        |SELECT 'W2' AS which, d AS expiry FROM w2 WHERE d IS NOT NULL
-        |ORDER BY which""".stripMargin,
-    "q08_symbol_roundtrip" ->
-      """WITH built AS (
-        |  SELECT l_orderkey, l_linenumber,
-        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
-        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)
-        |      || '-' || strftime(l_shipdate, '%d%m%y') AS symbol
-        |  FROM lineitem
-        |)
-        |SELECT l_orderkey, l_linenumber, symbol,
-        |  TRY_CAST(string_split(symbol, '-')[3] AS DOUBLE) AS strike,
-        |  make_date(
-        |    2000 + TRY_CAST(substr(string_split(symbol, '-')[4], 5, 2) AS INT),
-        |    TRY_CAST(substr(string_split(symbol, '-')[4], 3, 2) AS INT),
-        |    TRY_CAST(substr(string_split(symbol, '-')[4], 1, 2) AS INT)) AS expiry,
-        |  CASE WHEN string_split(symbol, '-')[1] = 'C' THEN 'Call' ELSE 'Put' END AS opt_type
-        |FROM built
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q09_revenue_by_nation" ->
-      """SELECT n_name,
-        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "q10_top_orders_per_cust" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) WHERE rn <= 2
-        |ORDER BY o_custkey, rn""".stripMargin,
-    "q11_stringly_coerce" ->
-      """SELECT event_type,
-        | CAST(sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT), 0)) AS BIGINT) AS sum_k,
-        | round(sum(coalesce(TRY_CAST(event_type AS DOUBLE), 0.0)), 2) AS sum_bad,
-        | count(*) AS n
-        |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q12_nan_clean" ->
-      """WITH injected AS (
-        |  SELECT l_returnflag,
-        |    CASE WHEN l_discount > 0.05 THEN 'NaN'::DOUBLE ELSE l_discount END AS x,
-        |    CASE WHEN l_tax = 0.0 THEN 'Infinity'::DOUBLE ELSE l_tax END AS y
-        |  FROM lineitem
-        |), cleaned AS (
-        |  SELECT l_returnflag,
-        |    CASE WHEN isnan(x) OR x = 'Infinity'::DOUBLE OR x = '-Infinity'::DOUBLE THEN NULL ELSE x END AS xc,
-        |    CASE WHEN isnan(y) OR y = 'Infinity'::DOUBLE OR y = '-Infinity'::DOUBLE THEN NULL ELSE y END AS yc
-        |  FROM injected
-        |)
-        |SELECT l_returnflag, count(*) AS n_total,
-        | count(xc) AS n_x_kept, count(yc) AS n_y_kept,
-        | round(sum(xc), 4) AS sum_x, round(sum(yc), 4) AS sum_y
-        |FROM cleaned
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q13_options_pipeline" ->
-      """WITH raw AS (
-        |  SELECT
-        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
-        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)
-        |      || '-' || strftime(date_trunc('month', l_shipdate), '%d%m%y') AS symbol,
-        |    CASE WHEN l_linenumber % 2 = 0 THEN 'call_options' ELSE 'put_options' END AS contract_type,
-        |    FLOOR(l_extendedprice) AS strike,
-        |    round(l_extendedprice * 0.001, 2) AS mark,
-        |    CAST(FLOOR(l_quantity) AS BIGINT) AS oi,
-        |    l_orderkey * 10 + l_linenumber AS src_seq,
-        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS expiry
-        |  FROM lineitem
-        |), active AS (
-        |  SELECT DISTINCT expiry FROM raw WHERE expiry >= DATE '2000-01-01'
-        |  ORDER BY expiry LIMIT 3
-        |), banded AS (
-        |  SELECT * FROM raw
-        |  WHERE strike BETWEEN 30000.0 * (1 - 7.0/100.0) AND 30000.0 * (1 + 7.0/100.0)
-        |    AND expiry IN (SELECT expiry FROM active)
-        |), dedup AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY src_seq DESC) AS rn
-        |    FROM banded) WHERE rn = 1
-        |)
-        |SELECT symbol AS "SYMBOL", '2000-01-01' AS "Date", '12:00:00' AS "Time",
-        |  30000.0 AS "Future_Price", strftime(expiry, '%Y-%m-%d') AS "Expiry_Date",
-        |  CAST(strike AS DOUBLE) AS "Strike",
-        |  CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS "Option_Type",
-        |  mark AS "Close", oi AS "OI",
-        |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
-        |FROM dedup
-        |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
-    "q14_weekly_pipeline" ->
-      """WITH raw AS (
-        |  SELECT
-        |    (CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END)
-        |      || '-ETH-' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % 30000 + 15000 AS VARCHAR)
-        |      || '-' || strftime(CAST(date_trunc('week', l_shipdate) AS DATE) + INTERVAL (l_orderkey % 7) DAY, '%d%m%y') AS symbol,
-        |    CASE WHEN l_linenumber % 2 = 0 THEN 'call_options' ELSE 'put_options' END AS contract_type,
-        |    CAST(FLOOR(l_extendedprice) AS BIGINT) % 30000 + 15000 AS strike,
-        |    round(l_extendedprice * 0.001, 2) AS mark,
-        |    CAST(FLOOR(l_quantity) AS BIGINT) AS oi,
-        |    l_orderkey * 10 + l_linenumber AS src_seq
-        |  FROM lineitem
-        |), parsed AS (
-        |  SELECT *,
-        |    make_date(
-        |      2000 + TRY_CAST(substr(string_split(symbol, '-')[4], 5, 2) AS INT),
-        |      TRY_CAST(substr(string_split(symbol, '-')[4], 3, 2) AS INT),
-        |      TRY_CAST(substr(string_split(symbol, '-')[4], 1, 2) AS INT)) AS expiry
-        |  FROM raw
-        |), active AS (
-        |  SELECT DISTINCT expiry AS d FROM parsed WHERE expiry >= DATE '2000-01-01'
-        |), num AS (
-        |  SELECT d, row_number() OVER (ORDER BY d) - 1 AS n_before,
-        |         dayofweek(d) = 5 AS isfri
-        |  FROM active
-        |), w1 AS (
-        |  SELECT coalesce(
-        |    (SELECT min(d) FROM num WHERE isfri AND n_before >= 2),
-        |    (SELECT min(d) FROM num WHERE isfri)) AS d
-        |), w2 AS (
-        |  SELECT min(num.d) AS d FROM num, w1 WHERE num.isfri AND num.d > w1.d
-        |), targets AS (
-        |  SELECT d FROM w1 WHERE d IS NOT NULL
-        |  UNION ALL SELECT d FROM w2 WHERE d IS NOT NULL
-        |), banded AS (
-        |  SELECT * FROM parsed
-        |  WHERE strike BETWEEN 30000.0 * (1 - 25.0/100.0) AND 30000.0 * (1 + 25.0/100.0)
-        |    AND expiry IN (SELECT d FROM targets)
-        |), dedup AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY src_seq DESC) AS rn
-        |    FROM banded) WHERE rn = 1
-        |)
-        |SELECT symbol AS "SYMBOL", '2000-01-01' AS "Date", '12:00:00' AS "Time",
-        |  30000.0 AS "Future_Price", strftime(expiry, '%Y-%m-%d') AS "Expiry_Date",
-        |  CAST(strike AS DOUBLE) AS "Strike",
-        |  CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS "Option_Type",
-        |  mark AS "Close", oi AS "OI",
-        |  0.0 AS "Open", CAST(0 AS BIGINT) AS "OI_Change"
-        |FROM dedup
-        |ORDER BY "Expiry_Date", "Time", "SYMBOL"""".stripMargin,
-    "q15_percentiles" ->
-      """SELECT l_returnflag,
-        | round(quantile_cont(l_quantity, 0.5), 2) AS p50,
-        | round(quantile_cont(l_quantity, 0.9), 2) AS p90,
-        | round(quantile_cont(l_quantity, 0.99), 2) AS p99,
-        | count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q16_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
-        | round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY flag, status""".stripMargin,
-    "q17_pivot" ->
-      """SELECT l_returnflag,
-        | round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
-        | round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q18_asof_join" ->
-      """WITH l AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'purchase'
-        |), r2 AS (
-        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us, value AS click_value
-        |  FROM events WHERE event_type = 'click'
-        |)
-        |SELECT l.user_id, l.event_id, l.ts_us, l.value, r2.click_id, r2.click_ts_us, r2.click_value
-        |FROM l ASOF LEFT JOIN r2 ON l.user_id = r2.user_id AND l.ts_us >= r2.click_ts_us
-        |ORDER BY l.user_id, l.ts_us, l.event_id""".stripMargin,
-    "q19_range_join" ->
-      """WITH iv AS (
-        |  SELECT user_id, event_id AS signup_id, epoch_us(ts) AS start_us,
-        |         epoch_us(ts) + 172800000000 AS end_us
-        |  FROM events WHERE event_type = 'signup'
-        |), pt AS (
-        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
-        |  FROM events WHERE event_type = 'view'
-        |)
-        |SELECT pt.user_id, pt.view_id, pt.view_ts_us, iv.signup_id, iv.start_us, iv.end_us
-        |FROM pt JOIN iv ON pt.user_id = iv.user_id
-        |  AND pt.view_ts_us BETWEEN iv.start_us AND iv.end_us
-        |ORDER BY pt.user_id, pt.view_id, iv.signup_id""".stripMargin,
-    "q20_rolling_window" ->
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |         round(sum(o_totalprice), 2) AS day_rev
-        |  FROM orders GROUP BY 1
-        |), e AS (
-        |  SELECT d, day_rev, date_diff('day', DATE '1970-01-01', d) AS d_epoch FROM daily
-        |)
-        |SELECT d, day_rev,
-        |  round(sum(day_rev) OVER (ORDER BY d_epoch RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
-        |FROM e ORDER BY d""".stripMargin,
-    "q21_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-        |       coalesce(l_linestatus, 'ALL') AS status,
-        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY flag, status""".stripMargin,
-    "q22_semi_join" ->
-      """SELECT o_orderpriority, count(*) AS n_orders
-        |FROM orders
-        |WHERE EXISTS (
-        |  SELECT 1 FROM lineitem
-        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q23_anti_join" ->
-      """SELECT c_nationkey, count(*) AS n_customers
-        |FROM customer
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-    "q24_retention" ->
-      """WITH uw AS (
-        |  SELECT DISTINCT user_id,
-        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
-        |  FROM events
-        |)
-        |SELECT a.wk, count(*) AS active_users,
-        |  count(b.user_id) AS retained_users,
-        |  round(CAST(count(b.user_id) AS DOUBLE) / count(*), 4) AS retention
-        |FROM uw a LEFT JOIN uw b
-        |  ON a.user_id = b.user_id AND b.wk = a.wk + 1
-        |GROUP BY a.wk ORDER BY a.wk""".stripMargin,
-    "q25_distinct_count" ->
-      """SELECT event_type,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  count(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "x22_tfidf" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
-        |), dfc AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |), n AS (
-        |  SELECT count(*) AS n_docs FROM documents
-        |), scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
-        |    round(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS tfidf
-        |  FROM tf JOIN dfc USING (term) CROSS JOIN n
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
-        |  FROM scored
-        |)
-        |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "q26_json_extract" ->
-      """SELECT event_type,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        |  count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_missing
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q27_ntile" ->
-      """WITH r AS (
-        |  SELECT o_totalprice,
-        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
-        |    round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
-        |  FROM orders
-        |)
-        |SELECT decile, count(*) AS n,
-        |  round(min(o_totalprice), 2) AS lo,
-        |  round(max(o_totalprice), 2) AS hi,
-        |  round(max(pr), 6) AS max_pr
-        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
-    "q28_stats_agg" ->
-      """WITH b AS (
-        |  SELECT l_returnflag,
-        |    CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS cents,
-        |    CAST(round(l_quantity) AS DECIMAL(18,0)) AS qty,
-        |    CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS d100,
-        |    CAST(round(l_tax * 100) AS DECIMAL(18,0)) AS t100
-        |  FROM lineitem
-        |), s AS (
-        |  SELECT l_returnflag, count(*) AS n,
-        |    sum(cents) AS sx, sum(cents * cents) AS sxx,
-        |    sum(qty) AS sq, sum(qty * qty) AS sqq,
-        |    sum(cents * qty) AS sxq,
-        |    sum(d100) AS sd, sum(t100) AS st, sum(d100 * t100) AS sdt
-        |  FROM b GROUP BY l_returnflag
-        |), d AS (
-        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
-        |    CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
-        |    CAST(sq AS DOUBLE) AS sq, CAST(sqq AS DOUBLE) AS sqq,
-        |    CAST(sxq AS DOUBLE) AS sxq,
-        |    CAST(sd AS DOUBLE) AS sd, CAST(st AS DOUBLE) AS st,
-        |    CAST(sdt AS DOUBLE) AS sdt
-        |  FROM s
-        |)
-        |SELECT l_returnflag,
-        |  CASE WHEN n > 1 THEN
-        |    floor(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))) / 100 * 1e4 + 0.5) / 1e4
-        |  END AS sd_price,
-        |  CASE WHEN n > 1 AND (nd * sxx - sx * sx) > 0 AND (nd * sqq - sq * sq) > 0 THEN
-        |    floor((nd * sxq - sx * sq) /
-        |          (sqrt(nd * sxx - sx * sx) * sqrt(nd * sqq - sq * sq)) * 1e4 + 0.5) / 1e4
-        |  END AS corr_pq,
-        |  CASE WHEN n > 1 THEN
-        |    floor((nd * sdt - sd * st) / (nd * (nd - 1)) / 10000 * 1e4 + 0.5) / 1e4
-        |  END AS cov_dt,
-        |  n
-        |FROM d ORDER BY l_returnflag""".stripMargin,
-    "q31_tumbling" ->
-      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
-        |  count(*) AS n,
-        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q32_sliding" ->
-      """WITH w AS (
-        |  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
-        |           - (o.k * INTERVAL '30 minutes')) AS ws_us,
-        |         value
-        |  FROM events, (SELECT unnest([0, 1]) AS k) o
-        |)
-        |SELECT ws_us, count(*) AS n,
-        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |FROM w GROUP BY ws_us ORDER BY ws_us""".stripMargin,
-    "q30_correlated" ->
-      """SELECT o_custkey, count(*) AS n_big
-        |FROM orders o
-        |WHERE o_totalprice > 1.5 * (
-        |  SELECT avg(i.o_totalprice) FROM orders i
-        |  WHERE i.o_custkey = o.o_custkey)
-        |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin,
-    "q29_set_ops" ->
-      """WITH h1 AS (
-        |  SELECT DISTINCT o_custkey FROM orders
-        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-06-30'
-        |), h2 AS (
-        |  SELECT DISTINCT o_custkey FROM orders
-        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-07-01' AND DATE '1998-12-31'
-        |)
-        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
-        |UNION ALL
-        |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
-        |UNION ALL
-        |SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM h1 UNION SELECT * FROM h2)
-        |ORDER BY op""".stripMargin,
-    "x24_pack" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, doc_id % 32 AS grp,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
-        |  FROM documents
-        |), ranked AS (
-        |  SELECT doc_id, grp, toks,
-        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
-        |  FROM tok
-        |), walk AS (
-        |  SELECT doc_id, grp, toks, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
-        |  FROM ranked WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.doc_id, r.grp, r.toks, r.rn,
-        |    CASE WHEN w.fill + r.toks > 256 AND w.fill > 0 THEN w.bin + 1 ELSE w.bin END,
-        |    CASE WHEN w.fill + r.toks > 256 AND w.fill > 0 THEN r.toks ELSE w.fill + r.toks END
-        |  FROM ranked r JOIN walk w ON r.grp = w.grp AND r.rn = w.rn + 1
-        |)
-        |SELECT grp, bin, doc_id AS doc, toks,
-        |  CAST(sum(toks) OVER (PARTITION BY grp, bin) AS BIGINT) AS bin_fill,
-        |  toks > 256 AS oversize
-        |FROM walk ORDER BY doc""".stripMargin,
-    "x27_centroid_outliers" ->
-      """WITH d AS (
-        |  SELECT e.label, t.i AS idx, CAST(e.embedding[t.i] AS DOUBLE) AS v
-        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
-        |), cent AS (
-        |  SELECT label, idx, avg(v) AS c FROM d GROUP BY label, idx
-        |), cl AS (
-        |  SELECT label, list(c ORDER BY idx) AS centroid FROM cent GROUP BY label
-        |)
-        |SELECT e.label, e.vec_id,
-        |  floor(list_cosine_similarity(
-        |          list_transform(e.embedding, x -> CAST(x AS DOUBLE)), cl.centroid)
-        |        * 1000000 + 0.5) / 1000000 AS sim
-        |FROM embeddings e JOIN cl USING (label)
-        |ORDER BY e.label, e.vec_id""".stripMargin,
-    "x26_label_centroids" ->
-      """WITH d AS (
-        |  SELECT e.label, t.i AS idx, CAST(e.embedding[t.i] AS DOUBLE) AS v
-        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
-        |)
-        |SELECT label, idx,
-        |  floor(avg(v) * 1000000 + 0.5) / 1000000 AS c,
-        |  count(*) AS n_vecs
-        |FROM d GROUP BY label, idx
-        |ORDER BY label, idx""".stripMargin,
-    "x25_char_entropy" ->
-      """WITH ch AS (
-        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
-        |), rc AS (
-        |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY doc_id, c
-        |), tot AS (
-        |  SELECT doc_id, sum(n) AS total, sum(n * ln(n)) AS s FROM rc GROUP BY doc_id
-        |)
-        |SELECT doc_id,
-        |  floor((ln(total) - s / total) * 10000 + 0.5) / 10000 AS char_entropy
-        |FROM tot ORDER BY doc_id""".stripMargin,
-    "x23_unicode_norm" ->
-      """WITH r AS (
-        |  SELECT doc_id,
-        |    text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber no'
-        |         || chr(776) || 'e' || chr(769) || 'l' AS raw
-        |  FROM documents
-        |)
-        |SELECT doc_id, length(raw) AS n_before,
-        |  length(nfc_normalize(raw)) AS n_after,
-        |  md5(nfc_normalize(raw)) AS norm_md5
-        |FROM r ORDER BY doc_id""".stripMargin,
-    "x12_quality_score" ->
-      """WITH tk AS (
-        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), sc AS (
-        |  SELECT doc_id,
-        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
-        |    (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) + 1.0)
-        |      / (CAST(length(text) AS DOUBLE) + 1.0) AS alpha_ratio,
-        |    least(CAST(len(list_filter(toks,
-        |        t -> list_contains(['the','and','of','to','in','is','a'], t))) AS DOUBLE)
-        |      / len(toks) * 10.0, 1.0) AS stop_score,
-        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
-        |  FROM tk
-        |)
-        |SELECT doc_id,
-        |  floor((0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score + 0.2 * ttr)
-        |        * 10000 + 0.5) / 10000 AS quality
-        |FROM sc ORDER BY doc_id""".stripMargin,
-    "x01_dedup_exact" ->
-      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
-    "x02_fingerprint" ->
-      """SELECT doc_id,
-        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "x03_text_stats" ->
-      """WITH tk AS (
-        |  SELECT doc_id, length(text) AS n_chars_c,
-        |    string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |)
-        |SELECT doc_id, n_chars_c,
-        |  len(toks) AS n_tokens,
-        |  len(list_distinct(toks)) AS n_distinct_tokens,
-        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
-        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS type_token_ratio
-        |FROM tk ORDER BY doc_id""".stripMargin,
-    "x04_token_counts" ->
-      """SELECT doc_id,
-        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "x05_lang_id" ->
-      """WITH sc AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CASE
-        |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-        |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-        |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-        |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-        |    ELSE 'fr'
-        |  END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin,
-    "x06_ngram_jaccard" ->
-      s"""WITH $invJaccardPairsSql
-        |SELECT a_id, b_id, round(jac, 6) AS jac
-        |FROM pairs_j
-        |ORDER BY a_id, b_id""".stripMargin,
-    // x07 shares x06's exact oracle: the (bands=32, r=4) S-curve at this
-    // threshold makes the banded result EQUAL the exact pair set on this
-    // corpus — verified by hash at every tested SF now that the oracle is
-    // candidate-bound rather than quadratic.
-    "x07_minhash_lsh" ->
-      s"""WITH $invJaccardPairsSql
-        |SELECT a_id, b_id, round(jac, 6) AS jac
-        |FROM pairs_j
-        |ORDER BY a_id, b_id""".stripMargin,
-    "x08_simhash" ->
-      s"""WITH $simhashMd5BandsSql
-        |SELECT doc_id, band0, band1, band2, band3 FROM piv ORDER BY doc_id""".stripMargin,
-    "x28_simhash_neardup" ->
-      s"""WITH $simhashMd5BandsSql
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
-        |     + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS INT) AS hamming
-        |FROM piv a JOIN piv b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
-        |    + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
-        |ORDER BY a_id, b_id""".stripMargin,
-    // x29/x30: Spark builds REAL BMP bytes and pixel-decodes them
-    // (BuildBmp → ImageAHash); the oracle recomputes the aHash from the
-    // closed-form pixel values — gray(pid,x,y) = (pid·131+x·7+y·13) % 256,
-    // cell (y·8//h, x·8//w), bit = exact-integer mean threshold — so the
-    // whole encode→decode→hash round-trip is what the hash match verifies.
-    "x29_image_ahash" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id AS pid,
-        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
-        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 3 = 0
-        |), xs AS (
-        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
-        |), px AS (
-        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
-        |), lum AS (
-        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
-        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
-        |  FROM px
-        |), cells AS (
-        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
-        |), tot AS (
-        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
-        |), bits AS (
-        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
-        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // x32: identical closed form to x29 (the pixel formula is shared by
-    // BuildBmp and BuildGif); only the doc subset differs — Spark-side the
-    // pixels travel through a real LZW encode/decode round-trip instead
-    "x32_gif_ahash" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id AS pid,
-        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
-        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 3 = 1
-        |), xs AS (
-        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
-        |), px AS (
-        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
-        |), lum AS (
-        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
-        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
-        |  FROM px
-        |), cells AS (
-        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
-        |), tot AS (
-        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
-        |), bits AS (
-        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
-        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // x36: the oracle computes the per-language running token sum with the
-    // plain global window Spark deliberately avoids (two-phase range
-    // partition + broadcast offsets on the engine side) — two algorithms,
-    // one answer; integer-and-string-only contract.
-    "x36_token_budget_mix" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
-        |         md5(text) AS h
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, lang, n_tok,
-        |         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
-        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
-        |  FROM d
-        |)
-        |SELECT doc_id, lang, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
-        |FROM c
-        |WHERE cum_tok <= CASE lang WHEN 'en' THEN 20000 ELSE 8000 END
-        |ORDER BY doc_id""".stripMargin,
-    // x33: the oracle recomputes every audio statistic from the closed-form
-    // sample formula (id, i) alone — the bytes Spark decodes never leave
-    // Spark, so a hash match proves the WAV encode→decode round-trip exact.
-    // All-integer contract (sums/peaks/floor-ms), no doubles to render.
-    "x33_audio_features" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS rate,
-        |         CAST(400 + doc_id % 377 AS INTEGER) AS n
-        |  FROM documents WHERE doc_id % 4 = 2
-        |), samp AS (
-        |  SELECT doc_id, rate, n, unnest(range(n)) AS i FROM d
-        |), s AS (
-        |  SELECT doc_id, rate, n, i,
-        |         (doc_id * 7919 + i * 2657) % 4001 - 2000 AS v,
-        |         CASE WHEN i > 0 THEN (doc_id * 7919 + (i - 1) * 2657) % 4001 - 2000 END AS pv
-        |  FROM samp
-        |)
-        |SELECT doc_id,
-        |  CAST(max(n) AS INTEGER) AS n_samples,
-        |  CAST(max(rate) AS INTEGER) AS sample_rate,
-        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
-        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
-        |  CAST(max(abs(v)) AS INTEGER) AS peak,
-        |  CAST(sum(CASE WHEN i > 0 AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS INTEGER) AS zero_cross,
-        |  CAST((max(n) * 1000) // max(rate) AS BIGINT) AS duration_ms
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // x34: per-frame aHash of frame f = the x29 closed form with the f·37
-    // shift; sampling (f % 2 = 0) is applied to the formula domain exactly
-    // as Spark filters the posexploded frame index.
-    "x34_gif_frame_sample" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id AS pid,
-        |         CAST(16 + doc_id % 13 AS INTEGER) AS w,
-        |         CAST(16 + doc_id % 9 AS INTEGER) AS h,
-        |         CAST(3 + doc_id % 4 AS INTEGER) AS nf
-        |  FROM documents WHERE doc_id % 4 = 3
-        |), fr AS (
-        |  SELECT doc_id, pid, w, h, unnest(range(nf)) AS f FROM dims
-        |), sel AS (
-        |  SELECT * FROM fr WHERE f % 2 = 0
-        |), xs AS (
-        |  SELECT doc_id, pid, w, h, f, unnest(range(w)) AS x FROM sel
-        |), px AS (
-        |  SELECT doc_id, pid, w, h, f, x, unnest(range(h)) AS y FROM xs
-        |), lum AS (
-        |  SELECT doc_id, f, (y * 8) // h AS ci, (x * 8) // w AS cj,
-        |         (pid * 131 + f * 37 + x * 7 + y * 13) % 256 AS g
-        |  FROM px
-        |), cells AS (
-        |  SELECT doc_id, f, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3, 4
-        |), tot AS (
-        |  SELECT doc_id, f, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1, 2
-        |), bits AS (
-        |  SELECT c.doc_id, c.f, c.ci * 8 + c.cj AS p,
-        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id, f)
-        |)
-        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
-        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS fhash_hi,
-        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS fhash_lo
-        |FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
-    // x35: the oracle composes the source-pixel formula with the same
-    // floor-division NN mapping src=(dst·srcDim)//dstDim, then hashes the
-    // w2×h2 grid — a match pins the resize geometry through two full
-    // encode→decode round-trips (grayscale survives the 24-bit re-encode,
-    // so luminance(g,g,g)=g on the resized side too).
-    "x35_image_resize" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id AS pid,
-        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
-        |         CAST(16 + doc_id % 12 AS INTEGER) AS h,
-        |         CAST(8 + doc_id % 7 AS INTEGER) AS w2,
-        |         CAST(8 + doc_id % 5 AS INTEGER) AS h2
-        |  FROM documents WHERE doc_id % 3 = 2
-        |), xs AS (
-        |  SELECT doc_id, pid, w, h, w2, h2, unnest(range(w2)) AS x FROM dims
-        |), px AS (
-        |  SELECT doc_id, pid, w, h, w2, h2, x, unnest(range(h2)) AS y FROM xs
-        |), lum AS (
-        |  SELECT doc_id, (y * 8) // h2 AS ci, (x * 8) // w2 AS cj,
-        |         (pid * 131 + ((x * w) // w2) * 7 + ((y * h) // h2) * 13) % 256 AS g
-        |  FROM px
-        |), cells AS (
-        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
-        |), tot AS (
-        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
-        |), bits AS (
-        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
-        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "x30_image_neardup" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id // 2 AS pid,
-        |         CAST(16 + (doc_id // 2) % 16 AS INTEGER) AS w,
-        |         CAST(16 + (doc_id // 2) % 12 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 4 < 2
-        |), xs AS (
-        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
-        |), px AS (
-        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
-        |), lum AS (
-        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
-        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
-        |  FROM px
-        |), cells AS (
-        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
-        |), tot AS (
-        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
-        |), bits AS (
-        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
-        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)
-        |), hashes AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN bit = 1 AND p < 16 THEN (CAST(1 AS BIGINT) << (15 - p)) ELSE 0 END) AS BIGINT) AS b0,
-        |    CAST(sum(CASE WHEN bit = 1 AND p >= 16 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS b1,
-        |    CAST(sum(CASE WHEN bit = 1 AND p >= 32 AND p < 48 THEN (CAST(1 AS BIGINT) << (47 - p)) ELSE 0 END) AS BIGINT) AS b2,
-        |    CAST(sum(CASE WHEN bit = 1 AND p >= 48 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS b3,
-        |    CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY doc_id
-        |), cand AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM hashes a JOIN hashes b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-        |  UNION SELECT a.doc_id, b.doc_id FROM hashes a JOIN hashes b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-        |  UNION SELECT a.doc_id, b.doc_id FROM hashes a JOIN hashes b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-        |  UNION SELECT a.doc_id, b.doc_id FROM hashes a JOIN hashes b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
-        |)
-        |SELECT c.a_id, c.b_id,
-        |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INTEGER) AS hamming
-        |FROM cand c
-        |JOIN hashes ha ON ha.doc_id = c.a_id
-        |JOIN hashes hb ON hb.doc_id = c.b_id
-        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
-        |ORDER BY a_id, b_id""".stripMargin,
-    "x31_substring_dedup" ->
-      s"""WITH docs2 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 37 = 0 THEN text || '$substrInjA'
-        |         WHEN doc_id % 41 = 0 THEN text || '$substrInjB'
-        |         ELSE text END AS text
-        |  FROM documents
-        |), pos AS (
-        |  SELECT doc_id, text, unnest(range(len(text) - 23)) AS p
-        |  FROM docs2 WHERE len(text) >= 24
-        |), sel AS (
-        |  SELECT doc_id, substr(text, p + 1, 24) AS g, min(p) AS p
-        |  FROM pos
-        |  WHERE substr(md5(substr(text, p + 1, 24)), 1, 1) IN ('0', '4', '8', 'c')
-        |  GROUP BY doc_id, substr(text, p + 1, 24)
-        |), dfok AS (
-        |  SELECT g FROM sel GROUP BY g HAVING count(*) <= 200
-        |), kept AS (
-        |  SELECT s.doc_id, s.g, s.p FROM sel s JOIN dfok USING (g)
-        |), shared AS (
-        |  SELECT a.g, a.doc_id AS a_id, a.p AS pa, b.doc_id AS b_id, b.p AS pb
-        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
-        |), spans AS (
-        |  SELECT a_id, b_id, pa - pb AS off, min(pa) AS sa, min(pb) AS sb,
-        |         max(pa) - min(pa) + 24 AS span
-        |  FROM shared GROUP BY a_id, b_id, pa - pb
-        |), vspans AS (
-        |  SELECT s.a_id, s.b_id,
-        |    CASE WHEN substr(da.text, s.sa + 1, s.span) = substr(db.text, s.sb + 1, s.span)
-        |         THEN s.span ELSE 24 END AS vspan
-        |  FROM spans s
-        |  JOIN docs2 da ON da.doc_id = s.a_id
-        |  JOIN docs2 db ON db.doc_id = s.b_id
-        |), agg1 AS (
-        |  SELECT a_id, b_id, count(DISTINCT g) AS n_anchors FROM shared GROUP BY a_id, b_id
-        |), agg2 AS (
-        |  SELECT a_id, b_id, max(vspan) AS max_span FROM vspans GROUP BY a_id, b_id
-        |)
-        |SELECT a.a_id, a.b_id,
-        |  CAST(a.n_anchors AS BIGINT) AS n_anchors,
-        |  CAST(g2.max_span AS BIGINT) AS max_span
-        |FROM agg1 a JOIN agg2 g2 USING (a_id, b_id)
-        |ORDER BY a_id, b_id""".stripMargin,
-    "x10_ann_lsh" -> annExactTop5Sql,
-    "x13_ivf_topk" -> annExactTop5Sql,
-    "x09_cosine_topk" -> annExactTop5Sql,
-    "x14_neardup_clusters" ->
-      s"""WITH RECURSIVE $invJaccardPairsSql, bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs_j
-        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs_j
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
-        |)
-        |SELECT src AS doc_id, least(src, min(dst)) AS comp_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
-    "x15_hash_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE substr(md5(text), 1, 4) <
-        |  CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
-        |            WHEN 'de' THEN '4000' WHEN 'fr' THEN '4000' ELSE 'g' END
-        |ORDER BY doc_id""".stripMargin,
-    "x18_repetition" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), ex AS (
-        |  SELECT doc_id, unnest(toks) AS tok FROM tk
-        |), top AS (
-        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
-        |    SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY doc_id, tok
-        |  ) GROUP BY doc_id
-        |), g AS (
-        |  SELECT doc_id,
-        |    len(toks) AS n_tok,
-        |    CASE WHEN len(toks) >= 2 THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] ELSE [] END AS g2,
-        |    CASE WHEN len(toks) >= 3 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)] ELSE [] END AS g3
-        |  FROM tk
-        |)
-        |SELECT g.doc_id,
-        |  round(CAST(top.top_cnt AS DOUBLE) / n_tok, 4) AS top_token_frac,
-        |  round(CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END, 4) AS dup_2gram_frac,
-        |  round(CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END, 4) AS dup_3gram_frac
-        |FROM g JOIN top ON g.doc_id = top.doc_id
-        |ORDER BY g.doc_id""".stripMargin,
-    "x19_pii_scrub" ->
-      """WITH injected AS (
-        |  SELECT doc_id,
-        |    text || ' contact user' || doc_id || '@example.com or http://example' || doc_id
-        |         || '.org call +1 555 000' || doc_id AS t
-        |  FROM documents
-        |), red AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-        |  FROM injected
-        |), red2 AS (
-        |  SELECT doc_id, n_emails,
-        |    len(regexp_extract_all(t1, 'https?://[A-Za-z0-9./_-]+')) AS n_urls,
-        |    regexp_replace(t1, 'https?://[A-Za-z0-9./_-]+', '<URL>', 'g') AS t2
-        |  FROM red
-        |), red3 AS (
-        |  SELECT doc_id, n_emails, n_urls,
-        |    len(regexp_extract_all(t2, '\+[0-9]+(?: ?[0-9]{2,}){2,}')) AS n_phones,
-        |    regexp_replace(t2, '\+[0-9]+(?: ?[0-9]{2,}){2,}', '<PHONE>', 'g') AS t3
-        |  FROM red2
-        |)
-        |SELECT doc_id, n_emails, n_urls, n_phones, md5(t3) AS red_md5
-        |FROM red3 ORDER BY doc_id""".stripMargin,
-    "x17_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
-        |), flagged AS (
-        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |                   OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |), sess AS (
-        |  -- CAST: DuckDB sum() yields HUGEINT, which duckdb.df() renders as
-        |  -- float64 ("0.0" vs Spark's "0") and fails the driver's string hash.
-        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
-        |  FROM flagged
-        |)
-        |SELECT user_id AS key, session_idx,
-        |  min(ts_us) AS session_start, max(ts_us) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents
-        |FROM sess GROUP BY user_id, session_idx
-        |ORDER BY key, session_idx""".stripMargin,
-    "x16_decontaminate" -> decontaminateOracle,
-    // the bloom path must reproduce the broadcast path bit-for-bit
-    "x21_decontaminate_bloom" -> decontaminateOracle,
-    "x11_embed_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        |ORDER BY a_id, b_id""".stripMargin,
-    // x37: the oracle rebuilds each chunk with list_slice over the same
-    // token list and the same integer ceil / floor-mapped boundaries; the
-    // chunk TEXT is in the hash, so tokenization and joining must agree
-    // byte-for-byte across engines.
-    "x37_token_chunks" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), d AS (
-        |  SELECT doc_id, toks, len(toks) AS n,
-        |         CASE WHEN len(toks) <= 48 THEN 1
-        |              ELSE (len(toks) - 48 + 31) // 32 + 1 END AS c
-        |  FROM tk
-        |), ch AS (
-        |  SELECT doc_id, toks, n, unnest(range(c)) AS chunk_idx FROM d
-        |)
-        |SELECT doc_id,
-        |  CAST(chunk_idx AS INTEGER) AS chunk_idx,
-        |  CAST(least(48, n - chunk_idx * 32) AS INTEGER) AS n_chunk_tokens,
-        |  array_to_string(
-        |    list_slice(toks, chunk_idx * 32 + 1,
-        |               chunk_idx * 32 + least(48, n - chunk_idx * 32)), ' ') AS chunk_text
-        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
-    // x38: plain unnest + GROUP BY + ORDER BY/LIMIT ground truth for the
-    // TakeOrderedAndProject top-k; (cnt, gram) is a total order (grams are
-    // unique), so the 50-row SET is deterministic on both engines.
-    "x38_vocab_topk" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), g AS (
-        |  SELECT unnest(CASE WHEN len(toks) >= 2
-        |                     THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
-        |                     ELSE [] END) AS gram
-        |  FROM tk
-        |)
-        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
-        |FROM g GROUP BY gram
-        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
-    // x39: first-occurrence novelty — min(doc_id) per distinct 3-shingle,
-    // counted back by that minimum; integer ppm via // (the Spark side's
-    // floor-form double division is exact at these magnitudes).
-    "x39_ngram_novelty" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), s1 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])
-        |    ELSE [] END AS sh
-        |  FROM tk
-        |), ex AS (
-        |  SELECT doc_id, unnest(sh) AS shingle FROM s1
-        |), firsts AS (
-        |  SELECT shingle, min(doc_id) AS first_id FROM ex GROUP BY shingle
-        |), novel AS (
-        |  SELECT first_id AS doc_id, count(*) AS n_novel FROM firsts GROUP BY first_id
-        |)
-        |SELECT s1.doc_id,
-        |  CAST(len(sh) AS INTEGER) AS n_shingles,
-        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
-        |  CASE WHEN len(sh) > 0
-        |       THEN CAST(coalesce(n_novel, 0) * 1000000 // len(sh) AS BIGINT) END AS novelty_ppm
-        |FROM s1 LEFT JOIN novel USING (doc_id) ORDER BY doc_id""".stripMargin,
-    // x40/x41: the oracle recomputes the per-dim (min, max) calibration
-    // naively (dim × corpus unnest — fine for an oracle) and the SAME
-    // floor-quantize formula; codes and dot products are exact integers,
-    // so both queries are hash-stable with no rounding convention.
-    "x40_sq8_codes" ->
-      (sq8CodesSql +
-        """
-          |SELECT vec_id, CAST(len(codes) AS INTEGER) AS n_dims,
-          |  array_to_string(codes, ' ') AS codes_str,
-          |  CAST(list_sum(codes) AS BIGINT) AS code_sum
-          |FROM q ORDER BY vec_id""".stripMargin),
-    "x41_sq8_topk" ->
-      (sq8CodesSql +
-        """
-          |, dq AS (
-          |  SELECT vec_id,
-          |    [mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0
-          |     for i in range(1, len(codes)+1)] AS dv
-          |  FROM q, mm
-          |), qs AS (SELECT vec_id AS query_id, dv AS qv FROM dq WHERE vec_id < 10),
-          |cs AS (SELECT vec_id AS neighbor_id, dv AS cv FROM dq WHERE vec_id >= 10),
-          |sc AS (
-          |  SELECT query_id, neighbor_id,
-          |    round(list_cosine_similarity(qv, cv), 6) AS cos
-          |  FROM qs, cs
-          |), rk AS (
-          |  SELECT *, row_number() OVER (PARTITION BY query_id
-          |                               ORDER BY cos DESC, neighbor_id) AS rnk
-          |  FROM sc
-          |)
-          |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank
-          |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
-    // x42: the oracle computes the running token sum with the plain global
-    // window Spark's two-phase shape avoids, then the same integer
-    // offset*S div total shard cut; // is floor division on non-negative
-    // BIGINTs, identical to Spark's `div`.
-    "x42_token_shards" ->
-      """WITH tk AS (
-        |  SELECT doc_id, md5(text) AS h,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
-        |  FROM documents
-        |), c AS (
-        |  SELECT *,
-        |    sum(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok,
-        |    sum(n_tok) OVER () AS total
-        |  FROM tk
-        |)
-        |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
-        |  CAST(least(7, (cum_tok - n_tok) * 8 // total) AS INTEGER) AS shard
-        |FROM c ORDER BY doc_id""".stripMargin,
-    // x43: the oracle IS the one-phase groupBy-every-token twin the sketch
-    // path avoids at scale; integer threshold (cnt*50 >= total) and integer
-    // ppm division match Spark's div bit-for-bit.
-    "x43_heavy_tokens" ->
-      """WITH tok AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-        |  FROM documents WHERE length(trim(text)) > 0
-        |), tot AS (SELECT count(*) AS n FROM tok)
-        |SELECT token, count(*) AS cnt,
-        |  count(*) * 1000000 // (SELECT n FROM tot) AS freq_ppm
-        |FROM tok GROUP BY token
-        |HAVING count(*) * 50 >= (SELECT n FROM tot)
-        |ORDER BY cnt DESC, token""".stripMargin,
-    // x44: x14's recursive-CTE closure for components + x12's quality
-    // formula, then a window argmax (quality DESC, doc_id) per component —
-    // singletons (no edges) cluster as themselves via the LEFT join.
-    "x44_cluster_canonical" ->
-      s"""WITH RECURSIVE $invJaccardPairsSql, bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs_j
-        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs_j
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
-        |), comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS comp_id
-        |  FROM reach GROUP BY src
-        |), sc AS (
-        |  SELECT doc_id,
-        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
-        |    (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) + 1.0)
-        |      / (CAST(length(text) AS DOUBLE) + 1.0) AS alpha_ratio,
-        |    least(CAST(len(list_filter(toks,
-        |        t -> list_contains(['the','and','of','to','in','is','a'], t))) AS DOUBLE)
-        |      / len(toks) * 10.0, 1.0) AS stop_score,
-        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
-        |  FROM tk
-        |), q AS (
-        |  SELECT doc_id,
-        |    floor((0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score + 0.2 * ttr)
-        |          * 10000 + 0.5) / 10000 AS quality
-        |  FROM sc
-        |), m AS (
-        |  SELECT q.doc_id, coalesce(c.comp_id, q.doc_id) AS comp_id, q.quality
-        |  FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
-        |), r AS (
-        |  SELECT *,
-        |    row_number() OVER (PARTITION BY comp_id ORDER BY quality DESC, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY comp_id) AS n_members
-        |  FROM m
-        |)
-        |SELECT comp_id, doc_id AS keep_id, quality, n_members
-        |FROM r WHERE rn = 1 ORDER BY comp_id""".stripMargin,
-    "q33_scd2_islands" ->
-      """WITH ordered AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
-        |    CASE WHEN event_type IS NOT DISTINCT FROM
-        |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |         THEN 0 ELSE 1 END AS chg
-        |  FROM events
-        |), isl AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS island
-        |  FROM ordered
-        |), agg AS (
-        |  SELECT user_id, island, min(event_type) AS event_type,
-        |    min(ts_us) AS valid_from, count(*) AS n_events
-        |  FROM isl GROUP BY user_id, island
-        |)
-        |SELECT user_id, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
-        |  n_events
-        |FROM agg ORDER BY user_id, valid_from""".stripMargin,
-    "x45_fuzzy_editdist" ->
-      """WITH v AS (SELECT DISTINCT p_brand AS s FROM part
-        |           WHERE p_brand IS NOT NULL AND length(p_brand) >= 2)
-        |SELECT a.s AS a_val, b.s AS b_val,
-        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
-        |FROM v a JOIN v b ON a.s < b.s
-        |WHERE levenshtein(a.s, b.s) <= 1
-        |ORDER BY a_val, b_val""".stripMargin,
-    // x123: brute-force levenshtein over the full value-pair square at
-    // threshold 2 — the completeness certificate for the two-deletion
-    // SymSpell blocking (any pair the blocking misses fails the hash).
-    "x123_fuzzy_editdist2" ->
-      """WITH v AS (SELECT DISTINCT p_name AS s FROM part
-        |           WHERE p_name IS NOT NULL AND length(p_name) >= 2)
-        |SELECT a.s AS a_val, b.s AS b_val,
-        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
-        |FROM v a JOIN v b ON a.s < b.s
-        |WHERE levenshtein(a.s, b.s) <= 2
-        |ORDER BY a_val, b_val""".stripMargin,
-    "x46_pagerank" ->
-      """WITH trade AS (
-        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |), e AS (
-        |  SELECT a AS src, b AS dst FROM trade
-        |  UNION SELECT b AS src, a AS dst FROM trade
-        |), deg AS (
-        |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
-        |), n AS (SELECT count(*) AS cnt FROM deg),
-        |r0 AS (
-        |  SELECT src AS node_id, 1000000000000 // cnt AS rank_units, outdeg
-        |  FROM deg, n
-        |), r1 AS (
-        |  SELECT d.src AS node_id,
-        |    (15 * (1000000000000 // n.cnt)) // 100
-        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
-        |    d.outdeg
-        |  FROM deg d CROSS JOIN n
-        |  LEFT JOIN (
-        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
-        |    FROM r0 r JOIN e ON r.node_id = e.src GROUP BY e.dst
-        |  ) c ON d.src = c.dst
-        |), r2 AS (
-        |  SELECT d.src AS node_id,
-        |    (15 * (1000000000000 // n.cnt)) // 100
-        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
-        |    d.outdeg
-        |  FROM deg d CROSS JOIN n
-        |  LEFT JOIN (
-        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
-        |    FROM r1 r JOIN e ON r.node_id = e.src GROUP BY e.dst
-        |  ) c ON d.src = c.dst
-        |), r3 AS (
-        |  SELECT d.src AS node_id,
-        |    (15 * (1000000000000 // n.cnt)) // 100
-        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
-        |    d.outdeg
-        |  FROM deg d CROSS JOIN n
-        |  LEFT JOIN (
-        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
-        |    FROM r2 r JOIN e ON r.node_id = e.src GROUP BY e.dst
-        |  ) c ON d.src = c.dst
-        |)
-        |-- CAST: the r1/r2/r3 sum(...)-derived arithmetic is HUGEINT in DuckDB,
-        |-- which duckdb.df() renders as float64 and fails the driver's hash.
-        |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
-        |FROM r3 ORDER BY node_id""".stripMargin,
-    "x47_zorder_zones" ->
-      s"""WITH src AS (
-         |  SELECT l_partkey % 1024 AS za, l_suppkey % 1024 AS zb FROM lineitem
-         |), zc AS (
-         |  SELECT za, zb, ($zorderInterleaveSql) AS z FROM src
-         |)
-         |SELECT z // 65536 AS zone, count(*) AS n_rows,
-         |  min(za) AS min_a, max(za) AS max_a,
-         |  min(zb) AS min_b, max(zb) AS max_b
-         |FROM zc GROUP BY zone ORDER BY zone""".stripMargin,
-    "x48_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM events GROUP BY event_type
-        |), dev AS (
-        |  SELECT e.event_type, e.value, m.med
-        |  FROM events e JOIN med m USING (event_type)
-        |), mad AS (
-        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
-        |  FROM dev GROUP BY event_type
-        |)
-        |SELECT d.event_type,
-        |  round(min(d.med), 6) AS med,
-        |  round(min(a.mad), 6) AS mad,
-        |  count(*) AS n_total,
-        |  count(*) FILTER (WHERE abs(d.value - d.med) * 10 > a.mad * 35) AS n_outliers
-        |FROM dev d JOIN mad a USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
-    // x49: identical closed form to x29/x32 (BuildPng shares the pixel
-    // formula); only the doc subset differs — Spark-side the pixels travel
-    // through a real zlib inflate + scanline filter reconstruction instead
-    "x49_png_ahash" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id AS pid,
-        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
-        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 3 = 2
-        |), xs AS (
-        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
-        |), px AS (
-        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
-        |), lum AS (
-        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
-        |         (pid * 131 + x * 7 + y * 13) % 256 AS g
-        |  FROM px
-        |), cells AS (
-        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
-        |), tot AS (
-        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
-        |), bits AS (
-        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
-        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // x50: the x29/x32/x49 closed form with BLOCK-constant pixels — the
-    // luma depends on (x div 8, y div 8), matching BuildJpeg's DC-only
-    // tiles; Spark-side the pixels travel through real baseline-JPEG
-    // Huffman decode + IDCT instead
-    "x50_jpeg_ahash" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id AS pid,
-        |         CAST(16 + doc_id % 16 AS INTEGER) AS w,
-        |         CAST(16 + doc_id % 12 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 3 = 0
-        |), xs AS (
-        |  SELECT doc_id, pid, w, h, unnest(range(w)) AS x FROM dims
-        |), px AS (
-        |  SELECT doc_id, pid, w, h, x, unnest(range(h)) AS y FROM xs
-        |), lum AS (
-        |  SELECT doc_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
-        |         (pid * 131 + (x // 8) * 7 + (y // 8) * 13) % 256 AS g
-        |  FROM px
-        |), cells AS (
-        |  SELECT doc_id, ci, cj, sum(g) AS cs, count(*) AS cn FROM lum GROUP BY 1, 2, 3
-        |), tot AS (
-        |  SELECT doc_id, sum(g) AS ts, count(*) AS tn FROM lum GROUP BY 1
-        |), bits AS (
-        |  SELECT c.doc_id, c.ci * 8 + c.cj AS p,
-        |         CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |  CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "x51_source_cap" ->
-      """SELECT source, doc_id FROM (
-        |  SELECT source, doc_id,
-        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin,
-    "x52_winsor_bounds" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-        |  FROM events GROUP BY event_type
-        |)
-        |SELECT e.event_type,
-        |  round(min(b.lo), 6) AS lo, round(min(b.hi), 6) AS hi,
-        |  count(*) FILTER (WHERE e.value < b.lo) AS n_below,
-        |  count(*) FILTER (WHERE e.value > b.hi) AS n_above,
-        |  count(*) AS n_total
-        |FROM events e JOIN b USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
-    // x53/x54: the oracle recomputes every metadata field from the doc_id
-    // closed form the builder used — a match proves the container walk
-    // (box tree / tag skip + frame header) recovered the real values.
-    "x53_mp4_meta" ->
-      """SELECT doc_id, 'mp4' AS format,
-        |  CAST(16 + doc_id % 73 * 2 AS INT) AS width,
-        |  CAST(16 + doc_id % 57 * 2 AS INT) AS height,
-        |  CAST(1000 + doc_id % 997 * 7 AS INT) AS duration_ms
-        |FROM documents WHERE doc_id % 5 = 1 ORDER BY doc_id""".stripMargin,
-    "x54_mp3_meta" ->
-      """SELECT doc_id, 'mp3' AS format,
-        |  CAST(44100 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
-        |  -- CBR estimate: bytes*8/kbps ms over (3 + id%29) frames of 417 B
-        |  CAST((3 + doc_id % 29) * 417 * 8 // 128 AS INT) AS duration_ms
-        |FROM documents WHERE doc_id % 5 = 3 ORDER BY doc_id""".stripMargin,
-    // x80: Xing-exact VBR duration — frames * 1152 samples / 44100 Hz in
-    // ms; a CBR byte-length estimate cannot produce this closed form on
-    // the alternating 417/208-byte payload, so a match proves the tag
-    // walk (side-info offset, flags, BE frame count) ran for real.
-    "x80_mp3_vbr" ->
-      """SELECT doc_id, 'mp3' AS format,
-        |  CAST(44100 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
-        |  CAST((3 + doc_id % 29) * 1152000 // 44100 AS INT) AS duration_ms
-        |FROM documents WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
-    // x55: same chunk CTE as x37 (window = stride = 8), keep-first by
-    // (doc_id, chunk_idx) per distinct segment text, ordered reassembly;
-    // string_agg skips the CASE-NULLed dropped segments, mirroring
-    // concat_ws over kept-only rows. All counts CAST BIGINT (x17 lesson).
-    "x55_segment_dedup" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), d AS (
-        |  SELECT doc_id, toks, len(toks) AS n,
-        |         CASE WHEN len(toks) <= 8 THEN 1
-        |              ELSE (len(toks) - 8 + 7) // 8 + 1 END AS c
-        |  FROM tk
-        |), ch AS (
-        |  SELECT doc_id, toks, n, unnest(range(c)) AS chunk_idx FROM d
-        |), seg AS (
-        |  SELECT doc_id, chunk_idx,
-        |    array_to_string(list_slice(toks, chunk_idx * 8 + 1,
-        |      chunk_idx * 8 + least(8, n - chunk_idx * 8)), ' ') AS chunk_text
-        |  FROM ch
-        |), k AS (
-        |  SELECT *, row_number() OVER (PARTITION BY chunk_text
-        |                               ORDER BY doc_id, chunk_idx) AS rk
-        |  FROM seg
-        |)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_segments,
-        |  CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
-        |  CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_dropped,
-        |  md5(coalesce(string_agg(CASE WHEN rk = 1 THEN chunk_text END,
-        |                          ' ' ORDER BY chunk_idx), '')) AS dedup_md5
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // x56: x45's pair predicate + recursive-CTE transitive closure;
-    // cluster_root = min reachable brand (same contract as x14's closure)
-    "x56_fuzzy_clusters" ->
-      """WITH RECURSIVE v AS (
-        |  SELECT DISTINCT p_brand AS s FROM part
-        |  WHERE p_brand IS NOT NULL AND length(p_brand) >= 2
-        |), p AS (
-        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
-        |  WHERE levenshtein(a.s, b.s) <= 1
-        |), bidir AS (
-        |  SELECT a AS src, b AS dst FROM p
-        |  UNION SELECT b AS src, a AS dst FROM p
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
-        |)
-        |SELECT src AS brand, least(src, min(dst)) AS cluster_root
-        |FROM reach GROUP BY src ORDER BY brand""".stripMargin,
-    // x125: x56's transitive-closure replay one edit further out — the
-    // d<=2 pair graph over p_name, threshold 2 in the same recursive CTE.
-    "x125_fuzzy_clusters_d2" ->
-      """WITH RECURSIVE v AS (
-        |  SELECT DISTINCT p_name AS s FROM part
-        |  WHERE p_name IS NOT NULL AND length(p_name) >= 2
-        |), p AS (
-        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
-        |  WHERE levenshtein(a.s, b.s) <= 2
-        |), bidir AS (
-        |  SELECT a AS src, b AS dst FROM p
-        |  UNION SELECT b AS src, a AS dst FROM p
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
-        |)
-        |SELECT src AS name, least(src, min(dst)) AS cluster_root
-        |FROM reach GROUP BY src ORDER BY name""".stripMargin,
-    // x126: the ENTIRE inference path replayed closed-form — planted
-    // weight table from the md5 formula, unigram+bigram bag, hash40
-    // bucketing, BIGINT dots, strict argmax, one exact-IEEE division for
-    // the margin (the x91 replay discipline applied to model inference).
-    "x126_ft_classify" ->
-      s"""WITH $ftCtesSql
-        |SELECT doc_id, n_feats, dot0, dot1,
-        |  CASE WHEN dot1 > dot0 THEN CAST(1 AS BIGINT)
-        |       ELSE CAST(0 AS BIGINT) END AS pred,
-        |  CAST(dot1 - dot0 AS DOUBLE) / (1000.0 * greatest(n_feats, 1)) AS margin
-        |FROM ftdots ORDER BY doc_id""".stripMargin,
-    // x127: x120's composed-curation replay with the learned screen in
-    // the quality slot — dedup-first is result-identical because pred is
-    // a pure function of text (the screen-first equivalence argument);
-    // language argmax, BPE-ish count, and md5-ordered cap verbatim from
-    // the x120 oracle.
-    "x127_ft_curation" ->
-      s"""WITH $ftCtesSql, surv AS (
-        |  SELECT doc_id, source, text,
-        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM documents
-        |), s1 AS (
-        |  SELECT doc_id, source, text FROM surv WHERE rn = 1
-        |), kept AS (
-        |  SELECT s1.doc_id, s1.source, s1.text,
-        |    string_split_regex(trim(s1.text), '\\s+') AS toks
-        |  FROM s1 JOIN ftdots d USING (doc_id) WHERE d.dot1 > d.dot0
-        |), sc AS (
-        |  SELECT *,
-        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
-        |  FROM kept
-        |), lang AS (
-        |  SELECT *, CASE
-        |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-        |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-        |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-        |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-        |    ELSE 'fr' END AS lang_pred
-        |  FROM sc
-        |), fin AS (
-        |  SELECT * FROM lang WHERE lang_pred <> 'und'
-        |), capd AS (
-        |  SELECT source, doc_id, lang_pred,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
-        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
-        |  FROM fin
-        |)
-        |SELECT source, doc_id, lang_pred, n_tokens
-        |FROM capd WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
-    // x128: the ENTIRE training loop unrolled — feature counts, the
-    // planted labels, round 1's everyone-misclassified bootstrap, each
-    // round's integer scores / ≤0 rule / synchronous update — so the
-    // final-weights hash certifies the training algorithm itself (the
-    // x118 integer-Lloyd replay discipline applied to learning).
-    "x128_perceptron_train" ->
-      s"""WITH $ftCtesSql, ${perceptronCtesSql(rounds = 3, dim = 512)}
-        |SELECT b, w FROM w3 ORDER BY b""".stripMargin,
-    // x129: one more scoring pass under the unrolled final weights —
-    // sign prediction + correctness vs the planted labels, certifying
-    // the train → infer composition end to end.
-    "x129_perceptron_infer" -> x129OracleSql,
-    // x134: x129's oracle VERBATIM (the x124 reuse discipline) — the
-    // round-trip through the at-rest model table must be invisible to
-    // the scores, so the SAME SQL certifies save → load → serve.
-    "x134_model_roundtrip" -> x129OracleSql,
-    // x135: the x111 plane-grid replay with the query side of the bucket
-    // join sampled (% 10), plus the brute ground truth over the same
-    // panel and the hit/RR integer-ppm arithmetic. Both rankings share
-    // the 6-dp cosine and (score desc, id asc) tie-break, so the metrics
-    // isolate the banding's candidate miss — which is REPLAYED by both
-    // engines, never hidden.
-    "x135_ann_recall" ->
-      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
-        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |  WHERE qb.vec_id <> cb.vec_id AND qb.vec_id % 10 = 0
-        |), s AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
-        |  FROM cand c
-        |  JOIN vq q ON q.vec_id = c.query_id
-        |  JOIN vq n ON n.vec_id = c.neighbor_id
-        |), ann AS (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |    FROM s) WHERE rank <= 3
-        |), qs AS (
-        |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 10 = 0
-        |), es AS (
-        |  SELECT q.query_id, n.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(qv.v, n.v), 6) AS score
-        |  FROM qs q JOIN vq qv ON qv.vec_id = q.query_id, vq n
-        |  WHERE n.vec_id <> q.query_id
-        |), ex AS (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |    FROM es) WHERE rank <= 3
-        |), h AS (
-        |  SELECT a.query_id, count(e.neighbor_id) AS n_hits
-        |  FROM ann a LEFT JOIN ex e
-        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-        |  GROUP BY a.query_id
-        |), rr AS (
-        |  SELECT e.query_id, coalesce(1000000 // a.rank, 0) AS rr_ppm
-        |  FROM ex e LEFT JOIN ann a
-        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        |  WHERE e.rank = 1
-        |)
-        |SELECT q.query_id,
-        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  CAST(coalesce(h.n_hits, 0) * 1000000 // 3 AS BIGINT) AS recall_ppm,
-        |  CAST(coalesce(rr.rr_ppm, 0) AS BIGINT) AS rr_ppm
-        |FROM qs q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)
-        |ORDER BY query_id""".stripMargin,
-    // x136: the comparison log planted from (doc, doc+1) n_chars duels,
-    // per-pair/per-item reductions, then all four Bradley-Terry MM
-    // rounds unrolled in BIGINT fixed-point (btRoundSql — the
-    // perceptron/LPA unrolled-oracle discipline; every division integer,
-    // max-normalized per round exactly like the operator).
-    "x136_bt_rating" ->
-      s"""WITH $btCtesSql
-        |SELECT s.item, s.n_comps, s.wins, CAST(r4.w AS BIGINT) AS rating,
-        |  CAST(row_number() OVER (ORDER BY r4.w DESC, s.item) AS BIGINT) AS rank
-        |FROM bt_stats s JOIN r4 USING (item)
-        |ORDER BY item""".stripMargin,
-    // x147: x136's oracle VERBATIM (the x134 reuse discipline) — the
-    // distributed MM formulation must be invisible to the fit.
-    "x147_bt_distributed" ->
-      s"""WITH $btCtesSql
-        |SELECT s.item, s.n_comps, s.wins, CAST(r4.w AS BIGINT) AS rating,
-        |  CAST(row_number() OVER (ORDER BY r4.w DESC, s.item) AS BIGINT) AS rank
-        |FROM bt_stats s JOIN r4 USING (item)
-        |ORDER BY item""".stripMargin,
-    // x141: the fitted board turned back on its own log — per
-    // comparison, both sides' r4 ratings, the signed margin, the
-    // model-agreement flag, and the curation keep (margin ≥ 0.1·S).
-    // Same generator chain as x136, so the two replays cannot drift.
-    "x141_preference_pairs" ->
-      s"""WITH $btCtesSql
-        |SELECT c.cmp_id, c.winner AS chosen,
-        |  CASE WHEN c.winner = c.item_a THEN c.item_b
-        |       ELSE c.item_a END AS rejected,
-        |  CAST(rw.w AS BIGINT) AS chosen_rating,
-        |  CAST(rl.w AS BIGINT) AS rejected_rating,
-        |  CAST(rw.w - rl.w AS BIGINT) AS margin,
-        |  (rw.w - rl.w > 0) AS agree,
-        |  (rw.w - rl.w >= 100000) AS kept
-        |FROM bt_cmp c
-        |JOIN r4 rw ON rw.item = c.winner
-        |JOIN r4 rl ON rl.item =
-        |  (CASE WHEN c.winner = c.item_a THEN c.item_b ELSE c.item_a END)
-        |ORDER BY cmp_id""".stripMargin,
-    // x137: quantization (the vq convention) → one-pass integer moments
-    // over the % 2 training half → n²-scaled covariance (never divides)
-    // → 10⁸ downscale → TEN unrolled matrix squarings (pcaSquareSql —
-    // effective power 1024, the flat-spectrum lesson) → component =
-    // M₁₀·1 renormalized → projection of EVERY vector. All arithmetic
-    // BIGINT/HUGEINT with truncating //, so the replay is bit-for-bit.
-    "x137_pca_project" ->
-      s"""WITH $pcaMomentsCtesSql, m0 AS MATERIALIZED (
-        |  SELECT i, j,
-        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
-        |  FROM c0
-        |), ${(1 to 10).map(i => pcaSquareSql(i)).mkString(", ")}, yv AS MATERIALIZED (
-        |  SELECT i AS d, sum(c) AS y FROM m10 GROUP BY 1
-        |), xf AS MATERIALIZED (
-        |  SELECT d, CAST(y // (SELECT greatest(max(abs(y)) // 1000000, 1)
-        |                       FROM yv) AS BIGINT) AS w
-        |  FROM yv
-        |)
-        |SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS proj
-        |FROM vq v, xf x GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
-    // x143: the top-4 reduction — the c0 chain rescaled once (cc0),
-    // then per component: solve (pcaComponentSql) and integer Hotelling
-    // deflation into cc{k+1}; per-component projections joined on
-    // vec_id. Scala BigInt ≡ HUGEINT on the >2⁶³ intermediates.
-    "x143_pca_reduce" ->
-      s"""WITH $pcaMomentsCtesSql, cc0 AS MATERIALIZED (
-        |  SELECT i, j,
-        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
-        |  FROM c0
-        |), ${(0 until 4).map(k => pcaComponentSql(k, last = k == 3)).mkString(", ")},
-        |${(0 until 4).map(k =>
-             s"""pr$k AS MATERIALIZED (
-             |  SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS p${k + 1}
-             |  FROM vq v, xf$k x GROUP BY 1
-             |)""".stripMargin).mkString(", ")}
-        |SELECT pr0.vec_id, pr0.p1, pr1.p2, pr2.p3, pr3.p4
-        |FROM pr0 JOIN pr1 USING (vec_id) JOIN pr2 USING (vec_id)
-        |JOIN pr3 USING (vec_id)
-        |ORDER BY vec_id""".stripMargin,
-    // x138: the x129 training replay scored once, rank-deciled, per-bin
-    // integer rates (calibBinsSql — the reliability diagram).
-    "x138_calibration_bins" ->
-      s"""WITH $calibBinsSql
-        |SELECT bin, n_docs, n_pos,
-        |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_ppm,
-        |  min_score, max_score,
-        |  CAST(sum_score // n_docs AS BIGINT) AS mean_score
-        |FROM cg ORDER BY bin""".stripMargin,
-    // x139: the same bins through the minimax isotonic form — pooled
-    // ppm rates over every (j ≤ k) bin range via prefix sums, then
-    // fit_i = max over j ≤ i of (min over k ≥ i of rate(j,k)).
-    "x139_isotonic_calibration" ->
-      s"""WITH $calibBinsSql, $isoFitSql
-        |SELECT g.bin, g.n_docs, g.n_pos,
-        |  CAST(g.n_pos * 1000000 // g.n_docs AS BIGINT) AS pos_ppm,
-        |  f.iso_ppm, g.min_score, g.max_score
-        |FROM cg g JOIN cfit f USING (bin) ORDER BY bin""".stripMargin,
-    // x142: the calibration USED — the per-doc bin frame joined to the
-    // shared isotonic fit, keep = calibrated rate ≥ 0.5. Same cb/cg/cfit
-    // generators as x138/x139, so the three replays cannot drift.
-    "x142_calibrated_screen" ->
-      s"""WITH $calibBinsSql, $isoFitSql
-        |SELECT b.doc_id, b.score, b.y, CAST(b.bin AS BIGINT) AS bin,
-        |  f.iso_ppm, (f.iso_ppm >= 500000) AS kept
-        |FROM cb b JOIN cfit f USING (bin)
-        |ORDER BY doc_id""".stripMargin,
-    // x148: the x143 deflation chain with its spectral accounting — per
-    // component t1 = xᵀCx // xᵀx (HUGEINT, clamped at 0 for reporting),
-    // shares in ppm of the rescaled trace, cumulative window sum, and
-    // the smallest-k-clearing-target rule with the rMax fallback.
-    "x148_explained_variance" ->
-      s"""WITH $pcaMomentsCtesSql, cc0 AS MATERIALIZED (
-        |  SELECT i, j,
-        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
-        |  FROM c0
-        |), ${(0 until 4).map(k => pcaComponentSql(k, last = false)).mkString(", ")},
-        |tr AS (
-        |  SELECT greatest(sum(CASE WHEN i = j THEN c ELSE 0 END), 1) AS v
-        |  FROM cc0
-        |), tv AS (
-        |${(0 until 4).map(k =>
-             s"  SELECT ${k + 1} AS comp, greatest(CAST((SELECT v FROM xcx$k) " +
-               s"// (SELECT v FROM xtx$k) AS BIGINT), 0) AS t1").mkString("\n      |  UNION ALL\n      |")}
-        |), vr AS (
-        |  SELECT comp, CAST(t1 * 1000000 // (SELECT v FROM tr) AS BIGINT) AS var_ppm
-        |  FROM tv
-        |), cm AS MATERIALIZED (
-        |  SELECT comp, var_ppm,
-        |    CAST(sum(var_ppm) OVER (ORDER BY comp) AS BIGINT) AS cum_ppm
-        |  FROM vr
-        |), kk AS (
-        |  SELECT CAST(coalesce(min(comp), 4) AS BIGINT) AS k
-        |  FROM cm WHERE cum_ppm >= 900000
-        |)
-        |SELECT CAST(comp AS BIGINT) AS comp, var_ppm, cum_ppm,
-        |  (SELECT k FROM kk) AS k
-        |FROM cm ORDER BY comp""".stripMargin,
-    // x140: the data card replayed directly — x83's token idiom, x84's
-    // md5 digests, per-stratum volumes/dup-mass/empties, ppm by //.
-    "x140_corpus_report" ->
-      """WITH tk AS MATERIALIZED (
-        |  SELECT source, lang, n_chars,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens,
-        |    md5(text) AS digest,
-        |    (len(trim(text)) = 0) AS empty
-        |  FROM documents
-        |), dup AS (
-        |  SELECT source, lang,
-        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
-        |      AS dup_docs,
-        |    CAST(count(*) AS BIGINT) AS distinct_texts
-        |  FROM (SELECT source, lang, digest, count(*) AS cnt
-        |        FROM tk GROUP BY 1, 2, 3)
-        |  GROUP BY 1, 2
-        |), st AS (
-        |  SELECT source, lang,
-        |    CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
-        |    CAST(sum(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
-        |    CAST(min(n_tokens) AS BIGINT) AS min_tokens,
-        |    CAST(max(n_tokens) AS BIGINT) AS max_tokens
-        |  FROM tk GROUP BY 1, 2
-        |)
-        |SELECT st.source, st.lang, n_docs, n_tokens, n_chars,
-        |  distinct_texts, dup_docs,
-        |  CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
-        |  n_empty, min_tokens, max_tokens,
-        |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens
-        |FROM st JOIN dup USING (source, lang)
-        |ORDER BY source, lang""".stripMargin,
-    // x144: the x143 reduction chain replayed, then BOTH spaces' exact
-    // panel top-3 and the shared hit/RR arithmetic. The reduced-space
-    // cosine is written as the explicit 4-term formula WITH the
-    // zero-norm→0 guard, mirroring the engine expression's loop (a
-    // degenerate all-zero reduced vector must score 0 on both engines,
-    // where list_cosine_similarity would NaN).
-    "x144_reduced_recall" ->
-      s"""WITH $pcaMomentsCtesSql, cc0 AS MATERIALIZED (
-        |  SELECT i, j,
-        |    c // (SELECT greatest(max(abs(c)) // 100000000, 1) FROM c0) AS c
-        |  FROM c0
-        |), ${(0 until 4).map(k => pcaComponentSql(k, last = k == 3)).mkString(", ")},
-        |${(0 until 4).map(k =>
-             s"""pr$k AS MATERIALIZED (
-             |  SELECT v.vec_id, CAST(sum(v.q[x.d + 1] * x.w) AS BIGINT) AS p${k + 1}
-             |  FROM vq v, xf$k x GROUP BY 1
-             |)""".stripMargin).mkString(", ")},
-        |rv AS MATERIALIZED (
-        |  SELECT pr0.vec_id, CAST(pr0.p1 AS DOUBLE) AS r1,
-        |    CAST(pr1.p2 AS DOUBLE) AS r2, CAST(pr2.p3 AS DOUBLE) AS r3,
-        |    CAST(pr3.p4 AS DOUBLE) AS r4
-        |  FROM pr0 JOIN pr1 USING (vec_id) JOIN pr2 USING (vec_id)
-        |  JOIN pr3 USING (vec_id)
-        |), fv AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), qs AS MATERIALIZED (
-        |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 10 = 0
-        |), es AS (
-        |  SELECT q.query_id, n.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(qv.v, n.v), 6) AS score
-        |  FROM qs q JOIN fv qv ON qv.vec_id = q.query_id, fv n
-        |  WHERE n.vec_id <> q.query_id
-        |), ex AS MATERIALIZED (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |    FROM es) WHERE rank <= 3
-        |), rs AS (
-        |  SELECT q.query_id, n.vec_id AS neighbor_id,
-        |    round(CASE
-        |      WHEN (a.r1*a.r1 + a.r2*a.r2 + a.r3*a.r3 + a.r4*a.r4) = 0
-        |        OR (n.r1*n.r1 + n.r2*n.r2 + n.r3*n.r3 + n.r4*n.r4) = 0 THEN 0.0
-        |      ELSE (a.r1*n.r1 + a.r2*n.r2 + a.r3*n.r3 + a.r4*n.r4)
-        |        / (sqrt(a.r1*a.r1 + a.r2*a.r2 + a.r3*a.r3 + a.r4*a.r4)
-        |           * sqrt(n.r1*n.r1 + n.r2*n.r2 + n.r3*n.r3 + n.r4*n.r4))
-        |      END, 6) AS score
-        |  FROM qs q JOIN rv a ON a.vec_id = q.query_id, rv n
-        |  WHERE n.vec_id <> q.query_id
-        |), cd AS MATERIALIZED (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |    FROM rs) WHERE rank <= 3
-        |), h AS (
-        |  SELECT a.query_id, count(e.neighbor_id) AS n_hits
-        |  FROM cd a LEFT JOIN ex e
-        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-        |  GROUP BY a.query_id
-        |), rr AS (
-        |  SELECT e.query_id, coalesce(1000000 // a.rank, 0) AS rr_ppm
-        |  FROM ex e LEFT JOIN cd a
-        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        |  WHERE e.rank = 1
-        |)
-        |SELECT q.query_id,
-        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  CAST(coalesce(h.n_hits, 0) * 1000000 // 3 AS BIGINT) AS recall_ppm,
-        |  CAST(coalesce(rr.rr_ppm, 0) AS BIGINT) AS rr_ppm
-        |FROM qs q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)
-        |ORDER BY query_id""".stripMargin,
-    // x146: the composed arc — every stage oracle CTE-chained over the
-    // derived pages; see webArcOracleSql's scaladoc.
-    "x146_web_arc" -> webArcOracleSql,
-    // x145: plane grid → shared-bucket candidates → top-10 by 6-dp
-    // cosine → candK²-bounded pairwise sims → the greedy's two
-    // selection steps unrolled (λ-blend on identical rounded inputs,
-    // (mmr desc, id asc) tie-break, picked ids anti-joined out).
-    "x145_mmr_diversify" ->
-      s"""WITH ${intLshCtesSql(8, 6)}, cand0 AS (
-        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |  WHERE qb.vec_id <> cb.vec_id
-        |), sc AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
-        |  FROM cand0 c
-        |  JOIN vq q ON q.vec_id = c.query_id
-        |  JOIN vq n ON n.vec_id = c.neighbor_id
-        |), cand AS MATERIALIZED (
-        |  SELECT query_id, neighbor_id,
-        |    CAST(round(score * 1000000) AS BIGINT) AS score_ppm, rank
-        |  FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |    FROM sc) WHERE rank <= 10
-        |), sims AS MATERIALIZED (
-        |  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
-        |    CAST(round(round(list_cosine_similarity(va.v, vb.v), 6) * 1000000)
-        |         AS BIGINT) AS sim_ppm
-        |  FROM cand a JOIN cand b ON a.query_id = b.query_id
-        |  JOIN vq va ON va.vec_id = a.neighbor_id
-        |  JOIN vq vb ON vb.vec_id = b.neighbor_id
-        |), p1 AS MATERIALIZED (
-        |  SELECT query_id, neighbor_id, CAST(1 AS INT) AS pos,
-        |    score_ppm AS mmr_ppm
-        |  FROM cand WHERE rank = 1
-        |), r1 AS MATERIALIZED (
-        |  SELECT query_id, neighbor_id, score_ppm FROM cand WHERE rank <> 1
-        |), v2 AS (
-        |  SELECT r.query_id, r.neighbor_id,
-        |    (7 * r.score_ppm - 3 * max(s.sim_ppm)) // 10 AS mmr_ppm
-        |  FROM r1 r
-        |  JOIN sims s ON s.query_id = r.query_id AND s.a_id = r.neighbor_id
-        |  JOIN p1 p ON p.query_id = s.query_id AND p.neighbor_id = s.b_id
-        |  GROUP BY r.query_id, r.neighbor_id, r.score_ppm
-        |), p2 AS MATERIALIZED (
-        |  SELECT query_id, neighbor_id, CAST(2 AS INT) AS pos,
-        |    CAST(mmr_ppm AS BIGINT) AS mmr_ppm FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY mmr_ppm DESC, neighbor_id) AS rn
-        |    FROM v2) WHERE rn = 1
-        |), r2 AS (
-        |  SELECT r.query_id, r.neighbor_id, r.score_ppm FROM r1 r
-        |  LEFT JOIN p2 ON p2.query_id = r.query_id
-        |    AND p2.neighbor_id = r.neighbor_id
-        |  WHERE p2.neighbor_id IS NULL
-        |), pk AS (
-        |  SELECT query_id, neighbor_id FROM p1
-        |  UNION ALL SELECT query_id, neighbor_id FROM p2
-        |), v3 AS (
-        |  SELECT r.query_id, r.neighbor_id,
-        |    (7 * r.score_ppm - 3 * max(s.sim_ppm)) // 10 AS mmr_ppm
-        |  FROM r2 r
-        |  JOIN sims s ON s.query_id = r.query_id AND s.a_id = r.neighbor_id
-        |  JOIN pk p ON p.query_id = s.query_id AND p.neighbor_id = s.b_id
-        |  GROUP BY r.query_id, r.neighbor_id, r.score_ppm
-        |), p3 AS (
-        |  SELECT query_id, neighbor_id, CAST(3 AS INT) AS pos,
-        |    CAST(mmr_ppm AS BIGINT) AS mmr_ppm FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY mmr_ppm DESC, neighbor_id) AS rn
-        |    FROM v3) WHERE rn = 1
-        |)
-        |SELECT query_id, pos, neighbor_id, mmr_ppm FROM (
-        |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
-        |  UNION ALL SELECT * FROM p3)
-        |ORDER BY query_id, pos""".stripMargin,
-    // x130: the 4-class replay — same generator as x126 with
-    // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
-    // the >= cascade (class c wins only if it beats every later class,
-    // earlier classes get first claim — exactly the strict-> keep rule).
-    "x130_ft_multiclass" ->
-      s"""WITH ${ftCtes("m", classes = 4, dim = 256)}
-        |SELECT doc_id, n_feats, dot0, dot1, dot2, dot3,
-        |  CASE WHEN dot0 >= dot1 AND dot0 >= dot2 AND dot0 >= dot3 THEN CAST(0 AS BIGINT)
-        |       WHEN dot1 >= dot2 AND dot1 >= dot3 THEN CAST(1 AS BIGINT)
-        |       WHEN dot2 >= dot3 THEN CAST(2 AS BIGINT)
-        |       ELSE CAST(3 AS BIGINT) END AS pred
-        |FROM ftdots ORDER BY doc_id""".stripMargin,
-    // x131: three one-vs-all training chains unrolled (the x128
-    // discipline, one generator call per class with the per-class ±1
-    // relabel), one final scoring pass per class over the shared
-    // label-independent counts, strict smallest-index argmax.
-    "x131_ova_train_infer" ->
-      s"""WITH $ovaCtesSql
-        |SELECT doc_id, score0, score1, score2, pred_cls,
-        |  CAST(doc_id % 3 AS BIGINT) AS true_cls,
-        |  (pred_cls = doc_id % 3) AS correct
-        |FROM pr ORDER BY doc_id""".stripMargin,
-    // x132: x131's replay + the per-class confusion aggregation and the
-    // integer-ppm metric divisions (// is DuckDB's BIGINT div, matching
-    // Spark's `div` on nonnegative longs).
-    "x132_eval_confusion" ->
-      s"""WITH $ovaCtesSql, lab AS (
-        |  SELECT doc_id, pred_cls, doc_id % 3 AS true_cls FROM pr
-        |), conf AS (
-        |  SELECT c.range AS cls,
-        |    CAST(sum(CASE WHEN true_cls = c.range AND pred_cls = c.range
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |    CAST(sum(CASE WHEN true_cls <> c.range AND pred_cls = c.range
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |    CAST(sum(CASE WHEN true_cls = c.range AND pred_cls <> c.range
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
-        |  FROM range(0, 3) c, lab GROUP BY 1
-        |)
-        |SELECT CAST(cls AS BIGINT) AS cls, tp, fp, fn,
-        |  CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
-        |  CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm,
-        |  CAST(tp * 2000000 // greatest(tp * 2 + fp + fn, 1) AS BIGINT) AS f1_ppm
-        |FROM conf ORDER BY cls""".stripMargin,
-    // x133: x131's replay + the margin arithmetic (2·max + min − Σ over
-    // the three BIGINT scores) + per-class row_number on (margin,
-    // doc_id) — the exact tie order TopKByLongScore keeps on the
-    // negated score.
-    "x133_uncertain_docs" ->
-      s"""WITH $ovaCtesSql, u AS (
-        |  SELECT doc_id, pred_cls,
-        |    greatest(score0, score1, score2) * 2 +
-        |    least(score0, score1, score2) -
-        |    (score0 + score1 + score2) AS unc
-        |  FROM pr
-        |), rk AS (
-        |  SELECT pred_cls, doc_id, unc,
-        |    row_number() OVER (PARTITION BY pred_cls ORDER BY unc, doc_id) AS rank
-        |  FROM u
-        |)
-        |SELECT pred_cls, CAST(rank AS BIGINT) AS rank, doc_id,
-        |  CAST(unc AS BIGINT) AS margin
-        |FROM rk WHERE rank <= 5 ORDER BY pred_cls, rank""".stripMargin,
-    // x57: hash = int of first 10 md5 hex chars (hex→int generated from
-    // the same positional loop as the Spark side); k-minima via
-    // row_number over DISTINCT hashes; estimate = (k-1)*2^40 // h_k in
-    // BIGINT integer division. All outputs CAST BIGINT (x17 lesson).
-    "x57_kmv_distinct" ->
-      s"""WITH hx AS (
-        |  SELECT DISTINCT event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 10) AS h
-        |  FROM events WHERE user_id IS NOT NULL
-        |), hv AS (
-        |  SELECT event_type, CAST($kmvHexToIntSql AS BIGINT) AS v FROM hx
-        |), r AS (
-        |  SELECT event_type, v,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
-        |    count(*) OVER (PARTITION BY event_type) AS nd
-        |  FROM hv
-        |), agg AS (
-        |  SELECT event_type, nd,
-        |    max(CASE WHEN rk = 64 THEN v END) AS kth
-        |  FROM r GROUP BY event_type, nd
-        |), ex AS (
-        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
-        |  FROM events GROUP BY event_type
-        |)
-        |SELECT a.event_type,
-        |  CAST(least(a.nd, 64) AS BIGINT) AS n_tracked,
-        |  CAST(a.kth AS BIGINT) AS kth_hash,
-        |  CAST(CASE WHEN a.nd < 64 THEN a.nd
-        |            ELSE ${63L * DistinctSketch.Domain} // greatest(a.kth, 1) END
-        |       AS BIGINT) AS est_distinct,
-        |  ex.exact_distinct
-        |FROM agg a JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
-    // x58: stopword list interpolated from the SAME Scala val as the
-    // operator (TextAnalysis.langMarkers), so the two sides cannot drift;
-    // all rule arithmetic integer, flags boolean on both engines.
-    "x58_gopher_rules" ->
-      s"""WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-        |), r AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_chars,
-        |    CAST(len(list_intersect(toks,
-        |      [${TextAnalysis.langMarkers.head._2.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stopwords
-        |  FROM tk
-        |)
-        |SELECT doc_id, n_tokens, sum_token_chars, n_stopwords,
-        |  (n_tokens BETWEEN 30 AND 90) AS pass_count,
-        |  (30 * n_tokens <= 10 * sum_token_chars
-        |    AND 10 * sum_token_chars <= 52 * n_tokens) AS pass_meanlen,
-        |  (n_stopwords >= 2) AS pass_stop,
-        |  ((n_tokens BETWEEN 30 AND 90)
-        |    AND 30 * n_tokens <= 10 * sum_token_chars
-        |    AND 10 * sum_token_chars <= 52 * n_tokens
-        |    AND n_stopwords >= 2) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
-    // x59: integer sequential-Poisson priority = hex40(md5(doc_id)) //
-    // weight, k smallest per lang; hex→int spliced from the x57 loop.
-    "x59_weighted_sample" ->
-      s"""WITH tk AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
-        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS h,
-        |    md5(CAST(doc_id AS VARCHAR)) AS m
-        |  FROM documents
-        |), pr AS (
-        |  SELECT doc_id, lang, w,
-        |    CAST($kmvHexToIntSql AS BIGINT) // greatest(w, 1) AS priority, m
-        |  FROM tk
-        |), r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY lang
-        |                               ORDER BY priority, m, doc_id) AS rk
-        |  FROM pr
-        |)
-        |SELECT lang, doc_id, w AS weight, CAST(priority AS BIGINT) AS priority
-        |FROM r WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin,
-    // x60: full CMS replay — rebuild every depth×width cell as the sum of
-    // the exact counts of the tokens hashing there (the cell value IS the
-    // number of increments), then take each token's min-of-depth cells;
-    // row hash = hex40(md5(j || ':' || token)) mod width, spliced from the
-    // same hex→int loop as x57. Geometry (depth, width) interpolated from
-    // the same Scala vals as the Spark call.
-    "x60_cms_counts" ->
-      s"""WITH tk AS (
-        |  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
-        |), tok AS (
-        |  SELECT unnest(toks) AS token FROM tk
-        |), cnt AS (
-        |  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY token
-        |), hj AS (
-        |  SELECT token, exact_cnt, j,
-        |    substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 10) AS h
-        |  FROM cnt, range($cmsDepth) r(j)
-        |), hv AS (
-        |  SELECT token, exact_cnt, j, CAST($kmvHexToIntSql AS BIGINT) % $cmsWidth AS cell
-        |  FROM hj
-        |), cells AS (
-        |  SELECT j, cell, sum(exact_cnt) AS c FROM hv GROUP BY j, cell
-        |), est AS (
-        |  SELECT hv.token, hv.exact_cnt, min(cells.c) AS est_cnt
-        |  FROM hv JOIN cells ON hv.j = cells.j AND hv.cell = cells.cell
-        |  GROUP BY hv.token, hv.exact_cnt
-        |)
-        |SELECT token, exact_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
-        |  CAST(est_cnt - exact_cnt AS BIGINT) AS overestimate
-        |FROM est ORDER BY token""".stripMargin,
-    // x61: bigram/unigram counts by plain unnest + GROUP BY (the x38
-    // ground-truth shape), then the same BIGINT lift arithmetic —
-    // greatest(cnt-2,0)·N·1000 // (ca·cb) — so the phrase score is exact
-    // on both engines; δ=2 / threshold 1300 match the Spark call.
-    "x61_collocations" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), g AS (
-        |  SELECT unnest(CASE WHEN len(toks) >= 2
-        |                     THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
-        |                     ELSE [] END) AS p
-        |  FROM tk
-        |), pc AS (
-        |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt_pair
-        |  FROM g GROUP BY 1, 2
-        |), u AS (
-        |  SELECT unnest(toks) AS w FROM tk
-        |), uc AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY w
-        |), lifts AS (
-        |  SELECT pc.w1, pc.w2, cnt_pair,
-        |    a.cnt AS cnt_w1, b.cnt AS cnt_w2,
-        |    CAST(greatest(cnt_pair - 2, 0) * (SELECT sum(cnt) FROM uc) * 1000
-        |         // (a.cnt * b.cnt) AS BIGINT) AS lift_x1000
-        |  FROM pc JOIN uc a ON pc.w1 = a.w JOIN uc b ON pc.w2 = b.w
-        |)
-        |SELECT w1, w2, cnt_pair, cnt_w1, cnt_w2, lift_x1000,
-        |  (lift_x1000 >= 1300) AS is_phrase
-        |FROM lifts ORDER BY w1, w2""".stripMargin,
-    // x62: ground truth for the histogram-refined selection is a plain
-    // per-group sort — value at 0-based rank (p·(n−1)) // pDenom; the
-    // refinement must land on exactly that element. Cents cast chain
-    // matches x17's exact DECIMAL(18,2) route.
-    "x62_binned_quantile" ->
-      """WITH c AS (
-        |  SELECT event_type,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        |  FROM events
-        |), r AS (
-        |  SELECT event_type, v,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM c
-        |)
-        |SELECT event_type, 'p50' AS p_label, CAST(n AS BIGINT) AS n_total,
-        |  CAST((n - 1) // 2 AS BIGINT) AS target_rank, v AS q_value
-        |FROM r WHERE rn = (n - 1) // 2
-        |UNION ALL
-        |SELECT event_type, 'p95' AS p_label, CAST(n AS BIGINT) AS n_total,
-        |  CAST(95 * (n - 1) // 100 AS BIGINT) AS target_rank, v AS q_value
-        |FROM r WHERE rn = 95 * (n - 1) // 100
-        |ORDER BY event_type, p_label""".stripMargin,
-    // x63: ground truth by triple-joining the canonical a<b edge list
-    // (x45's CTE) — each triangle {x<y<z} matches exactly the join
-    // (x,y)+(y,z)+(x,z), the SQL mirror of the orientation's
-    // pivot-at-minimum exactly-once argument; corners unnested and
-    // counted, cc in the engine-standard integer ppm.
-    "x63_triangles" ->
-      """WITH v AS (
-        |  SELECT DISTINCT p_brand AS s FROM part
-        |  WHERE p_brand IS NOT NULL AND length(p_brand) >= 2
-        |), p AS (
-        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
-        |  WHERE levenshtein(a.s, b.s) <= 1
-        |), deg AS (
-        |  SELECT node, count(*) AS degree FROM (
-        |    SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p
-        |  ) GROUP BY node
-        |), tri AS (
-        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |  FROM p e1 JOIN p e2 ON e2.a = e1.b JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
-        |), corners AS (
-        |  SELECT unnest([x, y, z]) AS node FROM tri
-        |), tc AS (
-        |  SELECT node, count(*) AS nt FROM corners GROUP BY node
-        |)
-        |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
-        |  CAST(coalesce(tc.nt, 0) AS BIGINT) AS n_triangles,
-        |  CASE WHEN d.degree >= 2
-        |       THEN CAST(2 * coalesce(tc.nt, 0) * 1000000 // (d.degree * (d.degree - 1)) AS BIGINT)
-        |  END AS cc_ppm
-        |FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node""".stripMargin,
-    // x64: three unrolled BPE iterations (bpeIterSql) over the word-count
-    // table with the double-space canonical-merge encoding — literal
-    // replace ≡ leftmost non-overlapping pair merge on both engines, so
-    // merges, tie-breaks, weighted counts and corpus symbol totals replay
-    // exactly. "left"/"right" quoted (reserved words in DuckDB).
-    "x64_bpe_merges" ->
-      (s"""WITH tk AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
-        |), wc AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
-        |), w0 AS MATERIALIZED (
-        |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
-        |),""".stripMargin +
-        (1 to bpeMerges).map(bpeIterSql).mkString(",") + "\n" +
-        (1 to bpeMerges)
-          .map(i =>
-            s"""SELECT $i AS iter, a AS "left", b AS "right", a || b AS merged,
-               |  CAST(pc AS BIGINT) AS pair_count,
-               |  CAST((SELECT n FROM after$i) AS BIGINT) AS corpus_symbols_after
-               |FROM win$i""".stripMargin)
-          .mkString("\nUNION ALL\n") +
-        "\nORDER BY iter"),
-    // x65: the same unrolled chain's FINAL word table w{m} is already the
-    // segmented vocabulary — train ≡ encode consistency by construction.
-    "x65_bpe_segment" ->
-      (s"""WITH tk AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
-        |), wc AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
-        |), w0 AS MATERIALIZED (
-        |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
-        |),""".stripMargin +
-        (1 to bpeMerges).map(bpeIterSql).mkString(",") + "\n" +
-        s"""SELECT w, cnt,
-           |  array_to_string(string_split_regex(trim(s), '\\s+'), ' ') AS segmentation,
-           |  CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_subwords
-           |FROM w$bpeMerges ORDER BY w""".stripMargin),
-    // x121: the x64/x65 unrolled chain extended three CTEs — vocab ids by
-    // (weighted count desc, symbol asc) over the final word table,
-    // (doc, pos, word) via DuckDB's parallel unnest (zip) with 0-based
-    // positions over the RAW split (empties filtered after indexing,
-    // matching the Spark side), segmentation re-split with sub positions,
-    // id join. train ≡ segment ≡ encode in one replay.
-    "x121_bpe_encode" ->
-      (s"""WITH tk AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
-        |), wc AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE length(w) > 0 GROUP BY w
-        |), w0 AS MATERIALIZED (
-        |  SELECT w, cnt, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s FROM wc
-        |),""".stripMargin +
-        (1 to bpeMerges).map(bpeIterSql).mkString(",") + "," +
-        s"""
-        |fin AS MATERIALIZED (
-        |  SELECT w, cnt, string_split_regex(trim(s), '\\s+') AS syms FROM w$bpeMerges
-        |), vocab AS MATERIALIZED (
-        |  SELECT sym, row_number() OVER (ORDER BY c DESC, sym) - 1 AS token_id
-        |  FROM (SELECT sym, sum(cnt) AS c
-        |        FROM (SELECT cnt, unnest(syms) AS sym FROM fin) GROUP BY sym)
-        |), dtk AS (
-        |  SELECT doc_id, w, pos FROM (
-        |    SELECT doc_id, unnest(ts) AS w, unnest(range(len(ts))) AS pos
-        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents))
-        |  WHERE length(w) > 0
-        |), enc AS (
-        |  SELECT d.doc_id, d.pos, unnest(f.syms) AS sym, unnest(range(len(f.syms))) AS sub_pos
-        |  FROM dtk d JOIN fin f USING (w)
-        |)
-        |SELECT e.doc_id, CAST(e.pos AS INT) AS pos, CAST(e.sub_pos AS INT) AS sub_pos,
-        |  CAST(v.token_id AS BIGINT) AS token_id
-        |FROM enc e JOIN vocab v USING (sym)
-        |ORDER BY e.doc_id, pos, sub_pos""".stripMargin),
-    // x66: all 8 rendezvous weights per doc via the x57 hex→int splice,
-    // argmax by (weight desc, shard asc) — the operator's first-position
-    // tie-break in window form.
-    "x66_rendezvous_shard" ->
-      s"""WITH d AS (
-        |  SELECT doc_id FROM documents
-        |), hx AS (
-        |  SELECT doc_id, sh,
-        |    substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 10) AS h
-        |  FROM d, range($hrwShards) r(sh)
-        |), hv AS (
-        |  SELECT doc_id, sh, CAST($kmvHexToIntSql AS BIGINT) AS wgt FROM hx
-        |), rk AS (
-        |  SELECT doc_id, sh, wgt,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY wgt DESC, sh) AS rn
-        |  FROM hv
-        |)
-        |SELECT doc_id, CAST(sh AS INTEGER) AS shard, wgt AS shard_weight
-        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    // x67: brute-force ground truth — digest join for exact, all-pairs
-    // distinct-3-shingle Jaccard (the x06 convention) for near, CASE
-    // precedence exact > near > novel, min match id per class.
-    "x67_incremental_ingest" ->
-      """WITH idx AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
-        |), newb AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
-        |  UNION ALL
-        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
-        |), ex AS (
-        |  SELECT n.doc_id, min(i.doc_id) AS m
-        |  FROM newb n JOIN idx i ON md5(n.text) = md5(i.text) GROUP BY n.doc_id
-        |), shn AS (
-        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                                for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM newb)
-        |  WHERE len(t) >= 3
-        |), shi AS (
-        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                                for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM idx)
-        |  WHERE len(t) >= 3
-        |), nr AS (
-        |  SELECT a.doc_id, min(b.doc_id) AS m
-        |  FROM shn a JOIN shi b ON
-        |    len(list_intersect(a.sh, b.sh)) * 1.0
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-        |  GROUP BY a.doc_id
-        |)
-        |SELECT n.doc_id,
-        |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
-        |       WHEN nr.m IS NOT NULL THEN 'near'
-        |       ELSE 'novel' END AS status,
-        |  coalesce(ex.m, nr.m) AS match_id
-        |FROM newb n LEFT JOIN ex ON n.doc_id = ex.doc_id
-        |LEFT JOIN nr ON n.doc_id = nr.doc_id
-        |ORDER BY n.doc_id""".stripMargin,
-    // x76: brute-force ordered-pair containment over documents + planted
-    // 12-token excerpts (ids +20000); C(A,B) = |∩|/|S(A)|, 6-dp rounded,
-    // threshold 0.6. No df prune replay needed: no shingle approaches
-    // maxDf=1000 at gate sizes, so kept-space ≡ full-space containment.
-    // x76's oracle is the same inverted-index posture as invJaccardPairsSql
-    // but DIRECTED (containment |A∩B|/|A| over a ≠ b, fragments included in
-    // the base), so it keeps its own CTE chain: containment ≥ 0.6 > 0 still
-    // requires a shared shingle, so the equi-join miner is lossless.
-    "x76_containment" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 20000, array_to_string(ts[1:12], ' ')
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)
-        |  WHERE len(ts) >= 24
-        |), sh AS (
-        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                                for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM base)
-        |  WHERE len(t) >= 3
-        |), csz AS (
-        |  SELECT doc_id, len(sh) AS sz FROM sh
-        |), cinv AS (
-        |  SELECT doc_id, unnest(sh) AS g FROM sh
-        |), ccand AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM cinv a JOIN cinv b ON a.g = b.g AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT a_id, b_id, round(inter * 1.0 / sa.sz, 6) AS cont
-        |FROM ccand JOIN csz sa ON sa.doc_id = a_id
-        |WHERE round(inter * 1.0 / sa.sz, 6) >= 0.6
-        |ORDER BY a_id, b_id""".stripMargin,
-    // x77: the x45 brand graph, then lpaRounds unrolled synchronous
-    // plurality rounds (count → row_number argmax per node).
-    "x77_label_prop" ->
-      s"""WITH v AS (SELECT DISTINCT p_brand AS s FROM part
-        |           WHERE p_brand IS NOT NULL AND length(p_brand) >= 2),
-        |e0 AS (
-        |  SELECT a.s AS a, b.s AS b FROM v a JOIN v b ON a.s < b.s
-        |  WHERE levenshtein(a.s, b.s) <= 1
-        |), bidir AS (
-        |  SELECT a AS src, b AS dst FROM e0 UNION SELECT b AS src, a AS dst FROM e0
-        |), l0 AS (
-        |  SELECT DISTINCT src AS id, src AS label FROM bidir
-        |), ${(1 to lpaRounds).map(lpaIterSql).mkString(", ")}
-        |SELECT id AS node, label FROM l$lpaRounds ORDER BY node""".stripMargin,
-    // x78: closed-form round-2 unnormalized HITS on the directed trade
-    // graph — auth(s) = Σ_{c→s} outdeg(c), hub(c) = Σ_{c→s} indeg(s);
-    // pure sources/sinks keep 0 via the left joins. BIGINT casts per the
-    // HUGEINT lesson.
-    "x78_hits" ->
-      """WITH e AS (
-        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |), n AS (
-        |  SELECT DISTINCT node FROM
-        |    (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
-        |), od AS (SELECT src, count(*) AS d FROM e GROUP BY src
-        |), idg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst
-        |), a2 AS (
-        |  SELECT e.dst AS node, CAST(sum(od.d) AS BIGINT) AS auth
-        |  FROM e JOIN od ON e.src = od.src GROUP BY e.dst
-        |), h2 AS (
-        |  SELECT e.src AS node, CAST(sum(idg.d) AS BIGINT) AS hub
-        |  FROM e JOIN idg ON e.dst = idg.dst GROUP BY e.src
-        |)
-        |SELECT n.node, CAST(coalesce(h2.hub, 0) AS BIGINT) AS hub,
-        |  CAST(coalesce(a2.auth, 0) AS BIGINT) AS auth
-        |FROM n LEFT JOIN h2 ON n.node = h2.node LEFT JOIN a2 ON n.node = a2.node
-        |ORDER BY n.node""".stripMargin,
-    // x79: replay the HLL register file and exact-integer estimator —
-    // hash40 (kmv hex→int splice), top-6-bit bucket, rho = 35 − bitlen of
-    // the 34-bit remainder capped at 31, register = max rho, absent
-    // buckets 0 via the 64-slot grid, S = Σ 2^(R−Mj), est = α_ppm·m²·2^R
-    // div (10⁶·S), every step BIGINT.
-    "x79_hll_distinct" ->
-      s"""WITH tk AS (
-        |  SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
-        |), gr AS (
-        |  SELECT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                         for i in range(1, len(t) - 1)]) AS tok
-        |  FROM tk WHERE len(t) >= 3
-        |), dt AS (
-        |  SELECT DISTINCT source, tok FROM gr
-        |), hx AS (
-        |  SELECT source, substr(md5(tok), 1, 10) AS h FROM dt
-        |), hv AS (
-        |  SELECT source, CAST($kmvHexToIntSql AS BIGINT) AS v FROM hx
-        |), br AS (
-        |  SELECT source, v // 17179869184 AS j,
-        |    CASE WHEN v % 17179869184 = 0 THEN 31
-        |         ELSE least(35 - length(bin(v % 17179869184)), 31) END AS rho
-        |  FROM hv
-        |), mreg AS (
-        |  SELECT source, j, max(rho) AS mj FROM br GROUP BY source, j
-        |), grid AS (
-        |  -- source domain from gr, NOT documents: a source whose every doc
-        |  -- tokenizes below 3 tokens never forms a group on the Spark side
-        |  -- (explode of empty shingle arrays drops the rows), so it must
-        |  -- not materialize an all-zero register row here either
-        |  SELECT s.source, g.j, coalesce(mreg.mj, 0) AS mj
-        |  FROM (SELECT DISTINCT source FROM gr) s
-        |  CROSS JOIN (SELECT unnest(range(64)) AS j) g
-        |  LEFT JOIN mreg ON mreg.source = s.source AND mreg.j = g.j
-        |), rm AS (
-        |  SELECT source, max(mj) AS r_max FROM grid GROUP BY source
-        |), agg AS (
-        |  SELECT grid.source, CAST(max(mj) AS INT) AS r_max,
-        |    CAST(sum(CAST(1 AS BIGINT) << (rm.r_max - mj)) AS BIGINT) AS s_scaled,
-        |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
-        |  FROM grid JOIN rm ON grid.source = rm.source GROUP BY grid.source
-        |)
-        |SELECT source, r_max, s_scaled, n_zero_regs,
-        |  CAST((CAST(709265 AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << r_max))
-        |       // (CAST(1000000 AS BIGINT) * s_scaled) AS BIGINT) AS est_distinct
-        |FROM agg ORDER BY source""".stripMargin,
-    // x81: brute cosine pairs at 0.45 → recursive component closure →
-    // min-id keep — the x71 oracle technique on the embedding graph.
-    // q34: first-seen day per user, then the distinct-user retention
-    // triangle; all counts BIGINT-cast (the HUGEINT lesson).
-    "q34_cohort_retention" ->
-      """WITH d AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
-        |), c AS (
-        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
-        |)
-        |SELECT cohort_day, day - cohort_day AS day_offset,
-        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
-        |FROM d JOIN c USING (user_id)
-        |GROUP BY cohort_day, day - cohort_day
-        |ORDER BY cohort_day, day_offset""".stripMargin,
-    // x86: the same 2-day window, per-user row_number order, and three
-    // chained min-after-previous-step aggregations; missed steps poison
-    // the rest through the NULL join, positions sentinel to -1.
-    "x86_funnel" ->
-      """WITH ex AS (
-        |  SELECT user_id, event_type,
-        |    CAST(row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY epoch_us(ts), event_id) AS BIGINT) AS pos
-        |  FROM events WHERE epoch_us(ts) < 1704067200000000 + 2 * 86400000000
-        |), s1 AS (
-        |  SELECT user_id, min(pos) AS p1 FROM ex WHERE event_type = 'signup' GROUP BY user_id
-        |), s2 AS (
-        |  SELECT ex.user_id, min(pos) AS p2 FROM ex JOIN s1 USING (user_id)
-        |  WHERE event_type = 'purchase' AND pos > p1 GROUP BY ex.user_id
-        |), s3 AS (
-        |  SELECT ex.user_id, min(pos) AS p3 FROM ex JOIN s2 USING (user_id)
-        |  WHERE event_type = 'error' AND pos > p2 GROUP BY ex.user_id
-        |), u AS (
-        |  SELECT DISTINCT user_id FROM ex
-        |)
-        |SELECT u.user_id,
-        |  CAST(CASE WHEN p1 IS NULL THEN 0 WHEN p2 IS NULL THEN 1
-        |            WHEN p3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage,
-        |  CAST(coalesce(p1, -1) AS BIGINT) AS pos_1,
-        |  CAST(coalesce(p2, -1) AS BIGINT) AS pos_2,
-        |  CAST(coalesce(p3, -1) AS BIGINT) AS pos_3
-        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |LEFT JOIN s3 USING (user_id)
-        |ORDER BY u.user_id""".stripMargin,
-    // x87: per-node exact top-3 by (score desc, neighbor asc) over the
-    // full a<>b cosine matrix.
-    "x87_knn_graph" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), s AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(a.v, b.v), 6) AS score
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-        |)
-        |SELECT query_id, neighbor_id, score, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY score DESC, neighbor_id) AS INT) AS rank
-        |  FROM s) WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
-    // x88: the x17 session CTE (lag-gap flag + running sum), then
-    // string_agg ordered within each session and a path-count top-20.
-    "x88_session_paths" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
-        |), flagged AS (
-        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |                   OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |), sess AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged
-        |), p AS (
-        |  SELECT user_id, sid,
-        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
-        |  FROM sess GROUP BY user_id, sid
-        |)
-        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-        |FROM p GROUP BY path
-        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
-    // x89: sampled-frame checksums recomputed from the (w, h, f) closed
-    // form - RIFF walk arithmetic cannot be faked by metadata alone.
-    "x89_avi_frames" ->
-      """WITH par AS (
-        |  SELECT doc_id, 8 + doc_id % 23 AS w, 8 + doc_id % 19 AS h,
-        |         2 + doc_id % 9 AS nf
-        |  FROM documents WHERE doc_id % 7 = 1
-        |), fr AS (
-        |  SELECT doc_id, w, h, unnest(range(nf)) AS f FROM par
-        |)
-        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
-        |  CAST(list_sum([((w*31 + h*17 + f*7 + i*13) % 256) * (i + 1)
-        |                 for i in range(0, 24)]) AS BIGINT) AS checksum
-        |FROM fr WHERE f % 2 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin,
-    // x90: expected visible/main text rebuilt from (doc_id, text) alone -
-    // the planted-page closed form (BuildHtml's scaladoc): blocks are
-    // [nav item {id} | more links here | Heading {id}! | norm(text) see
-    // ref {id} | about & terms], densities [1, 1, 0, data-dependent,
-    // >=0.5]. norm() collapses runs of whitespace because the extractor
-    // does. Block 4's density is computed, not assumed small: link chars
-    // = len('ref '||id)+1 (the space before the anchor inherits
-    // link-ness), total = len(t)+9+len(id) (or 8+len(id) when t is
-    // empty, where the leading space collapses away), so the strict
-    // <0.5 keep reduces to len(t) > 1+len(id) - a short/empty document
-    // drops block 4 (n_dropped=4) on BOTH sides instead of diverging.
-    "x90_html_extract" ->
-      """WITH nrm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
-        |  FROM documents WHERE doc_id % 3 = 1
-        |), b AS (
-        |  SELECT doc_id,
-        |    CASE WHEN t = '' THEN 'see ref ' || doc_id
-        |         ELSE t || ' see ref ' || doc_id END AS block4,
-        |    length(t) > 1 + length(CAST(doc_id AS VARCHAR)) AS keep4
-        |  FROM nrm
-        |)
-        |SELECT doc_id,
-        |  'nav item ' || doc_id || ' more links here Heading ' || doc_id
-        |    || '! ' || block4 || ' about & terms' AS full_text,
-        |  'Heading ' || doc_id || '!'
-        |    || CASE WHEN keep4 THEN ' ' || block4 ELSE '' END AS main_text,
-        |  CAST(5 AS INT) AS n_blocks,
-        |  CAST(CASE WHEN keep4 THEN 3 ELSE 4 END AS INT) AS n_dropped
-        |FROM b ORDER BY doc_id""".stripMargin,
-    // x91: replay the ENTIRE integer LSH — the 8x6x64 plane grid from the
-    // md5 closed form (hash40 % 2001 - 1000), floor-1000 quantization,
-    // BIGINT sign dots, bucket bit-packing, the shared-bucket candidate
-    // join, 6-dp cosine, (score desc, id asc) top-5. A hash match
-    // certifies candidate GENERATION, not just the final ranking.
-    "x91_int_lsh_topk" ->
-      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
-        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |  WHERE qb.vec_id < 10 AND cb.vec_id >= 10
-        |), s AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
-        |  FROM cand c
-        |  JOIN vq q ON q.vec_id = c.query_id
-        |  JOIN vq n ON n.vec_id = c.neighbor_id
-        |)
-        |SELECT query_id, neighbor_id, score, rank FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM s) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-    // x92: the full WARC byte layout replayed from (doc_id, text) alone -
-    // the exact page string (BuildHtml's template, esc = &/</> entity
-    // escape), its byte length (= Content-Length), every header string,
-    // and therefore each record's byte offset: warcinfo record size +
-    // i preceding resource records. main_text reuses the x90 closed form
-    // (block-4 density cut included). strlen() is DuckDB's BYTE length,
-    // matching the UTF-8 byte arithmetic of the Scala walk.
-    "x92_warc_records" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
-        |    1 + doc_id % 3 AS nrec,
-        |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
-        |  FROM documents WHERE doc_id % 5 = 2
-        |), h AS (
-        |  SELECT *,
-        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
-        |    || '<title>Doc ' || ids || '</title>' || chr(10)
-        |    || '<meta charset="utf-8">' || chr(10)
-        |    || '<script type="text/javascript">var n = ' || ids
-        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
-        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
-        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
-        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
-        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
-        |    || '</ul></nav>' || chr(10)
-        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
-        |    || '<div class="main">' || chr(10)
-        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
-        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
-        |                                '<', '&lt;'), '>', '&gt;')
-        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
-        |    || '</div>' || chr(10)
-        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
-        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
-        |  FROM d
-        |), sz AS (
-        |  SELECT doc_id, ids, nrec, t, strlen(html) AS clen,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: warcinfo' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':info>' || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:00Z' || e'\r\n'
-        |      || 'Content-Type: application/warc-fields' || e'\r\n'
-        |      || 'Content-Length: 17' || e'\r\n' || e'\r\n') + 17 + 4 AS isize
-        |  FROM h
-        |), recs AS (
-        |  SELECT doc_id, ids, t, clen, isize, unnest(range(nrec)) AS i FROM sz
-        |), sized AS (
-        |  SELECT *,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: resource' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':' || i || '>' || e'\r\n'
-        |      || 'WARC-Target-URI: http://example.com/doc/' || ids || '/' || i || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:0' || i || 'Z' || e'\r\n'
-        |      || 'Content-Type: text/html' || e'\r\n'
-        |      || 'Content-Length: ' || clen || e'\r\n' || e'\r\n') + clen + 4 AS rsize
-        |  FROM recs
-        |), off AS (
-        |  SELECT *,
-        |    isize + coalesce(sum(rsize) OVER (
-        |      PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset
-        |  FROM sized
-        |), b AS (
-        |  SELECT *,
-        |    CASE WHEN t = '' THEN 'see ref ' || ids
-        |         ELSE t || ' see ref ' || ids END AS block4,
-        |    length(t) > 1 + length(ids) AS keep4
-        |  FROM off
-        |)
-        |SELECT doc_id, CAST(i AS INT) AS rec_idx,
-        |  'http://example.com/doc/' || ids || '/' || i AS target_uri,
-        |  '2020-01-01T00:00:0' || i || 'Z' AS rec_date,
-        |  CAST(rec_offset AS BIGINT) AS rec_offset,
-        |  CAST(clen AS INT) AS content_length,
-        |  'Heading ' || ids || '!'
-        |    || CASE WHEN keep4 THEN ' ' || block4 ELSE '' END AS main_text
-        |FROM b ORDER BY doc_id, rec_idx""".stripMargin,
-    // x93: the planted page carries exactly five anchors in closed form
-    // (document order): nav /p/{id}, hub /q/{id%13}, inline /ref/{id},
-    // footer /about and /tos. unnest + generate_subscripts zip in DuckDB,
-    // giving (value, position) pairs.
-    "x93_html_links" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    ['/p/' || doc_id, '/q/' || (doc_id % 13), '/ref/' || doc_id,
-        |     '/about', '/tos'] AS l
-        |  FROM documents WHERE doc_id % 4 = 3
-        |)
-        |SELECT doc_id,
-        |  CAST(generate_subscripts(l, 1) - 1 AS INT) AS link_idx,
-        |  unnest(l) AS href
-        |FROM d ORDER BY doc_id, link_idx""".stripMargin,
-    // x94: closed-form web edges (doc*2 <-> (doc%13)*2+1 from the
-    // extracted hub anchor), then the x46 integer-PageRank recurrence
-    // unrolled 3 rounds - same tele/damping arithmetic, same HUGEINT cast.
-    "x94_web_pagerank" ->
-      """WITH docs AS (
-        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-        |), base AS (
-        |  SELECT DISTINCT doc_id * 2 AS a, (doc_id % 13) * 2 + 1 AS b FROM docs
-        |), e AS (
-        |  SELECT a AS src, b AS dst FROM base
-        |  UNION SELECT b AS src, a AS dst FROM base
-        |), deg AS (
-        |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
-        |), n AS (SELECT count(*) AS cnt FROM deg),
-        |r0 AS (
-        |  SELECT src AS node_id, 1000000000000 // cnt AS rank_units, outdeg
-        |  FROM deg, n
-        |), r1 AS (
-        |  SELECT d.src AS node_id,
-        |    (15 * (1000000000000 // n.cnt)) // 100
-        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
-        |    d.outdeg
-        |  FROM deg d CROSS JOIN n
-        |  LEFT JOIN (
-        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
-        |    FROM r0 r JOIN e ON r.node_id = e.src GROUP BY e.dst
-        |  ) c ON d.src = c.dst
-        |), r2 AS (
-        |  SELECT d.src AS node_id,
-        |    (15 * (1000000000000 // n.cnt)) // 100
-        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
-        |    d.outdeg
-        |  FROM deg d CROSS JOIN n
-        |  LEFT JOIN (
-        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
-        |    FROM r1 r JOIN e ON r.node_id = e.src GROUP BY e.dst
-        |  ) c ON d.src = c.dst
-        |), r3 AS (
-        |  SELECT d.src AS node_id,
-        |    (15 * (1000000000000 // n.cnt)) // 100
-        |      + (85 * coalesce(c.incoming, 0)) // 100 AS rank_units,
-        |    d.outdeg
-        |  FROM deg d CROSS JOIN n
-        |  LEFT JOIN (
-        |    SELECT e.dst, sum(r.rank_units // r.outdeg) AS incoming
-        |    FROM r2 r JOIN e ON r.node_id = e.src GROUP BY e.dst
-        |  ) c ON d.src = c.dst
-        |)
-        |SELECT node_id, CAST(rank_units AS BIGINT) AS rank_units
-        |FROM r3 ORDER BY node_id""".stripMargin,
-    // x99: the RFC 9309 decision matrix in closed form. graftbot obeys
-    // the merged graftbot/otherbot group (only /q/ rules: case 4 denied,
-    // case 5 saved by the longer Allow); every other agent obeys the *
-    // group (case 2 denied by the prefix rule, case 3 by the /*.tmp$
-    // wildcard-anchor, case 1 saved by the longer Allow override).
-    "x99_robots" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
-        |    CAST(doc_id % 5 AS VARCHAR) AS k, doc_id % 2 = 0 AS g
-        |  FROM documents WHERE doc_id % 6 = 4
-        |), c AS (
-        |  SELECT doc_id, ids, k, g, unnest(range(6)) AS ci FROM d
-        |)
-        |SELECT doc_id, CAST(ci AS INT) AS case_idx,
-        |  CASE ci WHEN 0 THEN '/a' || ids || '/x'
-        |          WHEN 1 THEN '/private' || k || '/ok/f'
-        |          WHEN 2 THEN '/private' || k || '/secret'
-        |          WHEN 3 THEN '/f' || ids || '.tmp'
-        |          WHEN 4 THEN '/q/page'
-        |          ELSE '/q/open' || ids END AS path,
-        |  CASE WHEN g THEN 'graftbot/1.0' ELSE 'randombot' END AS agent,
-        |  CASE WHEN g THEN ci <> 4 ELSE ci NOT IN (2, 3) END AS allowed
-        |FROM c ORDER BY doc_id, case_idx""".stripMargin,
-    // x98: the CDX triple re-derived in closed form - SURT key from the
-    // known URI shape, offsets via the x92 prefix-sum, record length =
-    // header + payload + separator bytes. A match proves MEASURED
-    // offsets and lengths agree with the byte layout.
-    "x98_cdx_index" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
-        |    1 + doc_id % 3 AS nrec
-        |  FROM documents WHERE doc_id % 5 = 2
-        |), h AS (
-        |  SELECT *,
-        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
-        |    || '<title>Doc ' || ids || '</title>' || chr(10)
-        |    || '<meta charset="utf-8">' || chr(10)
-        |    || '<script type="text/javascript">var n = ' || ids
-        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
-        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
-        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
-        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
-        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
-        |    || '</ul></nav>' || chr(10)
-        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
-        |    || '<div class="main">' || chr(10)
-        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
-        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
-        |                                '<', '&lt;'), '>', '&gt;')
-        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
-        |    || '</div>' || chr(10)
-        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
-        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
-        |  FROM d
-        |), sz AS (
-        |  SELECT doc_id, ids, nrec, strlen(html) AS clen,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: warcinfo' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':info>' || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:00Z' || e'\r\n'
-        |      || 'Content-Type: application/warc-fields' || e'\r\n'
-        |      || 'Content-Length: 17' || e'\r\n' || e'\r\n') + 17 + 4 AS isize
-        |  FROM h
-        |), recs AS (
-        |  SELECT doc_id, ids, clen, isize, unnest(range(nrec)) AS i FROM sz
-        |), sized AS (
-        |  SELECT *,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: resource' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':' || i || '>' || e'\r\n'
-        |      || 'WARC-Target-URI: http://example.com/doc/' || ids || '/' || i || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:0' || i || 'Z' || e'\r\n'
-        |      || 'Content-Type: text/html' || e'\r\n'
-        |      || 'Content-Length: ' || clen || e'\r\n' || e'\r\n') + clen + 4 AS rsize
-        |  FROM recs
-        |), off AS (
-        |  SELECT *,
-        |    isize + coalesce(sum(rsize) OVER (
-        |      PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset
-        |  FROM sized
-        |)
-        |SELECT doc_id, CAST(i AS INT) AS rec_idx,
-        |  'com,example)/doc/' || ids || '/' || i AS surt_key,
-        |  CAST(rec_offset AS BIGINT) AS rec_offset,
-        |  CAST(rsize AS BIGINT) AS rec_len
-        |FROM off ORDER BY doc_id, rec_idx""".stripMargin,
-    // x97: x92's closed form minus byte offsets (compressed member sizes
-    // are not closed-form): uri/date/Content-Length/main_text per
-    // resource record of the %7=3 subset - proving member split +
-    // inflate + CRC verify + record walk + extraction end-to-end.
-    "x97_warc_gz" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
-        |    1 + doc_id % 3 AS nrec,
-        |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
-        |  FROM documents WHERE doc_id % 7 = 3
-        |), h AS (
-        |  SELECT *,
-        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
-        |    || '<title>Doc ' || ids || '</title>' || chr(10)
-        |    || '<meta charset="utf-8">' || chr(10)
-        |    || '<script type="text/javascript">var n = ' || ids
-        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
-        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
-        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
-        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
-        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
-        |    || '</ul></nav>' || chr(10)
-        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
-        |    || '<div class="main">' || chr(10)
-        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
-        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
-        |                                '<', '&lt;'), '>', '&gt;')
-        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
-        |    || '</div>' || chr(10)
-        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
-        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
-        |  FROM d
-        |), recs AS (
-        |  SELECT doc_id, ids, t, strlen(html) AS clen,
-        |    unnest(range(nrec)) AS i
-        |  FROM h
-        |), b AS (
-        |  SELECT *,
-        |    CASE WHEN t = '' THEN 'see ref ' || ids
-        |         ELSE t || ' see ref ' || ids END AS block4,
-        |    length(t) > 1 + length(ids) AS keep4
-        |  FROM recs
-        |)
-        |SELECT doc_id, CAST(i AS INT) AS rec_idx,
-        |  'http://example.com/doc/' || ids || '/' || i AS target_uri,
-        |  '2020-01-01T00:00:0' || i || 'Z' AS rec_date,
-        |  CAST(clen AS INT) AS content_length,
-        |  'Heading ' || ids || '!'
-        |    || CASE WHEN keep4 THEN ' ' || block4 ELSE '' END AS main_text
-        |FROM b ORDER BY doc_id, rec_idx""".stripMargin,
-    // x95: the expected canonical form per id, stated in closed form -
-    // scheme/host lowered, :80 dropped / :8443 kept, %41->A and %7e->~
-    // decoded (unreserved), %2f kept but hex-uppercased (reserved),
-    // /./ and /../ removed with // preserved, fragment dropped.
-    "x95_url_normalize" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
-        |    CAST(doc_id % 5 AS VARCHAR) AS k
-        |  FROM documents WHERE doc_id % 3 = 2
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0
-        |    THEN 'http://example' || k || '.com/a' || ids || '/pAth/' || ids
-        |         || '?b=2&a=%2F'
-        |    ELSE 'https://sub.example' || k || '.com:8443/~user//' || ids || '/'
-        |  END AS norm_url,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'example' || k || '.com'
-        |       ELSE 'sub.example' || k || '.com' END AS host,
-        |  CASE WHEN doc_id % 2 = 0 THEN '/a' || ids || '/pAth/' || ids
-        |       ELSE '/~user//' || ids || '/' END AS path
-        |FROM d ORDER BY doc_id""".stripMargin,
-    // x96: replay the same first-occurrence sentence dedup - split on
-    // '. ', keep each sentence's minimum index, rebuild in index order.
-    // The oracle runs the ALGORITHM (min-index window), not the plant.
-    "x96_sentence_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, text || '. ' || text AS t2
-        |  FROM documents WHERE doc_id % 4 = 1
-        |), s AS (
-        |  SELECT doc_id, unnest(string_split(t2, '. ')) AS sent,
-        |    generate_subscripts(string_split(t2, '. '), 1) AS i
-        |  FROM d
-        |), f AS (
-        |  SELECT doc_id, sent, i,
-        |    min(i) OVER (PARTITION BY doc_id, sent) AS fi
-        |  FROM s
-        |), tot AS (
-        |  SELECT doc_id, count(*) AS n_sent FROM s GROUP BY doc_id
-        |), kept AS (
-        |  SELECT doc_id, string_agg(sent, '. ' ORDER BY i) AS clean_text,
-        |    count(*) AS n_kept
-        |  FROM f WHERE i = fi GROUP BY doc_id
-        |)
-        |SELECT t.doc_id, k.clean_text,
-        |  CAST(t.n_sent AS INT) AS n_sent,
-        |  CAST(t.n_sent - k.n_kept AS INT) AS n_dupes
-        |FROM tot t JOIN kept k ON t.doc_id = k.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
-    // x110: every class re-counted with an independent RE2 regex over
-    // the same injected text (replay by different machinery).
-    "x110_script_mix" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 4 = 1 THEN text || ' привет мир всем'
-        |         WHEN doc_id % 4 = 2 THEN text || ' 你好世界'
-        |         WHEN doc_id % 4 = 3 THEN text || ' mixed привет 你好'
-        |         ELSE text END AS t
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS INT) AS n_latin,
-        |    CAST(len(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS INT) AS n_cyrillic,
-        |    CAST(len(regexp_replace(t, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS INT) AS n_cjk,
-        |    CAST(len(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS n_digit,
-        |    CAST(len(t) - len(regexp_replace(t, '\s', '', 'g')) AS INT) AS n_space,
-        |    CAST(len(t) AS INT) AS n_all
-        |  FROM d
-        |)
-        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_space,
-        |  n_all - n_latin - n_cyrillic - n_cjk - n_digit - n_space AS n_other,
-        |  CASE
-        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin > 0 THEN 'latin'
-        |    WHEN n_cyrillic >= n_cjk AND n_cyrillic > 0 THEN 'cyrillic'
-        |    WHEN n_cjk > 0 THEN 'cjk'
-        |    ELSE 'none'
-        |  END AS dominant,
-        |  (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
-        |   + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
-        |   + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
-        |FROM c ORDER BY doc_id""".stripMargin,
-    // x111: the x91 plane-grid replay applied to the SELF-join kNN graph
-    // — shared-bucket candidate edges (a≠b), 6-dp cosine, per-node top-3.
-    // A hash match certifies the banded candidate generation of the
-    // graph path itself.
-    "x111_int_lsh_knn" ->
-      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
-        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |  WHERE qb.vec_id <> cb.vec_id
-        |), s AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
-        |  FROM cand c
-        |  JOIN vq q ON q.vec_id = c.query_id
-        |  JOIN vq n ON n.vec_id = c.neighbor_id
-        |)
-        |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM s) WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
-    // x112: the full banded mining pipeline replayed end to end — plane
-    // grid → buckets → near-dup pairs (cos ≥ 0.45 on banded candidates)
-    // → recursive component closure → roots → candidate edges → same-root
-    // exclusion → top-3 (the x91 + x104 oracle techniques fused).
-    "x112_int_lsh_hardneg" ->
-      s"""WITH RECURSIVE ${intLshCtesSql(8, 6)}, np AS (
-        |  SELECT c.a_id, c.b_id
-        |  FROM (SELECT DISTINCT qb.vec_id AS a_id, cb.vec_id AS b_id
-        |        FROM buckets qb JOIN buckets cb
-        |          ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |        WHERE qb.vec_id < cb.vec_id) c
-        |  JOIN vq a ON a.vec_id = c.a_id JOIN vq b ON b.vec_id = c.b_id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        |), bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM np
-        |  UNION SELECT b_id AS src, a_id AS dst FROM np
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |), comp AS (
-        |  SELECT src AS vec_id, least(src, min(dst)) AS comp_id
-        |  FROM reach GROUP BY src
-        |), roots AS (
-        |  SELECT em.vec_id, coalesce(comp_id, em.vec_id) AS root
-        |  FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.vec_id
-        |), cand AS (
-        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |  WHERE qb.vec_id <> cb.vec_id
-        |), s AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    round(list_cosine_similarity(q.v, n.v), 6) AS score
-        |  FROM cand c
-        |  JOIN roots rq ON rq.vec_id = c.query_id
-        |  JOIN roots rn ON rn.vec_id = c.neighbor_id
-        |  JOIN vq q ON q.vec_id = c.query_id
-        |  JOIN vq n ON n.vec_id = c.neighbor_id
-        |  WHERE rq.root <> rn.root
-        |)
-        |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM s) WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
-    // x113: banded near-dup candidate generation replayed (a<b ordered
-    // pairs), exact 6-dp cosine threshold — both engines compute the
-    // IDENTICAL candidate set, so the banding miss is replayed, not
-    // hidden.
-    "x113_int_lsh_neardup" ->
-      s"""WITH ${intLshCtesSql(8, 6)}, cand AS (
-        |  SELECT DISTINCT qb.vec_id AS a_id, cb.vec_id AS b_id
-        |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |  WHERE qb.vec_id < cb.vec_id
-        |)
-        |SELECT c.a_id, c.b_id,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
-        |FROM cand c JOIN vq a ON a.vec_id = c.a_id JOIN vq b ON b.vec_id = c.b_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        |ORDER BY a_id, b_id""".stripMargin,
-    // x114: stride-1 8-token gram digests, the diagonal join, and the
-    // island arithmetic replayed verbatim — the planted append/prepend
-    // spans land at different offsets by construction, and the corpus's
-    // organic 8-gram repeats ride along.
-    "x114_max_shared_spans" ->
-      s"""WITH d0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 37 = 0 THEN text || ' $spanInj'
-        |         WHEN doc_id % 41 = 0 THEN '$spanInj ' || text
-        |         ELSE text END AS text
-        |  FROM documents
-        |), tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM d0
-        |), g AS (
-        |  SELECT doc_id, i - 1 AS p,
-        |    md5(array_to_string(toks[i:i+7], ' ')) AS h
-        |  FROM tk, LATERAL unnest(range(1, len(toks) - 6)) t(i)
-        |  WHERE len(toks) >= 8
-        |), m AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa, b.p AS pb
-        |  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
-        |), isl AS (
-        |  SELECT a_id, b_id, pa - pb AS dg, pa, pb,
-        |    pa - row_number() OVER (
-        |      PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS k
-        |  FROM m
-        |)
-        |SELECT a_id, b_id,
-        |  CAST(min(pa) AS BIGINT) AS a_start,
-        |  CAST(min(pb) AS BIGINT) AS b_start,
-        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
-        |FROM isl GROUP BY a_id, b_id, dg, k
-        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
-    // x122: x114's replay extended with the losing-interval islands merge
-    // (running-max window, overlapping spans fuse), a parallel-unnest
-    // token rebuild with 0-based positions, and the anti-join cut — the
-    // find ≡ remove consistency chain.
-    "x122_remove_spans" ->
-      s"""WITH d0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 37 = 0 THEN text || ' $spanInj'
-        |         WHEN doc_id % 41 = 0 THEN '$spanInj ' || text
-        |         ELSE text END AS text
-        |  FROM documents
-        |), tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM d0
-        |), g AS (
-        |  SELECT doc_id, i - 1 AS p,
-        |    md5(array_to_string(toks[i:i+7], ' ')) AS h
-        |  FROM tk, LATERAL unnest(range(1, len(toks) - 6)) t(i)
-        |  WHERE len(toks) >= 8
-        |), m AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa, b.p AS pb
-        |  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
-        |), isl AS (
-        |  SELECT a_id, b_id, pa - pb AS dg, pa, pb,
-        |    pa - row_number() OVER (
-        |      PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS k
-        |  FROM m
-        |), sp AS (
-        |  SELECT b_id AS doc_id,
-        |    CAST(min(pb) AS BIGINT) AS s,
-        |    CAST(min(pb) + count(*) + 7 AS BIGINT) AS e
-        |  FROM isl GROUP BY a_id, b_id, dg, k
-        |), mg AS (
-        |  SELECT doc_id, s, e,
-        |    CASE WHEN s > coalesce(max(e) OVER (
-        |        PARTITION BY doc_id ORDER BY s, e
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |      THEN 1 ELSE 0 END AS ni
-        |  FROM sp
-        |), mg2 AS (
-        |  SELECT doc_id, s, e,
-        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-        |                  ROWS UNBOUNDED PRECEDING) AS isl2
-        |  FROM mg
-        |), iv AS (
-        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg2 GROUP BY doc_id, isl2
-        |), pos AS (
-        |  SELECT doc_id, unnest(toks) AS t, unnest(range(len(toks))) AS i FROM tk
-        |), kept AS (
-        |  SELECT p.doc_id, p.t, p.i FROM pos p
-        |  WHERE NOT EXISTS (SELECT 1 FROM iv
-        |                    WHERE iv.doc_id = p.doc_id AND p.i >= iv.s AND p.i < iv.e)
-        |), kept2 AS (
-        |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
-        |    CAST(count(*) AS BIGINT) AS n_kept
-        |  FROM kept GROUP BY doc_id
-        |)
-        |SELECT tk.doc_id, coalesce(k.clean_text, '') AS clean_text,
-        |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
-        |  CAST(len(tk.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_tokens
-        |FROM tk LEFT JOIN kept2 k USING (doc_id)
-        |ORDER BY tk.doc_id""".stripMargin,
-    // x115: the integer BM25 contract replayed stage by stage — postings,
-    // df, the two corpus scalars, lf_ppm / denom_u / norm_ppm / idf_ppm /
-    // contrib with the same floor divisions, term-set queries, top-5 by
-    // (score desc, doc asc).
-    "x115_bm25_topk" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), tok AS (
-        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, unnest(toks) AS term FROM tk
-        |), postings AS (
-        |  SELECT term, doc_id, len, CAST(count(*) AS BIGINT) AS tf
-        |  FROM tok GROUP BY 1, 2, 3
-        |), nn AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |    greatest(CAST(sum(len) AS BIGINT), 1) AS tot
-        |  FROM (SELECT doc_id, any_value(len) AS len FROM postings GROUP BY doc_id)
-        |), dfx AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
-        |), q AS (
-        |  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:4])) AS term
-        |  FROM tk WHERE doc_id % 97 = 0
-        |), c1 AS (
-        |  SELECT q.query_id, p.doc_id,
-        |    250 * 1000 + 750 * (p.len * nn.n * 1000 // nn.tot) AS lf_ppm,
-        |    least(p.tf, 4000) AS tf_c, dfx.df, nn.n
-        |  FROM q JOIN postings p ON p.term = q.term
-        |  JOIN dfx ON dfx.term = q.term CROSS JOIN nn
-        |), c2 AS (
-        |  SELECT query_id, doc_id, tf_c, df, n,
-        |    tf_c * 1000000 + (1200 * lf_ppm // 1000) AS denom_u
-        |  FROM c1
-        |), c3 AS (
-        |  SELECT query_id, doc_id,
-        |    tf_c * 2200 * 1000000000000 // (1000 * denom_u) AS norm_ppm,
-        |    (n - df) * 1000000 // (df + 1) AS idf_ppm
-        |  FROM c2
-        |), s AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(sum(idf_ppm * (norm_ppm // 1000) // 1000) AS BIGINT) AS score_ppm
-        |  FROM c3 GROUP BY 1, 2
-        |)
-        |SELECT query_id, doc_id, score_ppm, CAST(rank AS INT) AS rank FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank
-        |  FROM s) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-    // x116: distinct 5-gram shingles, document-frequency table, df>=2
-    // rollup, floor-ppm — the same algorithm by different machinery.
-    "x116_dup_gram_profile" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct([array_to_string(toks[i:i+4], ' ')
-        |                     for i in range(1, len(toks) - 3)])
-        |    ELSE [] END AS sh
-        |  FROM tk
-        |), p AS (
-        |  SELECT doc_id, unnest(sh) AS shingle FROM g
-        |), dfx AS (
-        |  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY shingle
-        |), dup AS (
-        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup
-        |  FROM p JOIN dfx ON p.shingle = dfx.shingle WHERE dfx.df >= 2
-        |  GROUP BY p.doc_id
-        |)
-        |SELECT g.doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
-        |  coalesce(n_dup, 0) AS n_dup,
-        |  CASE WHEN len(sh) > 0
-        |    THEN coalesce(n_dup, 0) * 1000000 // len(sh) ELSE -1 END AS dup_ppm
-        |FROM g LEFT JOIN dup ON g.doc_id = dup.doc_id
-        |ORDER BY g.doc_id""".stripMargin,
-    // x117: per-dim integer calibration from the CORPUS, the 32x64x2
-    // range-calibrated codebook grid from the md5 closed form, per-vector
-    // per-subspace argmin code (ties to smallest k), ADC distances
-    // recomputed from codes alone, rank ASC by (dist, id).
-    "x117_int_pq_adc" ->
-      s"""WITH vq AS (
-        |  SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
-        |       (CASE WHEN len(embedding) = 64 THEN embedding
-        |             ELSE error('x117 oracle: embedding dim ' ||
-        |                        len(embedding) || ' <> codebook dim 64') END)] AS q
-        |  FROM embeddings
-        |), dimstat AS (
-        |  SELECT j, min(q[j + 1]) AS mn, max(q[j + 1]) AS mx
-        |  FROM vq, range(0, 64) r(j) WHERE vec_id >= 10 GROUP BY j
-        |), cb AS (
-        |  SELECT s, k, t.j2 AS j,
-        |    ds.mn + CAST(($kmvHexToIntSql) % (ds.mx - ds.mn + 1) AS BIGINT) AS c
-        |  FROM (SELECT s, k, j2,
-        |          substr(md5('pq:' || s || ':' || k || ':' || j2), 1, 10) AS h
-        |        FROM range(0, 32) r1(s), range(0, 64) r2(k), range(0, 2) r3(j2)) t
-        |  JOIN dimstat ds ON ds.j = t.s * 2 + t.j2
-        |), dists AS (
-        |  SELECT vec_id, s, k,
-        |    sum((q[s * 2 + j + 1] - c) * (q[s * 2 + j + 1] - c)) AS d
-        |  FROM vq, cb WHERE vec_id >= 10 GROUP BY 1, 2, 3
-        |), codes AS (
-        |  SELECT vec_id, s, k AS code FROM (
-        |    SELECT vec_id, s, k,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
-        |    FROM dists) WHERE rn = 1
-        |), adc AS (
-        |  SELECT qv.vec_id AS query_id, codes.vec_id AS neighbor_id,
-        |    sum((qv.q[codes.s * 2 + cb.j + 1] - cb.c)
-        |        * (qv.q[codes.s * 2 + cb.j + 1] - cb.c)) AS dist
-        |  FROM (SELECT * FROM vq WHERE vec_id < 10) qv
-        |  CROSS JOIN codes
-        |  JOIN cb ON cb.s = codes.s AND cb.k = codes.code
-        |  GROUP BY 1, 2
-        |)
-        |SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist,
-        |  CAST(rank AS INT) AS rank FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-        |  FROM adc) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-    // x118: the FULL trained-PQ loop replayed — floor-1000 quantization,
-    // per-dim corpus-min shift, hash40-ordered seeds, pqTrainIters
-    // unrolled integer-Lloyd rounds (pqRoundSql), final assignment, ADC,
-    // (dist asc, neighbor asc) rank. Everything integer-valued, so double
-    // arithmetic on both engines IS integer arithmetic (< 2^53).
-    "x118_int_pq_trained" ->
-      (s"""WITH wq AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
-        |       (CASE WHEN len(embedding) = 64 THEN embedding
-        |             ELSE error('x118 oracle: embedding dim ' ||
-        |                        len(embedding) || ' <> codebook dim 64') END)] AS q
-        |  FROM embeddings
-        |), mn AS MATERIALIZED (
-        |  SELECT list(m ORDER BY j) AS l FROM (
-        |    SELECT j, min(q[j + 1]) AS m FROM wq, range(0, 64) r(j)
-        |    WHERE vec_id >= 10 GROUP BY j)
-        |), wv AS MATERIALIZED (
-        |  SELECT vec_id, [q[j + 1] - l[j + 1] for j in range(0, 64)] AS w FROM wq, mn
-        |), seeds AS MATERIALIZED (
-        |  SELECT w, row_number() OVER (ORDER BY hv, vec_id) - 1 AS k
-        |  FROM (SELECT vec_id, w, CAST(($kmvHexToIntSql) AS BIGINT) AS hv
-        |        FROM (SELECT vec_id, w, md5('pq:' || vec_id) AS h FROM wv WHERE vec_id >= 10))
-        |  ORDER BY hv, vec_id LIMIT $pqTrainKsub
-        |), cb0 AS MATERIALIZED (
-        |  SELECT s, list([CAST(w[s * $pqTrainSub + j + 1] AS DOUBLE) for j in range(0, $pqTrainSub)] ORDER BY k) AS cells
-        |  FROM seeds, range(0, $pqTrainM) rs(s) GROUP BY s
-        |), """.stripMargin +
-        (1 to pqTrainIters).map(pqRoundSql).mkString(", ") +
-        s""", ${pqAsgSql("F", s"cb$pqTrainIters")}, adc AS (
-        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-        |    CAST(sum(list_sum(list_transform(
-        |      [CAST(q.w[a.s * $pqTrainSub + j + 1] AS DOUBLE) - b.cells[a.k + 1][j + 1] for j in range(0, $pqTrainSub)],
-        |      x -> x * x))) AS BIGINT) AS dist
-        |  FROM wv q, asgF a JOIN cb$pqTrainIters b ON b.s = a.s
-        |  WHERE q.vec_id < 10
-        |  GROUP BY 1, 2
-        |)
-        |SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM adc)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
-    // x119: the FULL IVFADC chain replayed — the x118 integer grid, then
-    // BOTH training loops (coarse m=1/ksub=nlist over the corpus, fine
-    // x118-geometry over the residuals), both assignments, the per-query
-    // probe ranking (dist asc, list asc), and residual ADC inside probed
-    // lists only. Everything integer-valued (< 2^53), so double
-    // arithmetic on both engines IS integer arithmetic.
-    "x119_ivf_pq_adc" ->
-      (s"""WITH wq AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in
-        |       (CASE WHEN len(embedding) = 64 THEN embedding
-        |             ELSE error('x119 oracle: embedding dim ' ||
-        |                        len(embedding) || ' <> codebook dim 64') END)] AS q
-        |  FROM embeddings
-        |), mn AS MATERIALIZED (
-        |  SELECT list(m ORDER BY j) AS l FROM (
-        |    SELECT j, min(q[j + 1]) AS m FROM wq, range(0, 64) r(j)
-        |    WHERE vec_id >= 10 GROUP BY j)
-        |), cw AS MATERIALIZED (
-        |  SELECT vec_id, [q[j + 1] - l[j + 1] for j in range(0, 64)] AS w
-        |  FROM wq, mn WHERE vec_id >= 10
-        |), qv AS MATERIALIZED (
-        |  SELECT vec_id, [q[j + 1] - l[j + 1] for j in range(0, 64)] AS w
-        |  FROM wq, mn WHERE vec_id < 10
-        |), """.stripMargin +
-        gSeedsSql("c", "cw", "ivf:", 1, ivfNlist, 64) + ", " +
-        (1 to pqTrainIters).map(r => gRoundSql("c", r, "cw", 64, ivfNlist)).mkString(", ") +
-        ", " + gAsgSql("c", "F", s"ccb$pqTrainIters", "cw", 64, ivfNlist) +
-        s""", rw AS MATERIALIZED (
-        |  SELECT c.vec_id, a.k AS list_id,
-        |    [CAST(c.w[j + 1] AS DOUBLE) - b.cells[a.k + 1][j + 1] for j in range(0, 64)] AS w
-        |  FROM cw c JOIN casgF a USING (vec_id) JOIN ccb$pqTrainIters b ON b.s = 0
-        |), """.stripMargin +
-        gSeedsSql("f", "rw", "pq:", pqTrainM, pqTrainKsub, pqTrainSub) + ", " +
-        (1 to pqTrainIters)
-          .map(r => gRoundSql("f", r, "rw", pqTrainSub, pqTrainKsub)).mkString(", ") +
-        ", " + gAsgSql("f", "F", s"fcb$pqTrainIters", "rw", pqTrainSub, pqTrainKsub) +
-        s""", qd AS (
-        |  SELECT q.vec_id, r.kk AS list_id,
-        |    list_sum(list_transform(
-        |      [CAST(q.w[j + 1] AS DOUBLE) - b.cells[r.kk + 1][j + 1] for j in range(0, 64)],
-        |      x -> x * x)) AS d
-        |  FROM qv q, ccb$pqTrainIters b, range(0, $ivfNlist) r(kk) WHERE b.s = 0
-        |), probes AS (
-        |  SELECT vec_id, list_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS pr FROM qd)
-        |  WHERE pr <= $ivfNprobe
-        |), qres AS MATERIALIZED (
-        |  SELECT q.vec_id, p.list_id,
-        |    [CAST(q.w[j + 1] AS DOUBLE) - b.cells[p.list_id + 1][j + 1] for j in range(0, 64)] AS w
-        |  FROM qv q JOIN probes p USING (vec_id) JOIN ccb$pqTrainIters b ON b.s = 0
-        |), adc AS (
-        |  SELECT qr.vec_id AS query_id, rr.vec_id AS neighbor_id,
-        |    CAST(sum(list_sum(list_transform(
-        |      [CAST(qr.w[a.s * $pqTrainSub + j + 1] AS DOUBLE) - fb.cells[a.k + 1][j + 1] for j in range(0, $pqTrainSub)],
-        |      x -> x * x))) AS BIGINT) AS dist
-        |  FROM qres qr JOIN rw rr ON rr.list_id = qr.list_id
-        |  JOIN fasgF a ON a.vec_id = rr.vec_id
-        |  JOIN fcb$pqTrainIters fb ON fb.s = a.s
-        |  GROUP BY 1, 2
-        |)
-        |SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM adc)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
-    // x120: the composed curation pipeline replayed stage by stage —
-    // x01's dedup rule, x58's integer Gopher cascade, x05's marker
-    // argmax, x51's md5-ordered cap, x04's BPE-ish count — each CTE the
-    // same text its standalone oracle uses, so the composition cannot
-    // drift from the pieces.
-    "x120_curation_pipeline" ->
-      s"""WITH surv AS (
-        |  SELECT doc_id, source, text,
-        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM documents
-        |), s1 AS (
-        |  SELECT doc_id, source, text FROM surv WHERE rn = 1
-        |), tk AS (
-        |  SELECT doc_id, source, text,
-        |    string_split_regex(trim(text), '\\s+') AS toks FROM s1
-        |), g AS (
-        |  SELECT *,
-        |    CAST(len(toks) AS BIGINT) AS n_tok,
-        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_chars,
-        |    CAST(len(list_intersect(toks,
-        |      [${TextAnalysis.langMarkers.head._2.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
-        |  FROM tk
-        |), q AS (
-        |  SELECT * FROM g
-        |  WHERE n_tok BETWEEN 30 AND 90
-        |    AND 30 * n_tok <= 10 * sum_chars AND 10 * sum_chars <= 52 * n_tok
-        |    AND n_stop >= 2
-        |), sc AS (
-        |  SELECT *,
-        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
-        |  FROM q
-        |), lang AS (
-        |  SELECT *, CASE
-        |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-        |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-        |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-        |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-        |    ELSE 'fr' END AS lang_pred
-        |  FROM sc
-        |), fin AS (
-        |  SELECT * FROM lang WHERE lang_pred <> 'und'
-        |), capd AS (
-        |  SELECT source, doc_id, lang_pred,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
-        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
-        |  FROM fin
-        |)
-        |SELECT source, doc_id, lang_pred, n_tokens
-        |FROM capd WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
-    // x109: expected outputs hand-derived from the PSL spec per rule
-    // kind, written closed-form — an independent derivation, not a
-    // replay of the engine's join.
-    "x109_public_suffix" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CASE doc_id % 6
-        |    WHEN 0 THEN 'www.example' || k || '.com'
-        |    WHEN 1 THEN 'a.b.example' || k || '.co.uk'
-        |    WHEN 2 THEN 'www.user' || k || '.github.io'
-        |    WHEN 3 THEN 'a.b' || k || '.ck'
-        |    WHEN 4 THEN 'www.ck'
-        |    ELSE CASE WHEN doc_id % 12 = 5 THEN 'co.uk'
-        |              ELSE 'internal' || k || '.unknown' END
-        |  END AS host,
-        |  CASE doc_id % 6
-        |    WHEN 0 THEN 'com'
-        |    WHEN 1 THEN 'co.uk'
-        |    WHEN 2 THEN 'github.io'
-        |    WHEN 3 THEN 'b' || k || '.ck'
-        |    WHEN 4 THEN 'ck'
-        |    ELSE CASE WHEN doc_id % 12 = 5 THEN 'co.uk' ELSE 'unknown' END
-        |  END AS public_suffix,
-        |  CASE doc_id % 6
-        |    WHEN 0 THEN 'example' || k || '.com'
-        |    WHEN 1 THEN 'example' || k || '.co.uk'
-        |    WHEN 2 THEN 'user' || k || '.github.io'
-        |    WHEN 3 THEN 'a.b' || k || '.ck'
-        |    WHEN 4 THEN 'www.ck'
-        |    ELSE CASE WHEN doc_id % 12 = 5 THEN NULL
-        |              ELSE 'internal' || k || '.unknown' END
-        |  END AS registrable
-        |FROM d ORDER BY doc_id""".stripMargin,
-    // x108: identical fold chain (lower → translate → letter-run split)
-    // and the same injection CASE, hit counting via list_filter.
-    "x108_wordlist_filter" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN text || ' w1n a pr1ze at the c4$ino'
-        |         WHEN doc_id % 3 = 1 THEN text || ' free l0ttery t1cket'
-        |         ELSE text END AS t
-        |  FROM documents
-        |), f AS (
-        |  SELECT doc_id,
-        |    string_split_regex(trim(regexp_replace(
-        |      translate(lower(t), '013457@$', 'oieastas'),
-        |      '[^a-z]+', ' ', 'g')), '\s+') AS toks
-        |  FROM d
-        |), h AS (
-        |  SELECT doc_id,
-        |    list_filter(toks, w -> list_contains(
-        |      ['casino', 'lottery', 'prize', 'winner', 'free'], w)) AS hits
-        |  FROM f
-        |)
-        |SELECT doc_id,
-        |  CAST(len(hits) AS INT) AS n_hits,
-        |  CAST(len(list_distinct(hits)) AS INT) AS n_distinct_hits,
-        |  CASE WHEN len(hits) > 0 THEN list_sort(hits)[1] END AS first_hit,
-        |  len(hits) >= 2 AS flagged
-        |FROM h ORDER BY doc_id""".stripMargin,
-    // x107: the waterfill replayed in SQL windows over the per-language
-    // table — same sort, same prefix predicate, same remainder split.
-    "x107_unimax_quotas" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), lid AS (
-        |  SELECT CAST(len(toks) AS BIGINT) AS n_tok,
-        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
-        |  FROM tk
-        |), dl AS (
-        |  SELECT CASE
-        |      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-        |      ELSE 'fr'
-        |    END AS lang, n_tok
-        |  FROM lid
-        |), pl AS (
-        |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tok
-        |  FROM dl GROUP BY lang
-        |), srt AS (
-        |  SELECT lang, n_tok, n_tok AS cap,
-        |    row_number() OVER (ORDER BY n_tok, lang) AS j,
-        |    CAST(sum(n_tok) OVER
-        |      (ORDER BY n_tok, lang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
-        |    count(*) OVER () AS l,
-        |    CAST((SELECT sum(n_tok) // 2 FROM pl) AS BIGINT) AS b
-        |  FROM pl
-        |), fl AS (
-        |  SELECT *, cap * (l - j + 1) <= b - (s - cap) AS sat FROM srt
-        |), ag AS (
-        |  SELECT CAST(coalesce(sum(CASE WHEN sat THEN cap END), 0) AS BIGINT) AS satsum,
-        |    CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS m
-        |  FROM fl
-        |), un AS (
-        |  SELECT lang, row_number() OVER (ORDER BY cap, lang) AS r
-        |  FROM fl WHERE NOT sat
-        |), q AS (
-        |  SELECT f.lang, f.n_tok, f.cap, f.sat,
-        |    CASE WHEN f.sat THEN f.cap
-        |      ELSE (f.b - ag.satsum) // greatest(f.l - ag.m, 1)
-        |        + CASE WHEN u.r <= (f.b - ag.satsum) % greatest(f.l - ag.m, 1)
-        |            THEN 1 ELSE 0 END
-        |    END AS quota
-        |  FROM fl f LEFT JOIN un u USING (lang), ag
-        |)
-        |SELECT lang, n_tok, CAST(cap AS BIGINT) AS cap,
-        |  CAST(quota AS BIGINT) AS quota,
-        |  CAST(CASE WHEN n_tok > 0 THEN quota * 1000000 // n_tok ELSE 0 END
-        |    AS BIGINT) AS keep_ppm,
-        |  sat AS saturated
-        |FROM q ORDER BY lang""".stripMargin,
-    // x106: hosts written closed-form (normalization defects become
-    // key mismatches), x05 lang argmax, then count/sum rollup with
-    // row_number plurality and the integer-div block rule.
-    "x106_domain_stats" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN 'example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-        |      ELSE 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.example'
-        |        || CAST(doc_id % 5 AS VARCHAR) || '.com' END AS host,
-        |    string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |), lg AS (
-        |  SELECT doc_id, host,
-        |    CAST(len(toks) AS BIGINT) AS n_tok,
-        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
-        |  FROM d
-        |), dl AS (
-        |  SELECT host,
-        |    CASE
-        |      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-        |      ELSE 'fr'
-        |    END AS lang, n_tok
-        |  FROM lg
-        |), ct AS (
-        |  SELECT host, lang, count(*) AS cnt, sum(n_tok) AS tok
-        |  FROM dl GROUP BY 1, 2
-        |), top AS (
-        |  SELECT host, lang,
-        |    row_number() OVER (PARTITION BY host ORDER BY cnt DESC, lang) AS rn
-        |  FROM ct
-        |), agg AS (
-        |  SELECT host, sum(cnt) AS n_docs, sum(tok) AS tok_sum
-        |  FROM ct GROUP BY host
-        |)
-        |SELECT a.host, CAST(n_docs AS BIGINT) AS n_docs,
-        |  CAST(tok_sum AS BIGINT) AS tok_sum,
-        |  CAST(tok_sum // n_docs AS BIGINT) AS avg_tok,
-        |  t.lang AS top_lang,
-        |  (tok_sum // n_docs) < 54 AS blocked
-        |FROM agg a JOIN top t ON a.host = t.host AND t.rn = 1
-        |ORDER BY a.host""".stripMargin,
-    // x105: the definitional double-window replay of the closed-form
-    // interleave — per-source row_number, then global row_number over
-    // (rank, source).
-    "x105_curriculum" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'src_a' WHEN 1 THEN 'src_b'
-        |      ELSE 'src_c' END AS source,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
-        |  FROM documents
-        |), r AS (
-        |  SELECT doc_id, source, n_tok,
-        |    CAST(row_number() OVER
-        |      (PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS src_rank
-        |  FROM d
-        |)
-        |SELECT doc_id, source, n_tok, src_rank,
-        |  CAST(row_number() OVER (ORDER BY src_rank, source) AS BIGINT) AS pos
-        |FROM r ORDER BY doc_id""".stripMargin,
-    // x104: x81's recursive closure → roots; exclude same-root pairs;
-    // row_number top-3 over the full directed pair matrix.
-    "x104_hard_negatives" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), p AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        |), bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM p
-        |  UNION SELECT b_id AS src, a_id AS dst FROM p
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |), comp AS (
-        |  SELECT src AS vec_id, least(src, min(dst)) AS comp_id
-        |  FROM reach GROUP BY src
-        |), roots AS (
-        |  SELECT em.vec_id, coalesce(comp_id, em.vec_id) AS root
-        |  FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.vec_id
-        |), scored AS (
-        |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(qa.v, qb.v), 6) AS score
-        |  FROM e qa
-        |  JOIN e qb ON qa.vec_id <> qb.vec_id
-        |  JOIN roots ra ON ra.vec_id = qa.vec_id
-        |  JOIN roots rb ON rb.vec_id = qb.vec_id
-        |  WHERE ra.root <> rb.root
-        |), rk AS (
-        |  SELECT query_id, neighbor_id, score,
-        |    row_number() OVER
-        |      (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
-        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    // x103: the x05 language argmax + the full x70 LM replay on the odd
-    // half, then literal ntile(3)/row_number per language — DuckDB's
-    // ntile IS the SQL semantics GroupNtile's closed form reproduces, so
-    // a hash match proves the class-table rank decomposition exactly.
-    "x103_ccnet_buckets" ->
-      """WITH rtk AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE doc_id % 2 = 0
-        |), uni AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt_w
-        |  FROM (SELECT unnest(toks) AS w FROM rtk) GROUP BY w
-        |), big AS (
-        |  SELECT p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS cnt_b
-        |  FROM (
-        |    SELECT unnest(CASE WHEN len(toks) >= 2
-        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
-        |      ELSE [] END) AS p
-        |    FROM rtk)
-        |  GROUP BY 1, 2
-        |), n AS (
-        |  SELECT greatest(CAST(coalesce(sum(cnt_w), 0) AS BIGINT), 1) AS total FROM uni
-        |), ttk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE doc_id % 2 = 1
-        |), pd AS (
-        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS m
-        |  FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
-        |      ELSE [] END) AS p
-        |    FROM ttk)
-        |  GROUP BY 1, 2, 3
-        |), sc AS (
-        |  SELECT pd.doc_id, pd.m,
-        |    CASE WHEN b.cnt_b IS NOT NULL THEN b.cnt_b * 1000000 // u1.cnt_w
-        |         ELSE coalesce(u2.cnt_w, 0) * 400000 // n.total END AS p_ppm
-        |  FROM pd
-        |  LEFT JOIN big b ON pd.w1 = b.w1 AND pd.w2 = b.w2
-        |  LEFT JOIN uni u1 ON pd.w1 = u1.w
-        |  LEFT JOIN uni u2 ON pd.w2 = u2.w, n
-        |), flu AS (
-        |  SELECT doc_id, CAST(sum(m * p_ppm) // sum(m) AS BIGINT) AS f
-        |  FROM sc GROUP BY doc_id
-        |), lid AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','los','de','y','que','en','una'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS s_fr
-        |  FROM ttk
-        |), joined AS (
-        |  SELECT l.doc_id,
-        |    CASE
-        |      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-        |      ELSE 'fr'
-        |    END AS lang,
-        |    CAST(coalesce(f, -1) AS BIGINT) AS fluency_ppm
-        |  FROM lid l LEFT JOIN flu USING (doc_id)
-        |)
-        |SELECT doc_id, lang, fluency_ppm,
-        |  CAST(row_number() OVER
-        |    (PARTITION BY lang ORDER BY fluency_ppm DESC, doc_id) AS BIGINT) AS lrank,
-        |  CASE ntile(3) OVER
-        |    (PARTITION BY lang ORDER BY fluency_ppm DESC, doc_id)
-        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM joined ORDER BY doc_id""".stripMargin,
-    // x102: closed-form rebuild of every sitemap entry — the decoded /
-    // trimmed / ppm-parsed VALUES are written directly, so any walk
-    // defect (entity leak, CDATA padding, wrong omission) hash-fails.
-    "x102_sitemap" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
-        |    CAST(doc_id % 5 AS VARCHAR) AS k
-        |  FROM documents WHERE doc_id % 5 = 2
-        |), idx AS (
-        |  SELECT * FROM d WHERE doc_id % 4 = 0
-        |), us AS (
-        |  SELECT * FROM d WHERE doc_id % 4 <> 0
-        |), rows_ AS (
-        |  SELECT doc_id, 0 AS entry_idx, 'sitemap' AS kind,
-        |    'https://example' || k || '.com/sitemap_' || ids || '_1.xml' AS loc,
-        |    '2024-06-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS lastmod,
-        |    CAST(NULL AS VARCHAR) AS changefreq,
-        |    CAST(NULL AS INT) AS priority_ppm
-        |  FROM idx
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'sitemap',
-        |    'https://example' || k || '.com/sitemap_' || ids || '_2.xml',
-        |    NULL, NULL, NULL
-        |  FROM idx
-        |  UNION ALL
-        |  SELECT doc_id, 0, 'url',
-        |    'https://example' || k || '.com/p/' || ids,
-        |    CASE WHEN doc_id % 3 <> 0 THEN
-        |      '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
-        |      || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') END,
-        |    CASE doc_id % 3 WHEN 1 THEN 'weekly' WHEN 2 THEN 'monthly' END,
-        |    CASE WHEN doc_id % 3 <> 0
-        |      THEN CAST((doc_id % 10) * 100000 AS INT) END
-        |  FROM us
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'url',
-        |    'https://example' || k || '.com/s?a=' || ids
-        |      || '&b=' || CAST(doc_id % 7 AS VARCHAR),
-        |    NULL, NULL, 500000
-        |  FROM us
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'url',
-        |    'https://example' || k || '.com/cd/' || ids,
-        |    '2024-01-02', NULL, NULL
-        |  FROM us
-        |)
-        |SELECT doc_id, CAST(entry_idx AS INT) AS entry_idx, kind, loc,
-        |  lastmod, changefreq, CAST(priority_ppm AS INT) AS priority_ppm
-        |FROM rows_ ORDER BY doc_id, entry_idx""".stripMargin,
-    // x101: closed-form pair stream (5 page anchors + the hub re-link
-    // under "site {id%5}") → per-(target, text) counts → row_number
-    // plurality with (cnt desc, text) tie-break → per-target totals.
-    "x101_anchor_text" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
-        |    CAST(doc_id % 13 AS VARCHAR) AS k,
-        |    'site ' || CAST(doc_id % 5 AS VARCHAR) AS st
-        |  FROM documents WHERE doc_id % 2 = 0
-        |), pairs AS (
-        |  SELECT doc_id, '/p/' || ids AS href, 'nav item ' || ids AS txt FROM d
-        |  UNION ALL SELECT doc_id, '/q/' || k, 'more links here' FROM d
-        |  UNION ALL SELECT doc_id, '/ref/' || ids, 'ref ' || ids FROM d
-        |  UNION ALL SELECT doc_id, '/about', 'about' FROM d
-        |  UNION ALL SELECT doc_id, '/tos', 'terms' FROM d
-        |  UNION ALL SELECT doc_id, '/q/' || k, st FROM d
-        |), ct AS (
-        |  SELECT href, txt, count(*) AS cnt FROM pairs GROUP BY href, txt
-        |), top AS (
-        |  SELECT href, txt, cnt,
-        |    row_number() OVER (PARTITION BY href ORDER BY cnt DESC, txt) AS rn
-        |  FROM ct
-        |), agg AS (
-        |  SELECT href, count(*) AS n_links,
-        |    count(DISTINCT doc_id) AS n_src_docs,
-        |    count(DISTINCT txt) AS n_texts
-        |  FROM pairs GROUP BY href
-        |)
-        |SELECT a.href AS target, CAST(n_links AS BIGINT) AS n_links,
-        |  CAST(n_src_docs AS BIGINT) AS n_src_docs,
-        |  CAST(n_texts AS BIGINT) AS n_texts,
-        |  t.txt AS top_text, CAST(t.cnt AS BIGINT) AS top_cnt
-        |FROM agg a JOIN top t ON a.href = t.href AND t.rn = 1
-        |ORDER BY target""".stripMargin,
-    // x100: full DSIR replay — md5-hex4 feature buckets (positional
-    // strpos decode, the kmv convention), ONE grouped count carrying both
-    // distributions, add-one-smoothed integer ratio weights over the FULL
-    // bucket range, occurrence-sum scores for the raw pool, row_number
-    // under (score desc, doc_id) and the top-n_raw//5 keep rule.
-    "x100_dsir_resample" ->
-      s"""WITH tk AS (
-        |  SELECT doc_id, doc_id % 7 = 0 AS tgt,
-        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        |  FROM documents
-        |), hx AS (
-        |  SELECT doc_id, tgt, md5(tok) AS h FROM tk WHERE tok <> ''
-        |), f AS (
-        |  SELECT doc_id, tgt, ($hex4ToIntSql) % 256 AS b FROM hx
-        |), cnt AS (
-        |  SELECT b,
-        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t,
-        |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS r
-        |  FROM f GROUP BY b
-        |), w AS (
-        |  SELECT bb.b,
-        |    ((coalesce(t, 0) + 1) * 1000000) // (coalesce(r, 0) + 1) AS w
-        |  FROM (SELECT unnest(range(0, 256)) AS b) bb
-        |  LEFT JOIN cnt ON bb.b = cnt.b
-        |), sc AS (
-        |  SELECT doc_id, count(*) AS n_tok, sum(w) AS score
-        |  FROM f JOIN w USING (b) WHERE NOT tgt GROUP BY doc_id
-        |), n AS (
-        |  SELECT count(*) AS n_raw FROM sc
-        |), rk AS (
-        |  SELECT doc_id, n_tok, score,
-        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-        |  FROM sc
-        |)
-        |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
-        |  CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank,
-        |  rank <= n_raw // 5 AS selected
-        |FROM rk, n ORDER BY doc_id""".stripMargin,
-    "x81_semdedup" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), p AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        |), bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM p
-        |  UNION SELECT b_id AS src, a_id AS dst FROM p
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |), comp AS (
-        |  SELECT src AS vec_id, least(src, min(dst)) AS comp_id
-        |  FROM reach GROUP BY src
-        |)
-        |SELECT em.vec_id,
-        |  CAST(coalesce(comp_id, em.vec_id) AS BIGINT) AS root_id,
-        |  coalesce(comp_id, em.vec_id) = em.vec_id AS keep
-        |FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.vec_id
-        |ORDER BY em.vec_id""".stripMargin,
-    // x82: replay the capped one-mode projection — distinct incidence,
-    // degree ≤ 40 keep, part-keyed self-join a<b, shared ≥ 2.
-    "x82_cooccurrence" ->
-      """WITH e AS (
-        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |), deg AS (
-        |  SELECT p, count(*) AS d FROM e GROUP BY p
-        |), kept AS (
-        |  SELECT c, e.p FROM e JOIN deg ON e.p = deg.p WHERE d <= 40
-        |)
-        |SELECT a.c AS a_id, b.c AS b_id, CAST(count(*) AS BIGINT) AS shared
-        |FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
-        |GROUP BY a.c, b.c HAVING count(*) >= 2
-        |ORDER BY a_id, b_id""".stripMargin,
-    // x83: row_number over the same (n_tokens, doc_id) total order + the
-    // exact (rank−1)·1e6 div (n−1) ppm division.
-    "x83_rank_ppm" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
-        |  FROM documents
-        |), r AS (
-        |  SELECT doc_id, n_tokens,
-        |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
-        |    count(*) OVER () AS n
-        |  FROM tk
-        |)
-        |SELECT doc_id, n_tokens, rank,
-        |  CAST((rank - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT) AS rank_ppm
-        |FROM r ORDER BY doc_id""".stripMargin,
-    // x84: rebuild v2 with the same %13/%11/%17 rules and compare digests
-    // through a full outer join — all four statuses live.
-    "x84_corpus_diff" ->
-      """WITH v1 AS (
-        |  SELECT doc_id, md5(text) AS old_md5 FROM documents
-        |), v2 AS (
-        |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS new_md5
-        |  FROM documents WHERE doc_id % 13 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 30000, md5('new release doc ' || doc_id)
-        |  FROM documents WHERE doc_id % 17 = 0
-        |)
-        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
-        |       WHEN v2.doc_id IS NULL THEN 'removed'
-        |       WHEN old_md5 = new_md5 THEN 'unchanged'
-        |       ELSE 'changed' END AS status,
-        |  old_md5, new_md5
-        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-        |ORDER BY doc_id""".stripMargin,
-    // x85: lag() inside each user's (ts_us, event_id) order, pair counts,
-    // departure ppm by exact integer division.
-    "x85_transitions" ->
-      """WITH ex AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
-        |), o AS (
-        |  SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |      AS prev_state
-        |  FROM ex
-        |), c AS (
-        |  SELECT prev_state, event_type AS next_state, CAST(count(*) AS BIGINT) AS n
-        |  FROM o WHERE prev_state IS NOT NULL GROUP BY prev_state, event_type
-        |), t AS (
-        |  SELECT prev_state, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY prev_state
-        |)
-        |SELECT c.prev_state, c.next_state, c.n,
-        |  CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
-        |FROM c JOIN t ON c.prev_state = t.prev_state
-        |ORDER BY c.prev_state, c.next_state""".stripMargin,
-    // x75: brute-force FROZEN-INDEX ground truth — stop set from the
-    // index's distinct-text df only (empty at gate corpus sizes since the
-    // index has < maxDf distinct texts), kept sets = shingles minus stop
-    // on BOTH sides (delivery-unseen shingles count in the set size,
-    // never the intersection), 6-dp-rounded Jaccard (the operator's exact
-    // comparison), exact > near precedence, min index id per class.
-    "x75_indexed_ingest" ->
-      """WITH idx AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
-        |), newb AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
-        |  UNION ALL
-        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
-        |), ex AS (
-        |  SELECT n.doc_id, min(i.doc_id) AS m
-        |  FROM newb n JOIN idx i ON md5(n.text) = md5(i.text) GROUP BY n.doc_id
-        |), shi AS (
-        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                                for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM idx)
-        |  WHERE len(t) >= 3
-        |), shn AS (
-        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                                for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM newb)
-        |  WHERE len(t) >= 3
-        |), icls AS (
-        |  SELECT min(doc_id) AS rep FROM idx GROUP BY md5(text)
-        |), dfc AS (
-        |  SELECT gram, count(*) AS df
-        |  FROM (SELECT doc_id, unnest(sh) AS gram FROM shi)
-        |  WHERE doc_id IN (SELECT rep FROM icls) GROUP BY gram
-        |), stop AS (
-        |  SELECT gram FROM dfc WHERE df > 1000
-        |), ki AS (
-        |  SELECT doc_id, gram FROM (SELECT doc_id, unnest(sh) AS gram FROM shi)
-        |  WHERE gram NOT IN (SELECT gram FROM stop)
-        |), kn AS (
-        |  SELECT doc_id, gram FROM (SELECT doc_id, unnest(sh) AS gram FROM shn)
-        |  WHERE gram NOT IN (SELECT gram FROM stop)
-        |), szi AS (
-        |  SELECT doc_id, count(*) AS sz FROM ki GROUP BY doc_id
-        |), szn AS (
-        |  SELECT doc_id, count(*) AS sz FROM kn GROUP BY doc_id
-        |), cm AS (
-        |  SELECT kn.doc_id AS nid, ki.doc_id AS iid, count(*) AS c
-        |  FROM kn JOIN ki USING (gram) GROUP BY nid, iid
-        |), nr AS (
-        |  SELECT nid AS doc_id, min(iid) AS m
-        |  FROM cm JOIN szn ON szn.doc_id = nid JOIN szi ON szi.doc_id = iid
-        |  WHERE round(c * 1.0 / (szn.sz + szi.sz - c), 6) >= 0.5
-        |  GROUP BY nid
-        |)
-        |SELECT n.doc_id,
-        |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
-        |       WHEN nr.m IS NOT NULL THEN 'near'
-        |       ELSE 'novel' END AS status,
-        |  coalesce(ex.m, nr.m) AS match_id
-        |FROM newb n LEFT JOIN ex ON n.doc_id = ex.doc_id
-        |LEFT JOIN nr ON n.doc_id = nr.doc_id
-        |ORDER BY n.doc_id""".stripMargin,
-    // x68: integer epoch-hour buckets (epoch_us // 3.6e9 — matches the
-    // ev() ts_us contract), quantile_cont ×2 cast BIGINT is exact because
-    // medians of integers are half-integers; same 4·dev2 > 7·mad4
-    // cross-multiply as the Spark side.
-    "x68_burst_screen" ->
-      """WITH b AS (
-        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS n_events
-        |  FROM events GROUP BY 1, 2
-        |), m AS (
-        |  SELECT event_type, CAST(2 * quantile_cont(n_events, 0.5) AS BIGINT) AS med2
-        |  FROM b GROUP BY event_type
-        |), d AS (
-        |  SELECT b.event_type, b.bucket, b.n_events,
-        |    abs(2 * b.n_events - m.med2) AS dev2
-        |  FROM b JOIN m USING (event_type)
-        |), md AS (
-        |  SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
-        |  FROM d GROUP BY event_type
-        |)
-        |SELECT d.event_type, CAST(d.bucket AS BIGINT) AS bucket, d.n_events,
-        |  (4 * d.dev2 > 7 * md.mad4) AS is_burst
-        |FROM d JOIN md USING (event_type)
-        |ORDER BY d.event_type, d.bucket""".stripMargin,
-    // x69: closed-form AVI metadata (the x53 contract): dims are the
-    // BuildAvi inputs, duration = frames · 40 ms at the fixed 25 fps.
-    "x69_avi_meta" ->
-      """SELECT doc_id, 'avi' AS format,
-        |  CAST(32 + doc_id % 61 * 2 AS INT) AS width,
-        |  CAST(24 + doc_id % 47 * 2 AS INT) AS height,
-        |  CAST((10 + doc_id % 241) * 40 AS INT) AS duration_ms
-        |FROM documents WHERE doc_id % 5 = 2 ORDER BY doc_id""".stripMargin,
-    // x70: the oracle replays the bigram stupid-backoff LM naively —
-    // reference unigram/bigram count tables, per-pair integer ppm with
-    // the same div semantics, m-weighted integer mean per document. All
-    // sums CAST to BIGINT (the HUGEINT rendering rule).
-    "x70_lm_fluency" ->
-      """WITH rtk AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE doc_id % 2 = 0
-        |), uni AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt_w
-        |  FROM (SELECT unnest(toks) AS w FROM rtk) GROUP BY w
-        |), big AS (
-        |  SELECT p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS cnt_b
-        |  FROM (
-        |    SELECT unnest(CASE WHEN len(toks) >= 2
-        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
-        |      ELSE [] END) AS p
-        |    FROM rtk)
-        |  GROUP BY 1, 2
-        |), n AS (
-        |  SELECT greatest(CAST(coalesce(sum(cnt_w), 0) AS BIGINT), 1) AS total FROM uni
-        |), ttk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE doc_id % 2 = 1
-        |), pd AS (
-        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS m
-        |  FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-        |      THEN [{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]
-        |      ELSE [] END) AS p
-        |    FROM ttk)
-        |  GROUP BY 1, 2, 3
-        |), sc AS (
-        |  SELECT pd.doc_id, pd.m,
-        |    CASE WHEN b.cnt_b IS NOT NULL THEN b.cnt_b * 1000000 // u1.cnt_w
-        |         ELSE coalesce(u2.cnt_w, 0) * 400000 // n.total END AS p_ppm,
-        |    (b.cnt_b IS NOT NULL) AS hit
-        |  FROM pd
-        |  LEFT JOIN big b ON pd.w1 = b.w1 AND pd.w2 = b.w2
-        |  LEFT JOIN uni u1 ON pd.w1 = u1.w
-        |  LEFT JOIN uni u2 ON pd.w2 = u2.w, n
-        |), agg AS (
-        |  SELECT doc_id,
-        |    CAST(sum(m) AS BIGINT) AS n_pairs,
-        |    CAST(sum(CASE WHEN hit THEN m ELSE 0 END) AS BIGINT) AS n_hit,
-        |    CAST(sum(m * p_ppm) // sum(m) AS BIGINT) AS fluency_ppm
-        |  FROM sc GROUP BY doc_id
-        |)
-        |SELECT ttk.doc_id,
-        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-        |  CAST(coalesce(fluency_ppm, -1) AS BIGINT) AS fluency_ppm
-        |FROM ttk LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
-    // x71: x14's recursive-closure components (component minimum as root;
-    // docs in no pair root to themselves), then the hex-threshold split:
-    // round(0.8·65536) = 0xcccd, round(0.9·65536) = 0xe666 — the same
-    // constants Sampling.thresholdHex renders on the Spark side.
-    "x71_leakage_split" ->
-      s"""WITH RECURSIVE $invJaccardPairsSql, bidir AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs_j
-        |  UNION SELECT b_id AS src, a_id AS dst FROM pairs_j
-        |), reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
-        |), comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS comp_id
-        |  FROM reach GROUP BY src
-        |), rooted AS (
-        |  SELECT d.doc_id, CAST(coalesce(comp_id, d.doc_id) AS BIGINT) AS root_id
-        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
-        |)
-        |SELECT doc_id, root_id,
-        |  CASE WHEN substr(md5(CAST(root_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
-        |       WHEN substr(md5(CAST(root_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM rooted ORDER BY doc_id""".stripMargin,
-    // x72: recursive-CTE BFS over the same 12-node chains; UNION dedups
-    // (node, d) pairs and the d-cap bounds the recursion; min(d) per node
-    // is the hop distance, unreachable nodes keep NULL via the left join
-    // onto the edge-derived node universe.
-    "x72_seed_distance" ->
-      """WITH RECURSIVE ids AS (
-        |  SELECT doc_id FROM documents
-        |), e AS (
-        |  SELECT a.doc_id AS src, a.doc_id + 1 AS dst
-        |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
-        |  WHERE a.doc_id % 12 <> 11
-        |), bidir AS (
-        |  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
-        |), nodes AS (
-        |  -- node universe = graph nodes UNION the seed set, mirroring the
-        |  -- operator's full_outer join of settled seeds into the output: a
-        |  -- seed with no incident edge (possible at the corpus's max doc_id
-        |  -- when it opens an even chain) still emits a dist-0 row. Explicit
-        |  -- outer DISTINCT, not bare UNION: inside WITH RECURSIVE DuckDB
-        |  -- compiles this union without the dedup (measured: 521 vs 500)
-        |  SELECT DISTINCT node FROM (
-        |    SELECT src AS node FROM bidir
-        |    UNION ALL
-        |    SELECT doc_id AS node FROM ids
-        |    WHERE doc_id % 12 = 0 AND (doc_id // 12) % 2 = 0)
-        |), walk AS (
-        |  SELECT doc_id AS node, 0 AS d FROM ids
-        |  WHERE doc_id % 12 = 0 AND (doc_id // 12) % 2 = 0
-        |  UNION
-        |  SELECT b.dst AS node, w.d + 1 AS d
-        |  FROM walk w JOIN bidir b ON w.node = b.src WHERE w.d < 40
-        |), dist AS (
-        |  SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
-        |)
-        |SELECT nodes.node, CAST(coalesce(dist, -1) AS BIGINT) AS dist
-        |FROM nodes LEFT JOIN dist USING (node) ORDER BY node""".stripMargin,
-    // x73: replay the corrected integer sqrt (floor(sqrt(double)) seed,
-    // ±1 correction so r² ≤ x < (r+1)² exactly) and every ppm division.
-    "x73_temp_quotas" ->
-      """WITH tk AS (
-        |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS nt FROM documents
-        |), ps AS (
-        |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tk GROUP BY source
-        |), sq AS (
-        |  SELECT source, n_tokens,
-        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r0
-        |  FROM ps
-        |), w AS (
-        |  SELECT source, n_tokens,
-        |    CASE WHEN (r0+1)*(r0+1) <= n_tokens THEN r0+1
-        |         WHEN r0*r0 > n_tokens THEN r0-1 ELSE r0 END AS weight
-        |  FROM sq
-        |), t AS (
-        |  SELECT greatest(CAST(sum(n_tokens) AS BIGINT), 1) AS tt,
-        |         greatest(CAST(sum(weight) AS BIGINT), 1) AS tw
-        |  FROM w
-        |)
-        |SELECT source, n_tokens, CAST(weight AS BIGINT) AS weight,
-        |  CAST(n_tokens * 1000000 // tt AS BIGINT) AS share_ppm,
-        |  CAST(weight * 1000000 // tw AS BIGINT) AS quota_ppm,
-        |  CAST(CASE WHEN n_tokens * 1000000 // tt > 0
-        |       THEN least((weight * 1000000 // tw) * 1000000 // (n_tokens * 1000000 // tt), 1000000)
-        |       ELSE 1000000 END AS BIGINT) AS keep_rate_ppm
-        |FROM w, t ORDER BY source""".stripMargin,
-    // x74: replay winnowing exactly — hash40 per 3-gram (the kmv hex→int
-    // splice), the h·2²⁰ + (2²⁰−1−pos) rightmost-min encoding, a plain
-    // min frame window of w=4, distinct selected pairs, then the per-doc
-    // summary. Short docs (< w grams) select nothing.
-    "x74_winnow_fps" ->
-      s"""WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]
-        |    ELSE [] END AS grams
-        |  FROM tk
-        |), ge AS (
-        |  SELECT doc_id,
-        |    unnest([{'pos': i - 1, 'gram': grams[i]} for i in range(1, len(grams) + 1)]) AS pg
-        |  FROM g
-        |), hx AS (
-        |  SELECT doc_id, pg['pos'] AS pos, substr(md5(pg['gram']), 1, 10) AS h FROM ge
-        |), enc AS (
-        |  SELECT doc_id, pos,
-        |    CAST($kmvHexToIntSql AS BIGINT) * 1048576 + (1048575 - pos) AS e
-        |  FROM hx
-        |), win AS (
-        |  SELECT doc_id, pos,
-        |    min(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-        |    count(*) OVER (PARTITION BY doc_id) AS n_grams
-        |  FROM enc
-        |), fps AS (
-        |  SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash
-        |    , 1048575 - (sel % 1048576) AS fp_pos
-        |  FROM win WHERE pos <= n_grams - 4
-        |), agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
-        |    CAST(sum(fp_hash) AS BIGINT) AS fp_sum
-        |  FROM fps GROUP BY doc_id
-        |)
-        |SELECT g.doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
-        |  CAST(coalesce(n_fps, 0) AS BIGINT) AS n_fps,
-        |  CAST(coalesce(fp_sum, 0) AS BIGINT) AS fp_sum
-        |FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id ORDER BY g.doc_id""".stripMargin
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    optionsQueries ++ coreQueries ++ curixQueries ++ mediaQueries ++
+      retrQueries ++ learnedQueries
+
+  private lazy val baseOracleSql: Map[String, String] =
+    optionsOracles ++ coreOracles ++ curixOracles ++ mediaOracles ++
+      retrOracles ++ learnedOracles
 
   /** x124 classifies the same delivery against the same frozen index as
     * x75, re-opened from the BUCKETED on-disk artifact — identical
@@ -9533,20 +67,4 @@ object SparkEntry {
     baseOracleSql +
       ("x124_indexed_ingest_bucketed" -> baseOracleSql("x75_indexed_ingest"))
 
-  /** Shared CTE prefix for x40/x41: per-dim calibration + floor quantize,
-    * ending with `q(vec_id, codes)` — both oracles read from one
-    * definition so the two sides cannot drift.
-    */
-  private val sq8CodesSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |ex AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS i, v FROM e),
-      |dim AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM ex GROUP BY i),
-      |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dim),
-      |q AS (
-      |  SELECT vec_id,
-      |    [CASE WHEN mxs[i] > mns[i]
-      |          THEN CAST(least(255, floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))) AS BIGINT)
-      |          ELSE 0 END for i in range(1, len(v)+1)] AS codes
-      |  FROM e, mm
-      |)""".stripMargin
 }
