@@ -65,7 +65,19 @@ object ExponentProbe {
     // its sampleMod knob exists precisely so a 100 TB caller pins the
     // panel size; the banded ANN side shares x111's watched law.
     "x136_bt_rating" -> "documents",
-    "x137_pca_project" -> "embeddings")
+    "x137_pca_project" -> "embeddings",
+    // round-14 additions: the composed web arc (every stage individually
+    // ≈ linear; the LSH pair miner and the calibration rank are the only
+    // exchanges whose inputs grow with the corpus — e ≈ 1 in documents,
+    // a rising e would mean a stage's candidate bound broke inside the
+    // composition), the distributed BT fit (same two log-keyed
+    // reductions as x136 plus items-bounded per-round joins — e ≈ 1 in
+    // comparisons with a fixed-round floor), and the explained-variance
+    // chain (one IntGram pass over the training half + a dim²-bounded
+    // driver solve — e ≈ 1 in vectors, mostly flat at these SFs)
+    "x146_web_arc" -> "documents",
+    "x147_bt_distributed" -> "documents",
+    "x148_explained_variance" -> "embeddings")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
