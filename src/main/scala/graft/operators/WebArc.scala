@@ -86,6 +86,17 @@ object WebArc {
     *         lang_pred, n_tokens, score, iso_ppm, pack_grp, pack_bin,
     *         bin_fill)
     */
+  /** The arc's stage frames through the model screen — shared by
+    * [[pipeline]] and [[funnel]] so the two surfaces cannot drift.
+    */
+  private final case class ArcStages(
+      pages: DataFrame,
+      screenedPages: DataFrame,
+      survivors: DataFrame,
+      afterNearDup: DataFrame,
+      clean: DataFrame,
+      screened: DataFrame)
+
   def pipeline(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -98,12 +109,97 @@ object WebArc {
       packGroups: Int = 8
   ): DataFrame = {
     val spark = docs.sparkSession
+    val st = buildStages(docs, evalDocs, model)
+    // an upstream delivery the screens fully reject is an EMPTY curated
+    // set, not a crash — the calibration fit (rightly) refuses an empty
+    // frame, so short-circuit before it. The checkpointed `screened` is
+    // already materialized; isEmpty is a first-partition peek.
+    if (st.screened.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("source", StringType), StructField("doc_id", LongType),
+          StructField("rec_idx", IntegerType), StructField("host", StringType),
+          StructField("lang_pred", StringType), StructField("n_tokens", LongType),
+          StructField("score", LongType), StructField("iso_ppm", LongType),
+          StructField("pack_grp", LongType), StructField("pack_bin", LongType),
+          StructField("bin_fill", LongType))))
+    }
+    val calibrated = st.screened.drop("y")
+      .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id")
+    val capped = capSelect(calibrated, cap)
+
+    // 11: next-fit pack, deterministic page_id-mod groups
+    val packed = Pack
+      .nextFit(
+        capped.select(col("page_id"), col("n_tokens")),
+        idCol = "page_id", tokensCol = "n_tokens",
+        capacity = packCapacity, numGroups = packGroups,
+        groupExpr = Some(pmod(col("page_id"), lit(packGroups.toLong))))
+      .select(
+        col("doc").as("page_id"), col("grp").as("pack_grp"),
+        col("bin").as("pack_bin"), col("bin_fill"))
+
+    capped
+      .join(packed, "page_id")
+      .select(
+        col("source"), col("doc_id"), col("rec_idx"), col("host"),
+        col("lang_pred"), col("n_tokens"), col("score"), col("iso_ppm"),
+        col("pack_grp"), col("pack_bin"), col("bin_fill"))
+  }
+
+  /** Stage 9: train the quality perceptron on the screened pages, score
+    * them, keep by isotonic-calibrated precision. Returns the kept
+    * (page_id, score, iso_ppm) rows.
+    */
+  private def keptPages(
+      screened: DataFrame,
+      minIsoPpm: Long,
+      trainDim: Int,
+      trainRounds: Int): DataFrame = {
+    val (w, _) = LinearModel.trainPerceptron(
+      screened, "main_text", "y", dim = trainDim, rounds = trainRounds,
+      idCol = "page_id")
+    val trained = LinearModel.HashedLinearModel(
+      trainDim, Array(Array.fill(trainDim)(0L), w))
+    val scored = LinearModel
+      .classify(
+        screened.select(col("page_id"), col("main_text"), col("y")),
+        "main_text", trained)
+      .select(col("page_id"), col("dot1").as("score"), col("y"))
+    Calibration
+      .calibratedScreen(
+        scored, bins = 10, minIsoPpm = minIsoPpm, idCol = "page_id")
+      .where(col("kept"))
+      .select(col("page_id"), col("score"), col("iso_ppm"))
+  }
+
+  /** Stage 10: the per-source cap in (text_md5, page_id) order. */
+  private def capSelect(calibrated: DataFrame, cap: Int): DataFrame =
+    calibrated
+      .withColumn(
+        "rn_cap",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("text_md5"), col("page_id"))))
+      .where(col("rn_cap") <= cap)
+
+  /** Stages 1–8 (through the model screen), shared verbatim by the
+    * pipeline and the funnel.
+    */
+  private def buildStages(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      model: LinearModel.HashedLinearModel,
+      persistPages: Boolean = false
+  ): ArcStages = {
+    val spark = docs.sparkSession
     GraftFunctions.register(spark)
 
     // 1–3: ingest + record walk + URL normalize + extract, map-only off
     // the scan. All records of a doc share the payload; the walk is the
     // real byte walk (x92 hash-certifies it; here it feeds the arc).
-    val pages = docs
+    val pages0 = docs
       .select(col("doc_id"), col("source"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
@@ -122,6 +218,13 @@ object WebArc {
         GraftFunctions.urlNormalize(col("r.target_uri")).getField("host").as("host"),
         GraftFunctions.htmlExtract(col("r.payload"), lit(0.5))
           .getField("main_text").as("main_text"))
+    // the FUNNEL reads the pages frame once per stage on top of the
+    // survivor chain — cache it there so the WARC extract runs once;
+    // the pipeline's single linear consumer chain skips the cache
+    val pages =
+      if (persistPages)
+        pages0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pages0
 
     // 4: map-side screens BEFORE the md5 exchange (screen-first
     // equivalence — see scaladoc; shrinks the first shuffle to the
@@ -191,65 +294,62 @@ object WebArc {
         when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("y"))
       .localCheckpoint(true)
 
-    // an upstream delivery the screens fully reject is an EMPTY curated
-    // set, not a crash — the calibration fit (rightly) refuses an empty
-    // frame, so short-circuit before it. The checkpointed `screened` is
-    // already materialized; isEmpty is a first-partition peek.
-    if (screened.isEmpty) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("source", StringType), StructField("doc_id", LongType),
-          StructField("rec_idx", IntegerType), StructField("host", StringType),
-          StructField("lang_pred", StringType), StructField("n_tokens", LongType),
-          StructField("score", LongType), StructField("iso_ppm", LongType),
-          StructField("pack_grp", LongType), StructField("pack_bin", LongType),
-          StructField("bin_fill", LongType))))
-    }
+    ArcStages(pages, screenedPages, survivors, afterNearDup, clean, screened)
+  }
 
-    // 9: train → score → isotonic-calibrated keep
-    val (w, _) = LinearModel.trainPerceptron(
-      screened, "main_text", "y", dim = trainDim, rounds = trainRounds,
-      idCol = "page_id")
-    val trained = LinearModel.HashedLinearModel(
-      trainDim, Array(Array.fill(trainDim)(0L), w))
-    val scored = LinearModel
-      .classify(
-        screened.select(col("page_id"), col("main_text"), col("y")),
-        "main_text", trained)
-      .select(col("page_id"), col("dot1").as("score"), col("y"))
-    val kept = Calibration
-      .calibratedScreen(
-        scored, bins = 10, minIsoPpm = minIsoPpm, idCol = "page_id")
-      .where(col("kept"))
-      .select(col("page_id"), col("score"), col("iso_ppm"))
-    val calibrated = screened.drop("y").join(kept, "page_id")
-
-    // 10: per-source cap in (text_md5, page_id) order
-    val capped = calibrated
-      .withColumn(
-        "rn_cap",
-        row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("text_md5"), col("page_id"))))
-      .where(col("rn_cap") <= cap)
-
-    // 11: next-fit pack, deterministic page_id-mod groups
-    val packed = Pack
-      .nextFit(
-        capped.select(col("page_id"), col("n_tokens")),
-        idCol = "page_id", tokensCol = "n_tokens",
-        capacity = packCapacity, numGroups = packGroups,
-        groupExpr = Some(pmod(col("page_id"), lit(packGroups.toLong))))
-      .select(
-        col("doc").as("page_id"), col("grp").as("pack_grp"),
-        col("bin").as("pack_bin"), col("bin_fill"))
-
-    capped
-      .join(packed, "page_id")
-      .select(
-        col("source"), col("doc_id"), col("rec_idx"), col("host"),
-        col("lang_pred"), col("n_tokens"), col("score"), col("iso_ppm"),
-        col("pack_grp"), col("pack_bin"), col("bin_fill"))
+  /** The arc FUNNEL (x149): per-stage surviving page and token mass —
+    * the first operational question a pipeline owner asks ("which stage
+    * is cutting, and how many tokens does it cost?"), the QualityFilter
+    * audit-first design applied at pipeline granularity. One row per
+    * stage (pages → screened → exact_dedup → near_dup → decontaminated
+    * → model_screen → calibrated → capped), all-integer: n_pages and
+    * the summed BPE-ish token count. Built from the SAME stage frames
+    * as [[pipeline]] (shared builder), so the funnel cannot drift from
+    * the selection it describes; a fully screened-out delivery reports
+    * zero rows at the calibrated/capped stages instead of crashing the
+    * fit.
+    */
+  def funnel(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      model: LinearModel.HashedLinearModel,
+      cap: Int = 10,
+      minIsoPpm: Long = 500000L,
+      trainDim: Int = 512,
+      trainRounds: Int = 3
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val st = buildStages(docs, evalDocs, model, persistPages = true)
+    val toks = TextAnalysis.bpeishTokenCount(col("main_text")).cast("long")
+    def stageAgg(df: DataFrame, idx: Int, name: String, tok: org.apache.spark.sql.Column): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_pages"),
+          coalesce(sum(tok), lit(0L)).as("n_tokens"))
+        .select(
+          lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_pages"), col("n_tokens"))
+    val head = Seq(
+      stageAgg(st.pages, 1, "pages", toks),
+      stageAgg(st.screenedPages, 2, "screened", col("n_tokens")),
+      stageAgg(st.survivors, 3, "exact_dedup", col("n_tokens")),
+      stageAgg(st.afterNearDup, 4, "near_dup", col("n_tokens")),
+      stageAgg(st.clean, 5, "decontaminated", col("n_tokens")),
+      stageAgg(st.screened, 6, "model_screen", col("n_tokens")))
+    val tail =
+      if (st.screened.isEmpty) {
+        import spark.implicits._
+        Seq(
+          (7L, "calibrated", 0L, 0L),
+          (8L, "capped", 0L, 0L))
+          .toDF("stage_idx", "stage", "n_pages", "n_tokens") :: Nil
+      } else {
+        val calibrated = st.screened.drop("y")
+          .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id")
+          .localCheckpoint(true) // two consumers: its own agg + the cap
+        Seq(
+          stageAgg(calibrated, 7, "calibrated", col("n_tokens")),
+          stageAgg(capSelect(calibrated, cap), 8, "capped", col("n_tokens")))
+      }
+    (head ++ tail).reduce(_ unionByName _)
   }
 }

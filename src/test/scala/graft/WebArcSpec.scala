@@ -102,6 +102,39 @@ class WebArcSpec extends SparkSpec {
       "x146 is not run-deterministic")
   }
 
+  test("funnel: monotone stage counts, agreement with the pipeline, and " +
+    "the near-dup stage's cut visible at stage 4") {
+    val docs = docsDf((2L, baseText), (6L, baseText), (101L, otherText))
+    val eval = Seq("zzz unused gram").toDF("text")
+    val f = WebArc.funnel(docs, eval, keepAll, minIsoPpm = 0L)
+      .orderBy("stage_idx").collect()
+    assert(f.map(_.getString(1)).toSeq === Seq(
+      "pages", "screened", "exact_dedup", "near_dup", "decontaminated",
+      "model_screen", "calibrated", "capped"))
+    val pages = f.map(_.getLong(2))
+    assert(pages.zip(pages.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: ${pages.toSeq}")
+    assert(pages(0) === 7L, "2 docs x 3 recs + 1 doc x 1 rec")
+    assert(pages(2) === 3L, "exact dedup collapses each doc's record fan")
+    assert(pages(3) === 2L, "the near-dup stage drops the raw-identical doc 6")
+    // the funnel's terminal stage IS the pipeline's selection
+    val out = WebArc.pipeline(docs, eval, keepAll, minIsoPpm = 0L).count()
+    assert(pages.last === out)
+    assert(f.forall(_.getLong(3) >= 0L))
+  }
+
+  test("funnel: a never-keep model reports zero pages at the calibrated " +
+    "and capped stages instead of crashing the fit") {
+    val dropAll = LinearModel.HashedLinearModel(
+      8, Array(Array.fill(8)(1L), Array.fill(8)(0L)))
+    val f = WebArc.funnel(
+      docsDf((2L, baseText)), Seq("zzz").toDF("text"), dropAll, minIsoPpm = 0L)
+      .orderBy("stage_idx").collect()
+    assert(f.length === 8)
+    assert(f(5).getLong(2) === 0L && f(6).getLong(2) === 0L && f(7).getLong(2) === 0L)
+    assert(f(6).getLong(3) === 0L && f(7).getLong(3) === 0L)
+  }
+
   test("plan posture: the lineage cuts hold — the final plan roots at the " +
     "checkpointed RDDs, no parquet scan and no classifier re-expansion") {
     // the measured failure mode this pins: without the two localCheckpoint
