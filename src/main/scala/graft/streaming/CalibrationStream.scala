@@ -64,12 +64,25 @@ object CalibrationStream {
       stateDir.map(new DeltaEpochStore(
         spark, _, Seq("bins" -> binsSchema), compactEvery))
 
-    private def rowsToCounts(df: DataFrame): Map[Long, (Long, Long)] =
-      df.collect()
+    private def rowsToCounts(df: DataFrame): Map[Long, (Long, Long)] = {
+      val m = df.collect()
         .groupBy(_.getLong(0))
         .map { case (b, rows) =>
           b -> ((rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum))
         }
+      // bins is a live contract, not decoration (the PcaStream dim
+      // lesson): a stateDir persisted under a DIFFERENT binning would
+      // otherwise load silently and fit() — which iterates 0..bins−1 —
+      // would drop the out-of-range mass from every pooled rate
+      m.keys.find(b => b < 0 || b >= bins).foreach { b =>
+        throw new IllegalStateException(
+          s"persisted bin $b is outside this Maintainer's [0, $bins) " +
+            "binning: the stateDir was written under a different bins/" +
+            "range configuration — resume with the original parameters " +
+            "or wipe the stateDir together with the checkpoint")
+      }
+      m
+    }
 
     // load: SUM compact + deltas per bin — the additive mirror
     @volatile private var counts: Map[Long, (Long, Long)] = store

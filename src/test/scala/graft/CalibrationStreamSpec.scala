@@ -155,6 +155,19 @@ class CalibrationStreamSpec extends SparkSpec {
     assert(m.state(0L)._2 === once.getOrElse(0L, (0L, 0L))._2 + 1L)
   }
 
+  test("a stateDir persisted under a different binning fails loudly at load") {
+    // bins is a live contract (the PcaStream dim lesson): fit() iterates
+    // 0..bins−1, so silently loading 20-bin state into a 10-bin
+    // Maintainer would drop half the mass from every pooled rate
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal_bins").toString
+    val m20 = new CalibrationStream.Maintainer(spark, stateDir = Some(dir), bins = 20)
+    m20.update(toDf(all.take(100)), epochId = 0L)
+    val e = intercept[IllegalStateException] {
+      new CalibrationStream.Maintainer(spark, stateDir = Some(dir), bins = 10).state
+    }
+    assert(e.getMessage.contains("binning"))
+  }
+
   test("checkpoint without stateDir is refused") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ScoredDoc]
