@@ -77,7 +77,11 @@ object ExponentProbe {
     // driver solve — e ≈ 1 in vectors, mostly flat at these SFs)
     "x146_web_arc" -> "documents",
     "x147_bt_distributed" -> "documents",
-    "x148_explained_variance" -> "embeddings")
+    "x148_explained_variance" -> "embeddings",
+    // the funnel shares x146's stage laws by construction (same frames,
+    // plus eight bounded aggregates) — watched so a future stage edit
+    // that breaks a candidate bound shows up here too
+    "x149_arc_funnel" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
