@@ -135,6 +135,21 @@ class WebArcSpec extends SparkSpec {
     assert(f(6).getLong(3) === 0L && f(7).getLong(3) === 0L)
   }
 
+  test("registered x149 reconciles with registered x146 on the real corpus: " +
+    "terminal stage count and token mass equal the arc's selection") {
+    val funnel = SparkEntry.queries("x149_arc_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val arc = SparkEntry.queries("x146_web_arc")(spark, "/root/testdata/sf0.001")
+      .select(col("n_tokens")).collect().map(_.getLong(0))
+    assert(funnel("capped")._1 === arc.length.toLong)
+    assert(funnel("capped")._2 === arc.sum)
+    // and the funnel is monotone on the real corpus too
+    val order = Seq("pages", "screened", "exact_dedup", "near_dup",
+      "decontaminated", "model_screen", "calibrated", "capped")
+    val counts = order.map(funnel(_)._1)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.toString)
+  }
+
   test("plan posture: the lineage cuts hold — the final plan roots at the " +
     "checkpointed RDDs, no parquet scan and no classifier re-expansion") {
     // the measured failure mode this pins: without the two localCheckpoint
