@@ -85,7 +85,7 @@ object BenchGate {
           else cleanest.head
         adj > 2.0 * math.max(bc, 1e-9) && adj - bc > 0.5
       }
-      val vsBaseWall = base.exists { case (bw, _) =>
+      val vsBaseWall = walls.nonEmpty && base.exists { case (bw, _) =>
         val w = walls.min
         w > 2.0 * math.max(bw, 1e-9) && w - bw > 0.5
       }

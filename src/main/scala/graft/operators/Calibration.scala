@@ -143,10 +143,22 @@ object Calibration {
     */
   def fixedBin(score: Column, bins: Int, lo: Long, hi: Long): Column = {
     require(hi > lo, s"degenerate score range [$lo, $hi]")
-    // the double round-trip is exact while |(score−lo)·bins| < 2⁵³ —
-    // far beyond any fixed-point score this engine emits; truncation
-    // toward zero only acts on the sub-lo side, which clamps to 0 anyway
-    val raw = (score - lit(lo)) * lit(bins.toLong) / lit(hi - lo)
+    require(bins > 0, s"bins must be positive, got $bins")
+    // Overflow posture (the Pca/Preference loud-overflow doctrine): the
+    // score is CLAMPED into [lo, hi] before the multiply, so the widest
+    // intermediate is (hi−lo)·bins — bounded here at construction time
+    // to 2⁵³, the double-exactness ceiling of the division below (a
+    // Long÷Long in Spark is a DOUBLE divide; the round-trip is exact
+    // only while the numerator is exactly representable). Without the
+    // clamp, an out-of-range score could wrap (non-ANSI Long
+    // arithmetic) and mis-bin silently; with it, out-of-range scores
+    // land on the edge bins, which is what the final clamp promised.
+    require(
+      (hi - lo) <= (1L << 53) / bins,
+      s"(hi-lo)*bins exceeds the 2^53 exact-divide bound: " +
+        s"range=${hi - lo}, bins=$bins")
+    val clamped = least(greatest(score, lit(lo)), lit(hi))
+    val raw = (clamped - lit(lo)) * lit(bins.toLong) / lit(hi - lo)
     least(greatest(raw.cast("long"), lit(0L)), lit(bins.toLong - 1L))
   }
 

@@ -296,12 +296,7 @@ object Pca {
       val (_, v, t) = componentChain(n, s, g, rMax, squarings)
       (v, t)
     }
-    val ppm = vars.map(v => v * 1000000L / trace)
-    val cum = ppm.scanLeft(0L)(_ + _).tail
-    val k = cum.indexWhere(_ >= targetPpm) match {
-      case -1 => rMax.toLong
-      case i  => i + 1L
-    }
+    val (ppm, cum, k) = varianceK(vars, trace, rMax, targetPpm)
     import spark.implicits._
     ppm.indices
       .map(i => ((i + 1).toLong, ppm(i), cum(i), k))
@@ -324,12 +319,28 @@ object Pca {
     val q = quantize(vecCol)
     val (n, s, g) = trainedMoments(emb, trainMod, idCol, q)
     val (comps, vars, trace) = componentChain(n, s, g, rMax, squarings)
+    val (_, _, k) = varianceK(vars, trace, rMax, targetPpm)
+    emb.select(col(idCol) +: projectionCols(q, comps.take(k.toInt)): _*)
+  }
+
+  /** The ONE owner of the k rule shared by [[explainedVariance]] (which
+    * reports k) and [[adaptiveReduceProjections]] (which projects with
+    * it): per-component variance shares in exact integer ppm, their
+    * running sum, and k = the smallest component count whose cumulative
+    * share clears `targetPpm` (all `rMax` if none does) — so the
+    * reported k and the k actually used for projection cannot diverge.
+    */
+  private def varianceK(
+      vars: Seq[Long],
+      trace: Long,
+      rMax: Int,
+      targetPpm: Long): (Seq[Long], Seq[Long], Long) = {
     val ppm = vars.map(v => v * 1000000L / trace)
     val cum = ppm.scanLeft(0L)(_ + _).tail
     val k = cum.indexWhere(_ >= targetPpm) match {
-      case -1 => rMax
-      case i  => i + 1
+      case -1 => rMax.toLong
+      case i  => i + 1L
     }
-    emb.select(col(idCol) +: projectionCols(q, comps.take(k)): _*)
+    (ppm, cum, k)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,14 +175,15 @@ object WebArc {
       .select(col("page_id"), col("score"), col("iso_ppm"))
   }
 
-  /** Stage 10: the per-source cap in (text_md5, page_id) order. */
+  /** Stage 10: the per-source cap in (md5(main_text), page_id) order —
+    * [[Sampling.capPerGroup]] verbatim (the x51 surface owns the
+    * WindowGroupLimit scale contract; md5(main_text) ≡ the chain's
+    * text_md5, so the kept set is unchanged).
+    */
   private def capSelect(calibrated: DataFrame, cap: Int): DataFrame =
-    calibrated
-      .withColumn(
-        "rn_cap",
-        row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("text_md5"), col("page_id"))))
-      .where(col("rn_cap") <= cap)
+    Sampling.capPerGroup(
+      calibrated, group = col("source"), key = col("main_text"),
+      tieBreak = col("page_id"), cap = cap)
 
   /** Stages 1–8 (through the model screen), shared verbatim by the
     * pipeline and the funnel.
@@ -191,7 +192,7 @@ object WebArc {
       docs: DataFrame,
       evalDocs: DataFrame,
       model: LinearModel.HashedLinearModel,
-      persistPages: Boolean = false
+      obs: (String, DataFrame) => DataFrame = (_, df) => df
   ): ArcStages = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
@@ -218,27 +219,26 @@ object WebArc {
         GraftFunctions.urlNormalize(col("r.target_uri")).getField("host").as("host"),
         GraftFunctions.htmlExtract(col("r.payload"), lit(0.5))
           .getField("main_text").as("main_text"))
-    // the FUNNEL reads the pages frame once per stage on top of the
-    // survivor chain — cache it there so the WARC extract runs once;
-    // the pipeline's single linear consumer chain skips the cache
-    val pages =
-      if (persistPages)
-        pages0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else pages0
+    // the FUNNEL observes each stage frame in place (CollectMetrics
+    // nodes riding the pipeline's own executions — audit for free, no
+    // persist, no second traversal); the pipeline passes the identity
+    val pages = obs("pages", pages0)
 
     // 4: map-side screens BEFORE the md5 exchange (screen-first
     // equivalence — see scaladoc; shrinks the first shuffle to the
     // passing subset, the Curation posture)
-    val screenedPages = QualityFilter
-      .gopherFlags(pages, textCol = "main_text")
-      .where(col("keep"))
-      .select(
-        col("page_id"), col("doc_id"), col("rec_idx"), col("source"),
-        col("host"), col("main_text"),
-        md5(col("main_text")).as("text_md5"),
-        TextAnalysis.langId(TextAnalysis.tokens(col("main_text"))).as("lang_pred"),
-        TextAnalysis.bpeishTokenCount(col("main_text")).cast("long").as("n_tokens"))
-      .where(col("lang_pred") =!= "und")
+    val screenedPages = obs(
+      "screened",
+      QualityFilter
+        .gopherFlags(pages, textCol = "main_text")
+        .where(col("keep"))
+        .select(
+          col("page_id"), col("doc_id"), col("rec_idx"), col("source"),
+          col("host"), col("main_text"),
+          md5(col("main_text")).as("text_md5"),
+          TextAnalysis.langId(TextAnalysis.tokens(col("main_text"))).as("lang_pred"),
+          TextAnalysis.bpeishTokenCount(col("main_text")).cast("long").as("n_tokens"))
+        .where(col("lang_pred") =!= "und"))
 
     // 5: exact dedup — min page_id per md5 class. localCheckpoint, not
     // persist: the survivor set feeds the LSH miner, two anti-joins, the
@@ -251,12 +251,14 @@ object WebArc {
     // the two multi-consumer hubs collapses every downstream plan to an
     // RDD-scan root (the PageRank localCheckpoint lesson applied to
     // composition).
-    val survivors = screenedPages
-      .withColumn(
-        "rn_dup",
-        row_number().over(Window.partitionBy(col("text_md5")).orderBy(col("page_id"))))
-      .where(col("rn_dup") === 1)
-      .drop("rn_dup")
+    val survivors = obs(
+      "exact_dedup",
+      screenedPages
+        .withColumn(
+          "rn_dup",
+          row_number().over(Window.partitionBy(col("text_md5")).orderBy(col("page_id"))))
+        .where(col("rn_dup") === 1)
+        .drop("rn_dup"))
       .localCheckpoint(true)
 
     // 6: near-dup drop — verified LSH pairs, greedy keep-first
@@ -267,31 +269,40 @@ object WebArc {
         idCol = "page_id", textCol = "main_text")
       .select(col("b_id").as("page_id"))
       .distinct()
-    val afterNearDup = survivors.join(ndDrop, Seq("page_id"), "left_anti")
+    // the bloom probe reads the RAW anti-join (afterNearDup0, not the
+    // observed frame) so the near_dup CollectMetrics node appears
+    // exactly once in the downstream plan — a duplicated observed node
+    // would double-deliver the metric
+    val afterNearDup0 = survivors.join(ndDrop, Seq("page_id"), "left_anti")
+    val afterNearDup = obs("near_dup", afterNearDup0)
 
     // 7: decontaminate — drop contamination ≥ 0.5 vs the eval universe
     val contaminated = Decontaminate
       .overlapBloom(
-        corpus = afterNearDup.select(col("page_id"), col("main_text")),
+        corpus = afterNearDup0.select(col("page_id"), col("main_text")),
         evalSet = evalDocs.select(col("text").as("main_text")),
         n = 3, expectedGrams = 100000L,
         idCol = "page_id", textCol = "main_text")
       .where(col("contamination") >= 0.5)
       .select(col("page_id"))
-    val clean = afterNearDup.join(contaminated, Seq("page_id"), "left_anti")
+    val clean = obs(
+      "decontaminated",
+      afterNearDup.join(contaminated, Seq("page_id"), "left_anti"))
 
     // 8: model screen (planted classifier, keep class 1) + the parity
     // label the calibration trainer fits. The arc's second lineage cut:
     // feeds the trainer (multiple passes), the scoring pass, and the
     // final column join (see the survivors comment).
-    val screened = LinearModel
-      .classify(clean, "main_text", model)
-      .where(col("dot1") > col("dot0"))
-      .select(
-        col("page_id"), col("doc_id"), col("rec_idx"), col("source"),
-        col("host"), col("text_md5"), col("lang_pred"), col("n_tokens"),
-        col("main_text"),
-        when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("y"))
+    val screened = obs(
+      "model_screen",
+      LinearModel
+        .classify(clean, "main_text", model)
+        .where(col("dot1") > col("dot0"))
+        .select(
+          col("page_id"), col("doc_id"), col("rec_idx"), col("source"),
+          col("host"), col("text_md5"), col("lang_pred"), col("n_tokens"),
+          col("main_text"),
+          when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("y")))
       .localCheckpoint(true)
 
     ArcStages(pages, screenedPages, survivors, afterNearDup, clean, screened)
@@ -308,6 +319,12 @@ object WebArc {
     * the selection it describes; a fully screened-out delivery reports
     * zero rows at the calibrated/capped stages instead of crashing the
     * fit.
+    *
+    * SINGLE PASS: each stage frame carries an `observe()` CollectMetrics
+    * node, so the counts ride the arc's own executions (the two
+    * checkpoint materializations plus one final aggregate) instead of
+    * re-running the arc once per stage — the funnel costs what the
+    * pipeline costs, plus seven constant-size metric aggregates.
     */
   def funnel(
       docs: DataFrame,
@@ -319,37 +336,57 @@ object WebArc {
       trainRounds: Int = 3
   ): DataFrame = {
     val spark = docs.sparkSession
-    val st = buildStages(docs, evalDocs, model, persistPages = true)
-    val toks = TextAnalysis.bpeishTokenCount(col("main_text")).cast("long")
-    def stageAgg(df: DataFrame, idx: Int, name: String, tok: org.apache.spark.sql.Column): DataFrame =
-      df.agg(
-          count(lit(1)).as("n_pages"),
-          coalesce(sum(tok), lit(0L)).as("n_tokens"))
-        .select(
-          lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
-          col("n_pages"), col("n_tokens"))
-    val head = Seq(
-      stageAgg(st.pages, 1, "pages", toks),
-      stageAgg(st.screenedPages, 2, "screened", col("n_tokens")),
-      stageAgg(st.survivors, 3, "exact_dedup", col("n_tokens")),
-      stageAgg(st.afterNearDup, 4, "near_dup", col("n_tokens")),
-      stageAgg(st.clean, 5, "decontaminated", col("n_tokens")),
-      stageAgg(st.screened, 6, "model_screen", col("n_tokens")))
-    val tail =
-      if (st.screened.isEmpty) {
-        import spark.implicits._
+    // SINGLE-PASS funnel: every head stage carries a CollectMetrics
+    // observer inside the arc's OWN executions (the two checkpoint
+    // materializations), so the per-stage page/token mass is reported
+    // by the run that computes the selection — audit for free, the
+    // Diagnostics posture at pipeline granularity. No persist, no
+    // second traversal of any stage; the only extra work vs the bare
+    // pipeline is the 7 constant-size metric aggregates.
+    val headNames = Seq(
+      "pages", "screened", "exact_dedup", "near_dup", "decontaminated",
+      "model_screen")
+    val obsOf =
+      (headNames :+ "calibrated").map(n => n -> Observation(s"arc_$n")).toMap
+    def attach(name: String, df: DataFrame): DataFrame = {
+      val tok =
+        if (df.columns.contains("n_tokens")) col("n_tokens")
+        else TextAnalysis.bpeishTokenCount(col("main_text")).cast("long")
+      df.observe(
+        obsOf(name),
+        count(lit(1)).as("n_pages"),
+        coalesce(sum(tok), lit(0L)).as("n_tokens"))
+    }
+    val st = buildStages(docs, evalDocs, model, obs = attach)
+    def metrics(name: String): (Long, Long) = {
+      val m = obsOf(name).get
+      (m("n_pages").asInstanceOf[Long], m("n_tokens").asInstanceOf[Long])
+    }
+    val tail: Seq[(Long, String, Long, Long)] =
+      if (st.screened.isEmpty)
+        Seq((7L, "calibrated", 0L, 0L), (8L, "capped", 0L, 0L))
+      else {
+        val calibrated = attach(
+          "calibrated",
+          st.screened.drop("y")
+            .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id"))
+        // ONE action: the capped aggregate is stage 8 directly, and its
+        // plan contains the calibrated observer (stage 7 rides along)
+        val capped = capSelect(calibrated, cap)
+          .agg(
+            count(lit(1)).as("n_pages"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+          .collect()(0)
+        val (cp, ct) = metrics("calibrated")
         Seq(
-          (7L, "calibrated", 0L, 0L),
-          (8L, "capped", 0L, 0L))
-          .toDF("stage_idx", "stage", "n_pages", "n_tokens") :: Nil
-      } else {
-        val calibrated = st.screened.drop("y")
-          .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id")
-          .localCheckpoint(true) // two consumers: its own agg + the cap
-        Seq(
-          stageAgg(calibrated, 7, "calibrated", col("n_tokens")),
-          stageAgg(capSelect(calibrated, cap), 8, "capped", col("n_tokens")))
+          (7L, "calibrated", cp, ct),
+          (8L, "capped", capped.getLong(0), capped.getLong(1)))
       }
-    (head ++ tail).reduce(_ unionByName _)
+    val head = headNames.zipWithIndex.map { case (n, i) =>
+      val (p, t) = metrics(n)
+      ((i + 1).toLong, n, p, t)
+    }
+    import spark.implicits._
+    (head ++ tail).toDF("stage_idx", "stage", "n_pages", "n_tokens")
   }
 }
