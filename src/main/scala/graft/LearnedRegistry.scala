@@ -392,6 +392,29 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .orderBy(col("stage_idx"))
   }
 
+  /** Multimodal arc surface (x150): image payloads through the composed
+    * pipeline ([[graft.operators.MediaArc]] — one mixed text+image WARC
+    * container, walked by modality route: the FULL x146 text arc on the
+    * text/html records, decode-gate → aHash → banded-Hamming near-dup →
+    * per-source cap on the image/bmp records, fused into aligned
+    * (image, curated text) pairs). The oracle reuses the x146 CTE chain
+    * verbatim for the text half (the embedded text records are
+    * byte-identical) and replays the image half closed-form from the
+    * shared pixel formula (x29/x30's argument), including the every-7th
+    * -doc corruption plant the decode gate must drop and the (2k, 2k+1)
+    * shared-first-image plant the near-dup stage must catch.
+    */
+  protected def x150(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    MediaArc
+      .pipeline(
+        docs = docs.select(col("doc_id"), col("source"), col("text")),
+        evalDocs = docs.where(col("doc_id") % 50 === 0).select(col("text")),
+        model = ftModel)
+      .orderBy(col("doc_id"), col("img_id"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -994,6 +1017,89 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |ORDER BY stage_idx""".stripMargin
   }
 
+  /** The x150 multimodal-arc oracle: the x146 text chain verbatim
+    * (the mixed container embeds the SAME text records, so `afin` is
+    * the curated-page set), plus the image half replayed closed-form —
+    * image j of doc d has pixel seed pid = (d div 2)·2+j and dims
+    * (16+pid%16) × (16+pid%12); every 7th doc's images are corruption-
+    * planted (dropped here by construction, on the Spark side by the
+    * decode gate); aHash from the shared pixel formula (the x29 CTEs);
+    * Hamming ≤ 3 near-dup over 4×16-bit band candidates (the x30 CTEs;
+    * banding only GENERATES candidates, so band choice cancels);
+    * greedy keep-first (any verified pair drops the larger img_id);
+    * per-source cap in (md5(hi_lo), img_id) order; fused by inner join
+    * to the curated page of the same doc.
+    */
+  protected lazy val webArcMediaSql: String =
+    s"""WITH RECURSIVE $webArcChainSql, mi0 AS (
+      |  SELECT doc_id, source, unnest(range(1 + doc_id % 2)) AS j
+      |  FROM documents
+      |), mi AS (
+      |  SELECT doc_id, source, CAST(j AS INTEGER) AS img_j,
+      |    doc_id * 2 + j AS img_id, (doc_id // 2) * 2 + j AS pid
+      |  FROM mi0 WHERE doc_id % 7 <> 0
+      |), mdim AS MATERIALIZED (
+      |  SELECT *, CAST(16 + pid % 16 AS INTEGER) AS w,
+      |    CAST(16 + pid % 12 AS INTEGER) AS h
+      |  FROM mi
+      |), mxs AS (
+      |  SELECT img_id, pid, w, h, unnest(range(w)) AS x FROM mdim
+      |), mpx AS (
+      |  SELECT img_id, pid, w, h, x, unnest(range(h)) AS y FROM mxs
+      |), mlum AS (
+      |  SELECT img_id, (y * 8) // h AS ci, (x * 8) // w AS cj,
+      |    (pid * 131 + x * 7 + y * 13) % 256 AS g
+      |  FROM mpx
+      |), mcells AS (
+      |  SELECT img_id, ci, cj, sum(g) AS cs, count(*) AS cn
+      |  FROM mlum GROUP BY 1, 2, 3
+      |), mtot AS (
+      |  SELECT img_id, sum(g) AS ts, count(*) AS tn FROM mlum GROUP BY 1
+      |), mbits AS (
+      |  SELECT c.img_id, c.ci * 8 + c.cj AS p,
+      |    CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+      |  FROM mcells c JOIN mtot t USING (img_id)
+      |), mh AS MATERIALIZED (
+      |  SELECT img_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND p < 16 THEN (CAST(1 AS BIGINT) << (15 - p)) ELSE 0 END) AS BIGINT) AS b0,
+      |    CAST(sum(CASE WHEN bit = 1 AND p >= 16 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN bit = 1 AND p >= 32 AND p < 48 THEN (CAST(1 AS BIGINT) << (47 - p)) ELSE 0 END) AS BIGINT) AS b2,
+      |    CAST(sum(CASE WHEN bit = 1 AND p >= 48 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS b3,
+      |    CAST(sum(CASE WHEN bit = 1 AND p < 32 THEN (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND p >= 32 THEN (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM mbits GROUP BY img_id
+      |), mcand AS (
+      |  SELECT a.img_id AS a_id, b.img_id AS b_id
+      |  FROM mh a JOIN mh b ON a.b0 = b.b0 AND a.img_id < b.img_id
+      |  UNION SELECT a.img_id, b.img_id
+      |  FROM mh a JOIN mh b ON a.b1 = b.b1 AND a.img_id < b.img_id
+      |  UNION SELECT a.img_id, b.img_id
+      |  FROM mh a JOIN mh b ON a.b2 = b.b2 AND a.img_id < b.img_id
+      |  UNION SELECT a.img_id, b.img_id
+      |  FROM mh a JOIN mh b ON a.b3 = b.b3 AND a.img_id < b.img_id
+      |), mdrop AS (
+      |  SELECT DISTINCT c.b_id FROM mcand c
+      |  JOIN mh ha ON ha.img_id = c.a_id
+      |  JOIN mh hb ON hb.img_id = c.b_id
+      |  WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+      |), msurv AS (
+      |  SELECT d.doc_id, d.source, d.img_j, d.img_id, d.w, d.h,
+      |    h.hi AS ahash_hi, h.lo AS ahash_lo
+      |  FROM mdim d JOIN mh h USING (img_id)
+      |  WHERE d.img_id NOT IN (SELECT b_id FROM mdrop)
+      |), mcap AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(ahash_hi AS VARCHAR) || '_' || CAST(ahash_lo AS VARCHAR)),
+      |      img_id) AS rn_cap
+      |  FROM msurv
+      |)
+      |SELECT i.source, i.doc_id, f.page_id, f.lang_pred, f.n_tokens,
+      |  i.img_id, i.img_j, i.w, i.h, i.ahash_hi, i.ahash_lo
+      |FROM mcap i JOIN afin f ON f.doc_id = i.doc_id
+      |WHERE i.rn_cap <= 10
+      |ORDER BY i.doc_id, i.img_id""".stripMargin
+
   /** Shared DuckDB replay for x131/x132: the three one-vs-all training
     * chains (one [[perceptronCtesSql]] call per class, prefixed c{c}_,
     * over the shared label-independent `ftfb` at dim 128), one final
@@ -1201,7 +1307,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x146_web_arc" -> (x146 _),
     "x149_arc_funnel" -> (x149 _),
     "x147_bt_distributed" -> (x147 _),
-    "x148_explained_variance" -> (x148 _)
+    "x148_explained_variance" -> (x148 _),
+    "x150_multimodal_arc" -> (x150 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -1537,6 +1644,9 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x146_web_arc" -> webArcOracleSql,
     // x149: the same chain aggregated per stage — see webArcFunnelSql.
     "x149_arc_funnel" -> webArcFunnelSql,
+    // x150: the same chain plus the closed-form image half — see
+    // webArcMediaSql.
+    "x150_multimodal_arc" -> webArcMediaSql,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -196,6 +196,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "warc_records", exprs => WarcRecords(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "build_media_warc", exprs => BuildMediaWarc(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "media_warc_records", exprs => MediaWarcRecords(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "html_links", exprs => HtmlLinks(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "html_anchors", exprs => HtmlAnchors(exprs(0)), "built-in")
@@ -507,6 +511,20 @@ object GraftFunctions {
     */
   def warcRecords(bytes: Column): Column =
     call_function("warc_records", bytes)
+
+  /** Mixed text+image WARC file (the BuildWarc records, then 1+id%2
+    * image/bmp records from the shared BmpBytes pixel core; every 7th
+    * doc's images magic-corrupted in place) — see BuildMediaWarc.
+    */
+  def buildMediaWarc(id: Column, text: Column): Column =
+    call_function("build_media_warc", id, text)
+
+  /** Binary-payload WARC record walk → array<struct(rec_offset,
+    * rec_type, target_uri, rec_date, content_type, content_length,
+    * payload: binary)> — see MediaWarcRecords.
+    */
+  def mediaWarcRecords(bytes: Column): Column =
+    call_function("media_warc_records", bytes)
 
   /** Every `<a href>` attribute value in document order (quote-aware
     * attribute parse; script/style/comments never contribute) — the

@@ -530,6 +530,25 @@ case class BuildBmp(idExpr: Expression, wExpr: Expression, hExpr: Expression)
   override def third: Expression = hExpr
   override def dataType: DataType = BinaryType
 
+  override protected def nullSafeEval(idAny: Any, wAny: Any, hAny: Any): Any =
+    BmpBytes(
+      idAny.asInstanceOf[Long],
+      wAny.asInstanceOf[Int],
+      hAny.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(idExpr = f, wExpr = s, hExpr = t)
+}
+
+/** The BMP byte layout with ONE owner — shared by [[BuildBmp]] (the
+  * standalone synthesizer expression) and
+  * [[graft.functions.BuildMediaWarc]] (which embeds the same images as
+  * WARC record payloads), so the closed-form pixel contract the oracles
+  * replay cannot fork.
+  */
+object BmpBytes {
+
   private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
     b(o) = (v & 0xff).toByte
     b(o + 1) = ((v >> 8) & 0xff).toByte
@@ -537,10 +556,7 @@ case class BuildBmp(idExpr: Expression, wExpr: Expression, hExpr: Expression)
     b(o + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  override protected def nullSafeEval(idAny: Any, wAny: Any, hAny: Any): Any = {
-    val id = idAny.asInstanceOf[Long]
-    val w = wAny.asInstanceOf[Int]
-    val h = hAny.asInstanceOf[Int]
+  def apply(id: Long, w: Int, h: Int): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad bmp dims ${w}x$h")
     val stride = (3 * w + 3) / 4 * 4
     val size = 54 + stride * h
@@ -570,10 +586,6 @@ case class BuildBmp(idExpr: Expression, wExpr: Expression, hExpr: Expression)
     }
     b
   }
-
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression =
-    copy(idExpr = f, wExpr = s, hExpr = t)
 }
 
 /** REAL container-header decode for the formats that need no codec
@@ -592,6 +604,13 @@ case class BuildBmp(idExpr: Expression, wExpr: Expression, hExpr: Expression)
 case class DecodeMediaMeta(child: Expression)
     extends UnaryExpression
     with CodegenFallback {
+
+  // the decode returns NULL for unknown magic / corrupt headers even
+  // when the input column is non-nullable — without this override the
+  // inherited child-nullability lets codegen elide the null guard and
+  // NPE on the first corrupt payload (found by the multimodal arc,
+  // whose walker emits a non-nullable binary payload column)
+  override def nullable: Boolean = true
 
   override def dataType: DataType = StructType(
     Seq(

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The MULTIMODAL web-corpus arc (x150) — image payloads through the
+  * composed pipeline, the round-14 verdict's top item: a real crawl's
+  * WARC files interleave HTML with the images those pages embed, and a
+  * multimodal training set is (image, curated-text) PAIRS, not two
+  * independent corpora. One mixed container
+  * ([[graft.functions.BuildMediaWarc]]) is walked by modality route:
+  *
+  *   text/html  → the FULL text arc, stages 4–10 shared VERBATIM with
+  *                [[WebArc]] ([[WebArc.stagesFromPages]] +
+  *                [[WebArc.curatedFromStages]] — Gopher+langID screens,
+  *                exact dedup, MinHash near-dup, decontamination, model
+  *                screen, calibrated keep, per-source cap);
+  *   image/bmp  → decode gate ([[graft.functions.DecodeMediaMeta]] —
+  *                the planted corrupt payloads die HERE, not in the
+  *                container walk) → 8×8 aHash
+  *                ([[graft.functions.ImageAHash]], a REAL pixel decode)
+  *                → banded Hamming near-dup ([[Dedup.hammingPairs]],
+  *                radius 3, pigeonhole-lossless 4×16-bit blocking;
+  *                greedy keep-first: any verified pair drops the larger
+  *                img_id) → per-source cap
+  *                ([[Sampling.capPerGroup]] in (md5(hi_lo), img_id)
+  *                order — content-derived, arrival-order-free);
+  *
+  * then FUSION: kept images inner-join the doc's curated page (after
+  * exact dedup a doc contributes at most one page, so the join cannot
+  * fan out beyond the image count) — one row per aligned
+  * (image, curated text) pair, the multimodal training sample.
+  *
+  * Oracle strategy: the text half reuses the x146 CTE chain verbatim
+  * (same records — [[BuildMediaWarc]] embeds the [[WarcFunctions]] text
+  * records byte-for-byte); the image half is replayed closed-form from
+  * the pixel formula (the x29/x30 argument: gray(pid,x,y) =
+  * (pid·131+x·7+y·13) mod 256, cell means, exact-integer threshold), so
+  * a hash match certifies the whole container-walk → decode → hash →
+  * band-join → cap composition without the oracle ever seeing a byte.
+  *
+  * Scale shape: the container walk and both routes are map-only off the
+  * scan (no exchange below the aHash — the x34 rule); each modality
+  * route re-derives the walk from the scan instead of checkpointing
+  * payload bytes (recompute is cheap, materializing a 100 TB crawl's
+  * payloads is not — the x146 documents-scanned-twice posture); the
+  * image exchanges are ids+64-bit signatures only (banded Hamming join,
+  * then the bounded cap window). Corrupt payloads NULL out at the gate
+  * (never a throw); Hamming banding is candidate generation only, so
+  * band choice cancels out of the emitted pair set.
+  *
+  * Reference scope: no analog in the reference (an options ETL); this
+  * composes the engine's own x29/x30/x92 media family with the x146 arc.
+  */
+object MediaArc {
+
+  /** The one mixed-container record walk both routes derive from:
+    * resource records with position, type, and raw payload bytes.
+    */
+  private def records(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    docs
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        col("source"),
+        posexplode(
+          GraftFunctions.mediaWarcRecords(
+            GraftFunctions.buildMediaWarc(col("doc_id"), col("text"))))
+          .as(Seq("pos", "r")))
+      .where(col("r.rec_type") === "resource")
+  }
+
+  /** text/html route → the [[WebArc]] pages shape (doc_id, source,
+    * rec_idx, page_id, host, main_text). Byte-identical records to the
+    * text-only container, so the downstream selection is x146's.
+    */
+  private[graft] def textPagesFromMedia(docs: DataFrame): DataFrame =
+    records(docs)
+      .where(col("r.content_type") === "text/html")
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("pos") - 1).cast("int").as("rec_idx"),
+        (col("doc_id") * 4 + (col("pos") - 1)).as("page_id"),
+        GraftFunctions.urlNormalize(col("r.target_uri")).getField("host").as("host"),
+        GraftFunctions.htmlExtract(col("r.payload").cast("string"), lit(0.5))
+          .getField("main_text").as("main_text"))
+
+  /** image/bmp route through the decode gate and the aHash: one row per
+    * DECODABLE image — (doc_id, source, img_j, img_id, w, h, sim,
+    * ahash_hi, ahash_lo). Image j of doc d sits at container position
+    * 1 (warcinfo) + 1+d%3 (text records) + j, so img_j is closed-form
+    * recoverable from the walk position alone; img_id = doc_id·2+img_j
+    * is injective (≤ 2 images per doc). The corrupt plant (every 7th
+    * doc) fails BOTH the meta gate and the hash — either alone drops it.
+    */
+  private[graft] def gatedImages(docs: DataFrame): DataFrame =
+    records(docs)
+      .where(col("r.content_type") === "image/bmp")
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("pos") - 2 - col("doc_id") % 3).cast("int").as("img_j"),
+        (col("doc_id") * 2 + (col("pos") - 2 - col("doc_id") % 3)).as("img_id"),
+        GraftFunctions.decodeMediaMeta(col("r.payload")).as("meta"),
+        GraftFunctions.imageAHash(col("r.payload")).as("sim"))
+      // the REAL decode gate: header format + sane dims from
+      // DecodeMediaMeta, decodability from the hash (ImageAHash returns
+      // NULL below the 8×8 grid and on any structural damage) — the
+      // corruption plant dies here, map-side, before any exchange
+      .where(
+        col("meta.format") === "bmp" &&
+          col("meta.width") >= 8 && col("meta.height") >= 8 &&
+          col("sim").isNotNull)
+      .select(
+        col("doc_id"), col("source"), col("img_j"), col("img_id"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        col("sim"),
+        shiftright(col("sim"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
+        col("sim").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+
+  /** Image stages 2–4: banded Hamming near-dup (greedy keep-first) +
+    * per-source cap in content-hash order.
+    */
+  private[graft] def curatedImages(gated: DataFrame, capImg: Int): DataFrame = {
+    val drops = Dedup
+      .hammingPairs(
+        gated.select(col("img_id"), col("sim")), maxHamming = 3, idCol = "img_id")
+      .select(col("b_id").as("img_id"))
+      .distinct()
+    val kept = gated.join(drops, Seq("img_id"), "left_anti")
+    Sampling.capPerGroup(
+      kept,
+      group = col("source"),
+      key = concat_ws("_", col("ahash_hi"), col("ahash_lo")),
+      tieBreak = col("img_id"),
+      cap = capImg)
+  }
+
+  /** Run the multimodal arc: one aligned (image, curated text) pair per
+    * kept image of a doc whose page survived the full text arc.
+    *
+    * @return (source, doc_id, page_id, lang_pred, n_tokens, img_id,
+    *         img_j, w, h, ahash_hi, ahash_lo)
+    */
+  def pipeline(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      model: LinearModel.HashedLinearModel,
+      capText: Int = 10,
+      capImg: Int = 10,
+      minIsoPpm: Long = 500000L,
+      trainDim: Int = 512,
+      trainRounds: Int = 3
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    // text route first: its eager checkpoints decide the short-circuit
+    // before any image work is planned
+    val st = WebArc.stagesFromPages(textPagesFromMedia(docs), evalDocs, model)
+    if (st.screened.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("source", StringType), StructField("doc_id", LongType),
+          StructField("page_id", LongType), StructField("lang_pred", StringType),
+          StructField("n_tokens", LongType), StructField("img_id", LongType),
+          StructField("img_j", IntegerType), StructField("w", IntegerType),
+          StructField("h", IntegerType), StructField("ahash_hi", LongType),
+          StructField("ahash_lo", LongType))))
+    }
+    val curatedText = WebArc
+      .curatedFromStages(st, capText, minIsoPpm, trainDim, trainRounds)
+      .select(col("doc_id"), col("page_id"), col("lang_pred"), col("n_tokens"))
+    curatedImages(gatedImages(docs), capImg)
+      .join(curatedText, Seq("doc_id"))
+      .select(
+        col("source"), col("doc_id"), col("page_id"), col("lang_pred"),
+        col("n_tokens"), col("img_id"), col("img_j"), col("w"), col("h"),
+        col("ahash_hi"), col("ahash_lo"))
+  }
+}

@@ -89,7 +89,7 @@ object WebArc {
   /** The arc's stage frames through the model screen — shared by
     * [[pipeline]] and [[funnel]] so the two surfaces cannot drift.
     */
-  private final case class ArcStages(
+  private[operators] final case class ArcStages(
       pages: DataFrame,
       screenedPages: DataFrame,
       survivors: DataFrame,
@@ -126,9 +126,7 @@ object WebArc {
           StructField("pack_grp", LongType), StructField("pack_bin", LongType),
           StructField("bin_fill", LongType))))
     }
-    val calibrated = st.screened.drop("y")
-      .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id")
-    val capped = capSelect(calibrated, cap)
+    val capped = curatedFromStages(st, cap, minIsoPpm, trainDim, trainRounds)
 
     // 11: next-fit pack, deterministic page_id-mod groups
     val packed = Pack
@@ -147,6 +145,23 @@ object WebArc {
         col("source"), col("doc_id"), col("rec_idx"), col("host"),
         col("lang_pred"), col("n_tokens"), col("score"), col("iso_ppm"),
         col("pack_grp"), col("pack_bin"), col("bin_fill"))
+  }
+
+  /** Stages 9–10 over built stages: calibrated keep + per-source cap —
+    * the curated page set BEFORE packing. Shared by [[pipeline]] (which
+    * packs it) and the multimodal arc (which pairs it with curated
+    * images). Caller must have checked `st.screened` non-empty (the
+    * calibration fit refuses an empty frame).
+    */
+  private[operators] def curatedFromStages(
+      st: ArcStages,
+      cap: Int,
+      minIsoPpm: Long,
+      trainDim: Int,
+      trainRounds: Int): DataFrame = {
+    val calibrated = st.screened.drop("y")
+      .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id")
+    capSelect(calibrated, cap)
   }
 
   /** Stage 9: train the quality perceptron on the screened pages, score
@@ -193,14 +208,18 @@ object WebArc {
       evalDocs: DataFrame,
       model: LinearModel.HashedLinearModel,
       obs: (String, DataFrame) => DataFrame = (_, df) => df
-  ): ArcStages = {
+  ): ArcStages =
+    stagesFromPages(textPages(docs), evalDocs, model, obs)
+
+  /** Stages 1–3: ingest + record walk + URL normalize + extract,
+    * map-only off the scan. All records of a doc share the payload; the
+    * walk is the real byte walk (x92 hash-certifies it; here it feeds
+    * the arc).
+    */
+  private def textPages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
-
-    // 1–3: ingest + record walk + URL normalize + extract, map-only off
-    // the scan. All records of a doc share the payload; the walk is the
-    // real byte walk (x92 hash-certifies it; here it feeds the arc).
-    val pages0 = docs
+    docs
       .select(col("doc_id"), col("source"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
@@ -219,6 +238,21 @@ object WebArc {
         GraftFunctions.urlNormalize(col("r.target_uri")).getField("host").as("host"),
         GraftFunctions.htmlExtract(col("r.payload"), lit(0.5))
           .getField("main_text").as("main_text"))
+  }
+
+  /** Stages 4–8 from a pre-built pages frame (doc_id, source, rec_idx,
+    * page_id, host, main_text) — the container-agnostic core shared by
+    * the text arc ([[textPages]]) and the multimodal arc
+    * ([[MediaArc]]'s text/html route), so one container walk can feed
+    * both modalities without forking the selection logic.
+    */
+  private[operators] def stagesFromPages(
+      pages0: DataFrame,
+      evalDocs: DataFrame,
+      model: LinearModel.HashedLinearModel,
+      obs: (String, DataFrame) => DataFrame = (_, df) => df
+  ): ArcStages = {
+    GraftFunctions.register(pages0.sparkSession)
     // the FUNNEL observes each stage frame in place (CollectMetrics
     // nodes riding the pipeline's own executions — audit for free, no
     // persist, no second traversal); the pipeline passes the identity
