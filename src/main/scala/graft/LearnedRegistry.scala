@@ -415,6 +415,29 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .orderBy(col("doc_id"), col("img_id"))
   }
 
+  /** Robots-gated arc funnel (x151): a real crawler's stage 0 — every
+    * record's normalized path is checked against the host's RFC 9309
+    * robots rules BEFORE any extract/screen cycles are spent
+    * ([[graft.operators.WebArc.robotsFunnel]]; x99's rule engine
+    * composed into the arc). The `*` group disallows everything under
+    * /doc/, so resolving the crawler to the wrong agent group would
+    * empty the corpus — group selection is load-bearing in the
+    * composition, not just in x99's fixture. The oracle chains the
+    * closed-form gate replay (doc_id ends in 3, rec_idx 2) into the
+    * x146 CTEs and aggregates per stage with the raw walk and gate
+    * survivors as the two leading rows.
+    */
+  protected def x151(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    WebArc
+      .robotsFunnel(
+        docs = docs.select(col("doc_id"), col("source"), col("text")),
+        evalDocs = docs.where(col("doc_id") % 50 === 0).select(col("text")),
+        model = ftModel)
+      .orderBy(col("stage_idx"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -820,7 +843,24 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     * arc's final-select oracle and the x149 funnel oracle so the two
     * replays cannot drift. Spliced after WITH RECURSIVE.
     */
-  protected lazy val webArcChainSql: String = {
+  protected lazy val webArcChainSql: String = webArcChain(robotsGated = false)
+
+  /** The arc CTE chain, optionally with the x151 robots gate as stage 0:
+    * `apr` filters the derived pages on the closed-form replay of
+    * [[graft.operators.WebArc.arcRobots]]'s graftbot group (the
+    * star-then-`3/` rule ↔ doc_id ends in 3, the star-then-`/2` rule ↔
+    * rec_idx 2) and the chain
+    * reads from it. With the gate off the emitted string is the x146/
+    * x149 chain verbatim.
+    */
+  protected def webArcChain(robotsGated: Boolean): String = {
+    val pagesSrc = if (robotsGated) "apr" else "ap"
+    val robotsCte =
+      if (robotsGated)
+        """, apr AS (
+          |  SELECT * FROM ap WHERE doc_id % 10 <> 3 AND rec_idx <> 2
+          |)""".stripMargin
+      else ""
     val markers = TextAnalysis.langMarkers
     val stopList = markers.head._2.map(w => s"'$w'").mkString(",")
     val scoreCols = markers
@@ -849,8 +889,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |                         ELSE t || ' see ref ' || ids END
       |        ELSE '' END AS main_text
       |  FROM ap0
-      |), atk AS (
-      |  SELECT *, string_split_regex(trim(main_text), '\\s+') AS toks FROM ap
+      |)$robotsCte, atk AS (
+      |  SELECT *, string_split_regex(trim(main_text), '\\s+') AS toks FROM $pagesSrc
       |), ag AS (
       |  SELECT *,
       |    CAST(len(toks) AS BIGINT) AS n_tok,
@@ -993,27 +1033,49 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |FROM awalk w JOIN afin f USING (page_id)
       |ORDER BY f.doc_id, f.rec_idx""".stripMargin
 
+  private def funnelAggSql(idx: Int, name: String, src: String, tok: String): String =
+    s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
+       |  CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(coalesce(sum($tok), 0) AS BIGINT) AS n_tokens
+       |FROM $src""".stripMargin
+
+  private lazy val funnelRecountSql: String =
+    s"CAST(len(regexp_extract_all(main_text, '$webArcBpeish')) AS BIGINT)"
+
   /** The x149 funnel oracle: the SAME chain, aggregated per stage —
     * count + BPE-ish token mass at pages / screened / exact_dedup /
     * near_dup / decontaminated / model_screen / calibrated / capped.
     */
   protected lazy val webArcFunnelSql: String = {
-    def agg(idx: Int, name: String, src: String, tok: String): String =
-      s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
-         |  CAST(count(*) AS BIGINT) AS n_pages,
-         |  CAST(coalesce(sum($tok), 0) AS BIGINT) AS n_tokens
-         |FROM $src""".stripMargin
-    val recount =
-      s"CAST(len(regexp_extract_all(main_text, '$webArcBpeish')) AS BIGINT)"
+    val recount = funnelRecountSql
     s"""WITH RECURSIVE $webArcChainSql
-      |${agg(1, "pages", "ap", recount)}
-      |UNION ALL ${agg(2, "screened", "ascp", recount)}
-      |UNION ALL ${agg(3, "exact_dedup", "asv", recount)}
-      |UNION ALL ${agg(4, "near_dup", "anear", recount)}
-      |UNION ALL ${agg(5, "decontaminated", "acln", recount)}
-      |UNION ALL ${agg(6, "model_screen", "amscr", recount)}
-      |UNION ALL ${agg(7, "calibrated", "acal", recount)}
-      |UNION ALL ${agg(8, "capped", "afin", "n_tokens")}
+      |${funnelAggSql(1, "pages", "ap", recount)}
+      |UNION ALL ${funnelAggSql(2, "screened", "ascp", recount)}
+      |UNION ALL ${funnelAggSql(3, "exact_dedup", "asv", recount)}
+      |UNION ALL ${funnelAggSql(4, "near_dup", "anear", recount)}
+      |UNION ALL ${funnelAggSql(5, "decontaminated", "acln", recount)}
+      |UNION ALL ${funnelAggSql(6, "model_screen", "amscr", recount)}
+      |UNION ALL ${funnelAggSql(7, "calibrated", "acal", recount)}
+      |UNION ALL ${funnelAggSql(8, "capped", "afin", "n_tokens")}
+      |ORDER BY stage_idx""".stripMargin
+  }
+
+  /** The x151 robots-gated funnel oracle: the gated chain
+    * ([[webArcChain]] with `apr`), aggregated per stage with the raw
+    * walk (`ap`) and the gate survivors (`apr`) as the two leading rows.
+    */
+  protected lazy val webArcRobotsFunnelSql: String = {
+    val recount = funnelRecountSql
+    s"""WITH RECURSIVE ${webArcChain(robotsGated = true)}
+      |${funnelAggSql(1, "pages", "ap", recount)}
+      |UNION ALL ${funnelAggSql(2, "robots_allowed", "apr", recount)}
+      |UNION ALL ${funnelAggSql(3, "screened", "ascp", recount)}
+      |UNION ALL ${funnelAggSql(4, "exact_dedup", "asv", recount)}
+      |UNION ALL ${funnelAggSql(5, "near_dup", "anear", recount)}
+      |UNION ALL ${funnelAggSql(6, "decontaminated", "acln", recount)}
+      |UNION ALL ${funnelAggSql(7, "model_screen", "amscr", recount)}
+      |UNION ALL ${funnelAggSql(8, "calibrated", "acal", recount)}
+      |UNION ALL ${funnelAggSql(9, "capped", "afin", "n_tokens")}
       |ORDER BY stage_idx""".stripMargin
   }
 
@@ -1308,7 +1370,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x149_arc_funnel" -> (x149 _),
     "x147_bt_distributed" -> (x147 _),
     "x148_explained_variance" -> (x148 _),
-    "x150_multimodal_arc" -> (x150 _)
+    "x150_multimodal_arc" -> (x150 _),
+    "x151_robots_arc" -> (x151 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -1647,6 +1710,9 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     // x150: the same chain plus the closed-form image half — see
     // webArcMediaSql.
     "x150_multimodal_arc" -> webArcMediaSql,
+    // x151: the robots-gated chain aggregated per stage — see
+    // webArcRobotsFunnelSql.
+    "x151_robots_arc" -> webArcRobotsFunnelSql,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

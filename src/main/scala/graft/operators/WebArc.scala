@@ -216,9 +216,19 @@ object WebArc {
     * walk is the real byte walk (x92 hash-certifies it; here it feeds
     * the arc).
     */
-  private def textPages(docs: DataFrame): DataFrame = {
+  private def textPages(docs: DataFrame, keepPath: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
+    val norm = GraftFunctions.urlNormalize(col("r.target_uri"))
+    val cols = Seq(
+      col("doc_id"),
+      col("source"),
+      (col("pos") - 1).cast("int").as("rec_idx"),
+      (col("doc_id") * 4 + (col("pos") - 1)).as("page_id"),
+      norm.getField("host").as("host"),
+      GraftFunctions.htmlExtract(col("r.payload"), lit(0.5))
+        .getField("main_text").as("main_text")) ++
+      (if (keepPath) Seq(norm.getField("path").as("path")) else Seq.empty)
     docs
       .select(col("doc_id"), col("source"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -230,14 +240,7 @@ object WebArc {
             GraftFunctions.buildWarc(col("doc_id"), col("text"))))
           .as(Seq("pos", "r")))
       .where(col("r.rec_type") === "resource")
-      .select(
-        col("doc_id"),
-        col("source"),
-        (col("pos") - 1).cast("int").as("rec_idx"),
-        (col("doc_id") * 4 + (col("pos") - 1)).as("page_id"),
-        GraftFunctions.urlNormalize(col("r.target_uri")).getField("host").as("host"),
-        GraftFunctions.htmlExtract(col("r.payload"), lit(0.5))
-          .getField("main_text").as("main_text"))
+      .select(cols: _*)
   }
 
   /** Stages 4–8 from a pre-built pages frame (doc_id, source, rec_idx,
@@ -250,13 +253,17 @@ object WebArc {
       pages0: DataFrame,
       evalDocs: DataFrame,
       model: LinearModel.HashedLinearModel,
-      obs: (String, DataFrame) => DataFrame = (_, df) => df
+      obs: (String, DataFrame) => DataFrame = (_, df) => df,
+      pagesStage: String = "pages"
   ): ArcStages = {
     GraftFunctions.register(pages0.sparkSession)
     // the FUNNEL observes each stage frame in place (CollectMetrics
     // nodes riding the pipeline's own executions — audit for free, no
-    // persist, no second traversal); the pipeline passes the identity
-    val pages = obs("pages", pages0)
+    // persist, no second traversal); the pipeline passes the identity.
+    // `pagesStage` names this first observer — the robots variant calls
+    // its post-gate frame "robots_allowed" and observes the raw walk
+    // upstream under "pages".
+    val pages = obs(pagesStage, pages0)
 
     // 4: map-side screens BEFORE the md5 exchange (screen-first
     // equivalence — see scaladoc; shrinks the first shuffle to the
@@ -368,17 +375,89 @@ object WebArc {
       minIsoPpm: Long = 500000L,
       trainDim: Int = 512,
       trainRounds: Int = 3
+  ): DataFrame =
+    observedFunnel(
+      mkPages = _ => textPages(docs), preNames = Seq.empty,
+      pagesStage = "pages", evalDocs = evalDocs, model = model,
+      cap = cap, minIsoPpm = minIsoPpm, trainDim = trainDim,
+      trainRounds = trainRounds)
+
+  /** The arc's robots.txt fixture (RFC 9309): the `*` group disallows
+    * the whole /doc/ tree — a crawler that resolves agent groups wrong
+    * empties the corpus, so group selection is load-bearing — while the
+    * graftbot group drops documents whose id ends in 3 (star-then-`3/` — a
+    * mid-pattern wildcard anchored by the following `3/`) and every
+    * third record of a document (the star-then-`/2` rule). Both replay
+    * closed-form: doc_id % 10 == 3, rec_idx == 2.
+    */
+  val arcRobots: String =
+    "User-agent: *\nDisallow: /doc/\n\n" +
+      "User-agent: graftbot\nDisallow: /doc/*3/\nDisallow: /doc/*/2\n"
+
+  /** The ROBOTS-GATED arc funnel (x151): stage 0 of a real crawl
+    * pipeline — the politeness gate between the record walk and
+    * everything that costs extract/screen cycles
+    * ([[graft.functions.RobotsAllowed]], full RFC 9309 semantics,
+    * applied to each record's normalized path BEFORE the screens). One
+    * extra funnel row makes the cut auditable: `pages` is the raw walk
+    * mass, `robots_allowed` what survives the gate, then the standard
+    * chain. Same single-pass observe() posture as [[funnel]].
+    */
+  def robotsFunnel(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      model: LinearModel.HashedLinearModel,
+      robots: String = arcRobots,
+      agent: String = "graftbot/1.0",
+      cap: Int = 10,
+      minIsoPpm: Long = 500000L,
+      trainDim: Int = 512,
+      trainRounds: Int = 3
+  ): DataFrame =
+    observedFunnel(
+      mkPages = attach => {
+        val walked = attach("pages", textPages(docs, keepPath = true))
+        walked
+          .where(
+            GraftFunctions.robotsAllowed(lit(robots), lit(agent), col("path")))
+          .drop("path")
+      },
+      preNames = Seq("pages"),
+      pagesStage = "robots_allowed",
+      evalDocs = evalDocs, model = model, cap = cap, minIsoPpm = minIsoPpm,
+      trainDim = trainDim, trainRounds = trainRounds)
+
+  /** SINGLE-PASS funnel core shared by [[funnel]] and [[robotsFunnel]]:
+    * every head stage carries a CollectMetrics observer inside the
+    * arc's OWN executions (the two checkpoint materializations), so the
+    * per-stage page/token mass is reported by the run that computes the
+    * selection — audit for free, the Diagnostics posture at pipeline
+    * granularity. No persist, no second traversal of any stage; the
+    * only extra work vs the bare pipeline is the constant-size metric
+    * aggregates.
+    *
+    * @param mkPages   builds the pages frame handed to the stage chain,
+    *                  attaching any PRE-stage observers (e.g. the raw
+    *                  walk ahead of the robots gate) via the given
+    *                  attach function
+    * @param preNames  the names mkPages attaches, in funnel order
+    * @param pagesStage the name of the chain's first observer (the
+    *                  frame mkPages returns)
+    */
+  private def observedFunnel(
+      mkPages: ((String, DataFrame) => DataFrame) => DataFrame,
+      preNames: Seq[String],
+      pagesStage: String,
+      evalDocs: DataFrame,
+      model: LinearModel.HashedLinearModel,
+      cap: Int,
+      minIsoPpm: Long,
+      trainDim: Int,
+      trainRounds: Int
   ): DataFrame = {
-    val spark = docs.sparkSession
-    // SINGLE-PASS funnel: every head stage carries a CollectMetrics
-    // observer inside the arc's OWN executions (the two checkpoint
-    // materializations), so the per-stage page/token mass is reported
-    // by the run that computes the selection — audit for free, the
-    // Diagnostics posture at pipeline granularity. No persist, no
-    // second traversal of any stage; the only extra work vs the bare
-    // pipeline is the 7 constant-size metric aggregates.
-    val headNames = Seq(
-      "pages", "screened", "exact_dedup", "near_dup", "decontaminated",
+    val spark = evalDocs.sparkSession
+    val headNames = preNames ++ Seq(
+      pagesStage, "screened", "exact_dedup", "near_dup", "decontaminated",
       "model_screen")
     val obsOf =
       (headNames :+ "calibrated").map(n => n -> Observation(s"arc_$n")).toMap
@@ -391,21 +470,23 @@ object WebArc {
         count(lit(1)).as("n_pages"),
         coalesce(sum(tok), lit(0L)).as("n_tokens"))
     }
-    val st = buildStages(docs, evalDocs, model, obs = attach)
+    val st = stagesFromPages(mkPages(attach), evalDocs, model, attach, pagesStage)
     def metrics(name: String): (Long, Long) = {
       val m = obsOf(name).get
       (m("n_pages").asInstanceOf[Long], m("n_tokens").asInstanceOf[Long])
     }
+    val calIdx = (headNames.size + 1).toLong
     val tail: Seq[(Long, String, Long, Long)] =
       if (st.screened.isEmpty)
-        Seq((7L, "calibrated", 0L, 0L), (8L, "capped", 0L, 0L))
+        Seq((calIdx, "calibrated", 0L, 0L), (calIdx + 1, "capped", 0L, 0L))
       else {
         val calibrated = attach(
           "calibrated",
           st.screened.drop("y")
             .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id"))
-        // ONE action: the capped aggregate is stage 8 directly, and its
-        // plan contains the calibrated observer (stage 7 rides along)
+        // ONE action: the capped aggregate is the last stage directly,
+        // and its plan contains the calibrated observer (which rides
+        // along)
         val capped = capSelect(calibrated, cap)
           .agg(
             count(lit(1)).as("n_pages"),
@@ -413,8 +494,8 @@ object WebArc {
           .collect()(0)
         val (cp, ct) = metrics("calibrated")
         Seq(
-          (7L, "calibrated", cp, ct),
-          (8L, "capped", capped.getLong(0), capped.getLong(1)))
+          (calIdx, "calibrated", cp, ct),
+          (calIdx + 1, "capped", capped.getLong(0), capped.getLong(1)))
       }
     val head = headNames.zipWithIndex.map { case (n, i) =>
       val (p, t) = metrics(n)

@@ -150,6 +150,48 @@ class WebArcSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.toString)
   }
 
+  test("robots funnel: the gate cuts exactly the closed-form set " +
+    "(ids ending in 3, rec_idx 2) before any screen runs") {
+    // doc 3: 1 text rec, id ends in 3 → fully robots-dropped;
+    // doc 2: 3 recs (0,1,2) → rec 2 robots-dropped, 0 and 1 survive;
+    // doc 101: 3 recs → rec 2 dropped, 0 and 1 survive
+    val docs = docsDf((3L, baseText), (2L, baseText), (101L, otherText))
+    val f = WebArc.robotsFunnel(
+      docs, Seq("zzz unused gram").toDF("text"), keepAll, minIsoPpm = 0L)
+      .orderBy("stage_idx").collect()
+    assert(f.map(_.getString(1)).toSeq === Seq(
+      "pages", "robots_allowed", "screened", "exact_dedup", "near_dup",
+      "decontaminated", "model_screen", "calibrated", "capped"))
+    assert(f(0).getLong(2) === 7L, "raw walk: 1 + 3 + 3 records")
+    assert(f(1).getLong(2) === 4L, "gate keeps recs 0,1 of docs 2 and 101")
+    // downstream still behaves: exact dedup collapses each doc's fan
+    assert(f(3).getLong(2) === 2L)
+  }
+
+  test("robots group selection is load-bearing: a crawler resolved to " +
+    "the * group (total /doc/ disallow) gets an empty corpus") {
+    val docs = docsDf((2L, baseText))
+    val f = WebArc.robotsFunnel(
+      docs, Seq("zzz").toDF("text"), keepAll, agent = "randombot",
+      minIsoPpm = 0L)
+      .orderBy("stage_idx").collect()
+    assert(f(0).getLong(2) === 3L, "the walk itself is ungated")
+    assert(f(1).getLong(2) === 0L, "the * group disallows the whole tree")
+    assert(f.last.getLong(2) === 0L)
+  }
+
+  test("registered x151 reconciles with x149 on the real corpus: the " +
+    "robots gate only removes mass, and downstream stages are a subset") {
+    val gated = SparkEntry.queries("x151_robots_arc")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val full = SparkEntry.queries("x149_arc_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(gated("pages") === full("pages"), "the raw walk is identical")
+    assert(gated("robots_allowed") < gated("pages"), "the gate must cut")
+    for (s <- Seq("screened", "exact_dedup", "near_dup", "decontaminated"))
+      assert(gated(s) <= full(s), s"stage $s grew under a pure filter")
+  }
+
   test("plan posture: the lineage cuts hold — the final plan roots at the " +
     "checkpointed RDDs, no parquet scan and no classifier re-expansion") {
     // the measured failure mode this pins: without the two localCheckpoint
