@@ -114,21 +114,36 @@ object WebArc {
     // set, not a crash — the calibration fit (rightly) refuses an empty
     // frame, so short-circuit before it. The checkpointed `screened` is
     // already materialized; isEmpty is a first-partition peek.
-    if (st.screened.isEmpty) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("source", StringType), StructField("doc_id", LongType),
-          StructField("rec_idx", IntegerType), StructField("host", StringType),
-          StructField("lang_pred", StringType), StructField("n_tokens", LongType),
-          StructField("score", LongType), StructField("iso_ppm", LongType),
-          StructField("pack_grp", LongType), StructField("pack_bin", LongType),
-          StructField("bin_fill", LongType))))
-    }
+    if (st.screened.isEmpty) return emptyArcOutput(spark)
     val capped = curatedFromStages(st, cap, minIsoPpm, trainDim, trainRounds)
+    packCurated(capped, packCapacity, packGroups)
+  }
 
-    // 11: next-fit pack, deterministic page_id-mod groups
+  /** The arc's output schema as an empty frame — the short-circuit for
+    * a delivery the screens fully reject (the calibration fit rightly
+    * refuses an empty frame). Shared with [[graft.streaming.ArcStream]].
+    */
+  private[graft] def emptyArcOutput(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("source", StringType), StructField("doc_id", LongType),
+        StructField("rec_idx", IntegerType), StructField("host", StringType),
+        StructField("lang_pred", StringType), StructField("n_tokens", LongType),
+        StructField("score", LongType), StructField("iso_ppm", LongType),
+        StructField("pack_grp", LongType), StructField("pack_bin", LongType),
+        StructField("bin_fill", LongType))))
+  }
+
+  /** Stage 11 + the final projection: next-fit pack in deterministic
+    * page_id-mod groups. Shared by [[pipeline]] and the stream view.
+    */
+  private[graft] def packCurated(
+      capped: DataFrame,
+      packCapacity: Long,
+      packGroups: Int): DataFrame = {
     val packed = Pack
       .nextFit(
         capped.select(col("page_id"), col("n_tokens")),
@@ -158,9 +173,23 @@ object WebArc {
       cap: Int,
       minIsoPpm: Long,
       trainDim: Int,
+      trainRounds: Int): DataFrame =
+    curatedFromScreened(st.screened, cap, minIsoPpm, trainDim, trainRounds)
+
+  /** Stages 9–10 from any frame in the `screened` shape (page_id,
+    * doc_id, rec_idx, source, host, text_md5, lang_pred, n_tokens,
+    * main_text, y) — additionally shared by [[graft.streaming.ArcStream]],
+    * whose screened set is a VIEW over maintained state. Caller must
+    * pass a non-empty, multi-pass-safe (checkpointed) frame.
+    */
+  private[graft] def curatedFromScreened(
+      screened: DataFrame,
+      cap: Int,
+      minIsoPpm: Long,
+      trainDim: Int,
       trainRounds: Int): DataFrame = {
-    val calibrated = st.screened.drop("y")
-      .join(keptPages(st.screened, minIsoPpm, trainDim, trainRounds), "page_id")
+    val calibrated = screened.drop("y")
+      .join(keptPages(screened, minIsoPpm, trainDim, trainRounds), "page_id")
     capSelect(calibrated, cap)
   }
 
@@ -216,7 +245,25 @@ object WebArc {
     * walk is the real byte walk (x92 hash-certifies it; here it feeds
     * the arc).
     */
-  private def textPages(docs: DataFrame, keepPath: Boolean = false): DataFrame = {
+  /** Stage 4 as a standalone map-side step — the Gopher cascade, md5,
+    * language-ID and token count over a pages frame. Shared by the
+    * batch chain and [[graft.streaming.ArcStream]]'s per-batch fold
+    * (the screen-first equivalence makes the split safe: every screen
+    * is a pure text function).
+    */
+  private[graft] def screenPages(pages: DataFrame): DataFrame =
+    QualityFilter
+      .gopherFlags(pages, textCol = "main_text")
+      .where(col("keep"))
+      .select(
+        col("page_id"), col("doc_id"), col("rec_idx"), col("source"),
+        col("host"), col("main_text"),
+        md5(col("main_text")).as("text_md5"),
+        TextAnalysis.langId(TextAnalysis.tokens(col("main_text"))).as("lang_pred"),
+        TextAnalysis.bpeishTokenCount(col("main_text")).cast("long").as("n_tokens"))
+      .where(col("lang_pred") =!= "und")
+
+  private[graft] def textPages(docs: DataFrame, keepPath: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val norm = GraftFunctions.urlNormalize(col("r.target_uri"))
@@ -268,18 +315,7 @@ object WebArc {
     // 4: map-side screens BEFORE the md5 exchange (screen-first
     // equivalence — see scaladoc; shrinks the first shuffle to the
     // passing subset, the Curation posture)
-    val screenedPages = obs(
-      "screened",
-      QualityFilter
-        .gopherFlags(pages, textCol = "main_text")
-        .where(col("keep"))
-        .select(
-          col("page_id"), col("doc_id"), col("rec_idx"), col("source"),
-          col("host"), col("main_text"),
-          md5(col("main_text")).as("text_md5"),
-          TextAnalysis.langId(TextAnalysis.tokens(col("main_text"))).as("lang_pred"),
-          TextAnalysis.bpeishTokenCount(col("main_text")).cast("long").as("n_tokens"))
-        .where(col("lang_pred") =!= "und"))
+    val screenedPages = obs("screened", screenPages(pages))
 
     // 5: exact dedup — min page_id per md5 class. localCheckpoint, not
     // persist: the survivor set feeds the LSH miner, two anti-joins, the

@@ -113,6 +113,18 @@ object NearDupStream {
     /** The live LSH posting lists (band_id, band_hash, rep_id). */
     def index: DataFrame = bandIndex
 
+    /** The exact-dup class table (text_md5, rep_id, shingled) — read by
+      * [[ArcStream]] to map verified class pairs onto its own keep-min
+      * survivor table.
+      */
+    private[streaming] def classesState: DataFrame = classes
+
+    /** The verified representative pairs (a_rep, b_rep, jac) — the
+      * text-level near-dup facts [[ArcStream]]'s greedy keep-first view
+      * derives its drop set from.
+      */
+    private[streaming] def verifiedRepPairs: DataFrame = repPairs
+
     private[graft] def update(newDocs: DataFrame, epochId: Long = -1L): Unit = {
       GraftFunctions.register(spark)
       val b = newDocs
