@@ -56,7 +56,13 @@ object SpillBench {
     // heap — the only surface that holds several stages' state at
     // once) and the distributed BT fit (per-round checkpointed ratings
     // frames + DECIMAL denominator aggs)
-    "x146_web_arc", "x147_bt_distributed")
+    "x146_web_arc", "x147_bt_distributed",
+    // round-15 additions: the multimodal arc (the text arc's state PLUS
+    // the persisted banded image signatures and the fused join under
+    // one heap) and the robots-gated funnel (the observe()-based
+    // single-pass funnel's CollectMetrics accumulators riding both
+    // checkpoint materializations)
+    "x150_multimodal_arc", "x151_robots_arc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -451,10 +451,24 @@ case class BuildGif(idExpr: Expression, wExpr: Expression, hExpr: Expression)
   override def third: Expression = hExpr
   override def dataType: DataType = BinaryType
 
-  override protected def nullSafeEval(idAny: Any, wAny: Any, hAny: Any): Any = {
-    val id = idAny.asInstanceOf[Long]
-    val w = wAny.asInstanceOf[Int]
-    val h = hAny.asInstanceOf[Int]
+  override protected def nullSafeEval(idAny: Any, wAny: Any, hAny: Any): Any =
+    GifBytes(
+      idAny.asInstanceOf[Long],
+      wAny.asInstanceOf[Int],
+      hAny.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(idExpr = f, wExpr = s, hExpr = t)
+}
+
+/** The GIF89a byte layout with ONE owner — shared by [[BuildGif]] and
+  * [[graft.functions.BuildMediaWarc]] (the [[BmpBytes]] arrangement,
+  * applied to the LZW twin).
+  */
+object GifBytes {
+
+  def apply(id: Long, w: Int, h: Int): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad gif dims ${w}x$h")
     val out = new java.io.ByteArrayOutputStream(w * h + 1024)
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -505,10 +519,6 @@ case class BuildGif(idExpr: Expression, wExpr: Expression, hExpr: Expression)
     out.write(0x3b) // trailer
     out.toByteArray
   }
-
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression =
-    copy(idExpr = f, wExpr = s, hExpr = t)
 }
 
 /** Deterministic 24-bit uncompressed BMP synthesizer for the multimodal

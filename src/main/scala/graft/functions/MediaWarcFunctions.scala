@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     records carry BOTH payload kinds: the same text/html records as
   *     [[BuildWarc]] (same strings, so the text half of the multimodal
   *     arc shares the text arc's oracle chain verbatim), followed by
-  *     `1 + id%2` image/bmp records whose payloads are REAL BMP files
-  *     from the shared [[BmpBytes]] core (pixel (x,y) of image `pid` is
+  *     `1 + id%2` image records — REAL BMP and GIF files from the shared
+  *     [[BmpBytes]]/[[GifBytes]] cores, format alternating by (id+j)
+  *     parity (pixel (x,y) of image `pid` is
   *     the closed form floorMod(pid·131 + x·7 + y·13, 256), so a SQL
   *     oracle can recompute every downstream aHash from the formula
   *     while Spark decodes actual bytes — the x29/x30 contract). Image
@@ -64,19 +65,27 @@ object MediaWarcFunctions {
   /** Images per document: 1 + id%2 (so near-dup has both singleton and
     * pair shapes to exercise), pixel seed pid = (id div 2)·2 + j (the
     * planted cross-document duplicate), dims 16+pid%16 × 16+pid%12
-    * (always ≥ the 8×8 aHash grid).
+    * (always ≥ the 8×8 aHash grid). FORMAT alternates by (id+j) parity
+    * — BMP even, GIF odd — which makes the planted duplicate pair
+    * CROSS-FORMAT: document 2k's image is a BMP and document 2k+1's
+    * first image is a GIF of the SAME pixels, so the arc's near-dup
+    * stage only catches it if the raw-pixel decoder and the full LZW
+    * decoder land bit-identical hashes inside the composition (the
+    * MultimodalSpec equality, now load-bearing in the pipeline).
     */
   def imageCount(id: Long): Int = (1L + java.lang.Math.floorMod(id, 2L)).toInt
 
   def imagePid(id: Long, j: Int): Long =
     java.lang.Math.floorDiv(id, 2L) * 2L + j
 
+  def imageIsGif(id: Long, j: Int): Boolean =
+    java.lang.Math.floorMod(id + j, 2L) == 1L
+
   def imageBytes(id: Long, j: Int): Array[Byte] = {
     val pid = imagePid(id, j)
-    val b = BmpBytes(
-      pid,
-      (16L + java.lang.Math.floorMod(pid, 16L)).toInt,
-      (16L + java.lang.Math.floorMod(pid, 12L)).toInt)
+    val w = (16L + java.lang.Math.floorMod(pid, 16L)).toInt
+    val h = (16L + java.lang.Math.floorMod(pid, 12L)).toInt
+    val b = if (imageIsGif(id, j)) GifBytes(pid, w, h) else BmpBytes(pid, w, h)
     if (java.lang.Math.floorMod(id, 7L) == 0L) {
       // the damage plant: corrupt the magic IN PLACE (length unchanged,
       // so Content-Length and the record walk stay valid) — the decode
@@ -97,13 +106,14 @@ object MediaWarcFunctions {
     val n = imageCount(id)
     while (j < n) {
       val payload = imageBytes(id, j)
+      val ext = if (imageIsGif(id, j)) "gif" else "bmp"
       val hdr = new StringBuilder(256)
       hdr.append("WARC/1.0\r\n")
       hdr.append("WARC-Type: resource\r\n")
       hdr.append(s"WARC-Record-ID: <urn:graft:$id:img:$j>\r\n")
-      hdr.append(s"WARC-Target-URI: http://example.com/img/$id/$j.bmp\r\n")
+      hdr.append(s"WARC-Target-URI: http://example.com/img/$id/$j.$ext\r\n")
       hdr.append(s"WARC-Date: 2020-01-01T00:00:1${j}Z\r\n")
-      hdr.append("Content-Type: image/bmp\r\n")
+      hdr.append(s"Content-Type: image/$ext\r\n")
       hdr.append(s"Content-Length: ${payload.length}\r\n")
       hdr.append("\r\n")
       out.write(hdr.toString.getBytes(ascii))

@@ -17,7 +17,7 @@ import graft.functions.GraftFunctions
   *                [[WebArc.curatedFromStages]] — Gopher+langID screens,
   *                exact dedup, MinHash near-dup, decontamination, model
   *                screen, calibrated keep, per-source cap);
-  *   image/bmp  → decode gate ([[graft.functions.DecodeMediaMeta]] —
+  *   image/…    → decode gate ([[graft.functions.DecodeMediaMeta]] —
   *                the planted corrupt payloads die HERE, not in the
   *                container walk) → 8×8 aHash
   *                ([[graft.functions.ImageAHash]], a REAL pixel decode)
@@ -91,7 +91,11 @@ object MediaArc {
         GraftFunctions.htmlExtract(col("r.payload").cast("string"), lit(0.5))
           .getField("main_text").as("main_text"))
 
-  /** image/bmp route through the decode gate and the aHash: one row per
+  /** image route (BMP and GIF payloads — the format alternates by
+    * (doc_id+j) parity, so the planted cross-document duplicate is a
+    * CROSS-FORMAT pair and the near-dup stage only catches it if the
+    * raw-pixel and LZW decoders agree bit-for-bit inside the arc)
+    * through the decode gate and the aHash: one row per
     * DECODABLE image — (doc_id, source, img_j, img_id, w, h, sim,
     * ahash_hi, ahash_lo). Image j of doc d sits at container position
     * 1 (warcinfo) + 1+d%3 (text records) + j, so img_j is closed-form
@@ -101,7 +105,7 @@ object MediaArc {
     */
   private[graft] def gatedImages(docs: DataFrame): DataFrame =
     records(docs)
-      .where(col("r.content_type") === "image/bmp")
+      .where(col("r.content_type").isin("image/bmp", "image/gif"))
       .select(
         col("doc_id"),
         col("source"),
@@ -114,7 +118,7 @@ object MediaArc {
       // NULL below the 8×8 grid and on any structural damage) — the
       // corruption plant dies here, map-side, before any exchange
       .where(
-        col("meta.format") === "bmp" &&
+        col("meta.format").isin("bmp", "gif") &&
           col("meta.width") >= 8 && col("meta.height") >= 8 &&
           col("sim").isNotNull)
       .select(

@@ -81,7 +81,15 @@ object ExponentProbe {
     // the funnel shares x146's stage laws by construction (same frames,
     // plus eight bounded aggregates) — watched so a future stage edit
     // that breaks a candidate bound shows up here too
-    "x149_arc_funnel" -> "documents")
+    "x149_arc_funnel" -> "documents",
+    // round-15 additions: the multimodal arc (the x146 text law plus a
+    // banded Hamming join over per-image 64-bit signatures and the
+    // doc-keyed fusion join — e ≈ 1 in documents; a rising e would mean
+    // the image candidate bound broke), and the robots-gated funnel
+    // (one extra map-side predicate on the x149 law — the gate must not
+    // change the exponent, only the constant)
+    "x150_multimodal_arc" -> "documents",
+    "x151_robots_arc" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =

@@ -45,6 +45,7 @@ class CodecFuzzSpec extends SparkSpec {
       GraftFunctions.buildMp4(lit(16), lit(12), lit(1000)),
       GraftFunctions.buildAviFrames(lit(8), lit(8), lit(3)),
       GraftFunctions.buildWarc(col("id"), lit("fuzz corpus page text")),
+      GraftFunctions.buildMediaWarc(col("id"), lit("fuzz corpus page text")),
       GraftFunctions.buildWarcGz(col("id"), lit("fuzz corpus page text")),
       GraftFunctions.buildTar(col("id"), lit("fuzz corpus page text")))
     df.select(array(cols: _*).as("fs"))
@@ -61,7 +62,7 @@ class CodecFuzzSpec extends SparkSpec {
     // class 1: pure random — 1040 cases incl. degenerate lengths
     val random = Seq(0, 1, 2, 4, 8).map(randomBytes) ++
       (1 to 1035).map(_ => randomBytes(1 + rnd.nextInt(2048)))
-    // class 2: single random bit-flips of valid files — 26 files × 40
+    // class 2: single random bit-flips of valid files — 28 files × 40
     val mutants = validFiles.flatMap { f =>
       (1 to 40).map { _ =>
         val c = f.clone()
@@ -70,7 +71,7 @@ class CodecFuzzSpec extends SparkSpec {
         c
       }
     }
-    // class 3: random-offset truncations — 26 files × 20
+    // class 3: random-offset truncations — 28 files × 20
     val truncs = validFiles.flatMap { f =>
       (1 to 20).map(_ => f.take(rnd.nextInt(f.length)))
     }
@@ -78,7 +79,7 @@ class CodecFuzzSpec extends SparkSpec {
   }
 
   test("every byte decoder is total: random/bit-flipped/truncated bytes decode to NULL or a value, never a throw") {
-    assert(validFiles.size === 26)
+    assert(validFiles.size === 28)
     assert(payloads.size >= 2000, s"fuzz corpus too small: ${payloads.size}")
     val df = payloads.zipWithIndex
       .map { case (b, i) => (i.toLong, b) }
@@ -94,6 +95,7 @@ class CodecFuzzSpec extends SparkSpec {
       GraftFunctions.audioPcmFeatures(col("payload")).as("pcm"),
       GraftFunctions.aviFrameChecksums(col("payload"), lit(2)).as("avi"),
       GraftFunctions.warcRecords(col("payload")).as("warc"),
+      GraftFunctions.mediaWarcRecords(col("payload")).as("mwarc"),
       GraftFunctions.gzipMembers(col("payload")).as("gz"),
       GraftFunctions.tarEntries(col("payload")).as("tar"),
       GraftFunctions.resizeBmp(col("payload"), lit(4), lit(4)).as("resized"))
@@ -115,6 +117,7 @@ class CodecFuzzSpec extends SparkSpec {
           GraftFunctions.audioPcmFeatures(col("payload")).cast("string"),
           GraftFunctions.aviFrameChecksums(col("payload"), lit(1)).cast("string"),
           GraftFunctions.warcRecords(col("payload")).cast("string"),
+          GraftFunctions.mediaWarcRecords(col("payload")).cast("string"),
           GraftFunctions.gzipMembers(col("payload")).cast("string"),
           GraftFunctions.tarEntries(col("payload")).cast("string")).as("any"))
       .where(col("any").isNotNull)

@@ -44,6 +44,23 @@ class MediaArcSpec extends SparkSpec {
     assert(byId(4L) === ((16 + 2 % 16, 16 + 2 % 12))) // pid 2
     assert(byId(6L) === ((16 + 2 % 16, 16 + 2 % 12))) // pid 2 (shared!)
     assert(byId(7L) === ((16 + 3 % 16, 16 + 3 % 12))) // pid 3
+    // the format alternates by (doc_id+j) parity — the shared-pixel pair
+    // (img 4, img 6) is deliberately CROSS-FORMAT (BMP vs GIF), and the
+    // identical hashes downstream prove both decoders agree in the arc
+    val cts = docs
+      .select(
+        col("doc_id"),
+        explode(graft.functions.GraftFunctions.mediaWarcRecords(
+          graft.functions.GraftFunctions.buildMediaWarc(col("doc_id"), col("text"))))
+          .as("r"))
+      .where(col("r.content_type").startsWith("image/"))
+      .select(col("doc_id"), col("r.content_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(cts.sorted.toSeq === Seq(
+      (2L, "image/bmp"), (3L, "image/gif"), (3L, "image/bmp")).sorted)
+    val byIdHash = imgs.map(r => r.getAs[Long]("img_id") -> r.getAs[Long]("sim")).toMap
+    assert(byIdHash(4L) === byIdHash(6L),
+      "the BMP and the GIF of the same pixels must hash identically")
   }
 
   test("the decode gate drops the corruption plant (doc_id % 7 == 0), " +
@@ -60,7 +77,7 @@ class MediaArcSpec extends SparkSpec {
         explode(graft.functions.GraftFunctions.mediaWarcRecords(
           graft.functions.GraftFunctions.buildMediaWarc(col("doc_id"), col("text"))))
           .as("r"))
-      .where(col("r.content_type") === "image/bmp")
+      .where(col("r.content_type").startsWith("image/"))
       .groupBy(col("doc_id")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(walked(7L) === 2L && walked(8L) === 1L)
