@@ -438,6 +438,25 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .orderBy(col("stage_idx"))
   }
 
+  /** Media-route funnel (x152): per-stage image count, payload BYTE
+    * mass, and pixel mass through the image half of the multimodal arc
+    * ([[graft.operators.MediaArc.funnel]]). The byte column is the
+    * point: the walk reports each record's MEASURED Content-Length, and
+    * the oracle re-derives it from the byte-layout closed forms (BMP
+    * stride/padding; GIF header + color table + LZW code-stream size,
+    * including the clear-every-253 and 255-byte sub-block framing) — a
+    * hash match proves the container walk consumed real lengths over
+    * binary media payloads, the x92/x98 discipline extended to the
+    * multimodal front.
+    */
+  protected def x152(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    MediaArc
+      .funnel(docs.select(col("doc_id"), col("source"), col("text")))
+      .orderBy(col("stage_idx"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -1079,31 +1098,41 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |ORDER BY stage_idx""".stripMargin
   }
 
-  /** The x150 multimodal-arc oracle: the x146 text chain verbatim
-    * (the mixed container embeds the SAME text records, so `afin` is
-    * the curated-page set), plus the image half replayed closed-form —
-    * image j of doc d has pixel seed pid = (d div 2)·2+j and dims
-    * (16+pid%16) × (16+pid%12); every 7th doc's images are corruption-
-    * planted (dropped here by construction, on the Spark side by the
-    * decode gate); aHash from the shared pixel formula (the x29 CTEs);
-    * Hamming ≤ 3 near-dup over 4×16-bit band candidates (the x30 CTEs;
-    * banding only GENERATES candidates, so band choice cancels);
-    * greedy keep-first (any verified pair drops the larger img_id);
-    * per-source cap in (md5(hi_lo), img_id) order; fused by inner join
-    * to the curated page of the same doc.
+  /** The shared image-half CTEs for x150/x152: ALL image records with
+    * their byte-layout sizes closed-form (`msz` — BMP stride/padding
+    * arithmetic; GIF header + 256-entry color table + LZW code-stream
+    * size: 9-bit codes, one code per pixel plus a clear every 253
+    * literals plus init-clear and EOI, 255-byte sub-block framing), the
+    * uncorrupted subset (`mdim` — the corruption plant excluded), the
+    * closed-form aHashes (`mh`), banded Hamming candidates and greedy
+    * keep-first drops, survivors (`msurv`), and the per-source cap
+    * window (`mcap`).
     */
-  protected lazy val webArcMediaSql: String =
-    s"""WITH RECURSIVE $webArcChainSql, mi0 AS (
+  protected lazy val mediaImageCtesSql: String =
+    s"""mi0 AS (
       |  SELECT doc_id, source, unnest(range(1 + doc_id % 2)) AS j
       |  FROM documents
-      |), mi AS (
+      |), miall AS (
       |  SELECT doc_id, source, CAST(j AS INTEGER) AS img_j,
-      |    doc_id * 2 + j AS img_id, (doc_id // 2) * 2 + j AS pid
-      |  FROM mi0 WHERE doc_id % 7 <> 0
-      |), mdim AS MATERIALIZED (
+      |    doc_id * 2 + j AS img_id, (doc_id // 2) * 2 + j AS pid,
+      |    (doc_id + j) % 2 = 1 AS is_gif
+      |  FROM mi0
+      |), mda AS (
       |  SELECT *, CAST(16 + pid % 16 AS INTEGER) AS w,
       |    CAST(16 + pid % 12 AS INTEGER) AS h
-      |  FROM mi
+      |  FROM miall
+      |), msz0 AS (
+      |  SELECT *, CAST(w AS BIGINT) * h AS npx FROM mda
+      |), msz1 AS (
+      |  SELECT *, (9 * (npx + 2 + (npx - 1) // 253) + 7) // 8 AS nb FROM msz0
+      |), msz AS MATERIALIZED (
+      |  SELECT *, CAST(CASE WHEN is_gif
+      |      THEN 792 + nb + (nb + 254) // 255 + 2
+      |      ELSE 54 + ((3 * w + 3) // 4) * 4 * h END AS BIGINT) AS n_bytes
+      |  FROM msz1
+      |), mdim AS MATERIALIZED (
+      |  SELECT doc_id, source, img_j, img_id, pid, w, h FROM msz
+      |  WHERE doc_id % 7 <> 0
       |), mxs AS (
       |  SELECT img_id, pid, w, h, unnest(range(w)) AS x FROM mdim
       |), mpx AS (
@@ -1155,12 +1184,50 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |    ORDER BY md5(CAST(ahash_hi AS VARCHAR) || '_' || CAST(ahash_lo AS VARCHAR)),
       |      img_id) AS rn_cap
       |  FROM msurv
-      |)
+      |)""".stripMargin
+
+  /** The x150 multimodal-arc oracle: the x146 text chain verbatim
+    * (the mixed container embeds the SAME text records, so `afin` is
+    * the curated-page set), plus the image half replayed closed-form —
+    * image j of doc d has pixel seed pid = (d div 2)·2+j and dims
+    * (16+pid%16) × (16+pid%12); every 7th doc's images are corruption-
+    * planted (dropped here by construction, on the Spark side by the
+    * decode gate); aHash from the shared pixel formula (the x29 CTEs);
+    * Hamming ≤ 3 near-dup over 4×16-bit band candidates (the x30 CTEs;
+    * banding only GENERATES candidates, so band choice cancels);
+    * greedy keep-first (any verified pair drops the larger img_id);
+    * per-source cap in (md5(hi_lo), img_id) order; fused by inner join
+    * to the curated page of the same doc.
+    */
+  protected lazy val webArcMediaSql: String =
+    s"""WITH RECURSIVE $webArcChainSql, $mediaImageCtesSql
       |SELECT i.source, i.doc_id, f.page_id, f.lang_pred, f.n_tokens,
       |  i.img_id, i.img_j, i.w, i.h, i.ahash_hi, i.ahash_lo
       |FROM mcap i JOIN afin f ON f.doc_id = i.doc_id
       |WHERE i.rn_cap <= 10
       |ORDER BY i.doc_id, i.img_id""".stripMargin
+
+  /** The x152 media-funnel oracle: the image CTEs aggregated per stage
+    * — img_records over ALL records (bytes from the layout closed
+    * forms, pixels 0 before decode), then the valid / near-dup-survivor
+    * / capped sets joined back to `msz` for their byte+pixel mass.
+    */
+  protected lazy val mediaFunnelSql: String = {
+    def agg(idx: Int, name: String, src: String, px: String): String =
+      s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_images,
+         |  CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS n_bytes,
+         |  CAST(coalesce(sum($px), 0) AS BIGINT) AS n_px
+         |FROM $src""".stripMargin
+    s"""WITH $mediaImageCtesSql
+      |${agg(1, "img_records", "msz", "0")}
+      |UNION ALL ${agg(2, "decoded", "(SELECT * FROM msz WHERE doc_id % 7 <> 0)", "npx")}
+      |UNION ALL ${agg(3, "image_neardup",
+        "(SELECT z.* FROM msz z JOIN msurv s USING (img_id))", "npx")}
+      |UNION ALL ${agg(4, "image_capped",
+        "(SELECT z.* FROM msz z JOIN mcap c USING (img_id) WHERE c.rn_cap <= 10)", "npx")}
+      |ORDER BY stage_idx""".stripMargin
+  }
 
   /** Shared DuckDB replay for x131/x132: the three one-vs-all training
     * chains (one [[perceptronCtesSql]] call per class, prefixed c{c}_,
@@ -1371,7 +1438,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x147_bt_distributed" -> (x147 _),
     "x148_explained_variance" -> (x148 _),
     "x150_multimodal_arc" -> (x150 _),
-    "x151_robots_arc" -> (x151 _)
+    "x151_robots_arc" -> (x151 _),
+    "x152_media_funnel" -> (x152 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -1713,6 +1781,9 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     // x151: the robots-gated chain aggregated per stage — see
     // webArcRobotsFunnelSql.
     "x151_robots_arc" -> webArcRobotsFunnelSql,
+    // x152: the image CTEs aggregated per stage with closed-form
+    // Content-Lengths — see mediaFunnelSql.
+    "x152_media_funnel" -> mediaFunnelSql,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -103,7 +103,16 @@ object MediaArc {
     * is injective (≤ 2 images per doc). The corrupt plant (every 7th
     * doc) fails BOTH the meta gate and the hash — either alone drops it.
     */
-  private[graft] def gatedImages(docs: DataFrame): DataFrame =
+  /** The image records as ONE walk+decode pass, payload dropped at the
+    * projection: (doc_id, source, img_j, img_id, n_bytes, meta, sim) —
+    * the frame the gate, the funnel's pre-gate row, and the x150 route
+    * all derive from. n_bytes is the record's Content-Length as
+    * MEASURED by the walk, which the x152 oracle re-derives from the
+    * byte-layout closed forms (the x92/x98 "lengths cannot be faked"
+    * discipline applied to media payloads, including the GIF LZW
+    * code-stream size arithmetic).
+    */
+  private[graft] def walkedImages(docs: DataFrame): DataFrame =
     records(docs)
       .where(col("r.content_type").isin("image/bmp", "image/gif"))
       .select(
@@ -111,39 +120,82 @@ object MediaArc {
         col("source"),
         (col("pos") - 2 - col("doc_id") % 3).cast("int").as("img_j"),
         (col("doc_id") * 2 + (col("pos") - 2 - col("doc_id") % 3)).as("img_id"),
+        col("r.content_length").cast("long").as("n_bytes"),
         GraftFunctions.decodeMediaMeta(col("r.payload")).as("meta"),
         GraftFunctions.imageAHash(col("r.payload")).as("sim"))
-      // the REAL decode gate: header format + sane dims from
-      // DecodeMediaMeta, decodability from the hash (ImageAHash returns
-      // NULL below the 8×8 grid and on any structural damage) — the
-      // corruption plant dies here, map-side, before any exchange
+
+  /** The REAL decode gate over a walked frame: header format + sane
+    * dims from DecodeMediaMeta, decodability from the hash (ImageAHash
+    * returns NULL below the 8×8 grid and on any structural damage) —
+    * the corruption plant dies here, map-side, before any exchange.
+    */
+  private[graft] def gateImages(walked: DataFrame): DataFrame =
+    walked
       .where(
         col("meta.format").isin("bmp", "gif") &&
           col("meta.width") >= 8 && col("meta.height") >= 8 &&
           col("sim").isNotNull)
       .select(
         col("doc_id"), col("source"), col("img_j"), col("img_id"),
+        col("n_bytes"),
         col("meta.width").as("w"), col("meta.height").as("h"),
+        (col("meta.width").cast("long") * col("meta.height")).as("n_px"),
         col("sim"),
         shiftright(col("sim"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
         col("sim").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
 
-  /** Image stages 2–4: banded Hamming near-dup (greedy keep-first) +
-    * per-source cap in content-hash order.
-    */
-  private[graft] def curatedImages(gated: DataFrame, capImg: Int): DataFrame = {
+  private[graft] def gatedImages(docs: DataFrame): DataFrame =
+    gateImages(walkedImages(docs))
+
+  /** Image stage 3: banded Hamming near-dup, greedy keep-first. */
+  private[graft] def keptImages(gated: DataFrame): DataFrame = {
     val drops = Dedup
       .hammingPairs(
         gated.select(col("img_id"), col("sim")), maxHamming = 3, idCol = "img_id")
       .select(col("b_id").as("img_id"))
       .distinct()
-    val kept = gated.join(drops, Seq("img_id"), "left_anti")
+    gated.join(drops, Seq("img_id"), "left_anti")
+  }
+
+  /** Image stages 3–4: near-dup + per-source cap in content-hash order. */
+  private[graft] def curatedImages(gated: DataFrame, capImg: Int): DataFrame =
     Sampling.capPerGroup(
-      kept,
+      keptImages(gated),
       group = col("source"),
       key = concat_ws("_", col("ahash_hi"), col("ahash_lo")),
       tieBreak = col("img_id"),
       cap = capImg)
+
+  /** The MEDIA-ROUTE funnel (x152): per-stage image count, payload byte
+    * mass, and pixel mass through the image half of the multimodal arc
+    * — img_records (every image record the walk yields, corrupt ones
+    * included: bytes are MEASURED Content-Length, pixels unknown before
+    * decode and reported as 0) → decoded (the gate's survivors) →
+    * image_neardup → image_capped. The byte column is the surface's
+    * point: the oracle re-derives every record's Content-Length from
+    * the BMP stride/padding arithmetic and the GIF header + color table
+    * + LZW code-stream size closed forms (9-bit codes, a clear every
+    * 253 literals, 255-byte sub-block framing), so a hash match proves
+    * the walk measured real lengths — the x92/x98 discipline extended
+    * to media payloads. One walk+decode pass (checkpointed small rows,
+    * payloads dropped at the projection); the stage frames re-derive
+    * from it map-side plus the x150 route's own exchanges.
+    */
+  def funnel(docs: DataFrame, capImg: Int = 10): DataFrame = {
+    val walked = walkedImages(docs).localCheckpoint(true)
+    val gated = gateImages(walked)
+    def agg(df: DataFrame, idx: Int, name: String, px: org.apache.spark.sql.Column): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_images"),
+          coalesce(sum(col("n_bytes")), lit(0L)).as("n_bytes"),
+          coalesce(sum(px), lit(0L)).as("n_px"))
+        .select(
+          lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_images"), col("n_bytes"), col("n_px"))
+    agg(walked, 1, "img_records", lit(0L))
+      .unionByName(agg(gated, 2, "decoded", col("n_px")))
+      .unionByName(agg(keptImages(gated), 3, "image_neardup", col("n_px")))
+      .unionByName(agg(curatedImages(gated, capImg), 4, "image_capped", col("n_px")))
   }
 
   /** Run the multimodal arc: one aligned (image, curated text) pair per

@@ -89,7 +89,10 @@ object ExponentProbe {
     // (one extra map-side predicate on the x149 law — the gate must not
     // change the exponent, only the constant)
     "x150_multimodal_arc" -> "documents",
-    "x151_robots_arc" -> "documents")
+    "x151_robots_arc" -> "documents",
+    // the media funnel shares the image route's laws (one walk+decode
+    // pass, the banded join, the cap window — e ≈ 1 in documents)
+    "x152_media_funnel" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =

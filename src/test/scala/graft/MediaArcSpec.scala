@@ -118,6 +118,40 @@ class MediaArcSpec extends SparkSpec {
       "x150 is not run-deterministic")
   }
 
+  test("media funnel: stage names, monotone image counts, measured " +
+    "Content-Lengths equal the builders' actual byte counts") {
+    val docs = docsDf((2L, baseText), (3L, baseText), (7L, baseText))
+    val f = MediaArc.funnel(docs).orderBy("stage_idx").collect()
+    assert(f.map(_.getString(1)).toSeq === Seq(
+      "img_records", "decoded", "image_neardup", "image_capped"))
+    val counts = f.map(_.getLong(2))
+    // doc 2: 1 image, doc 3: 2, doc 7: 2 (corrupt) → 5 walked, 3 decoded
+    assert(counts(0) === 5L && counts(1) === 3L)
+    assert(counts(1) >= counts(2) && counts(2) >= counts(3))
+    // pixels are unknowable before decode — stage 1 reports 0
+    assert(f(0).getLong(4) === 0L && f(1).getLong(4) > 0L)
+    // the byte mass at stage 1 is the MEASURED Content-Lengths of all 5
+    // records — equal to the builders' actual byte counts
+    import graft.functions.MediaWarcFunctions
+    val expectBytes = Seq(2L, 3L, 7L).flatMap { id =>
+      (0 until MediaWarcFunctions.imageCount(id)).map(j =>
+        MediaWarcFunctions.imageBytes(id, j).length.toLong)
+    }.sum
+    assert(f(0).getLong(3) === expectBytes)
+  }
+
+  test("registered x152 reconciles with registered x150: the fused pair " +
+    "set is a subset of the capped image set") {
+    val funnel = SparkEntry.queries("x152_media_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val fused = SparkEntry.queries("x150_multimodal_arc")(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(funnel("image_capped") >= fused,
+      s"fusion (inner join) cannot exceed the capped set: $funnel vs $fused")
+    assert(funnel("img_records") > funnel("decoded"),
+      "the corruption plant must be visible at the decode stage")
+  }
+
   test("plan posture: the decode route is map-only — one round-robin " +
     "exchange off the scan, nothing between it and the aHash") {
     val docs = spark.read
