@@ -218,26 +218,41 @@ object MediaArc {
     // text route first: its eager checkpoints decide the short-circuit
     // before any image work is planned
     val st = WebArc.stagesFromPages(textPagesFromMedia(docs), evalDocs, model)
-    if (st.screened.isEmpty) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("source", StringType), StructField("doc_id", LongType),
-          StructField("page_id", LongType), StructField("lang_pred", StringType),
-          StructField("n_tokens", LongType), StructField("img_id", LongType),
-          StructField("img_j", IntegerType), StructField("w", IntegerType),
-          StructField("h", IntegerType), StructField("ahash_hi", LongType),
-          StructField("ahash_lo", LongType))))
-    }
+    if (st.screened.isEmpty) return emptyPairsOutput(spark)
     val curatedText = WebArc
       .curatedFromStages(st, capText, minIsoPpm, trainDim, trainRounds)
       .select(col("doc_id"), col("page_id"), col("lang_pred"), col("n_tokens"))
-    curatedImages(gatedImages(docs), capImg)
+    fusePairs(curatedImages(gatedImages(docs), capImg), curatedText)
+  }
+
+  /** The fused-pair projection: curated images inner-join the doc's
+    * curated page. Shared by [[pipeline]] and
+    * [[graft.streaming.MediaArcStream]]'s view.
+    */
+  private[graft] def fusePairs(
+      cappedImages: DataFrame,
+      curatedText: DataFrame): DataFrame =
+    cappedImages
       .join(curatedText, Seq("doc_id"))
       .select(
         col("source"), col("doc_id"), col("page_id"), col("lang_pred"),
         col("n_tokens"), col("img_id"), col("img_j"), col("w"), col("h"),
         col("ahash_hi"), col("ahash_lo"))
+
+  /** The pair schema as an empty frame — shared by the short-circuit
+    * and the stream view over an empty corpus.
+    */
+  private[graft] def emptyPairsOutput(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("source", StringType), StructField("doc_id", LongType),
+        StructField("page_id", LongType), StructField("lang_pred", StringType),
+        StructField("n_tokens", LongType), StructField("img_id", LongType),
+        StructField("img_j", IntegerType), StructField("w", IntegerType),
+        StructField("h", IntegerType), StructField("ahash_hi", LongType),
+        StructField("ahash_lo", LongType))))
   }
 }

@@ -197,6 +197,30 @@ object ArcStream {
       * twin's own stages 9–11.
       */
     def curated(): DataFrame = {
+      val screened = screenedView()
+      if (screened.isEmpty) WebArc.emptyArcOutput(spark)
+      else
+        WebArc.packCurated(
+          WebArc.curatedFromScreened(screened, cap, minIsoPpm, trainDim, trainRounds),
+          packCapacity, packGroups)
+    }
+
+    /** The curated pages BEFORE packing (None when the corpus curates
+      * to empty) — read by [[MediaArcStream]], whose fused view pairs
+      * maintained images with these pages.
+      */
+    private[graft] def curatedPages(): Option[DataFrame] = {
+      val screened = screenedView()
+      if (screened.isEmpty) None
+      else Some(WebArc.curatedFromScreened(screened, cap, minIsoPpm, trainDim, trainRounds))
+    }
+
+    /** The screened view over state: current survivors minus near-dup
+      * drops minus contaminated minus model-rejected, in the batch
+      * arc's `screened` shape; checkpointed (stage 9 trains multi-pass
+      * over it).
+      */
+    private def screenedView(): DataFrame = {
       // which side of a verified class pair drops is a function of the
       // CURRENT min pages (a keep-min demotion can reverse it), so the
       // drop set is derived here, never stored
@@ -209,7 +233,7 @@ object ArcStream {
         .join(a, "a_rep").join(b, "b_rep")
         .select(greatest(col("a_page"), col("b_page")).as("page_id"))
         .distinct()
-      val screened = minPages
+      minPages
         .join(classFlags.select(
           col("text_md5"), col("main_text"), col("contaminated"), col("model_keep")),
           "text_md5")
@@ -220,12 +244,7 @@ object ArcStream {
           col("host"), col("text_md5"), col("lang_pred"), col("n_tokens"),
           col("main_text"),
           when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("y"))
-        .localCheckpoint(true) // stage 9 trains multi-pass over this
-      if (screened.isEmpty) WebArc.emptyArcOutput(spark)
-      else
-        WebArc.packCurated(
-          WebArc.curatedFromScreened(screened, cap, minIsoPpm, trainDim, trainRounds),
-          packCapacity, packGroups)
+        .localCheckpoint(true)
     }
   }
 
