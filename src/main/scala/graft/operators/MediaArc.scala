@@ -157,14 +157,18 @@ object MediaArc {
     gated.join(drops, Seq("img_id"), "left_anti")
   }
 
-  /** Image stages 3–4: near-dup + per-source cap in content-hash order. */
-  private[graft] def curatedImages(gated: DataFrame, capImg: Int): DataFrame =
+  /** Image stage 4: the per-source cap in content-hash order. */
+  private[graft] def capImages(kept: DataFrame, capImg: Int): DataFrame =
     Sampling.capPerGroup(
-      keptImages(gated),
+      kept,
       group = col("source"),
       key = concat_ws("_", col("ahash_hi"), col("ahash_lo")),
       tieBreak = col("img_id"),
       cap = capImg)
+
+  /** Image stages 3–4: near-dup + per-source cap in content-hash order. */
+  private[graft] def curatedImages(gated: DataFrame, capImg: Int): DataFrame =
+    capImages(keptImages(gated), capImg)
 
   /** The MEDIA-ROUTE funnel (x152): per-stage image count, payload byte
     * mass, and pixel mass through the image half of the multimodal arc
@@ -192,10 +196,13 @@ object MediaArc {
         .select(
           lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
           col("n_images"), col("n_bytes"), col("n_px"))
+    // mine the pair set ONCE: stages 3 and 4 read the same kept frame
+    // (small rows — ids, dims, hashes — so the checkpoint is cheap)
+    val kept = keptImages(gated).localCheckpoint(true)
     agg(walked, 1, "img_records", lit(0L))
       .unionByName(agg(gated, 2, "decoded", col("n_px")))
-      .unionByName(agg(keptImages(gated), 3, "image_neardup", col("n_px")))
-      .unionByName(agg(curatedImages(gated, capImg), 4, "image_capped", col("n_px")))
+      .unionByName(agg(kept, 3, "image_neardup", col("n_px")))
+      .unionByName(agg(capImages(kept, capImg), 4, "image_capped", col("n_px")))
   }
 
   /** Run the multimodal arc: one aligned (image, curated text) pair per
