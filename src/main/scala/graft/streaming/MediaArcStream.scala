@@ -164,12 +164,7 @@ object MediaArcStream {
     def curated(): DataFrame = {
       val drops = imgPairs.select(col("b_id").as("img_id")).distinct()
       val kept = images.join(drops, Seq("img_id"), "left_anti")
-      val capped = graft.operators.Sampling.capPerGroup(
-        kept,
-        group = col("source"),
-        key = concat_ws("_", col("ahash_hi"), col("ahash_lo")),
-        tieBreak = col("img_id"),
-        cap = capImg)
+      val capped = MediaArc.capImages(kept, capImg)
       text.curatedPages() match {
         case None => MediaArc.emptyPairsOutput(spark)
         case Some(pages) =>
