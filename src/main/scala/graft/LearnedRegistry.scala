@@ -457,6 +457,53 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .orderBy(col("stage_idx"))
   }
 
+  /** Media-container CDX surface (x153): x98's random-access index over
+    * the MIXED text+image WARC — one (SURT key, measured byte offset,
+    * measured record length, content type) row per resource record,
+    * text and image alike. The oracle re-derives every OFFSET from the
+    * byte layout: warcinfo + per-text-record header strings (built in
+    * SQL and strlen'd, the x98 idiom) + the image records' header
+    * strings and payload sizes (the x152 BMP/GIF closed forms) —
+    * positions, not just lengths, so a match proves the walk consumed
+    * the mixed container at real byte boundaries (a binary payload
+    * mis-slice would shift every subsequent offset). Different doc
+    * subset (%5 = 1) than x98 so the two CDX surfaces cannot mask each
+    * other.
+    */
+  protected def x153(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val u = GraftFunctions.urlNormalize(col("r.target_uri"))
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        GraftFunctions.buildMediaWarc(col("doc_id"), col("text")).as("bytes"))
+      .select(
+        col("doc_id"),
+        length(col("bytes")).cast("long").as("fsize"),
+        posexplode(GraftFunctions.mediaWarcRecords(col("bytes"))).as(Seq("pos", "r")))
+      .withColumn("next_off", lead(col("r.rec_offset"), 1).over(w))
+      .where(col("r.rec_type") === "resource")
+      .select(
+        col("doc_id"),
+        when(col("r.content_type") === "text/html", "page")
+          .otherwise("image").as("rec_kind"),
+        when(col("r.content_type") === "text/html", col("pos") - 1)
+          .otherwise(col("pos") - 2 - col("doc_id") % 3)
+          .cast("int").as("rec_idx"),
+        col("r.content_type").as("content_type"),
+        concat(
+          array_join(reverse(split(u.getField("host"), "\\.")), ","),
+          lit(")"),
+          u.getField("path")).as("surt_key"),
+        col("r.rec_offset").as("rec_offset"),
+        (coalesce(col("next_off"), col("fsize")) - col("r.rec_offset")).as("rec_len"))
+      .orderBy(col("doc_id"), col("rec_offset"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -1439,7 +1486,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x148_explained_variance" -> (x148 _),
     "x150_multimodal_arc" -> (x150 _),
     "x151_robots_arc" -> (x151 _),
-    "x152_media_funnel" -> (x152 _)
+    "x152_media_funnel" -> (x152 _),
+    "x153_media_cdx" -> (x153 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -1784,6 +1832,112 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     // x152: the image CTEs aggregated per stage with closed-form
     // Content-Lengths — see mediaFunnelSql.
     "x152_media_funnel" -> mediaFunnelSql,
+    // x153: every record's byte offset and length re-derived from the
+    // mixed container's layout — text headers strlen'd in SQL (the x98
+    // idiom), image payloads from the x152 BMP/GIF size closed forms.
+    "x153_media_cdx" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
+        |    1 + doc_id % 3 AS nrec, 1 + doc_id % 2 AS nimg
+        |  FROM documents WHERE doc_id % 5 = 1
+        |), h AS (
+        |  SELECT *,
+        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
+        |    || '<title>Doc ' || ids || '</title>' || chr(10)
+        |    || '<meta charset="utf-8">' || chr(10)
+        |    || '<script type="text/javascript">var n = ' || ids
+        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
+        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
+        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
+        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
+        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
+        |    || '</ul></nav>' || chr(10)
+        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
+        |    || '<div class="main">' || chr(10)
+        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
+        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+        |                                '<', '&lt;'), '>', '&gt;')
+        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
+        |    || '</div>' || chr(10)
+        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
+        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
+        |  FROM d
+        |), sz AS (
+        |  SELECT doc_id, ids, nrec, nimg, strlen(html) AS clen,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: warcinfo' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':info>' || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:00Z' || e'\r\n'
+        |      || 'Content-Type: application/warc-fields' || e'\r\n'
+        |      || 'Content-Length: 17' || e'\r\n' || e'\r\n') + 17 + 4 AS isize
+        |  FROM h
+        |), trecs AS (
+        |  SELECT doc_id, ids, clen, isize, nimg, unnest(range(nrec)) AS i FROM sz
+        |), tsized AS (
+        |  SELECT *,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: resource' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':' || i || '>' || e'\r\n'
+        |      || 'WARC-Target-URI: http://example.com/doc/' || ids || '/' || i || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:0' || i || 'Z' || e'\r\n'
+        |      || 'Content-Type: text/html' || e'\r\n'
+        |      || 'Content-Length: ' || clen || e'\r\n' || e'\r\n') + clen + 4 AS rsize
+        |  FROM trecs
+        |), toff AS (
+        |  SELECT doc_id, 'page' AS rec_kind, CAST(i AS INT) AS rec_idx,
+        |    'text/html' AS content_type,
+        |    'com,example)/doc/' || ids || '/' || i AS surt_key,
+        |    isize + coalesce(sum(rsize) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
+        |    rsize AS rec_len
+        |  FROM tsized
+        |), ttot AS (
+        |  SELECT doc_id, any_value(isize) + sum(rsize) AS text_end
+        |  FROM tsized GROUP BY doc_id
+        |), irecs AS (
+        |  SELECT s.doc_id, s.ids, t.text_end, unnest(range(s.nimg)) AS j
+        |  FROM sz s JOIN ttot t USING (doc_id)
+        |), imeta AS (
+        |  SELECT *, (doc_id // 2) * 2 + j AS pid,
+        |    CASE WHEN (doc_id + j) % 2 = 1 THEN 'gif' ELSE 'bmp' END AS ext
+        |  FROM irecs
+        |), idim AS (
+        |  SELECT *, 16 + pid % 16 AS w, 16 + pid % 12 AS h FROM imeta
+        |), ipsz0 AS (
+        |  SELECT *, CAST(w AS BIGINT) * h AS npx FROM idim
+        |), ipsz1 AS (
+        |  SELECT *, (9 * (npx + 2 + (npx - 1) // 253) + 7) // 8 AS nb FROM ipsz0
+        |), ipsz AS (
+        |  SELECT *, CASE WHEN ext = 'gif'
+        |      THEN 792 + nb + (nb + 254) // 255 + 2
+        |      ELSE 54 + ((3 * w + 3) // 4) * 4 * h END AS psize
+        |  FROM ipsz1
+        |), isized AS (
+        |  SELECT *,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: resource' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':img:' || j || '>' || e'\r\n'
+        |      || 'WARC-Target-URI: http://example.com/img/' || ids || '/' || j || '.' || ext || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:1' || j || 'Z' || e'\r\n'
+        |      || 'Content-Type: image/' || ext || e'\r\n'
+        |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
+        |  FROM ipsz
+        |), ioff AS (
+        |  SELECT doc_id, 'image' AS rec_kind, CAST(j AS INT) AS rec_idx,
+        |    'image/' || ext AS content_type,
+        |    'com,example)/img/' || ids || '/' || j || '.' || ext AS surt_key,
+        |    text_end + coalesce(sum(rsize) OVER (
+        |      PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
+        |    rsize AS rec_len
+        |  FROM isized
+        |)
+        |SELECT doc_id, rec_kind, rec_idx, content_type, surt_key,
+        |  CAST(rec_offset AS BIGINT) AS rec_offset,
+        |  CAST(rec_len AS BIGINT) AS rec_len
+        |FROM (SELECT * FROM toff UNION ALL SELECT * FROM ioff)
+        |ORDER BY doc_id, rec_offset""".stripMargin,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -92,7 +92,10 @@ object ExponentProbe {
     "x151_robots_arc" -> "documents",
     // the media funnel shares the image route's laws (one walk+decode
     // pass, the banded join, the cap window — e ≈ 1 in documents)
-    "x152_media_funnel" -> "documents")
+    "x152_media_funnel" -> "documents",
+    // the media CDX is one walk + a per-FILE lead window (bounded by
+    // records-per-file, never a global sort) — e ≈ 1 in documents
+    "x153_media_cdx" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
