@@ -101,6 +101,10 @@ object ExponentProbe {
     val (sfA, sfB) =
       if (args.length >= 2) (args(0), args(1))
       else ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // optional third arg: comma-separated family names — probe just the
+    // new rows without paying the full 23-family sweep
+    val only: Set[String] =
+      if (args.length >= 3) args(2).split(",").map(_.trim).toSet else Set.empty
     val spark = GraftSession.local(32, "exponent-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -136,7 +140,7 @@ object ExponentProbe {
       }.min
     }
 
-    families.foreach { case (name, table) =>
+    families.filter(f => only.isEmpty || only(f._1)).foreach { case (name, table) =>
       val (rA, rB) = (rows(sfA, table), rows(sfB, table))
       val (wA, wB) = (time(name, sfA), time(name, sfB))
       val e = math.log(wB / wA) / math.log(rB.toDouble / rA)
