@@ -458,12 +458,13 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
   }
 
   /** Media-container CDX surface (x153): x98's random-access index over
-    * the MIXED text+image WARC — one (SURT key, measured byte offset,
-    * measured record length, content type) row per resource record,
-    * text and image alike. The oracle re-derives every OFFSET from the
-    * byte layout: warcinfo + per-text-record header strings (built in
-    * SQL and strlen'd, the x98 idiom) + the image records' header
-    * strings and payload sizes (the x152 BMP/GIF closed forms) —
+    * the MIXED text+image+audio WARC — one (SURT key, measured byte
+    * offset, measured record length, content type) row per resource
+    * record, all three modalities. The oracle re-derives every OFFSET
+    * from the byte layout: warcinfo + per-text-record header strings
+    * (built in SQL and strlen'd, the x98 idiom) + the image records'
+    * header strings and payload sizes (the x152 BMP/GIF closed forms)
+    * + the audio records' headers and the WAV 44+2n closed form —
     * positions, not just lengths, so a match proves the walk consumed
     * the mixed container at real byte boundaries (a binary payload
     * mis-slice would shift every subsequent offset). Different doc
@@ -490,8 +491,12 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .select(
         col("doc_id"),
         when(col("r.content_type") === "text/html", "page")
+          .when(col("r.content_type") === "audio/wav", "audio")
           .otherwise("image").as("rec_kind"),
         when(col("r.content_type") === "text/html", col("pos") - 1)
+          .when(
+            col("r.content_type") === "audio/wav",
+            col("pos") - 3 - col("doc_id") % 3 - col("doc_id") % 2)
           .otherwise(col("pos") - 2 - col("doc_id") % 3)
           .cast("int").as("rec_idx"),
         col("r.content_type").as("content_type"),
@@ -502,6 +507,42 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         col("r.rec_offset").as("rec_offset"),
         (coalesce(col("next_off"), col("fsize")) - col("r.rec_offset")).as("rec_len"))
       .orderBy(col("doc_id"), col("rec_offset"))
+  }
+
+  /** Audio-route surface (x154): the container's THIRD modality through
+    * the composed curation shape ([[graft.operators.MediaArc.audioRoute]]
+    * — walk → REAL PCM decode gate → quality screen (too-short +
+    * silence, the clip-corpus Gopher) → exact-fingerprint dedup on the
+    * decoded statistic vector → per-source cap). Four plants, one per
+    * stage: in-place magic corruption (every 7th doc — dies at the
+    * gate), 37 ms clips (pid%7==0 — duration screen), the silence plant
+    * (pid%5==4, rms ≈ 72 vs ≈ 1155 — energy screen), and the (2k, 2k+1)
+    * shared-seed duplicate (dedup, larger aud_id drops). The oracle
+    * re-folds every sample from the closed form
+    * floorMod(pid·7919 + i·2657, m) − m∕2 (m = 4001 loud, 251 quiet),
+    * so a hash match proves Spark's decoder read REAL bytes to the same
+    * integers — the x33 contract, composed.
+    */
+  protected def x154(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    MediaArc
+      .audioRoute(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+      .orderBy(col("doc_id"), col("aud_id"))
+  }
+
+  /** Audio-route funnel (x155): per-stage clip count, payload BYTE
+    * mass, and SAMPLE mass through x154's stages
+    * ([[graft.operators.MediaArc.audioFunnel]]). The byte column is
+    * measured Content-Length re-derived by the oracle from the WAV
+    * 44 + 2n closed form — the x152 discipline on the third modality.
+    */
+  protected def x155(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    MediaArc
+      .audioFunnel(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+      .orderBy(col("stage_idx"))
   }
 
   /** The x128-trained scorer's output in calibration shape: one
@@ -1233,6 +1274,111 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |  FROM msurv
       |)""".stripMargin
 
+  /** The shared audio-route CTEs for x154/x155: ALL audio records with
+    * the WAV byte-size closed form (`auprm` — exactly 44 + 2n bytes),
+    * the decode-gate survivors (`audec` — the every-7th-doc corruption
+    * plant excluded), the per-sample re-fold of every decoded statistic
+    * from the congruence closed form (`aufeat` — sum_sq/sum_abs/peak
+    * plus the lag-window zero-cross count, quiet plant on the mod-251
+    * branch), the quality screen (`auscr` — duration ≥ 50 ms AND
+    * rms ≥ 500), the exact-fingerprint dedup (`audd` — keep-min aud_id
+    * per decoded statistic vector), and the per-source cap window
+    * (`aucap` — md5 of the same '_'-joined fingerprint string Spark
+    * hashes).
+    */
+  protected lazy val mediaAudioCtesSql: String =
+    s"""au0 AS (
+      |  SELECT doc_id, source, unnest(range(1 + doc_id % 2)) AS j
+      |  FROM documents
+      |), aual AS (
+      |  SELECT doc_id, source, CAST(j AS INTEGER) AS aud_j,
+      |    doc_id * 2 + j AS aud_id, (doc_id // 2) * 2 + j AS pid
+      |  FROM au0
+      |), auprm AS MATERIALIZED (
+      |  SELECT *, CAST(300 + pid % 7 * 100 AS INTEGER) AS n,
+      |    pid % 5 = 4 AS quiet,
+      |    CAST(44 + 2 * (300 + pid % 7 * 100) AS BIGINT) AS n_bytes
+      |  FROM aual
+      |), audec AS MATERIALIZED (
+      |  SELECT * FROM auprm WHERE doc_id % 7 <> 0
+      |), ausmp AS (
+      |  SELECT aud_id, pid, quiet, unnest(range(n)) AS i FROM audec
+      |), auval AS (
+      |  SELECT aud_id, i,
+      |    CASE WHEN quiet THEN (pid * 7919 + i * 2657) % 251 - 125
+      |         ELSE (pid * 7919 + i * 2657) % 4001 - 2000 END AS s
+      |  FROM ausmp
+      |), aulag AS (
+      |  SELECT aud_id, s,
+      |    lag(s) OVER (PARTITION BY aud_id ORDER BY i) AS ps
+      |  FROM auval
+      |), aufeat AS MATERIALIZED (
+      |  SELECT aud_id,
+      |    CAST(sum(s * s) AS BIGINT) AS sum_sq,
+      |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |    CAST(max(abs(s)) AS INTEGER) AS peak,
+      |    CAST(sum(CASE WHEN ps IS NOT NULL AND ((s < 0) <> (ps < 0))
+      |                  THEN 1 ELSE 0 END) AS INTEGER) AS zero_cross
+      |  FROM aulag GROUP BY aud_id
+      |), aurows AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source, d.aud_j, d.aud_id, d.n_bytes,
+      |    d.n AS n_samples,
+      |    CAST(8000 AS INTEGER) AS sample_rate,
+      |    CAST(d.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |    f.sum_sq, f.sum_abs, f.peak, f.zero_cross
+      |  FROM audec d JOIN aufeat f USING (aud_id)
+      |), auscr AS (
+      |  SELECT * FROM aurows
+      |  WHERE duration_ms >= 50
+      |    AND sum_sq >= CAST(n_samples AS BIGINT) * 250000
+      |), audd AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY n_samples, sum_sq, sum_abs, peak, zero_cross
+      |      ORDER BY aud_id) AS rn_dd
+      |    FROM auscr)
+      |  WHERE rn_dd = 1
+      |), aucap AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(sum_sq AS VARCHAR) || '_' ||
+      |      CAST(sum_abs AS VARCHAR) || '_' ||
+      |      CAST(peak AS VARCHAR) || '_' ||
+      |      CAST(zero_cross AS VARCHAR) || '_' ||
+      |      CAST(n_samples AS VARCHAR)), aud_id) AS rn_cap
+      |  FROM audd
+      |)""".stripMargin
+
+  /** The x154 audio-route oracle: the audio CTEs' capped survivors. */
+  protected lazy val audioRouteSql: String =
+    s"""WITH $mediaAudioCtesSql
+      |SELECT doc_id, source, aud_j, aud_id, n_samples, sample_rate,
+      |  duration_ms, sum_sq, sum_abs, peak, zero_cross
+      |FROM aucap WHERE rn_cap <= 10
+      |ORDER BY doc_id, aud_id""".stripMargin
+
+  /** The x155 audio-funnel oracle: the audio CTEs aggregated per stage
+    * — aud_records over ALL records (bytes from the 44+2n closed form,
+    * samples 0 before decode), then decoded / screened / audio_dedup /
+    * audio_capped with their byte + sample mass.
+    */
+  protected lazy val audioFunnelSql: String = {
+    def agg(idx: Int, name: String, src: String, smp: String): String =
+      s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_audio,
+         |  CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS n_bytes,
+         |  CAST(coalesce(sum($smp), 0) AS BIGINT) AS n_samples
+         |FROM $src""".stripMargin
+    s"""WITH $mediaAudioCtesSql
+      |${agg(1, "aud_records", "auprm", "0")}
+      |UNION ALL ${agg(2, "decoded", "aurows", "n_samples")}
+      |UNION ALL ${agg(3, "screened", "auscr", "n_samples")}
+      |UNION ALL ${agg(4, "audio_dedup", "audd", "n_samples")}
+      |UNION ALL ${agg(5, "audio_capped",
+        "(SELECT * FROM aucap WHERE rn_cap <= 10)", "n_samples")}
+      |ORDER BY stage_idx""".stripMargin
+  }
+
   /** The x150 multimodal-arc oracle: the x146 text chain verbatim
     * (the mixed container embeds the SAME text records, so `afin` is
     * the curated-page set), plus the image half replayed closed-form —
@@ -1487,7 +1633,9 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x150_multimodal_arc" -> (x150 _),
     "x151_robots_arc" -> (x151 _),
     "x152_media_funnel" -> (x152 _),
-    "x153_media_cdx" -> (x153 _)
+    "x153_media_cdx" -> (x153 _),
+    "x154_audio_route" -> (x154 _),
+    "x155_audio_funnel" -> (x155 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -1932,12 +2080,48 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
         |    rsize AS rec_len
         |  FROM isized
+        |), itot AS (
+        |  SELECT doc_id, any_value(text_end) + sum(rsize) AS img_end
+        |  FROM isized GROUP BY doc_id
+        |), arecs AS (
+        |  SELECT s.doc_id, s.ids, t.img_end, unnest(range(s.nimg)) AS k
+        |  FROM sz s JOIN itot t USING (doc_id)
+        |), apsz AS (
+        |  SELECT *, 44 + 2 * (300 + ((doc_id // 2) * 2 + k) % 7 * 100) AS psize
+        |  FROM arecs
+        |), asized AS (
+        |  SELECT *,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: resource' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':aud:' || k || '>' || e'\r\n'
+        |      || 'WARC-Target-URI: http://example.com/aud/' || ids || '/' || k || '.wav' || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:2' || k || 'Z' || e'\r\n'
+        |      || 'Content-Type: audio/wav' || e'\r\n'
+        |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
+        |  FROM apsz
+        |), aoff AS (
+        |  SELECT doc_id, 'audio' AS rec_kind, CAST(k AS INT) AS rec_idx,
+        |    'audio/wav' AS content_type,
+        |    'com,example)/aud/' || ids || '/' || k || '.wav' AS surt_key,
+        |    img_end + coalesce(sum(rsize) OVER (
+        |      PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
+        |    rsize AS rec_len
+        |  FROM asized
         |)
         |SELECT doc_id, rec_kind, rec_idx, content_type, surt_key,
         |  CAST(rec_offset AS BIGINT) AS rec_offset,
         |  CAST(rec_len AS BIGINT) AS rec_len
-        |FROM (SELECT * FROM toff UNION ALL SELECT * FROM ioff)
+        |FROM (SELECT * FROM toff UNION ALL SELECT * FROM ioff
+        |      UNION ALL SELECT * FROM aoff)
         |ORDER BY doc_id, rec_offset""".stripMargin,
+    // x154: the audio route replayed closed-form — every decoded sample
+    // statistic re-folded from the congruence formula, then the same
+    // screen/dedup/cap arithmetic. See audioRouteSql.
+    "x154_audio_route" -> audioRouteSql,
+    // x155: the audio CTEs aggregated per stage, byte mass from the WAV
+    // 44+2n closed form. See audioFunnelSql.
+    "x155_audio_funnel" -> audioFunnelSql,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -24,10 +24,34 @@ case class BuildWav(idExpr: Expression, rateExpr: Expression, nExpr: Expression)
   override def third: Expression = nExpr
   override def dataType: DataType = BinaryType
 
-  override protected def nullSafeEval(idAny: Any, rateAny: Any, nAny: Any): Any = {
-    val id = idAny.asInstanceOf[Long]
-    val rate = rateAny.asInstanceOf[Int]
-    val n = nAny.asInstanceOf[Int]
+  override protected def nullSafeEval(idAny: Any, rateAny: Any, nAny: Any): Any =
+    WavBytes(
+      idAny.asInstanceOf[Long],
+      rateAny.asInstanceOf[Int],
+      nAny.asInstanceOf[Int],
+      quiet = false)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(idExpr = f, rateExpr = s, nExpr = t)
+}
+
+/** The shared RIFF/WAVE synthesis core — the audio sibling of
+  * [[BmpBytes]]/[[GifBytes]]: one place owns the byte layout so
+  * [[BuildWav]] (the standalone x33 surface) and the multimodal
+  * container ([[MediaWarcFunctions]]) cannot drift. `quiet = false`
+  * yields BuildWav's historical bytes verbatim (sample i =
+  * floorMod(id·7919 + i·2657, 4001) − 2000, pseudo-noise in
+  * [−2000, 2000]); `quiet = true` is the SILENCE PLANT — the same
+  * congruence taken mod 251 (range [−125, 125], rms ≈ 72), far below
+  * any sane energy screen while every header field stays identical, so
+  * only a decoder that actually folds the samples can tell the two
+  * apart. Both branches are division-free closed forms a SQL oracle
+  * replays exactly.
+  */
+object WavBytes {
+
+  def apply(id: Long, rate: Int, n: Int, quiet: Boolean): Array[Byte] = {
     require(rate > 0 && rate <= 384000, s"bad sample rate $rate")
     require(n > 0 && n <= (1 << 20), s"bad sample count $n")
     val dataSize = n * 2
@@ -55,18 +79,16 @@ case class BuildWav(idExpr: Expression, rateExpr: Expression, nExpr: Expression)
     putLe16(34, 16) // bits per sample
     putAscii(36, "data")
     putLe32(40, dataSize)
+    val m = if (quiet) 251L else 4001L
+    val half = if (quiet) 125L else 2000L
     var i = 0
     while (i < n) {
-      val s = (java.lang.Math.floorMod(id * 7919 + i * 2657L, 4001L) - 2000L).toInt
+      val s = (java.lang.Math.floorMod(id * 7919 + i * 2657L, m) - half).toInt
       putLe16(44 + 2 * i, s & 0xffff)
       i += 1
     }
     b
   }
-
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression =
-    copy(idExpr = f, rateExpr = s, nExpr = t)
 }
 
 /** REAL PCM sample decode + feature extraction for WAV payloads — the

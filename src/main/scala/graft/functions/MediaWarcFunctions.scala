@@ -29,7 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     7th document's image payloads have their magic corrupted in
   *     place ('BM' → 'XX', byte count unchanged so the container walk
   *     stays intact) — the planted damage the decode gate must drop (a
-  *     100 TB crawl WILL contain truncated/corrupt media).
+  *     100 TB crawl WILL contain truncated/corrupt media). After the
+  *     images come `1 + id%2` AUDIO records — REAL 16-bit PCM mono WAV
+  *     clips from the shared [[WavBytes]] core with their own plant
+  *     matrix (corruption / silence / too-short — see [[audioBytes]]),
+  *     so the one container exercises a third modality route.
   *   - [[MediaWarcRecords]] is the binary record walk: identical ISO
   *     28500 discipline to [[WarcRecords]] (magic, case-insensitive
   *     headers, exact Content-Length payload consumption, two-CRLF
@@ -95,8 +99,48 @@ object MediaWarcFunctions {
     b
   }
 
+  /** Audio clips per document: the image discipline (1 + id%2 — both
+    * singleton and pair shapes), seed pid = (id div 2)·2 + j so document
+    * pairs (2k, 2k+1) share their first clip's SAMPLES — the planted
+    * cross-document duplicate the audio dedup stage must catch. Three
+    * further plants, each testing a different stage:
+    *   - every 7th DOCUMENT's clips get the in-place magic corruption
+    *     (the image rule — the decode gate must drop them);
+    *   - pid % 5 == 4 clips are the SILENCE plant ([[WavBytes]] quiet
+    *     branch, rms ≈ 72 vs ≈ 1155 loud — the energy screen must drop
+    *     them while every header field stays identical);
+    *   - pid % 7 == 0 clips are SHORT (n = 300 samples → 37 ms at
+    *     8 kHz — the duration screen must drop them).
+    * All closed forms: n = 300 + (pid%7)·100 samples, rate 8000 Hz
+    * constant, payload exactly 44 + 2n bytes — so a SQL oracle
+    * re-derives every byte length, offset, and sample statistic.
+    */
+  def audioCount(id: Long): Int = (1L + java.lang.Math.floorMod(id, 2L)).toInt
+
+  def audioPid(id: Long, j: Int): Long =
+    java.lang.Math.floorDiv(id, 2L) * 2L + j
+
+  val audioRate: Int = 8000
+
+  def audioSamples(pid: Long): Int =
+    (300L + java.lang.Math.floorMod(pid, 7L) * 100L).toInt
+
+  def audioQuiet(pid: Long): Boolean = java.lang.Math.floorMod(pid, 5L) == 4L
+
+  def audioBytes(id: Long, j: Int): Array[Byte] = {
+    val pid = audioPid(id, j)
+    val b = WavBytes(pid, audioRate, audioSamples(pid), quiet = audioQuiet(pid))
+    if (java.lang.Math.floorMod(id, 7L) == 0L) {
+      b(0) = 'X'.toByte; b(1) = 'X'.toByte // same in-place damage plant
+    }
+    b
+  }
+
   /** The file's bytes: the [[WarcFunctions.recordStrings]] records
-    * verbatim (warcinfo + text/html resources), then the image records.
+    * verbatim (warcinfo + text/html resources), then the image records,
+    * then the audio records — modalities appended in fixed order so
+    * every earlier record's byte offset is invariant under adding a new
+    * modality (the CDX surfaces stay stable as the container grows).
     */
   def fileBytes(id: Long, text: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -120,6 +164,24 @@ object MediaWarcFunctions {
       out.write(payload)
       out.write(crlf); out.write(crlf)
       j += 1
+    }
+    var k = 0
+    val na = audioCount(id)
+    while (k < na) {
+      val payload = audioBytes(id, k)
+      val hdr = new StringBuilder(256)
+      hdr.append("WARC/1.0\r\n")
+      hdr.append("WARC-Type: resource\r\n")
+      hdr.append(s"WARC-Record-ID: <urn:graft:$id:aud:$k>\r\n")
+      hdr.append(s"WARC-Target-URI: http://example.com/aud/$id/$k.wav\r\n")
+      hdr.append(s"WARC-Date: 2020-01-01T00:00:2${k}Z\r\n")
+      hdr.append("Content-Type: audio/wav\r\n")
+      hdr.append(s"Content-Length: ${payload.length}\r\n")
+      hdr.append("\r\n")
+      out.write(hdr.toString.getBytes(ascii))
+      out.write(payload)
+      out.write(crlf); out.write(crlf)
+      k += 1
     }
     out.toByteArray
   }

@@ -205,6 +205,151 @@ object MediaArc {
       .unionByName(agg(capImages(kept, capImg), 4, "image_capped", col("n_px")))
   }
 
+  // ----------------------------------------------------------------
+  // The AUDIO route (x154/x155): the container's third modality.
+  // walk → decode gate → quality screen → exact-fingerprint dedup →
+  // per-source cap, every stage map-only or exchanging ids+integer
+  // stats (never payload bytes) — the image route's scale posture with
+  // audio's own screen semantics (silence + too-short, the Gopher
+  // analog for clips).
+  // ----------------------------------------------------------------
+
+  /** The audio records as ONE walk+decode pass, payload dropped at the
+    * projection: (doc_id, source, aud_j, aud_id, n_bytes, f) — f is
+    * [[graft.functions.AudioPcmFeatures]]' REAL sample fold (NULL on
+    * the corruption plant). Clip j of doc d sits at container position
+    * 1 (warcinfo) + 1+d%3 (text) + 1+d%2 (images) + j, so aud_j is
+    * closed-form recoverable from the walk position; aud_id =
+    * doc_id·2+aud_j is injective (≤ 2 clips per doc). n_bytes is the
+    * record's MEASURED Content-Length, which the x155 oracle re-derives
+    * from the WAV layout (exactly 44 + 2n bytes) — the x92/x98
+    * "lengths cannot be faked" discipline on the third modality.
+    */
+  private[graft] def walkedAudio(docs: DataFrame): DataFrame =
+    records(docs)
+      .where(col("r.content_type") === "audio/wav")
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("pos") - 3 - col("doc_id") % 3 - col("doc_id") % 2)
+          .cast("int").as("aud_j"),
+        (col("doc_id") * 2 +
+          (col("pos") - 3 - col("doc_id") % 3 - col("doc_id") % 2))
+          .as("aud_id"),
+        col("r.content_length").cast("long").as("n_bytes"),
+        GraftFunctions.audioPcmFeatures(col("r.payload")).as("f"))
+
+  /** The REAL decode gate: PCM feature fold non-NULL (the corruption
+    * plant dies here, map-side — AudioPcmFeatures returns NULL on any
+    * structural damage, never throws). Projects the integer feature
+    * frame every later stage reads; payload bytes never leave the walk.
+    */
+  private[graft] def gateAudio(walked: DataFrame): DataFrame =
+    walked
+      .where(col("f").isNotNull)
+      .select(
+        col("doc_id"), col("source"), col("aud_j"), col("aud_id"),
+        col("n_bytes"),
+        col("f.n_samples").as("n_samples"),
+        col("f.sample_rate").as("sample_rate"),
+        col("f.duration_ms").as("duration_ms"),
+        col("f.sum_sq").as("sum_sq"),
+        col("f.sum_abs").as("sum_abs"),
+        col("f.peak").as("peak"),
+        col("f.zero_cross").as("zero_cross"))
+
+  private[graft] def gatedAudio(docs: DataFrame): DataFrame =
+    gateAudio(walkedAudio(docs))
+
+  /** Audio stage 3: the quality screen — the clip-corpus Gopher rules.
+    * Drop too-short clips (duration_ms < 50 — sub-perceptual fragments)
+    * and silence (Σs² < n·500², i.e. rms below 500 on the 16-bit scale:
+    * the loud synth reads rms ≈ 1155, the silence plant ≈ 72, so the
+    * threshold sits an order of magnitude from both). All-integer
+    * arithmetic — Σs² ≤ n·2³⁰ and n·250000 ≤ n·2¹⁸ both fit a long —
+    * so the screen oracles exactly.
+    */
+  private[graft] def screenAudio(gated: DataFrame): DataFrame =
+    gated.where(
+      col("duration_ms") >= 50 &&
+        col("sum_sq") >= col("n_samples").cast("long") * 250000L)
+
+  /** Audio stage 4: exact-fingerprint dedup, greedy keep-first. The
+    * fingerprint is the full decoded-sample statistic vector
+    * (n_samples, sum_sq, sum_abs, peak, zero_cross) — content-derived
+    * from the REAL PCM fold, so byte-identical re-encodes collide while
+    * headers/URIs play no part; the planted (2k, 2k+1) shared-seed pair
+    * collides by construction and the larger aud_id drops. One shuffle
+    * on the fingerprint (ids + five integers, never samples), then a
+    * rank-1 window Spark plans as WindowGroupLimit (no full sort of the
+    * class, the x51 contract).
+    */
+  private[graft] def dedupAudio(screened: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(
+        col("n_samples"), col("sum_sq"), col("sum_abs"),
+        col("peak"), col("zero_cross"))
+      .orderBy(col("aud_id"))
+    screened
+      .withColumn("graft_aud_rn", row_number().over(w))
+      .where(col("graft_aud_rn") === 1)
+      .drop("graft_aud_rn")
+  }
+
+  /** Audio stage 5: the per-source cap in content-hash order (the
+    * [[capImages]] discipline — arrival-order-free, one owner:
+    * [[Sampling.capPerGroup]]).
+    */
+  private[graft] def capAudio(deduped: DataFrame, capAud: Int): DataFrame =
+    Sampling.capPerGroup(
+      deduped,
+      group = col("source"),
+      key = concat_ws(
+        "_", col("sum_sq"), col("sum_abs"), col("peak"),
+        col("zero_cross"), col("n_samples")),
+      tieBreak = col("aud_id"),
+      cap = capAud)
+
+  /** The curated audio route (x154): walk → gate → screen → dedup →
+    * cap, one row per kept clip with its full decoded statistic vector.
+    */
+  def audioRoute(docs: DataFrame, capAud: Int = 10): DataFrame =
+    capAudio(dedupAudio(screenAudio(gatedAudio(docs))), capAud)
+      .select(
+        col("doc_id"), col("source"), col("aud_j"), col("aud_id"),
+        col("n_samples"), col("sample_rate"), col("duration_ms"),
+        col("sum_sq"), col("sum_abs"), col("peak"), col("zero_cross"))
+
+  /** The AUDIO-route funnel (x155): per-stage clip count, payload BYTE
+    * mass, and SAMPLE mass — aud_records (every clip the walk yields,
+    * corrupt included: bytes are MEASURED Content-Length, samples
+    * unknown before decode and reported 0) → decoded → screened →
+    * audio_dedup → audio_capped. One walk+decode pass (checkpointed
+    * small rows, payloads dropped at the projection, the x152 shape);
+    * the dedup survivors are checkpointed once and read by stages 4
+    * and 5 (mine the pair structure once — the x153-round discipline).
+    */
+  def audioFunnel(docs: DataFrame, capAud: Int = 10): DataFrame = {
+    val walked = walkedAudio(docs).localCheckpoint(true)
+    val gated = gateAudio(walked)
+    def agg(df: DataFrame, idx: Int, name: String, smp: org.apache.spark.sql.Column): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_audio"),
+          coalesce(sum(col("n_bytes")), lit(0L)).as("n_bytes"),
+          coalesce(sum(smp), lit(0L)).as("n_samples"))
+        .select(
+          lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_audio"), col("n_bytes"), col("n_samples"))
+    val deduped = dedupAudio(screenAudio(gated)).localCheckpoint(true)
+    val smp = col("n_samples").cast("long")
+    agg(walked, 1, "aud_records", lit(0L))
+      .unionByName(agg(gated, 2, "decoded", smp))
+      .unionByName(agg(screenAudio(gated), 3, "screened", smp))
+      .unionByName(agg(deduped, 4, "audio_dedup", smp))
+      .unionByName(agg(capAudio(deduped, capAud), 5, "audio_capped", smp))
+  }
+
   /** Run the multimodal arc: one aligned (image, curated text) pair per
     * kept image of a doc whose page survived the full text arc.
     *

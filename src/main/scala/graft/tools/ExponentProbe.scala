@@ -95,7 +95,12 @@ object ExponentProbe {
     "x152_media_funnel" -> "documents",
     // the media CDX is one walk + a per-FILE lead window (bounded by
     // records-per-file, never a global sort) — e ≈ 1 in documents
-    "x153_media_cdx" -> "documents")
+    "x153_media_cdx" -> "documents",
+    // the audio route: one walk+decode pass, one fingerprint exchange
+    // (ids + five integers), one cap window — e ≈ 1 in documents; its
+    // funnel shares the same frames
+    "x154_audio_route" -> "documents",
+    "x155_audio_funnel" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
