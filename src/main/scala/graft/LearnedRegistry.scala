@@ -492,11 +492,15 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         col("doc_id"),
         when(col("r.content_type") === "text/html", "page")
           .when(col("r.content_type") === "audio/wav", "audio")
+          .when(col("r.content_type") === "video/avi", "video")
           .otherwise("image").as("rec_kind"),
         when(col("r.content_type") === "text/html", col("pos") - 1)
           .when(
             col("r.content_type") === "audio/wav",
             col("pos") - 3 - col("doc_id") % 3 - col("doc_id") % 2)
+          .when(
+            col("r.content_type") === "video/avi",
+            col("pos") - 4 - col("doc_id") % 3 - (col("doc_id") % 2) * 2)
           .otherwise(col("pos") - 2 - col("doc_id") % 3)
           .cast("int").as("rec_idx"),
         col("r.content_type").as("content_type"),
@@ -541,6 +545,39 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     GraftFunctions.register(s)
     MediaArc
       .audioFunnel(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Video-route surface (x156): the container's FOURTH modality —
+    * genuine multi-frame AVIs walked at stride 2
+    * ([[graft.operators.MediaArc.videoRoute]]: the "sample every k-th
+    * frame" video-pipeline verb AT DECODE TIME — a 100 TB corpus never
+    * decodes every frame), then too-few-frames screen → sampled-
+    * checksum-sequence dedup → per-source cap. Three plants: magic
+    * corruption (gate), frames = 2 stills (screen), the (2k, 2k+1)
+    * shared-seed duplicate (dedup). The oracle recomputes every sampled
+    * frame's position-weighted checksum from
+    * (pid·41 + w·31 + h·17 + f·7 + i·13) mod 256 alone — a hash match
+    * proves the movi walk consumed real chunk boundaries (x89's
+    * contract, composed).
+    */
+  protected def x156(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    MediaArc
+      .videoRoute(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+      .orderBy(col("doc_id"), col("vid_id"))
+  }
+
+  /** Video-route funnel (x157): per-stage clip count, payload BYTE
+    * mass, and sampled-frame mass through x156's stages; byte mass
+    * re-derived from the AVI 224 + 32·frames closed form.
+    */
+  protected def x157(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    MediaArc
+      .videoFunnel(
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
       .orderBy(col("stage_idx"))
   }
@@ -1379,6 +1416,89 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |ORDER BY stage_idx""".stripMargin
   }
 
+  /** The shared video-route CTEs for x156/x157: ALL video records with
+    * the AVI byte-size closed form (`vprm` — 224 + 32·frames), the
+    * decode-gate survivors (`vdec`), every SAMPLED frame's position-
+    * weighted checksum recomputed from the payload congruence (`vcs` —
+    * stride-2 frame indices, 24 payload bytes each), the in-order
+    * checksum-sequence signature (`vsig` — string_agg ordered by frame,
+    * matching Spark's array_join over the decode-ordered array), the
+    * too-few-frames screen (`vscr`), the signature dedup (`vdd`), and
+    * the per-source cap window (`vcap`).
+    */
+  protected lazy val mediaVideoCtesSql: String =
+    s"""vv0 AS (
+      |  SELECT doc_id, source, unnest(range(1 + doc_id % 2)) AS j
+      |  FROM documents
+      |), vval AS (
+      |  SELECT doc_id, source, CAST(j AS INTEGER) AS vid_j,
+      |    doc_id * 2 + j AS vid_id, (doc_id // 2) * 2 + j AS pid
+      |  FROM vv0
+      |), vprm AS MATERIALIZED (
+      |  SELECT *, 8 + pid % 23 AS w, 8 + pid % 19 AS h,
+      |    CAST(2 + pid % 9 AS INTEGER) AS fr,
+      |    CAST(224 + 32 * (2 + pid % 9) AS BIGINT) AS n_bytes,
+      |    CAST((2 + pid % 9 + 1) // 2 AS INTEGER) AS n_sampled
+      |  FROM vval
+      |), vdec AS MATERIALIZED (
+      |  SELECT * FROM vprm WHERE doc_id % 7 <> 0
+      |), vfr AS (
+      |  SELECT vid_id, pid, w, h, unnest(range(0, fr, 2)) AS f FROM vdec
+      |), vby AS (
+      |  SELECT vid_id, pid, w, h, f, unnest(range(24)) AS i FROM vfr
+      |), vcs AS (
+      |  SELECT vid_id, f,
+      |    sum(((pid * 41 + w * 31 + h * 17 + f * 7 + i * 13) % 256) * (i + 1)) AS cs
+      |  FROM vby GROUP BY 1, 2
+      |), vsig AS MATERIALIZED (
+      |  SELECT vid_id,
+      |    string_agg(CAST(cs AS VARCHAR), '_' ORDER BY f) AS sig
+      |  FROM vcs GROUP BY vid_id
+      |), vrows AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source, d.vid_j, d.vid_id, d.n_bytes,
+      |    d.n_sampled, s.sig
+      |  FROM vdec d JOIN vsig s USING (vid_id)
+      |), vscr AS (
+      |  SELECT * FROM vrows WHERE n_sampled >= 2
+      |), vdd AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY sig ORDER BY vid_id) AS rn_dd
+      |    FROM vscr)
+      |  WHERE rn_dd = 1
+      |), vcap AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(sig), vid_id) AS rn_cap
+      |  FROM vdd
+      |)""".stripMargin
+
+  /** The x156 video-route oracle: the video CTEs' capped survivors. */
+  protected lazy val videoRouteSql: String =
+    s"""WITH $mediaVideoCtesSql
+      |SELECT doc_id, source, vid_j, vid_id, n_bytes, n_sampled, sig
+      |FROM vcap WHERE rn_cap <= 10
+      |ORDER BY doc_id, vid_id""".stripMargin
+
+  /** The x157 video-funnel oracle: the video CTEs aggregated per stage
+    * (the x155 shape on the fourth modality).
+    */
+  protected lazy val videoFunnelSql: String = {
+    def agg(idx: Int, name: String, src: String, smp: String): String =
+      s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_videos,
+         |  CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS n_bytes,
+         |  CAST(coalesce(sum($smp), 0) AS BIGINT) AS n_sampled
+         |FROM $src""".stripMargin
+    s"""WITH $mediaVideoCtesSql
+      |${agg(1, "vid_records", "vprm", "0")}
+      |UNION ALL ${agg(2, "decoded", "vrows", "n_sampled")}
+      |UNION ALL ${agg(3, "screened", "vscr", "n_sampled")}
+      |UNION ALL ${agg(4, "video_dedup", "vdd", "n_sampled")}
+      |UNION ALL ${agg(5, "video_capped",
+        "(SELECT * FROM vcap WHERE rn_cap <= 10)", "n_sampled")}
+      |ORDER BY stage_idx""".stripMargin
+  }
+
   /** The x150 multimodal-arc oracle: the x146 text chain verbatim
     * (the mixed container embeds the SAME text records, so `afin` is
     * the curated-page set), plus the image half replayed closed-form —
@@ -1635,7 +1755,9 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x152_media_funnel" -> (x152 _),
     "x153_media_cdx" -> (x153 _),
     "x154_audio_route" -> (x154 _),
-    "x155_audio_funnel" -> (x155 _)
+    "x155_audio_funnel" -> (x155 _),
+    "x156_video_route" -> (x156 _),
+    "x157_video_funnel" -> (x157 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -2108,12 +2230,40 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
         |    rsize AS rec_len
         |  FROM asized
+        |), atot AS (
+        |  SELECT doc_id, any_value(img_end) + sum(rsize) AS aud_end
+        |  FROM asized GROUP BY doc_id
+        |), vrecs AS (
+        |  SELECT s.doc_id, s.ids, t.aud_end, unnest(range(s.nimg)) AS v
+        |  FROM sz s JOIN atot t USING (doc_id)
+        |), vpsz AS (
+        |  SELECT *, 224 + 32 * (2 + ((doc_id // 2) * 2 + v) % 9) AS psize
+        |  FROM vrecs
+        |), vsized AS (
+        |  SELECT *,
+        |    strlen('WARC/1.0' || e'\r\n'
+        |      || 'WARC-Type: resource' || e'\r\n'
+        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':vid:' || v || '>' || e'\r\n'
+        |      || 'WARC-Target-URI: http://example.com/vid/' || ids || '/' || v || '.avi' || e'\r\n'
+        |      || 'WARC-Date: 2020-01-01T00:00:3' || v || 'Z' || e'\r\n'
+        |      || 'Content-Type: video/avi' || e'\r\n'
+        |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
+        |  FROM vpsz
+        |), voff AS (
+        |  SELECT doc_id, 'video' AS rec_kind, CAST(v AS INT) AS rec_idx,
+        |    'video/avi' AS content_type,
+        |    'com,example)/vid/' || ids || '/' || v || '.avi' AS surt_key,
+        |    aud_end + coalesce(sum(rsize) OVER (
+        |      PARTITION BY doc_id ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
+        |    rsize AS rec_len
+        |  FROM vsized
         |)
         |SELECT doc_id, rec_kind, rec_idx, content_type, surt_key,
         |  CAST(rec_offset AS BIGINT) AS rec_offset,
         |  CAST(rec_len AS BIGINT) AS rec_len
         |FROM (SELECT * FROM toff UNION ALL SELECT * FROM ioff
-        |      UNION ALL SELECT * FROM aoff)
+        |      UNION ALL SELECT * FROM aoff UNION ALL SELECT * FROM voff)
         |ORDER BY doc_id, rec_offset""".stripMargin,
     // x154: the audio route replayed closed-form — every decoded sample
     // statistic re-folded from the congruence formula, then the same
@@ -2122,6 +2272,12 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     // x155: the audio CTEs aggregated per stage, byte mass from the WAV
     // 44+2n closed form. See audioFunnelSql.
     "x155_audio_funnel" -> audioFunnelSql,
+    // x156: the video route replayed closed-form — every sampled frame's
+    // checksum from the payload congruence. See videoRouteSql.
+    "x156_video_route" -> videoRouteSql,
+    // x157: the video CTEs aggregated per stage, byte mass from the AVI
+    // 224+32·frames closed form. See videoFunnelSql.
+    "x157_video_funnel" -> videoFunnelSql,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

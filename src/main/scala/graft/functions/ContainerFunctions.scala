@@ -393,10 +393,30 @@ case class BuildAviFrames(wExpr: Expression, hExpr: Expression, framesExpr: Expr
   override def third: Expression = framesExpr
   override def dataType: DataType = BinaryType
 
-  override protected def nullSafeEval(wAny: Any, hAny: Any, fAny: Any): Any = {
-    val w = wAny.asInstanceOf[Int]
-    val h = hAny.asInstanceOf[Int]
-    val frames = fAny.asInstanceOf[Int]
+  override protected def nullSafeEval(wAny: Any, hAny: Any, fAny: Any): Any =
+    AviFramesBytes(
+      wAny.asInstanceOf[Int], hAny.asInstanceOf[Int],
+      fAny.asInstanceOf[Int], seed = 0L)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(wExpr = f, hExpr = s, framesExpr = t)
+}
+
+/** The shared multi-frame AVI synthesis core — one place owns the RIFF
+  * byte layout so [[BuildAviFrames]] (the standalone x89 surface) and
+  * the multimodal container ([[MediaWarcFunctions]]) cannot drift.
+  * Frame f's payload byte i is `(seed·41 + w·31 + h·17 + f·7 + i·13)
+  * mod 256`; `seed = 0` yields BuildAviFrames' historical bytes
+  * verbatim, a non-zero seed gives each container video its own
+  * content while keeping every checksum a closed form of
+  * (seed, w, h, f) alone. File size is exactly 224 + 32·frames bytes
+  * (12 RIFF head + 200 hdrl list + 12 movi head + 32 per frame) —
+  * the byte-mass closed form the CDX/funnel oracles re-derive.
+  */
+object AviFramesBytes {
+
+  def apply(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
     require(w > 0 && w <= 65535 && h > 0 && h <= 65535, s"bad avi dims ${w}x$h")
     require(frames > 0 && frames <= 4096, s"bad avi frame count $frames")
     val out = new java.io.ByteArrayOutputStream()
@@ -436,15 +456,14 @@ case class BuildAviFrames(wExpr: Expression, hExpr: Expression, framesExpr: Expr
     while (f < frames) {
       ascii("00dc"); le32(24)
       var i = 0
-      while (i < 24) { out.write((w * 31 + h * 17 + f * 7 + i * 13) & 0xff); i += 1 }
+      while (i < 24) {
+        out.write(((seed * 41 + w * 31 + h * 17 + f * 7 + i * 13) % 256).toInt)
+        i += 1
+      }
       f += 1
     }
     out.toByteArray
   }
-
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression =
-    copy(wExpr = f, hExpr = s, framesExpr = t)
 }
 
 /** AVI frame SAMPLING — the x34 video-frame-sampling verb on the RIFF

@@ -136,6 +136,37 @@ object MediaWarcFunctions {
     b
   }
 
+  /** Videos per document: the image/audio discipline (1 + id%2, seed
+    * pid = (id div 2)·2 + j — document pairs share their first clip's
+    * FRAMES, the planted cross-document duplicate) over genuine
+    * multi-frame AVIs from the shared [[AviFramesBytes]] core. Dims
+    * w = 8 + pid%23, h = 8 + pid%19 (the x89 ranges), frames =
+    * 2 + pid%9, per-video content via seed = pid. Plants: the every-7th
+    * -doc magic corruption (decode gate), and frames = 2 clips
+    * (pid%9==0 — with the route's stride-2 sampling they yield a single
+    * sampled frame, the too-few-frames screen's prey). File size is the
+    * closed form 224 + 32·frames bytes.
+    */
+  def videoCount(id: Long): Int = (1L + java.lang.Math.floorMod(id, 2L)).toInt
+
+  def videoPid(id: Long, j: Int): Long =
+    java.lang.Math.floorDiv(id, 2L) * 2L + j
+
+  def videoDims(pid: Long): (Int, Int, Int) = (
+    (8L + java.lang.Math.floorMod(pid, 23L)).toInt,
+    (8L + java.lang.Math.floorMod(pid, 19L)).toInt,
+    (2L + java.lang.Math.floorMod(pid, 9L)).toInt)
+
+  def videoBytes(id: Long, j: Int): Array[Byte] = {
+    val pid = videoPid(id, j)
+    val (w, h, frames) = videoDims(pid)
+    val b = AviFramesBytes(w, h, frames, seed = pid)
+    if (java.lang.Math.floorMod(id, 7L) == 0L) {
+      b(0) = 'X'.toByte; b(1) = 'X'.toByte // same in-place damage plant
+    }
+    b
+  }
+
   /** The file's bytes: the [[WarcFunctions.recordStrings]] records
     * verbatim (warcinfo + text/html resources), then the image records,
     * then the audio records — modalities appended in fixed order so
@@ -182,6 +213,24 @@ object MediaWarcFunctions {
       out.write(payload)
       out.write(crlf); out.write(crlf)
       k += 1
+    }
+    var v = 0
+    val nv = videoCount(id)
+    while (v < nv) {
+      val payload = videoBytes(id, v)
+      val hdr = new StringBuilder(256)
+      hdr.append("WARC/1.0\r\n")
+      hdr.append("WARC-Type: resource\r\n")
+      hdr.append(s"WARC-Record-ID: <urn:graft:$id:vid:$v>\r\n")
+      hdr.append(s"WARC-Target-URI: http://example.com/vid/$id/$v.avi\r\n")
+      hdr.append(s"WARC-Date: 2020-01-01T00:00:3${v}Z\r\n")
+      hdr.append("Content-Type: video/avi\r\n")
+      hdr.append(s"Content-Length: ${payload.length}\r\n")
+      hdr.append("\r\n")
+      out.write(hdr.toString.getBytes(ascii))
+      out.write(payload)
+      out.write(crlf); out.write(crlf)
+      v += 1
     }
     out.toByteArray
   }

@@ -350,6 +350,123 @@ object MediaArc {
       .unionByName(agg(capAudio(deduped, capAud), 5, "audio_capped", smp))
   }
 
+  // ----------------------------------------------------------------
+  // The VIDEO route (x156/x157): the container's fourth modality.
+  // walk → decode gate (frame-SAMPLED checksums, the video-pipeline
+  // "sample every k-th frame" verb) → too-few-frames screen →
+  // signature dedup on the sampled-checksum sequence → per-source cap.
+  // Payload bytes never leave the walk; the only exchanged video
+  // "content" is the checksum-sequence string.
+  // ----------------------------------------------------------------
+
+  /** The video records as ONE walk+decode pass, payload dropped at the
+    * projection: (doc_id, source, vid_j, vid_id, n_bytes, checks) —
+    * checks is [[graft.functions.AviFrameChecksums]]' REAL movi-walk
+    * at stride 2 (NULL on the corruption plant; sampling at decode time
+    * is the point — a 100 TB video corpus never decodes every frame).
+    * Video j of doc d sits at container position 1 (warcinfo) + 1+d%3
+    * (text) + 1+d%2 (images) + 1+d%2 (audio) + j; vid_id =
+    * doc_id·2+vid_j is injective (≤ 2 videos per doc). n_bytes is the
+    * record's MEASURED Content-Length, which the oracles re-derive from
+    * the AVI 224 + 32·frames closed form.
+    */
+  private[graft] def walkedVideo(docs: DataFrame): DataFrame =
+    records(docs)
+      .where(col("r.content_type") === "video/avi")
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("pos") - 4 - col("doc_id") % 3 - (col("doc_id") % 2) * 2)
+          .cast("int").as("vid_j"),
+        (col("doc_id") * 2 +
+          (col("pos") - 4 - col("doc_id") % 3 - (col("doc_id") % 2) * 2))
+          .as("vid_id"),
+        col("r.content_length").cast("long").as("n_bytes"),
+        GraftFunctions.aviFrameChecksums(col("r.payload"), lit(2)).as("checks"))
+
+  /** The decode gate + signature projection: checksum walk non-NULL
+    * (the corruption plant dies here, map-side), sampled count measured
+    * from the array, and the video SIGNATURE — the sampled checksums
+    * joined in frame order — computed once for the dedup and cap
+    * stages. All downstream exchanges carry (ids, one int, one string).
+    */
+  private[graft] def gateVideo(walked: DataFrame): DataFrame =
+    walked
+      .where(col("checks").isNotNull)
+      .select(
+        col("doc_id"), col("source"), col("vid_j"), col("vid_id"),
+        col("n_bytes"),
+        size(col("checks")).as("n_sampled"),
+        array_join(col("checks"), "_").as("sig"))
+
+  private[graft] def gatedVideo(docs: DataFrame): DataFrame =
+    gateVideo(walkedVideo(docs))
+
+  /** Video stage 3: the too-few-frames screen — a single sampled frame
+    * (frames ≤ 2 at stride 2) is a still, not a clip; a frame-sequence
+    * signature over one element carries no sequence evidence.
+    */
+  private[graft] def screenVideo(gated: DataFrame): DataFrame =
+    gated.where(col("n_sampled") >= 2)
+
+  /** Video stage 4: signature dedup, greedy keep-first — two videos
+    * whose SAMPLED frame checksums agree pairwise in order are the same
+    * clip (the planted (2k, 2k+1) shared-seed pair collides by
+    * construction); the smaller vid_id survives. One shuffle on the
+    * signature string, rank-1 window (WindowGroupLimit-planned).
+    */
+  private[graft] def dedupVideo(screened: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("sig")).orderBy(col("vid_id"))
+    screened
+      .withColumn("graft_vid_rn", row_number().over(w))
+      .where(col("graft_vid_rn") === 1)
+      .drop("graft_vid_rn")
+  }
+
+  /** Video stage 5: the per-source cap in content-hash order. */
+  private[graft] def capVideo(deduped: DataFrame, capVid: Int): DataFrame =
+    Sampling.capPerGroup(
+      deduped,
+      group = col("source"),
+      key = col("sig"),
+      tieBreak = col("vid_id"),
+      cap = capVid)
+
+  /** The curated video route (x156): walk → gate → screen → dedup →
+    * cap, one row per kept clip with its sampled-frame signature.
+    */
+  def videoRoute(docs: DataFrame, capVid: Int = 10): DataFrame =
+    capVideo(dedupVideo(screenVideo(gatedVideo(docs))), capVid)
+      .select(
+        col("doc_id"), col("source"), col("vid_j"), col("vid_id"),
+        col("n_bytes"), col("n_sampled"), col("sig"))
+
+  /** The VIDEO-route funnel (x157): per-stage clip count, payload BYTE
+    * mass, and SAMPLED-FRAME mass — vid_records → decoded → screened →
+    * video_dedup → video_capped (the x152/x155 discipline on the fourth
+    * modality; byte mass re-derived by the oracle from 224 + 32·frames).
+    */
+  def videoFunnel(docs: DataFrame, capVid: Int = 10): DataFrame = {
+    val walked = walkedVideo(docs).localCheckpoint(true)
+    val gated = gateVideo(walked)
+    def agg(df: DataFrame, idx: Int, name: String, smp: org.apache.spark.sql.Column): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_videos"),
+          coalesce(sum(col("n_bytes")), lit(0L)).as("n_bytes"),
+          coalesce(sum(smp), lit(0L)).as("n_sampled"))
+        .select(
+          lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_videos"), col("n_bytes"), col("n_sampled"))
+    val deduped = dedupVideo(screenVideo(gated)).localCheckpoint(true)
+    val smp = col("n_sampled").cast("long")
+    agg(walked, 1, "vid_records", lit(0L))
+      .unionByName(agg(gated, 2, "decoded", smp))
+      .unionByName(agg(screenVideo(gated), 3, "screened", smp))
+      .unionByName(agg(deduped, 4, "video_dedup", smp))
+      .unionByName(agg(capVideo(deduped, capVid), 5, "video_capped", smp))
+  }
+
   /** Run the multimodal arc: one aligned (image, curated text) pair per
     * kept image of a doc whose page survived the full text arc.
     *

@@ -100,7 +100,11 @@ object ExponentProbe {
     // (ids + five integers), one cap window — e ≈ 1 in documents; its
     // funnel shares the same frames
     "x154_audio_route" -> "documents",
-    "x155_audio_funnel" -> "documents")
+    "x155_audio_funnel" -> "documents",
+    // the video route: one walk + stride-2 frame-sampled decode, one
+    // signature exchange, one cap window — e ≈ 1 in documents
+    "x156_video_route" -> "documents",
+    "x157_video_funnel" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
