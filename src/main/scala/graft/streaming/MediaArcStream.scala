@@ -39,12 +39,20 @@ import graft.operators.{LinearModel, MediaArc}
   * routes from state and runs the batch twin's OWN fusion projection
   * ([[MediaArc.fusePairs]]).
   *
-  * RESTART SAFETY: three [[EpochStore]]s under one stateDir (the text
-  * twin's two plus `<dir>/images`); every fold is idempotent
-  * (anti-join-guarded appends; a replayed batch mines no new candidates
-  * because its images are no longer fresh), so any crash interleaving
-  * of the three saves heals by re-fold — the [[ArcStream]] cross-store
-  * argument, extended by one store.
+  * The AUDIO and VIDEO routes (x154/x156) ride along on one decoded-
+  * stats table each: both dedups are EXACT (fingerprint / signature),
+  * so screen → keep-first dedup → cap is a pure VIEW over state —
+  * [[Maintainer.curatedAudio]]/[[Maintainer.curatedVideo]] equal their
+  * batch twins over the union after every micro-batch, with the same
+  * retroactive-eviction property (a later epoch's smaller-id clip
+  * evicts an identical clip kept epochs ago).
+  *
+  * RESTART SAFETY: four [[EpochStore]]s under one stateDir (the text
+  * twin's two plus `<dir>/images` and `<dir>/clips`); every fold is
+  * idempotent (anti-join-guarded appends; a replayed batch mines no new
+  * candidates because its images are no longer fresh), so any crash
+  * interleaving of the four saves heals by re-fold — the [[ArcStream]]
+  * cross-store argument, extended by two stores.
   */
 object MediaArcStream {
 
@@ -72,12 +80,37 @@ object MediaArcStream {
     StructField("a_id", LongType),
     StructField("b_id", LongType)))
 
+  private val audioSchema = StructType(Seq(
+    StructField("aud_id", LongType),
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("aud_j", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sum_sq", LongType),
+    StructField("sum_abs", LongType),
+    StructField("peak", IntegerType),
+    StructField("zero_cross", IntegerType)))
+
+  private val videoSchema = StructType(Seq(
+    StructField("vid_id", LongType),
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("vid_j", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("n_sampled", IntegerType),
+    StructField("sig", StringType)))
+
   final class Maintainer(
       spark: SparkSession,
       evalDocs: DataFrame,
       model: LinearModel.HashedLinearModel,
       capText: Int = 10,
       capImg: Int = 10,
+      capAud: Int = 10,
+      capVid: Int = 10,
       minIsoPpm: Long = 500000L,
       trainDim: Int = 512,
       trainRounds: Int = 3,
@@ -99,15 +132,34 @@ object MediaArcStream {
       .flatMap(_.load())
       .getOrElse(EpochStore.emptyFrames(spark, frameSchemas))
 
+    // the clip routes (audio + video) need only their decoded-stats
+    // tables: both dedups are EXACT (fingerprint / signature), so the
+    // greedy keep-first drop is a window VIEW over state — no pair
+    // mining, no posting lists. A fourth store keeps the image store's
+    // on-disk layout untouched for old stateDirs.
+    private val clipSchemas = Seq(
+      "audio" -> audioSchema, "video" -> videoSchema)
+    private val clipStore: Option[EpochStore] =
+      stateDir.map(d => new EpochStore(spark, s"$d/clips", clipSchemas))
+    private val clipInitial: Map[String, DataFrame] = clipStore
+      .flatMap(_.load())
+      .getOrElse(EpochStore.emptyFrames(spark, clipSchemas))
+
     /** True iff construction reloaded a persisted epoch (restart path). */
     def resumed: Boolean = store.exists(_.latestCommitted >= 0)
 
     @volatile private var images: DataFrame = initial("images")
     @volatile private var imgBands: DataFrame = initial("imgBands")
     @volatile private var imgPairs: DataFrame = initial("imgPairs")
+    @volatile private var audio: DataFrame = clipInitial("audio")
+    @volatile private var video: DataFrame = clipInitial("video")
 
     /** The live decodable-image table. */
     def imageState: DataFrame = images
+
+    /** The live decoded-clip tables. */
+    def audioState: DataFrame = audio
+    def videoState: DataFrame = video
 
     private def bandsOf(df: DataFrame): DataFrame = {
       val bandVals = (0 until 4).map(b =>
@@ -156,7 +208,51 @@ object MediaArcStream {
       imgPairs = imgPairs.unionByName(newPairs).localCheckpoint(true)
       store.foreach(_.save(epochId, Map(
         "images" -> images, "imgBands" -> imgBands, "imgPairs" -> imgPairs)))
+
+      // clip routes: one walk+decode pass each, anti-join-guarded append
+      // (clip identity is injective and decoded stats are fixed, so a
+      // replayed batch folds nothing). Screen/dedup/cap stay VIEWS.
+      val docsCols = batch
+        .select(col("doc_id").cast(LongType), col("source"), col("text"))
+      val freshAudio = MediaArc
+        .gatedAudio(docsCols)
+        .join(audio.select(col("aud_id")), Seq("aud_id"), "left_anti")
+      audio = audio
+        .unionByName(freshAudio.select(audioSchema.fieldNames.map(col).toSeq: _*))
+        .localCheckpoint(true)
+      val freshVideo = MediaArc
+        .gatedVideo(docsCols)
+        .join(video.select(col("vid_id")), Seq("vid_id"), "left_anti")
+      video = video
+        .unionByName(freshVideo.select(videoSchema.fieldNames.map(col).toSeq: _*))
+        .localCheckpoint(true)
+      clipStore.foreach(_.save(epochId, Map("audio" -> audio, "video" -> video)))
     }
+
+    /** The curated audio clips — after batch i, ≡ [[MediaArc.audioRoute]]
+      * (x154) over every document of batches 1..i: the batch twin's own
+      * screen/dedup/cap verbs run as a view over the decoded-stats
+      * state, so a later epoch's smaller-id clip retroactively evicts a
+      * fingerprint-identical clip kept epochs ago.
+      */
+    def curatedAudio(): DataFrame =
+      MediaArc.capAudio(
+          MediaArc.dedupAudio(MediaArc.screenAudio(audio)), capAud)
+        .select(
+          col("doc_id"), col("source"), col("aud_j"), col("aud_id"),
+          col("n_samples"), col("sample_rate"), col("duration_ms"),
+          col("sum_sq"), col("sum_abs"), col("peak"), col("zero_cross"))
+
+    /** The curated video clips — after batch i, ≡ [[MediaArc.videoRoute]]
+      * (x156) over every document of batches 1..i (the [[curatedAudio]]
+      * argument on the signature dedup).
+      */
+    def curatedVideo(): DataFrame =
+      MediaArc.capVideo(
+          MediaArc.dedupVideo(MediaArc.screenVideo(video)), capVid)
+        .select(
+          col("doc_id"), col("source"), col("vid_j"), col("vid_id"),
+          col("n_bytes"), col("n_sampled"), col("sig"))
 
     /** The curated multimodal pairs — after batch i, ≡
       * [[MediaArc.pipeline]] over every document of batches 1..i.

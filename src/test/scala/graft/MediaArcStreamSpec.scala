@@ -119,6 +119,63 @@ class MediaArcStreamSpec extends SparkSpec {
     assert(streamView(m2) === batchTwin(b1 ++ b2))
   }
 
+  test("clip-route twins: curatedAudio ≡ x154 and curatedVideo ≡ x156 " +
+    "over the union after every micro-batch, folds idempotent") {
+    val m = new MediaArcStream.Maintainer(spark, evalDf, ftModel)
+    val batches = Seq(
+      corpus.filter(_.doc_id % 3 == 0),
+      corpus.filter(_.doc_id % 3 == 1),
+      corpus.filter(_.doc_id % 3 == 2))
+    var prefix = Seq.empty[Doc]
+    for (b <- batches) {
+      m.update(b.toDF("doc_id", "source", "text"))
+      prefix ++= b
+      val unionDf = prefix.toDF("doc_id", "source", "text")
+        .select(col("doc_id"), col("source"), col("text"))
+      assert(m.curatedAudio().collect().map(_.toString).toSet ===
+        MediaArc.audioRoute(unionDf).collect().map(_.toString).toSet,
+        s"audio twin diverged after ${prefix.size} docs")
+      assert(m.curatedVideo().collect().map(_.toString).toSet ===
+        MediaArc.videoRoute(unionDf).collect().map(_.toString).toSet,
+        s"video twin diverged after ${prefix.size} docs")
+    }
+    // replay: both clip folds are anti-join-guarded no-ops
+    val audioOnce = m.curatedAudio().collect().map(_.toString).toSet
+    m.update(batches.last.toDF("doc_id", "source", "text"))
+    assert(m.curatedAudio().collect().map(_.toString).toSet === audioOnce)
+  }
+
+  test("retroactive clip eviction across epochs: doc 3's shared-seed " +
+    "clips are kept alone, then evicted when doc 2's smaller ids land") {
+    val m = new MediaArcStream.Maintainer(spark, evalDf, ftModel)
+    // doc 3 first: aud/vid 6 (pid 2) and 7 (pid 3) all kept
+    m.update(Seq((3L, "s", baseText)).toDF("doc_id", "source", "text"))
+    assert(m.curatedAudio().collect().map(_.getAs[Long]("aud_id")).toSet
+      === Set(6L, 7L))
+    // doc 2's clip 4 shares pid 2 — the earlier-kept 6 must now drop
+    m.update(Seq((2L, "s", baseText)).toDF("doc_id", "source", "text"))
+    assert(m.curatedAudio().collect().map(_.getAs[Long]("aud_id")).toSet
+      === Set(4L, 7L))
+    assert(m.curatedVideo().collect().map(_.getAs[Long]("vid_id")).toSet
+      === Set(4L, 7L))
+  }
+
+  test("stateDir restart resumes the clip store too") {
+    val dir = java.nio.file.Files.createTempDirectory("mediaclips").toString
+    val b1 = corpus.filter(_.doc_id % 2 == 0)
+    val b2 = corpus.filter(_.doc_id % 2 == 1)
+    val m1 = new MediaArcStream.Maintainer(spark, evalDf, ftModel, stateDir = Some(dir))
+    m1.update(b1.toDF("doc_id", "source", "text"), epochId = 0L)
+    val m2 = new MediaArcStream.Maintainer(spark, evalDf, ftModel, stateDir = Some(dir))
+    m2.update(b2.toDF("doc_id", "source", "text"), epochId = 1L)
+    val unionDf = (b1 ++ b2).toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text"))
+    assert(m2.curatedAudio().collect().map(_.toString).toSet ===
+      MediaArc.audioRoute(unionDf).collect().map(_.toString).toSet)
+    assert(m2.curatedVideo().collect().map(_.toString).toSet ===
+      MediaArc.videoRoute(unionDf).collect().map(_.toString).toSet)
+  }
+
   test("volatile maintainer with a checkpoint is refused") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
