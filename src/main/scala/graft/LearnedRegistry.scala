@@ -582,6 +582,61 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .orderBy(col("stage_idx"))
   }
 
+  /** Container-census surface (x158): the whole-container byte LEDGER —
+    * one row per record kind (warcinfo/page/image/audio/video) with
+    * record count, payload-byte mass, and full record-SPAN mass, plus
+    * the container row (file count, total file bytes). The invariant
+    * the hash certifies: the spans TILE each file, so
+    * Σ kind record_bytes = container bytes; a one-byte mis-slice in any
+    * modality's walk breaks exactly that modality's row. Different doc
+    * subset (%5 = 2) than x153 (%5 = 1) and x98, so the three
+    * byte-layout surfaces cannot mask each other. One walk, one 6-row
+    * aggregate; spans from a per-file lead window (bounded by
+    * records-per-file).
+    */
+  protected def x158(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val recs = t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 2)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        GraftFunctions.buildMediaWarc(col("doc_id"), col("text")).as("bytes"))
+      .select(
+        col("doc_id"),
+        length(col("bytes")).cast("long").as("fsize"),
+        posexplode(GraftFunctions.mediaWarcRecords(col("bytes"))).as(Seq("pos", "r")))
+      .withColumn("next_off", lead(col("r.rec_offset"), 1).over(w))
+      .select(
+        col("doc_id"), col("fsize"),
+        when(col("r.content_type") === "text/html", "page")
+          .when(col("r.content_type") === "audio/wav", "audio")
+          .when(col("r.content_type") === "video/avi", "video")
+          .when(col("r.content_type").startsWith("image/"), "image")
+          .otherwise("warcinfo").as("rec_kind"),
+        col("r.content_length").cast("long").as("payload_len"),
+        (coalesce(col("next_off"), col("fsize")) - col("r.rec_offset")).as("span"))
+      .localCheckpoint(true)
+    val kinds = recs
+      .groupBy(col("rec_kind"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("payload_len")).as("payload_bytes"),
+        sum(col("span")).as("record_bytes"))
+    val container = recs
+      .groupBy(col("doc_id")).agg(first(col("fsize")).as("fsize"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("fsize")).as("payload_bytes"),
+        sum(col("fsize")).as("record_bytes"))
+      .select(
+        lit("container").as("rec_kind"), col("n_records"),
+        col("payload_bytes"), col("record_bytes"))
+    kinds.unionByName(container).orderBy(col("rec_kind"))
+  }
+
   /** The x128-trained scorer's output in calibration shape: one
     * (doc_id, score, y) row per document — shared by the x138/x139
     * calibration surfaces so the diagram and the fit cannot drift.
@@ -1499,6 +1554,167 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       |ORDER BY stage_idx""".stripMargin
   }
 
+  /** The shared mixed-container BYTE-LAYOUT CTEs (`d` → `vsized` plus
+    * the per-modality end markers): every record's header string built
+    * in SQL and strlen'd, every payload size from its closed form (HTML
+    * strlen; BMP stride/padding; GIF header + color table + LZW stream;
+    * WAV 44+2n; AVI 224+32·frames), parameterized by the doc-subset
+    * predicate so the CDX surface (x153, doc_id%5=1) and the census
+    * surface (x158, doc_id%5=2) derive from ONE layout definition but
+    * different documents — a drift in either cannot mask the other.
+    * Pre-stripped: interpolate with plain concatenation, NOT inside
+    * another stripMargin (continuation lines start with `||`).
+    */
+  protected def mediaContainerSizedCtesSql(pred: String): String =
+    s"""d AS (
+      |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
+      |    1 + doc_id % 3 AS nrec, 1 + doc_id % 2 AS nimg
+      |  FROM documents WHERE $pred
+      |), h AS (
+      |  SELECT *,
+      |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
+      |    || '<title>Doc ' || ids || '</title>' || chr(10)
+      |    || '<meta charset="utf-8">' || chr(10)
+      |    || '<script type="text/javascript">var n = ' || ids
+      |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
+      |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
+      |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
+      |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
+      |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
+      |    || '</ul></nav>' || chr(10)
+      |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
+      |    || '<div class="main">' || chr(10)
+      |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
+      |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+      |                                '<', '&lt;'), '>', '&gt;')
+      |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
+      |    || '</div>' || chr(10)
+      |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
+      |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
+      |  FROM d
+      |), sz AS (
+      |  SELECT doc_id, ids, nrec, nimg, strlen(html) AS clen,
+      |    strlen('WARC/1.0' || e'\r\n'
+      |      || 'WARC-Type: warcinfo' || e'\r\n'
+      |      || 'WARC-Record-ID: <urn:graft:' || ids || ':info>' || e'\r\n'
+      |      || 'WARC-Date: 2020-01-01T00:00:00Z' || e'\r\n'
+      |      || 'Content-Type: application/warc-fields' || e'\r\n'
+      |      || 'Content-Length: 17' || e'\r\n' || e'\r\n') + 17 + 4 AS isize
+      |  FROM h
+      |), trecs AS (
+      |  SELECT doc_id, ids, clen, isize, nimg, unnest(range(nrec)) AS i FROM sz
+      |), tsized AS (
+      |  SELECT *,
+      |    strlen('WARC/1.0' || e'\r\n'
+      |      || 'WARC-Type: resource' || e'\r\n'
+      |      || 'WARC-Record-ID: <urn:graft:' || ids || ':' || i || '>' || e'\r\n'
+      |      || 'WARC-Target-URI: http://example.com/doc/' || ids || '/' || i || e'\r\n'
+      |      || 'WARC-Date: 2020-01-01T00:00:0' || i || 'Z' || e'\r\n'
+      |      || 'Content-Type: text/html' || e'\r\n'
+      |      || 'Content-Length: ' || clen || e'\r\n' || e'\r\n') + clen + 4 AS rsize
+      |  FROM trecs
+      |), ttot AS (
+      |  SELECT doc_id, any_value(isize) + sum(rsize) AS text_end
+      |  FROM tsized GROUP BY doc_id
+      |), irecs AS (
+      |  SELECT s.doc_id, s.ids, t.text_end, unnest(range(s.nimg)) AS j
+      |  FROM sz s JOIN ttot t USING (doc_id)
+      |), imeta AS (
+      |  SELECT *, (doc_id // 2) * 2 + j AS pid,
+      |    CASE WHEN (doc_id + j) % 2 = 1 THEN 'gif' ELSE 'bmp' END AS ext
+      |  FROM irecs
+      |), idim AS (
+      |  SELECT *, 16 + pid % 16 AS w, 16 + pid % 12 AS h FROM imeta
+      |), ipsz0 AS (
+      |  SELECT *, CAST(w AS BIGINT) * h AS npx FROM idim
+      |), ipsz1 AS (
+      |  SELECT *, (9 * (npx + 2 + (npx - 1) // 253) + 7) // 8 AS nb FROM ipsz0
+      |), ipsz AS (
+      |  SELECT *, CASE WHEN ext = 'gif'
+      |      THEN 792 + nb + (nb + 254) // 255 + 2
+      |      ELSE 54 + ((3 * w + 3) // 4) * 4 * h END AS psize
+      |  FROM ipsz1
+      |), isized AS (
+      |  SELECT *,
+      |    strlen('WARC/1.0' || e'\r\n'
+      |      || 'WARC-Type: resource' || e'\r\n'
+      |      || 'WARC-Record-ID: <urn:graft:' || ids || ':img:' || j || '>' || e'\r\n'
+      |      || 'WARC-Target-URI: http://example.com/img/' || ids || '/' || j || '.' || ext || e'\r\n'
+      |      || 'WARC-Date: 2020-01-01T00:00:1' || j || 'Z' || e'\r\n'
+      |      || 'Content-Type: image/' || ext || e'\r\n'
+      |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
+      |  FROM ipsz
+      |), itot AS (
+      |  SELECT doc_id, any_value(text_end) + sum(rsize) AS img_end
+      |  FROM isized GROUP BY doc_id
+      |), arecs AS (
+      |  SELECT s.doc_id, s.ids, t.img_end, unnest(range(s.nimg)) AS k
+      |  FROM sz s JOIN itot t USING (doc_id)
+      |), apsz AS (
+      |  SELECT *, 44 + 2 * (300 + ((doc_id // 2) * 2 + k) % 7 * 100) AS psize
+      |  FROM arecs
+      |), asized AS (
+      |  SELECT *,
+      |    strlen('WARC/1.0' || e'\r\n'
+      |      || 'WARC-Type: resource' || e'\r\n'
+      |      || 'WARC-Record-ID: <urn:graft:' || ids || ':aud:' || k || '>' || e'\r\n'
+      |      || 'WARC-Target-URI: http://example.com/aud/' || ids || '/' || k || '.wav' || e'\r\n'
+      |      || 'WARC-Date: 2020-01-01T00:00:2' || k || 'Z' || e'\r\n'
+      |      || 'Content-Type: audio/wav' || e'\r\n'
+      |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
+      |  FROM apsz
+      |), atot AS (
+      |  SELECT doc_id, any_value(img_end) + sum(rsize) AS aud_end
+      |  FROM asized GROUP BY doc_id
+      |), vrecs AS (
+      |  SELECT s.doc_id, s.ids, t.aud_end, unnest(range(s.nimg)) AS v
+      |  FROM sz s JOIN atot t USING (doc_id)
+      |), vpsz AS (
+      |  SELECT *, 224 + 32 * (2 + ((doc_id // 2) * 2 + v) % 9) AS psize
+      |  FROM vrecs
+      |), vsized AS (
+      |  SELECT *,
+      |    strlen('WARC/1.0' || e'\r\n'
+      |      || 'WARC-Type: resource' || e'\r\n'
+      |      || 'WARC-Record-ID: <urn:graft:' || ids || ':vid:' || v || '>' || e'\r\n'
+      |      || 'WARC-Target-URI: http://example.com/vid/' || ids || '/' || v || '.avi' || e'\r\n'
+      |      || 'WARC-Date: 2020-01-01T00:00:3' || v || 'Z' || e'\r\n'
+      |      || 'Content-Type: video/avi' || e'\r\n'
+      |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
+      |  FROM vpsz
+      |), vtot AS (
+      |  SELECT doc_id, any_value(aud_end) + sum(rsize) AS file_end
+      |  FROM vsized GROUP BY doc_id
+      |)""".stripMargin
+
+  /** The x158 container-census oracle: the sized CTEs (doc_id%5=2)
+    * aggregated per modality — record count, payload-byte mass, full
+    * record-span mass — plus the whole-container row, whose byte total
+    * MUST equal the sum of the modality spans (the records tile each
+    * file exactly; any mis-slice breaks a modality's sum).
+    */
+  protected lazy val containerCensusSql: String =
+    "WITH " + mediaContainerSizedCtesSql("doc_id % 5 = 2") + "\n" +
+      """SELECT rec_kind, CAST(n_records AS BIGINT) AS n_records,
+        |  CAST(payload_bytes AS BIGINT) AS payload_bytes,
+        |  CAST(record_bytes AS BIGINT) AS record_bytes
+        |FROM (
+        |  SELECT 'container' AS rec_kind, count(*) AS n_records,
+        |    sum(file_end) AS payload_bytes, sum(file_end) AS record_bytes
+        |  FROM vtot
+        |  UNION ALL
+        |  SELECT 'warcinfo', count(*), sum(17), sum(isize) FROM sz
+        |  UNION ALL
+        |  SELECT 'page', count(*), sum(clen), sum(rsize) FROM tsized
+        |  UNION ALL
+        |  SELECT 'image', count(*), sum(psize), sum(rsize) FROM isized
+        |  UNION ALL
+        |  SELECT 'audio', count(*), sum(psize), sum(rsize) FROM asized
+        |  UNION ALL
+        |  SELECT 'video', count(*), sum(psize), sum(rsize) FROM vsized
+        |)
+        |ORDER BY rec_kind""".stripMargin
+
   /** The x150 multimodal-arc oracle: the x146 text chain verbatim
     * (the mixed container embeds the SAME text records, so `afin` is
     * the curated-page set), plus the image half replayed closed-form —
@@ -1757,7 +1973,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x154_audio_route" -> (x154 _),
     "x155_audio_funnel" -> (x155 _),
     "x156_video_route" -> (x156 _),
-    "x157_video_funnel" -> (x157 _)
+    "x157_video_funnel" -> (x157 _),
+    "x158_container_census" -> (x158 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -2106,54 +2323,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     // mixed container's layout — text headers strlen'd in SQL (the x98
     // idiom), image payloads from the x152 BMP/GIF size closed forms.
     "x153_media_cdx" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ids,
-        |    1 + doc_id % 3 AS nrec, 1 + doc_id % 2 AS nimg
-        |  FROM documents WHERE doc_id % 5 = 1
-        |), h AS (
-        |  SELECT *,
-        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
-        |    || '<title>Doc ' || ids || '</title>' || chr(10)
-        |    || '<meta charset="utf-8">' || chr(10)
-        |    || '<script type="text/javascript">var n = ' || ids
-        |    || '; if (n < 100) { document.x = "<p>not text</p>"; }</script>' || chr(10)
-        |    || '<style>.m' || (doc_id % 7) || ' { color: #fff; }</style>' || chr(10)
-        |    || '</head>' || chr(10) || '<body>' || chr(10) || '<nav><ul>' || chr(10)
-        |    || '<li><a href="/p/' || ids || '">nav item ' || ids || '</a></li>' || chr(10)
-        |    || '<li><a href="/q/' || (doc_id % 13) || '">more links here</a></li>' || chr(10)
-        |    || '</ul></nav>' || chr(10)
-        |    || '<!-- boilerplate ends <p>ghost paragraph</p> -->' || chr(10)
-        |    || '<div class="main">' || chr(10)
-        |    || '<h1>Heading ' || ids || '&#33;</h1>' || chr(10)
-        |    || '<p>' || replace(replace(replace(text, '&', '&amp;'),
-        |                                '<', '&lt;'), '>', '&gt;')
-        |    || ' see <a href="/ref/' || ids || '">ref ' || ids || '</a></p>' || chr(10)
-        |    || '</div>' || chr(10)
-        |    || '<footer><a href="/about">about</a> &amp; <a href="/tos">terms</a></footer>' || chr(10)
-        |    || '</body>' || chr(10) || '</html>' || chr(10) AS html
-        |  FROM d
-        |), sz AS (
-        |  SELECT doc_id, ids, nrec, nimg, strlen(html) AS clen,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: warcinfo' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':info>' || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:00Z' || e'\r\n'
-        |      || 'Content-Type: application/warc-fields' || e'\r\n'
-        |      || 'Content-Length: 17' || e'\r\n' || e'\r\n') + 17 + 4 AS isize
-        |  FROM h
-        |), trecs AS (
-        |  SELECT doc_id, ids, clen, isize, nimg, unnest(range(nrec)) AS i FROM sz
-        |), tsized AS (
-        |  SELECT *,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: resource' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':' || i || '>' || e'\r\n'
-        |      || 'WARC-Target-URI: http://example.com/doc/' || ids || '/' || i || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:0' || i || 'Z' || e'\r\n'
-        |      || 'Content-Type: text/html' || e'\r\n'
-        |      || 'Content-Length: ' || clen || e'\r\n' || e'\r\n') + clen + 4 AS rsize
-        |  FROM trecs
-        |), toff AS (
+      ("WITH " + mediaContainerSizedCtesSql("doc_id % 5 = 1") + ", " +
+        """toff AS (
         |  SELECT doc_id, 'page' AS rec_kind, CAST(i AS INT) AS rec_idx,
         |    'text/html' AS content_type,
         |    'com,example)/doc/' || ids || '/' || i AS surt_key,
@@ -2162,37 +2333,6 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
         |    rsize AS rec_len
         |  FROM tsized
-        |), ttot AS (
-        |  SELECT doc_id, any_value(isize) + sum(rsize) AS text_end
-        |  FROM tsized GROUP BY doc_id
-        |), irecs AS (
-        |  SELECT s.doc_id, s.ids, t.text_end, unnest(range(s.nimg)) AS j
-        |  FROM sz s JOIN ttot t USING (doc_id)
-        |), imeta AS (
-        |  SELECT *, (doc_id // 2) * 2 + j AS pid,
-        |    CASE WHEN (doc_id + j) % 2 = 1 THEN 'gif' ELSE 'bmp' END AS ext
-        |  FROM irecs
-        |), idim AS (
-        |  SELECT *, 16 + pid % 16 AS w, 16 + pid % 12 AS h FROM imeta
-        |), ipsz0 AS (
-        |  SELECT *, CAST(w AS BIGINT) * h AS npx FROM idim
-        |), ipsz1 AS (
-        |  SELECT *, (9 * (npx + 2 + (npx - 1) // 253) + 7) // 8 AS nb FROM ipsz0
-        |), ipsz AS (
-        |  SELECT *, CASE WHEN ext = 'gif'
-        |      THEN 792 + nb + (nb + 254) // 255 + 2
-        |      ELSE 54 + ((3 * w + 3) // 4) * 4 * h END AS psize
-        |  FROM ipsz1
-        |), isized AS (
-        |  SELECT *,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: resource' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':img:' || j || '>' || e'\r\n'
-        |      || 'WARC-Target-URI: http://example.com/img/' || ids || '/' || j || '.' || ext || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:1' || j || 'Z' || e'\r\n'
-        |      || 'Content-Type: image/' || ext || e'\r\n'
-        |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
-        |  FROM ipsz
         |), ioff AS (
         |  SELECT doc_id, 'image' AS rec_kind, CAST(j AS INT) AS rec_idx,
         |    'image/' || ext AS content_type,
@@ -2202,25 +2342,6 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
         |    rsize AS rec_len
         |  FROM isized
-        |), itot AS (
-        |  SELECT doc_id, any_value(text_end) + sum(rsize) AS img_end
-        |  FROM isized GROUP BY doc_id
-        |), arecs AS (
-        |  SELECT s.doc_id, s.ids, t.img_end, unnest(range(s.nimg)) AS k
-        |  FROM sz s JOIN itot t USING (doc_id)
-        |), apsz AS (
-        |  SELECT *, 44 + 2 * (300 + ((doc_id // 2) * 2 + k) % 7 * 100) AS psize
-        |  FROM arecs
-        |), asized AS (
-        |  SELECT *,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: resource' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':aud:' || k || '>' || e'\r\n'
-        |      || 'WARC-Target-URI: http://example.com/aud/' || ids || '/' || k || '.wav' || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:2' || k || 'Z' || e'\r\n'
-        |      || 'Content-Type: audio/wav' || e'\r\n'
-        |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
-        |  FROM apsz
         |), aoff AS (
         |  SELECT doc_id, 'audio' AS rec_kind, CAST(k AS INT) AS rec_idx,
         |    'audio/wav' AS content_type,
@@ -2230,25 +2351,6 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset,
         |    rsize AS rec_len
         |  FROM asized
-        |), atot AS (
-        |  SELECT doc_id, any_value(img_end) + sum(rsize) AS aud_end
-        |  FROM asized GROUP BY doc_id
-        |), vrecs AS (
-        |  SELECT s.doc_id, s.ids, t.aud_end, unnest(range(s.nimg)) AS v
-        |  FROM sz s JOIN atot t USING (doc_id)
-        |), vpsz AS (
-        |  SELECT *, 224 + 32 * (2 + ((doc_id // 2) * 2 + v) % 9) AS psize
-        |  FROM vrecs
-        |), vsized AS (
-        |  SELECT *,
-        |    strlen('WARC/1.0' || e'\r\n'
-        |      || 'WARC-Type: resource' || e'\r\n'
-        |      || 'WARC-Record-ID: <urn:graft:' || ids || ':vid:' || v || '>' || e'\r\n'
-        |      || 'WARC-Target-URI: http://example.com/vid/' || ids || '/' || v || '.avi' || e'\r\n'
-        |      || 'WARC-Date: 2020-01-01T00:00:3' || v || 'Z' || e'\r\n'
-        |      || 'Content-Type: video/avi' || e'\r\n'
-        |      || 'Content-Length: ' || psize || e'\r\n' || e'\r\n') + psize + 4 AS rsize
-        |  FROM vpsz
         |), voff AS (
         |  SELECT doc_id, 'video' AS rec_kind, CAST(v AS INT) AS rec_idx,
         |    'video/avi' AS content_type,
@@ -2264,7 +2366,7 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
         |  CAST(rec_len AS BIGINT) AS rec_len
         |FROM (SELECT * FROM toff UNION ALL SELECT * FROM ioff
         |      UNION ALL SELECT * FROM aoff UNION ALL SELECT * FROM voff)
-        |ORDER BY doc_id, rec_offset""".stripMargin,
+        |ORDER BY doc_id, rec_offset""".stripMargin),
     // x154: the audio route replayed closed-form — every decoded sample
     // statistic re-folded from the congruence formula, then the same
     // screen/dedup/cap arithmetic. See audioRouteSql.
@@ -2278,6 +2380,9 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     // x157: the video CTEs aggregated per stage, byte mass from the AVI
     // 224+32·frames closed form. See videoFunnelSql.
     "x157_video_funnel" -> videoFunnelSql,
+    // x158: the sized CTEs aggregated per record kind plus the container
+    // row — the spans must tile the files. See containerCensusSql.
+    "x158_container_census" -> containerCensusSql,
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

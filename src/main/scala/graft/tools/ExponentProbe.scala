@@ -104,7 +104,9 @@ object ExponentProbe {
     // the video route: one walk + stride-2 frame-sampled decode, one
     // signature exchange, one cap window — e ≈ 1 in documents
     "x156_video_route" -> "documents",
-    "x157_video_funnel" -> "documents")
+    "x157_video_funnel" -> "documents",
+    // the census: one walk + per-file lead window + a 6-row aggregate
+    "x158_container_census" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =

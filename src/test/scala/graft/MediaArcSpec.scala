@@ -152,6 +152,24 @@ class MediaArcSpec extends SparkSpec {
       "the corruption plant must be visible at the decode stage")
   }
 
+  test("registered x158 census: the modality spans TILE the container — " +
+    "their sum equals the measured file-byte total, per-kind payload " +
+    "is bounded by its span mass, and all five kinds are present") {
+    val rows = SparkEntry.queries("x158_container_census")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet === Set("container", "warcinfo", "page", "image", "audio", "video"))
+    val kinds = Seq("warcinfo", "page", "image", "audio", "video")
+    assert(kinds.map(rows(_)._3).sum === rows("container")._3,
+      "record spans must tile the container byte-for-byte")
+    kinds.foreach(k => assert(rows(k)._2 < rows(k)._3,
+      s"$k payload mass must be strictly under its span mass (headers exist)"))
+    // every doc contributes 1 warcinfo, 1+id%3 pages, and 1+id%2 of each clip kind
+    assert(rows("image")._1 === rows("audio")._1)
+    assert(rows("audio")._1 === rows("video")._1)
+  }
+
   test("plan posture: the decode route is map-only — one round-robin " +
     "exchange off the scan, nothing between it and the aHash") {
     val docs = spark.read
