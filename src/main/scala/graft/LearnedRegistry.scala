@@ -582,6 +582,43 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .orderBy(col("stage_idx"))
   }
 
+  /** Two-resource pack surface (x159): the multimodal-SHARD constraint
+    * ([[graft.operators.Pack.nextFit2D]]) — a training shard is bounded
+    * by its context-window TOKEN budget (256, the x24 capacity) and by
+    * its on-disk BYTE budget (16384 — payload bytes dominate once a
+    * document carries its media container), and a bin closes when
+    * EITHER would overflow. Tokens are the x24 whitespace count; bytes
+    * are the doc's MEASURED four-modality container size
+    * (length(BuildMediaWarc)), which the oracle re-derives from the
+    * shared layout generator — so the pack surface certifies the byte
+    * ledger a third way, through a different verb. Same distributed
+    * shape as x24: 32 deterministic groups, one per-group sorted
+    * aggregate fold, no UDF.
+    */
+  protected def x159(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sized = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        length(GraftFunctions.buildMediaWarc(col("doc_id"), col("text")))
+          .cast("long").as("n_bytes"))
+    Pack
+      .nextFit2D(
+        sized,
+        idCol = "doc_id",
+        tokensCol = "n_tokens",
+        bytesCol = "n_bytes",
+        capTokens = 256,
+        capBytes = 16384,
+        numGroups = 32,
+        groupExpr = Some(pmod(col("doc_id"), lit(32))))
+      .select(
+        col("grp"), col("bin"), col("doc"), col("toks"), col("bytes"),
+        col("bin_toks"), col("bin_bytes"), col("oversize"))
+      .orderBy(col("doc"))
+  }
+
   /** Container-census surface (x158): the whole-container byte LEDGER —
     * one row per record kind (warcinfo/page/image/audio/video) with
     * record count, payload-byte mass, and full record-SPAN mass, plus
@@ -1974,7 +2011,8 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     "x155_audio_funnel" -> (x155 _),
     "x156_video_route" -> (x156 _),
     "x157_video_funnel" -> (x157 _),
-    "x158_container_census" -> (x158 _)
+    "x158_container_census" -> (x158 _),
+    "x159_pack_multimodal" -> (x159 _)
   )
 
   protected lazy val learnedOracles: Map[String, String] = Map(
@@ -2383,6 +2421,41 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     // x158: the sized CTEs aggregated per record kind plus the container
     // row — the spans must tile the files. See containerCensusSql.
     "x158_container_census" -> containerCensusSql,
+    // x159: the x24 recursive next-fit walk with a TWO-field fill; bytes
+    // re-derived from the shared container layout generator.
+    "x159_pack_multimodal" ->
+      ("WITH RECURSIVE " + mediaContainerSizedCtesSql("1 = 1") + ", " +
+        """tok AS (
+        |  SELECT d.doc_id, d.doc_id % 32 AS grp,
+        |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS toks,
+        |    CAST(v.file_end AS BIGINT) AS bytes
+        |  FROM d JOIN vtot v USING (doc_id)
+        |), ranked AS (
+        |  SELECT doc_id, grp, toks, bytes,
+        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        |  FROM tok
+        |), walk AS (
+        |  SELECT doc_id, grp, toks, bytes, rn,
+        |    CAST(0 AS BIGINT) AS bin, toks AS ftok, bytes AS fbyte
+        |  FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.grp, r.toks, r.bytes, r.rn,
+        |    CASE WHEN (w.ftok + r.toks > 256 OR w.fbyte + r.bytes > 16384)
+        |              AND w.ftok + w.fbyte > 0
+        |         THEN w.bin + 1 ELSE w.bin END,
+        |    CASE WHEN (w.ftok + r.toks > 256 OR w.fbyte + r.bytes > 16384)
+        |              AND w.ftok + w.fbyte > 0
+        |         THEN r.toks ELSE w.ftok + r.toks END,
+        |    CASE WHEN (w.ftok + r.toks > 256 OR w.fbyte + r.bytes > 16384)
+        |              AND w.ftok + w.fbyte > 0
+        |         THEN r.bytes ELSE w.fbyte + r.bytes END
+        |  FROM ranked r JOIN walk w ON r.grp = w.grp AND r.rn = w.rn + 1
+        |)
+        |SELECT grp, bin, doc_id AS doc, toks, bytes,
+        |  CAST(sum(toks) OVER (PARTITION BY grp, bin) AS BIGINT) AS bin_toks,
+        |  CAST(sum(bytes) OVER (PARTITION BY grp, bin) AS BIGINT) AS bin_bytes,
+        |  toks > 256 OR bytes > 16384 AS oversize
+        |FROM walk ORDER BY doc""".stripMargin),
     // x130: the 4-class replay — same generator as x126 with
     // (seed m, 4 classes, 256 buckets); strict smallest-index argmax as
     // the >= cascade (class c wins only if it beats every later class,

@@ -123,4 +123,94 @@ object Pack {
       .withColumn("bin_fill", sum(col("toks")).over(wBin))
       .withColumn("oversize", col("toks") > capacity)
   }
+
+  /** TWO-RESOURCE next-fit pack — the multimodal-shard constraint: a
+    * training shard is bounded by its context-window TOKEN budget and by
+    * its on-disk BYTE budget (payload bytes dominate once documents
+    * carry media), and a packer that watches only one of them ships
+    * shards that blow the other. Same distributed design as [[nextFit]]
+    * (deterministic bounded groups, one per-group sorted `aggregate`
+    * fold, no UDF), with a two-field fill: a bin closes when EITHER
+    * resource would overflow. A doc oversized in EITHER dimension gets a
+    * bin of its own and is flagged.
+    *
+    * Output: one row per doc — (grp, bin, doc, toks, bytes, bin_toks,
+    * bin_bytes, oversize).
+    */
+  def nextFit2D(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      bytesCol: String,
+      capTokens: Long,
+      capBytes: Long,
+      numGroups: Int = 256,
+      groupExpr: Option[Column] = None
+  ): DataFrame = {
+    require(capTokens > 0 && capBytes > 0, "capacities must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+
+    val grouped = df.select(
+      groupExpr
+        .getOrElse(pmod(xxhash64(col(idCol)), lit(numGroups.toLong)))
+        .cast("long")
+        .as("grp"),
+      col(idCol).as("doc"),
+      col(tokensCol).cast("long").as("toks"),
+      col(bytesCol).cast("long").as("bytes")
+    )
+
+    val packed = grouped
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("toks"), col("bytes")))).as("docs"))
+      .select(
+        col("grp"),
+        aggregate(
+          col("docs"),
+          struct(
+            lit(0L).as("bin"),
+            lit(0L).as("ftok"),
+            lit(0L).as("fbyte"),
+            array().cast("array<struct<doc:long,toks:long,bytes:long,bin:long>>").as("out")
+          ),
+          (acc, d) => {
+            val toks = d.getField("toks")
+            val bytes = d.getField("bytes")
+            val overflow =
+              (acc.getField("ftok") + toks > capTokens) ||
+                (acc.getField("fbyte") + bytes > capBytes)
+            val fresh = overflow && acc.getField("ftok") + acc.getField("fbyte") > 0
+            val bin = when(fresh, acc.getField("bin") + 1).otherwise(acc.getField("bin"))
+            val ftok = when(fresh, toks).otherwise(acc.getField("ftok") + toks)
+            val fbyte = when(fresh, bytes).otherwise(acc.getField("fbyte") + bytes)
+            struct(
+              bin.as("bin"),
+              ftok.as("ftok"),
+              fbyte.as("fbyte"),
+              concat(
+                acc.getField("out"),
+                array(struct(
+                  d.getField("doc").as("doc"), toks.as("toks"),
+                  bytes.as("bytes"), bin.as("bin")))
+              ).as("out")
+            )
+          },
+          acc => acc.getField("out")
+        ).as("assigned")
+      )
+      .select(col("grp"), explode(col("assigned")).as("a"))
+      .select(
+        col("grp"),
+        col("a.bin").as("bin"),
+        col("a.doc").as("doc"),
+        col("a.toks").as("toks"),
+        col("a.bytes").as("bytes")
+      )
+
+    val wBin = Window.partitionBy(col("grp"), col("bin"))
+    packed
+      .withColumn("bin_toks", sum(col("toks")).over(wBin))
+      .withColumn("bin_bytes", sum(col("bytes")).over(wBin))
+      .withColumn("oversize", col("toks") > capTokens || col("bytes") > capBytes)
+  }
 }

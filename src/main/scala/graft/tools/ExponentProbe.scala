@@ -106,7 +106,9 @@ object ExponentProbe {
     "x156_video_route" -> "documents",
     "x157_video_funnel" -> "documents",
     // the census: one walk + per-file lead window + a 6-row aggregate
-    "x158_container_census" -> "documents")
+    "x158_container_census" -> "documents",
+    // the 2-D pack: one build pass + the x24 bounded-group fold
+    "x159_pack_multimodal" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =

@@ -61,6 +61,69 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("nextFit2D hand example: a bin closes when EITHER resource would " +
+    "overflow; oversize in either dimension is flagged") {
+    // capTok 10, capBytes 100. id order:
+    //  1 (3t, 40b), 2 (4t, 50b) -> bin0 (7t, 90b)
+    //  3 (2t, 20b): 9t fits but 90+20>100 bytes -> bin1 (BYTE-driven close)
+    //  4 (5t, 30b) -> bin1 (7t, 50b)
+    //  5 (2t, 60b): 9t fits but 50+60>100 bytes -> bin2
+    //  6 (11t, 10b): oversize by tokens -> bin3 alone, flagged
+    //  7 (1t, 200b): oversize by bytes -> bin4 alone, flagged
+    val docs = Seq(
+      (1L, 3L, 40L), (2L, 4L, 50L), (3L, 2L, 20L), (4L, 5L, 30L),
+      (5L, 2L, 60L), (6L, 11L, 10L), (7L, 1L, 200L))
+      .toDF("doc_id", "n_tokens", "n_bytes")
+    val out = Pack
+      .nextFit2D(docs, "doc_id", "n_tokens", "n_bytes",
+        capTokens = 10, capBytes = 100, numGroups = 1)
+      .orderBy($"doc")
+      .select($"doc", $"bin", $"bin_toks", $"bin_bytes", $"oversize")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 7L, 90L, false),
+      (2L, 0L, 7L, 90L, false),
+      (3L, 1L, 7L, 50L, false),
+      (4L, 1L, 7L, 50L, false),
+      (5L, 2L, 2L, 60L, false),
+      (6L, 3L, 11L, 10L, true),
+      (7L, 4L, 1L, 200L, true)
+    ))
+  }
+
+  test("nextFit2D fold matches a plain-Scala two-resource walk on random sizes") {
+    val n = 1200
+    val docs = spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        (pmod(col("id") * 2654435761L, lit(120L)) + 1L).as("n_tokens"),
+        (pmod(col("id") * 40503L, lit(900L)) + 1L).as("n_bytes"))
+    val got = Pack
+      .nextFit2D(docs, "doc_id", "n_tokens", "n_bytes",
+        capTokens = 200, capBytes = 1500, numGroups = 4)
+      .select($"grp", $"doc", $"toks", $"bytes", $"bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = got
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (g, rows) =>
+        var bin = 0L; var ft = 0L; var fb = 0L
+        rows.sortBy(_._2).toSeq.map { case (_, doc, toks, bytes, _) =>
+          if ((ft + toks > 200 || fb + bytes > 1500) && ft + fb > 0) {
+            bin += 1; ft = toks; fb = bytes
+          } else { ft += toks; fb += bytes }
+          (g, doc) -> bin
+        }
+      }
+      .toMap
+    got.foreach { case (g, doc, _, _, b) =>
+      assert(expected((g, doc)) === b, s"doc $doc in group $g")
+    }
+  }
+
   test("properties on random sizes: exactly-once, capacity respected, bins contiguous, deterministic") {
     val n = 2000
     val docs = spark
