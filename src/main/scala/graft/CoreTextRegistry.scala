@@ -579,28 +579,30 @@ private[graft] trait CoreTextRegistry extends OptionsRegistry {
     * `(nibble(hexchar[b/4]) >> (3 - b%4)) & 1` over md5's hex rendering,
     * sign>0 → 1, and band j packs bits 16j..16j+15 MSB-first.
     */
-  protected val simhashMd5BandsSql: String =
-    """tk AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
-      |), bits AS (
+  protected def simhashMd5BandsPfxSql(pfx: String): String =
+    s"""${pfx}tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+      |), ${pfx}bits AS (
       |  SELECT doc_id, g.b,
       |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), (g.b // 4) + 1, 1)) - 1)
       |               >> (3 - (g.b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
-      |  FROM tk CROSS JOIN (SELECT unnest(range(64)) AS b) g
-      |), sbit AS (
+      |  FROM ${pfx}tk CROSS JOIN (SELECT unnest(range(64)) AS b) g
+      |), ${pfx}sbit AS (
       |  SELECT doc_id, b, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS bit
-      |  FROM bits GROUP BY doc_id, b
-      |), bnd AS (
+      |  FROM ${pfx}bits GROUP BY doc_id, b
+      |), ${pfx}bnd AS (
       |  SELECT doc_id, b // 16 AS j, CAST(sum(bit * (1 << (15 - (b % 16)))) AS INT) AS v
-      |  FROM sbit GROUP BY doc_id, b // 16
-      |), piv AS (
+      |  FROM ${pfx}sbit GROUP BY doc_id, b // 16
+      |), ${pfx}piv AS (
       |  SELECT doc_id,
       |    max(CASE WHEN j = 0 THEN v END) AS band0,
       |    max(CASE WHEN j = 1 THEN v END) AS band1,
       |    max(CASE WHEN j = 2 THEN v END) AS band2,
       |    max(CASE WHEN j = 3 THEN v END) AS band3
-      |  FROM bnd GROUP BY doc_id
+      |  FROM ${pfx}bnd GROUP BY doc_id
       |)""".stripMargin
+
+  protected val simhashMd5BandsSql: String = simhashMd5BandsPfxSql("")
 
   /** Shared DuckDB miner for the exact 3-gram-Jaccard pair set at
     * threshold 0.5 — the INVERTED-INDEX replay that retired the
@@ -644,6 +646,44 @@ private[graft] trait CoreTextRegistry extends OptionsRegistry {
       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
       |)""".stripMargin
 
+  /** Dedup-quality eval (x160): the x135 "measure, don't guess" idiom
+    * applied to the near-dup family — score the SimHash Hamming≤3 pair
+    * miner (x28's surface) against the exact 3-gram-Jaccard≥0.5 ground
+    * truth (x06's surface) as a confusion row: n_true / n_pred / n_hit
+    * plus integer-ppm precision, recall, and F1. The two pair sets
+    * genuinely differ (a 64-bit token-level sketch vs exact shingle
+    * overlap), so the surface reports a real operating point — the
+    * number a curation team reads before trusting a cheap sketch at
+    * 100 TB where the exact miner is unaffordable. Both sides reuse the
+    * registered operators verbatim; the oracle combines their two
+    * existing CTE chains (the simhash chain prefixed to avoid the
+    * shared `tk` name) and replays the same full-outer-join confusion.
+    */
+  protected def x160(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val truth = Dedup
+      .ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select(col("a_id"), col("b_id"), lit(1L).as("is_t"))
+    val pred = Dedup
+      .simhashMd5Pairs(docs, maxHamming = 3)
+      .select(col("a_id"), col("b_id"), lit(1L).as("is_p"))
+    truth
+      .join(pred, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("is_t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("is_p")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("is_t") * col("is_p")), lit(0L)).as("n_hit"))
+      .select(
+        col("n_true"), col("n_pred"), col("n_hit"),
+        expr("CAST(n_hit * 1000000 div greatest(n_pred, 1) AS BIGINT)")
+          .as("precision_ppm"),
+        expr("CAST(n_hit * 1000000 div greatest(n_true, 1) AS BIGINT)")
+          .as("recall_ppm"),
+        expr("CAST(n_hit * 2000000 div greatest(n_true + n_pred, 1) AS BIGINT)")
+          .as("f1_ppm"))
+  }
+
   protected lazy val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> (x01 _),
     "x02_fingerprint" -> (x02 _),
@@ -677,7 +717,8 @@ private[graft] trait CoreTextRegistry extends OptionsRegistry {
     "x44_cluster_canonical" -> (x44 _),
     "x45_fuzzy_editdist" -> (x45 _),
     "x47_zorder_zones" -> (x47 _),
-    "x48_mad_outliers" -> (x48 _)
+    "x48_mad_outliers" -> (x48 _),
+    "x160_dedup_eval" -> (x160 _)
   )
 
   protected lazy val coreOracles: Map[String, String] = Map(
@@ -836,6 +877,31 @@ private[graft] trait CoreTextRegistry extends OptionsRegistry {
         |WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
         |    + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    // x160: the two existing chains (simhash prefixed sx_ — both define a
+    // `tk`) full-outer-joined into one confusion row, all-integer ppm.
+    "x160_dedup_eval" ->
+      (s"WITH $invJaccardPairsSql, ${simhashMd5BandsPfxSql("sx_")}, " +
+        """spr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sx_piv a JOIN sx_piv b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+        |      + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
+        |), tr AS (
+        |  SELECT a_id, b_id FROM pairs_j
+        |), conf AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN t.a_id IS NOT NULL AND p.a_id IS NOT NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM tr t FULL OUTER JOIN spr p
+        |    ON t.a_id = p.a_id AND t.b_id = p.b_id
+        |)
+        |SELECT n_true, n_pred, n_hit,
+        |  CAST(n_hit * 1000000 // greatest(n_pred, 1) AS BIGINT) AS precision_ppm,
+        |  CAST(n_hit * 1000000 // greatest(n_true, 1) AS BIGINT) AS recall_ppm,
+        |  CAST(n_hit * 2000000 // greatest(n_true + n_pred, 1) AS BIGINT) AS f1_ppm
+        |FROM conf""".stripMargin),
     // x36: the oracle computes the per-language running token sum with the
     // plain global window Spark deliberately avoids (two-phase range
     // partition + broadcast offsets on the engine side) — two algorithms,

@@ -108,7 +108,10 @@ object ExponentProbe {
     // the census: one walk + per-file lead window + a 6-row aggregate
     "x158_container_census" -> "documents",
     // the 2-D pack: one build pass + the x24 bounded-group fold
-    "x159_pack_multimodal" -> "documents")
+    "x159_pack_multimodal" -> "documents",
+    // the dedup eval: the x06 inverted-index miner + the x28 banded
+    // simhash join + one confusion aggregate
+    "x160_dedup_eval" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val (sfA, sfB) =
