@@ -176,6 +176,35 @@ class MediaArcStreamSpec extends SparkSpec {
       MediaArc.videoRoute(unionDf).collect().map(_.toString).toSet)
   }
 
+  test("cross-store skew heals: a crash before the clips store's first " +
+    "save (images ahead, clips empty) re-folds into agreement on replay") {
+    val dir = java.nio.file.Files.createTempDirectory("mediaskew").toString
+    val b1 = corpus.take(40)
+    val b2 = corpus.slice(40, 80)
+    val m1 = new MediaArcStream.Maintainer(spark, evalDf, ftModel, stateDir = Some(dir))
+    m1.update(b1.toDF("doc_id", "source", "text"), epochId = 0L)
+    // simulate the mid-update crash: text+image stores committed epoch 0,
+    // the clips store never saved
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmrf(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(java.nio.file.Paths.get(dir, "clips"))
+    // restart + replay epoch 0: image folds no-op on their guards, the
+    // clips fold runs fresh — the stores re-converge
+    val m2 = new MediaArcStream.Maintainer(spark, evalDf, ftModel, stateDir = Some(dir))
+    m2.update(b1.toDF("doc_id", "source", "text"), epochId = 0L)
+    m2.update(b2.toDF("doc_id", "source", "text"), epochId = 1L)
+    val unionDf = (b1 ++ b2).toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text"))
+    assert(m2.curatedAudio().collect().map(_.toString).toSet ===
+      MediaArc.audioRoute(unionDf).collect().map(_.toString).toSet)
+    assert(m2.curatedVideo().collect().map(_.toString).toSet ===
+      MediaArc.videoRoute(unionDf).collect().map(_.toString).toSet)
+    assert(streamView(m2) === batchTwin(b1 ++ b2))
+  }
+
   test("volatile maintainer with a checkpoint is refused") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
