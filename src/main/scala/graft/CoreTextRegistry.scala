@@ -64,7 +64,7 @@ private[graft] trait CoreTextRegistry extends OptionsRegistry {
   protected def x06(s: SparkSession, dir: String): DataFrame =
     Dedup
       .ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
-      .orderBy(col("a_id"), col("b_id"))
+      .msorted(col("a_id"), col("b_id"))
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard — must agree
     * with x06 given the (bands=32, r=4) S-curve at this threshold.
@@ -121,7 +121,7 @@ private[graft] trait CoreTextRegistry extends OptionsRegistry {
     GraftFunctions.register(s)
     Dedup
       .embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
-      .orderBy(col("a_id"), col("b_id"))
+      .msorted(col("a_id"), col("b_id"))
   }
 
   /** Composite document quality score (length saturation, alpha ratio,

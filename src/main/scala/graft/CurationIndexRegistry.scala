@@ -320,7 +320,7 @@ private[graft] trait CurationIndexRegistry extends CoreTextRegistry {
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
     Dedup
       .incrementalClassify(batch, index, n = 3, threshold = 0.5)
-      .orderBy(col("doc_id"))
+      .msorted(col("doc_id"))
   }
 
   /** Burst-detection surface: per-(event_type, epoch-hour) counts flagged
@@ -361,7 +361,7 @@ private[graft] trait CurationIndexRegistry extends CoreTextRegistry {
       .select(
         col("doc_id"), col("n_pairs"), col("n_hit"),
         coalesce(col("fluency_ppm"), lit(-1L)).as("fluency_ppm"))
-      .orderBy(col("doc_id"))
+      .msorted(col("doc_id"))
   }
 
   /** Leakage-safe split surface (x71): train/val/test assignment keyed by
@@ -1019,7 +1019,7 @@ private[graft] trait CurationIndexRegistry extends CoreTextRegistry {
   protected def x116(s: SparkSession, dir: String): DataFrame =
     TextAnalysis
       .crossDocDupGramFraction(dts(s, dir), n = 5)
-      .orderBy(col("doc_id"))
+      .msorted(col("doc_id"))
 
   /** End-to-end corpus-curation pipeline (x120): the four screens a
     * Common-Crawl-to-training-set pass runs, composed as ONE declarative

@@ -300,7 +300,7 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     GraftFunctions.register(s)
     Pca
       .reduceProjections(t(s, dir, "embeddings"), r = 4, trainMod = 2, squarings = 10)
-      .orderBy(col("vec_id"))
+      .msorted(col("vec_id"))
   }
 
   /** Adaptive-k PCA surface (x148): explained-variance accounting over
@@ -344,7 +344,7 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
       .reducedSpaceRecall(
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         reduced, k = 3, sampleMod = 10)
-      .orderBy(col("query_id"))
+      .msorted(col("query_id"))
   }
 
   /** Full web-corpus arc surface (x146): the COMPOSED pipeline — WARC
@@ -729,7 +729,7 @@ private[graft] trait LearnedRegistry extends RetrievalRegistry {
     Calibration
       .calibratedScreen(calibScored(s, dir), bins = 10, minIsoPpm = 500000L)
       .withColumn("bin", col("bin").cast("long"))
-      .orderBy(col("doc_id"))
+      .msorted(col("doc_id"))
 
   protected def x140(s: SparkSession, dir: String): DataFrame =
     DomainStats

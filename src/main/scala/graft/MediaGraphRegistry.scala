@@ -254,13 +254,15 @@ private[graft] trait MediaGraphRegistry extends CurationIndexRegistry {
     * oracle replays the same three truncating-arithmetic iterations.
     */
   protected def x46(s: SparkSession, dir: String): DataFrame = {
+    // no .distinct() here (r15): integerPageRank dedups its edge list
+    // anyway (`e = edges.distinct()`), so the pre-distinct was a second
+    // full shuffle+agg of the joined rows for an identical edge set
     val trade = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(
         (col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b")
       )
-      .distinct()
     val sym = trade
       .select(
         explode(
@@ -510,7 +512,7 @@ private[graft] trait MediaGraphRegistry extends CurationIndexRegistry {
         concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)).as("text"))
     Dedup
       .containmentPairs(docs.unionAll(excerpts), n = 3, threshold = 0.6)
-      .orderBy(col("a_id"), col("b_id"))
+      .msorted(col("a_id"), col("b_id"))
   }
 
   /** Shared x77 round count — interpolated into the Spark call AND the

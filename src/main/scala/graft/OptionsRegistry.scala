@@ -586,11 +586,24 @@ private[graft] trait OptionsRegistry extends SparkEntryBase {
     * on the SAME cast doubles in both engines so they flip identically.
     */
   protected def q28(s: SparkSession, dir: String): DataFrame = {
-    val dec = (c: Column) => c.cast(DecimalType(18, 0))
-    val cents = dec(round(col("l_extendedprice") * 100))
-    val qty = dec(round(col("l_quantity")))
-    val d100 = dec(round(col("l_discount") * 100))
-    val t100 = dec(round(col("l_tax") * 100))
+    // Per-row arithmetic in LONG, decimal only at the aggregation input
+    // (r15 optimization): the decimal×decimal products allocated a
+    // BigDecimal per row per term (Decimal(18)² leaves the compact-long
+    // fast path at 37 digits), making this scan ~2 s of nearly pure
+    // per-row expression cost at sf0.1. Every PRODUCT is value-bounded —
+    // cents² ≤ (1.1e7)² ≈ 1.2e14 ≪ 2⁶³ at the generator's price ceiling
+    // (safe to cents ≈ 3e9, i.e. $30M line prices) — so long multiply is
+    // exact; only the row-count-bounded SUMS need decimal, and
+    // sum(DECIMAL(28,0)) carries MORE headroom than the previous
+    // sum(DECIMAL(18,0)) (38- vs 28-digit buffer). Values are identical
+    // exact integers either way, so the double casts — and the oracle
+    // hash — are unchanged (verified at both SFs).
+    val lng = (c: Column) => c.cast(LongType)
+    val dec28 = (c: Column) => c.cast(DecimalType(28, 0))
+    val cents = lng(round(col("l_extendedprice") * 100))
+    val qty = lng(round(col("l_quantity")))
+    val d100 = lng(round(col("l_discount") * 100))
+    val t100 = lng(round(col("l_tax") * 100))
     val dbl = (n: String) => col(n).cast(DoubleType)
     val varX = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
     val varQ = dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")
@@ -598,14 +611,14 @@ private[graft] trait OptionsRegistry extends SparkEntryBase {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(cents).as("sx"),
-        sum(cents * cents).as("sxx"),
-        sum(qty).as("sq"),
-        sum(qty * qty).as("sqq"),
-        sum(cents * qty).as("sxq"),
-        sum(d100).as("sd"),
-        sum(t100).as("st"),
-        sum(d100 * t100).as("sdt")
+        sum(dec28(cents)).as("sx"),
+        sum(dec28(cents * cents)).as("sxx"),
+        sum(dec28(qty)).as("sq"),
+        sum(dec28(qty * qty)).as("sqq"),
+        sum(dec28(cents * qty)).as("sxq"),
+        sum(dec28(d100)).as("sd"),
+        sum(dec28(t100)).as("st"),
+        sum(dec28(d100 * t100)).as("sdt")
       )
       .select(
         col("l_returnflag"),

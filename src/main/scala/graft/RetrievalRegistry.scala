@@ -200,7 +200,7 @@ private[graft] trait RetrievalRegistry extends MediaGraphRegistry {
     GraftFunctions.register(s)
     Similarity
       .mmrDiversifyIntLsh(t(s, dir, "embeddings"), k = 3, candK = 10, lambdaTenths = 7)
-      .orderBy(col("query_id"), col("pos"))
+      .msorted(col("query_id"), col("pos"))
   }
 
   /** SemDeDup surface (x81): embedding-space keep/drop policy — cosine

@@ -76,6 +76,36 @@ private[graft] trait SparkEntryBase {
   protected def tsNsDate(c: Column): Column =
     to_date(timestamp_micros((c / 1000).cast(LongType)))
 
+  /** Materialized global sort — for surfaces whose final orderBy sits on
+    * an expensive UNMATERIALIZED subtree (map-only decode/projection
+    * chains, broadcast-join probes): a bare `orderBy` plans a range
+    * exchange whose boundary-SAMPLING job re-executes the entire child
+    * subtree, so the query pays its map-side compute TWICE (measured:
+    * x11's 4M-pair crossJoin ran as two full 32-task stages under its
+    * tail sort — guide §1.1's pass count, violated by the planner).
+    * The round-robin repartition inserts a real shuffle boundary: the
+    * child runs ONCE into shuffle files and both the sampler and the
+    * sort read those. Cost: one extra RESULT-sized shuffle — the right
+    * trade exactly when the child's compute exceeds a pass over the
+    * result rows, which is the selection criterion for call sites
+    * (queries whose sort child is an aggregation/window exchange keep
+    * the bare orderBy: their sampler already reads shuffle files).
+    * Tie ROWS may land in different relative order than a bare orderBy
+    * (round-robin reassigns rows between equal keys); the driver's
+    * oracle compare is whole-row-sorted, so the certified result is
+    * identical.
+    */
+  protected def msort(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .orderBy(cols: _*)
+
+  /** Postfix spelling of [[msort]], so a query tail converts with a
+    * one-token diff: `.orderBy(...)` → `.msorted(...)`.
+    */
+  protected implicit class MSortOps(df: DataFrame) {
+    def msorted(cols: Column*): DataFrame = msort(df, cols: _*)
+  }
+
   /** DuckDB-side hex→integer for x57's 10-char md5 prefix, generated from
     * the SAME positional loop as [[graft.operators.DistinctSketch.hash40]]
     * decodes (most-significant digit first) so the two sides cannot drift.

@@ -627,7 +627,14 @@ object Dedup {
   ): DataFrame = {
     val a = spread(emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")))
     val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    a.crossJoin(b)
+    // broadcast side PINNED (the Similarity.bruteForceTopK posture): left
+    // to size estimates, the planner can flip the nested-loop build side
+    // and stream the UNSPREAD parquet side — one scan task then carries
+    // the whole O(n²) cosine loop (observed in the r15 before-bench: x11
+    // wall 4.15 s ≈ cpu 4.38 s, one busy core of 32). Pinning b as the
+    // broadcast keeps the spread side streamed, so the pair loop always
+    // inherits the repartition's parallelism.
+    a.crossJoin(broadcast(b))
       .where(col("a_id") < col("b_id"))
       .withColumn("cos", round(GraftFunctions.cosineSim(col("a_vec"), col("b_vec")), 6))
       .where(col("cos") >= threshold)

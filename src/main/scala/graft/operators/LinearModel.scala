@@ -238,28 +238,38 @@ object LinearModel {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = new Array[Long](dim)
     val misCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val spark = docs.sparkSession
+    import spark.implicits._
     var r = 0
     while (r < rounds) {
       val wLit = typedLit(w.toSeq)
       val scored = fc
         .groupBy(col(idCol), col("y"))
         .agg(sum(col("cnt") * element_at(wLit, (col("b") + 1L).cast("int"))).as("score"))
-      // materialized once (localCheckpoint): consumed by both the round's
-      // mis count and the broadcast delta join without re-scoring
-      val mis = scored
+      val misFrame = scored
         .where(col("y") * col("score") <= 0L)
-        .select(col(idCol))
-        .localCheckpoint(true)
-      misCounts += mis.count()
+        .select(col(idCol).cast("long"))
       // round 1 is provably all-misclassified (w₀ = 0 scores every doc 0
       // and y·0 ≤ 0), so its delta is the unfiltered sum — the oracle's
-      // d1 — and the join (whose broadcast would be the ENTIRE training
-      // set) is skipped. Later rounds broadcast the shrinking mis set;
-      // the documented contract is that the LABELED set is annotation-
-      // scale (the 100 TB pass is inference, x129/x131's scoring side),
-      // so even a non-converging worst case broadcasts ids bounded by
-      // the labeled corpus, never the inference corpus.
-      val deltas = (if (r == 0) fc else fc.join(broadcast(mis), idCol))
+      // d1 — and only the COUNT of the mis set is needed; later rounds
+      // COLLECT the shrinking mis ids to the driver (one job) and ship
+      // them back as a broadcast local relation — versus the previous
+      // localCheckpoint + count + broadcast-build trio this spends ONE
+      // scoring pass and one driver round-trip per round instead of
+      // three (r15: the arcs train inline, so every saved job is wall
+      // time × 4 arc surfaces). Driver memory is the SAME contract as
+      // the broadcast it feeds: the LABELED set is annotation-scale
+      // (the 100 TB pass is inference, x129/x131's scoring side), so
+      // the collected ids are bounded by the labeled corpus, never the
+      // inference corpus.
+      val misIds: Array[Long] =
+        if (r == 0) Array.empty else misFrame.as[Long].collect()
+      misCounts += (if (r == 0) misFrame.count() else misIds.length.toLong)
+      val deltas = (if (r == 0) fc
+                    else
+                      fc.join(
+                        broadcast(misIds.toSeq.toDF(idCol)),
+                        idCol))
         .groupBy(col("b"))
         .agg(sum(col("y") * col("cnt")).as("dw"))
         .collect()
@@ -306,6 +316,8 @@ object LinearModel {
       .groupBy(col(idCol), col("cls"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val out = (0 until numClasses).map { c =>
       val y = when(col("cls") === c.toLong, 1L).otherwise(-1L)
       val w = new Array[Long](dim)
@@ -316,14 +328,17 @@ object LinearModel {
         val scored = fc
           .groupBy(col(idCol), y.as("y"))
           .agg(sum(col("cnt") * element_at(wLit, (col("b") + 1L).cast("int"))).as("score"))
-        val mis = scored
+        val misFrame = scored
           .where(col("y") * col("score") <= 0L)
-          .select(col(idCol))
-          .localCheckpoint(true)
-        misCounts += mis.count()
-        // round-1 all-misclassified skip + bounded-labeled-set contract:
-        // see trainPerceptron
-        val deltas = (if (r == 0) fc else fc.join(broadcast(mis), idCol))
+          .select(col(idCol).cast("long"))
+        // round-1 all-misclassified skip + driver-collected mis ids
+        // (one job per round instead of three) + bounded-labeled-set
+        // contract: see trainPerceptron
+        val misIds: Array[Long] =
+          if (r == 0) Array.empty else misFrame.as[Long].collect()
+        misCounts += (if (r == 0) misFrame.count() else misIds.length.toLong)
+        val deltas = (if (r == 0) fc
+                      else fc.join(broadcast(misIds.toSeq.toDF(idCol)), idCol))
           .groupBy(col("b"))
           .agg(sum(y * col("cnt")).as("dw"))
           .collect()

@@ -70,15 +70,20 @@ object PageRank {
       // lineage-truncated, not persist()ed: persist caches data but keeps
       // the plan, so every rank round would re-analyze the full upstream
       // edge subtree (the Cluster.connectedComponents lesson — that
-      // re-planning, not generated code, was the x14 JIT residual)
-      .localCheckpoint(true)
+      // re-planning, not generated code, was the x14 JIT residual).
+      // LAZY (r15): `nodes.count()` below is the first action and walks
+      // through this frame, so it materializes both checkpoints in ONE
+      // job — an eager checkpoint here paid a separate job for the same
+      // blocks. Plan truncation is identical either way (localCheckpoint
+      // swaps in the LogicalRDD leaf immediately).
+      .localCheckpoint(false)
     // derive the node set from the CHECKPOINTED edge list (one pass over
     // the leaf), not from `e` — the raw edge subtree may embed an
     // expensive upstream join that would otherwise evaluate a second time
     val nodes = edgesDeg
       .select(explode(array(col("src"), col("dst"))).as("node_id"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val n = nodes.count()
     require(n > 0, "integerPageRank: empty graph")
@@ -99,7 +104,15 @@ object PageRank {
           col("node_id"),
           (lit(tele) + expr("(85 * coalesce(incoming, 0L)) div 100")).as("rank_units")
         )
-        .localCheckpoint(true)
+        // LAZY (r15): each round's rank frame has exactly ONE downstream
+        // reference (the next round's contrib join, or the final action),
+        // so no concurrent stage can double-compute it — the caller's one
+        // action materializes every round sequentially through the
+        // shuffle dependencies, where the eager form paid one extra
+        // driver job per round. Lineage is still cut per round (the
+        // LogicalRDD swap is immediate), so planning cost stays constant
+        // in the iteration count.
+        .localCheckpoint(false)
       i += 1
     }
     ranks

@@ -66,11 +66,20 @@ object Paths {
     // node-set-from-cache lesson: never rescan the expensive pair miner)
     val nodes = bidir.select(col("src").as("node")).distinct()
 
+    // LAZY checkpoints throughout the BFS (r15): each round's `count()`
+    // is the materializing action, so an eager checkpoint just split the
+    // same work into two driver jobs. `settled` accumulates as a plain
+    // union of already-checkpointed frontier frames — a union of
+    // LogicalRDD leaves is constant-cost to plan (rounds are bounded by
+    // the seed eccentricity) and costs no job at all, where the previous
+    // per-round re-checkpoint of the whole settled set paid one job AND
+    // one full rewrite of the accumulated blocks per round. 3 jobs/round
+    // → 1 job/round, same frames, same convergence test.
     var settled = seeds
       .select(col(seedCol).as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var frontier = settled
     var rounds = 0
     var frontierSize = frontier.count()
@@ -81,10 +90,10 @@ object Paths {
         .groupBy("node")
         .agg(min("dist").as("dist"))
         .join(settled.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       frontierSize = next.count()
       if (frontierSize > 0) {
-        settled = settled.unionAll(next).localCheckpoint()
+        settled = settled.unionAll(next)
         frontier = next
       }
       rounds += 1

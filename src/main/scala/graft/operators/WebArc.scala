@@ -380,6 +380,14 @@ object WebArc {
           col("host"), col("text_md5"), col("lang_pred"), col("n_tokens"),
           col("main_text"),
           when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("y")))
+      // spread BEFORE the checkpoint: AQE coalesces the upstream
+      // exchanges by BYTES, so the screened frame otherwise materializes
+      // as one-few partitions — and every downstream map-heavy pass
+      // (the trainer's feature explode, the scoring classify) inherits
+      // that near-serial layout (measured: a 542 ms single-task feature
+      // build inside x146 at sf0.1). Compute cost per row here is
+      // expression-bound, not byte-bound — the Dedup.spread rule.
+      .repartition(pages0.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
 
     ArcStages(pages, screenedPages, survivors, afterNearDup, clean, screened)
