@@ -63,6 +63,74 @@ case class FtBinaryDots(child: Expression, weights: Array[Long], dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The TRAINING-side sibling of [[FtBinaryDots]] (r15 optimization): one
+  * plain-JVM token walk emitting the per-bucket feature COUNT VECTOR —
+  * the dense row the batch perceptron consumes. Feature semantics are
+  * byte-identical to [[FtBinaryDots]] and the Column algebra in
+  * [[graft.operators.LinearModel]] (trim → whitespace split with
+  * trailing empties → unigram + adjacent-bigram bag →
+  * hash40("ft:" + f) mod dim), so `cnt(b)` equals the (doc, b) count the
+  * previous explode + groupBy(doc, y, b) table carried — but built
+  * map-side in one pass with NO exchange, where the sparse table
+  * shuffled ~min(dim, 2·tokens) rows per document at build time and
+  * again per training round (measured: the x146 trainer's seven
+  * 900k-row aggregation stages were the arc's largest CPU block).
+  */
+case class FtBucketCounts(child: Expression, dim: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(dim >= 1, s"dim must be positive, got $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].trim.toString.split("\\s+", -1)
+    val cnt = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      cnt((DistinctSketch.hash40Scala("ft:" + toks(i)) % dim).toInt) += 1L
+      if (i + 1 < toks.length)
+        cnt((DistinctSketch.hash40Scala("ft:" + toks(i) + " " + toks(i + 1)) % dim).toInt) += 1L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cnt)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact BIGINT dot of an array<long> column with a driver-literal
+  * weight vector — the per-round scoring step of the dense trainer
+  * (score_i = Σ_b w(b)·cnt_i(b), identical to the previous sparse
+  * sum(cnt · w[b]) aggregation) and the trained-scorer pass (dot1 under
+  * weights [0… ++ w] ≡ this dot, [[graft.operators.LinearModel]]).
+  * Loud-overflow posture (Math.addExact/multiplyExact): identical values
+  * wherever the old silent-wrap arithmetic was in range, an exception —
+  * never a wrong number — beyond it.
+  */
+case class LongVecDotLit(child: Expression, weights: Array[Long])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(v.numElements() == weights.length,
+      s"vector dim ${v.numElements()} != weight dim ${weights.length}")
+    var s = 0L
+    var i = 0
+    while (i < weights.length) {
+      s = Math.addExact(s, Math.multiplyExact(v.getLong(i), weights(i)))
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The general-C sibling of [[FtBinaryDots]]: one plain-JVM token walk
   * accumulating ALL `classes` per-class dots from the flat
   * [w0 ++ w1 ++ … ++ w{C−1}] weight array — so multi-class inference

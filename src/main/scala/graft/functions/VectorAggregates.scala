@@ -120,6 +120,98 @@ case class VectorAvg(
     copy(child = cs(0))
 }
 
+/** Mutable exact-long elementwise signed-sum accumulator for
+  * [[LongVecSignedSum]] — fixed dim so an empty group yields an exact
+  * zero vector (the "no misclassified docs → zero weight delta" case).
+  */
+final class LongVecSumBuffer(val dim: Int) {
+  var sums: Array[Long] = new Array[Long](dim)
+
+  def add(v: ArrayData, sign: Long): Unit = {
+    require(v.numElements() == dim,
+      s"ragged vectors: expected dim $dim, saw ${v.numElements()}")
+    var i = 0
+    while (i < dim) {
+      sums(i) = Math.addExact(sums(i), Math.multiplyExact(sign, v.getLong(i)))
+      i += 1
+    }
+  }
+
+  def mergeFrom(o: LongVecSumBuffer): Unit = {
+    var i = 0
+    while (i < dim) { sums(i) = Math.addExact(sums(i), o.sums(i)); i += 1 }
+  }
+}
+
+/** Elementwise EXACT-LONG signed sum Σ sign_i · vec_i over an
+  * array<long> column — the weight-delta step of the dense batch
+  * perceptron (Σ_{i ∈ mis} y_i · cnt_i(b) for every bucket at once),
+  * identical to the previous posexplode + groupBy(b) + sum(y·cnt)
+  * formulation but shipping ONE dim-long vector per partition through
+  * the exchange instead of one row per (doc, bucket). Same map-side
+  * partial-aggregation shape as [[VectorAvg]]; integer adds are exact
+  * and order-independent, and overflow is LOUD (addExact — the engine's
+  * Pca/Preference doctrine). NULL vectors or signs are skipped (a
+  * NULL-text doc never contributed sparse rows either); an empty group
+  * yields the exact zero vector.
+  */
+case class LongVecSignedSum(
+    vec: Expression,
+    sign: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[LongVecSumBuffer] {
+
+  require(dim >= 1, s"dim must be positive, got $dim")
+
+  override def children: Seq[Expression] = Seq(vec, sign)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): LongVecSumBuffer = new LongVecSumBuffer(dim)
+
+  override def update(buf: LongVecSumBuffer, input: InternalRow): LongVecSumBuffer = {
+    val v = vec.eval(input)
+    if (v != null) {
+      val s = sign.eval(input)
+      if (s != null) buf.add(v.asInstanceOf[ArrayData], s.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: LongVecSumBuffer, b2: LongVecSumBuffer): LongVecSumBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: LongVecSumBuffer): Any = new GenericArrayData(buf.sums)
+
+  override def serialize(buf: LongVecSumBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.dim)
+    var i = 0
+    while (i < buf.dim) { out.writeLong(buf.sums(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): LongVecSumBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new LongVecSumBuffer(in.readInt())
+    var i = 0
+    while (i < buf.dim) { buf.sums(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): LongVecSignedSum =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): LongVecSignedSum =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(vec = cs(0), sign = cs(1))
+}
+
 /** Mutable elementwise (mins, maxs) accumulator, sized lazily like
   * [[VecSumBuffer]].
   */

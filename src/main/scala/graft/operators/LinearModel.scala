@@ -222,63 +222,103 @@ object LinearModel {
       dim: Int,
       rounds: Int,
       idCol: String = "doc_id"): (Array[Long], Seq[Long]) = {
-    val fc = docs
-      // NULL-labeled rows are ignored (they can neither be classified
-      // correctly nor misclassified); dropping them HERE keeps the
-      // round-1 unfiltered delta sum non-NULL — before the round-1 join
-      // skip they fell out implicitly because NULL never entered mis
-      .where(col(labelCol).isNotNull)
-      .select(
-        col(idCol),
-        col(labelCol).cast("long").as("y"),
-        explode(transform(features(TextAnalysis.tokens(col(textCol))), f => bucket(f, dim)))
-          .as("b"))
-      .groupBy(col(idCol), col("y"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+    // NULL-labeled rows are ignored (they can neither be classified
+    // correctly nor misclassified) — same contract as before: a NULL
+    // label never entered the sparse count table either
+    val fcv = bucketCountVectors(
+      docs.where(col(labelCol).isNotNull),
+      textCol, dim, idCol, col(labelCol).cast("long").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = trainOnVectors(fcv, dim, rounds, idCol)
+    fcv.unpersist()
+    out
+  }
+
+  /** The per-doc bucket-count VECTOR frame (idCol, extra…, graft_cv) —
+    * the dense training representation (r15 optimization): one map-side
+    * [[graft.functions.FtBucketCounts]] walk per document replaces the
+    * explode + groupBy(doc, b) sparse table, whose build shuffled
+    * ~min(dim, 2·tokens) rows per doc and whose per-round scoring
+    * aggregation re-shuffled the whole table (the x146 trainer's seven
+    * 900k-row stages). cnt(b) is bit-identical to the sparse table's
+    * count by the FtBucketCounts ≡ Column-algebra equivalence
+    * (LinearModelSpec), so every downstream integer sum is unchanged.
+    * NULL text yields a NULL vector (null-intolerant expression), which
+    * every consumer skips — exactly as NULL text contributed no sparse
+    * rows.
+    */
+  private[graft] def bucketCountVectors(
+      docs: DataFrame,
+      textCol: String,
+      dim: Int,
+      idCol: String,
+      extra: Column*): DataFrame = {
+    val cv = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.FtBucketCounts(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+        dim))
+    docs.select((col(idCol) +: extra :+ cv.as("graft_cv")): _*)
+  }
+
+  /** The fixed-round batch-perceptron loop over a PRE-BUILT (and, for
+    * multi-pass economy, caller-persisted) vector frame (idCol, y,
+    * graft_cv). Each round is ONE map-only scoring pass (BIGINT dot
+    * against the weight literal) feeding the driver-collected mis set,
+    * plus ONE dim-bounded signed-sum aggregation for the weight delta —
+    * no per-round shuffle of per-(doc, bucket) rows. Update rule, mis
+    * rule (y·score ≤ 0), round-1 all-misclassified bootstrap, and every
+    * integer sum are IDENTICAL to the sparse formulation (the oracle's
+    * unrolled rounds are untouched). Driver state: the mis-id array and
+    * the dim-long delta — both bounded by the annotation-scale labeled
+    * set / dim, the same contract the previous broadcast carried.
+    */
+  private[graft] def trainOnVectors(
+      fcv: DataFrame,
+      dim: Int,
+      rounds: Int,
+      idCol: String): (Array[Long], Seq[Long]) = {
+    val spark = fcv.sparkSession
+    import spark.implicits._
     val w = new Array[Long](dim)
     val misCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val spark = docs.sparkSession
-    import spark.implicits._
     var r = 0
     while (r < rounds) {
-      val wLit = typedLit(w.toSeq)
-      val scored = fc
-        .groupBy(col(idCol), col("y"))
-        .agg(sum(col("cnt") * element_at(wLit, (col("b") + 1L).cast("int"))).as("score"))
+      val scored = fcv.select(
+        col(idCol),
+        col("y"),
+        scoreWith(col("graft_cv"), w).as("score"))
       val misFrame = scored
         .where(col("y") * col("score") <= 0L)
         .select(col(idCol).cast("long"))
-      // round 1 is provably all-misclassified (w₀ = 0 scores every doc 0
-      // and y·0 ≤ 0), so its delta is the unfiltered sum — the oracle's
-      // d1 — and only the COUNT of the mis set is needed; later rounds
-      // COLLECT the shrinking mis ids to the driver (one job) and ship
-      // them back as a broadcast local relation — versus the previous
-      // localCheckpoint + count + broadcast-build trio this spends ONE
-      // scoring pass and one driver round-trip per round instead of
-      // three (r15: the arcs train inline, so every saved job is wall
-      // time × 4 arc surfaces). Driver memory is the SAME contract as
-      // the broadcast it feeds: the LABELED set is annotation-scale
-      // (the 100 TB pass is inference, x129/x131's scoring side), so
-      // the collected ids are bounded by the labeled corpus, never the
-      // inference corpus.
       val misIds: Array[Long] =
         if (r == 0) Array.empty else misFrame.as[Long].collect()
       misCounts += (if (r == 0) misFrame.count() else misIds.length.toLong)
-      val deltas = (if (r == 0) fc
-                    else
-                      fc.join(
-                        broadcast(misIds.toSeq.toDF(idCol)),
-                        idCol))
-        .groupBy(col("b"))
-        .agg(sum(col("y") * col("cnt")).as("dw"))
-        .collect()
-      deltas.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
+      val deltaRows = (if (r == 0) fcv
+                       else fcv.join(broadcast(misIds.toSeq.toDF(idCol)), idCol))
+        .agg(
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.LongVecSignedSum(
+              org.apache.spark.sql.GraftSqlBridge.expression(col("graft_cv")),
+              org.apache.spark.sql.GraftSqlBridge.expression(col("y")),
+              dim).toAggregateExpression()).as("dw"))
+        .head()
+      val dw = deltaRows.getSeq[Long](0)
+      var b = 0
+      while (b < dim) { w(b) += dw(b); b += 1 }
       r += 1
     }
-    fc.unpersist()
     (w, misCounts.toSeq)
   }
+
+  /** score = Σ_b w(b)·cnt(b) over a bucket-count vector — the dense
+    * scoring column shared by the training loop and trained-scorer
+    * passes ([[graft.functions.LongVecDotLit]]).
+    */
+  private[graft] def scoreWith(cv: Column, w: Array[Long]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LongVecDotLit(
+        org.apache.spark.sql.GraftSqlBridge.expression(cv),
+        w.clone()))
 
   /** One-vs-all multi-class training (Rosenblatt perceptrons, one per
     * class) — the composition that makes the 4-class inference head
@@ -307,47 +347,21 @@ object LinearModel {
       dim: Int,
       rounds: Int,
       idCol: String = "doc_id"): Seq[(Array[Long], Seq[Long])] = {
-    val fc = docs
-      .select(
-        col(idCol),
-        col(classCol).cast("long").as("cls"),
-        explode(transform(features(TextAnalysis.tokens(col(textCol))), f => bucket(f, dim)))
-          .as("b"))
-      .groupBy(col(idCol), col("cls"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+    // the bucket-count vector frame is LABEL-INDEPENDENT: built and
+    // persisted once, every class's loop re-labels it with a free map
+    // (same dense-representation argument as [[trainPerceptron]])
+    val fcv = bucketCountVectors(
+      docs, textCol, dim, idCol, col(classCol).cast("long").as("cls"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = docs.sparkSession
-    import spark.implicits._
     val out = (0 until numClasses).map { c =>
-      val y = when(col("cls") === c.toLong, 1L).otherwise(-1L)
-      val w = new Array[Long](dim)
-      val misCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var r = 0
-      while (r < rounds) {
-        val wLit = typedLit(w.toSeq)
-        val scored = fc
-          .groupBy(col(idCol), y.as("y"))
-          .agg(sum(col("cnt") * element_at(wLit, (col("b") + 1L).cast("int"))).as("score"))
-        val misFrame = scored
-          .where(col("y") * col("score") <= 0L)
-          .select(col(idCol).cast("long"))
-        // round-1 all-misclassified skip + driver-collected mis ids
-        // (one job per round instead of three) + bounded-labeled-set
-        // contract: see trainPerceptron
-        val misIds: Array[Long] =
-          if (r == 0) Array.empty else misFrame.as[Long].collect()
-        misCounts += (if (r == 0) misFrame.count() else misIds.length.toLong)
-        val deltas = (if (r == 0) fc
-                      else fc.join(broadcast(misIds.toSeq.toDF(idCol)), idCol))
-          .groupBy(col("b"))
-          .agg(sum(y * col("cnt")).as("dw"))
-          .collect()
-        deltas.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
-        r += 1
-      }
-      (w, misCounts.toSeq)
+      trainOnVectors(
+        fcv.select(
+          col(idCol),
+          when(col("cls") === c.toLong, 1L).otherwise(-1L).as("y"),
+          col("graft_cv")),
+        dim, rounds, idCol)
     }
-    fc.unpersist()
+    fcv.unpersist()
     out
   }
 

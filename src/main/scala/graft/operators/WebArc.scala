@@ -202,16 +202,28 @@ object WebArc {
       minIsoPpm: Long,
       trainDim: Int,
       trainRounds: Int): DataFrame = {
-    val (w, _) = LinearModel.trainPerceptron(
-      screened, "main_text", "y", dim = trainDim, rounds = trainRounds,
-      idCol = "page_id")
-    val trained = LinearModel.HashedLinearModel(
-      trainDim, Array(Array.fill(trainDim)(0L), w))
-    val scored = LinearModel
-      .classify(
-        screened.select(col("page_id"), col("main_text"), col("y")),
-        "main_text", trained)
-      .select(col("page_id"), col("dot1").as("score"), col("y"))
+    // ONE feature-hash pass (r15): the bucket-count vectors feed both
+    // the training rounds AND the trained-scorer pass — the previous
+    // shape hashed every feature of every screened page twice more
+    // (trainer's sparse table build + a full re-classify), and
+    // hash40-per-feature is md5 work, the arc's hottest expression.
+    // dot1 under weights [0… ++ w] ≡ Σ w(b)·cnt(b), so `score` is
+    // bit-identical to the classify formulation (LinearModelSpec pins
+    // FtBucketCounts/LongVecDotLit ≡ the Column algebra). The scored
+    // frame is tiny (id, score, y) and eagerly checkpointed so the
+    // calibration's two consumers never recompute the hash pass.
+    val fcv = LinearModel
+      .bucketCountVectors(screened, "main_text", trainDim, "page_id", col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (w, _) = LinearModel.trainOnVectors(
+      fcv, dim = trainDim, rounds = trainRounds, idCol = "page_id")
+    val scored = fcv
+      .select(
+        col("page_id"),
+        LinearModel.scoreWith(col("graft_cv"), w).as("score"),
+        col("y"))
+      .localCheckpoint(true)
+    fcv.unpersist()
     Calibration
       .calibratedScreen(
         scored, bins = 10, minIsoPpm = minIsoPpm, idCol = "page_id")

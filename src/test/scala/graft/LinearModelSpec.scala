@@ -274,6 +274,69 @@ class LinearModelSpec extends SparkSpec {
     assert(scored.where(col("pred").isin(0L, 1L, 2L)).count() === 40)
   }
 
+  test("dense training primitives ≡ the sparse Column algebra on real corpus text") {
+    // the r15 dense-trainer rewrite: FtBucketCounts must count exactly
+    // what explode(features→bucket) + groupBy counted, LongVecDotLit
+    // must score exactly what sum(cnt · w[b]) scored, and
+    // LongVecSignedSum must sum exactly what groupBy(b).sum(y·cnt)
+    // summed — on real text, not crafted tokens
+    val dim = 64
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .limit(50)
+      .withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+
+    // sparse truth: (doc, b, cnt) via the documented Column algebra
+    val sparse = docs
+      .select(
+        col("doc_id"), col("y"),
+        explode(
+          transform(
+            LinearModel.features(TextAnalysis.tokens(col("text"))),
+            f => LinearModel.bucket(f, dim))).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val sparseByDoc = sparse.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+    }
+
+    // dense: the bucket-count vectors
+    val fcv = LinearModel.bucketCountVectors(docs, "text", dim, "doc_id", col("y"))
+    val dense = fcv.collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(dense.keySet === sparseByDoc.keySet)
+    dense.foreach { case (id, cv) =>
+      val m = sparseByDoc(id)
+      (0 until dim).foreach { b =>
+        assert(cv(b) === m.getOrElse(b, 0L), s"doc $id bucket $b")
+      }
+    }
+
+    // scoring under arbitrary (negative, zero, large) weights
+    val w = Array.tabulate(dim)(b => (b * 37L) % 11L - 5L)
+    val scoredDense = fcv
+      .select(col("doc_id"), LinearModel.scoreWith(col("graft_cv"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sparseByDoc.foreach { case (id, m) =>
+      val expect = m.map { case (b, cnt) => cnt * w(b) }.sum
+      assert(scoredDense(id) === expect, s"doc $id dense score")
+    }
+
+    // signed delta sum over the whole frame ≡ sparse groupBy(b).sum(y·cnt)
+    val dwDense = fcv
+      .agg(
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.LongVecSignedSum(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("graft_cv")),
+            org.apache.spark.sql.GraftSqlBridge.expression(col("y")),
+            dim).toAggregateExpression()))
+      .head().getSeq[Long](0)
+    val dwSparse = Array.fill(dim)(0L)
+    sparse.foreach(r => dwSparse(r.getLong(2).toInt) += r.getLong(1) * r.getLong(3))
+    assert(dwDense.toSeq === dwSparse.toSeq)
+  }
+
   test("curateWithModel ≡ dedup-first composition (screen-order equivalence)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
