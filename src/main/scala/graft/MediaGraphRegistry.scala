@@ -612,7 +612,12 @@ private[graft] trait MediaGraphRegistry extends CurationIndexRegistry {
         rightCol = "part",
         maxDegree = 40,
         minShared = 2L)
-      .orderBy(col("a_id"), col("b_id"))
+      // msort (r16): the bare orderBy's range-sampling job re-ran the
+      // final pair aggregation over the 83 MB candidate exchange
+      // (measured: a 6 s-task-time sampling stage at sf0.1); the
+      // round-robin boundary materializes the 3 MB aggregated result
+      // once and both sampler and sort read it
+      .msorted(col("a_id"), col("b_id"))
 
   /** Transition-matrix surface (x85): per-(prev, next) event-type counts
     * and departure-fraction ppm over each user's (ts_us, event_id)-ordered

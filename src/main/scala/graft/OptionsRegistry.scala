@@ -604,6 +604,27 @@ private[graft] trait OptionsRegistry extends SparkEntryBase {
     val qty = lng(round(col("l_quantity")))
     val d100 = lng(round(col("l_discount") * 100))
     val t100 = lng(round(col("l_tax") * 100))
+    // LOUD value guard (r16, ADVICE): the long products above are exact
+    // only while every scaled input stays under √(2⁶³) ≈ 3.037e9 in
+    // magnitude; out-of-profile data must fail, not wrap (the engine's
+    // addExact doctrine). assert_true rides an existing sum input as a
+    // provably-zero addend so the optimizer cannot prune it and every
+    // row is checked — one compare chain + one add per row, no extra
+    // pass. NULL inputs pass the guard and stay NULL (the pre-guard
+    // behavior: NULL products are skipped by sum on both engines).
+    val exactLim = 3037000499L
+    val guard0 = coalesce(
+      assert_true(
+        // NULL comparisons collapse to "pass" (a NULL input was NULL-
+        // skipped by the sums before the guard existed, and still is);
+        // any definitively out-of-range value makes the AND false → throw
+        coalesce(
+          abs(cents) <= exactLim && abs(qty) <= exactLim &&
+            abs(d100) <= exactLim && abs(t100) <= exactLim,
+          lit(true)),
+        lit("q28: scaled input exceeds exact long-multiply headroom " +
+          "(|value| > 3.037e9); widen to decimal products for this data")
+      ).cast(LongType), lit(0L))
     val dbl = (n: String) => col(n).cast(DoubleType)
     val varX = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
     val varQ = dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")
@@ -611,7 +632,7 @@ private[graft] trait OptionsRegistry extends SparkEntryBase {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec28(cents)).as("sx"),
+        sum(dec28(cents + guard0)).as("sx"),
         sum(dec28(cents * cents)).as("sxx"),
         sum(dec28(qty)).as("sq"),
         sum(dec28(qty * qty)).as("sqq"),

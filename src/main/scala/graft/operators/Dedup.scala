@@ -634,6 +634,13 @@ object Dedup {
     // wall 4.15 s ≈ cpu 4.38 s, one busy core of 32). Pinning b as the
     // broadcast keeps the spread side streamed, so the pair loop always
     // inherits the repartition's parallelism.
+    // INPUT-SIZE CEILING (r16, ADVICE): the pin is safe by construction —
+    // this exact variant is only reachable through embeddingNearDupPairs'
+    // size gate (n ≤ lshAbove, default 10⁵ rows ≈ tens of MB of vectors,
+    // far under the 8 GB / 512M-row broadcast cap); a caller invoking
+    // embeddingNearDupPairsExact DIRECTLY on an unbounded corpus accepts
+    // the broadcast of b as its stated contract (the all-pairs O(n²)
+    // cosine loop is the scale wall long before the broadcast is).
     a.crossJoin(broadcast(b))
       .where(col("a_id") < col("b_id"))
       .withColumn("cos", round(GraftFunctions.cosineSim(col("a_vec"), col("b_vec")), 6))

@@ -57,10 +57,19 @@ object DistinctSketch {
     * first 10 hex digits. SketchSpec pins the two forms equal, so a batch
     * sketch and a streaming sketch over the same data always agree.
     */
+  // MessageDigest.getInstance is a provider lookup + allocation; this is
+  // the engine's hottest scalar (every hashed feature of every document
+  // on the classifier/trainer paths routes through it), so the instance
+  // is thread-local and reused — digest() resets it after each call.
+  // Output is bit-identical; SketchSpec pins hash40Scala ≡ the column
+  // hash40 (guide §1.2 step 2: per-task work).
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hash40Scala(s: String): Long = {
-    val d = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
       ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
   }

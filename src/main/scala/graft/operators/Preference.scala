@@ -189,75 +189,117 @@ object Preference {
     val s2 = scale * scale
     val maxSafe = Long.MaxValue / s2
     val cmp = comparisons.where(col("item_a") =!= col("item_b"))
-    val pairs = cmp
+    // ONE corpus-side pass (r16, guide §1.2): the log collapses to
+    // per-(pair, winner) counts ONCE; `pairs` and `wins` are both tiny
+    // re-aggregations of the collapsed frame. The previous shape
+    // evaluated the (typically corpus-sized) `cmp` subtree twice — once
+    // for the pairs checkpoint, once for the wins side of the stats
+    // checkpoint. Counts are unchanged (sum of per-winner counts per
+    // pair ≡ the pair count; sum per winner ≡ the win count).
+    val collapsed = cmp
       .select(
         least(col("item_a"), col("item_b")).as("i"),
-        greatest(col("item_a"), col("item_b")).as("j"))
-      .groupBy("i", "j")
+        greatest(col("item_a"), col("item_b")).as("j"),
+        col("winner"))
+      .groupBy("i", "j", "winner")
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
-    if (pairs.isEmpty) {
+    val pairs = collapsed
+      .groupBy("i", "j")
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint(false)
+    // lazy checkpoint + ONE agg job materializes `pairs` AND yields both
+    // the emptiness check and the per-pair headroom guard (previously
+    // three driver jobs: eager checkpoint, isEmpty, max agg)
+    val pairsHead = pairs.agg(count(lit(1)).as("c"), max(col("n")).as("m")).head
+    if (pairsHead.getLong(0) == 0L) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long, Long, Long)]
         .toDF("item", "n_comps", "wins", "rating", "rank")
     }
-    val wins = cmp
+    val hr = pairsHead.getLong(1)
+    require(hr <= maxSafe,
+      s"a pair has $hr comparisons > fixed-point headroom $maxSafe at this " +
+        "scale; pre-scale the log's counts (BT is scale-invariant)")
+    val wins = collapsed
       .groupBy(col("winner").as("item"))
-      .agg(count(lit(1)).as("wins"))
+      .agg(sum(col("n")).as("wins"))
+    // both (i, item) orientations from ONE evaluation of the pairs frame
+    // (the connectedComponents bidir discipline) instead of a union that
+    // evaluates the subtree twice
     val stats = pairs
-      .select(col("i").as("item"), col("n"))
-      .unionAll(pairs.select(col("j").as("item"), col("n")))
+      .select(
+        explode(
+          array(
+            struct(col("i").as("item"), col("n")),
+            struct(col("j").as("item"), col("n")))).as("e"))
+      .select(col("e.item").as("item"), col("e.n").as("n"))
       .groupBy("item")
       .agg(sum(col("n")).as("n_comps"))
       .join(wins, Seq("item"), "left")
       .select(
         col("item"), col("n_comps"),
         coalesce(col("wins"), lit(0L)).as("wins"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
-    // the same loud fixed-point headroom guards as the driver path,
-    // from ONE agg over the two bounded frames
-    val hr = pairs.agg(max(col("n"))).head.getLong(0)
-    require(hr <= maxSafe,
-      s"a pair has $hr comparisons > fixed-point headroom $maxSafe at this " +
-        "scale; pre-scale the log's counts (BT is scale-invariant)")
+    // the per-item headroom guard's agg job doubles as the stats
+    // materialization (lazy checkpoint, §5 driver-job economy)
     val hw = stats.agg(max(col("wins"))).head.getLong(0)
     require(hw <= maxSafe,
       s"an item has $hw wins > fixed-point headroom $maxSafe at this " +
         "scale; pre-scale the log's counts (BT is scale-invariant)")
 
-    var w = stats.select(col("item"), lit(scale).as("w")).localCheckpoint(true)
+    var w = stats.select(col("item"), lit(scale).as("w"))
     for (_ <- 1 to rounds) {
+      // both t-orientations from ONE evaluation of the pairs ⋈ w ⋈ w
+      // round join (previously a unionAll re-ran the two joins)
       val t = pairs
         .join(w.select(col("item").as("i"), col("w").as("wi")), "i")
         .join(w.select(col("item").as("j"), col("w").as("wj")), "j")
         .select(
           col("i"), col("j"),
           expr(s"n * ${s2}L div greatest(wi + wj, 1L)").as("t"))
+        .select(
+          explode(
+            array(
+              struct(col("i").as("item"), col("t")),
+              struct(col("j").as("item"), col("t")))).as("e"))
+        .select(col("e.item").as("item"), col("e.t").as("t"))
       // exact DECIMAL(38,0) sum — the oracle's HUGEINT twin; a per-item
-      // denominator past 2⁶³ fails loudly instead of wrapping
-      val denom = t
-        .select(col("i").as("item"), col("t"))
-        .unionAll(t.select(col("j").as("item"), col("t")))
-        .groupBy("item")
-        .agg(sum(col("t").cast("decimal(38,0)")).as("denom_d"))
-        .localCheckpoint(true)
-      require(
-        denom.where(col("denom_d") > lit(Long.MaxValue).cast("decimal(38,0)")).isEmpty,
-        "per-item MM denominator overflowed 2⁶³; pre-scale the log's " +
-          "counts (BT is scale-invariant)")
+      // denominator past 2⁶³ fails loudly instead of wrapping. ONE job
+      // per round (r16, the PageRank lazy-checkpoint posture): the raw
+      // frame keeps denom_d next to w_raw, its lazy checkpoint is
+      // materialized by a single agg that yields BOTH the overflow guard
+      // and the max-normalization scalar; next round's `w` is a cheap
+      // projection of the checkpointed leaf (previously 4 driver jobs
+      // per round: denom checkpoint, overflow isEmpty, max agg, w
+      // checkpoint).
       val raw = stats
-        .join(denom, Seq("item"), "left")
+        .join(
+          t.groupBy("item")
+            .agg(sum(col("t").cast("decimal(38,0)")).as("denom_d")),
+          Seq("item"), "left")
         .select(
           col("item"),
+          col("denom_d"),
           expr(s"wins * ${s2}L div greatest(CAST(coalesce(denom_d, 0) AS BIGINT), 1L)")
             .as("w_raw"))
-      val mx = raw.agg(max(col("w_raw"))).head.getLong(0)
+        .localCheckpoint(false)
+      val head = raw
+        .agg(
+          max(col("denom_d")).as("dmax"),
+          max(col("w_raw")).as("mx"))
+        .head
+      require(
+        head.isNullAt(0) ||
+          head.getDecimal(0).compareTo(new java.math.BigDecimal(Long.MaxValue)) <= 0,
+        "per-item MM denominator overflowed 2⁶³; pre-scale the log's " +
+          "counts (BT is scale-invariant)")
+      val mx = head.getLong(1)
       w = raw
         .select(
           col("item"),
           expr(s"w_raw div ${math.max(mx / scale, 1L)}L").as("w"))
-        .localCheckpoint(true)
     }
 
     GlobalRank

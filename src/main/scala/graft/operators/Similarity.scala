@@ -466,15 +466,10 @@ object Similarity {
       seed: Int = 42,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val roots = Dedup
-      .semanticDedup(emb, dupThreshold, idCol, vecCol)
-      .select(col(idCol).as("id"), col("root_id"))
-    val (base, candidates) = bandedSelfCandidates(
-      emb, idCol, vecCol,
+  ): DataFrame =
+    hardNegativesBanded(
+      emb, k, dupThreshold, idCol, vecCol,
       v => GraftFunctions.rpBuckets(v, tables, bitsPerTable, seed))
-    rankTopK(scoreCandidates(base, excludeSameRoot(candidates, roots)), k)
-  }
 
   /** [[hardNegativesLsh]]'s ORACLE-GRADE twin (x112) — the x91 posture
     * applied to the ENTIRE mining pipeline, roots included: duplicate
@@ -496,26 +491,89 @@ object Similarity {
       bitsPerTable: Int = 6,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val roots = Dedup
-      .semanticDedupIntLsh(emb, dupThreshold, tables, bitsPerTable, idCol, vecCol)
-      .select(col(idCol).as("id"), col("root_id"))
-    val (base, candidates) = bandedSelfCandidates(
-      emb, idCol, vecCol,
+  ): DataFrame =
+    hardNegativesBanded(
+      emb, k, dupThreshold, idCol, vecCol,
       v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable))
-    rankTopK(scoreCandidates(base, excludeSameRoot(candidates, roots)), k)
-  }
 
-  /** Drop candidate pairs whose endpoints share a semantic-duplicate root
-    * (a duplicate candidate costs a join row, never a cosine). `roots` is
-    * component-count-bounded skinny rows.
+  /** ONE-banding-pass core of the LSH hard-negative miners (r16, guide
+    * §1.2 pass count / §2 shuffles): the duplicate-pair miner and the
+    * negative-candidate generator run the SAME plane grid over the SAME
+    * corpus, so the bucket explode, the shared-bucket self-join, the
+    * distinct, and the exact cosine are computed ONCE per UNORDERED
+    * candidate pair and shared by both stages. The previous shape paid
+    * the whole banding pipeline twice (once inside semanticDedup[IntLsh]
+    * for the roots, once in bandedSelfCandidates for the mining
+    * candidates) and scored each ORDERED pair — three cosine
+    * evaluations per unordered pair in total, now one.
+    *
+    * Semantics are bit-identical to the two-pass form:
+    *   - the a<b candidate set symmetrized IS the a≠b candidate set
+    *     (shared buckets are symmetric);
+    *   - [[graft.functions.CosineSimilarity]] is exactly symmetric
+    *     (dot/nx/ny accumulate commutative double ops; the final
+    *     expression sqrt(nx)·sqrt(ny) is a commutative product), so the
+    *     symmetrized score equals the ordered-pair score bit-for-bit;
+    *   - root exclusion AFTER scoring keeps the same surviving set the
+    *     exclusion-before-scoring shape kept (the filter commutes with
+    *     the score projection);
+    *   - the dup pairs feeding the component closure are the identical
+    *     (candidates, cosine ≥ dupThreshold) set the near-dup miner
+    *     produced.
+    * The scored pair set is checkpointed once (two consumers: the
+    * component loop and the mining tail — the multi-consumer lineage-cut
+    * discipline).
     */
-  private def excludeSameRoot(candidates: DataFrame, roots: DataFrame): DataFrame =
-    candidates
+  private def hardNegativesBanded(
+      emb: DataFrame,
+      k: Int,
+      dupThreshold: Double,
+      idCol: String,
+      vecCol: String,
+      bucketsOf: Column => Column
+  ): DataFrame = {
+    val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = base
+      .select(col("id"), posexplode(bucketsOf(col("vec"))).as(Seq("table_id", "bucket")))
+    val candidates = bucketed
+      .select(col("id").as("a_id"), col("table_id"), col("bucket"))
+      .join(
+        bucketed.select(col("id").as("b_id"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val scored = candidates
+      .join(base.select(col("id").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("vec").as("b_vec")), "b_id")
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(GraftFunctions.cosineSim(col("a_vec"), col("b_vec")), 6).as("score"))
+      .localCheckpoint(true)
+    val comps = Cluster.connectedComponents(
+      scored.where(col("score") >= dupThreshold).select(col("a_id"), col("b_id")))
+    val roots = emb
+      .select(col(idCol).as("id"))
+      .join(comps.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("root_id"))
+    val sym = scored
+      .select(
+        explode(
+          array(
+            struct(
+              col("a_id").as("query_id"), col("b_id").as("neighbor_id"), col("score")),
+            struct(
+              col("b_id").as("query_id"), col("a_id").as("neighbor_id"), col("score"))))
+          .as("p"))
+      .select(col("p.query_id").as("query_id"), col("p.neighbor_id").as("neighbor_id"), col("p.score").as("score"))
+    val negs = sym
       .join(roots.select(col("id").as("query_id"), col("root_id").as("q_root")), Seq("query_id"))
       .join(roots.select(col("id").as("neighbor_id"), col("root_id").as("c_root")), Seq("neighbor_id"))
       .where(col("q_root") =!= col("c_root"))
-      .select("query_id", "neighbor_id")
+    rankTopK(negs, k)
+  }
 
   /** Sign-random-projection bucket id: `numPlanes` deterministic
     * pseudo-random hyperplanes; bit p of the bucket = sign of dot(v, h_p).
