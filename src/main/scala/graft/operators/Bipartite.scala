@@ -39,20 +39,10 @@ object Bipartite {
       minShared: Long = 1L
   ): DataFrame = {
     require(maxDegree >= 1, "maxDegree must be positive")
-    // localCheckpoint, not persist (r16): the incidence list has THREE
-    // consumers (the degree agg feeding the hub broadcast, and both
-    // sides of the self-join), and the hub BroadcastExchange is built on
-    // a separate scheduler thread CONCURRENTLY with the main join jobs —
-    // a lazily-persisted frame races its own first materialization, so
-    // the distinct's map side was measured running TWICE in parallel
-    // (two 32-task stages, 8.5 s + 4.5 s task time, at sf0.1). The eager
-    // checkpoint materializes the distinct exactly once; every consumer
-    // reads the checkpointed blocks (the multi-consumer lineage-cut
-    // discipline from the arc/CC loops).
     val e = edges
       .select(col(leftCol).as("l"), col(rightCol).as("r"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hubs = e
       .groupBy(col("r"))
       .agg(count(lit(1)).as("deg"))

@@ -152,7 +152,7 @@ object Similarity {
       queryFilter: Column => Column = _ => lit(true)
   ): (DataFrame, DataFrame) = {
     val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // r16: eager — lazy persist raced concurrent AQE stage jobs (see Bipartite)
     val bucketed = base
       .select(col("id"), posexplode(bucketsOf(col("vec"))).as(Seq("table_id", "bucket")))
     val candidates = bucketed
@@ -318,7 +318,7 @@ object Similarity {
       v => GraftFunctions.intLshBuckets(v, tables, bitsPerTable))
     val cand = rankTopK(scoreCandidates(base, candidates), candK)
       .withColumn("score_ppm", round(col("score") * 1000000).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // r16: eager — lazy persist raced concurrent AQE stage jobs (see Bipartite)
     val cv = cand
       .join(base.select(col("id").as("neighbor_id"), col("vec").as("n_vec")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("score_ppm"), col("rank"), col("n_vec"))
@@ -332,7 +332,7 @@ object Similarity {
         col("b.neighbor_id").as("b_id"),
         round(round(GraftFunctions.cosineSim(col("a.n_vec"), col("b.n_vec")), 6) * 1000000)
           .cast("long").as("sim_ppm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // r16: eager — lazy persist raced concurrent AQE stage jobs (see Bipartite)
 
     val lam = lambdaTenths
     var picks = cand
@@ -387,7 +387,7 @@ object Similarity {
   ): DataFrame = {
     def spreadP(space: DataFrame): DataFrame =
       Dedup.spread(space.select(col("id"), col("vec")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // r16: eager — lazy persist raced concurrent AQE stage jobs (see Bipartite)
     val exact = panelBruteTopK(spreadP(full), k, sampleMod)
     val cand = panelBruteTopK(spreadP(reduced), k, sampleMod)
     val panel = full
@@ -533,7 +533,7 @@ object Similarity {
       bucketsOf: Column => Column
   ): DataFrame = {
     val base = Dedup.spread(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // r16: eager — lazy persist raced concurrent AQE stage jobs (see Bipartite)
     val bucketed = base
       .select(col("id"), posexplode(bucketsOf(col("vec"))).as(Seq("table_id", "bucket")))
     val candidates = bucketed

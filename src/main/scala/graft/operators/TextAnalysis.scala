@@ -117,7 +117,27 @@ object TextAnalysis {
       lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
     }
 
-  def langId(toks: Column): Column = {
+  /** One token walk per reference (r16): the Column-algebra form below
+    * ([[langIdHof]], kept as the documented algebra and spec twin)
+    * inlines `size(filter(toks, isin))` once per language per reference
+    * — a single screened langId expanded to ~24 independent tokenize +
+    * array-filter evaluations per row in the committed x127 plan dump.
+    * [[graft.functions.LangIdArgmax]] computes the identical argmax
+    * (same hit rule, same marker-order tie-break, same "und" fallback,
+    * NULL token array → "und" exactly like the when-chain) in one pass,
+    * and shrinks every screen-bearing plan by the inlined CASE chain.
+    */
+  def langId(toks: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LangIdArgmax(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks),
+        langMarkers))
+
+  /** The Column-algebra formulation of [[langId]] — the documented
+    * argmax/tie-break semantics, spec-pinned equal to the expression
+    * path on real corpus text.
+    */
+  private[graft] def langIdHof(toks: Column): Column = {
     val scores = langIdScores(toks)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>

@@ -80,6 +80,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq("en", "es", "de", "fr", "und"))
   }
 
+  test("langId expression path ≡ the Column algebra on real corpus text + edge cases") {
+    // the r16 one-token-walk expression (LangIdArgmax) must match the
+    // documented when-chain algebra row for row: marker-order tie-break,
+    // every-occurrence counting, "und" on no hits, "und" on NULL tokens
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (900001L, "the el der le"),        // 4-way tie at 1 → first list order: en
+        (900002L, "el el the the"),        // 2-way tie at 2 → en (list order)
+        (900003L, ""),                     // "" tokenizes to [""] → und
+        (900004L, null.asInstanceOf[String]) // NULL text → NULL toks → und
+      ).toDF("doc_id", "text"))
+    val both = docs.select(
+      $"doc_id",
+      TextAnalysis.langId(TextAnalysis.tokens($"text")).as("fast"),
+      TextAnalysis.langIdHof(TextAnalysis.tokens($"text")).as("algebra"))
+    assert(both.where($"fast" =!= $"algebra" || $"fast".isNull).count() === 0)
+    val edges = both.where($"doc_id" >= 900001L).orderBy($"doc_id")
+      .collect().map(_.getString(1)).toSeq
+    assert(edges === Seq("en", "en", "und", "und"))
+  }
+
   test("quality score ranges and orders sensibly") {
     val rows = Seq(
       "the quick brown fox jumps over the lazy dog and runs to the river in the morning",
